@@ -1,0 +1,221 @@
+"""Text / html functions for the web-page payload.
+
+The html→text extractor is the engine's F13 (SURVEY.md §2.7): per the
+input-hint invariant it must be **byte-identical** per url, so it is one
+deterministic pure function used both to build the synthetic ``html``
+column and to extract from it (locale- and regex-version-independent:
+plain string slicing + a fixed entity table).
+
+The analysis functions (token count, quality score, language-ID,
+fingerprint) are built-in-expression builders (JVM-side, codegen'd — no
+Python in the hot path) paired with DuckDB-oracle SQL snippets kept
+adjacent so the two stay in sync.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+BODY_OPEN = "<body><!--x-->"
+BODY_CLOSE = "<!--/x--></body>"
+
+# Fixed-order entity table: escape in this order, unescape in reverse.
+_ENTITIES = [("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")]
+
+
+def escape_text(s: str) -> str:
+    for raw, ent in _ENTITIES:
+        s = s.replace(raw, ent)
+    return s
+
+
+def unescape_text(s: str) -> str:
+    for raw, ent in reversed(_ENTITIES):
+        s = s.replace(ent, raw)
+    return s
+
+
+def build_html(text: str, lat: float, lon: float) -> bytes:
+    """Templated page embedding a geotag (FIXTURES.md §1):
+    ``<meta name="geo.position" content="{lat};{lon}">``."""
+    return (
+        "<!doctype html><html><head>"
+        f'<meta name="geo.position" content="{lat!r};{lon!r}">'
+        f"</head>{BODY_OPEN}{escape_text(text)}{BODY_CLOSE}</html>"
+    ).encode("utf-8")
+
+
+def extract_text(html: bytes) -> str:
+    """Inverse of :func:`build_html` — the deterministic extractor whose
+    output must be byte-identical to the source ``text`` per url."""
+    s = html.decode("utf-8")
+    i = s.index(BODY_OPEN) + len(BODY_OPEN)
+    j = s.index(BODY_CLOSE, i)
+    return unescape_text(s[i:j])
+
+
+def html_from_text(text: Column, lat: Column, lon: Column) -> Column:
+    """Column form of :func:`build_html` using JVM-side expressions.
+
+    Uses the raw double columns via ``format_string('%r')``-free path:
+    lat/lon are embedded with full precision via CAST to STRING — the
+    geotag is parsed back by :func:`geotag_from_html` for round-trip tests.
+    """
+    body = F.concat(
+        F.lit(BODY_OPEN),
+        _escape_col(text),
+        F.lit(BODY_CLOSE),
+    )
+    head = F.concat(
+        F.lit('<!doctype html><html><head><meta name="geo.position" content="'),
+        lat.cast("string"),
+        F.lit(";"),
+        lon.cast("string"),
+        F.lit('"></head>'),
+    )
+    return F.encode(F.concat(head, body, F.lit("</html>")), "utf-8")
+
+
+def text_from_html(html: Column) -> Column:
+    """Column form of :func:`extract_text` (JVM-side substring/replace)."""
+    s = F.decode(html, "utf-8")
+    inner = F.substring_index(
+        F.substring_index(s, F.lit(BODY_CLOSE), 1), F.lit(BODY_OPEN), -1
+    )
+    return _unescape_col(inner)
+
+
+def geotag_from_html(html: Column) -> tuple[Column, Column]:
+    """Parse the ``geo.position`` meta back out of the html binary."""
+    s = F.decode(html, "utf-8")
+    content = F.substring_index(
+        F.substring_index(s, F.lit('content="'), -1), F.lit('">'), 1
+    )
+    lat = F.substring_index(content, F.lit(";"), 1).cast("double")
+    lon = F.substring_index(content, F.lit(";"), -1).cast("double")
+    return lat, lon
+
+
+def _escape_col(c: Column) -> Column:
+    for raw, ent in _ENTITIES:
+        c = F.replace(c, F.lit(raw), F.lit(ent))
+    return c
+
+
+def _unescape_col(c: Column) -> Column:
+    for raw, ent in reversed(_ENTITIES):
+        c = F.replace(c, F.lit(ent), F.lit(raw))
+    return c
+
+
+# --------------------------------------------------------------------------
+# Text analysis (training-data pipeline ops). Each Spark builder has a
+# matching `*_SQL` DuckDB expression; both operate on a `text` column.
+# --------------------------------------------------------------------------
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
+_SW_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace token array (shared tokenizer for all text ops)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+TOKENS_SQL = r"string_split_regex(trim(text), '\s+')"
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens_col(text))
+
+
+TOKEN_COUNT_SQL = rf"len({TOKENS_SQL})"
+
+
+def punct_count(text: Column) -> Column:
+    return F.length(F.regexp_replace(text, r"[^.,!?;:]", ""))
+
+
+PUNCT_COUNT_SQL = r"length(regexp_replace(text, '[^.,!?;:]', '', 'g'))"
+
+
+def stopword_count(text: Column) -> Column:
+    return F.size(F.filter(tokens_col(text), lambda t: t.isin(STOPWORDS)))
+
+
+STOPWORD_COUNT_SQL = rf"len(list_filter({TOKENS_SQL}, t -> t IN ({_SW_LIST})))"
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality heuristic in [0, 1]: length band + punctuation
+    sanity + stopword presence — the 'quality scoring' op of the
+    training-data pipeline suite. Rounded to 6dp for oracle stability."""
+    ntok = token_count(text).cast("double")
+    npunct = punct_count(text).cast("double")
+    nsw = stopword_count(text).cast("double")
+    nchars = F.length(text).cast("double")
+    length_term = F.least(ntok / F.lit(100.0), F.lit(1.0))
+    punct_term = F.least(npunct / F.greatest(nchars, F.lit(1.0)) * F.lit(10.0), F.lit(1.0))
+    sw_term = F.least(nsw / F.greatest(ntok, F.lit(1.0)) * F.lit(5.0), F.lit(1.0))
+    return F.round((length_term + punct_term + sw_term) / F.lit(3.0), 6)
+
+
+QUALITY_SCORE_SQL = rf"""round((
+  least(CAST({TOKEN_COUNT_SQL} AS DOUBLE) / CAST(100 AS DOUBLE), CAST(1 AS DOUBLE))
++ least(CAST({PUNCT_COUNT_SQL} AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), CAST(1 AS DOUBLE)) * CAST(10 AS DOUBLE), CAST(1 AS DOUBLE))
++ least(CAST({STOPWORD_COUNT_SQL} AS DOUBLE) / greatest(CAST({TOKEN_COUNT_SQL} AS DOUBLE), CAST(1 AS DOUBLE)) * CAST(5 AS DOUBLE), CAST(1 AS DOUBLE))
+) / CAST(3 AS DOUBLE), 6)"""
+
+
+# n-gram-frequency language-ID heuristic: score per language = count of
+# that language's marker words; argmax with a fixed tie-break order.
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "is"],
+    "es": ["el", "la", "de", "que"],
+    "de": ["der", "die", "und", "ist"],
+    "fr": ["le", "la", "et", "est"],
+}
+
+
+def _lang_score(text: Column, lang: str) -> Column:
+    return F.size(F.filter(tokens_col(text), lambda t: t.isin(LANG_MARKERS[lang])))
+
+
+def lang_id(text: Column) -> Column:
+    """Predicted language = argmax marker count, ties broken by the fixed
+    en > es > de > fr order; 'und' when no marker hits."""
+    s_en, s_es, s_de, s_fr = (_lang_score(text, g) for g in ("en", "es", "de", "fr"))
+    best = F.greatest(s_en, s_es, s_de, s_fr)
+    return (
+        F.when(best == 0, F.lit("und"))
+        .when(s_en == best, F.lit("en"))
+        .when(s_es == best, F.lit("es"))
+        .when(s_de == best, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+    return rf"len(list_filter({TOKENS_SQL}, t -> t IN ({words})))"
+
+
+LANG_ID_SQL = rf"""CASE
+  WHEN greatest({_lang_score_sql('en')}, {_lang_score_sql('es')}, {_lang_score_sql('de')}, {_lang_score_sql('fr')}) = 0 THEN 'und'
+  WHEN {_lang_score_sql('en')} = greatest({_lang_score_sql('en')}, {_lang_score_sql('es')}, {_lang_score_sql('de')}, {_lang_score_sql('fr')}) THEN 'en'
+  WHEN {_lang_score_sql('es')} = greatest({_lang_score_sql('en')}, {_lang_score_sql('es')}, {_lang_score_sql('de')}, {_lang_score_sql('fr')}) THEN 'es'
+  WHEN {_lang_score_sql('de')} = greatest({_lang_score_sql('en')}, {_lang_score_sql('es')}, {_lang_score_sql('de')}, {_lang_score_sql('fr')}) THEN 'de'
+  ELSE 'fr' END"""
+
+
+def fingerprint(text: Column) -> Column:
+    """Content fingerprint: md5 of the whitespace-normalized lowercase
+    text. MD5 is the cross-engine-identical hash (Spark ``md5`` ==
+    DuckDB ``md5``), standing in for the reference-free rolling hash;
+    a true rolling-hash variant lives in operators/dedup.py (pandas UDF)."""
+    norm = F.lower(F.array_join(tokens_col(text), " "))
+    return F.md5(F.encode(norm, "utf-8"))
+
+
+FINGERPRINT_SQL = rf"md5(lower(array_to_string({TOKENS_SQL}, ' ')))"

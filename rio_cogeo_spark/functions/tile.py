@@ -1,0 +1,113 @@
+"""Vectorized tile-assignment UDFs (Arrow/pandas — no per-row Python).
+
+The Spark-facing wrappers around rio_cogeo_spark.grid: each UDF receives
+pandas Series, runs numpy math over the whole Arrow batch, and returns a
+Series/DataFrame. Mirrors the reference's pixel→tile alignment
+(/root/reference/rio_cogeo/utils.py:125-140) as a *computed key* — tile
+assignment is a projection, not a shuffle (SURVEY.md §2.3 J1).
+
+``tile_xy_sql`` emits the equivalent ANSI-SQL (DuckDB-runnable) formula so
+the driver's oracle reproduces the exact same integer tile ids: the only
+transcendental step (``ln(tan(...))``) is IEEE double in both engines and
+feeds a ``floor`` whose argument is never within ulp-distance of an
+integer for hash-derived coordinates.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from rio_cogeo_spark import grid
+
+_TILE_SCHEMA = StructType(
+    [StructField("tile_x", LongType()), StructField("tile_y", LongType())]
+)
+
+
+def tile_assign(lon: Column, lat: Column, zoom: int) -> Column:
+    """(lon, lat) → struct(tile_x, tile_y) at ``zoom`` via one Arrow batch
+    UDF (two outputs from one mercator computation)."""
+
+    @F.pandas_udf(_TILE_SCHEMA)
+    def _assign(lon_s: pd.Series, lat_s: pd.Series) -> pd.DataFrame:
+        tx, ty = grid.tile_index(lon_s.to_numpy(), lat_s.to_numpy(), zoom)
+        return pd.DataFrame({"tile_x": tx, "tile_y": ty})
+
+    return _assign(lon, lat)
+
+
+def cell_id(lon: Column, lat: Column, zoom: int) -> Column:
+    """(lon, lat) → packed int64 cell id (z<<58 | x<<29 | y)."""
+
+    @F.pandas_udf(LongType())
+    def _cell(lon_s: pd.Series, lat_s: pd.Series) -> pd.Series:
+        tx, ty = grid.tile_index(lon_s.to_numpy(), lat_s.to_numpy(), zoom)
+        return pd.Series(grid.pack_cell(zoom, tx, ty))
+
+    return _cell(lon, lat)
+
+
+def k_ring_cells(cell: Column, k: int = 1) -> Column:
+    """Packed cell id → array of packed neighbor cell ids within Chebyshev
+    distance k (kNN candidate expansion, SURVEY.md §2.3 J3)."""
+
+    @F.pandas_udf("array<long>")
+    def _ring(cells: pd.Series) -> pd.Series:
+        arr = cells.to_numpy(dtype=np.int64)
+        z, tx, ty = grid.unpack_cell(arr)
+        out = []
+        for i in range(len(arr)):
+            ring = grid.k_ring(int(tx[i]), int(ty[i]), int(z[i]), k)
+            out.append([int(grid.pack_cell(int(z[i]), x, y)) for x, y in ring])
+        return pd.Series(out)
+
+    return _ring(cell)
+
+
+def mercator_xy(lon: Column, lat: Column) -> Column:
+    """(lon, lat) → struct(mx, my) EPSG:3857 doubles."""
+
+    @F.pandas_udf("struct<mx: double, my: double>")
+    def _merc(lon_s: pd.Series, lat_s: pd.Series) -> pd.DataFrame:
+        mx, my = grid.lonlat_to_mercator(lon_s.to_numpy(), lat_s.to_numpy())
+        return pd.DataFrame({"mx": mx, "my": my})
+
+    return _merc(lon, lat)
+
+
+# --------------------------------------------------------------------------
+# Oracle SQL twins (DuckDB + Spark SQL compatible)
+# --------------------------------------------------------------------------
+
+ORIGIN = grid.ORIGIN_SHIFT
+MAX_LAT = grid.MAX_LAT
+
+
+def mercator_sql(lon_expr: str, lat_expr: str) -> tuple[str, str]:
+    lat_c = f"least(greatest({lat_expr}, CAST(-{MAX_LAT!r} AS DOUBLE)), CAST({MAX_LAT!r} AS DOUBLE))"
+    mx = f"({lon_expr}) * CAST({ORIGIN!r} AS DOUBLE) / CAST(180 AS DOUBLE)"
+    my = (
+        f"ln(tan((CAST(90 AS DOUBLE) + {lat_c}) * pi() / CAST(360 AS DOUBLE)))"
+        f" * CAST({grid.EARTH_RADIUS!r} AS DOUBLE)"
+    )
+    return mx, my
+
+
+def tile_xy_sql(lon_expr: str, lat_expr: str, zoom: int) -> tuple[str, str]:
+    """SQL expressions for (tile_x, tile_y) matching grid.tile_index."""
+    mx, my = mercator_sql(lon_expr, lat_expr)
+    n = 1 << zoom
+    span = 2.0 * ORIGIN
+    tx = (
+        f"least(greatest(CAST(floor((({mx}) + CAST({ORIGIN!r} AS DOUBLE)) / "
+        f"CAST({span!r} AS DOUBLE) * CAST({n} AS DOUBLE)) AS BIGINT), 0), {n - 1})"
+    )
+    ty = (
+        f"least(greatest(CAST(floor((CAST({ORIGIN!r} AS DOUBLE) - ({my})) / "
+        f"CAST({span!r} AS DOUBLE) * CAST({n} AS DOUBLE)) AS BIGINT), 0), {n - 1})"
+    )
+    return tx, ty

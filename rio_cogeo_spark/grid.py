@@ -1,0 +1,272 @@
+"""Pure-numpy WebMercator / tile-pyramid math — the semantic core.
+
+Re-creates (from public knowledge of the WebMercatorQuad tile matrix set
+and the reference's published semantics) the grid arithmetic that
+rio-cogeo delegates to morecantile / rasterio:
+
+* ``zoom_for_res``            — /root/reference/rio_cogeo/utils.py:74-78
+* ``max_overview_level``      — rasterio ``get_maximum_overview_level`` as
+                                used at /root/reference/rio_cogeo/cogeo.py:382-384
+* ``overview_decimations``    — /root/reference/rio_cogeo/cogeo.py:389 with the
+                                validation rules of cogeo.py:196-203
+* ``web_optimized_grid``      — /root/reference/rio_cogeo/utils.py:88-147
+* tile addressing (z, x, y)   — /root/reference/rio_cogeo/utils.py:125-137
+
+Zero Spark imports: everything here is unit-testable numpy and is called
+from vectorized pandas UDFs (rio_cogeo_spark/functions/tile.py).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+# WGS84 / WebMercatorQuad constants (public EPSG:3857 definition).
+EARTH_RADIUS = 6378137.0
+ORIGIN_SHIFT = math.pi * EARTH_RADIUS  # 20037508.342789244
+# WebMercatorQuad matrices are 256px; rio-cogeo's *internal block* default
+# is 512 (profiles.py:14-15) — kept distinct, as in the reference.
+TMS_TILE_PX = 256
+DEFAULT_BLOCKSIZE = 512
+# Valid mercator latitude bound: atan(sinh(pi)) in degrees.
+MAX_LAT = 85.0511287798066
+MAX_ZOOM = 30
+
+
+def cell_size(zoom: int, tile_px: int = TMS_TILE_PX) -> float:
+    """Ground resolution (m/px) of a WebMercatorQuad matrix at ``zoom``.
+
+    Mirrors ``tms.matrix(zoom).cellSize`` (utils.py:131).
+    """
+    return (2.0 * ORIGIN_SHIFT) / (tile_px * (2.0**zoom))
+
+
+def lonlat_to_mercator(lon, lat):
+    """Vectorized EPSG:4326 → EPSG:3857. Inputs clipped to the valid domain."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.clip(np.asarray(lat, dtype=np.float64), -MAX_LAT, MAX_LAT)
+    x = lon * ORIGIN_SHIFT / 180.0
+    y = np.log(np.tan((90.0 + lat) * math.pi / 360.0)) * EARTH_RADIUS
+    return x, y
+
+
+def mercator_to_lonlat(x, y):
+    """Vectorized EPSG:3857 → EPSG:4326."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    lon = x / ORIGIN_SHIFT * 180.0
+    lat = (
+        np.arctan(np.sinh(y / EARTH_RADIUS)) * 180.0 / math.pi
+    )
+    return lon, lat
+
+
+def tile_index(lon, lat, zoom: int):
+    """(lon, lat) → (tile_x, tile_y) at ``zoom`` — the XYZ addressing of
+    ``tms._tile(x, y, z)`` (utils.py:125,134). Vectorized; clipped to the
+    [0, 2**z - 1] matrix extent exactly as morecantile's truncate does.
+    """
+    mx, my = lonlat_to_mercator(lon, lat)
+    n = 1 << zoom
+    span = 2.0 * ORIGIN_SHIFT
+    tx = np.floor((mx + ORIGIN_SHIFT) / span * n).astype(np.int64)
+    ty = np.floor((ORIGIN_SHIFT - my) / span * n).astype(np.int64)
+    return np.clip(tx, 0, n - 1), np.clip(ty, 0, n - 1)
+
+
+def tile_bounds_mercator(tx, ty, zoom: int):
+    """Tile (x, y, z) → (west, south, east, north) in EPSG:3857 —
+    ``tms.xy_bounds(tile)`` (utils.py:126,135-137)."""
+    tx = np.asarray(tx, dtype=np.float64)
+    ty = np.asarray(ty, dtype=np.float64)
+    span = 2.0 * ORIGIN_SHIFT / (1 << zoom)
+    west = -ORIGIN_SHIFT + tx * span
+    north = ORIGIN_SHIFT - ty * span
+    return west, north - span, west + span, north
+
+
+def zoom_for_res(
+    res: float,
+    max_z: int = MAX_ZOOM,
+    zoom_level_strategy: str = "auto",
+    min_z: int = 0,
+    tile_px: int = TMS_TILE_PX,
+) -> int:
+    """Zoom level for a target ground resolution.
+
+    Semantics mirror ``morecantile.TileMatrixSet.zoom_for_res`` as used by
+    the reference (utils.py:74-78; strategy semantics documented at
+    cogeo.py:134-140):
+
+    * pick the smallest zoom whose cellSize <= res (within 1e-8 rel tol);
+    * ``lower``  → snap one level coarser (never below ``min_z``);
+    * ``upper``  → keep the finer level;
+    * ``auto``   → snap coarser only when the coarser level's cellSize is
+      within 11.9% above ``res`` (the "close enough, save 4x the tiles"
+      heuristic GDAL's COG driver popularized).
+    """
+    strategy = zoom_level_strategy.lower()
+    if strategy not in ("auto", "lower", "upper"):
+        raise ValueError(
+            f"Invalid strategy: {zoom_level_strategy}. "
+            "Should be one of lower|upper|auto."
+        )
+
+    zoom = min_z
+    for zoom in range(min_z, max_z + 1):
+        matrix_res = cell_size(zoom, tile_px)
+        if res > matrix_res or abs(res - matrix_res) / matrix_res <= 1e-8:
+            break
+    if zoom > min_z:
+        prev_res = cell_size(zoom - 1, tile_px)
+        if abs(res - prev_res) / prev_res <= 1e-8:
+            zoom -= 1
+
+    if strategy == "lower":
+        zoom = max(zoom - 1, min_z)
+    elif strategy == "auto":
+        if zoom > min_z and (cell_size(zoom - 1, tile_px) / res) < 1.119:
+            zoom = zoom - 1
+    return zoom
+
+
+def max_overview_level(width: int, height: int, minsize: int = DEFAULT_BLOCKSIZE) -> int:
+    """Number of overview levels so the smallest overview stays >= minsize.
+
+    Mirrors rasterio's ``get_maximum_overview_level`` as called at
+    cogeo.py:382-384: halve while ``min(w // f, h // f) > minsize``.
+    Golden: (512, 512, minsize=64) → 3 (reference tests/test_cogeo.py:72).
+    """
+    level = 0
+    factor = 1
+    while min(width // factor, height // factor) > minsize:
+        factor *= 2
+        level += 1
+    return level
+
+
+def overview_decimations(overview_level: int | None, decimation_base: int = 2,
+                         width: int | None = None, height: int | None = None,
+                         minsize: int = DEFAULT_BLOCKSIZE) -> list[int]:
+    """Decimation factor list ``[base**j for j in 1..level]`` (cogeo.py:389)
+    with the reference's parameter validation (cogeo.py:196-203):
+
+    * base <= 1 → ValueError
+    * base > 2 without an explicit overview_level → ValueError
+    * overview_level None → inferred via :func:`max_overview_level`.
+    """
+    if decimation_base <= 1:
+        raise ValueError(
+            "Decimation base must be greater than 1 for building overviews."
+        )
+    if decimation_base > 2 and overview_level is None:
+        raise ValueError(
+            "Decimation base values greater than 2 require that overview_level is defined."
+        )
+    if overview_level is None:
+        if width is None or height is None:
+            raise ValueError("width/height required to infer overview_level")
+        overview_level = max_overview_level(width, height, minsize=minsize)
+    return [decimation_base**j for j in range(1, overview_level + 1)]
+
+
+@dataclass(frozen=True)
+class GridSpec:
+    """The 'web-optimized VRT params' analog (utils.py:142-147): a target
+    output grid — origin at a tile corner, resolution = TMS cellSize at
+    max_zoom, extent padded to whole tiles at ``base_zoom``."""
+
+    crs: str
+    origin_x: float
+    origin_y: float
+    resolution: float
+    width: int
+    height: int
+    max_zoom: int
+    base_zoom: int
+
+
+def web_optimized_grid(
+    bounds_lonlat: tuple[float, float, float, float],
+    zoom_level_strategy: str = "auto",
+    zoom_level: int | None = None,
+    aligned_levels: int | None = None,
+    source_resolution: float | None = None,
+) -> GridSpec:
+    """Compute the aligned output grid for a lon/lat extent — the
+    ``get_web_optimized_params`` analog (utils.py:88-147).
+
+    The UL corner snaps to the UL tile at ``base_zoom = max_zoom -
+    aligned_levels``; width/height use the reference's ``max(1,
+    round((e - w) / res))`` rule (utils.py:139-140).
+    """
+    w_lon, s_lat, e_lon, n_lat = bounds_lonlat
+    (wx, ex), (sy, ny) = (
+        lonlat_to_mercator([w_lon, e_lon], [s_lat, n_lat])[0],
+        lonlat_to_mercator([w_lon, e_lon], [s_lat, n_lat])[1],
+    )
+
+    if zoom_level is None:
+        if source_resolution is None:
+            raise ValueError("source_resolution required when zoom_level is None")
+        max_zoom = zoom_for_res(source_resolution, zoom_level_strategy=zoom_level_strategy)
+    else:
+        max_zoom = zoom_level
+
+    aligned_levels = aligned_levels or 0
+    base_zoom = max(max_zoom - aligned_levels, 0)
+
+    ul_tx, ul_ty = tile_index([w_lon], [n_lat], base_zoom)
+    west, _, _, north = tile_bounds_mercator(ul_tx, ul_ty, base_zoom)
+
+    res = cell_size(max_zoom)
+
+    lr_tx, lr_ty = tile_index([e_lon], [s_lat], base_zoom)
+    _, south, east, _ = tile_bounds_mercator(lr_tx + 1, lr_ty + 1, base_zoom)
+    # xy_bounds(Tile(x+1, y+1)) in the reference (utils.py:134-137): the
+    # east/south of the padded extent is the *west/north* of that tile.
+    east = east - 2.0 * ORIGIN_SHIFT / (1 << base_zoom)
+    south = south + 2.0 * ORIGIN_SHIFT / (1 << base_zoom)
+
+    width = max(1, round(float(east[0] - west[0]) / res))
+    height = max(1, round(float(north[0] - south[0]) / res))
+    return GridSpec(
+        crs="EPSG:3857",
+        origin_x=float(west[0]),
+        origin_y=float(north[0]),
+        resolution=res,
+        width=int(width),
+        height=int(height),
+        max_zoom=max_zoom,
+        base_zoom=base_zoom,
+    )
+
+
+def k_ring(tx: int, ty: int, zoom: int, k: int = 1) -> list[tuple[int, int]]:
+    """Neighbor tiles within Chebyshev distance ``k`` — the kNN candidate
+    expansion (SURVEY.md §2.3 J3). X wraps around the antimeridian; Y is
+    clamped to the matrix."""
+    n = 1 << zoom
+    out = []
+    for dy in range(-k, k + 1):
+        yy = ty + dy
+        if yy < 0 or yy >= n:
+            continue
+        for dx in range(-k, k + 1):
+            out.append(((tx + dx) % n, yy))
+    return out
+
+
+def pack_cell(zoom, tx, ty):
+    """(z, x, y) → single int64 cell id: z<<58 | x<<29 | y. Valid z<=29."""
+    zoom_arr = np.asarray(zoom, dtype=np.int64)
+    tx_arr = np.asarray(tx, dtype=np.int64)
+    ty_arr = np.asarray(ty, dtype=np.int64)
+    return (zoom_arr << 58) | (tx_arr << 29) | ty_arr
+
+
+def unpack_cell(cell):
+    cell = np.asarray(cell, dtype=np.int64)
+    return cell >> 58, (cell >> 29) & ((1 << 29) - 1), cell & ((1 << 29) - 1)
