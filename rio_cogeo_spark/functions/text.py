@@ -80,20 +80,16 @@ def html_from_text(text: Column, lat: Column, lon: Column) -> Column:
 def text_from_html(html: Column) -> Column:
     """Column form of :func:`extract_text` (JVM-side substring/replace)."""
     s = F.decode(html, "utf-8")
-    inner = F.substring_index(
-        F.substring_index(s, F.lit(BODY_CLOSE), 1), F.lit(BODY_OPEN), -1
-    )
+    inner = F.substring_index(F.substring_index(s, BODY_CLOSE, 1), BODY_OPEN, -1)
     return _unescape_col(inner)
 
 
 def geotag_from_html(html: Column) -> tuple[Column, Column]:
     """Parse the ``geo.position`` meta back out of the html binary."""
     s = F.decode(html, "utf-8")
-    content = F.substring_index(
-        F.substring_index(s, F.lit('content="'), -1), F.lit('">'), 1
-    )
-    lat = F.substring_index(content, F.lit(";"), 1).cast("double")
-    lon = F.substring_index(content, F.lit(";"), -1).cast("double")
+    content = F.substring_index(F.substring_index(s, 'content="', -1), '">', 1)
+    lat = F.substring_index(content, ";", 1).cast("double")
+    lon = F.substring_index(content, ";", -1).cast("double")
     return lat, lon
 
 

@@ -1,0 +1,93 @@
+"""``cog_info`` analog (/root/reference/rio_cogeo/cogeo.py:730-853):
+aggregate ``tiles`` + ``tiles_meta`` + properties into the typed
+:class:`rio_cogeo_spark.models.Info` describe-model.
+
+Pure metadata aggregates (a handful of collect()s over the tiny meta
+table plus min/max over tiles) — mirrors the reference, which reads only
+TIFF tags/IFDs, never pixels.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rio_cogeo_spark import grid
+from rio_cogeo_spark.models import Geo, IFD, Info, Profile
+from rio_cogeo_spark.operators.validate import cog_validate
+
+
+def cog_info(
+    tiles: DataFrame,
+    meta: DataFrame,
+    properties: Optional[Dict[str, str]] = None,
+    path: str = "tiles",
+) -> Info:
+    properties = properties or {}
+    is_valid, errors, warnings = cog_validate(tiles, meta, properties)
+
+    meta_rows = sorted(meta.collect(), key=lambda r: r["zoom"])
+    band_cols = [c for c in tiles.columns if c not in ("zoom", "tile_x", "tile_y")]
+
+    max_row = meta_rows[-1]
+    min_zoom, max_zoom = meta_rows[0]["zoom"], max_row["zoom"]
+
+    # Extent of the base level in mercator coords (cogeo.py:809-816 analog).
+    ext = (
+        tiles.filter(F.col("zoom") == max_zoom)
+        .agg(
+            F.min("tile_x").alias("tx0"),
+            F.max("tile_x").alias("tx1"),
+            F.min("tile_y").alias("ty0"),
+            F.max("tile_y").alias("ty1"),
+        )
+        .first()
+    )
+    w, s, _, _ = grid.tile_bounds_mercator([ext["tx0"]], [ext["ty1"]], max_zoom)
+    _, _, e, n = grid.tile_bounds_mercator([ext["tx1"]], [ext["ty0"]], max_zoom)
+    res = grid.cell_size(max_zoom)
+
+    ifds = [
+        IFD(
+            Level=r["level"],
+            Width=int(r["width"]),
+            Height=int(r["height"]),
+            Blocksize=(r["blocksize_x"], r["blocksize_y"]),
+            Decimation=r["decimation"],
+        )
+        for r in sorted(meta_rows, key=lambda r: r["level"])
+    ]
+
+    return Info(
+        Path=path,
+        Driver=properties.get("format", "parquet"),
+        COG=is_valid,
+        Compression=properties.get("compression", "zstd"),
+        ColorSpace=None,
+        COG_errors=errors or None,
+        COG_warnings=warnings or None,
+        Profile=Profile(
+            Bands=len(band_cols),
+            Width=int(max_row["width"]),
+            Height=int(max_row["height"]),
+            Tiled=True,
+            Dtype="int64",
+            Interleave="pixel",
+            AlphaBand=False,
+            InternalMask=False,
+            Nodata=None,
+            ColorInterp=tuple(band_cols),
+        ),
+        GEO=Geo(
+            CRS="EPSG:3857",
+            BoundingBox=(float(w[0]), float(s[0]), float(e[0]), float(n[0])),
+            Origin=(float(w[0]), float(n[0])),
+            Resolution=(res, -res),
+            MinZoom=min_zoom,
+            MaxZoom=max_zoom,
+        ),
+        Tags={"IMAGE_STRUCTURE": {"LAYOUT": "COG"}},
+        IFD=ifds,
+    )

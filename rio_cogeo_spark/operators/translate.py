@@ -1,0 +1,250 @@
+"""``cog_translate`` analog: pages → per-zoom tile pyramid + tiles_meta.
+
+Reference lifecycle (/root/reference/rio_cogeo/cogeo.py:75-467, SURVEY.md §3.1):
+
+* stage 1 analyze  — infer bands/nodata/extent        → here: bounds agg + BandSpecs
+* stage 2 plan     — vrt_params / aligned output grid → here: :class:`TileJobPlan`
+* stage 3 execute  — per-block read/write loop        → here: ONE tile-assignment
+  projection (Arrow UDF, no shuffle) + base-zoom groupBy (partial agg map-side)
+* stage 4 aggregate— build_overviews([base**j ...])   → here: per-level
+  ``groupBy(tx // base, ty // base)`` chain (cogeo.py:381-390)
+* stage 5 finalize — ordered COG copy                 → here: deterministic
+  write order ``zoom ASC, tile_y, tile_x`` (smallest overview first, main
+  image last — cogeo.py:544-548,654-679)
+
+Scale design (100 TB): the pages scan happens once; every pyramid level
+re-aggregates the previous level (rows shrink ~4x per level), so shuffle
+bytes are bounded by the base tile count, not the page count. All band
+aggregates must be *mergeable* (sum/min/max/count, HLL sketch for distinct)
+— the same constraint GDAL's overview resampling kernels satisfy.
+Hot-cell skew at the base groupBy is absorbed by map-side partial
+aggregation; AQE handles residual reducer skew.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Tuple
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rio_cogeo_spark import grid
+from rio_cogeo_spark.errors import IncompatibleOptions
+from rio_cogeo_spark.functions.tile import tile_assign
+
+
+@dataclass(frozen=True)
+class BandSpec:
+    """One tile band: a base aggregate over pages plus a merge rule for
+    pyramid levels (the resampling-kernel analog, cogeo.py:46-58).
+
+    merge ∈ {sum, min, max, hll} — mergeable aggregates only; ``avg`` is
+    expressed as a (sum, count) pair by callers, ``rms`` as sum of squares.
+    """
+
+    name: str
+    base: Callable[[], Column]
+    merge: str = "sum"
+
+
+def default_bands() -> List[BandSpec]:
+    """The 3-band default mirroring FIXTURES.md §4 image_rgb mapping:
+    page count, total chars, and max doc_id (a deterministic 'nearest'
+    stand-in: picks a representative child value)."""
+    return [
+        BandSpec("page_count", lambda: F.count(F.lit(1)).cast("long"), "sum"),
+        BandSpec("sum_chars", lambda: F.sum("n_chars").cast("long"), "sum"),
+        BandSpec("max_doc_id", lambda: F.max("doc_id").cast("long"), "max"),
+    ]
+
+
+_MERGE_FNS = {
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+}
+
+
+@dataclass
+class TileJobPlan:
+    """The logical plan — the ``vrt_params`` / web-optimized grid analog
+    (cogeo.py:261-298, utils.py:88-147)."""
+
+    max_zoom: int
+    min_zoom: int
+    decimation_base: int = 2
+    blocksize: int = grid.DEFAULT_BLOCKSIZE
+    overview_resampling: str = "sum"
+    extent: Optional[Tuple[int, int, int, int]] = None  # (tx0, ty0, tx1, ty1) @max_zoom
+    width_px: int = 0
+    height_px: int = 0
+    decimations: List[int] = field(default_factory=list)
+
+    @property
+    def zooms(self) -> List[int]:
+        return list(range(self.max_zoom, self.min_zoom - 1, -1))
+
+
+def plan_tile_job(
+    pages: DataFrame,
+    max_zoom: int,
+    overview_level: Optional[int] = None,
+    decimation_base: int = 2,
+    blocksize: int = grid.DEFAULT_BLOCKSIZE,
+) -> TileJobPlan:
+    """Stage 1+2: compute the aligned extent and the overview chain.
+
+    Dataset 'pixel' width = tile-cell count x blocksize (SURVEY.md §1.4:
+    a TMS tile cell is the 512x512 internal-block analog), so the
+    reference's overview-count rule (cogeo.py:381-384) transfers directly.
+    """
+    b = pages.agg(
+        F.min("lon").alias("w"),
+        F.max("lon").alias("e"),
+        F.min("lat").alias("s"),
+        F.max("lat").alias("n"),
+    ).first()
+    if b is None or b["w"] is None:
+        raise ValueError("cannot plan a tile job over an empty pages table")
+    tx0, ty0 = grid.tile_index([b["w"]], [b["n"]], max_zoom)
+    tx1, ty1 = grid.tile_index([b["e"]], [b["s"]], max_zoom)
+    width_cells = int(tx1[0] - tx0[0] + 1)
+    height_cells = int(ty1[0] - ty0[0] + 1)
+    width_px = width_cells * blocksize
+    height_px = height_cells * blocksize
+
+    decimations = grid.overview_decimations(
+        overview_level,
+        decimation_base=decimation_base,
+        width=width_px,
+        height=height_px,
+        minsize=blocksize,
+    )
+    min_zoom = max(max_zoom - len(decimations), 0)
+    return TileJobPlan(
+        max_zoom=max_zoom,
+        min_zoom=min_zoom,
+        decimation_base=decimation_base,
+        blocksize=blocksize,
+        extent=(int(tx0[0]), int(ty0[0]), int(tx1[0]), int(ty1[0])),
+        width_px=width_px,
+        height_px=height_px,
+        decimations=decimations,
+    )
+
+
+def assign_tiles(pages: DataFrame, zoom: int) -> DataFrame:
+    """Stage 3a: the tile-assignment projection — a computed key via one
+    Arrow-vectorized UDF, NO shuffle (SURVEY.md §2.3 J1)."""
+    t = tile_assign(F.col("lon"), F.col("lat"), zoom)
+    return pages.withColumn("tile_x", t["tile_x"]).withColumn("tile_y", t["tile_y"])
+
+
+def base_tiles(pages: DataFrame, zoom: int, bands: Optional[List[BandSpec]] = None) -> DataFrame:
+    """Stage 3b: base-zoom aggregation. One shuffle on (tile_x, tile_y)
+    with map-side partial aggregation absorbing megacity skew."""
+    bands = bands or default_bands()
+    aggs = [spec.base().alias(spec.name) for spec in bands]
+    return (
+        assign_tiles(pages, zoom)
+        .groupBy("tile_x", "tile_y")
+        .agg(*aggs)
+        .withColumn("zoom", F.lit(zoom).cast("int"))
+    )
+
+
+def next_level(tiles: DataFrame, zoom: int, base: int, bands: List[BandSpec]) -> DataFrame:
+    """Stage 4 step: one overview level — ``groupBy(tx // base, ty // base)``
+    (cogeo.py:389). Input rows shrink ~base² per level, so each successive
+    shuffle is smaller; floor-division keys keep partition locality."""
+    merges = []
+    for spec in bands:
+        if spec.merge not in _MERGE_FNS:
+            raise IncompatibleOptions(f"non-mergeable band merge: {spec.merge}")
+        merges.append(_MERGE_FNS[spec.merge](spec.name).alias(spec.name))
+    return (
+        tiles.groupBy(
+            F.floor(F.col("tile_x") / base).cast("long").alias("tile_x"),
+            F.floor(F.col("tile_y") / base).cast("long").alias("tile_y"),
+        )
+        .agg(*merges)
+        .withColumn("zoom", F.lit(zoom).cast("int"))
+    )
+
+
+def cog_translate(
+    pages: DataFrame,
+    max_zoom: int,
+    overview_level: Optional[int] = None,
+    decimation_base: int = 2,
+    blocksize: int = grid.DEFAULT_BLOCKSIZE,
+    bands: Optional[List[BandSpec]] = None,
+) -> Tuple[DataFrame, TileJobPlan]:
+    """Full pyramid: union of all levels, ordered smallest-overview-first.
+
+    Returns (tiles, plan); tiles schema:
+    ``zoom int, tile_x long, tile_y long, <band columns>``.
+    """
+    bands = bands or default_bands()
+    plan = plan_tile_job(
+        pages, max_zoom, overview_level, decimation_base, blocksize
+    )
+    level = base_tiles(pages, max_zoom, bands)
+    levels = [level]
+    for z in range(max_zoom - 1, plan.min_zoom - 1, -1):
+        level = next_level(level, z, decimation_base, bands)
+        levels.append(level)
+
+    cols = ["zoom", "tile_x", "tile_y"] + [s.name for s in bands]
+    out = levels[0].select(cols)
+    for lv in levels[1:]:
+        out = out.unionByName(lv.select(cols))
+    return out, plan
+
+
+def tiles_meta(tiles: DataFrame, plan: TileJobPlan) -> DataFrame:
+    """The IFD-table analog (reference models.py:18-25): one row per level
+    with extent, blocksize, decimation and tile count, plus the write-order
+    index (``write_index``: 0 = smallest overview — the COG layout rule,
+    cogeo.py:654-679)."""
+    spark = tiles.sparkSession
+    rows = []
+    tx0, ty0, tx1, ty1 = plan.extent  # type: ignore[misc]
+    for i, z in enumerate(sorted(plan.zooms)):
+        dec = plan.decimation_base ** (plan.max_zoom - z)
+        w_cells = (tx1 // dec) - (tx0 // dec) + 1
+        h_cells = (ty1 // dec) - (ty0 // dec) + 1
+        rows.append(
+            (
+                z,
+                plan.max_zoom - z,
+                int(w_cells * plan.blocksize // 1),
+                int(h_cells * plan.blocksize // 1),
+                plan.blocksize,
+                plan.blocksize,
+                dec,
+                i,
+            )
+        )
+    meta = spark.createDataFrame(
+        rows,
+        "zoom int, level int, width long, height long, blocksize_x int, "
+        "blocksize_y int, decimation int, write_index long",
+    )
+    counts = tiles.groupBy("zoom").agg(F.count(F.lit(1)).alias("n_tiles"))
+    return meta.join(counts, "zoom", "left").na.fill({"n_tiles": 0})
+
+
+def write_tiles(tiles: DataFrame, path: str, num_partitions: int = 32) -> None:
+    """Stage 5: deterministic COG-ordered write — range partition + sort by
+    ``(zoom ASC, tile_y, tile_x)`` so on-disk order satisfies the V9/V10
+    ordering checks (cogeo.py:588-679); partitioned by zoom for partition
+    pruning on read."""
+    (
+        tiles.repartitionByRange(num_partitions, "zoom", "tile_y", "tile_x")
+        .sortWithinPartitions("zoom", "tile_y", "tile_x")
+        .write.mode("overwrite")
+        .partitionBy("zoom")
+        .parquet(path)
+    )

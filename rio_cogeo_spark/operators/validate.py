@@ -1,0 +1,171 @@
+"""``cog_validate`` analog — the reference's structural check suite
+(/root/reference/rio_cogeo/cogeo.py:470-703) re-expressed as DataFrame
+assertions over ``tiles`` + ``tiles_meta`` + table properties
+(SURVEY.md §2.8 V1-V13). Returns the reference's exact triple shape
+``(is_valid, errors, warnings)`` (cogeo.py:701-703).
+
+All checks are metadata-scale: aggregates over the per-level meta table
+plus a handful of counts — no pixel/page data is read (matching the
+reference, which validates from TIFF tags only).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+BLOCKSIZE = 512
+
+
+def cog_validate(
+    tiles: DataFrame,
+    meta: DataFrame,
+    properties: Optional[Dict[str, str]] = None,
+    strict: bool = False,
+) -> Tuple[bool, List[str], List[str]]:
+    """Run V1-V13. ``properties`` is the table-property dict (the ghost
+    header / driver analog)."""
+    errors: List[str] = []
+    warnings: List[str] = []
+    properties = properties or {}
+
+    # V1 (cogeo.py:512-519): driver must be GTiff → table format must be
+    # the engine's tiled parquet/iceberg layout.
+    fmt = properties.get("format", "parquet")
+    if fmt not in ("parquet", "iceberg"):
+        errors.append("The file is not a supported tiled table format.")
+        return False, errors, warnings
+
+    meta_rows = (
+        meta.select(
+            "zoom", "level", "width", "height", "blocksize_x", "blocksize_y",
+            "decimation", "write_index", "n_tiles",
+        )
+        .orderBy("zoom")
+        .collect()
+    )
+    if not meta_rows:
+        errors.append("tiles_meta is empty: no levels written.")
+        return False, errors, warnings
+
+    max_zoom_row = meta_rows[-1]
+    width, height = max_zoom_row["width"], max_zoom_row["height"]
+
+    # V6 (cogeo.py:563-571): ghost-header KNOWN_INCOMPATIBLE edition.
+    if properties.get("cog.known_incompatible", "NO") == "YES":
+        errors.append(
+            "The offset of the main IFD is not consistent: file was modified "
+            "after creation (KNOWN_INCOMPATIBLE edition)."
+        )
+
+    # V5 (cogeo.py:539-555): header-first layout → metadata snapshot must
+    # have been committed before/with the data write.
+    if properties.get("meta_written_first", "YES") != "YES":
+        errors.append("The offset of the main IFD is too large (header not first).")
+
+    # V2 (cogeo.py:521-524): no external overviews — every zoom present in
+    # the tiles table must be declared in tiles_meta.
+    declared = {r["zoom"] for r in meta_rows}
+    present = {r["zoom"] for r in tiles.select("zoom").distinct().collect()}
+    external = present - declared
+    if external:
+        errors.append(
+            f"Overviews found in external files (zooms {sorted(external)} "
+            "not in tiles_meta)."
+        )
+
+    # V3 (cogeo.py:527-531): a big dataset must be tiled in 512x512 blocks.
+    if width > BLOCKSIZE and height > BLOCKSIZE:
+        if max_zoom_row["blocksize_x"] != BLOCKSIZE or max_zoom_row["blocksize_y"] != BLOCKSIZE:
+            errors.append("The file is greater than 512x512, but is not tiled.")
+
+    # V4 (cogeo.py:533-537): big and no overviews → warning.
+    n_levels = len(meta_rows)
+    if width > BLOCKSIZE and height > BLOCKSIZE and n_levels < 2:
+        warnings.append(
+            "The file is greater than 512x512, it is recommended to "
+            "include internal overviews."
+        )
+
+    # V7 (cogeo.py:573-574): decimations sorted ascending.
+    decs = [r["decimation"] for r in meta_rows if r["level"] > 0]
+    decs_in_level_order = [
+        r["decimation"] for r in sorted(meta_rows, key=lambda r: r["level"]) if r["level"] > 0
+    ]
+    if decs_in_level_order != sorted(decs_in_level_order):
+        errors.append("Overviews are not sorted.")
+
+    # V8 (cogeo.py:576-584): every decimation > 1.
+    if any(d <= 1 for d in decs):
+        errors.append("Invalid decimation value (<=1) in overview levels.")
+
+    # V9 (cogeo.py:588-608): write order strictly increasing
+    # smallest-overview-first: write_index must strictly increase with zoom.
+    widx = [r["write_index"] for r in meta_rows]  # meta_rows sorted by zoom
+    if any(b <= a for a, b in zip(widx, widx[1:])):
+        errors.append("The IFD/write order of the levels is not consistent.")
+
+    # V11 (cogeo.py:681-688): every overview level itself tiled.
+    for r in meta_rows:
+        if r["level"] > 0 and (
+            r["blocksize_x"] != BLOCKSIZE or r["blocksize_y"] != BLOCKSIZE
+        ):
+            errors.append(f"Overview of zoom {r['zoom']} is not tiled.")
+
+    # V10 (cogeo.py:611-679): block offsets ordered; sparse levels (zero
+    # tiles) are valid (reference sparse.tif case, tests/test_validate.py:72-76).
+    # Data-level discipline: within every zoom the engine's write key is
+    # (tile_y, tile_x); verify no duplicate tile keys (a duplicate would
+    # break the one-block-one-offset contract).
+    dupes = (
+        tiles.groupBy("zoom", "tile_x", "tile_y")
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .count()
+    )
+    if dupes:
+        errors.append("Duplicate tile keys break block-offset ordering.")
+
+    # V12 (cogeo.py:475,701): strict mode promotes warnings to errors.
+    if strict:
+        errors.extend(warnings)
+        warnings = []
+
+    return (len(errors) == 0), errors, warnings
+
+
+def validate_report(tiles: DataFrame, meta: DataFrame,
+                    properties: Optional[Dict[str, str]] = None,
+                    strict: bool = False) -> DataFrame:
+    """Validation result as a DataFrame (check, ok, detail) — the
+    queryable form used by the driver-facing query surface."""
+    is_valid, errs, warns = cog_validate(tiles, meta, properties, strict)
+    spark = tiles.sparkSession
+    rows = [("valid", is_valid, "")]
+    rows += [("error", False, e) for e in errs]
+    rows += [("warning", True, w) for w in warns]
+    return spark.createDataFrame(rows, "check string, ok boolean, detail string")
+
+
+def check_write_order(df_read_back: DataFrame) -> bool:
+    """Verify the on-disk order discipline of :func:`write_tiles` — the
+    sandbox stand-in for the reference's byte-offset scan (cogeo.py:611-679).
+    Reads back the written table in file order and asserts the key order
+    (zoom ASC, tile_y, tile_x) is non-decreasing per file."""
+    w = Window.partitionBy(F.input_file_name()).orderBy(F.monotonically_increasing_id())
+    key = (
+        F.col("zoom").cast("long") * F.lit(1 << 58)
+        + F.col("tile_y") * F.lit(1 << 29)
+        + F.col("tile_x")
+    )
+    bad = (
+        df_read_back.withColumn("k", key)
+        .withColumn("prev", F.lag("k").over(w))
+        .filter(F.col("prev").isNotNull() & (F.col("k") < F.col("prev")))
+        .limit(1)
+        .count()
+    )
+    return bad == 0
