@@ -1,38 +1,415 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pyramid build; ``queries()`` exposes one
+callable per implemented operator from SURVEY.md §2 (+ the training-data
+pipeline suite); ``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL.
+
+Cross-engine determinism contract (see rio_cogeo_spark/synth.py): the
+pages derivation and every compared expression use integer modular
+arithmetic + IEEE-double ops with fractional literals pinned via
+``CAST(.. AS DOUBLE)``; transcendental steps (ln/tan in the mercator Y)
+only feed integer ``floor`` outputs; every compared float is rounded
+(6dp, 9dp for distances) on BOTH sides; ranks tie-break on ids.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from rio_cogeo_spark.functions import text as TX
+from rio_cogeo_spark.functions import vector as VEC
+from rio_cogeo_spark.functions.tile import tile_xy_sql
+from rio_cogeo_spark.operators import dedup as DD
+from rio_cogeo_spark.operators import join as J
+from rio_cogeo_spark.operators import similarity as SIM
+from rio_cogeo_spark.operators.translate import (
+    assign_tiles,
+    base_tiles,
+    cog_translate,
+    tiles_meta,
+)
+from rio_cogeo_spark.operators.validate import validate_report
+from rio_cogeo_spark.synth import MEGACITIES, pages_cte, synth_pages
+
+ZOOM = 8
+LEVELS = 4  # pyramid levels below ZOOM → zooms 8..4
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return synth_pages(spark, sf_dir)
+
+
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ re-keyed copies of the first 50 (guaranteed exact dups)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dups = docs.filter(F.col("doc_id") < 50).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    return docs.unionByName(dups)
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _knn_queries(spark: SparkSession) -> DataFrame:
+    rows = [
+        (f"Q{cid:02d}", float(lat), float(lon))
+        for cid, _, lat, lon in MEGACITIES[:10]
+    ]
+    return spark.createDataFrame(rows, "query_id string, q_lat double, q_lon double")
+
+
+def _pyramid(spark: SparkSession, sf_dir: str):
+    return cog_translate(_pages(spark, sf_dir), max_zoom=ZOOM, overview_level=LEVELS)
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full pyramid build (tile assign → base agg → overview
+    chain) on sf0.001."""
+    tiles, _ = _pyramid(spark, "/root/testdata/sf0.001")
+    return tiles
+
+
+# ---------------------------------------------------------------------------
+# queries (Spark side)
+# ---------------------------------------------------------------------------
+
+
+def q_pages_extract(spark, sf_dir):
+    return _pages(spark, sf_dir).select("doc_id", "url", "lang", "lat", "lon")
+
+
+def q_tile_assign(spark, sf_dir):
+    return assign_tiles(_pages(spark, sf_dir), ZOOM).select(
+        "doc_id", "tile_x", "tile_y"
+    )
+
+
+def q_tile_counts(spark, sf_dir):
+    return base_tiles(_pages(spark, sf_dir), ZOOM).select(
+        "zoom", "tile_x", "tile_y", "page_count", "sum_chars", "max_doc_id"
+    )
+
+
+def q_pyramid(spark, sf_dir):
+    tiles, _ = _pyramid(spark, sf_dir)
+    return tiles
+
+
+def q_tiles_meta(spark, sf_dir):
+    tiles, plan = _pyramid(spark, sf_dir)
+    return tiles_meta(tiles, plan)
+
+
+def q_validate(spark, sf_dir):
+    tiles, plan = _pyramid(spark, sf_dir)
+    return validate_report(tiles, tiles_meta(tiles, plan), {"format": "parquet"})
+
+
+def q_pip_join(spark, sf_dir):
+    hits = J.point_in_polygon(_pages(spark, sf_dir), J.build_admin_areas())
+    return hits.select("url", "admin_id")
+
+
+def q_pip_anti(spark, sf_dir):
+    anti = J.point_in_polygon(_pages(spark, sf_dir), J.build_admin_areas(), how="anti")
+    return anti.agg(F.count(F.lit(1)).alias("n_outside"))
+
+
+def q_knn_brute(spark, sf_dir):
+    return J.knn_bruteforce(_pages(spark, sf_dir), _knn_queries(spark), k=5)
+
+
+def q_knn_kring(spark, sf_dir):
+    return J.knn_kring(_pages(spark, sf_dir), _knn_queries(spark), k=5, ring=2)
+
+
+def q_zonal_stats(spark, sf_dir):
+    return J.zonal_stats(_pages(spark, sf_dir), J.build_admin_areas())
+
+
+def q_dedup_exact(spark, sf_dir):
+    return DD.exact_dedup_groups(_docs_with_dups(spark, sf_dir))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return DD.ngram_jaccard_pairs(_docs_with_dups(spark, sf_dir), threshold=0.5)
+
+
+def q_minhash_lsh(spark, sf_dir):
+    return DD.minhash_lsh_pairs(
+        _docs_with_dups(spark, sf_dir), threshold=0.5, num_hashes=128, bands=64
+    )
+
+
+def q_simhash_pairs(spark, sf_dir):
+    # no SQL oracle (xxhash64 is Spark-specific) → rows-only driver check;
+    # exactness vs brute-force hamming is pytest-verified.
+    return DD.simhash_pairs(_docs_with_dups(spark, sf_dir), max_hamming=8)
+
+
+def q_embed_neardup(spark, sf_dir):
+    return DD.embedding_neardup_pairs(_embeddings(spark, sf_dir), threshold=0.4)
+
+
+def q_ann_topk(spark, sf_dir):
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    return SIM.ann_bruteforce_topk(emb, queries, k=10)
+
+
+def q_quality(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        TX.token_count(t).alias("n_tokens"),
+        TX.punct_count(t).alias("n_punct"),
+        TX.stopword_count(t).alias("n_stopwords"),
+        TX.quality_score(t).alias("quality"),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", TX.lang_id(F.col("text")).alias("pred_lang"))
+
+
+def q_fingerprint(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
+
+
+def q_token_stats(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = TX.token_count(F.col("text"))
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(n).alias("total_tokens"),
+        )
+        .withColumn(
+            "avg_tokens",
+            F.round(
+                F.col("total_tokens").cast("double") / F.col("n_docs").cast("double"), 6
+            ),
+        )
+    )
+
+
+def q_events_hourly(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.unix_timestamp(F.date_trunc("HOUR", F.col("ts"))).alias("hour_sec"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "pages_extract": q_pages_extract,
+        "tile_assign": q_tile_assign,
+        "tile_counts": q_tile_counts,
+        "pyramid": q_pyramid,
+        "tiles_meta": q_tiles_meta,
+        "validate": q_validate,
+        "pip_join": q_pip_join,
+        "pip_anti": q_pip_anti,
+        "knn_brute": q_knn_brute,
+        "knn_kring": q_knn_kring,
+        "zonal_stats": q_zonal_stats,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash_pairs": q_simhash_pairs,
+        "embed_neardup": q_embed_neardup,
+        "ann_topk": q_ann_topk,
+        "quality": q_quality,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "token_stats": q_token_stats,
+        "events_hourly": q_events_hourly,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB side)
+# ---------------------------------------------------------------------------
+
+_P = pages_cte("VARCHAR")
+_TX8, _TY8 = tile_xy_sql("lon", "lat", ZOOM)
+
+_ADMIN_CTE = (
+    ", admin AS (SELECT 'A' || lpad(CAST(city_id AS VARCHAR), 3, '0') AS admin_id, "
+    "c_lat, c_lon FROM cities)"
+)
+_PIP_COND = (
+    "p.lon >= a.c_lon - CAST(0.6 AS DOUBLE) AND p.lon < a.c_lon + CAST(0.6 AS DOUBLE) "
+    "AND p.lat >= a.c_lat - CAST(0.6 AS DOUBLE) AND p.lat < a.c_lat + CAST(0.6 AS DOUBLE)"
+)
+
+_KNN_SQL = f"""{_P}
+, q AS (SELECT 'Q' || lpad(CAST(city_id AS VARCHAR), 2, '0') AS query_id,
+        c_lat AS q_lat, c_lon AS q_lon FROM cities WHERE city_id < 10),
+d AS (SELECT q.query_id, p.doc_id, p.url,
+        (p.lat - q.q_lat) * (p.lat - q.q_lat)
+      + (p.lon - q.q_lon) * (p.lon - q.q_lon) AS dist2_raw
+      FROM pages p CROSS JOIN q)
+SELECT query_id, doc_id, url,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY dist2_raw ASC, doc_id ASC) AS INT) AS rank,
+       round(dist2_raw, 9) AS dist2
+FROM d
+QUALIFY rank <= 5
+"""
+
+_DOCS2 = (
+    "WITH docs2 AS (SELECT * FROM documents UNION ALL "
+    "SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars "
+    "FROM documents WHERE doc_id < 50)"
+)
+
+_TOKS = TX.TOKENS_SQL
+_SHINGLES = DD.SHINGLES_SQL.format(toks=_TOKS)
+
+_JACCARD_SQL = f"""{_DOCS2}
+, s AS (SELECT doc_id, {_SHINGLES} AS sh FROM docs2),
+s2 AS (SELECT doc_id, sh, len(sh) AS n_sh FROM s WHERE len(sh) > 0)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / CAST(a.n_sh + b.n_sh - len(list_intersect(a.sh, b.sh)) AS DOUBLE),
+             6) AS jaccard
+FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id
+WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / CAST(a.n_sh + b.n_sh - len(list_intersect(a.sh, b.sh)) AS DOUBLE),
+            6) >= CAST(0.5 AS DOUBLE)
+"""
+
+_COS = VEC.cosine_sql("a.v", "b.v")
+
+_PYRAMID_LEVEL_SQL = """
+SELECT CAST({z} AS INT) AS zoom,
+       CAST(floor(tile_x / CAST({d} AS DOUBLE)) AS BIGINT) AS tile_x,
+       CAST(floor(tile_y / CAST({d} AS DOUBLE)) AS BIGINT) AS tile_y,
+       SUM(page_count) AS page_count, SUM(sum_chars) AS sum_chars,
+       MAX(max_doc_id) AS max_doc_id
+FROM base GROUP BY 1, 2, 3"""
+
+_BASE_CTE = f"""{_P}
+, assigned AS (SELECT doc_id, n_chars, {_TX8} AS tile_x, {_TY8} AS tile_y FROM pages),
+base AS (SELECT tile_x, tile_y, COUNT(*) AS page_count, SUM(n_chars) AS sum_chars,
+         MAX(doc_id) AS max_doc_id FROM assigned GROUP BY 1, 2)"""
+
+
+def _pyramid_sql() -> str:
+    parts = [
+        _PYRAMID_LEVEL_SQL.format(z=ZOOM - j, d=2**j) for j in range(0, LEVELS + 1)
+    ]
+    return _BASE_CTE + "\n" + "\nUNION ALL\n".join(parts)
+
+
+def _tiles_meta_sql() -> str:
+    parts = []
+    for j in range(0, LEVELS + 1):
+        d = 2**j
+        parts.append(f"""
+SELECT CAST({ZOOM - j} AS INT) AS zoom, CAST({j} AS INT) AS level,
+       CAST(((max(tile_x) // {d}) - (min(tile_x) // {d}) + 1) * 512 AS BIGINT) AS width,
+       CAST(((max(tile_y) // {d}) - (min(tile_y) // {d}) + 1) * 512 AS BIGINT) AS height,
+       CAST(512 AS INT) AS blocksize_x, CAST(512 AS INT) AS blocksize_y,
+       CAST({d} AS INT) AS decimation,
+       CAST({LEVELS - j} AS BIGINT) AS write_index,
+       (SELECT COUNT(*) FROM (SELECT DISTINCT tile_x // {d}, tile_y // {d} FROM base) t)
+           AS n_tiles
+FROM base""")
+    return _BASE_CTE + "\n" + "\nUNION ALL\n".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pages_extract": f"{_P}\nSELECT doc_id, url, lang, lat, lon FROM pages",
+        "tile_assign": f"{_P}\nSELECT doc_id, {_TX8} AS tile_x, {_TY8} AS tile_y FROM pages",
+        "tile_counts": f"""{_BASE_CTE}
+SELECT CAST({ZOOM} AS INT) AS zoom, tile_x, tile_y, page_count, sum_chars, max_doc_id
+FROM base""",
+        "pyramid": _pyramid_sql(),
+        "tiles_meta": _tiles_meta_sql(),
+        "validate": "SELECT 'valid' AS check_name, TRUE AS ok, '' AS detail",
+        "pip_join": f"""{_P}{_ADMIN_CTE}
+SELECT p.url, a.admin_id FROM pages p JOIN admin a ON {_PIP_COND}""",
+        "pip_anti": f"""{_P}{_ADMIN_CTE}
+SELECT COUNT(*) AS n_outside FROM pages p
+WHERE NOT EXISTS (SELECT 1 FROM admin a WHERE {_PIP_COND})""",
+        "knn_brute": _KNN_SQL,
+        "knn_kring": _KNN_SQL,
+        "zonal_stats": f"""{_P}{_ADMIN_CTE}
+SELECT a.admin_id, COUNT(*) AS page_count, SUM(p.n_chars) AS sum_chars,
+       COUNT(DISTINCT p.lang) AS lang_count
+FROM pages p JOIN admin a ON {_PIP_COND}
+GROUP BY 1""",
+        "dedup_exact": f"""{_DOCS2}
+SELECT {TX.FINGERPRINT_SQL} AS fp, COUNT(*) AS n_docs, MIN(doc_id) AS keeper
+FROM docs2 GROUP BY 1""",
+        "ngram_jaccard": _JACCARD_SQL,
+        "minhash_lsh": _JACCARD_SQL,
+        "embed_neardup": f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_COS} AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE {_COS} >= CAST(0.4 AS DOUBLE)""",
+        "ann_topk": f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 5),
+d AS (SELECT q.query_id, a.vec_id,
+             {VEC.cosine_sql("a.v", "q.v")} AS cos
+      FROM e a CROSS JOIN q WHERE a.vec_id <> q.query_id)
+SELECT query_id, vec_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC)
+            AS INT) AS rank,
+       cos
+FROM d QUALIFY rank <= 10""",
+        "quality": f"""
+SELECT doc_id, {TX.TOKEN_COUNT_SQL} AS n_tokens, {TX.PUNCT_COUNT_SQL} AS n_punct,
+       {TX.STOPWORD_COUNT_SQL} AS n_stopwords, {TX.QUALITY_SCORE_SQL} AS quality
+FROM documents""",
+        "lang_id": f"SELECT doc_id, {TX.LANG_ID_SQL} AS pred_lang FROM documents",
+        "fingerprint": f"SELECT doc_id, {TX.FINGERPRINT_SQL} AS fp FROM documents",
+        "token_stats": f"""
+SELECT source, COUNT(*) AS n_docs, SUM({TX.TOKEN_COUNT_SQL}) AS total_tokens,
+       round(CAST(SUM({TX.TOKEN_COUNT_SQL}) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+           AS avg_tokens
+FROM documents GROUP BY 1""",
+        "events_hourly": """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_sec, event_type,
+       COUNT(*) AS n, round(SUM(value), 4) AS sum_value
+FROM events GROUP BY 1, 2""",
+    }

@@ -1,0 +1,180 @@
+"""Headline benchmark: tile-assignment + pyramid + spatial-join throughput.
+
+Runs on ``local[$SPARK_GRAFT_CPUS]`` (default 32) over
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1), scaling the pages
+table to ~2M points via deterministic replication (FIXTURES.md §1
+pages_bench), and prints ONE JSON line:
+
+  {"metric": "...", "value": <pages/sec>, "unit": "pages/sec",
+   "queries": {name: sec, ...}, "sf": ..., ...}
+
+``value`` is the BASELINE.md headline: end-to-end tile-assignment +
+spatial-join throughput (pages/sec) — n_pages / (t_pyramid + t_pip_join).
+Two-parallelism scaling evidence is produced by scripts/scaling.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from rio_cogeo_spark.operators import dedup as DD
+from rio_cogeo_spark.operators import join as J
+from rio_cogeo_spark.operators import similarity as SIM
+from rio_cogeo_spark.operators.translate import cog_translate
+from rio_cogeo_spark.synth import MEGACITIES, synth_pages_scaled
+
+BENCH_ZOOM = 10
+BENCH_LEVELS = 6
+TARGET_PAGES = 2_000_000
+
+
+def build_session(cpus: int) -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("rio_cogeo_spark_bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .getOrCreate()
+    )
+
+
+def materialize(df) -> int:
+    """Force full computation; returns row count (cheap final agg)."""
+    return df.count()
+
+
+def run_bench(spark: SparkSession, sf_dir: str) -> dict:
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        counts[name] = out
+        return out
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    replicate = max(1, TARGET_PAGES // max(n_docs, 1))
+    pages = synth_pages_scaled(spark, sf_dir, replicate=replicate).select(
+        "doc_id", "url", "lang", "n_chars", "lat", "lon"
+    )
+    pages = pages.repartition(int(spark.conf.get("spark.sql.shuffle.partitions"))).cache()
+    n_pages = pages.count()
+
+    # per-zoom build time FIRST on its own lineage (levels unpersisted as
+    # we go) so the numbers aren't cache hits from the pyramid run
+    def _per_zoom():
+        from rio_cogeo_spark.operators.translate import base_tiles, default_bands, next_level
+
+        bands = default_bands()
+        t0 = time.time()
+        level = base_tiles(pages, BENCH_ZOOM, bands).cache()
+        level.count()
+        timings[f"zoom_{BENCH_ZOOM}"] = round(time.time() - t0, 3)
+        for z in range(BENCH_ZOOM - 1, BENCH_ZOOM - BENCH_LEVELS - 1, -1):
+            t0 = time.time()
+            nxt = next_level(level, z, 2, bands).cache()
+            nxt.count()
+            timings[f"zoom_{z}"] = round(time.time() - t0, 3)
+            level.unpersist()
+            level = nxt
+        level.unpersist()
+        return 0
+
+    _per_zoom()
+
+    # 1. pyramid: tile assign (Arrow UDF) + base agg + overview chain
+    def _pyramid():
+        tiles, _ = cog_translate(
+            pages, max_zoom=BENCH_ZOOM, overview_level=BENCH_LEVELS
+        )
+        return materialize(tiles)
+
+    timed("pyramid", _pyramid)
+
+    # drop the pyramid's persisted levels (and anything else) so later
+    # sections aren't timed under eviction/GC pressure, then re-pin pages
+    spark.catalog.clearCache()
+    pages.cache().count()
+
+    # 2. point-in-polygon broadcast join (cell prefilter + ray-cast refine)
+    areas = J.build_admin_areas(stars=True)
+    timed("pip_join", lambda: materialize(J.point_in_polygon(pages, areas)))
+
+    # 3. kNN via k-ring expansion (10 queries)
+    qrows = [
+        (f"Q{cid:02d}", float(lat), float(lon)) for cid, _, lat, lon in MEGACITIES[:10]
+    ]
+    queries_df = spark.createDataFrame(qrows, "query_id string, q_lat double, q_lon double")
+    timed("knn_kring", lambda: materialize(J.knn_kring(pages, queries_df, k=10, ring=2)))
+
+    # 4. minhash-LSH dedup over documents
+    timed(
+        "minhash_lsh",
+        lambda: materialize(
+            DD.minhash_lsh_pairs(docs, threshold=0.5, num_hashes=128, bands=64)
+        ),
+    )
+
+    # 5. ANN brute-force top-k over embeddings
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q_emb = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    timed("ann_topk", lambda: materialize(SIM.ann_bruteforce_topk(emb, q_emb, k=10)))
+
+    # 6. events hourly rollup
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    timed(
+        "events_hourly",
+        lambda: materialize(
+            ev.groupBy(F.date_trunc("HOUR", "ts"), "event_type").agg(
+                F.count(F.lit(1)), F.sum("value")
+            )
+        ),
+    )
+
+    headline_sec = timings["pyramid"] + timings["pip_join"]
+    pages_per_sec = round(n_pages / headline_sec, 1)
+    return {
+        "metric": "tile-assignment+pyramid+spatial-join throughput",
+        "value": pages_per_sec,
+        "unit": "pages/sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "n_pages": n_pages,
+        "replicate": replicate,
+        "counts": counts,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = build_session(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    result = run_bench(spark, sf_dir)
+    result["cpus"] = cpus
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,290 @@
+"""Spatial joins (SURVEY.md §2.3): point-in-polygon against broadcast admin
+boundaries (cell prefilter + exact ray-casting refine), kNN, zonal stats.
+
+The two-phase PIP mirrors the reference's coarse-window-then-exact-mask
+pattern (/root/reference/rio_cogeo/cogeo.py:362-379: block window first,
+per-pixel dataset_mask second):
+
+  phase 1  pages.cell ⋈ broadcast(explode(admin.covering_cells))   (equi)
+  phase 2  exact ray-cast refine, numpy-vectorized per admin group (theta)
+
+Scale design: the admin table is small (countries/regions ≤ 10^5 rings) →
+broadcast; the pages side never shuffles for phase 1 (broadcast hash join
+preserves scan partitioning). Phase 2 is a batch-vectorized Arrow UDF —
+per *admin* loop, never per row. Hot cells (megacities) inflate candidate
+counts, not join keys, so no salting is needed on the broadcast path; AQE
+skew-split covers the groupBy in zonal stats.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from rio_cogeo_spark import grid
+from rio_cogeo_spark.functions.tile import cell_id
+from rio_cogeo_spark.synth import MEGACITIES
+
+PREFILTER_ZOOM = 7
+
+
+@dataclass(frozen=True)
+class AdminArea:
+    """One admin boundary: closed ring (lon, lat) arrays + covering cells."""
+
+    admin_id: str
+    name: str
+    ring_lon: Tuple[float, ...]
+    ring_lat: Tuple[float, ...]
+
+
+def _rect_ring(clon: float, clat: float, half: float) -> Tuple[Tuple[float, ...], Tuple[float, ...]]:
+    lons = (clon - half, clon + half, clon + half, clon - half, clon - half)
+    lats = (clat - half, clat - half, clat + half, clat + half, clat - half)
+    return lons, lats
+
+
+def _star_ring(clon: float, clat: float, r_out: float, r_in: float, points: int = 5):
+    """Concave star polygon (FIXTURES.md §2: forces the exact refine to
+    disagree with the cell/bbox prefilter at edges)."""
+    angles = np.linspace(0.0, 2.0 * np.pi, 2 * points, endpoint=False)
+    radii = np.where(np.arange(2 * points) % 2 == 0, r_out, r_in)
+    lons = clon + radii * np.cos(angles)
+    lats = clat + radii * np.sin(angles)
+    return tuple(np.append(lons, lons[0])), tuple(np.append(lats, lats[0]))
+
+
+def build_admin_areas(rect_half: float = 0.6, stars: bool = False) -> List[AdminArea]:
+    """Deterministic admin boundaries around the 20 megacity hotspots:
+    axis-aligned rectangles (SQL-oracle-friendly) and, optionally, concave
+    stars (exercising the ray-cast refine beyond bbox semantics)."""
+    areas = []
+    for cid, name, clat, clon in MEGACITIES:
+        lons, lats = _rect_ring(clon, clat, rect_half)
+        areas.append(AdminArea(f"A{cid:03d}", name, lons, lats))
+    if stars:
+        for cid, name, clat, clon in MEGACITIES[:5]:
+            lons, lats = _star_ring(clon, clat, 1.0, 0.35)
+            areas.append(AdminArea(f"S{cid:03d}", f"star_{name}", lons, lats))
+    return areas
+
+
+def _cell_is_interior(area: AdminArea, tx: int, ty: int, zoom: int) -> bool:
+    """Conservatively decide whether tile (tx, ty) lies ENTIRELY inside the
+    ring: all 4 corners inside by ray-cast AND no ring edge can cross the
+    cell bbox (Cohen-Sutherland trivial-reject per edge; any edge not
+    trivially outside demotes the cell to 'boundary'). False negatives
+    only route points through the exact refine — never wrong results."""
+    w, s, e, n = grid.tile_bounds_mercator([tx], [ty], zoom)
+    corners_lon, corners_lat = grid.mercator_to_lonlat(
+        np.array([w[0], e[0], e[0], w[0]]), np.array([s[0], s[0], n[0], n[0]])
+    )
+    rlon, rlat = np.asarray(area.ring_lon), np.asarray(area.ring_lat)
+    if not ray_cast(corners_lon, corners_lat, rlon, rlat).all():
+        return False
+    bx0, bx1 = corners_lon.min(), corners_lon.max()
+    by0, by1 = corners_lat.min(), corners_lat.max()
+    x0, y0 = rlon[:-1], rlat[:-1]
+    x1, y1 = rlon[1:], rlat[1:]
+    trivially_out = (
+        ((x0 < bx0) & (x1 < bx0))
+        | ((x0 > bx1) & (x1 > bx1))
+        | ((y0 < by0) & (y1 < by0))
+        | ((y0 > by1) & (y1 > by1))
+    )
+    return bool(trivially_out.all())
+
+
+def covering_cells(area: AdminArea, zoom: int = PREFILTER_ZOOM) -> List[Tuple[int, bool]]:
+    """(cell, interior) pairs for cells intersecting the ring's bbox at
+    ``zoom`` — the coarse prefilter key (the reference's block-window
+    analog). ``interior`` cells skip the exact refine entirely."""
+    lon0, lon1 = min(area.ring_lon), max(area.ring_lon)
+    lat0, lat1 = min(area.ring_lat), max(area.ring_lat)
+    tx0, ty0 = grid.tile_index([lon0], [lat1], zoom)
+    tx1, ty1 = grid.tile_index([lon1], [lat0], zoom)
+    cells = []
+    for ty in range(int(ty0[0]), int(ty1[0]) + 1):
+        for tx in range(int(tx0[0]), int(tx1[0]) + 1):
+            cells.append(
+                (int(grid.pack_cell(zoom, tx, ty)), _cell_is_interior(area, tx, ty, zoom))
+            )
+    return cells
+
+
+def admin_cells_df(spark: SparkSession, areas: List[AdminArea],
+                   zoom: int = PREFILTER_ZOOM) -> DataFrame:
+    """Broadcast side: one row per (admin_id, covering cell, interior)."""
+    rows = [
+        (a.admin_id, a.name, int(c), bool(interior))
+        for a in areas
+        for c, interior in covering_cells(a, zoom)
+    ]
+    return spark.createDataFrame(
+        rows, "admin_id string, name string, cell long, interior boolean"
+    )
+
+
+def ray_cast(lon: np.ndarray, lat: np.ndarray,
+             ring_lon: np.ndarray, ring_lat: np.ndarray) -> np.ndarray:
+    """Vectorized even-odd ray casting: points (N,) vs one ring (M,).
+    Half-open edge semantics (left-closed on crossing) — deterministic."""
+    inside = np.zeros(lon.shape[0], dtype=bool)
+    x, y = lon, lat
+    x0, y0 = ring_lon[:-1], ring_lat[:-1]
+    x1, y1 = ring_lon[1:], ring_lat[1:]
+    for i in range(x0.shape[0]):
+        cond = (y0[i] > y) != (y1[i] > y)
+        if not np.any(cond):
+            continue
+        xin = (x1[i] - x0[i]) * (y - y0[i]) / (y1[i] - y0[i]) + x0[i]
+        inside ^= cond & (x < xin)
+    return inside
+
+
+def point_in_polygon(
+    pages: DataFrame,
+    areas: List[AdminArea],
+    zoom: int = PREFILTER_ZOOM,
+    how: str = "inner",
+) -> DataFrame:
+    """Two-phase PIP join. ``how``: inner (pairs), semi (pages in any
+    polygon), anti (pages outside all polygons — 'left_anti').
+
+    Returns pages columns + ``admin_id``/``name`` for inner.
+    """
+    spark = pages.sparkSession
+    cells = admin_cells_df(spark, areas, zoom)
+    # integer admin index for the refine UDF: int-array group masks are
+    # ~10x faster than string equality over object dtype
+    idx_of = {a.admin_id: i for i, a in enumerate(areas)}
+    rings = [(np.asarray(a.ring_lon), np.asarray(a.ring_lat)) for a in areas]
+    bc = spark.sparkContext.broadcast(rings)
+    idx_map = F.create_map(
+        *[x for a in areas for x in (F.lit(a.admin_id), F.lit(idx_of[a.admin_id]))]
+    )
+
+    with_cell = pages.withColumn("cell", cell_id(F.col("lon"), F.col("lat"), zoom))
+    candidates = with_cell.join(F.broadcast(cells), "cell", "inner").withColumn(
+        "admin_idx", idx_map[F.col("admin_id")]
+    )
+
+    @F.pandas_udf("boolean")
+    def _refine(lon_s: pd.Series, lat_s: pd.Series, admin_s: pd.Series) -> pd.Series:
+        lon = lon_s.to_numpy(dtype=np.float64)
+        lat = lat_s.to_numpy(dtype=np.float64)
+        out = np.zeros(len(lon), dtype=bool)
+        admins = admin_s.to_numpy(dtype=np.int32)
+        # vectorized per admin group in the batch — never per row
+        for admin in np.unique(admins):
+            m = admins == admin
+            rlon, rlat = bc.value[admin]
+            out[m] = ray_cast(lon[m], lat[m], rlon, rlat)
+        return pd.Series(out)
+
+    # Interior-cell shortcut: candidates whose prefilter cell is wholly
+    # inside the ring are matches by construction — only boundary-cell
+    # candidates pay the Python refine (at megacity density this removes
+    # the bulk of the Arrow traffic). Split+union rather than OR so the
+    # UDF provably never runs on interior rows.
+    interior_hits = candidates.filter(F.col("interior"))
+    boundary_hits = candidates.filter(~F.col("interior")).filter(
+        _refine(F.col("lon"), F.col("lat"), F.col("admin_idx"))
+    )
+    matched = interior_hits.unionByName(boundary_hits).drop(
+        "cell", "admin_idx", "interior"
+    )
+
+    if how == "inner":
+        return matched
+    if how == "semi":
+        return matched.select(*pages.columns).dropDuplicates(["url"])
+    if how == "anti":
+        hits = matched.select("url").distinct()
+        return pages.join(hits, "url", "left_anti")
+    raise ValueError(f"unknown how: {how}")
+
+
+def knn_bruteforce(
+    pages: DataFrame,
+    queries_df: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """Exact kNN for a *small* broadcast query set: cross-join on the
+    broadcast side + per-query window top-k. Linear in pages, no shuffle
+    of the big side until the final (tiny) top-k aggregation.
+
+    queries_df: (query_id string, q_lat double, q_lon double).
+    Distance: squared lon/lat euclidean (pure arithmetic → oracle-exact);
+    ties broken by doc_id.
+    """
+    joined = pages.crossJoin(F.broadcast(queries_df))
+    dist2 = (F.col("lat") - F.col("q_lat")) * (F.col("lat") - F.col("q_lat")) + (
+        F.col("lon") - F.col("q_lon")
+    ) * (F.col("lon") - F.col("q_lon"))
+    w = Window.partitionBy("query_id").orderBy(F.col("dist2").asc(), F.col("doc_id").asc())
+    return (
+        joined.withColumn("dist2", dist2)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "url", "rank", F.round("dist2", 9).alias("dist2"))
+    )
+
+
+def knn_kring(
+    pages: DataFrame,
+    queries_df: DataFrame,
+    k: int = 5,
+    zoom: int = PREFILTER_ZOOM,
+    ring: int = 1,
+) -> DataFrame:
+    """Scale-path kNN: expand each query's cell into its k-ring and
+    equi-join pages on the cell key (north_star: 'kNN answered by H3
+    k-ring expansion') — candidates shrink from |pages| to the ring
+    occupancy, then exact top-k. Falls back to widening callers if a
+    ring under-fills (checked by tests against knn_bruteforce).
+    """
+    spark = pages.sparkSession
+    qrows = queries_df.collect()
+    cand_rows = []
+    for r in qrows:
+        tx, ty = grid.tile_index([r["q_lon"]], [r["q_lat"]], zoom)
+        for x, y in grid.k_ring(int(tx[0]), int(ty[0]), zoom, ring):
+            cand_rows.append((r["query_id"], float(r["q_lat"]), float(r["q_lon"]),
+                              int(grid.pack_cell(zoom, x, y))))
+    qcells = spark.createDataFrame(
+        cand_rows, "query_id string, q_lat double, q_lon double, cell long"
+    )
+    with_cell = pages.withColumn("cell", cell_id(F.col("lon"), F.col("lat"), zoom))
+    joined = with_cell.join(F.broadcast(qcells), "cell", "inner")
+    dist2 = (F.col("lat") - F.col("q_lat")) * (F.col("lat") - F.col("q_lat")) + (
+        F.col("lon") - F.col("q_lon")
+    ) * (F.col("lon") - F.col("q_lon"))
+    w = Window.partitionBy("query_id").orderBy(F.col("dist2").asc(), F.col("doc_id").asc())
+    return (
+        joined.withColumn("dist2", dist2)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "url", "rank", F.round("dist2", 9).alias("dist2"))
+    )
+
+
+def zonal_stats(pages: DataFrame, areas: List[AdminArea],
+                zoom: int = PREFILTER_ZOOM) -> DataFrame:
+    """Raster↔vector zonal stats (SURVEY.md §2.3 J4): PIP join then
+    per-polygon aggregate — the generalization of the reference's
+    per-window read loop (cogeo.py:371-379)."""
+    hits = point_in_polygon(pages, areas, zoom, how="inner")
+    return (
+        hits.groupBy("admin_id")
+        .agg(
+            F.count(F.lit(1)).alias("page_count"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.countDistinct("lang").alias("lang_count"),
+        )
+    )

@@ -180,20 +180,32 @@ def cog_translate(
     decimation_base: int = 2,
     blocksize: int = grid.DEFAULT_BLOCKSIZE,
     bands: Optional[List[BandSpec]] = None,
+    persist_levels: bool = True,
 ) -> Tuple[DataFrame, TileJobPlan]:
     """Full pyramid: union of all levels, ordered smallest-overview-first.
 
     Returns (tiles, plan); tiles schema:
     ``zoom int, tile_x long, tile_y long, <band columns>``.
+
+    ``persist_levels`` persists each level so the final union does NOT
+    re-derive the whole lineage once per level (each level is both a
+    union branch and the next level's input — without a persist the
+    pages scan + base agg would run L times). At cluster scale the same
+    role is played by writing one table/Iceberg snapshot per level
+    (SURVEY.md §7 step 4 — snapshot per level = checkpoint).
     """
     bands = bands or default_bands()
     plan = plan_tile_job(
         pages, max_zoom, overview_level, decimation_base, blocksize
     )
     level = base_tiles(pages, max_zoom, bands)
+    if persist_levels:
+        level = level.persist()
     levels = [level]
     for z in range(max_zoom - 1, plan.min_zoom - 1, -1):
         level = next_level(level, z, decimation_base, bands)
+        if persist_levels:
+            level = level.persist()
         levels.append(level)
 
     cols = ["zoom", "tile_x", "tile_y"] + [s.name for s in bands]

@@ -147,7 +147,7 @@ def validate_report(tiles: DataFrame, meta: DataFrame,
     rows = [("valid", is_valid, "")]
     rows += [("error", False, e) for e in errs]
     rows += [("warning", True, w) for w in warns]
-    return spark.createDataFrame(rows, "check string, ok boolean, detail string")
+    return spark.createDataFrame(rows, "check_name string, ok boolean, detail string")
 
 
 def check_write_order(df_read_back: DataFrame) -> bool:

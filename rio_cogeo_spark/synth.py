@@ -76,7 +76,8 @@ pages_base AS (
     lang,
     n_chars,
     {WARC_EPOCH} + doc_id * 13 AS ts_sec,
-    CAST(doc_id % 20 AS INT) AS city_id,
+    CAST(CAST(floor(CAST(doc_id AS DOUBLE) / CAST(5 AS DOUBLE)) AS BIGINT) % 20
+         AS INT) AS city_id,
     (doc_id % 5) < 4 AS is_hot,
     CAST((doc_id * 7919) % 2001 - 1000 AS DOUBLE) / CAST(1000 AS DOUBLE)
         * CAST(0.45 AS DOUBLE) AS jlat,
