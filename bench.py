@@ -34,7 +34,7 @@ from rio_cogeo_spark.synth import MEGACITIES, synth_pages_scaled
 
 BENCH_ZOOM = 10
 BENCH_LEVELS = 6
-TARGET_PAGES = 2_000_000
+TARGET_PAGES = int(os.environ.get("SPARK_GRAFT_TARGET_PAGES", "2000000"))
 
 
 def build_session(cpus: int) -> SparkSession:
@@ -71,7 +71,8 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_docs = docs.count()
-    replicate = max(1, TARGET_PAGES // max(n_docs, 1))
+    target = int(os.environ.get("SPARK_GRAFT_TARGET_PAGES", str(TARGET_PAGES)))
+    replicate = max(1, target // max(n_docs, 1))
     pages = synth_pages_scaled(spark, sf_dir, replicate=replicate).select(
         "doc_id", "url", "lang", "n_chars", "lat", "lon"
     )
@@ -117,6 +118,19 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
     # 2. point-in-polygon broadcast join (cell prefilter + ray-cast refine)
     areas = J.build_admin_areas(stars=True)
     timed("pip_join", lambda: materialize(J.point_in_polygon(pages, areas)))
+
+    if os.environ.get("SPARK_GRAFT_HEADLINE_ONLY"):
+        headline_sec = timings["pyramid"] + timings["pip_join"]
+        return {
+            "metric": "tile-assignment+pyramid+spatial-join throughput",
+            "value": round(n_pages / headline_sec, 1),
+            "unit": "pages/sec",
+            "queries": timings,
+            "sf": sf_dir,
+            "n_pages": n_pages,
+            "replicate": replicate,
+            "counts": counts,
+        }
 
     # 3. kNN via k-ring expansion (10 queries)
     qrows = [

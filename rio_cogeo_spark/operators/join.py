@@ -30,7 +30,8 @@ from rio_cogeo_spark import grid
 from rio_cogeo_spark.functions.tile import cell_id
 from rio_cogeo_spark.synth import MEGACITIES
 
-PREFILTER_ZOOM = 7
+PREFILTER_ZOOM = 10   # PIP: fine enough that megacity rects contain interior cells
+KNN_ZOOM = 7          # kNN: ring-2 coverage radius must exceed the kth distance
 
 
 @dataclass(frozen=True)
@@ -240,7 +241,7 @@ def knn_kring(
     pages: DataFrame,
     queries_df: DataFrame,
     k: int = 5,
-    zoom: int = PREFILTER_ZOOM,
+    zoom: int = KNN_ZOOM,
     ring: int = 1,
 ) -> DataFrame:
     """Scale-path kNN: expand each query's cell into its k-ring and

@@ -1,0 +1,176 @@
+"""Rasterized pixel tiles: the literal 512x512-block analog.
+
+Where translate.py aggregates one scalar per tile cell, this operator
+materializes each tile as a **pixel grid** (density raster) — the direct
+counterpart of the reference's per-block pixel windows
+(/root/reference/rio_cogeo/cogeo.py:362-379) — and downsamples parent
+pixels with the reference's resampling kernels (cogeo.py:46-58: nearest,
+average, mode, rms, plus warp 'sum', cogeo.py:60-72).
+
+Execution: ``groupBy(tile).applyInPandas`` — per-tile 2D histogram via one
+vectorized ``np.bincount`` per group; hot megacity tiles are bounded by
+the tile's pixel count (the histogram is O(points) regardless of
+density). Pixel arrays are ``array<long>`` rows of length px*px
+(px=512 default; tests use smaller for speed).
+
+Skew note (north_star): a single hot tile's points all land in one group.
+For 10^12-page scale, ``rasterize_tiles(salt_partials=True)`` computes
+per-salt partial histograms in parallel and sums them — the manual
+partial/final aggregation pattern (SURVEY.md §4) — at the cost of one
+extra (tiny, tiles x n_salt) shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rio_cogeo_spark import grid
+from rio_cogeo_spark.operators.translate import assign_tiles
+
+
+def _pixel_schema(px: int) -> str:
+    return "tile_x long, tile_y long, pixels array<long>"
+
+
+def rasterize_tiles(
+    pages: DataFrame,
+    zoom: int,
+    px: int = grid.DEFAULT_BLOCKSIZE,
+    salt_partials: bool = False,
+    n_salt: int = 8,
+) -> DataFrame:
+    """Per-tile point-density raster: pixels[r*px + c] = #pages in that
+    sub-cell. Returns (zoom, tile_x, tile_y, pixels)."""
+    n = 1 << zoom
+    span = 2.0 * grid.ORIGIN_SHIFT
+    origin = grid.ORIGIN_SHIFT
+
+    def _hist(pdf: pd.DataFrame) -> pd.DataFrame:
+        tx = int(pdf["tile_x"].iloc[0])
+        ty = int(pdf["tile_y"].iloc[0])
+        mx, my = grid.lonlat_to_mercator(pdf["lon"].to_numpy(), pdf["lat"].to_numpy())
+        fx = (mx + origin) / span * n - tx
+        fy = (origin - my) / span * n - ty
+        col = np.clip((fx * px).astype(np.int64), 0, px - 1)
+        row = np.clip((fy * px).astype(np.int64), 0, px - 1)
+        flat = np.bincount(row * px + col, minlength=px * px).astype(np.int64)
+        return pd.DataFrame(
+            {"tile_x": [tx], "tile_y": [ty], "pixels": [flat]}
+        )
+
+    assigned = assign_tiles(pages, zoom).select("tile_x", "tile_y", "lon", "lat")
+
+    if not salt_partials:
+        out = assigned.groupBy("tile_x", "tile_y").applyInPandas(
+            _hist, _pixel_schema(px)
+        )
+    else:
+        # manual partial/final agg: per-(tile, salt) histograms in
+        # parallel, then elementwise vector sum per tile
+        salted = assigned.withColumn(
+            "salt", F.pmod(F.hash("lon", "lat"), F.lit(n_salt))
+        )
+
+        def _hist_salted(pdf: pd.DataFrame) -> pd.DataFrame:
+            return _hist(pdf)
+
+        partial = salted.groupBy("tile_x", "tile_y", "salt").applyInPandas(
+            _hist_salted, _pixel_schema(px)
+        )
+        out = (
+            partial.groupBy("tile_x", "tile_y")
+            .agg(
+                F.aggregate(
+                    F.collect_list("pixels"),
+                    F.array_repeat(F.lit(0).cast("long"), px * px),
+                    lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+                ).alias("pixels")
+            )
+        )
+    return out.withColumn("zoom", F.lit(zoom).cast("int")).select(
+        "zoom", "tile_x", "tile_y", "pixels"
+    )
+
+
+# --------------------------------------------------------------------------
+# Resampling kernels over 2x2 child pixel blocks (cogeo.py:46-72)
+# --------------------------------------------------------------------------
+
+
+def _decimate(block: np.ndarray, kernel: str) -> np.ndarray:
+    """block: (2h, 2w) → (h, w) by 2x2 windows."""
+    h2, w2 = block.shape
+    q = block.reshape(h2 // 2, 2, w2 // 2, 2).transpose(0, 2, 1, 3).reshape(
+        h2 // 2, w2 // 2, 4
+    )
+    if kernel == "nearest":
+        return q[:, :, 0]
+    if kernel == "sum":
+        return q.sum(axis=2)
+    if kernel == "average":
+        return q.mean(axis=2).astype(block.dtype)
+    if kernel == "rms":
+        return np.sqrt((q.astype(np.float64) ** 2).mean(axis=2)).astype(block.dtype)
+    if kernel == "mode":
+        s = np.sort(q, axis=2)
+        runs = np.concatenate(
+            [np.ones(s.shape[:2] + (1,), dtype=np.int64),
+             (s[:, :, 1:] != s[:, :, :-1]).cumsum(axis=2) + 1],
+            axis=2,
+        )
+        # count occurrences per run id, pick value of the longest run
+        best = np.empty(s.shape[:2], dtype=block.dtype)
+        for i in range(s.shape[0]):  # small loop: px/2 rows
+            for j in range(s.shape[1]):
+                vals, counts = np.unique(s[i, j], return_counts=True)
+                best[i, j] = vals[np.argmax(counts)]
+        return best
+    if kernel == "min":
+        return q.min(axis=2)
+    if kernel == "max":
+        return q.max(axis=2)
+    raise ValueError(f"unknown kernel: {kernel}")
+
+
+def downsample_pixel_level(tiles_px: DataFrame, px: int, kernel: str = "sum") -> DataFrame:
+    """One overview level of pixel tiles: assemble up to 2x2 children into
+    the parent's (2px)² grid, decimate 2x2→1 with ``kernel``. Missing
+    children are zero (sparse-safe, the reference's sparse.tif case).
+
+    Input/output schema: (zoom, tile_x, tile_y, pixels array<long>).
+    """
+    child_zoom = None  # resolved per-group from the data
+
+    def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        z = int(pdf["zoom"].iloc[0])
+        ptx = int(pdf["ptx"].iloc[0])
+        pty = int(pdf["pty"].iloc[0])
+        big = np.zeros((2 * px, 2 * px), dtype=np.int64)
+        for _, r in pdf.iterrows():
+            dy = int(r["tile_y"]) - 2 * pty
+            dx = int(r["tile_x"]) - 2 * ptx
+            big[dy * px:(dy + 1) * px, dx * px:(dx + 1) * px] = np.asarray(
+                r["pixels"], dtype=np.int64
+            ).reshape(px, px)
+        dec = _decimate(big, kernel)
+        return pd.DataFrame(
+            {
+                "zoom": [z - 1],
+                "tile_x": [ptx],
+                "tile_y": [pty],
+                "pixels": [dec.reshape(-1).astype(np.int64)],
+            }
+        )
+
+    with_parent = tiles_px.withColumn(
+        "ptx", F.floor(F.col("tile_x") / 2).cast("long")
+    ).withColumn("pty", F.floor(F.col("tile_y") / 2).cast("long"))
+    return (
+        with_parent.groupBy("ptx", "pty")
+        .applyInPandas(_merge, "zoom int, tile_x long, tile_y long, pixels array<long>")
+    )

@@ -1,0 +1,104 @@
+"""Streaming rollups over the ``events`` table.
+
+The reference is a one-shot pipeline (no streaming, SURVEY.md §2.9); this
+module adds the Structured Streaming surface a web-scale ingest needs:
+watermarked tumbling-window aggregation and gap-based sessionization.
+Batch twins of both queries exist so streaming output can be asserted
+equal to the batch result in tests (memory sink + processAllAvailable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # streaming file sources require a directory glob, not a single file
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def windowed_rollup(events: DataFrame, window: str = "1 hour",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window per-type rollup with late-data watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("hour_sec"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def windowed_rollup_batch(events: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Batch twin of :func:`windowed_rollup` (same plan minus watermark)."""
+    return (
+        events.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("hour_sec"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def run_stream_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
+    """Drive a streaming query to completion over the bounded source
+    (memory sink + processAllAvailable) and return the result table."""
+    q = (
+        stream_df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization (batch): session starts when the per-user
+    inter-event gap exceeds ``gap_minutes``. Returns per-session rows
+    (user_id, session_id, n_events, t_start_sec, t_end_sec)."""
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    with_s = (
+        events.withColumn("new_sess", (gap.isNull() | (gap > gap_minutes * 60)).cast("int"))
+        .withColumn("session_seq", F.sum("new_sess").over(w))
+    )
+    return (
+        with_s.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(F.unix_timestamp("ts")).alias("t_start_sec"),
+            F.max(F.unix_timestamp("ts")).alias("t_end_sec"),
+        )
+        .withColumn(
+            "session_id",
+            F.concat_ws("-", F.col("user_id"), F.col("session_seq")),
+        )
+        .select("user_id", "session_id", "n_events", "t_start_sec", "t_end_sec")
+    )

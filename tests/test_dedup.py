@@ -1,0 +1,117 @@
+"""Dedup / similarity operator tests vs brute-force oracles."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rio_cogeo_spark.operators import dedup as DD
+from rio_cogeo_spark.operators import similarity as SIM
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_mid):
+    base = spark.read.parquet(f"{sf_mid}/documents.parquet")
+    dups = base.filter(F.col("doc_id") < 50).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    d = base.unionByName(dups).cache()
+    d.count()
+    return d
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_mid):
+    e = spark.read.parquet(f"{sf_mid}/embeddings.parquet").cache()
+    e.count()
+    return e
+
+
+def test_exact_dedup(docs):
+    n = docs.count()
+    groups = DD.exact_dedup_groups(docs)
+    assert groups.agg(F.sum("n_docs")).first()[0] == n
+    assert groups.filter(F.col("n_docs") > 1).count() == 50
+    kept = DD.exact_dedup(docs)
+    assert kept.count() == n - 50
+    # keep-first: all duplicate keepers are the ORIGINAL (small) doc_ids
+    assert kept.filter(F.col("doc_id") >= 100000).count() == 0
+
+
+def test_ngram_jaccard_finds_planted_dups(docs):
+    pairs = DD.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    planted = {(r["doc_a"], r["doc_b"]) for r in pairs if r["doc_b"] == r["doc_a"] + 100000}
+    assert len(planted) == 50
+    for r in pairs:
+        if r["doc_b"] == r["doc_a"] + 100000:
+            assert r["jaccard"] == 1.0
+
+
+def test_minhash_lsh_equals_exact(docs):
+    exact = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in DD.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in DD.minhash_lsh_pairs(docs, threshold=0.5, num_hashes=128, bands=64).collect()
+    }
+    assert lsh == exact and len(exact) > 0
+
+
+def test_simhash_pairs_exact_by_construction(docs):
+    """Banding candidates + hamming verify must equal brute-force hamming
+    pairs for d <= 3 (pigeonhole over 4x16-bit bands is lossless there)."""
+    sh = {r["doc_id"]: r["simhash"] for r in DD.simhash(docs).collect()}
+    ids = sorted(sh)
+    brute = set()
+    arr = np.array([sh[i] for i in ids], dtype=np.int64).astype(np.uint64)
+    for i in range(len(ids)):
+        x = arr[i] ^ arr
+        ham = np.array([bin(int(v)).count("1") for v in x])
+        for j in np.nonzero((ham <= 3))[0]:
+            if ids[i] < ids[j]:
+                brute.add((ids[i], ids[j]))
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in DD.simhash_pairs(docs, max_hamming=3).collect()
+    }
+    assert got == brute
+    # planted exact dups have identical simhash → hamming 0
+    assert all((i, i + 100000) in got for i in range(50))
+
+
+def test_embedding_neardup_symmetric_threshold(emb):
+    pairs = DD.embedding_neardup_pairs(emb, threshold=0.4)
+    rows = pairs.collect()
+    assert all(r["vec_a"] < r["vec_b"] and r["cos"] >= 0.4 for r in rows)
+
+
+def test_ann_lsh_finds_planted_near_duplicates(spark, emb):
+    """Bucketed LSH is an *approximate* path: on unstructured random
+    vectors top-k recall is necessarily poor, so the correctness property
+    tested is the one the operator exists for — near-duplicate queries
+    (tiny perturbations of corpus vectors, cos ≈ 0.9999) must come back
+    at rank 1 despite scanning only the bucket ring."""
+    rows = emb.filter(F.col("vec_id") < 20).select("vec_id", "embedding").collect()
+    rng = np.random.default_rng(7)
+    qrows = []
+    for r in rows:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        q = v + rng.normal(0, 1e-3 * np.linalg.norm(v) / 8, size=v.shape)
+        qrows.append((int(r["vec_id"]), [float(x) for x in q]))
+    queries = spark.createDataFrame(
+        qrows, "query_id long, q_embedding array<double>"
+    )
+    approx = SIM.ann_lsh_topk(emb, queries, dim=64, k=3, n_planes=6, include_self=True)
+    top1 = {r["query_id"]: r["vec_id"] for r in approx.filter(F.col("rank") == 1).collect()}
+    hits = sum(1 for q, v in top1.items() if q == v)
+    assert hits >= 19, top1  # >=95% of planted near-dups found at rank 1
+
+
+def test_ann_bruteforce_rank_deterministic(emb):
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    r1 = SIM.ann_bruteforce_topk(emb, queries, k=5).collect()
+    r2 = SIM.ann_bruteforce_topk(emb, queries, k=5).collect()
+    assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))

@@ -1,0 +1,109 @@
+"""Spatial join tests: PIP vs numpy oracle (incl. concave stars where the
+cell/bbox prefilter must disagree with the exact refine), kNN k-ring vs
+brute force, semi/anti consistency."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rio_cogeo_spark.operators import join as J
+from rio_cogeo_spark.synth import MEGACITIES, synth_pages
+
+
+@pytest.fixture(scope="module")
+def pages(spark, sf_mid):
+    df = synth_pages(spark, sf_mid).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def areas():
+    return J.build_admin_areas(stars=True)
+
+
+def _numpy_pip(pages_pdf, areas):
+    out = []
+    for a in areas:
+        inside = J.ray_cast(
+            pages_pdf["lon"].to_numpy(),
+            pages_pdf["lat"].to_numpy(),
+            np.asarray(a.ring_lon),
+            np.asarray(a.ring_lat),
+        )
+        for url in pages_pdf["url"].to_numpy()[inside]:
+            out.append((url, a.admin_id))
+    return sorted(out)
+
+
+def test_pip_matches_numpy_oracle_including_concave(pages, areas):
+    got = sorted(
+        (r["url"], r["admin_id"])
+        for r in J.point_in_polygon(pages, areas).select("url", "admin_id").collect()
+    )
+    pdf = pages.select("url", "lon", "lat").toPandas()
+    assert got == _numpy_pip(pdf, areas)
+
+
+def test_star_differs_from_bbox(pages, areas):
+    """The concave star must reject some points its bbox accepts —
+    proving the refine actually refines."""
+    star = [a for a in areas if a.admin_id.startswith("S")][0]
+    pdf = pages.select("url", "lon", "lat").toPandas()
+    lon0, lon1 = min(star.ring_lon), max(star.ring_lon)
+    lat0, lat1 = min(star.ring_lat), max(star.ring_lat)
+    in_bbox = (
+        (pdf["lon"] >= lon0) & (pdf["lon"] < lon1)
+        & (pdf["lat"] >= lat0) & (pdf["lat"] < lat1)
+    ).sum()
+    inside = J.ray_cast(
+        pdf["lon"].to_numpy(), pdf["lat"].to_numpy(),
+        np.asarray(star.ring_lon), np.asarray(star.ring_lat),
+    ).sum()
+    assert inside < in_bbox
+
+
+def test_interior_cells_exist_for_rects(areas):
+    """At z9 the 1.2deg rectangles must produce some interior cells (the
+    refine-skip path is actually exercised)."""
+    rect = areas[0]
+    cells = J.covering_cells(rect, zoom=9)
+    assert any(interior for _, interior in cells)
+    assert any(not interior for _, interior in cells)
+
+
+def test_semi_anti_partition(pages, areas):
+    n = pages.count()
+    semi = J.point_in_polygon(pages, areas, how="semi").count()
+    anti = J.point_in_polygon(pages, areas, how="anti").count()
+    assert semi + anti == n
+    assert semi > 0 and anti > 0
+
+
+def test_knn_kring_equals_bruteforce(spark, pages):
+    rows = [
+        (f"Q{cid:02d}", float(lat), float(lon)) for cid, _, lat, lon in MEGACITIES[:10]
+    ]
+    q = spark.createDataFrame(rows, "query_id string, q_lat double, q_lon double")
+    brute = {
+        (r["query_id"], r["rank"]): r["doc_id"]
+        for r in J.knn_bruteforce(pages, q, k=5).collect()
+    }
+    ring = {
+        (r["query_id"], r["rank"]): r["doc_id"]
+        for r in J.knn_kring(pages, q, k=5, ring=2).collect()
+    }
+    assert ring == brute
+    assert len(brute) == 50
+
+
+def test_zonal_counts_consistent(pages, areas):
+    rects = [a for a in areas if a.admin_id.startswith("A")]
+    z = {r["admin_id"]: r["page_count"] for r in J.zonal_stats(pages, rects).collect()}
+    pip_counts = (
+        J.point_in_polygon(pages, rects)
+        .groupBy("admin_id")
+        .count()
+        .collect()
+    )
+    assert z == {r["admin_id"]: r["count"] for r in pip_counts}
