@@ -232,6 +232,36 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_pip_semi(spark, sf_dir):
+    semi = J.point_in_polygon(_pages(spark, sf_dir), J.build_admin_areas(), how="semi")
+    return semi.select("url")
+
+
+def q_sessionize(spark, sf_dir):
+    from rio_cogeo_spark.streaming.events import sessionize_batch
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize_batch(ev, gap_minutes=30)
+
+
+def q_media_features(spark, sf_dir):
+    # binary payloads + engine-specific md5/np features → rows-only check;
+    # determinism is pytest-verified (tests/test_sources_streaming.py)
+    from rio_cogeo_spark.operators.multimodal import attach_media, extract_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return extract_features(attach_media(docs), decoder="fake").select(
+        "media_id", "kind", "n_bytes", "checksum", "feat_mean", "feat_std"
+    )
+
+
+def q_raster_tiles(spark, sf_dir):
+    # pixel arrays → rows-only; mass conservation is pytest-verified
+    from rio_cogeo_spark.operators.raster import rasterize_tiles
+
+    return rasterize_tiles(_pages(spark, sf_dir), zoom=6, px=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pages_extract": q_pages_extract,
@@ -251,6 +281,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "embed_neardup": q_embed_neardup,
         "ann_topk": q_ann_topk,
+        "pip_semi": q_pip_semi,
+        "sessionize": q_sessionize,
+        "media_features": q_media_features,
+        "raster_tiles": q_raster_tiles,
         "quality": q_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -412,4 +446,27 @@ FROM documents GROUP BY 1""",
 SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_sec, event_type,
        COUNT(*) AS n, round(SUM(value), 4) AS sum_value
 FROM events GROUP BY 1, 2""",
+        "pip_semi": f"""{_P}{_ADMIN_CTE}
+SELECT DISTINCT p.url FROM pages p
+WHERE EXISTS (SELECT 1 FROM admin a WHERE {_PIP_COND})""",
+        "sessionize": """
+WITH g AS (
+  SELECT user_id, ts,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - lag(CAST(floor(epoch(ts)) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts) AS gap
+  FROM events),
+s AS (SELECT user_id, ts,
+             CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END AS new_sess
+      FROM g),
+c AS (SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS seq
+      FROM s)
+SELECT user_id,
+       CAST(user_id AS VARCHAR) || '-' || CAST(seq AS VARCHAR) AS session_id,
+       COUNT(*) AS n_events,
+       MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS t_start_sec,
+       MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS t_end_sec
+FROM c GROUP BY 1, 2""",
     }

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from rio_cogeo_spark import grid
-from rio_cogeo_spark.models import Geo, IFD, Info, Profile
+from rio_cogeo_spark.models import BandMetadata, Geo, IFD, Info, Profile
 from rio_cogeo_spark.operators.validate import cog_validate
 
 
@@ -24,6 +24,7 @@ def cog_info(
     meta: DataFrame,
     properties: Optional[Dict[str, str]] = None,
     path: str = "tiles",
+    band_meta: Optional[Dict[str, dict]] = None,
 ) -> Info:
     properties = properties or {}
     is_valid, errors, warnings = cog_validate(tiles, meta, properties)
@@ -88,6 +89,18 @@ def cog_info(
             MinZoom=min_zoom,
             MaxZoom=max_zoom,
         ),
-        Tags={"IMAGE_STRUCTURE": {"LAYOUT": "COG"}},
+        Tags={
+            "IMAGE_STRUCTURE": {"LAYOUT": "COG"},
+            "DATASET": {k: str(v) for k, v in properties.items()},
+        },
+        Band_Metadata={
+            name: BandMetadata(
+                Description=name,
+                Scale=float(bm.get("scale", 1.0)),
+                Offset=float(bm.get("offset", 0.0)),
+                Metadata={"merge": str(bm.get("merge", ""))},
+            )
+            for name, bm in (band_meta or {}).items()
+        },
         IFD=ifds,
     )

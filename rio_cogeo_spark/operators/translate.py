@@ -26,11 +26,13 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Callable, Dict, List, Optional, Tuple
 
+import warnings
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rio_cogeo_spark import grid
-from rio_cogeo_spark.errors import IncompatibleOptions
+from rio_cogeo_spark.errors import IncompatibleOptions, NodataAlphaMaskWarning
 from rio_cogeo_spark.functions.tile import tile_assign
 
 
@@ -80,6 +82,11 @@ class TileJobPlan:
     width_px: int = 0
     height_px: int = 0
     decimations: List[int] = field(default_factory=list)
+    # dataset tags / table properties (cogeo.py:395-437 forwarding rules)
+    properties: Dict[str, str] = field(default_factory=dict)
+    # per-band metadata: {band: {"scale":…, "offset":…, "description":…}}
+    band_meta: Dict[str, Dict[str, object]] = field(default_factory=dict)
+    colormap: Optional[Dict[int, Tuple[int, int, int, int]]] = None
 
     @property
     def zooms(self) -> List[int]:
@@ -173,6 +180,39 @@ def next_level(tiles: DataFrame, zoom: int, base: int, bands: List[BandSpec]) ->
     )
 
 
+def apply_nodata(
+    pages: DataFrame,
+    nodata: Optional[float] = None,
+    validity_col: Optional[str] = None,
+) -> Tuple[DataFrame, DataFrame]:
+    """Nodata/alpha semantics (SURVEY.md §2.2 P2/P4/P5):
+
+    * ``nodata`` — sentinel lat/lon value marking an invalid point (the
+      reference's nodata pixel, cogeo.py:80,276-279); NaN coordinates are
+      always invalid (NaN-nodata case, reference tests/test_cogeo.py:236-255).
+    * ``validity_col`` — boolean alpha/mask analog (utils.py:14-33).
+    * both given → warn and prioritize the sentinel (cogeo.py:225-229).
+
+    Returns (valid_pages, invalid_pages) — invalid rows feed the mask band
+    (P6: mask = count of valid points per cell; invalid are excluded from
+    every data band, exactly as masked pixels are).
+    """
+    invalid = F.isnan("lat") | F.isnan("lon") | F.col("lat").isNull() | F.col("lon").isNull()
+    if nodata is not None:
+        if validity_col is not None:
+            warnings.warn(
+                "Nodata value and alpha/validity column are both set; "
+                "ignoring the alpha band (using the nodata sentinel).",
+                NodataAlphaMaskWarning,
+            )
+        invalid = invalid | (F.col("lat") == F.lit(nodata)) | (
+            F.col("lon") == F.lit(nodata)
+        )
+    elif validity_col is not None:
+        invalid = invalid | ~F.col(validity_col)
+    return pages.filter(~invalid), pages.filter(invalid)
+
+
 def cog_translate(
     pages: DataFrame,
     max_zoom: int,
@@ -181,6 +221,15 @@ def cog_translate(
     blocksize: int = grid.DEFAULT_BLOCKSIZE,
     bands: Optional[List[BandSpec]] = None,
     persist_levels: bool = True,
+    nodata: Optional[float] = None,
+    validity_col: Optional[str] = None,
+    add_mask: bool = False,
+    colormap: Optional[Dict[int, Tuple[int, int, int, int]]] = None,
+    tags: Optional[Dict[str, str]] = None,
+    additional_cog_metadata: Optional[Dict[str, str]] = None,
+    band_scales: Optional[List[float]] = None,
+    band_offsets: Optional[List[float]] = None,
+    overview_resampling: str = "sum",
 ) -> Tuple[DataFrame, TileJobPlan]:
     """Full pyramid: union of all levels, ordered smallest-overview-first.
 
@@ -195,10 +244,47 @@ def cog_translate(
     (SURVEY.md §7 step 4 — snapshot per level = checkpoint).
     """
     bands = bands or default_bands()
+
+    # option validation + rewrites — reference stage 1 (cogeo.py:225-255)
+    if colormap and len(bands) > 1:
+        raise IncompatibleOptions(
+            "Cannot add a colormap for multiple bands data."
+        )
+    valid_pages, invalid_pages = apply_nodata(pages, nodata, validity_col)
+    if add_mask or nodata is not None or validity_col is not None:
+        # P6: the mask band — per-cell count of VALID points, the
+        # dataset_mask analog (cogeo.py:376-379)
+        bands = list(bands) + [
+            BandSpec("mask_count", lambda: F.count(F.lit(1)).cast("long"), "sum")
+        ]
+
     plan = plan_tile_job(
-        pages, max_zoom, overview_level, decimation_base, blocksize
+        valid_pages, max_zoom, overview_level, decimation_base, blocksize
     )
-    level = base_tiles(pages, max_zoom, bands)
+
+    # tag forwarding — reference stage 5 (cogeo.py:395-437)
+    props: Dict[str, str] = dict(tags or {})
+    props["OVERVIEW_RESAMPLING"] = overview_resampling.upper()
+    props["TILING_SCHEME_NAME"] = "WebMercatorQuad"
+    props["TILING_SCHEME_ZOOM_LEVEL"] = str(max_zoom)
+    if nodata is not None:
+        props["NODATA"] = str(nodata)
+    if additional_cog_metadata:
+        props.update({k: str(v) for k, v in additional_cog_metadata.items()})
+    if nodata is not None or validity_col is not None:
+        # masked points have no placeable coordinates; record the global
+        # masked count (the mask band itself carries per-cell valid counts)
+        props["N_MASKED"] = str(invalid_pages.count())
+    plan.properties.update(props)
+    plan.colormap = colormap
+    for i, spec in enumerate(bands):
+        plan.band_meta[spec.name] = {
+            "scale": band_scales[i] if band_scales and i < len(band_scales) else 1.0,
+            "offset": band_offsets[i] if band_offsets and i < len(band_offsets) else 0.0,
+            "merge": spec.merge,
+        }
+
+    level = base_tiles(valid_pages, max_zoom, bands)
     if persist_levels:
         level = level.persist()
     levels = [level]

@@ -1,0 +1,158 @@
+"""Physical-plan audit: print and assert the plan properties that matter
+at 100 TB — predicate pushdown reaching the parquet scan, column pruning,
+broadcast joins on small sides, no shuffle in the tile-assignment
+projection, partial aggregation before every exchange.
+
+Run: python scripts/explain_plans.py   (writes docs/PLANS.md)
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import sys
+from contextlib import redirect_stdout
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> None:
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("plan_audit")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from rio_cogeo_spark.operators import dedup as DD
+    from rio_cogeo_spark.operators import join as J
+    from rio_cogeo_spark.operators.translate import assign_tiles, base_tiles
+    from rio_cogeo_spark.synth import synth_pages
+
+    sf = "/root/testdata/sf0.01"
+    pages = synth_pages(spark, sf)
+    checks = []
+    sections = []
+
+    def audit(name, df, must, must_not=()):
+        p = plan_of(df)
+        ok = True
+        notes = []
+        for pat in must:
+            hit = re.search(pat, p) is not None
+            ok &= hit
+            notes.append(f"  {'PASS' if hit else 'FAIL'} must-have: /{pat}/")
+        for pat in must_not:
+            hit = re.search(pat, p) is not None
+            ok &= not hit
+            notes.append(f"  {'PASS' if not hit else 'FAIL'} must-not: /{pat}/")
+        checks.append((name, ok))
+        sections.append((name, "\n".join(notes), p))
+        print(f"[{'OK' if ok else 'BAD'}] {name}")
+        for n in notes:
+            print(n)
+
+    # 1. filter + projection pushdown to the parquet scan
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    q = docs.filter(F.col("lang") == "en").select("doc_id", "n_chars")
+    audit(
+        "scan pushdown (filter + column pruning)",
+        q,
+        must=[r"PushedFilters: \[.*IsNotNull\(lang\).*EqualTo\(lang,en\)",
+              r"ReadSchema: struct<doc_id:bigint,lang:string,n_chars:bigint>"],
+    )
+
+    # 2. tile assignment = projection only: NO exchange before the UDF
+    assigned = assign_tiles(pages, 8)
+    audit(
+        "tile assignment (no shuffle, Arrow eval)",
+        assigned,
+        must=[r"ArrowEvalPython"],
+        must_not=[r"Exchange(?!.*broadcast).*\n.*ArrowEvalPython"],
+    )
+
+    # 3. base agg: partial agg before the exchange (map-side combine)
+    bt = base_tiles(pages, 8)
+    p3 = plan_of(bt)
+    partial_before_exchange = bool(
+        re.search(r"HashAggregate.*[\s\S]*Exchange[\s\S]*HashAggregate", p3)
+    )
+    checks.append(("base agg partial-before-final", partial_before_exchange))
+    sections.append(
+        ("base agg partial/final", f"  {'PASS' if partial_before_exchange else 'FAIL'} "
+         "two HashAggregates around one Exchange", p3)
+    )
+    print(f"[{'OK' if partial_before_exchange else 'BAD'}] base agg partial/final")
+
+    # 4. PIP: broadcast join on the cell key, never a sort-merge
+    pip = J.point_in_polygon(pages, J.build_admin_areas())
+    audit(
+        "PIP prefilter join (broadcast, no sort-merge)",
+        pip,
+        must=[r"BroadcastHashJoin|BroadcastExchange"],
+        must_not=[r"SortMergeJoin"],
+    )
+
+    # 5. kNN brute: broadcast nested loop over the tiny query set only
+    qdf = spark.createDataFrame(
+        [("Q0", 35.0, 139.0)], "query_id string, q_lat double, q_lon double"
+    )
+    knn = J.knn_bruteforce(pages, qdf, k=5)
+    audit(
+        "kNN broadcast (big side never shuffles before window)",
+        knn,
+        must=[r"BroadcastNestedLoopJoin|BroadcastExchange"],
+        must_not=[r"SortMergeJoin"],
+    )
+
+    # 6. minhash LSH band self-join: shuffle join on (band, bucket) is
+    # expected; the shingle arrays must NOT appear in the band exchange
+    docs_d = spark.read.parquet(f"{sf}/documents.parquet")
+    lsh = DD.minhash_lsh_pairs(docs_d, 0.5, 128, 64)
+    p6 = plan_of(lsh)
+    band_exchange_thin = "sh#" not in "".join(
+        re.findall(r"Exchange hashpartitioning\(band[^\n]*", p6)
+    )
+    checks.append(("LSH band exchange excludes shingle arrays", band_exchange_thin))
+    sections.append(
+        ("LSH band exchange", f"  {'PASS' if band_exchange_thin else 'FAIL'} "
+         "band-bucket exchange carries no shingle arrays", p6)
+    )
+    print(f"[{'OK' if band_exchange_thin else 'BAD'}] LSH band exchange thin")
+
+    out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
+    out.append("Checks asserted on `.explain('formatted')` output:\n")
+    for name, ok in checks:
+        out.append(f"- [{'x' if ok else ' '}] {name}")
+    out.append("\n---\n")
+    for name, notes, plan in sections:
+        out.append(f"## {name}\n\n```\n{notes}\n```\n")
+        out.append(f"<details><summary>plan</summary>\n\n```\n{plan[:4000]}\n```\n</details>\n")
+    Path("docs").mkdir(exist_ok=True)
+    Path("docs/PLANS.md").write_text("\n".join(out))
+
+    spark.stop()
+    bad = [n for n, ok in checks if not ok]
+    if bad:
+        print(f"\nPLAN AUDIT FAILURES: {bad}")
+        raise SystemExit(1)
+    print("\nALL PLAN CHECKS PASS (docs/PLANS.md written)")
+
+
+if __name__ == "__main__":
+    main()
