@@ -56,6 +56,23 @@ def _meta_from_dir(spark, tiles_dir):
     return tiles, tiles_meta(tiles, plan), plan, zooms
 
 
+def parse_nodata(value):
+    """Nodata option parse — the reference's NodataParamType
+    (scripts/cli.py:46-63): 'nan' → NaN, 'none'/'nil' → None, else float;
+    anything else is a usage error."""
+    if value is None:
+        return None
+    v = value.lower()
+    if v == "nan":
+        return float("nan")
+    if v in ("none", "nil"):
+        return None
+    try:
+        return float(value)
+    except ValueError as exc:
+        raise argparse.ArgumentTypeError(f"{value} is not a valid nodata value") from exc
+
+
 def cmd_create(args) -> int:
     spark = _session(args.cpus)
     from rio_cogeo_spark.profiles import cog_profiles
@@ -63,6 +80,10 @@ def cmd_create(args) -> int:
 
     cog_profiles.get(args.profile)  # KeyError on unknown, like the reference
     pages = read_pages(spark, args.pages_path)
+    if args.nodata is not None:
+        from rio_cogeo_spark.operators.translate import apply_nodata
+
+        pages, _ = apply_nodata(pages, nodata=args.nodata)
     plan, manifests = resumable_pyramid(
         pages,
         args.out_dir,
@@ -146,6 +167,7 @@ def main(argv=None) -> int:
     c.add_argument("--overview-level", type=int, default=None, dest="overview_level")
     c.add_argument("--decimation-base", type=int, default=2, dest="decimation_base")
     c.add_argument("--profile", default="zstd")
+    c.add_argument("--nodata", type=parse_nodata, default=None)
     c.set_defaults(fn=cmd_create)
 
     v = sub.add_parser("validate")

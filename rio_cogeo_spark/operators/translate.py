@@ -99,12 +99,18 @@ def plan_tile_job(
     overview_level: Optional[int] = None,
     decimation_base: int = 2,
     blocksize: int = grid.DEFAULT_BLOCKSIZE,
+    aligned_levels: Optional[int] = None,
 ) -> TileJobPlan:
     """Stage 1+2: compute the aligned extent and the overview chain.
 
     Dataset 'pixel' width = tile-cell count x blocksize (SURVEY.md §1.4:
     a TMS tile cell is the 512x512 internal-block analog), so the
     reference's overview-count rule (cogeo.py:381-384) transfers directly.
+
+    ``aligned_levels`` k snaps the extent outward to whole tiles at
+    ``max_zoom - k`` — the web-optimized alignment rule
+    (utils.py:120-140; reference tests/test_web.py:241-300), so every
+    overview level down to k stays tile-aligned.
     """
     b = pages.agg(
         F.min("lon").alias("w"),
@@ -116,6 +122,15 @@ def plan_tile_job(
         raise ValueError("cannot plan a tile job over an empty pages table")
     tx0, ty0 = grid.tile_index([b["w"]], [b["n"]], max_zoom)
     tx1, ty1 = grid.tile_index([b["e"]], [b["s"]], max_zoom)
+    if aligned_levels:
+        base_zoom = max(max_zoom - aligned_levels, 0)
+        shift = max_zoom - base_zoom
+        # snap UL down and LR up to whole base_zoom tiles (ul_tile /
+        # lr_tile+1 rule, utils.py:125-137)
+        tx0 = (tx0 >> shift) << shift
+        ty0 = (ty0 >> shift) << shift
+        tx1 = (((tx1 >> shift) + 1) << shift) - 1
+        ty1 = (((ty1 >> shift) + 1) << shift) - 1
     width_cells = int(tx1[0] - tx0[0] + 1)
     height_cells = int(ty1[0] - ty0[0] + 1)
     width_px = width_cells * blocksize

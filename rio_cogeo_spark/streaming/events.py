@@ -79,6 +79,39 @@ def run_stream_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
 
 
+def stateful_user_totals(events: DataFrame, timeout: str = "NoTimeout") -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``
+    (SURVEY.md §2.9): running per-user event count + value total carried
+    in state across micro-batches. Batch twin: groupBy(user).agg."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    def fn(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, round(total, 4)))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 4)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=timeout,
+    )
+
+
+def stateful_user_totals_batch(events: DataFrame) -> DataFrame:
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
 def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Gap-based sessionization (batch): session starts when the per-user
     inter-event gap exceeds ``gap_minutes``. Returns per-session rows
