@@ -30,7 +30,7 @@ from rio_cogeo_spark import grid
 from rio_cogeo_spark.functions.tile import cell_id
 from rio_cogeo_spark.synth import MEGACITIES
 
-PREFILTER_ZOOM = 10   # PIP: fine enough that megacity rects contain interior cells
+PREFILTER_ZOOM = 11   # PIP: fine enough that ~90% of hot-cell candidates are interior
 KNN_ZOOM = 7          # kNN: ring-2 coverage radius must exceed the kth distance
 
 

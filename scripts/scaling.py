@@ -53,9 +53,14 @@ WORKER = textwrap.dedent(
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     replicate = max(1, target // max(docs.count(), 1))
-    pages = (synth_pages_scaled(spark, sf_dir, replicate=replicate)
-             .select("doc_id", "url", "lang", "n_chars", "lat", "lon")
-             .repartition(4 * N).cache())
+    # scan from parquet, not the single-JVM columnar cache (slower + noisy)
+    import tempfile
+    pages_path = os.path.join(tempfile.gettempdir(), f"scaling_pages_{replicate}")
+    if not os.path.exists(os.path.join(pages_path, "_SUCCESS")):
+        (synth_pages_scaled(spark, sf_dir, replicate=replicate)
+         .select("doc_id", "url", "lang", "n_chars", "lat", "lon")
+         .repartition(32).write.mode("overwrite").parquet(pages_path))
+    pages = spark.read.parquet(pages_path)
     n_pages = pages.count()
     areas = J.build_admin_areas(stars=True)
 
@@ -66,11 +71,10 @@ WORKER = textwrap.dedent(
         tiles, _ = cog_translate(pages, max_zoom=10, overview_level=6)
         tiles.count()
         t_pyr = time.time() - t0
-        spark.catalog.clearCache(); pages.cache().count()
+        spark.catalog.clearCache()
         t0 = time.time()
         J.point_in_polygon(pages, areas).count()
         t_pip = time.time() - t0
-        spark.catalog.clearCache(); pages.cache().count()
         best["pyramid"] = min(best["pyramid"], t_pyr)
         best["pip_join"] = min(best["pip_join"], t_pip)
         all_trials.append({"pyramid": round(t_pyr, 3), "pip_join": round(t_pip, 3)})
