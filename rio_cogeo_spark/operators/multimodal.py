@@ -12,7 +12,7 @@ is what a real ffmpeg/PIL UDF would see.
 from __future__ import annotations
 
 import hashlib
-from typing import Callable, Dict, Iterator, Optional
+from typing import Callable, Dict, Iterator
 
 import numpy as np
 import pandas as pd

@@ -22,8 +22,6 @@ extra (tiny, tiles x n_salt) shuffle.
 
 from __future__ import annotations
 
-from typing import Callable, Dict
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame

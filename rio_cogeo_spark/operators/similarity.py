@@ -16,7 +16,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from rio_cogeo_spark.functions.vector import as_double_array, cosine_rounded
+from rio_cogeo_spark.functions.vector import cosine_rounded
 
 
 def ann_bruteforce_topk(

@@ -28,7 +28,7 @@ from typing import Callable, Dict, List, Optional, Tuple
 
 import warnings
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from rio_cogeo_spark import grid

@@ -1,8 +1,6 @@
 """Nodata/mask/alpha/colormap/tags semantics (SURVEY.md §2.2 P2-P7,
 §2.7 F10/F11 — the reference's fixture scenarios from FIXTURES.md §4)."""
 
-import warnings as pywarnings
-
 import pytest
 from pyspark.sql import functions as F
 

@@ -10,7 +10,6 @@ from rio_cogeo_spark import grid
 from rio_cogeo_spark.operators.info import cog_info
 from rio_cogeo_spark.operators.translate import (
     cog_translate,
-    default_bands,
     tiles_meta,
     write_tiles,
 )

@@ -5,7 +5,6 @@ image_web_z5_z11: EPSG:3857 pyramid with MinZoom 5 / MaxZoom 11
 zero overviews (image_51px, tests/test_cogeo.py:357-380).
 """
 
-import pytest
 from pyspark.sql import functions as F
 
 from rio_cogeo_spark.operators.info import cog_info
