@@ -178,6 +178,30 @@ def q_ann_topk(spark, sf_dir):
     return SIM.ann_bruteforce_topk(emb, queries, k=10)
 
 
+def q_asof_join(spark, sf_dir):
+    """Each event joined to the user's most recent purchase at-or-before
+    its timestamp (the as-of join operator, operators/asof.py)."""
+    from rio_cogeo_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    state = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("s_value"))
+    )
+    joined = asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        state,
+        on="user_id",
+        ts="ts",
+        value_cols=["s_value"],
+        how="inner",
+    )
+    return joined.select(
+        "event_id", "user_id", F.round("s_value", 4).alias("asof_value")
+    )
+
+
 def q_quality(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     t = F.col("text")
@@ -285,6 +309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "media_features": q_media_features,
         "raster_tiles": q_raster_tiles,
+        "asof_join": q_asof_join,
         "quality": q_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -446,6 +471,13 @@ FROM documents GROUP BY 1""",
 SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_sec, event_type,
        COUNT(*) AS n, round(SUM(value), 4) AS sum_value
 FROM events GROUP BY 1, 2""",
+        "asof_join": """
+WITH state AS (
+  SELECT user_id, ts, max(value) AS s_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+SELECT e.event_id, e.user_id, round(s.s_value, 4) AS asof_value
+FROM events e ASOF JOIN state s
+  ON e.user_id = s.user_id AND e.ts >= s.ts""",
         "pip_semi": f"""{_P}{_ADMIN_CTE}
 SELECT DISTINCT p.url FROM pages p
 WHERE EXISTS (SELECT 1 FROM admin a WHERE {_PIP_COND})""",
