@@ -27,7 +27,10 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
         elif str(df[c].dtype).startswith("float"):
-            df[c] = df[c].astype("float64").round(9)
+            # NO rounding here: queries are responsible for emitting
+            # bit-identical doubles on both engines (they round in-query);
+            # this surfaces any sub-decimal drift the driver could catch
+            df[c] = df[c].astype("float64")
         elif str(df[c].dtype).startswith(("int", "uint", "Int")):
             df[c] = df[c].astype("int64")
         elif str(df[c].dtype) == "bool":
