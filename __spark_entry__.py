@@ -242,6 +242,40 @@ def q_token_stats(spark, sf_dir):
     )
 
 
+def q_quality_percentiles(spark, sf_dir):
+    """Exact percentiles of document length per language (ordered agg)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("p50_chars"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 6).alias("p90_chars"),
+    )
+
+
+def q_lang_pivot(spark, sf_dir):
+    """Pivot: per-source doc counts by language (wide layout)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    langs = ["en", "es", "de", "fr"]
+    out = (
+        docs.filter(F.col("lang").isin(langs))
+        .groupBy("source")
+        .pivot("lang", langs)
+        .count()
+        .na.fill(0, langs)
+    )
+    return out.select("source", *[F.col(g).cast("long").alias(g) for g in langs])
+
+
+def q_rollup(spark, sf_dir):
+    """Hierarchical rollup (lang, source) — the relational cousin of the
+    tile pyramid's materialized rollup (SURVEY.md §2.4 note)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.rollup("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
 def q_events_hourly(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
@@ -310,6 +344,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "raster_tiles": q_raster_tiles,
         "asof_join": q_asof_join,
+        "quality_percentiles": q_quality_percentiles,
+        "lang_pivot": q_lang_pivot,
+        "rollup": q_rollup,
         "quality": q_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -481,6 +518,22 @@ FROM events e ASOF JOIN state s
         "pip_semi": f"""{_P}{_ADMIN_CTE}
 SELECT DISTINCT p.url FROM pages p
 WHERE EXISTS (SELECT 1 FROM admin a WHERE {_PIP_COND})""",
+        "rollup": """
+SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+FROM documents GROUP BY ROLLUP (lang, source)""",
+        "quality_percentiles": """
+SELECT lang, COUNT(*) AS n_docs,
+       round(quantile_cont(n_chars, CAST(0.5 AS DOUBLE)), 6) AS p50_chars,
+       round(quantile_cont(n_chars, CAST(0.9 AS DOUBLE)), 6) AS p90_chars
+FROM documents GROUP BY 1""",
+        "lang_pivot": """
+SELECT source,
+       COUNT(*) FILTER (lang = 'en') AS en,
+       COUNT(*) FILTER (lang = 'es') AS es,
+       COUNT(*) FILTER (lang = 'de') AS de,
+       COUNT(*) FILTER (lang = 'fr') AS fr
+FROM documents WHERE lang IN ('en', 'es', 'de', 'fr')
+GROUP BY 1""",
         "sessionize": """
 WITH g AS (
   SELECT user_id, ts,
