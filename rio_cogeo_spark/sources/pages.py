@@ -62,6 +62,35 @@ def write_table(df: DataFrame, path: str, profile: Optional[CogSparkProfile] = N
     writer.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: List[str],
+    num_buckets: int = 32,
+    sort_cols: Optional[List[str]] = None,
+) -> None:
+    """Bucketed managed table (SURVEY.md §4): joins/aggregations on
+    ``bucket_cols`` between co-bucketed tables need NO exchange — the
+    Iceberg equivalent is a bucket partition transform. Used to co-locate
+    the pages table with its tiles on the tile key at cluster scale."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    # a fresh metastore can still collide with a stale managed-table dir
+    # left by a previous session — remove it so the commit is idempotent
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = os.path.join(warehouse.replace("file:", ""), table_name.lower())
+    if os.path.exists(loc):
+        shutil.rmtree(loc)
+    w = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(num_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table_name)
+
+
 def _level_dir(root: str, zoom: int) -> str:
     return os.path.join(root, f"zoom={zoom}")
 

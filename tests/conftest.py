@@ -14,6 +14,8 @@ def spark():
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
+        .config("spark.sql.warehouse.dir", "/tmp/rcs_warehouse")
+        .config("spark.driver.extraJavaOptions", "-Dderby.system.home=/tmp/rcs_derby")
         .getOrCreate()
     )
     s.sparkContext.setLogLevel("ERROR")

@@ -207,3 +207,35 @@ def test_multimodal_real_decoder_is_stubbed(spark, sf_small):
     media = MM.attach_media(docs)
     with pytest.raises(Exception, match="NotImplementedError|media decoding"):
         MM.extract_features(media, decoder="real").collect()
+
+
+# ---------------------------------------------------------------------------
+# bucketed co-located join (no exchange)
+# ---------------------------------------------------------------------------
+
+
+def test_bucketed_join_has_no_exchange(spark, pages):
+    import io
+    from contextlib import redirect_stdout
+
+    from rio_cogeo_spark.operators.translate import assign_tiles, base_tiles
+
+    assigned = assign_tiles(pages, 6).select("url", "n_chars", "tile_x", "tile_y")
+    tiles = base_tiles(pages, 6)
+    SRC.write_bucketed(assigned, "pages_b", ["tile_x", "tile_y"], 8,
+                       sort_cols=["tile_x", "tile_y"])
+    SRC.write_bucketed(tiles, "tiles_b", ["tile_x", "tile_y"], 8,
+                       sort_cols=["tile_x", "tile_y"])
+    a = spark.table("pages_b")
+    b = spark.table("tiles_b")
+    joined = a.join(b, ["tile_x", "tile_y"])
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        joined.explain("formatted")
+    plan = buf.getvalue()
+    # co-bucketed join must not shuffle either side
+    assert "Exchange hashpartitioning" not in plan, plan
+    # and results are correct
+    n = joined.count()
+    shuffled = assigned.join(tiles, ["tile_x", "tile_y"]).count()
+    assert n == shuffled
