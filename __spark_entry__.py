@@ -278,9 +278,12 @@ def q_rollup(spark, sf_dir):
 
 def q_events_hourly(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # floor-div on epoch seconds, NOT date_trunc: immune to whatever
+    # session timezone the driver's SparkSession carries
+    hour = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long")
     return (
         ev.groupBy(
-            F.unix_timestamp(F.date_trunc("HOUR", F.col("ts"))).alias("hour_sec"),
+            hour.alias("hour_sec"),
             "event_type",
         )
         .agg(
