@@ -142,6 +142,29 @@ def q_knn_kring(spark, sf_dir):
     return J.knn_kring(_pages(spark, sf_dir), _knn_queries(spark), k=5, ring=2)
 
 
+def q_knn_exact(spark, sf_dir):
+    """Adaptive k-ring kNN with the coverage-bound exactness guarantee."""
+    return J.knn_kring_exact(_pages(spark, sf_dir), _knn_queries(spark), k=5)
+
+
+def q_range_join(spark, sf_dir):
+    """Interval join: clicks within ±60s of a purchase by the same user
+    (bucketized decomposition, operators/rangejoin.py)."""
+    from rio_cogeo_spark.operators.rangejoin import range_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    return range_join(
+        clicks, purchases, on="user_id", ts="ts", window_seconds=60,
+        left_cols=["click_id"], right_cols=["purchase_id"],
+    )
+
+
 def q_zonal_stats(spark, sf_dir):
     return J.zonal_stats(_pages(spark, sf_dir), J.build_admin_areas())
 
@@ -335,6 +358,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_anti": q_pip_anti,
         "knn_brute": q_knn_brute,
         "knn_kring": q_knn_kring,
+        "knn_exact": q_knn_exact,
+        "range_join": q_range_join,
         "zonal_stats": q_zonal_stats,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
@@ -468,6 +493,16 @@ SELECT COUNT(*) AS n_outside FROM pages p
 WHERE NOT EXISTS (SELECT 1 FROM admin a WHERE {_PIP_COND})""",
         "knn_brute": _KNN_SQL,
         "knn_kring": _KNN_SQL,
+        "knn_exact": _KNN_SQL,
+        "range_join": """
+WITH c AS (SELECT event_id AS click_id, user_id,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS t
+           FROM events WHERE event_type = 'click'),
+p AS (SELECT event_id AS purchase_id, user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t
+      FROM events WHERE event_type = 'purchase')
+SELECT c.click_id, p.purchase_id
+FROM c JOIN p ON c.user_id = p.user_id AND abs(c.t - p.t) <= 60""",
         "zonal_stats": f"""{_P}{_ADMIN_CTE}
 SELECT a.admin_id, COUNT(*) AS page_count, SUM(p.n_chars) AS sum_chars,
        COUNT(DISTINCT p.lang) AS lang_count

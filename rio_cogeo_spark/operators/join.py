@@ -275,6 +275,76 @@ def knn_kring(
     )
 
 
+def _ring_coverage_dist2(q_lon: float, q_lat: float, zoom: int, ring: int) -> float:
+    """Lower bound (in the squared lon/lat-euclid metric) on the distance
+    from the query to any point OUTSIDE its k-ring's covered region: any
+    candidate missed by the ring is at least this far away."""
+    tx, ty = grid.tile_index([q_lon], [q_lat], zoom)
+    n = 1 << zoom
+    x0, y0 = int(tx[0]) - ring, int(ty[0]) - ring
+    x1, y1 = int(tx[0]) + ring, int(ty[0]) + ring
+    w, _, _, _ = grid.tile_bounds_mercator([x0], [y0], zoom)
+    _, s, e, nn = grid.tile_bounds_mercator([x1], [y1], zoom)
+    lon_w, _ = grid.mercator_to_lonlat(w, [0.0])
+    lon_e, _ = grid.mercator_to_lonlat(e, [0.0])
+    _, lat_s = grid.mercator_to_lonlat([0.0], s)
+    _, lat_n = grid.mercator_to_lonlat([0.0], [grid.tile_bounds_mercator([x0], [y0], zoom)[3][0]])
+    d_lon = min(q_lon - lon_w[0], lon_e[0] - q_lon) if x1 - x0 + 1 < n else float("inf")
+    # clamped matrix edges: nothing exists beyond the pole rows
+    d_lat_s = q_lat - lat_s[0] if y1 < n - 1 else float("inf")
+    d_lat_n = lat_n[0] - q_lat if y0 > 0 else float("inf")
+    d = min(d_lon, d_lat_s, d_lat_n)
+    return max(d, 0.0) ** 2
+
+
+def knn_kring_exact(
+    pages: DataFrame,
+    queries_df: DataFrame,
+    k: int = 5,
+    zoom: int = KNN_ZOOM,
+    start_ring: int = 1,
+    max_ring: int = 64,
+) -> DataFrame:
+    """Provably exact k-ring kNN: expand each query's ring until its
+    kth-best distance is <= the ring's guaranteed coverage bound (no
+    point outside the searched cells can be closer). Driver-side loop
+    over the (small) query set; each iteration is one broadcast join —
+    at most a handful of rounds even for queries in empty regions."""
+    spark = pages.sparkSession
+    pending = {r["query_id"]: (float(r["q_lat"]), float(r["q_lon"]))
+               for r in queries_df.collect()}
+    done_parts = []
+    ring = start_ring
+    while pending and ring <= max_ring:
+        qdf = spark.createDataFrame(
+            [(qid, lat, lon) for qid, (lat, lon) in pending.items()],
+            "query_id string, q_lat double, q_lon double",
+        )
+        res = knn_kring(pages, qdf, k=k, zoom=zoom, ring=ring)
+        rows = res.collect()
+        by_q: dict = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(r)
+        for qid, (lat, lon) in list(pending.items()):
+            got = by_q.get(qid, [])
+            bound = _ring_coverage_dist2(lon, lat, zoom, ring)
+            if len(got) == k and max(r["dist2"] for r in got) <= bound:
+                done_parts.extend(got)
+                del pending[qid]
+        ring *= 2
+    if pending:
+        # fall back to the exact broadcast scan for stragglers
+        qdf = spark.createDataFrame(
+            [(qid, lat, lon) for qid, (lat, lon) in pending.items()],
+            "query_id string, q_lat double, q_lon double",
+        )
+        done_parts.extend(knn_bruteforce(pages, qdf, k=k).collect())
+    return spark.createDataFrame(
+        done_parts,
+        "query_id string, doc_id long, url string, rank int, dist2 double",
+    )
+
+
 def zonal_stats(pages: DataFrame, areas: List[AdminArea],
                 zoom: int = PREFILTER_ZOOM) -> DataFrame:
     """Raster↔vector zonal stats (SURVEY.md §2.3 J4): PIP join then

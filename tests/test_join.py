@@ -107,3 +107,49 @@ def test_zonal_counts_consistent(pages, areas):
         .collect()
     )
     assert z == {r["admin_id"]: r["count"] for r in pip_counts}
+
+
+def test_knn_exact_handles_empty_regions(spark, pages):
+    """Queries in empty ocean regions force ring expansion; result must
+    still equal brute force."""
+    rows = [
+        ("QOCEAN1", -45.0, -35.0),   # south atlantic, far from any hotspot
+        ("QOCEAN2", -55.0, 150.0),   # southern ocean
+        ("QCITY", 35.6895, 139.6917),
+    ]
+    q = spark.createDataFrame(rows, "query_id string, q_lat double, q_lon double")
+    brute = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["dist2"])
+        for r in J.knn_bruteforce(pages, q, k=5).collect()
+    }
+    exact = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["dist2"])
+        for r in J.knn_kring_exact(pages, q, k=5, start_ring=1).collect()
+    }
+    assert exact == brute and len(brute) == 15
+
+
+def test_range_join_matches_naive(spark, sf_mid):
+    from rio_cogeo_spark.operators.rangejoin import range_join
+
+    ev = spark.read.parquet(f"{sf_mid}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    got = {
+        (r["click_id"], r["purchase_id"])
+        for r in range_join(clicks, purchases, "user_id", "ts", 3600,
+                            ["click_id"], ["purchase_id"]).collect()
+    }
+    c = clicks.select("click_id", "user_id", F.unix_timestamp("ts").alias("ct"))
+    p = purchases.select("purchase_id", F.col("user_id").alias("u2"),
+                         F.unix_timestamp("ts").alias("pt"))
+    naive = {
+        (r["click_id"], r["purchase_id"])
+        for r in c.join(p, (F.col("user_id") == F.col("u2"))
+                        & (F.abs(F.col("ct") - F.col("pt")) <= 3600)).collect()
+    }
+    assert got == naive and len(naive) > 0
