@@ -44,6 +44,86 @@ def ann_bruteforce_topk(
     )
 
 
+def ivf_build_centroids(embeddings: DataFrame, vec_col: str = "embedding",
+                        list_col: str = "label") -> np.ndarray:
+    """IVF coarse quantizer: one centroid per inverted list. Uses the
+    existing ``label`` partition as the list assignment (k-means-free;
+    swap in any clustering at ingest). Returns (n_lists, dim)."""
+    rows = (
+        embeddings.groupBy(list_col)
+        .agg(F.transform(
+            F.aggregate(
+                F.collect_list(vec_col),
+                F.array_repeat(F.lit(0.0), F.size(F.first(vec_col))),
+                lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b.cast("double")),
+            ),
+            lambda x: x / F.count(F.lit(1)),
+        ).alias("centroid"))
+        .orderBy(list_col)
+        .collect()
+    )
+    return np.stack([np.asarray(r["centroid"], dtype=np.float64) for r in rows])
+
+
+def ivf_assign_lists(embeddings: DataFrame, centroids: np.ndarray,
+                     vec_col: str = "embedding") -> DataFrame:
+    """Add ``ivf_list`` = nearest centroid by cosine (one Lloyd step —
+    the routing rule MUST be distance-based so that a query near vector v
+    probes v's list; an arbitrary partition column is not routable).
+    Vectorized: one matmul per Arrow batch."""
+    norm_c = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    @F.pandas_udf("int")
+    def _assign(vecs: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        return pd.Series((m @ norm_c.T).argmax(axis=1).astype(np.int32))
+
+    return embeddings.withColumn("ivf_list", _assign(F.col(vec_col)))
+
+
+def ann_ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 3,
+    list_col: str = "label",
+    include_self: bool = False,
+) -> DataFrame:
+    """IVF ANN: vectors are re-assigned to their nearest coarse centroid
+    (seeded from ``list_col`` means); each query probes only its
+    ``n_probe`` nearest inverted lists, then exact cosine + rank within
+    them. Candidates shrink from |corpus| to ~n_probe/n_lists of it —
+    the structure that scales to 10^12 vectors (lists = partitions)."""
+    spark = embeddings.sparkSession
+    centroids = ivf_build_centroids(embeddings, "embedding", list_col)
+    norm_c = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    indexed = ivf_assign_lists(embeddings, centroids)
+
+    qrows = queries.collect()
+    probe_rows = []
+    for r in qrows:
+        v = np.asarray(r["q_embedding"], dtype=np.float64)
+        sims = norm_c @ (v / np.linalg.norm(v))
+        for lst in np.argsort(-sims)[:n_probe]:
+            probe_rows.append((r["query_id"], int(lst),
+                               [float(x) for x in r["q_embedding"]]))
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, ivf_list int, q_embedding array<double>"
+    )
+    joined = indexed.join(F.broadcast(probes), "ivf_list", "inner")
+    if not include_self:
+        joined = joined.filter(F.col("vec_id") != F.col("query_id"))
+    cos = cosine_rounded(F.col("embedding"), F.col("q_embedding"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        joined.withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "cos")
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim))

@@ -115,3 +115,20 @@ def test_ann_bruteforce_rank_deterministic(emb):
     r1 = SIM.ann_bruteforce_topk(emb, queries, k=5).collect()
     r2 = SIM.ann_bruteforce_topk(emb, queries, k=5).collect()
     assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
+
+
+def test_ann_ivf_finds_planted_near_duplicates(spark, emb):
+    """IVF probing must find near-duplicate queries (a perturbed corpus
+    vector lands in the same/nearby inverted list)."""
+    rows = emb.filter(F.col("vec_id") < 20).select("vec_id", "embedding").collect()
+    rng = np.random.default_rng(11)
+    qrows = []
+    for r in rows:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        q = v + rng.normal(0, 1e-4, size=v.shape)
+        qrows.append((int(r["vec_id"]), [float(x) for x in q]))
+    queries = spark.createDataFrame(qrows, "query_id long, q_embedding array<double>")
+    got = SIM.ann_ivf_topk(emb, queries, k=3, n_probe=3, include_self=True)
+    top1 = {r["query_id"]: r["vec_id"] for r in got.filter(F.col("rank") == 1).collect()}
+    hits = sum(1 for q, v in top1.items() if q == v)
+    assert hits >= 19, top1
