@@ -443,13 +443,15 @@ _PYRAMID_LEVEL_SQL = """
 SELECT CAST({z} AS INT) AS zoom,
        CAST(floor(tile_x / CAST({d} AS DOUBLE)) AS BIGINT) AS tile_x,
        CAST(floor(tile_y / CAST({d} AS DOUBLE)) AS BIGINT) AS tile_y,
-       SUM(page_count) AS page_count, SUM(sum_chars) AS sum_chars,
+       CAST(SUM(page_count) AS BIGINT) AS page_count,
+       CAST(SUM(sum_chars) AS BIGINT) AS sum_chars,
        MAX(max_doc_id) AS max_doc_id
 FROM base GROUP BY 1, 2, 3"""
 
 _BASE_CTE = f"""{_P}
 , assigned AS (SELECT doc_id, n_chars, {_TX8} AS tile_x, {_TY8} AS tile_y FROM pages),
-base AS (SELECT tile_x, tile_y, COUNT(*) AS page_count, SUM(n_chars) AS sum_chars,
+base AS (SELECT tile_x, tile_y, COUNT(*) AS page_count,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
          MAX(doc_id) AS max_doc_id FROM assigned GROUP BY 1, 2)"""
 
 
@@ -505,7 +507,8 @@ p AS (SELECT event_id AS purchase_id, user_id,
 SELECT c.click_id, p.purchase_id
 FROM c JOIN p ON c.user_id = p.user_id AND abs(c.t - p.t) <= 60""",
         "zonal_stats": f"""{_P}{_ADMIN_CTE}
-SELECT a.admin_id, COUNT(*) AS page_count, SUM(p.n_chars) AS sum_chars,
+SELECT a.admin_id, COUNT(*) AS page_count,
+       CAST(SUM(p.n_chars) AS BIGINT) AS sum_chars,
        COUNT(DISTINCT p.lang) AS lang_count
 FROM pages p JOIN admin a ON {_PIP_COND}
 GROUP BY 1""",
@@ -539,7 +542,8 @@ FROM documents""",
         "lang_id": f"SELECT doc_id, {TX.LANG_ID_SQL} AS pred_lang FROM documents",
         "fingerprint": f"SELECT doc_id, {TX.FINGERPRINT_SQL} AS fp FROM documents",
         "token_stats": f"""
-SELECT source, COUNT(*) AS n_docs, SUM({TX.TOKEN_COUNT_SQL}) AS total_tokens,
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM({TX.TOKEN_COUNT_SQL}) AS BIGINT) AS total_tokens,
        round(CAST(SUM({TX.TOKEN_COUNT_SQL}) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
            AS avg_tokens
 FROM documents GROUP BY 1""",
@@ -558,7 +562,8 @@ FROM events e ASOF JOIN state s
 SELECT DISTINCT p.url FROM pages p
 WHERE EXISTS (SELECT 1 FROM admin a WHERE {_PIP_COND})""",
         "rollup": """
-SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+SELECT lang, source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM documents GROUP BY ROLLUP (lang, source)""",
         "quality_percentiles": """
 SELECT lang, COUNT(*) AS n_docs,

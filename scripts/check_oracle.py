@@ -85,9 +85,23 @@ def main() -> int:
             print(f"[FAIL] {name}: duckdb error: {exc}")
             failures.append(name)
             continue
+        # driver-hash emulation: the driver hashes raw values, so an
+        # int64 Spark column vs a float64 DuckDB fetch (e.g. HUGEINT
+        # from an uncast integer SUM) is a hash mismatch even when the
+        # numbers are equal. Compare dtype *kinds* pre-normalization.
+        kinds_g = {c: got[c].dtype.kind for c in got.columns}
+        kinds_e = {c: exp[c].dtype.kind for c in exp.columns}
+        kind_drift = {
+            c: (kinds_g.get(c), kinds_e.get(c))
+            for c in set(kinds_g) & set(kinds_e)
+            if {"i", "u"} & {kinds_g[c]} and kinds_e[c] == "f"
+            or kinds_g[c] == "f" and {"i", "u"} & {kinds_e[c]}
+        }
         g, e = normalize(got), normalize(exp)
         status = None
-        if list(g.columns) != list(e.columns):
+        if kind_drift:
+            status = f"dtype-kind drift (driver hash would differ): {kind_drift}"
+        elif list(g.columns) != list(e.columns):
             status = f"schema mismatch: spark={list(g.columns)} duck={list(e.columns)}"
         elif len(g) != len(e):
             status = f"rowcount mismatch: spark={len(g)} duck={len(e)}"
