@@ -184,10 +184,12 @@ def q_minhash_lsh(spark, sf_dir):
 
 
 def q_simhash_pairs(spark, sf_dir):
-    # no SQL oracle (xxhash64 is Spark-specific) → rows-only driver check;
-    # exactness vs brute-force hamming is pytest-verified at d<=3 (the
-    # 4x16-bit pigeonhole bound); beyond d=3 banding is recall-best-effort.
-    return DD.simhash_pairs(_docs_with_dups(spark, sf_dir), max_hamming=3)
+    # md5_60 hasher: 60-bit md5-prefix token hash, bit-identical in DuckDB,
+    # so the full simhash (votes → bits → banding → hamming<=3) is
+    # oracle-paired; d<=3 output is exact by the 4x15-bit pigeonhole bound.
+    return DD.simhash_pairs(
+        _docs_with_dups(spark, sf_dir), max_hamming=3, hasher="md5_60"
+    )
 
 
 def q_embed_neardup(spark, sf_dir):
@@ -330,21 +332,35 @@ def q_sessionize(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
-    # binary payloads + engine-specific md5/np features → rows-only check;
-    # determinism is pytest-verified (tests/test_sources_streaming.py)
+    # oracle-paired columns: payload is utf-8(text), so n_bytes/checksum are
+    # strlen/md5 in DuckDB; feat_mean/std/thumb (fake-decoder outputs) stay
+    # pytest-verified (tests/test_sources_streaming.py) — the mapInPandas UDF
+    # still computes them (output projection happens after the UDF runs)
     from rio_cogeo_spark.operators.multimodal import attach_media, extract_features
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return extract_features(attach_media(docs), decoder="fake").select(
-        "media_id", "kind", "n_bytes", "checksum", "feat_mean", "feat_std"
+        "media_id", "kind", "n_bytes", "checksum"
     )
 
 
 def q_raster_tiles(spark, sf_dir):
-    # pixel arrays → rows-only; mass conservation is pytest-verified
+    # per-tile scalar digests of the pixel histogram (driver-canonicalizable,
+    # unlike the raw array<long>): px=8 at zoom 6 makes each pixel exactly a
+    # zoom-9 tile cell, so sum/support/max are DuckDB-expressible
     from rio_cogeo_spark.operators.raster import rasterize_tiles
 
-    return rasterize_tiles(_pages(spark, sf_dir), zoom=6, px=8)
+    t = rasterize_tiles(_pages(spark, sf_dir), zoom=6, px=8)
+    return t.select(
+        "zoom",
+        "tile_x",
+        "tile_y",
+        F.aggregate(
+            "pixels", F.lit(0).cast("long"), lambda acc, v: acc + v
+        ).alias("px_sum"),
+        F.size(F.filter("pixels", lambda v: v > 0)).alias("nonzero_px"),
+        F.array_max("pixels").alias("px_max"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -390,6 +406,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _P = pages_cte("VARCHAR")
 _TX8, _TY8 = tile_xy_sql("lon", "lat", ZOOM)
+_TX9, _TY9 = tile_xy_sql("lon", "lat", 9)  # raster_tiles: z6 tiles, 8x8 px grid
+
+_RASTER_TILES_SQL = f"""{_P}
+, a AS (SELECT {_TX9} AS tx9, {_TY9} AS ty9 FROM pages),
+px AS (SELECT tx9 // 8 AS tile_x, ty9 // 8 AS tile_y,
+              (ty9 % 8) * 8 + (tx9 % 8) AS pixel, COUNT(*) AS cnt
+       FROM a GROUP BY 1, 2, 3)
+SELECT CAST(6 AS INT) AS zoom, tile_x, tile_y,
+       CAST(SUM(cnt) AS BIGINT) AS px_sum,
+       CAST(COUNT(*) AS INT) AS nonzero_px,
+       CAST(MAX(cnt) AS BIGINT) AS px_max
+FROM px GROUP BY 1, 2, 3"""
+
+_SIMHASH_SQL_TMPL = """{docs2}
+, th AS (SELECT doc_id, unnest({toks}) AS tok FROM docs2),
+hh AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM th),
+votes AS (SELECT doc_id, bs.b AS b,
+                 SUM(CASE WHEN ((h >> bs.b) & 1) = 1 THEN 1 ELSE -1 END) AS vote
+          FROM hh CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) bs
+          GROUP BY 1, 2),
+sh AS (SELECT doc_id,
+              CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b)
+                            ELSE 0 END) AS BIGINT) AS simhash
+       FROM votes GROUP BY 1)
+SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b2.simhash)) AS INT) AS hamming
+FROM sh a JOIN sh b2 ON a.doc_id < b2.doc_id
+WHERE bit_count(xor(a.simhash, b2.simhash)) <= 3"""
 
 _ADMIN_CTE = (
     ", admin AS (SELECT 'A' || lpad(CAST(city_id AS VARCHAR), 3, '0') AS admin_id, "
@@ -512,6 +556,15 @@ SELECT a.admin_id, COUNT(*) AS page_count,
        COUNT(DISTINCT p.lang) AS lang_count
 FROM pages p JOIN admin a ON {_PIP_COND}
 GROUP BY 1""",
+        "raster_tiles": _RASTER_TILES_SQL,
+        "media_features": """
+SELECT doc_id AS media_id,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS kind,
+       CAST(strlen(text) AS INT) AS n_bytes,
+       md5(text) AS checksum
+FROM documents""",
+        "simhash_pairs": _SIMHASH_SQL_TMPL.format(docs2=_DOCS2, toks=_TOKS),
         "dedup_exact": f"""{_DOCS2}
 SELECT {TX.FINGERPRINT_SQL} AS fp, COUNT(*) AS n_docs, MIN(doc_id) AS keeper
 FROM docs2 GROUP BY 1""",

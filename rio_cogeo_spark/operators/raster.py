@@ -168,7 +168,8 @@ def downsample_pixel_level(tiles_px: DataFrame, px: int, kernel: str = "sum") ->
     with_parent = tiles_px.withColumn(
         "ptx", F.floor(F.col("tile_x") / 2).cast("long")
     ).withColumn("pty", F.floor(F.col("tile_y") / 2).cast("long"))
+    # zoom is in the key so a multi-zoom frame never mixes levels in one group
     return (
-        with_parent.groupBy("ptx", "pty")
+        with_parent.groupBy("zoom", "ptx", "pty")
         .applyInPandas(_merge, "zoom int, tile_x long, tile_y long, pixels array<long>")
     )

@@ -123,7 +123,7 @@ def main() -> None:
     # 6. minhash LSH band self-join: shuffle join on (band, bucket) is
     # expected; the shingle arrays must NOT appear in the band exchange
     docs_d = spark.read.parquet(f"{sf}/documents.parquet")
-    lsh = DD.minhash_lsh_pairs(docs_d, 0.5, 128, 64)
+    lsh = DD.minhash_lsh_pairs(docs_d, 0.5, 128, 64, eager_release=False)
     p6 = plan_of(lsh)
     band_exchange_thin = "sh#" not in "".join(
         re.findall(r"Exchange hashpartitioning\(band[^\n]*", p6)
@@ -134,6 +134,17 @@ def main() -> None:
          "band-bucket exchange carries no shingle arrays", p6)
     )
     print(f"[{'OK' if band_exchange_thin else 'BAD'}] LSH band exchange thin")
+
+    # 7. embedding near-dup: blocked-matmul candidates — the plan must be
+    # equi-joins + mapInPandas, with NO BroadcastNestedLoopJoin / cartesian
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    nd = DD.embedding_neardup_pairs(emb, threshold=0.4)
+    audit(
+        "embedding near-dup (block matmul, no cartesian)",
+        nd,
+        must=[r"FlatMapGroupsInPandas|MapInPandas"],
+        must_not=[r"BroadcastNestedLoopJoin", r"CartesianProduct"],
+    )
 
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
