@@ -78,9 +78,16 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
     # with pushdown (measured: PIP 5.5s from parquet vs 9-25s from cache
     # at local[8]/20M rows), and storage-scan input matches the real
     # pipeline shape.
+    import hashlib
     import tempfile
 
-    pages_path = os.path.join(tempfile.gettempdir(), f"bench_pages_{replicate}")
+    # cache key covers the dataset AND the scale target — a different
+    # SPARK_GRAFT_SF_DIR with the same replicate must not silently reuse
+    # stale pages from another dataset
+    fp = hashlib.md5(f"{os.path.abspath(sf_dir)}|{target}".encode()).hexdigest()[:10]
+    pages_path = os.path.join(
+        tempfile.gettempdir(), f"bench_pages_{replicate}_{fp}"
+    )
     if not os.path.exists(os.path.join(pages_path, "_SUCCESS")):
         (
             synth_pages_scaled(spark, sf_dir, replicate=replicate)
@@ -166,12 +173,14 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
     )
     timed("ann_topk", lambda: materialize(SIM.ann_bruteforce_topk(emb, q_emb, k=10)))
 
-    # 6. events hourly rollup
+    # 6. events hourly rollup — same epoch floor-div expression as the
+    # contract query (consistent measurement)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hour = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long")
     timed(
         "events_hourly",
         lambda: materialize(
-            ev.groupBy(F.date_trunc("HOUR", "ts"), "event_type").agg(
+            ev.groupBy(hour.alias("hour_sec"), "event_type").agg(
                 F.count(F.lit(1)), F.sum("value")
             )
         ),

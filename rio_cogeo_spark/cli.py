@@ -48,6 +48,7 @@ def _meta_from_dir(spark, tiles_dir):
         min_zoom=pj["min_zoom"],
         decimation_base=pj["decimation_base"],
         blocksize=pj["blocksize"],
+        overview_blocksize=pj.get("overview_blocksize"),
         extent=tuple(pj["extent"]),
         width_px=pj["width_px"],
         height_px=pj["height_px"],
@@ -73,12 +74,79 @@ def parse_nodata(value):
         raise argparse.ArgumentTypeError(f"{value} is not a valid nodata value") from exc
 
 
+def parse_bidx(value):
+    """Band-index option parse — the reference's BdxParamType
+    (scripts/cli.py:29-43): comma-separated 1-based indexes."""
+    if value is None:
+        return None
+    try:
+        idx = [int(p) for p in value.split(",")]
+        if not idx or any(i < 1 for i in idx):
+            raise ValueError
+        return idx
+    except ValueError as exc:
+        raise argparse.ArgumentTypeError(
+            f"{value} is not a valid band index list (e.g. '1,2,3')"
+        ) from exc
+
+
+def resolve_blocksizes(blocksize, overview_blocksize, web_optimized):
+    """Blocksize precedence (reference scripts/cli.py:282-306;
+    tests/test_cli.py:235-314):
+
+    * web-optimized + no --blocksize → TMS tile size (WebMercatorQuad 256);
+    * web-optimized + no --overview-blocksize → same as blocksize;
+    * otherwise --overview-blocksize > $GDAL_TIFF_OVR_BLOCKSIZE > blocksize.
+    """
+    from rio_cogeo_spark import grid
+
+    if web_optimized:
+        if not blocksize:
+            print(
+                "Defining `blocksize` from WebMercatorQuad tileWidth/tileHeight",
+                file=sys.stderr,
+            )
+            blocksize = grid.TMS_TILE_PX
+        if not overview_blocksize:
+            print(
+                "Defining overview's `blocksize` to match the high "
+                f"resolution `blocksize`: {blocksize}",
+                file=sys.stderr,
+            )
+            overview_blocksize = blocksize
+    blocksize = blocksize or grid.DEFAULT_BLOCKSIZE
+    overview_blocksize = (
+        overview_blocksize
+        or os.environ.get("GDAL_TIFF_OVR_BLOCKSIZE")
+        or blocksize
+    )
+    return int(blocksize), int(overview_blocksize)
+
+
 def cmd_create(args) -> int:
     spark = _session(args.cpus)
+    from rio_cogeo_spark import grid
+    from rio_cogeo_spark.operators.translate import default_bands
     from rio_cogeo_spark.profiles import cog_profiles
     from rio_cogeo_spark.sources.pages import read_pages, resumable_pyramid
 
     cog_profiles.get(args.profile)  # KeyError on unknown, like the reference
+    if args.overview_resampling not in grid.ALL_KERNELS:
+        print(f"Invalid overview resampling: {args.overview_resampling}",
+              file=sys.stderr)
+        return 2
+    bands = default_bands()
+    if args.bidx:
+        try:
+            bands = [bands[i - 1] for i in args.bidx]
+        except IndexError:
+            print(f"band index out of range (1..{len(bands)}): {args.bidx}",
+                  file=sys.stderr)
+            return 2
+    blocksize, overview_blocksize = resolve_blocksizes(
+        args.blocksize, args.overview_blocksize, args.web_optimized
+    )
+    max_zoom = args.zoom_level if args.zoom_level is not None else args.max_zoom
     pages = read_pages(spark, args.pages_path)
     if args.nodata is not None:
         from rio_cogeo_spark.operators.translate import apply_nodata
@@ -87,9 +155,13 @@ def cmd_create(args) -> int:
     plan, manifests = resumable_pyramid(
         pages,
         args.out_dir,
-        max_zoom=args.max_zoom,
+        max_zoom=max_zoom,
         overview_level=args.overview_level,
         decimation_base=args.decimation_base,
+        bands=bands,
+        blocksize=blocksize,
+        overview_blocksize=overview_blocksize,
+        aligned_levels=(args.aligned_levels if args.web_optimized else None),
     )
     with open(os.path.join(args.out_dir, "_plan.json"), "w") as f:
         json.dump(
@@ -98,11 +170,15 @@ def cmd_create(args) -> int:
                 "min_zoom": plan.min_zoom,
                 "decimation_base": plan.decimation_base,
                 "blocksize": plan.blocksize,
+                "overview_blocksize": plan.overview_blocksize,
                 "extent": list(plan.extent or ()),
                 "width_px": plan.width_px,
                 "height_px": plan.height_px,
                 "decimations": plan.decimations,
                 "profile": args.profile,
+                "overview_resampling": args.overview_resampling,
+                "web_optimized": bool(args.web_optimized),
+                "aligned_levels": args.aligned_levels,
             },
             f,
         )
@@ -166,8 +242,33 @@ def main(argv=None) -> int:
     c.add_argument("--max-zoom", type=int, default=8, dest="max_zoom")
     c.add_argument("--overview-level", type=int, default=None, dest="overview_level")
     c.add_argument("--decimation-base", type=int, default=2, dest="decimation_base")
-    c.add_argument("--profile", default="zstd")
+    c.add_argument("--profile", "-p", default="zstd", dest="profile")
     c.add_argument("--nodata", type=parse_nodata, default=None)
+    c.add_argument("--bidx", "-b", type=parse_bidx, default=None,
+                   help="Band indexes to copy (1-based, comma-separated).")
+    c.add_argument("--blocksize", type=int, default=None,
+                   help="Overwrite profile's tile size.")
+    c.add_argument("--overview-blocksize", type=int, default=None,
+                   dest="overview_blocksize",
+                   help="Overview tile size (default: $GDAL_TIFF_OVR_BLOCKSIZE "
+                        "or --blocksize).")
+    c.add_argument("--overview-resampling", default="sum",
+                   dest="overview_resampling",
+                   help="Overview creation resampling algorithm.")
+    c.add_argument("--web-optimized", "-w", action="store_true",
+                   dest="web_optimized",
+                   help="Create a web-optimized (TMS-aligned) pyramid.")
+    c.add_argument("--zoom-level-strategy", default="auto",
+                   choices=["lower", "upper", "auto"],
+                   dest="zoom_level_strategy",
+                   help="Strategy to determine zoom level.")
+    c.add_argument("--zoom-level", type=int, default=None, dest="zoom_level",
+                   help="Zoom level for the highest resolution (overrides "
+                        "--max-zoom and --zoom-level-strategy).")
+    c.add_argument("--aligned-levels", type=int, default=None,
+                   dest="aligned_levels",
+                   help="Overview levels whose tiles must align with the "
+                        "tiling scheme (web-optimized only).")
     c.set_defaults(fn=cmd_create)
 
     v = sub.add_parser("validate")

@@ -34,6 +34,17 @@ DEFAULT_BLOCKSIZE = 512
 MAX_LAT = 85.0511287798066
 MAX_ZOOM = 30
 
+# The reference's RIOResampling kernel set (cogeo.py:49-58), warp extras
+# (cogeo.py:60-72), and min/max window reducers. Implemented in
+# operators/raster.py (_decimate); named here (zero-Spark module) so both
+# translate.py and raster.py can validate without a circular import.
+RIO_KERNELS = (
+    "nearest", "bilinear", "cubic", "cubic_spline", "lanczos",
+    "average", "mode", "gauss", "rms",
+)
+WARP_KERNELS = RIO_KERNELS[:7] + ("sum", "rms")
+ALL_KERNELS = tuple(dict.fromkeys(RIO_KERNELS + WARP_KERNELS + ("min", "max")))
+
 
 def cell_size(zoom: int, tile_px: int = TMS_TILE_PX) -> float:
     """Ground resolution (m/px) of a WebMercatorQuad matrix at ``zoom``.
@@ -104,8 +115,9 @@ def zoom_for_res(
     * ``lower``  → snap one level coarser (never below ``min_z``);
     * ``upper``  → keep the finer level;
     * ``auto``   → snap coarser only when the coarser level's cellSize is
-      within 11.9% above ``res`` (the "close enough, save 4x the tiles"
-      heuristic GDAL's COG driver popularized).
+      within 10% above ``res`` (morecantile's auto threshold — ratio
+      ``cellSize(z-1)/res < 1.1`` — which the reference inherits via
+      ``tms.zoom_for_res``; GDAL's COG driver popularized the heuristic).
     """
     strategy = zoom_level_strategy.lower()
     if strategy not in ("auto", "lower", "upper"):
@@ -127,7 +139,7 @@ def zoom_for_res(
     if strategy == "lower":
         zoom = max(zoom - 1, min_z)
     elif strategy == "auto":
-        if zoom > min_z and (cell_size(zoom - 1, tile_px) / res) < 1.119:
+        if zoom > min_z and (cell_size(zoom - 1, tile_px) / res) < 1.1:
             zoom = zoom - 1
     return zoom
 

@@ -39,9 +39,17 @@ def asof_join(
     with NULL state.
     """
     lcols = [c for c in left.columns]
+    # Carry ALL value columns inside one non-null struct marker so that
+    # (a) a state row whose values are NULL still registers as the most
+    # recent match (last(ignorenulls) skips NULL *structs*, i.e. probe
+    # rows, never NULL-valued state), and (b) 'no prior state' is the
+    # struct being NULL — not value_cols[0] IS NULL, which would conflate
+    # a NULL-valued match with no match (DuckDB ASOF JOIN semantics).
+    marker = F.struct(*[F.col(c) for c in value_cols])
+    marker_type = right.select(marker.alias("_r")).schema["_r"].dataType
     tagged_left = left.select(
         *lcols, F.lit(1).alias("_tag"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+        F.lit(None).cast(marker_type).alias("_r"),
     )
     tagged_right = right.select(
         F.col(on),
@@ -49,8 +57,8 @@ def asof_join(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols
           if c not in (on, ts)],
         F.lit(0).alias("_tag"),
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
-    ).select(*lcols, "_tag", *[f"_r_{c}" for c in value_cols])
+        marker.alias("_r"),
+    ).select(*lcols, "_tag", "_r")
 
     unioned = tagged_left.unionByName(tagged_right)
     # state rows (_tag 0) sort before probe rows at the same timestamp →
@@ -62,16 +70,13 @@ def asof_join(
     )
     carried = unioned.select(
         *lcols, "_tag",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_asof_{c}")
-            for c in value_cols
-        ],
+        F.last("_r", ignorenulls=True).over(w).alias("_asof"),
     )
     out = carried.filter(F.col("_tag") == 1).drop("_tag")
-    for c in value_cols:
-        out = out.withColumnRenamed(f"_asof_{c}", c)
     if how == "inner":
-        out = out.filter(F.col(value_cols[0]).isNotNull())
+        out = out.filter(F.col("_asof").isNotNull())
     elif how != "left":
         raise ValueError(f"unknown how: {how}")
-    return out
+    for c in value_cols:
+        out = out.withColumn(c, F.col(f"_asof.{c}"))
+    return out.drop("_asof")

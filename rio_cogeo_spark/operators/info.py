@@ -25,6 +25,7 @@ def cog_info(
     properties: Optional[Dict[str, str]] = None,
     path: str = "tiles",
     band_meta: Optional[Dict[str, dict]] = None,
+    colormap: Optional[Dict[int, tuple]] = None,
 ) -> Info:
     properties = properties or {}
     is_valid, errors, warnings = cog_validate(tiles, meta, properties)
@@ -61,6 +62,22 @@ def cog_info(
         for r in sorted(meta_rows, key=lambda r: r["level"])
     ]
 
+    # colormap / colorinterp forwarding (cogeo.py:337-360, models.py:50-53):
+    # a single-band colormap dataset reports ColorInterp=('palette',) and
+    # ColorMap=True; otherwise band names stand in for colorinterp.
+    has_mask = "mask_count" in band_cols
+    data_bands = [c for c in band_cols if c != "mask_count"]
+    if colormap and len(data_bands) == 1:
+        colorinterp: tuple = ("palette",)
+    else:
+        colorinterp = tuple(band_cols)
+    bmeta = band_meta or {}
+    scales = tuple(float(bmeta.get(c, {}).get("scale", 1.0)) for c in band_cols)
+    offsets = tuple(float(bmeta.get(c, {}).get("offset", 0.0)) for c in band_cols)
+    nodata = (
+        float(properties["NODATA"]) if properties.get("NODATA") is not None else None
+    )
+
     return Info(
         Path=path,
         Driver=properties.get("format", "parquet"),
@@ -77,9 +94,12 @@ def cog_info(
             Dtype="int64",
             Interleave="pixel",
             AlphaBand=False,
-            InternalMask=False,
-            Nodata=None,
-            ColorInterp=tuple(band_cols),
+            InternalMask=has_mask,
+            Nodata=nodata,
+            ColorInterp=colorinterp,
+            ColorMap=colormap is not None,
+            Scales=scales,
+            Offsets=offsets,
         ),
         GEO=Geo(
             CRS="EPSG:3857",
@@ -96,11 +116,12 @@ def cog_info(
         Band_Metadata={
             name: BandMetadata(
                 Description=name,
+                ColorInterp=("palette" if colorinterp == ("palette",) else name),
                 Scale=float(bm.get("scale", 1.0)),
                 Offset=float(bm.get("offset", 0.0)),
                 Metadata={"merge": str(bm.get("merge", ""))},
             )
-            for name, bm in (band_meta or {}).items()
+            for name, bm in bmeta.items()
         },
         IFD=ifds,
     )

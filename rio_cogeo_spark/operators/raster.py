@@ -30,6 +30,12 @@ from pyspark.sql import functions as F
 from rio_cogeo_spark import grid
 from rio_cogeo_spark.operators.translate import assign_tiles
 
+# Kernel-name sets live in grid.py (shared, zero-Spark); re-exported here
+# as the natural import site for raster consumers.
+RIO_KERNELS = grid.RIO_KERNELS
+WARP_KERNELS = grid.WARP_KERNELS
+ALL_KERNELS = grid.ALL_KERNELS
+
 
 def _pixel_schema(px: int) -> str:
     return "tile_x long, tile_y long, pixels array<long>"
@@ -96,12 +102,75 @@ def rasterize_tiles(
 
 
 # --------------------------------------------------------------------------
-# Resampling kernels over 2x2 child pixel blocks (cogeo.py:46-72)
+# Resampling kernels over 2x2 child pixel blocks (cogeo.py:46-72).
+#
+# Full RIOResampling kernel set (cogeo.py:49-58): nearest, bilinear, cubic,
+# cubic_spline, lanczos, average, mode, gauss, rms — plus warp 'sum'
+# (cogeo.py:60-72) and min/max. Window kernels (nearest/average/mode/rms/
+# sum/min/max) reduce each 2x2 child block; interpolating kernels
+# (bilinear/cubic/cubic_spline/lanczos/gauss) are separable 1D convolutions
+# sampled at the destination pixel center — which for exact 2x decimation
+# falls on the corner between 4 source pixels, so every tap offset is a
+# half-integer. Borders clamp to the tile edge (per-tile kernel; at
+# cluster scale a halo exchange of 1-2 px rows between neighbor tiles
+# removes the seam — documented divergence from GDAL, which convolves the
+# full raster).
 # --------------------------------------------------------------------------
 
 
+def _kernel_taps(kernel: str) -> np.ndarray:
+    """1D half-integer tap weights (normalized) for interpolating kernels.
+
+    Offsets are symmetric half-integers around the sample point: 4-tap
+    kernels use [-1.5, -0.5, 0.5, 1.5], lanczos(a=3) uses 6 taps.
+    """
+    if kernel == "bilinear":
+        # triangle weights at ±0.5 → the 2-tap box (exact for 2x)
+        return np.array([0.5, 0.5])
+    if kernel == "cubic":
+        # Keys cubic, a = -0.5 (Catmull-Rom): w(0.5)=0.5625, w(1.5)=-0.0625
+        return np.array([-0.0625, 0.5625, 0.5625, -0.0625])
+    if kernel == "cubic_spline":
+        # cubic B-spline: B(0.5)=23/48, B(1.5)=1/48
+        return np.array([1.0, 23.0, 23.0, 1.0]) / 48.0
+    if kernel == "lanczos":
+        # Lanczos a=3: L(x)=sinc(x)sinc(x/3) at ±0.5, ±1.5, ±2.5, normalized
+        x = np.array([-2.5, -1.5, -0.5, 0.5, 1.5, 2.5])
+        w = np.sinc(x) * np.sinc(x / 3.0)
+        return w / w.sum()
+    if kernel == "gauss":
+        # gaussian sigma=1 at ±0.5, ±1.5, normalized (GDAL gauss analog)
+        x = np.array([-1.5, -0.5, 0.5, 1.5])
+        w = np.exp(-0.5 * x * x)
+        return w / w.sum()
+    raise ValueError(f"unknown interpolating kernel: {kernel}")
+
+
+_INTERPOLATING = {"bilinear", "cubic", "cubic_spline", "lanczos", "gauss"}
+
+
+def _sep_decimate(block: np.ndarray, w: np.ndarray) -> np.ndarray:
+    """Separable 2x decimation: 1D convolution with ``w`` (taps at
+    half-integer offsets) along rows then columns, edge-clamped."""
+    t = len(w)
+    pad = t // 2 - 1
+    x = block.astype(np.float64)
+    xp = np.pad(x, ((pad, pad), (0, 0)), mode="edge")
+    rows = np.arange(x.shape[0] // 2) * 2
+    out = sum(w[k] * xp[rows + k, :] for k in range(t))
+    outp = np.pad(out, ((0, 0), (pad, pad)), mode="edge")
+    cols = np.arange(x.shape[1] // 2) * 2
+    return sum(w[k] * outp[:, cols + k] for k in range(t))
+
+
 def _decimate(block: np.ndarray, kernel: str) -> np.ndarray:
-    """block: (2h, 2w) → (h, w) by 2x2 windows."""
+    """block: (2h, 2w) → (h, w) by 2x2 windows (window kernels) or a
+    separable convolution (interpolating kernels)."""
+    if kernel in _INTERPOLATING:
+        out = _sep_decimate(block, _kernel_taps(kernel))
+        if np.issubdtype(block.dtype, np.integer):
+            return np.rint(out).astype(block.dtype)
+        return out.astype(block.dtype)
     h2, w2 = block.shape
     q = block.reshape(h2 // 2, 2, w2 // 2, 2).transpose(0, 2, 1, 3).reshape(
         h2 // 2, w2 // 2, 4
@@ -173,3 +242,38 @@ def downsample_pixel_level(tiles_px: DataFrame, px: int, kernel: str = "sum") ->
         with_parent.groupBy("zoom", "ptx", "pty")
         .applyInPandas(_merge, "zoom int, tile_x long, tile_y long, pixels array<long>")
     )
+
+
+def build_pixel_pyramid(
+    pages: DataFrame,
+    max_zoom: int,
+    levels: int,
+    px: int = grid.DEFAULT_BLOCKSIZE,
+    kernel: str = "sum",
+    salt_partials: bool = False,
+    persist_levels: bool = True,
+) -> DataFrame:
+    """Rasterized overview pyramid: base density tiles at ``max_zoom``,
+    then ``levels`` pixel-level overview builds with ``kernel`` — the
+    literal per-block analog of the reference's overview chain
+    (cogeo.py:381-393 with overview_resampling, cogeo.py:46-58).
+
+    Output: (zoom, tile_x, tile_y, pixels array<long>) for zooms
+    ``max_zoom .. max_zoom - levels``. Each level's groupBy shuffles ~4x
+    fewer, fixed-size rows (px*px longs).
+    """
+    if kernel not in ALL_KERNELS:
+        raise ValueError(
+            f"Invalid overview resampling kernel: {kernel}. "
+            f"Should be one of {sorted(ALL_KERNELS)}."
+        )
+    level = rasterize_tiles(pages, max_zoom, px, salt_partials=salt_partials)
+    if persist_levels:
+        level = level.persist()
+    out = level
+    for _ in range(levels):
+        level = downsample_pixel_level(level, px, kernel)
+        if persist_levels:
+            level = level.persist()
+        out = out.unionByName(level)
+    return out

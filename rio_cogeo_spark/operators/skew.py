@@ -18,10 +18,15 @@ from pyspark.sql import functions as F
 
 def salted_count(df: DataFrame, keys: List[str], n_salt: int = 16) -> DataFrame:
     """Two-phase count: groupBy(keys + salt) partials, then final
-    groupBy(keys). Result identical to a direct groupBy count."""
-    salted = df.withColumn("_salt", F.pmod(F.hash(*keys, F.rand(42) * 0), F.lit(n_salt)))
-    # F.rand(42)*0 keeps the expression deterministic while defeating
-    # constant-folding of pmod(hash(keys)) into the partial agg key
+    groupBy(keys). Result identical to a direct groupBy count.
+
+    The salt MUST be a per-row source independent of the group key —
+    ``rand(seed)`` here — so a hot key's rows actually fan out across
+    ``n_salt`` partial groups. (A salt derived from the key alone hashes
+    every row of the hot key to the same partial group, silently
+    disabling the skew split.)
+    """
+    salted = df.withColumn("_salt", (F.rand(42) * n_salt).cast("int"))
     partial = salted.groupBy(*keys, "_salt").agg(F.count(F.lit(1)).alias("_c"))
     return partial.groupBy(*keys).agg(F.sum("_c").alias("count"))
 

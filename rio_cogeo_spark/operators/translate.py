@@ -77,6 +77,9 @@ class TileJobPlan:
     min_zoom: int
     decimation_base: int = 2
     blocksize: int = grid.DEFAULT_BLOCKSIZE
+    # overview storage tile size (GDAL_TIFF_OVR_BLOCKSIZE analog,
+    # reference scripts/cli.py:130-132); None → same as blocksize
+    overview_blocksize: Optional[int] = None
     overview_resampling: str = "sum"
     extent: Optional[Tuple[int, int, int, int]] = None  # (tx0, ty0, tx1, ty1) @max_zoom
     width_px: int = 0
@@ -89,8 +92,34 @@ class TileJobPlan:
     colormap: Optional[Dict[int, Tuple[int, int, int, int]]] = None
 
     @property
+    def tms_aligned(self) -> bool:
+        """Zoom labels are true WebMercatorQuad zooms only when the
+        decimation base is a power of two (tile coords divided by base**j
+        land on the TMS grid at zoom - j*log2(base)); otherwise labels
+        are synthetic level indices and grid.tile_bounds_mercator must
+        NOT be applied to overview rows."""
+        b = self.decimation_base
+        return b >= 2 and (b & (b - 1)) == 0
+
+    @property
+    def level_zoom_decs(self) -> List[Tuple[int, int]]:
+        """(zoom_label, decimation) per level, full resolution first.
+
+        Power-of-two bases step the zoom label by log2(decimation) so
+        (zoom, tile_x, tile_y) stays a valid TMS address at every level;
+        other bases fall back to one synthetic label per level."""
+        out = [(self.max_zoom, 1)]
+        for j, dec in enumerate(self.decimations, start=1):
+            if self.tms_aligned:
+                z = self.max_zoom - (int(dec).bit_length() - 1)
+            else:
+                z = self.max_zoom - j
+            out.append((z, int(dec)))
+        return out
+
+    @property
     def zooms(self) -> List[int]:
-        return list(range(self.max_zoom, self.min_zoom - 1, -1))
+        return [z for z, _ in self.level_zoom_decs]
 
 
 def plan_tile_job(
@@ -100,6 +129,7 @@ def plan_tile_job(
     decimation_base: int = 2,
     blocksize: int = grid.DEFAULT_BLOCKSIZE,
     aligned_levels: Optional[int] = None,
+    overview_blocksize: Optional[int] = None,
 ) -> TileJobPlan:
     """Stage 1+2: compute the aligned extent and the overview chain.
 
@@ -143,12 +173,20 @@ def plan_tile_job(
         height=height_px,
         minsize=blocksize,
     )
-    min_zoom = max(max_zoom - len(decimations), 0)
+    pow2 = decimation_base >= 2 and (decimation_base & (decimation_base - 1)) == 0
+    if not decimations:
+        min_zoom = max_zoom
+    elif pow2:
+        # zoom labels step by log2(decimation) → TMS-valid at every level
+        min_zoom = max(max_zoom - (int(decimations[-1]).bit_length() - 1), 0)
+    else:
+        min_zoom = max(max_zoom - len(decimations), 0)
     return TileJobPlan(
         max_zoom=max_zoom,
         min_zoom=min_zoom,
         decimation_base=decimation_base,
         blocksize=blocksize,
+        overview_blocksize=overview_blocksize,
         extent=(int(tx0[0]), int(ty0[0]), int(tx1[0]), int(ty1[0])),
         width_px=width_px,
         height_px=height_px,
@@ -230,7 +268,7 @@ def apply_nodata(
 
 def cog_translate(
     pages: DataFrame,
-    max_zoom: int,
+    max_zoom: Optional[int] = None,
     overview_level: Optional[int] = None,
     decimation_base: int = 2,
     blocksize: int = grid.DEFAULT_BLOCKSIZE,
@@ -245,11 +283,26 @@ def cog_translate(
     band_scales: Optional[List[float]] = None,
     band_offsets: Optional[List[float]] = None,
     overview_resampling: str = "sum",
+    overview_blocksize: Optional[int] = None,
+    web_optimized: bool = False,
+    zoom_level_strategy: str = "auto",
+    zoom_level: Optional[int] = None,
+    aligned_levels: Optional[int] = None,
+    source_resolution: Optional[float] = None,
 ) -> Tuple[DataFrame, TileJobPlan]:
     """Full pyramid: union of all levels, ordered smallest-overview-first.
 
     Returns (tiles, plan); tiles schema:
     ``zoom int, tile_x long, tile_y long, <band columns>``.
+
+    Web-optimized mode (reference cogeo.py:86,134-145, utils.py:88-147):
+    ``web_optimized=True`` aligns the output grid to WebMercatorQuad —
+    the base zoom comes from ``zoom_level`` (overrides the strategy,
+    cogeo.py:141-143), or from ``source_resolution`` via
+    ``grid.zoom_for_res(zoom_level_strategy)``, or from an explicit
+    ``max_zoom``; ``aligned_levels`` k snaps the extent outward to whole
+    tiles at ``max_zoom - k`` so every overview down to k stays
+    tile-aligned (reference tests/test_web.py:241-300).
 
     ``persist_levels`` persists each level so the final union does NOT
     re-derive the whole lineage once per level (each level is both a
@@ -261,9 +314,27 @@ def cog_translate(
     bands = bands or default_bands()
 
     # option validation + rewrites — reference stage 1 (cogeo.py:225-255)
+    if overview_resampling not in grid.ALL_KERNELS:
+        raise IncompatibleOptions(
+            f"Invalid overview resampling kernel: {overview_resampling}. "
+            f"Should be one of {sorted(grid.ALL_KERNELS)}."
+        )
     if colormap and len(bands) > 1:
         raise IncompatibleOptions(
             "Cannot add a colormap for multiple bands data."
+        )
+    # zoom resolution (cogeo.py:134-145 / utils.py:106-117): an explicit
+    # zoom_level wins; else an explicit max_zoom; else derive from the
+    # source resolution with the zoom_level_strategy
+    if zoom_level is not None:
+        max_zoom = zoom_level
+    elif max_zoom is None:
+        if source_resolution is None:
+            raise ValueError(
+                "one of max_zoom, zoom_level or source_resolution is required"
+            )
+        max_zoom = grid.zoom_for_res(
+            source_resolution, zoom_level_strategy=zoom_level_strategy
         )
     valid_pages, invalid_pages = apply_nodata(pages, nodata, validity_col)
     if add_mask or nodata is not None or validity_col is not None:
@@ -274,7 +345,13 @@ def cog_translate(
         ]
 
     plan = plan_tile_job(
-        valid_pages, max_zoom, overview_level, decimation_base, blocksize
+        valid_pages,
+        max_zoom,
+        overview_level,
+        decimation_base,
+        blocksize,
+        aligned_levels=(aligned_levels if web_optimized else None),
+        overview_blocksize=overview_blocksize,
     )
 
     # tag forwarding — reference stage 5 (cogeo.py:395-437)
@@ -282,6 +359,9 @@ def cog_translate(
     props["OVERVIEW_RESAMPLING"] = overview_resampling.upper()
     props["TILING_SCHEME_NAME"] = "WebMercatorQuad"
     props["TILING_SCHEME_ZOOM_LEVEL"] = str(max_zoom)
+    if web_optimized and aligned_levels:
+        # reference tag name, cogeo.py:423
+        props["TILING_SCHEME_ALIGNED_LEVELS"] = str(aligned_levels)
     if nodata is not None:
         props["NODATA"] = str(nodata)
     if additional_cog_metadata:
@@ -303,7 +383,7 @@ def cog_translate(
     if persist_levels:
         level = level.persist()
     levels = [level]
-    for z in range(max_zoom - 1, plan.min_zoom - 1, -1):
+    for z, _dec in plan.level_zoom_decs[1:]:
         level = next_level(level, z, decimation_base, bands)
         if persist_levels:
             level = level.persist()
@@ -324,18 +404,24 @@ def tiles_meta(tiles: DataFrame, plan: TileJobPlan) -> DataFrame:
     spark = tiles.sparkSession
     rows = []
     tx0, ty0, tx1, ty1 = plan.extent  # type: ignore[misc]
-    for i, z in enumerate(sorted(plan.zooms)):
-        dec = plan.decimation_base ** (plan.max_zoom - z)
+    ovr_bs = plan.overview_blocksize or plan.blocksize
+    pairs = plan.level_zoom_decs  # index j IS the IFD level (0 = full res)
+    order = sorted(range(len(pairs)), key=lambda j: pairs[j][0])  # write: smallest first
+    for i, j in enumerate(order):
+        z, dec = pairs[j]
         w_cells = (tx1 // dec) - (tx0 // dec) + 1
         h_cells = (ty1 // dec) - (ty0 // dec) + 1
+        # overview levels use the overview blocksize (GDAL_TIFF_OVR_BLOCKSIZE
+        # analog); the full-resolution level (dec == 1) keeps the base size
+        bs = plan.blocksize if dec == 1 else ovr_bs
         rows.append(
             (
                 z,
-                plan.max_zoom - z,
+                j,
                 int(w_cells * plan.blocksize // 1),
                 int(h_cells * plan.blocksize // 1),
-                plan.blocksize,
-                plan.blocksize,
+                bs,
+                bs,
                 dec,
                 i,
             )

@@ -152,25 +152,38 @@ def resumable_pyramid(
     overview_level: Optional[int] = None,
     decimation_base: int = 2,
     bands: Optional[List[BandSpec]] = None,
+    blocksize: Optional[int] = None,
+    overview_blocksize: Optional[int] = None,
+    aligned_levels: Optional[int] = None,
 ) -> Tuple[TileJobPlan, List[dict]]:
     """Checkpointed pyramid build: one committed level at a time,
     max_zoom first (children before parents), skipping levels whose
     manifest is already complete — kill the job between levels and rerun
     to resume. Returns (plan, manifests)."""
+    from rio_cogeo_spark import grid as _grid
+
     spark = pages.sparkSession
     bands = bands or default_bands()
     os.makedirs(root, exist_ok=True)
-    plan = plan_tile_job(pages, max_zoom, overview_level, decimation_base)
+    plan = plan_tile_job(
+        pages,
+        max_zoom,
+        overview_level,
+        decimation_base,
+        blocksize=blocksize or _grid.DEFAULT_BLOCKSIZE,
+        aligned_levels=aligned_levels,
+        overview_blocksize=overview_blocksize,
+    )
 
     manifests = []
     prev: Optional[DataFrame] = None
-    for z in range(max_zoom, plan.min_zoom - 1, -1):
+    for z, dec in plan.level_zoom_decs:
         if _level_complete(root, z):
             with open(_manifest_path(root, z)) as f:
                 manifests.append(json.load(f))
             prev = spark.read.parquet(_level_dir(root, z))
             continue
-        if z == max_zoom:
+        if dec == 1:
             level = base_tiles(pages, z, bands).drop("zoom")
         else:
             assert prev is not None

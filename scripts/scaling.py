@@ -54,8 +54,12 @@ WORKER = textwrap.dedent(
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     replicate = max(1, target // max(docs.count(), 1))
     # scan from parquet, not the single-JVM columnar cache (slower + noisy)
+    import hashlib
     import tempfile
-    pages_path = os.path.join(tempfile.gettempdir(), f"scaling_pages_{replicate}")
+    fp = hashlib.md5(f"{os.path.abspath(sf_dir)}|{target}".encode()).hexdigest()[:10]
+    pages_path = os.path.join(
+        tempfile.gettempdir(), f"scaling_pages_{replicate}_{fp}"
+    )
     if not os.path.exists(os.path.join(pages_path, "_SUCCESS")):
         (synth_pages_scaled(spark, sf_dir, replicate=replicate)
          .select("doc_id", "url", "lang", "n_chars", "lat", "lon")

@@ -105,14 +105,13 @@ def test_zoom_for_res_strategies():
     assert grid.zoom_for_res(res9, zoom_level_strategy="auto") == 9
     assert grid.zoom_for_res(res9, zoom_level_strategy="upper") == 9
     assert grid.zoom_for_res(res9, zoom_level_strategy="lower") == 8
-    # Slightly coarser than z9 (by >11.9%) → upper picks 9, auto keeps 9...
-    # resolution halfway between z8 and z9 → upper 9, auto 8? ratio
-    # cell(8)/res = 1.333 ≥ 1.119 → auto stays at 9.
+    # Resolution halfway between z8 and z9: ratio cell(8)/res = 1.333 ≥ 1.1
+    # → auto stays at 9 (morecantile's 1.1 auto threshold).
     res = grid.cell_size(9) * 1.5
     assert grid.zoom_for_res(res, zoom_level_strategy="upper") == 9
     assert grid.zoom_for_res(res, zoom_level_strategy="auto") == 9
     assert grid.zoom_for_res(res, zoom_level_strategy="lower") == 8
-    # Within 11.9% of the coarser level → auto snaps down (the reference's
+    # Within 10% of the coarser level → auto snaps down (the reference's
     # image_north case shape: maxzoom 9 auto vs 8 lower, test_web.py:56-71).
     res = grid.cell_size(8) / 1.05
     assert grid.zoom_for_res(res, zoom_level_strategy="upper") == 9
