@@ -68,6 +68,26 @@ def k_ring_cells(cell: Column, k: int = 1) -> Column:
     return _ring(cell)
 
 
+def k_ring_cells_var(cell: Column, ring: Column) -> Column:
+    """Variable-radius k-ring: per-row ring size (adaptive kNN phase 2).
+    Same packed-cell output as :func:`k_ring_cells`."""
+
+    @F.pandas_udf("array<long>")
+    def _ring(cells: pd.Series, rings: pd.Series) -> pd.Series:
+        arr = cells.to_numpy(dtype=np.int64)
+        rs = rings.to_numpy(dtype=np.int64)
+        z, tx, ty = grid.unpack_cell(arr)
+        out = []
+        for i in range(len(arr)):
+            ring_list = grid.k_ring(int(tx[i]), int(ty[i]), int(z[i]), int(rs[i]))
+            out.append(
+                [int(grid.pack_cell(int(z[i]), x, y)) for x, y in ring_list]
+            )
+        return pd.Series(out)
+
+    return _ring(cell, ring)
+
+
 def mercator_xy(lon: Column, lat: Column) -> Column:
     """(lon, lat) → struct(mx, my) EPSG:3857 doubles."""
 

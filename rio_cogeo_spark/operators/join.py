@@ -237,32 +237,7 @@ def knn_bruteforce(
     )
 
 
-def knn_kring(
-    pages: DataFrame,
-    queries_df: DataFrame,
-    k: int = 5,
-    zoom: int = KNN_ZOOM,
-    ring: int = 1,
-) -> DataFrame:
-    """Scale-path kNN: expand each query's cell into its k-ring and
-    equi-join pages on the cell key (north_star: 'kNN answered by H3
-    k-ring expansion') — candidates shrink from |pages| to the ring
-    occupancy, then exact top-k. Falls back to widening callers if a
-    ring under-fills (checked by tests against knn_bruteforce).
-    """
-    spark = pages.sparkSession
-    qrows = queries_df.collect()
-    cand_rows = []
-    for r in qrows:
-        tx, ty = grid.tile_index([r["q_lon"]], [r["q_lat"]], zoom)
-        for x, y in grid.k_ring(int(tx[0]), int(ty[0]), zoom, ring):
-            cand_rows.append((r["query_id"], float(r["q_lat"]), float(r["q_lon"]),
-                              int(grid.pack_cell(zoom, x, y))))
-    qcells = spark.createDataFrame(
-        cand_rows, "query_id string, q_lat double, q_lon double, cell long"
-    )
-    with_cell = pages.withColumn("cell", cell_id(F.col("lon"), F.col("lat"), zoom))
-    joined = with_cell.join(F.broadcast(qcells), "cell", "inner")
+def _knn_topk(joined: DataFrame, k: int) -> DataFrame:
     dist2 = (F.col("lat") - F.col("q_lat")) * (F.col("lat") - F.col("q_lat")) + (
         F.col("lon") - F.col("q_lon")
     ) * (F.col("lon") - F.col("q_lon"))
@@ -275,26 +250,63 @@ def knn_kring(
     )
 
 
-def _ring_coverage_dist2(q_lon: float, q_lat: float, zoom: int, ring: int) -> float:
-    """Lower bound (in the squared lon/lat-euclid metric) on the distance
-    from the query to any point OUTSIDE its k-ring's covered region: any
-    candidate missed by the ring is at least this far away."""
-    tx, ty = grid.tile_index([q_lon], [q_lat], zoom)
+def knn_kring(
+    pages: DataFrame,
+    queries_df: DataFrame,
+    k: int = 5,
+    zoom: int = KNN_ZOOM,
+    ring: int = 1,
+) -> DataFrame:
+    """Scale-path kNN: expand each query's cell into its k-ring (a
+    vectorized UDF + explode — no driver-side loop, so the query set can
+    itself be a large table) and equi-join pages on the cell key
+    (north_star: 'kNN answered by H3 k-ring expansion') — candidates
+    shrink from |pages| to the ring occupancy, then exact top-k. Falls
+    back to widening callers if a ring under-fills (checked by tests
+    against knn_bruteforce); :func:`knn_kring_exact` automates that.
+    """
+    from rio_cogeo_spark.functions.tile import k_ring_cells
+
+    qcells = (
+        queries_df.withColumn("cell", cell_id(F.col("q_lon"), F.col("q_lat"), zoom))
+        .withColumn("cell", F.explode(k_ring_cells(F.col("cell"), ring)))
+        .select("query_id", "q_lat", "q_lon", "cell")
+    )
+    with_cell = pages.withColumn("cell", cell_id(F.col("lon"), F.col("lat"), zoom))
+    joined = with_cell.join(F.broadcast(qcells), "cell", "inner")
+    return _knn_topk(joined, k)
+
+
+def _ring_coverage_dist2(q_lon, q_lat, tx, ty, zoom: int, ring) -> np.ndarray:
+    """Vectorized lower bound (squared lon/lat-euclid) on the distance
+    from each query to any point OUTSIDE its k-ring's covered region:
+    any candidate missed by the ring is at least this far away."""
+    q_lon = np.asarray(q_lon, dtype=np.float64)
+    q_lat = np.asarray(q_lat, dtype=np.float64)
+    tx = np.asarray(tx, dtype=np.int64)
+    ty = np.asarray(ty, dtype=np.int64)
+    ring = np.asarray(ring, dtype=np.int64)
     n = 1 << zoom
-    x0, y0 = int(tx[0]) - ring, int(ty[0]) - ring
-    x1, y1 = int(tx[0]) + ring, int(ty[0]) + ring
-    w, _, _, _ = grid.tile_bounds_mercator([x0], [y0], zoom)
-    _, s, e, nn = grid.tile_bounds_mercator([x1], [y1], zoom)
-    lon_w, _ = grid.mercator_to_lonlat(w, [0.0])
-    lon_e, _ = grid.mercator_to_lonlat(e, [0.0])
-    _, lat_s = grid.mercator_to_lonlat([0.0], s)
-    _, lat_n = grid.mercator_to_lonlat([0.0], [grid.tile_bounds_mercator([x0], [y0], zoom)[3][0]])
-    d_lon = min(q_lon - lon_w[0], lon_e[0] - q_lon) if x1 - x0 + 1 < n else float("inf")
-    # clamped matrix edges: nothing exists beyond the pole rows
-    d_lat_s = q_lat - lat_s[0] if y1 < n - 1 else float("inf")
-    d_lat_n = lat_n[0] - q_lat if y0 > 0 else float("inf")
-    d = min(d_lon, d_lat_s, d_lat_n)
-    return max(d, 0.0) ** 2
+    span = 2.0 * grid.ORIGIN_SHIFT / n
+    x0, y0 = tx - ring, ty - ring
+    x1, y1 = tx + ring, ty + ring
+    lon_w = (-grid.ORIGIN_SHIFT + x0 * span) / grid.ORIGIN_SHIFT * 180.0
+    lon_e = (-grid.ORIGIN_SHIFT + (x1 + 1) * span) / grid.ORIGIN_SHIFT * 180.0
+    _, lat_n = grid.mercator_to_lonlat(
+        np.zeros_like(q_lon), grid.ORIGIN_SHIFT - y0 * span
+    )
+    _, lat_s = grid.mercator_to_lonlat(
+        np.zeros_like(q_lon), grid.ORIGIN_SHIFT - (y1 + 1) * span
+    )
+    inf = np.float64(np.inf)
+    # antimeridian wrap / pole clamps: nothing exists outside those edges
+    d_lon = np.where(
+        (x1 - x0 + 1) < n, np.minimum(q_lon - lon_w, lon_e - q_lon), inf
+    )
+    d_lat_s = np.where(y1 < n - 1, q_lat - lat_s, inf)
+    d_lat_n = np.where(y0 > 0, lat_n - q_lat, inf)
+    d = np.minimum(np.minimum(d_lon, d_lat_s), d_lat_n)
+    return np.maximum(d, 0.0) ** 2
 
 
 def knn_kring_exact(
@@ -305,44 +317,91 @@ def knn_kring_exact(
     start_ring: int = 1,
     max_ring: int = 64,
 ) -> DataFrame:
-    """Provably exact k-ring kNN: expand each query's ring until its
-    kth-best distance is <= the ring's guaranteed coverage bound (no
-    point outside the searched cells can be closer). Driver-side loop
-    over the (small) query set; each iteration is one broadcast join —
-    at most a handful of rounds even for queries in empty regions."""
+    """Provably exact k-ring kNN in TWO distributed phases (no per-round
+    result collects — the only driver-side data is one aggregate row per
+    query, O(|queries|)):
+
+    phase 1  ring=start_ring probe → per-query (n, kth distance).
+    routing  per query: kth-dist <= coverage_bound(start_ring) → done;
+             else compute the smallest ring whose coverage bound covers
+             the kth distance (vectorized binary search on the bound).
+    phase 2  variable-ring explode (k_ring_cells_var) → one more join →
+             top-k. Exact by construction: the phase-2 ring contains the
+             phase-1 ring, so its kth distance can only shrink and stays
+             within the chosen bound.
+    fallback queries with fewer than k phase-1 candidates (empty
+             neighborhoods) take the exact broadcast scan.
+    """
+    from rio_cogeo_spark.functions.tile import k_ring_cells_var
+
     spark = pages.sparkSession
-    pending = {r["query_id"]: (float(r["q_lat"]), float(r["q_lon"]))
-               for r in queries_df.collect()}
-    done_parts = []
-    ring = start_ring
-    while pending and ring <= max_ring:
-        qdf = spark.createDataFrame(
-            [(qid, lat, lon) for qid, (lat, lon) in pending.items()],
-            "query_id string, q_lat double, q_lon double",
-        )
-        res = knn_kring(pages, qdf, k=k, zoom=zoom, ring=ring)
-        rows = res.collect()
-        by_q: dict = {}
-        for r in rows:
-            by_q.setdefault(r["query_id"], []).append(r)
-        for qid, (lat, lon) in list(pending.items()):
-            got = by_q.get(qid, [])
-            bound = _ring_coverage_dist2(lon, lat, zoom, ring)
-            if len(got) == k and max(r["dist2"] for r in got) <= bound:
-                done_parts.extend(got)
-                del pending[qid]
-        ring *= 2
-    if pending:
-        # fall back to the exact broadcast scan for stragglers
-        qdf = spark.createDataFrame(
-            [(qid, lat, lon) for qid, (lat, lon) in pending.items()],
-            "query_id string, q_lat double, q_lon double",
-        )
-        done_parts.extend(knn_bruteforce(pages, qdf, k=k).collect())
-    return spark.createDataFrame(
-        done_parts,
-        "query_id string, doc_id long, url string, rank int, dist2 double",
+    with_cell = pages.withColumn("cell", cell_id(F.col("lon"), F.col("lat"), zoom))
+
+    phase1 = knn_kring(with_cell.drop("cell"), queries_df, k=k, zoom=zoom,
+                       ring=start_ring)
+    stats = (
+        phase1.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("dist2").alias("dkth"))
+        .collect()
     )
+    st = {r["query_id"]: (r["n"], r["dkth"]) for r in stats}
+    qrows = queries_df.collect()
+
+    done_q, expand_rows, brute_q = [], [], []
+    for r in qrows:
+        n_got, dkth = st.get(r["query_id"], (0, None))
+        if n_got < k:
+            brute_q.append((r["query_id"], r["q_lat"], r["q_lon"]))
+            continue
+        tx, ty = grid.tile_index([r["q_lon"]], [r["q_lat"]], zoom)
+        bound = _ring_coverage_dist2(
+            [r["q_lon"]], [r["q_lat"]], tx, ty, zoom, [start_ring]
+        )[0]
+        if dkth <= bound:
+            done_q.append(r["query_id"])
+            continue
+        lo, hi = start_ring, max_ring
+        while lo < hi:  # smallest ring whose coverage bound covers dkth
+            mid = (lo + hi) // 2
+            b = _ring_coverage_dist2(
+                [r["q_lon"]], [r["q_lat"]], tx, ty, zoom, [mid]
+            )[0]
+            if b >= dkth:
+                hi = mid
+            else:
+                lo = mid + 1
+        b_final = _ring_coverage_dist2(
+            [r["q_lon"]], [r["q_lat"]], tx, ty, zoom, [lo]
+        )[0]
+        if b_final >= dkth:
+            expand_rows.append((r["query_id"], r["q_lat"], r["q_lon"], lo))
+        else:  # even max_ring cannot certify → exact scan
+            brute_q.append((r["query_id"], r["q_lat"], r["q_lon"]))
+
+    parts = []
+    if done_q:
+        done_df = spark.createDataFrame([(q,) for q in done_q], "query_id string")
+        parts.append(phase1.join(F.broadcast(done_df), "query_id", "inner"))
+    if expand_rows:
+        exp = spark.createDataFrame(
+            expand_rows, "query_id string, q_lat double, q_lon double, ring int"
+        )
+        qcells = (
+            exp.withColumn("cell", cell_id(F.col("q_lon"), F.col("q_lat"), zoom))
+            .withColumn("cell", F.explode(k_ring_cells_var(F.col("cell"), F.col("ring"))))
+            .select("query_id", "q_lat", "q_lon", "cell")
+        )
+        joined = with_cell.join(F.broadcast(qcells), "cell", "inner")
+        parts.append(_knn_topk(joined, k))
+    if brute_q:
+        bq = spark.createDataFrame(
+            brute_q, "query_id string, q_lat double, q_lon double"
+        )
+        parts.append(knn_bruteforce(pages, bq, k=k))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def zonal_stats(pages: DataFrame, areas: List[AdminArea],
