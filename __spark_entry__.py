@@ -344,6 +344,39 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def q_pyramid_web(spark, sf_dir):
+    # web-optimized tiles_meta: extent snapped outward to whole tiles at
+    # max_zoom - aligned_levels (reference tests/test_web.py:241-300)
+    tiles, plan = cog_translate(
+        _pages(spark, sf_dir), max_zoom=ZOOM, overview_level=LEVELS,
+        web_optimized=True, aligned_levels=2,
+    )
+    return tiles_meta(tiles, plan)
+
+
+def q_raster_overview(spark, sf_dir):
+    # one pixel-level overview with the 'average' window kernel: z5/px8
+    # pixels are z8 cells whose value is trunc(mean of 4 z9-cell counts)
+    # = (z8 count) // 4 — integer math, hence DuckDB-expressible
+    from rio_cogeo_spark.operators.raster import (
+        downsample_pixel_level,
+        rasterize_tiles,
+    )
+
+    base = rasterize_tiles(_pages(spark, sf_dir), zoom=6, px=8)
+    lvl = downsample_pixel_level(base, px=8, kernel="average")
+    return lvl.select(
+        "zoom",
+        "tile_x",
+        "tile_y",
+        F.aggregate(
+            "pixels", F.lit(0).cast("long"), lambda acc, v: acc + v
+        ).alias("px_sum"),
+        F.size(F.filter("pixels", lambda v: v > 0)).alias("nonzero_px"),
+        F.array_max("pixels").alias("px_max"),
+    )
+
+
 def q_raster_tiles(spark, sf_dir):
     # per-tile scalar digests of the pixel histogram (driver-canonicalizable,
     # unlike the raw array<long>): px=8 at zoom 6 makes each pixel exactly a
@@ -388,6 +421,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "media_features": q_media_features,
         "raster_tiles": q_raster_tiles,
+        "raster_overview": q_raster_overview,
+        "pyramid_web": q_pyramid_web,
         "asof_join": q_asof_join,
         "quality_percentiles": q_quality_percentiles,
         "lang_pivot": q_lang_pivot,
@@ -523,6 +558,41 @@ FROM base""")
     return _BASE_CTE + "\n" + "\nUNION ALL\n".join(parts)
 
 
+_RASTER_OVERVIEW_SQL = f"""{_P}
+, a AS (SELECT {_TX9} AS tx9, {_TY9} AS ty9 FROM pages),
+c8 AS (SELECT tx9 // 2 AS tx8, ty9 // 2 AS ty8, COUNT(*) AS cnt
+       FROM a GROUP BY 1, 2),
+v AS (SELECT tx8 // 8 AS tile_x, ty8 // 8 AS tile_y, cnt // 4 AS val FROM c8)
+SELECT CAST(5 AS INT) AS zoom, tile_x, tile_y,
+       CAST(SUM(val) AS BIGINT) AS px_sum,
+       CAST(COUNT(*) FILTER (val > 0) AS INT) AS nonzero_px,
+       CAST(MAX(val) AS BIGINT) AS px_max
+FROM v GROUP BY 1, 2, 3"""
+
+
+def _tiles_meta_web_sql(snap: int = 4) -> str:
+    ext = (
+        f", ext AS (SELECT (min(tile_x) // {snap}) * {snap} AS tx0, "
+        f"(min(tile_y) // {snap}) * {snap} AS ty0, "
+        f"((max(tile_x) // {snap}) + 1) * {snap} - 1 AS tx1, "
+        f"((max(tile_y) // {snap}) + 1) * {snap} - 1 AS ty1 FROM base)"
+    )
+    parts = []
+    for j in range(0, LEVELS + 1):
+        d = 2**j
+        parts.append(f"""
+SELECT CAST({ZOOM - j} AS INT) AS zoom, CAST({j} AS INT) AS level,
+       CAST(((ext.tx1 // {d}) - (ext.tx0 // {d}) + 1) * 512 AS BIGINT) AS width,
+       CAST(((ext.ty1 // {d}) - (ext.ty0 // {d}) + 1) * 512 AS BIGINT) AS height,
+       CAST(512 AS INT) AS blocksize_x, CAST(512 AS INT) AS blocksize_y,
+       CAST({d} AS INT) AS decimation,
+       CAST({LEVELS - j} AS BIGINT) AS write_index,
+       (SELECT COUNT(*) FROM (SELECT DISTINCT tile_x // {d}, tile_y // {d} FROM base) t)
+           AS n_tiles
+FROM ext""")
+    return _BASE_CTE + ext + "\n" + "\nUNION ALL\n".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "pages_extract": f"{_P}\nSELECT doc_id, url, lang, lat, lon FROM pages",
@@ -557,6 +627,8 @@ SELECT a.admin_id, COUNT(*) AS page_count,
 FROM pages p JOIN admin a ON {_PIP_COND}
 GROUP BY 1""",
         "raster_tiles": _RASTER_TILES_SQL,
+        "raster_overview": _RASTER_OVERVIEW_SQL,
+        "pyramid_web": _tiles_meta_web_sql(4),
         "media_features": """
 SELECT doc_id AS media_id,
        CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

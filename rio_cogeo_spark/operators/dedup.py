@@ -86,14 +86,18 @@ def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.5,
     n: int = 3,
-    df_cap: Optional[int] = None,
+    df_cap: "Optional[int | str]" = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via an inverted shingle index —
     no O(N²) cross join. Output: (doc_a, doc_b, jaccard) with doc_a < doc_b
     and jaccard >= threshold (rounded to 6dp).
 
     ``df_cap`` drops ultra-common shingles (document frequency cap) — the
-    web-scale guard; None keeps all (needed for oracle-exact comparison).
+    web-scale guard: a shingle in D docs contributes O(D^2) candidate
+    pairs, so at corpus scale this MUST be on. ``'auto'`` caps at
+    ~100x the mean shingle document-frequency; an int caps explicitly;
+    None keeps all (oracle-exact comparison only — pairs through capped
+    shingles alone are otherwise lost by design, like stopword shingles).
     """
     par = docs.sparkSession.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < par:
@@ -105,6 +109,11 @@ def ngram_jaccard_pairs(
     sizes = with_sh.select("doc_id", F.size("sh").alias("n_sh"))
 
     inv = with_sh.select("doc_id", F.explode("sh").alias("shingle"))
+    if df_cap == "auto":
+        stats = inv.groupBy("shingle").count().agg(
+            F.mean("count").alias("m")
+        ).first()
+        df_cap = max(int(stats["m"] * 100), 10)
     if df_cap is not None:
         hot = (
             inv.groupBy("shingle").count().filter(F.col("count") > df_cap).select("shingle")

@@ -282,6 +282,7 @@ def cog_translate(
     additional_cog_metadata: Optional[Dict[str, str]] = None,
     band_scales: Optional[List[float]] = None,
     band_offsets: Optional[List[float]] = None,
+    dtype: Optional[str] = None,
     overview_resampling: str = "sum",
     overview_blocksize: Optional[int] = None,
     web_optimized: bool = False,
@@ -393,6 +394,16 @@ def cog_translate(
     out = levels[0].select(cols)
     for lv in levels[1:]:
         out = out.unionByName(lv.select(cols))
+    if dtype is not None:
+        # P3: output dtype override (reference cogeo.py:81,221,262 — the
+        # VRT dtype cast). Applied AFTER aggregation so band merges run
+        # at full precision, exactly as GDAL casts on write.
+        out = out.select(
+            "zoom", "tile_x", "tile_y",
+            *[F.col(s.name).cast(dtype).alias(s.name) for s in bands],
+        )
+        for s in bands:
+            plan.band_meta[s.name]["dtype"] = dtype
     return out, plan
 
 

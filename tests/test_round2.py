@@ -323,6 +323,43 @@ def test_decimation_base3_labels_synthetic(pages):
 # ---------------------------------------------------------------------------
 
 
+def test_knn_kring_builds_lazily_without_driver_jobs(spark, pages):
+    """Regression for the cluster-scalability property the plan argument
+    relies on: building the k-ring kNN plan must trigger ZERO Spark jobs
+    (no driver-side collect/loop in the operator body)."""
+    from rio_cogeo_spark.operators import join as J
+
+    st = spark.sparkContext.statusTracker()
+    q = spark.createDataFrame(
+        [("Q0", 35.68, 139.69)], "query_id string, q_lat double, q_lon double"
+    )
+    before = set(st.getJobIdsForGroup())
+    df = J.knn_kring(pages, q, k=5, ring=2)
+    after = set(st.getJobIdsForGroup())
+    assert before == after, "knn_kring ran driver-side jobs during plan build"
+    assert df.count() > 0  # and the plan actually executes
+
+
+def test_cog_translate_dtype_cast(pages):
+    tiles, plan = cog_translate(pages, max_zoom=6, overview_level=1,
+                                dtype="int")
+    for band in ("page_count", "sum_chars", "max_doc_id"):
+        assert dict(tiles.dtypes)[band] == "int"
+        assert plan.band_meta[band]["dtype"] == "int"
+
+
+def test_ngram_jaccard_auto_df_cap(spark, sf_mid):
+    docs = spark.read.parquet(f"{sf_mid}/documents.parquet").limit(100)
+    # auto cap must keep planted exact-dup pairs (their shingles are rare)
+    dups = docs.filter(F.col("doc_id") < 10).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    d = docs.unionByName(dups)
+    pairs = DD.ngram_jaccard_pairs(d, threshold=0.9, df_cap="auto").collect()
+    planted = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert all((i, i + 100000) in planted for i in range(10))
+
+
 def test_block_matmul_equals_all_pairs(spark, sf_mid):
     emb = spark.read.parquet(f"{sf_mid}/embeddings.parquet")
     block = {
