@@ -37,8 +37,11 @@ WARP_KERNELS = grid.WARP_KERNELS
 ALL_KERNELS = grid.ALL_KERNELS
 
 
-def _pixel_schema(px: int) -> str:
-    return "tile_x long, tile_y long, pixels array<long>"
+def _pixel_schema(px: int, weight_cols=()) -> str:
+    base = "tile_x long, tile_y long, pixels array<long>"
+    for c in weight_cols:
+        base += f", px_{c} array<double>"
+    return base
 
 
 def rasterize_tiles(
@@ -47,12 +50,20 @@ def rasterize_tiles(
     px: int = grid.DEFAULT_BLOCKSIZE,
     salt_partials: bool = False,
     n_salt: int = 8,
+    weight_cols: "tuple[str, ...] | list[str]" = (),
 ) -> DataFrame:
     """Per-tile point-density raster: pixels[r*px + c] = #pages in that
-    sub-cell. Returns (zoom, tile_x, tile_y, pixels)."""
+    sub-cell. Returns (zoom, tile_x, tile_y, pixels[, px_<col>...]).
+
+    ``weight_cols`` adds one band per numeric column — the multi-band
+    analog of the reference's per-band block writes (cogeo.py:362-375):
+    ``px_<col>[r*px + c]`` = sum of that column over the sub-cell's pages
+    (one extra weighted ``np.bincount`` per band, same single pass).
+    """
     n = 1 << zoom
     span = 2.0 * grid.ORIGIN_SHIFT
     origin = grid.ORIGIN_SHIFT
+    weight_cols = tuple(weight_cols)
 
     def _hist(pdf: pd.DataFrame) -> pd.DataFrame:
         tx = int(pdf["tile_x"].iloc[0])
@@ -62,20 +73,34 @@ def rasterize_tiles(
         fy = (origin - my) / span * n - ty
         col = np.clip((fx * px).astype(np.int64), 0, px - 1)
         row = np.clip((fy * px).astype(np.int64), 0, px - 1)
-        flat = np.bincount(row * px + col, minlength=px * px).astype(np.int64)
-        return pd.DataFrame(
-            {"tile_x": [tx], "tile_y": [ty], "pixels": [flat]}
-        )
+        flat_idx = row * px + col
+        out = {
+            "tile_x": [tx],
+            "tile_y": [ty],
+            "pixels": [np.bincount(flat_idx, minlength=px * px).astype(np.int64)],
+        }
+        for c in weight_cols:
+            out[f"px_{c}"] = [
+                np.bincount(
+                    flat_idx,
+                    weights=pdf[c].to_numpy(dtype=np.float64),
+                    minlength=px * px,
+                )
+            ]
+        return pd.DataFrame(out)
 
-    assigned = assign_tiles(pages, zoom).select("tile_x", "tile_y", "lon", "lat")
+    assigned = assign_tiles(pages, zoom).select(
+        "tile_x", "tile_y", "lon", "lat", *weight_cols
+    )
 
+    band_cols = ["pixels"] + [f"px_{c}" for c in weight_cols]
     if not salt_partials:
         out = assigned.groupBy("tile_x", "tile_y").applyInPandas(
-            _hist, _pixel_schema(px)
+            _hist, _pixel_schema(px, weight_cols)
         )
     else:
         # manual partial/final agg: per-(tile, salt) histograms in
-        # parallel, then elementwise vector sum per tile
+        # parallel, then elementwise vector sum per tile and band
         salted = assigned.withColumn(
             "salt", F.pmod(F.hash("lon", "lat"), F.lit(n_salt))
         )
@@ -84,20 +109,21 @@ def rasterize_tiles(
             return _hist(pdf)
 
         partial = salted.groupBy("tile_x", "tile_y", "salt").applyInPandas(
-            _hist_salted, _pixel_schema(px)
+            _hist_salted, _pixel_schema(px, weight_cols)
         )
-        out = (
-            partial.groupBy("tile_x", "tile_y")
-            .agg(
-                F.aggregate(
-                    F.collect_list("pixels"),
-                    F.array_repeat(F.lit(0).cast("long"), px * px),
-                    lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
-                ).alias("pixels")
-            )
-        )
+
+        def _vec_sum(col_name: str, zero):
+            return F.aggregate(
+                F.collect_list(col_name),
+                F.array_repeat(zero, px * px),
+                lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+            ).alias(col_name)
+
+        aggs = [_vec_sum("pixels", F.lit(0).cast("long"))]
+        aggs += [_vec_sum(f"px_{c}", F.lit(0.0)) for c in weight_cols]
+        out = partial.groupBy("tile_x", "tile_y").agg(*aggs)
     return out.withColumn("zoom", F.lit(zoom).cast("int")).select(
-        "zoom", "tile_x", "tile_y", "pixels"
+        "zoom", "tile_x", "tile_y", *band_cols
     )
 
 

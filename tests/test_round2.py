@@ -374,6 +374,63 @@ def test_block_matmul_equals_all_pairs(spark, sf_mid):
     assert block == allp and len(block) > 0
 
 
+def test_multiband_rasterize_mass_conservation(spark, pages):
+    t = R.rasterize_tiles(pages, zoom=5, px=4, weight_cols=["n_chars"])
+    assert "px_n_chars" in t.columns
+    sums = t.select(
+        F.aggregate("pixels", F.lit(0).cast("long"), lambda a, v: a + v).alias("n"),
+        F.aggregate("px_n_chars", F.lit(0.0), lambda a, v: a + v).alias("w"),
+    ).agg(F.sum("n").alias("n"), F.sum("w").alias("w")).first()
+    exp = pages.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("w")
+    ).first()
+    assert sums["n"] == exp["n"]
+    assert abs(sums["w"] - float(exp["w"])) < 1e-6
+
+
+def test_multiband_rasterize_salted_equals_plain(spark, pages):
+    plain = {
+        (r["tile_x"], r["tile_y"]): (list(r["pixels"]), list(r["px_n_chars"]))
+        for r in R.rasterize_tiles(
+            pages, zoom=4, px=4, weight_cols=["n_chars"]
+        ).collect()
+    }
+    salted = {
+        (r["tile_x"], r["tile_y"]): (list(r["pixels"]), list(r["px_n_chars"]))
+        for r in R.rasterize_tiles(
+            pages, zoom=4, px=4, weight_cols=["n_chars"], salt_partials=True
+        ).collect()
+    }
+    assert set(plain) == set(salted)
+    for k in plain:
+        assert plain[k][0] == salted[k][0]
+        assert np.allclose(plain[k][1], salted[k][1])
+
+
+def test_streaming_tile_rollup_equals_batch(spark, sf_small):
+    from rio_cogeo_spark.streaming.tiles import (
+        read_pages_stream,
+        tile_rollup,
+        tile_rollup_batch,
+    )
+    from rio_cogeo_spark.streaming.events import run_stream_to_memory
+    from rio_cogeo_spark.synth import synth_pages
+
+    stream_pages = read_pages_stream(spark, sf_small)
+    assert stream_pages.isStreaming
+    got = run_stream_to_memory(
+        tile_rollup(stream_pages, zoom=6, window="1 hour"), "tile_rollup_t"
+    ).collect()
+    batch_pages = synth_pages(spark, sf_small).withColumn(
+        "warc_ts", F.timestamp_seconds(F.col("ts_sec"))
+    )
+    exp = tile_rollup_batch(batch_pages, zoom=6, window="1 hour").collect()
+    key = lambda r: (r["window_sec"], r["tile_x"], r["tile_y"])  # noqa: E731
+    got_m = {key(r): (r["page_count"], r["sum_chars"]) for r in got}
+    exp_m = {key(r): (r["page_count"], r["sum_chars"]) for r in exp}
+    assert got_m == exp_m and len(exp_m) > 0
+
+
 def test_simhash_md5_60_exact_by_construction(spark, sf_mid):
     base = spark.read.parquet(f"{sf_mid}/documents.parquet").limit(200)
     dups = base.filter(F.col("doc_id") < 20).withColumn(
