@@ -103,9 +103,24 @@ def run_level(cpus: int, sf_dir: str, trials: int) -> dict:
         SPARK_GRAFT_TARGET_PAGES=os.environ.get("SPARK_GRAFT_TARGET_PAGES", "20000000"),
         SPARK_GRAFT_TRIALS=str(trials),
     )
+    cmd = [sys.executable, "-c", WORKER]
+    # Pin the whole process tree (JVM task threads AND Python UDF workers)
+    # to exactly `cpus` CPUs: without this, local[N]'s Arrow-UDF stages run
+    # N JVM + N Python runnable threads, so the "N-core" run actually uses
+    # up to 2N cores — inflating the low-parallelism baseline and
+    # understating N→4N efficiency. SPARK_GRAFT_NO_TASKSET=1 disables.
+    if not os.environ.get("SPARK_GRAFT_NO_TASKSET"):
+        try:
+            n_avail = os.cpu_count() or cpus
+            cores = ",".join(str(c) for c in range(min(cpus, n_avail)))
+            subprocess.run(["taskset", "-c", "0", "true"], check=True,
+                           capture_output=True)
+            cmd = ["taskset", "-c", cores] + cmd
+        except Exception:  # noqa: BLE001 — taskset unavailable
+            pass
     out = subprocess.run(
-        [sys.executable, "-c", WORKER], capture_output=True, text=True,
-        env=env, timeout=1200, check=True,
+        cmd, capture_output=True, text=True,
+        env=env, timeout=1800, check=True,
     )
     for line in out.stdout.splitlines():
         if line.startswith("SCALING_RESULT "):
@@ -118,6 +133,15 @@ def main() -> None:
     n_high = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     trials = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    pinned = False
+    if not os.environ.get("SPARK_GRAFT_NO_TASKSET"):
+        try:
+            subprocess.run(["taskset", "-c", "0", "true"], check=True,
+                           capture_output=True)
+            pinned = True
+        except Exception:  # noqa: BLE001
+            pinned = False
 
     res = {}
     for cpus in (n_low, n_high):
@@ -161,14 +185,19 @@ def main() -> None:
                             "summary": prev["summary"]}]
         except Exception:  # noqa: BLE001
             history = []
+    summary["pinned"] = pinned
     history.append({"ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
-                    "levels": res_json(res), "summary": summary})
+                    "levels": res_json(res), "summary": summary,
+                    "pinned": pinned})
 
-    # best observed time per (level, phase) across all sessions
+    # best observed time per (level, phase) across SAME-PROTOCOL sessions
+    # (taskset-pinned and unpinned runs measure different things)
+    same = [s for s in history if s.get("pinned", False) == pinned]
+
     def best_level(n):
-        pyr = min(s["levels"][str(n)]["pyramid_sec"] for s in history
+        pyr = min(s["levels"][str(n)]["pyramid_sec"] for s in same
                   if str(n) in s["levels"])
-        pip = min(s["levels"][str(n)]["pip_sec"] for s in history
+        pip = min(s["levels"][str(n)]["pip_sec"] for s in same
                   if str(n) in s["levels"])
         npg = lo["n_pages"]
         return {"pyramid_sec": pyr, "pip_sec": pip,
@@ -182,7 +211,8 @@ def main() -> None:
         "scaling_efficiency": best_eff,
         "scaling_efficiency_pyramid": best_eff_pyr,
         "scaling_efficiency_pip": best_eff_pip,
-        "n_sessions": len(history),
+        "n_sessions": len(same),
+        "pinned": pinned,
     }
 
     md = f"""# BENCH/BASELINE — two-parallelism scaling evidence
