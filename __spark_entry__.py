@@ -344,6 +344,18 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def q_tile_rollup(spark, sf_dir):
+    # batch twin of the streaming tile ingest (streaming/tiles.py) —
+    # windowed per-tile rollup on warc_ts event time; 1-hour tumbling
+    # windows are epoch-aligned, so window_sec is timezone-independent
+    from rio_cogeo_spark.streaming.tiles import tile_rollup_batch
+
+    pages = _pages(spark, sf_dir).withColumn(
+        "warc_ts", F.timestamp_seconds(F.col("ts_sec"))
+    )
+    return tile_rollup_batch(pages, zoom=6, window="1 hour")
+
+
 def q_pyramid_web(spark, sf_dir):
     # web-optimized tiles_meta: extent snapped outward to whole tiles at
     # max_zoom - aligned_levels (reference tests/test_web.py:241-300)
@@ -423,6 +435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_tiles": q_raster_tiles,
         "raster_overview": q_raster_overview,
         "pyramid_web": q_pyramid_web,
+        "tile_rollup": q_tile_rollup,
         "asof_join": q_asof_join,
         "quality_percentiles": q_quality_percentiles,
         "lang_pivot": q_lang_pivot,
@@ -629,6 +642,15 @@ GROUP BY 1""",
         "raster_tiles": _RASTER_TILES_SQL,
         "raster_overview": _RASTER_OVERVIEW_SQL,
         "pyramid_web": _tiles_meta_web_sql(4),
+        "tile_rollup": f"""{_P}
+, a AS (SELECT (ts_sec // 3600) * 3600 AS window_sec,
+        {tile_xy_sql("lon", "lat", 6)[0]} AS tile_x,
+        {tile_xy_sql("lon", "lat", 6)[1]} AS tile_y,
+        n_chars
+  FROM pages)
+SELECT window_sec, tile_x, tile_y, COUNT(*) AS page_count,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM a GROUP BY 1, 2, 3""",
         "media_features": """
 SELECT doc_id AS media_id,
        CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
