@@ -250,6 +250,17 @@ def q_fingerprint(spark, sf_dir):
     return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
 
 
+def q_token_stats_bpe(spark, sf_dir):
+    """BPE-ish regex token counting (the task's second tokenizer) plus the
+    Karp-Rabin rolling-hash fingerprint, both cross-engine expressions."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        TX.bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+        TX.rolling_fingerprint(F.col("text")).alias("rolling_fp"),
+    )
+
+
 def q_token_stats(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n = TX.token_count(F.col("text"))
@@ -444,6 +455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "token_stats": q_token_stats,
+        "token_stats_bpe": q_token_stats_bpe,
         "events_hourly": q_events_hourly,
     }
 
@@ -688,6 +700,10 @@ SELECT doc_id, {TX.TOKEN_COUNT_SQL} AS n_tokens, {TX.PUNCT_COUNT_SQL} AS n_punct
 FROM documents""",
         "lang_id": f"SELECT doc_id, {TX.LANG_ID_SQL} AS pred_lang FROM documents",
         "fingerprint": f"SELECT doc_id, {TX.FINGERPRINT_SQL} AS fp FROM documents",
+        "token_stats_bpe": f"""
+SELECT doc_id, CAST({TX.BPE_TOKEN_COUNT_SQL} AS INT) AS n_bpe_tokens,
+       CAST({TX.ROLLING_FINGERPRINT_SQL} AS BIGINT) AS rolling_fp
+FROM documents""",
         "token_stats": f"""
 SELECT source, COUNT(*) AS n_docs,
        CAST(SUM({TX.TOKEN_COUNT_SQL}) AS BIGINT) AS total_tokens,

@@ -129,6 +129,56 @@ def token_count(text: Column) -> Column:
 TOKEN_COUNT_SQL = rf"len({TOKENS_SQL})"
 
 
+# BPE-ish regex tokenizer (GPT-2-style pre-tokenization pattern, RE2-safe
+# so Spark's Java regex and DuckDB's RE2 agree: no lookaround, no
+# backrefs): contraction suffixes | space?-letters | space?-digits |
+# space?-other-punct-runs. Whitespace-only runs are dropped.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+"
+# SQL string literal form (single quotes doubled)
+_BPE_SQL_LIT = BPE_PATTERN.replace("'", "''")
+
+
+def bpe_tokens(text: Column) -> Column:
+    return F.regexp_extract_all(text, F.lit(BPE_PATTERN), 0)
+
+
+def bpe_token_count(text: Column) -> Column:
+    return F.size(bpe_tokens(text))
+
+
+BPE_TOKEN_COUNT_SQL = rf"len(regexp_extract_all(text, '{_BPE_SQL_LIT}'))"
+
+
+# Karp-Rabin rolling-hash fingerprint over cross-engine token hashes:
+# fp = fold(tokens, acc -> (acc * B + h(tok)) % M), h(tok) = 60-bit md5
+# prefix % M. B=131, M=2^31-1 keep every intermediate < 2^39 (exact in
+# BIGINT on both engines). Empty token lists fold to 0.
+_RH_BASE = 131
+_RH_MOD = (1 << 31) - 1
+
+
+def rolling_fingerprint(text: Column) -> Column:
+    h = F.transform(
+        tokens_col(text),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+        % F.lit(_RH_MOD),
+    )
+    return F.aggregate(
+        h,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * _RH_BASE + x) % _RH_MOD,
+    )
+
+
+# DuckDB list_reduce seeds with the first element; that equals the
+# zero-seeded fold because (0*B + h1) % M == h1. Guard the empty list.
+ROLLING_FINGERPRINT_SQL = rf"""CASE WHEN len({TOKENS_SQL}) = 0 THEN 0 ELSE
+  list_reduce(
+    list_transform({TOKENS_SQL},
+      t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % {_RH_MOD}),
+    (acc, x) -> (acc * {_RH_BASE} + x) % {_RH_MOD}) END"""
+
+
 def punct_count(text: Column) -> Column:
     return F.length(F.regexp_replace(text, r"[^.,!?;:]", ""))
 

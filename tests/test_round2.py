@@ -431,6 +431,35 @@ def test_streaming_tile_rollup_equals_batch(spark, sf_small):
     assert got_m == exp_m and len(exp_m) > 0
 
 
+def test_bpe_tokenizer_and_rolling_fingerprint_goldens(spark):
+    import hashlib
+    import re
+
+    from rio_cogeo_spark.functions import text as TX
+
+    s = "Don't stop! It's 42 degrees, OK?"
+    df = spark.createDataFrame([(s,)], "text string")
+    row = df.select(
+        TX.bpe_tokens(F.col("text")).alias("toks"),
+        TX.bpe_token_count(F.col("text")).alias("n"),
+        TX.rolling_fingerprint(F.col("text")).alias("fp"),
+    ).first()
+    exp_toks = re.findall(TX.BPE_PATTERN, s)
+    assert row["toks"] == exp_toks and row["n"] == 11
+    # pure-python Karp-Rabin twin over whitespace tokens
+    mod, base = (1 << 31) - 1, 131
+    acc = 0
+    for tok in s.split():
+        h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % mod
+        acc = (acc * base + h) % mod
+    assert row["fp"] == acc
+    # empty text folds to 0 token-hash of [''] — just assert determinism
+    e = spark.createDataFrame([("",), ("",)], "text string")
+    vals = [r["fp"] for r in e.select(
+        TX.rolling_fingerprint(F.col("text")).alias("fp")).collect()]
+    assert vals[0] == vals[1]
+
+
 def test_simhash_md5_60_exact_by_construction(spark, sf_mid):
     base = spark.read.parquet(f"{sf_mid}/documents.parquet").limit(200)
     dups = base.filter(F.col("doc_id") < 20).withColumn(
