@@ -204,6 +204,17 @@ def q_ann_topk(spark, sf_dir):
     return SIM.ann_bruteforce_topk(emb, queries, k=10)
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF ANN machinery driver-certified EXACTLY: probing all 10 inverted
+    lists makes the candidate set the full corpus, so output must equal
+    the brute-force oracle (ranks tie-break on vec_id in both)."""
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    return SIM.ann_ivf_topk(emb, queries, k=10, n_probe=10)
+
+
 def q_asof_join(spark, sf_dir):
     """Each event joined to the user's most recent purchase at-or-before
     its timestamp (the as-of join operator, operators/asof.py)."""
@@ -440,6 +451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "embed_neardup": q_embed_neardup,
         "ann_topk": q_ann_topk,
+        "ann_ivf": q_ann_ivf,
         "pip_semi": q_pip_semi,
         "sessionize": q_sessionize,
         "media_features": q_media_features,
@@ -618,6 +630,20 @@ FROM ext""")
     return _BASE_CTE + ext + "\n" + "\nUNION ALL\n".join(parts)
 
 
+_ANN_TOPK_SQL = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 5),
+d AS (SELECT q.query_id, a.vec_id,
+             {VEC.cosine_sql("a.v", "q.v")} AS cos
+      FROM e a CROSS JOIN q WHERE a.vec_id <> q.query_id)
+SELECT query_id, vec_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC)
+            AS INT) AS rank,
+       cos
+FROM d QUALIFY rank <= 10"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "pages_extract": f"{_P}\nSELECT doc_id, url, lang, lat, lon FROM pages",
@@ -682,18 +708,10 @@ WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_COS} AS cos
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE {_COS} >= CAST(0.4 AS DOUBLE)""",
-        "ann_topk": f"""
-WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-           FROM embeddings),
-q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 5),
-d AS (SELECT q.query_id, a.vec_id,
-             {VEC.cosine_sql("a.v", "q.v")} AS cos
-      FROM e a CROSS JOIN q WHERE a.vec_id <> q.query_id)
-SELECT query_id, vec_id,
-       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC)
-            AS INT) AS rank,
-       cos
-FROM d QUALIFY rank <= 10""",
+        "ann_topk": _ANN_TOPK_SQL,
+        # IVF with n_probe = all lists scans the full corpus → exact,
+        # so it shares the brute-force oracle
+        "ann_ivf": _ANN_TOPK_SQL,
         "quality": f"""
 SELECT doc_id, {TX.TOKEN_COUNT_SQL} AS n_tokens, {TX.PUNCT_COUNT_SQL} AS n_punct,
        {TX.STOPWORD_COUNT_SQL} AS n_stopwords, {TX.QUALITY_SCORE_SQL} AS quality

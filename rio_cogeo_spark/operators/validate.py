@@ -107,12 +107,32 @@ def cog_validate(
     if any(b <= a for a, b in zip(widx, widx[1:])):
         errors.append("The IFD/write order of the levels is not consistent.")
 
-    # V11 (cogeo.py:681-688): every overview level itself tiled.
+    # V11 (cogeo.py:681-688): every overview level itself tiled — it must
+    # declare positive block sizes (custom --overview-blocksize values are
+    # legal), and all overview levels must share one blocksize.
+    ovr_bs = set()
     for r in meta_rows:
-        if r["level"] > 0 and (
-            r["blocksize_x"] != BLOCKSIZE or r["blocksize_y"] != BLOCKSIZE
-        ):
-            errors.append(f"Overview of zoom {r['zoom']} is not tiled.")
+        if r["level"] > 0:
+            if r["blocksize_x"] <= 0 or r["blocksize_y"] <= 0:
+                errors.append(f"Overview of zoom {r['zoom']} is not tiled.")
+            else:
+                ovr_bs.add((r["blocksize_x"], r["blocksize_y"]))
+    if len(ovr_bs) > 1:
+        errors.append("Overview blocksizes are inconsistent across levels.")
+
+    # V14 (web-optimized alignment, reference tests/test_web.py:241-300):
+    # when the dataset declares TILING_SCHEME_ALIGNED_LEVELS=k, the base
+    # extent must cover whole tiles at max_zoom - k, i.e. its pixel
+    # dimensions are multiples of 2^k blocks.
+    aligned = properties.get("TILING_SCHEME_ALIGNED_LEVELS")
+    if aligned:
+        snap = 1 << int(aligned)
+        if (max_zoom_row["width"] % (snap * max_zoom_row["blocksize_x"])
+                or max_zoom_row["height"] % (snap * max_zoom_row["blocksize_y"])):
+            errors.append(
+                "Dataset extent is not aligned to the tiling scheme at the "
+                "declared aligned level."
+            )
 
     # V10 (cogeo.py:611-679): block offsets ordered; sparse levels (zero
     # tiles) are valid (reference sparse.tif case, tests/test_validate.py:72-76).

@@ -227,6 +227,30 @@ def test_info_colormap_surfaced(pages):
     assert d["Band_Metadata"]["page_count"]["ColorInterp"] == "palette"
 
 
+def test_validate_custom_overview_blocksize_ok_and_aligned_check(pages):
+    from rio_cogeo_spark.operators.validate import cog_validate
+
+    # V11 must accept a legitimate custom overview blocksize
+    tiles, plan = cog_translate(pages, max_zoom=8, overview_level=2,
+                                overview_blocksize=128)
+    ok, errs, _ = cog_validate(tiles, tiles_meta(tiles, plan), {"format": "parquet"})
+    assert ok, errs
+
+    # V14: web-aligned plan passes with the alignment property set...
+    tiles_w, plan_w = cog_translate(pages, max_zoom=8, overview_level=2,
+                                    web_optimized=True, aligned_levels=2)
+    ok_w, errs_w, _ = cog_validate(
+        tiles_w, tiles_meta(tiles_w, plan_w), plan_w.properties
+    )
+    assert ok_w, errs_w
+    # ...and an UNALIGNED extent with the property claimed must fail
+    ok_bad, errs_bad, _ = cog_validate(
+        tiles, tiles_meta(tiles, plan),
+        {"format": "parquet", "TILING_SCHEME_ALIGNED_LEVELS": "2"},
+    )
+    assert not ok_bad and any("not aligned" in e for e in errs_bad)
+
+
 def test_info_no_colormap_defaults(pages):
     tiles, plan = cog_translate(pages, max_zoom=6, overview_level=1)
     info = cog_info(tiles, tiles_meta(tiles, plan), plan.properties,
