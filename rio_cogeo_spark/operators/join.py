@@ -176,30 +176,30 @@ def point_in_polygon(
     )
 
     @F.pandas_udf("boolean")
-    def _refine(lon_s: pd.Series, lat_s: pd.Series, admin_s: pd.Series) -> pd.Series:
-        lon = lon_s.to_numpy(dtype=np.float64)
-        lat = lat_s.to_numpy(dtype=np.float64)
-        out = np.zeros(len(lon), dtype=bool)
-        admins = admin_s.to_numpy(dtype=np.int32)
-        # vectorized per admin group in the batch — never per row
-        for admin in np.unique(admins):
-            m = admins == admin
-            rlon, rlat = bc.value[admin]
-            out[m] = ray_cast(lon[m], lat[m], rlon, rlat)
+    def _match(lon_s: pd.Series, lat_s: pd.Series, admin_s: pd.Series,
+               interior_s: pd.Series) -> pd.Series:
+        # Interior-cell shortcut applied INSIDE the batch: candidates whose
+        # prefilter cell is wholly inside the ring are matches by
+        # construction — the ray-cast numpy work runs only on boundary-cell
+        # rows, vectorized per admin group (never per row). One pass over
+        # one Arrow stream: a split+union formulation would execute the
+        # pages scan + cell-assignment UDF + broadcast join TWICE (no
+        # shuffle boundary to reuse between the branches).
+        out = interior_s.to_numpy(dtype=bool).copy()
+        bnd = ~out
+        if bnd.any():
+            lon = lon_s.to_numpy(dtype=np.float64)
+            lat = lat_s.to_numpy(dtype=np.float64)
+            admins = admin_s.to_numpy(dtype=np.int32)
+            for admin in np.unique(admins[bnd]):
+                m = bnd & (admins == admin)
+                rlon, rlat = bc.value[admin]
+                out[m] = ray_cast(lon[m], lat[m], rlon, rlat)
         return pd.Series(out)
 
-    # Interior-cell shortcut: candidates whose prefilter cell is wholly
-    # inside the ring are matches by construction — only boundary-cell
-    # candidates pay the Python refine (at megacity density this removes
-    # the bulk of the Arrow traffic). Split+union rather than OR so the
-    # UDF provably never runs on interior rows.
-    interior_hits = candidates.filter(F.col("interior"))
-    boundary_hits = candidates.filter(~F.col("interior")).filter(
-        _refine(F.col("lon"), F.col("lat"), F.col("admin_idx"))
-    )
-    matched = interior_hits.unionByName(boundary_hits).drop(
-        "cell", "admin_idx", "interior"
-    )
+    matched = candidates.filter(
+        _match(F.col("lon"), F.col("lat"), F.col("admin_idx"), F.col("interior"))
+    ).drop("cell", "admin_idx", "interior")
 
     if how == "inner":
         return matched
