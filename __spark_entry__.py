@@ -411,6 +411,16 @@ def q_raster_overview(spark, sf_dir):
     )
 
 
+def q_media_frames(spark, sf_dir):
+    # video frame-sampling plumbing: explode into (media_id, frame_idx,
+    # t_ms) — the batch shape a real ffmpeg seek UDF consumes; fully
+    # SQL-expressible (duration_ms = n_chars*10, kind = doc_id%3==2)
+    from rio_cogeo_spark.operators.multimodal import attach_media, sample_frames
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sample_frames(attach_media(docs), every_ms=1000, max_frames=8)
+
+
 def q_raster_tiles(spark, sf_dir):
     # per-tile scalar digests of the pixel histogram (driver-canonicalizable,
     # unlike the raw array<long>): px=8 at zoom 6 makes each pixel exactly a
@@ -457,6 +467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "raster_tiles": q_raster_tiles,
         "raster_overview": q_raster_overview,
+        "media_frames": q_media_frames,
         "pyramid_web": q_pyramid_web,
         "tile_rollup": q_tile_rollup,
         "asof_join": q_asof_join,
@@ -679,6 +690,16 @@ FROM pages p JOIN admin a ON {_PIP_COND}
 GROUP BY 1""",
         "raster_tiles": _RASTER_TILES_SQL,
         "raster_overview": _RASTER_OVERVIEW_SQL,
+        "media_frames": """
+WITH vids AS (
+  SELECT doc_id AS media_id,
+         least(CAST(floor(CAST(n_chars * 10 AS DOUBLE) / 1000) AS INT) + 1, 8)
+             AS n_frames
+  FROM documents WHERE CAST(doc_id % 3 AS INT) = 2),
+f AS (SELECT media_id, CAST(unnest(generate_series(0, n_frames - 1)) AS INT)
+             AS frame_idx
+      FROM vids)
+SELECT media_id, frame_idx, CAST(frame_idx * 1000 AS INT) AS t_ms FROM f""",
         "pyramid_web": _tiles_meta_web_sql(4),
         "tile_rollup": f"""{_P}
 , a AS (SELECT (ts_sec // 3600) * 3600 AS window_sec,
