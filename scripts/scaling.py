@@ -185,14 +185,24 @@ def main() -> None:
                             "summary": prev["summary"]}]
         except Exception:  # noqa: BLE001
             history = []
+    try:
+        code = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], capture_output=True,
+            text=True, cwd=REPO, check=True,
+        ).stdout.strip()
+    except Exception:  # noqa: BLE001
+        code = "unknown"
     summary["pinned"] = pinned
     history.append({"ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
                     "levels": res_json(res), "summary": summary,
-                    "pinned": pinned})
+                    "pinned": pinned, "code": code})
 
-    # best observed time per (level, phase) across SAME-PROTOCOL sessions
-    # (taskset-pinned and unpinned runs measure different things)
-    same = [s for s in history if s.get("pinned", False) == pinned]
+    # best observed time per (level, phase) across SAME-PROTOCOL,
+    # SAME-CODE sessions (taskset-pinned vs unpinned measure different
+    # things, and mixing minima across code versions compares different
+    # implementations)
+    same = [s for s in history
+            if s.get("pinned", False) == pinned and s.get("code") == code]
 
     def best_level(n):
         pyr = min(s["levels"][str(n)]["pyramid_sec"] for s in same
