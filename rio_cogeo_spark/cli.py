@@ -54,6 +54,11 @@ def _meta_from_dir(spark, tiles_dir):
         height_px=pj["height_px"],
         decimations=pj["decimations"],
     )
+    plan.band_meta = pj.get("band_meta") or {}
+    if pj.get("nodata") is not None:
+        plan.properties["NODATA"] = str(pj["nodata"])
+    if pj.get("web_optimized") and pj.get("aligned_levels"):
+        plan.properties["TILING_SCHEME_ALIGNED_LEVELS"] = str(pj["aligned_levels"])
     return tiles, tiles_meta(tiles, plan), plan, zooms
 
 
@@ -148,6 +153,9 @@ def cmd_create(args) -> int:
     )
     max_zoom = args.zoom_level if args.zoom_level is not None else args.max_zoom
     pages = read_pages(spark, args.pages_path)
+    band_meta = {
+        b.name: {"scale": 1.0, "offset": 0.0, "merge": b.merge} for b in bands
+    }
     if args.nodata is not None:
         from rio_cogeo_spark.operators.translate import apply_nodata
 
@@ -179,6 +187,8 @@ def cmd_create(args) -> int:
                 "overview_resampling": args.overview_resampling,
                 "web_optimized": bool(args.web_optimized),
                 "aligned_levels": args.aligned_levels,
+                "band_meta": band_meta,
+                "nodata": args.nodata,
             },
             f,
         )
@@ -195,9 +205,9 @@ def cmd_validate(args) -> int:
     spark = _session(args.cpus)
     from rio_cogeo_spark.operators.validate import cog_validate
 
-    tiles, meta, _, _ = _meta_from_dir(spark, args.tiles_dir)
+    tiles, meta, plan, _ = _meta_from_dir(spark, args.tiles_dir)
     ok, errors, warnings = cog_validate(
-        tiles, meta, {"format": "parquet"}, strict=args.strict
+        tiles, meta, {"format": "parquet", **plan.properties}, strict=args.strict
     )
     for e in errors:
         print(f"ERROR: {e}", file=sys.stderr)
@@ -213,8 +223,11 @@ def cmd_info(args) -> int:
     spark = _session(args.cpus)
     from rio_cogeo_spark.operators.info import cog_info
 
-    tiles, meta, _, _ = _meta_from_dir(spark, args.tiles_dir)
-    info = cog_info(tiles, meta, {"format": "parquet"}, path=args.tiles_dir)
+    tiles, meta, plan, _ = _meta_from_dir(spark, args.tiles_dir)
+    info = cog_info(
+        tiles, meta, {"format": "parquet", **plan.properties},
+        path=args.tiles_dir, band_meta=plan.band_meta,
+    )
     if args.json:
         print(json.dumps(info.dict(), default=str))
     else:
