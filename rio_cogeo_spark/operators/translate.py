@@ -28,6 +28,7 @@ from typing import Callable, Dict, List, Optional, Tuple
 
 import warnings
 
+import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -152,6 +153,34 @@ def plan_tile_job(
         raise ValueError("cannot plan a tile job over an empty pages table")
     tx0, ty0 = grid.tile_index([b["w"]], [b["n"]], max_zoom)
     tx1, ty1 = grid.tile_index([b["e"]], [b["s"]], max_zoom)
+    return _plan_from_tile_extent(
+        int(tx0[0]), int(ty0[0]), int(tx1[0]), int(ty1[0]),
+        max_zoom, overview_level, decimation_base, blocksize,
+        aligned_levels, overview_blocksize,
+    )
+
+
+def _plan_from_tile_extent(
+    tx0: int,
+    ty0: int,
+    tx1: int,
+    ty1: int,
+    max_zoom: int,
+    overview_level: Optional[int] = None,
+    decimation_base: int = 2,
+    blocksize: int = grid.DEFAULT_BLOCKSIZE,
+    aligned_levels: Optional[int] = None,
+    overview_blocksize: Optional[int] = None,
+) -> TileJobPlan:
+    """Plan from a base-zoom tile extent. tile_index is monotonic in lon
+    (and anti-monotonic in lat), so the min/max of per-page tile indices —
+    available for free from the already-aggregated base level — equals
+    the tile extent of the lon/lat bounds; deriving the plan here saves
+    one full pages scan per translate."""
+    tx0 = np.asarray([tx0], dtype=np.int64)
+    ty0 = np.asarray([ty0], dtype=np.int64)
+    tx1 = np.asarray([tx1], dtype=np.int64)
+    ty1 = np.asarray([ty1], dtype=np.int64)
     if aligned_levels:
         base_zoom = max(max_zoom - aligned_levels, 0)
         shift = max_zoom - base_zoom
@@ -345,8 +374,23 @@ def cog_translate(
             BandSpec("mask_count", lambda: F.count(F.lit(1)).cast("long"), "sum")
         ]
 
-    plan = plan_tile_job(
-        valid_pages,
+    # Base level FIRST; the plan extent then comes from a min/max over the
+    # (small, persisted) base tile table instead of a second full pages
+    # scan (_plan_from_tile_extent: tile_index is monotonic, so the two
+    # derivations are identical).
+    level = base_tiles(valid_pages, max_zoom, bands)
+    if persist_levels:
+        level = level.persist()
+    ext = level.agg(
+        F.min("tile_x").alias("tx0"),
+        F.max("tile_x").alias("tx1"),
+        F.min("tile_y").alias("ty0"),
+        F.max("tile_y").alias("ty1"),
+    ).first()
+    if ext is None or ext["tx0"] is None:
+        raise ValueError("cannot plan a tile job over an empty pages table")
+    plan = _plan_from_tile_extent(
+        int(ext["tx0"]), int(ext["ty0"]), int(ext["tx1"]), int(ext["ty1"]),
         max_zoom,
         overview_level,
         decimation_base,
@@ -380,9 +424,6 @@ def cog_translate(
             "merge": spec.merge,
         }
 
-    level = base_tiles(valid_pages, max_zoom, bands)
-    if persist_levels:
-        level = level.persist()
     levels = [level]
     for z, _dec in plan.level_zoom_decs[1:]:
         level = next_level(level, z, decimation_base, bands)
