@@ -366,6 +366,31 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def q_tile_distinct(spark, sf_dir):
+    """Mergeable distinct-count band: HLL sketches built at the base level
+    and UNIONED through every overview level (COUNT DISTINCT is not
+    mergeable; the sketch is). Estimates are exact at these per-tile
+    cardinalities (<=20 langs << 2^12 sketch buckets), so the plain
+    COUNT(DISTINCT) oracle matches bit-for-bit."""
+    from rio_cogeo_spark.operators.translate import (
+        BandSpec,
+        hll_band,
+        with_hll_estimates,
+    )
+
+    bands = [
+        BandSpec("page_count", lambda: F.count(F.lit(1)).cast("long"), "sum"),
+        hll_band("lang_hll", "lang"),
+    ]
+    tiles, _ = cog_translate(
+        _pages(spark, sf_dir), max_zoom=ZOOM, overview_level=LEVELS, bands=bands
+    )
+    return with_hll_estimates(tiles, bands).select(
+        "zoom", "tile_x", "tile_y", "page_count",
+        F.col("lang_hll_estimate").alias("n_langs"),
+    )
+
+
 def q_tile_rollup(spark, sf_dir):
     # batch twin of the streaming tile ingest (streaming/tiles.py) —
     # windowed per-tile rollup on warc_ts event time; 1-hour tumbling
@@ -470,6 +495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames": q_media_frames,
         "pyramid_web": q_pyramid_web,
         "tile_rollup": q_tile_rollup,
+        "tile_distinct": q_tile_distinct,
         "asof_join": q_asof_join,
         "quality_percentiles": q_quality_percentiles,
         "lang_pivot": q_lang_pivot,
@@ -606,6 +632,26 @@ FROM base""")
     return _BASE_CTE + "\n" + "\nUNION ALL\n".join(parts)
 
 
+_TILE_DISTINCT_LEVEL_SQL = """
+SELECT CAST({z} AS INT) AS zoom,
+       CAST(floor(tile_x / CAST({d} AS DOUBLE)) AS BIGINT) AS tile_x,
+       CAST(floor(tile_y / CAST({d} AS DOUBLE)) AS BIGINT) AS tile_y,
+       CAST(COUNT(*) AS BIGINT) AS page_count,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+FROM assigned GROUP BY 1, 2, 3"""
+
+_ASSIGNED_LANG_CTE = f"""{_P}
+, assigned AS (SELECT lang, {_TX8} AS tile_x, {_TY8} AS tile_y FROM pages)"""
+
+
+def _tile_distinct_sql() -> str:
+    parts = [
+        _TILE_DISTINCT_LEVEL_SQL.format(z=ZOOM - j, d=2**j)
+        for j in range(0, LEVELS + 1)
+    ]
+    return _ASSIGNED_LANG_CTE + "\n" + "\nUNION ALL\n".join(parts)
+
+
 _RASTER_OVERVIEW_SQL = f"""{_P}
 , a AS (SELECT {_TX9} AS tx9, {_TY9} AS ty9 FROM pages),
 c8 AS (SELECT tx9 // 2 AS tx8, ty9 // 2 AS ty8, COUNT(*) AS cnt
@@ -701,6 +747,7 @@ f AS (SELECT media_id, CAST(unnest(generate_series(0, n_frames - 1)) AS INT)
       FROM vids)
 SELECT media_id, frame_idx, CAST(frame_idx * 1000 AS INT) AS t_ms FROM f""",
         "pyramid_web": _tiles_meta_web_sql(4),
+        "tile_distinct": _tile_distinct_sql(),
         "tile_rollup": f"""{_P}
 , a AS (SELECT (ts_sec // 3600) * 3600 AS window_sec,
         {tile_xy_sql("lon", "lat", 6)[0]} AS tile_x,

@@ -66,7 +66,33 @@ _MERGE_FNS = {
     "sum": F.sum,
     "min": F.min,
     "max": F.max,
+    # mergeable distinct-count sketch (Datasketches HLL): base level
+    # builds sketches, every overview level unions them — the only way a
+    # distinct-count band can re-aggregate through the pyramid without
+    # re-reading pages (COUNT(DISTINCT) is not mergeable)
+    "hll": F.hll_union_agg,
 }
+
+
+def hll_band(name: str, col: str, lg_k: int = 12) -> BandSpec:
+    """A mergeable distinct-count band: ``hll_sketch_agg(col)`` at the
+    base level, ``hll_union_agg`` at every overview level. Read the
+    estimate with :func:`with_hll_estimates`. Exact for small per-tile
+    cardinalities (the sketch stays in sparse mode), ~2% error beyond
+    2**lg_k."""
+    return BandSpec(name, lambda: F.hll_sketch_agg(F.col(col), lg_k), "hll")
+
+
+def with_hll_estimates(tiles: DataFrame, bands: List[BandSpec]) -> DataFrame:
+    """Replace every hll band's binary sketch with its integer estimate
+    (``<name>_estimate``)."""
+    out = tiles
+    for spec in bands:
+        if spec.merge == "hll":
+            out = out.withColumn(
+                f"{spec.name}_estimate", F.hll_sketch_estimate(spec.name)
+            ).drop(spec.name)
+    return out
 
 
 @dataclass

@@ -364,6 +364,41 @@ def test_knn_kring_builds_lazily_without_driver_jobs(spark, pages):
     assert df.count() > 0  # and the plan actually executes
 
 
+def test_hll_distinct_band_merges_through_pyramid(pages):
+    """The HLL band must union correctly through every overview level:
+    estimates equal exact per-tile COUNT(DISTINCT lang) (tiny per-tile
+    cardinalities keep the sketch exact)."""
+    from rio_cogeo_spark.operators.translate import (
+        BandSpec,
+        assign_tiles,
+        hll_band,
+        with_hll_estimates,
+    )
+
+    bands = [
+        BandSpec("page_count", lambda: F.count(F.lit(1)).cast("long"), "sum"),
+        hll_band("lang_hll", "lang"),
+    ]
+    tiles, plan = cog_translate(pages, max_zoom=6, overview_level=2, bands=bands)
+    est = with_hll_estimates(tiles, bands)
+    got = {
+        (r["zoom"], r["tile_x"], r["tile_y"]): r["lang_hll_estimate"]
+        for r in est.collect()
+    }
+    assigned = assign_tiles(pages, 6)
+    for z in (6, 5, 4):
+        dec = 2 ** (6 - z)
+        exact = {
+            (z, r["tx"], r["ty"]): r["n"]
+            for r in assigned.groupBy(
+                F.floor(F.col("tile_x") / dec).cast("long").alias("tx"),
+                F.floor(F.col("tile_y") / dec).cast("long").alias("ty"),
+            ).agg(F.countDistinct("lang").alias("n")).collect()
+        }
+        for k, n in exact.items():
+            assert got[k] == n, (k, got[k], n)
+
+
 def test_cog_translate_dtype_cast(pages):
     tiles, plan = cog_translate(pages, max_zoom=6, overview_level=1,
                                 dtype="int")
