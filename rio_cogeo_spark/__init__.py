@@ -9,4 +9,29 @@ pandas/Arrow UDFs for tile math, hierarchical groupBy for pyramids,
 broadcast joins for spatial predicates.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+# user-facing API (reference parity: cog_translate / cog_validate /
+# cog_info / cog_profiles, rio_cogeo/__init__.py analog). Imported lazily
+# so `import rio_cogeo_spark` stays cheap (no Spark session side effects).
+
+
+def __getattr__(name):
+    if name in ("cog_translate", "tiles_meta", "write_tiles", "plan_tile_job",
+                "BandSpec", "default_bands", "hll_band", "with_hll_estimates"):
+        from rio_cogeo_spark.operators import translate
+
+        return getattr(translate, name)
+    if name in ("cog_validate", "validate_report", "check_write_order"):
+        from rio_cogeo_spark.operators import validate
+
+        return getattr(validate, name)
+    if name == "cog_info":
+        from rio_cogeo_spark.operators.info import cog_info
+
+        return cog_info
+    if name == "cog_profiles":
+        from rio_cogeo_spark.profiles import cog_profiles
+
+        return cog_profiles
+    raise AttributeError(name)
