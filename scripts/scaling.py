@@ -119,9 +119,13 @@ def run_level(cpus: int, sf_dir: str, trials: int) -> dict:
         except Exception:  # noqa: BLE001 — taskset unavailable
             pass
     out = subprocess.run(
-        cmd, capture_output=True, text=True,
-        env=env, timeout=1800, check=True,
+        cmd, capture_output=True, text=True, env=env, timeout=1800,
     )
+    if out.returncode != 0:
+        raise RuntimeError(
+            f"level local[{cpus}] worker failed rc={out.returncode}; "
+            f"stderr tail: {out.stderr[-3000:]}"
+        )
     for line in out.stdout.splitlines():
         if line.startswith("SCALING_RESULT "):
             return json.loads(line[len("SCALING_RESULT "):])
