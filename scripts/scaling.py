@@ -189,13 +189,25 @@ def main() -> None:
                             "summary": prev["summary"]}]
         except Exception:  # noqa: BLE001
             history = []
-    try:
-        code = subprocess.run(
-            ["git", "rev-parse", "--short", "HEAD"], capture_output=True,
-            text=True, cwd=REPO, check=True,
-        ).stdout.strip()
-    except Exception:  # noqa: BLE001
-        code = "unknown"
+    # Tag the session with a fingerprint of the SOURCE FILES the measured
+    # job actually executes (not the repo rev — unrelated commits must not
+    # fragment the same-code comparison groups).
+    import hashlib
+
+    job_files = [
+        "rio_cogeo_spark/grid.py",
+        "rio_cogeo_spark/synth.py",
+        "rio_cogeo_spark/functions/tile.py",
+        "rio_cogeo_spark/operators/translate.py",
+        "rio_cogeo_spark/operators/join.py",
+    ]
+    h = hashlib.md5(WORKER.encode())
+    for f in job_files:
+        try:
+            h.update((REPO / f).read_bytes())
+        except OSError:
+            pass
+    code = "job-" + h.hexdigest()[:8]
     summary["pinned"] = pinned
     history.append({"ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
                     "levels": res_json(res), "summary": summary,
