@@ -419,6 +419,44 @@ def test_ngram_jaccard_auto_df_cap(spark, sf_mid):
     assert all((i, i + 100000) in planted for i in range(10))
 
 
+def test_knn_exact_randomized_adversarial(spark):
+    """Randomized exactness: clustered + isolated points, queries in
+    dense, sparse, and EMPTY regions (forcing expansion and the brute
+    fallback) — two-phase exact kNN must equal brute force for every
+    seed."""
+    from rio_cogeo_spark.operators import join as J
+
+    for seed in (7, 99):
+        rng = np.random.default_rng(seed)
+        pts = []
+        for c in range(4):  # tight clusters
+            clat, clon = rng.uniform(-50, 50), rng.uniform(-150, 150)
+            for _ in range(40):
+                pts.append((clat + rng.normal(0, 0.2), clon + rng.normal(0, 0.2)))
+        for _ in range(20):  # isolated points
+            pts.append((rng.uniform(-60, 60), rng.uniform(-179, 179)))
+        pages = spark.createDataFrame(
+            [(i, f"u{i}", float(la), float(lo)) for i, (la, lo) in enumerate(pts)],
+            "doc_id long, url string, lat double, lon double",
+        )
+        qs = [("QD", pts[0][0], pts[0][1]),          # dense
+              ("QS", pts[-1][0], pts[-1][1]),        # sparse
+              ("QE", 0.0, -170.0)]                   # mid-ocean / empty
+        queries = spark.createDataFrame(
+            [(q, float(la), float(lo)) for q, la, lo in qs],
+            "query_id string, q_lat double, q_lon double",
+        )
+        brute = {
+            (r["query_id"], r["rank"]): (r["doc_id"], r["dist2"])
+            for r in J.knn_bruteforce(pages, queries, k=4).collect()
+        }
+        exact = {
+            (r["query_id"], r["rank"]): (r["doc_id"], r["dist2"])
+            for r in J.knn_kring_exact(pages, queries, k=4).collect()
+        }
+        assert exact == brute, (seed, exact, brute)
+
+
 def test_block_matmul_equals_all_pairs(spark, sf_mid):
     emb = spark.read.parquet(f"{sf_mid}/embeddings.parquet")
     block = {
