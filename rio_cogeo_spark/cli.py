@@ -18,8 +18,14 @@ import sys
 
 
 def _session(cpus: int):
+    """Returns (session, owns): reuse a caller's active session without
+    stopping it on exit (in-process/test callers); only sessions the CLI
+    itself creates are stopped."""
     from pyspark.sql import SparkSession
 
+    existing = SparkSession.getActiveSession()
+    if existing is not None:
+        return existing, False
     s = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("rio_cogeo_spark_cli")
@@ -31,7 +37,7 @@ def _session(cpus: int):
         .getOrCreate()
     )
     s.sparkContext.setLogLevel("ERROR")
-    return s
+    return s, True
 
 
 def _meta_from_dir(spark, tiles_dir):
@@ -129,7 +135,7 @@ def resolve_blocksizes(blocksize, overview_blocksize, web_optimized):
 
 
 def cmd_create(args) -> int:
-    spark = _session(args.cpus)
+    spark, _owns = _session(args.cpus)
     from rio_cogeo_spark import grid
     from rio_cogeo_spark.operators.translate import default_bands
     from rio_cogeo_spark.profiles import cog_profiles
@@ -197,12 +203,13 @@ def cmd_create(args) -> int:
               f"({len(m['partitions'])} partitions)", file=sys.stderr)
     print(f"wrote pyramid zooms {plan.min_zoom}..{plan.max_zoom} to {args.out_dir}",
           file=sys.stderr)
-    spark.stop()
+    if _owns:
+        spark.stop()
     return 0
 
 
 def cmd_validate(args) -> int:
-    spark = _session(args.cpus)
+    spark, _owns = _session(args.cpus)
     from rio_cogeo_spark.operators.validate import cog_validate
 
     tiles, meta, plan, _ = _meta_from_dir(spark, args.tiles_dir)
@@ -215,12 +222,13 @@ def cmd_validate(args) -> int:
         print(f"WARNING: {w}", file=sys.stderr)
     print(f"{args.tiles_dir} is {'a valid' if ok else 'NOT a valid'} cloud "
           f"optimized pyramid")
-    spark.stop()
+    if _owns:
+        spark.stop()
     return 0 if ok else 1
 
 
 def cmd_info(args) -> int:
-    spark = _session(args.cpus)
+    spark, _owns = _session(args.cpus)
     from rio_cogeo_spark.operators.info import cog_info
 
     tiles, meta, plan, _ = _meta_from_dir(spark, args.tiles_dir)
@@ -240,7 +248,8 @@ def cmd_info(args) -> int:
         for ifd in d["IFD"]:
             print(f"  level {ifd['Level']}: {ifd['Width']}x{ifd['Height']} "
                   f"dec {ifd['Decimation']}")
-    spark.stop()
+    if _owns:
+        spark.stop()
     return 0
 
 

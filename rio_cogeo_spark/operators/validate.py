@@ -76,9 +76,12 @@ def cog_validate(
             "not in tiles_meta)."
         )
 
-    # V3 (cogeo.py:527-531): a big dataset must be tiled in 512x512 blocks.
+    # V3 (cogeo.py:527-531): a big dataset must be tiled. The reference
+    # checks `src.is_tiled` (ANY declared block shape qualifies — 256-px
+    # web-optimized or custom --blocksize outputs are tiled), not a fixed
+    # 512; the fixed size only names the bigness threshold.
     if width > BLOCKSIZE and height > BLOCKSIZE:
-        if max_zoom_row["blocksize_x"] != BLOCKSIZE or max_zoom_row["blocksize_y"] != BLOCKSIZE:
+        if max_zoom_row["blocksize_x"] <= 0 or max_zoom_row["blocksize_y"] <= 0:
             errors.append("The file is greater than 512x512, but is not tiled.")
 
     # V4 (cogeo.py:533-537): big and no overviews → warning.

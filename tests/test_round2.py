@@ -236,6 +236,15 @@ def test_validate_custom_overview_blocksize_ok_and_aligned_check(pages):
     ok, errs, _ = cog_validate(tiles, tiles_meta(tiles, plan), {"format": "parquet"})
     assert ok, errs
 
+    # V3: an untiled declaration (no block shape) on a big dataset errors;
+    # any positive blocksize (e.g. 256 web tiles) is tiled
+    meta_plain = tiles_meta(tiles, plan)
+    untiled = meta_plain.withColumn("blocksize_x", F.lit(0)).withColumn(
+        "blocksize_y", F.lit(0)
+    )
+    ok_untiled, errs_untiled, _ = cog_validate(tiles, untiled, {"format": "parquet"})
+    assert not ok_untiled and any("not tiled" in e for e in errs_untiled)
+
     # V14: web-aligned plan passes with the alignment property set...
     tiles_w, plan_w = cog_translate(pages, max_zoom=8, overview_level=2,
                                     web_optimized=True, aligned_levels=2)
@@ -555,6 +564,46 @@ def test_bpe_tokenizer_and_rolling_fingerprint_goldens(spark):
     vals = [r["fp"] for r in e.select(
         TX.rolling_fingerprint(F.col("text")).alias("fp")).collect()]
     assert vals[0] == vals[1]
+
+
+def test_cli_end_to_end_web_optimized(spark, sf_small, tmp_path, monkeypatch):
+    """create → info → validate through cli.main(), exercising the
+    _plan.json persistence chain (band_meta, nodata, alignment tags) and
+    the web-optimized blocksize defaults."""
+    import json as _json
+
+    from rio_cogeo_spark.cli import main
+    from rio_cogeo_spark.synth import synth_pages
+
+    monkeypatch.delenv("GDAL_TIFF_OVR_BLOCKSIZE", raising=False)
+    pages_path = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "pyr")
+    synth_pages(spark, sf_small).write.parquet(pages_path)
+
+    rc = main([
+        "--cpus", "8", "create", pages_path, out_dir,
+        "--zoom-level", "7", "--overview-level", "2",
+        "--web-optimized", "--aligned-levels", "2", "--bidx", "1",
+        "--nodata", "nan",
+    ])
+    assert rc == 0
+    pj = _json.load(open(f"{out_dir}/_plan.json"))
+    assert pj["web_optimized"] and pj["aligned_levels"] == 2
+    assert pj["blocksize"] == 256  # TMS tile size default under -w
+    assert set(pj["band_meta"]) == {"page_count"}
+
+    assert main(["--cpus", "8", "validate", out_dir]) == 0
+
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main(["--cpus", "8", "info", out_dir, "--json"]) == 0
+    d = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert d["COG"] is True
+    assert d["Profile"]["Bands"] == 1
+    assert d["Tags"]["DATASET"].get("TILING_SCHEME_ALIGNED_LEVELS") == "2"
 
 
 def test_simhash_md5_60_exact_by_construction(spark, sf_mid):
