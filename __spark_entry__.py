@@ -174,7 +174,12 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    return DD.ngram_jaccard_pairs(_docs_with_dups(spark, sf_dir), threshold=0.5)
+    # df_cap=None ONLY here: the DuckDB oracle computes uncapped Jaccard,
+    # so the contract comparison must too. The operator's default is
+    # 'auto' (hot-shingle document-frequency cap) — the corpus-scale mode.
+    return DD.ngram_jaccard_pairs(
+        _docs_with_dups(spark, sf_dir), threshold=0.5, df_cap=None
+    )
 
 
 def q_minhash_lsh(spark, sf_dir):

@@ -35,6 +35,13 @@ from rio_cogeo_spark.synth import MEGACITIES, synth_pages_scaled
 BENCH_ZOOM = 10
 BENCH_LEVELS = 6
 TARGET_PAGES = int(os.environ.get("SPARK_GRAFT_TARGET_PAGES", "2000000"))
+# min-of-k per timed section: this VM's wall-time varies 3-4x minute to
+# minute under outside contention, so a single-pass number is decided by
+# whichever window it lands in (BENCH_r02 fell 16% below r01 on identical
+# code). The minimum of k replicates of identical deterministic work is
+# the least-contended observation — the same protocol BENCH/BASELINE.md
+# already uses for the scaling sessions.
+BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
 
 def build_session(cpus: int) -> SparkSession:
@@ -62,10 +69,21 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
 
-    def timed(name, fn):
-        t0 = time.time()
-        out = fn()
-        timings[name] = round(time.time() - t0, 3)
+    def timed(name, fn, reset=None):
+        """Record min-of-BENCH_REPS wall time for ``fn`` (result of the
+        last rep kept). ``reset`` runs UNtimed before each rep so cache
+        state is identical across reps (e.g. clearCache before each
+        pyramid build — no rep may reuse a prior rep's persisted levels).
+        """
+        out, best = None, None
+        for _ in range(max(1, BENCH_REPS)):
+            if reset is not None:
+                reset()
+            t0 = time.time()
+            out = fn()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
         counts[name] = out
         return out
 
@@ -101,25 +119,29 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
 
     # per-zoom build time FIRST on its own lineage (levels unpersisted as
     # we go) so the numbers aren't cache hits from the pyramid run
-    def _per_zoom():
+    def _per_zoom() -> dict:
         from rio_cogeo_spark.operators.translate import base_tiles, default_bands, next_level
 
         bands = default_bands()
+        t: dict[str, float] = {}
         t0 = time.time()
         level = base_tiles(pages, BENCH_ZOOM, bands).cache()
         level.count()
-        timings[f"zoom_{BENCH_ZOOM}"] = round(time.time() - t0, 3)
+        t[f"zoom_{BENCH_ZOOM}"] = time.time() - t0
         for z in range(BENCH_ZOOM - 1, BENCH_ZOOM - BENCH_LEVELS - 1, -1):
             t0 = time.time()
             nxt = next_level(level, z, 2, bands).cache()
             nxt.count()
-            timings[f"zoom_{z}"] = round(time.time() - t0, 3)
+            t[f"zoom_{z}"] = time.time() - t0
             level.unpersist()
             level = nxt
         level.unpersist()
-        return 0
+        return t
 
-    _per_zoom()
+    for _ in range(max(1, BENCH_REPS)):
+        zt = _per_zoom()
+        for name, dt in zt.items():
+            timings[name] = round(min(dt, timings.get(name, float("inf"))), 3)
 
     # 1. pyramid: tile assign (Arrow UDF) + base agg + overview chain
     def _pyramid():
@@ -128,10 +150,10 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
         )
         return materialize(tiles)
 
-    timed("pyramid", _pyramid)
-
-    # drop the pyramid's persisted levels so later sections aren't timed
-    # under eviction/GC pressure (pages itself streams from parquet)
+    # clearCache before each rep: no rep may inherit a prior rep's
+    # persisted levels; later sections start cache-free too (pages itself
+    # streams from parquet)
+    timed("pyramid", _pyramid, reset=spark.catalog.clearCache)
     spark.catalog.clearCache()
 
     # 2. point-in-polygon broadcast join (cell prefilter + ray-cast refine)
@@ -149,6 +171,7 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
             "n_pages": n_pages,
             "replicate": replicate,
             "counts": counts,
+            "bench_reps": BENCH_REPS,
         }
 
     # 3. kNN via k-ring expansion (10 queries)
@@ -197,6 +220,7 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
         "n_pages": n_pages,
         "replicate": replicate,
         "counts": counts,
+        "bench_reps": BENCH_REPS,
     }
 
 

@@ -86,7 +86,7 @@ def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.5,
     n: int = 3,
-    df_cap: "Optional[int | str]" = None,
+    df_cap: "Optional[int | str]" = "auto",
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via an inverted shingle index —
     no O(N²) cross join. Output: (doc_a, doc_b, jaccard) with doc_a < doc_b
@@ -94,10 +94,13 @@ def ngram_jaccard_pairs(
 
     ``df_cap`` drops ultra-common shingles (document frequency cap) — the
     web-scale guard: a shingle in D docs contributes O(D^2) candidate
-    pairs, so at corpus scale this MUST be on. ``'auto'`` caps at
-    ~100x the mean shingle document-frequency; an int caps explicitly;
-    None keeps all (oracle-exact comparison only — pairs through capped
-    shingles alone are otherwise lost by design, like stopword shingles).
+    pairs, so at corpus scale this MUST be on, hence the ``'auto'``
+    DEFAULT (caps at ~100x the mean shingle document-frequency; boilerplate
+    n-grams shared by millions of pages never reach the pair join). An int
+    caps explicitly; pass ``df_cap=None`` explicitly for the oracle-exact
+    comparison ONLY — pairs reachable solely through capped shingles are
+    dropped by design (like stopword shingles), and an uncapped hot
+    shingle is quadratic at corpus scale.
     """
     par = docs.sparkSession.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < par:
@@ -499,14 +502,35 @@ def _lsh_candidates(
     )
 
 
+def _auto_n_chunks(e: DataFrame, target_chunk_bytes: int) -> int:
+    """Derive the block-matmul chunk count from the corpus: a chunk is
+    ~N/n_chunks * dim float64s and MUST fit comfortably in one executor
+    task (two chunks are resident per matmul), so n_chunks grows linearly
+    with total corpus bytes — a fixed constant overflows executor memory
+    the moment the corpus outgrows it. Floor: enough chunk PAIRS
+    (n*(n+1)/2) to occupy every core."""
+    import math
+
+    first = e.select(F.size("embedding").alias("d")).first()
+    if first is None:
+        return 1
+    n = e.count()
+    dim = int(first["d"])
+    by_size = math.ceil(n * dim * 8 / target_chunk_bytes)
+    par = e.sparkSession.sparkContext.defaultParallelism
+    by_par = math.ceil(math.sqrt(2 * par))
+    return max(by_size, by_par, 1)
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
     candidates: str = "block",
-    n_chunks: int = 16,
+    n_chunks: "Optional[int]" = None,
     n_planes: int = 8,
     ring: int = 2,
     seed: int = 42,
+    target_chunk_bytes: int = 64 * 1024 * 1024,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (vec_a < vec_b, cos >= threshold).
 
@@ -516,6 +540,9 @@ def embedding_neardup_pairs(
     - ``'block'`` (default): blocked-matmul candidates — **exact** at any
       threshold, no BroadcastNestedLoopJoin in the plan (see
       :func:`_block_matmul_candidates` for the 100 TB organization).
+      ``n_chunks=None`` (default) auto-sizes chunks so each holds
+      ~``target_chunk_bytes`` of vectors regardless of corpus size
+      (:func:`_auto_n_chunks`); pass an int to pin it.
     - ``'lsh'``: sign-LSH bucket ring — sub-quadratic but approximate;
       measured recall at threshold 0.4 on the sandbox embeddings is ~0.4
       (the qualifying pairs sit just above the threshold in otherwise
@@ -528,6 +555,8 @@ def embedding_neardup_pairs(
     """
     e = embeddings.select("vec_id", "embedding")
     if candidates == "block":
+        if n_chunks is None:
+            n_chunks = _auto_n_chunks(e, target_chunk_bytes)
         cand = _block_matmul_candidates(e, threshold, n_chunks)
     elif candidates == "lsh":
         cand = _lsh_candidates(e, n_planes, ring, seed)

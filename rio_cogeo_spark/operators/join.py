@@ -331,77 +331,92 @@ def knn_kring_exact(
              within the chosen bound.
     fallback queries with fewer than k phase-1 candidates (empty
              neighborhoods) take the exact broadcast scan.
+
+    The routing step is a vectorized pandas UDF over the per-query
+    aggregate DataFrame (never a driver collect), so the query set can
+    itself be a large table: the only eager materializations are two
+    ``localCheckpoint``s of O(k·|queries|) and O(|queries|) rows, both
+    distributed.
     """
     from rio_cogeo_spark.functions.tile import k_ring_cells_var
 
-    spark = pages.sparkSession
     with_cell = pages.withColumn("cell", cell_id(F.col("lon"), F.col("lat"), zoom))
 
+    # phase 1 output is O(k·|queries|): checkpoint it so the stats agg,
+    # the routing pass and the done-branch join all reuse one computation
+    # of the big join (lineage truncated; blocks freed when the result
+    # DataFrame is GC'd).
     phase1 = knn_kring(with_cell.drop("cell"), queries_df, k=k, zoom=zoom,
-                       ring=start_ring)
-    stats = (
-        phase1.groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n"), F.max("dist2").alias("dkth"))
-        .collect()
+                       ring=start_ring).localCheckpoint(eager=True)
+    stats = phase1.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n"), F.max("dist2").alias("dkth")
     )
-    st = {r["query_id"]: (r["n"], r["dkth"]) for r in stats}
-    qrows = queries_df.collect()
 
-    done_q, expand_rows, brute_q = [], [], []
-    for r in qrows:
-        n_got, dkth = st.get(r["query_id"], (0, None))
-        if n_got < k:
-            brute_q.append((r["query_id"], r["q_lat"], r["q_lon"]))
-            continue
-        tx, ty = grid.tile_index([r["q_lon"]], [r["q_lat"]], zoom)
-        bound = _ring_coverage_dist2(
-            [r["q_lon"]], [r["q_lat"]], tx, ty, zoom, [start_ring]
-        )[0]
-        if dkth <= bound:
-            done_q.append(r["query_id"])
-            continue
-        lo, hi = start_ring, max_ring
-        while lo < hi:  # smallest ring whose coverage bound covers dkth
-            mid = (lo + hi) // 2
-            b = _ring_coverage_dist2(
-                [r["q_lon"]], [r["q_lat"]], tx, ty, zoom, [mid]
-            )[0]
-            if b >= dkth:
-                hi = mid
-            else:
-                lo = mid + 1
-        b_final = _ring_coverage_dist2(
-            [r["q_lon"]], [r["q_lat"]], tx, ty, zoom, [lo]
-        )[0]
-        if b_final >= dkth:
-            expand_rows.append((r["query_id"], r["q_lat"], r["q_lon"], lo))
-        else:  # even max_ring cannot certify → exact scan
-            brute_q.append((r["query_id"], r["q_lat"], r["q_lon"]))
+    k_, zoom_, sr_, mr_ = int(k), int(zoom), int(start_ring), int(max_ring)
 
-    parts = []
-    if done_q:
-        done_df = spark.createDataFrame([(q,) for q in done_q], "query_id string")
-        parts.append(phase1.join(F.broadcast(done_df), "query_id", "inner"))
-    if expand_rows:
-        exp = spark.createDataFrame(
-            expand_rows, "query_id string, q_lat double, q_lon double, ring int"
-        )
-        qcells = (
-            exp.withColumn("cell", cell_id(F.col("q_lon"), F.col("q_lat"), zoom))
-            .withColumn("cell", F.explode(k_ring_cells_var(F.col("cell"), F.col("ring"))))
-            .select("query_id", "q_lat", "q_lon", "cell")
-        )
-        joined = with_cell.join(F.broadcast(qcells), "cell", "inner")
-        parts.append(_knn_topk(joined, k))
-    if brute_q:
-        bq = spark.createDataFrame(
-            brute_q, "query_id string, q_lat double, q_lon double"
-        )
-        parts.append(knn_bruteforce(pages, bq, k=k))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    @F.pandas_udf("int")
+    def _route(q_lat_s: pd.Series, q_lon_s: pd.Series, n_s: pd.Series,
+               dkth_s: pd.Series) -> pd.Series:
+        # Per-query routing decision, whole Arrow batch at once:
+        #   -2 → exact broadcast scan (under-filled ring, or max_ring
+        #        cannot certify);  -1 → phase-1 answer already certified;
+        #   r>0 → re-probe with ring r (smallest ring whose coverage
+        #        bound covers the phase-1 kth distance — vectorized
+        #        binary search, log2(max_ring) bound evaluations total).
+        lat = q_lat_s.to_numpy(dtype=np.float64)
+        lon = q_lon_s.to_numpy(dtype=np.float64)
+        n_got = n_s.fillna(0).to_numpy(dtype=np.int64)
+        dkth = dkth_s.fillna(np.inf).to_numpy(dtype=np.float64)
+        tx, ty = grid.tile_index(lon, lat, zoom_)
+        out = np.full(lon.shape[0], -2, dtype=np.int64)
+        filled = n_got >= k_
+        if filled.any():
+            bound0 = _ring_coverage_dist2(
+                lon, lat, tx, ty, zoom_, np.full(lon.shape[0], sr_)
+            )
+            done = filled & (dkth <= bound0)
+            out[done] = -1
+            todo = filled & ~done
+            if todo.any():
+                lo = np.full(lon.shape[0], sr_, dtype=np.int64)
+                hi = np.full(lon.shape[0], mr_, dtype=np.int64)
+                while True:
+                    active = todo & (lo < hi)
+                    if not active.any():
+                        break
+                    mid = (lo + hi) // 2
+                    ge = _ring_coverage_dist2(lon, lat, tx, ty, zoom_, mid) >= dkth
+                    hi = np.where(active & ge, mid, hi)
+                    lo = np.where(active & ~ge, mid + 1, lo)
+                b_final = _ring_coverage_dist2(lon, lat, tx, ty, zoom_, lo)
+                out[todo] = np.where(b_final[todo] >= dkth[todo], lo[todo], -2)
+        return pd.Series(out.astype(np.int32))
+
+    routed = (
+        queries_df.join(stats, "query_id", "left")
+        .withColumn("ring", _route(F.col("q_lat"), F.col("q_lon"),
+                                   F.col("n"), F.col("dkth")))
+        .select("query_id", "q_lat", "q_lon", "ring")
+        .localCheckpoint(eager=True)  # O(|queries|) rows, 3 consumers
+    )
+
+    done_ids = routed.filter(F.col("ring") == -1).select("query_id")
+    out_done = phase1.join(F.broadcast(done_ids), "query_id", "inner")
+
+    exp = routed.filter(F.col("ring") > 0)
+    qcells = (
+        exp.withColumn("cell", cell_id(F.col("q_lon"), F.col("q_lat"), zoom))
+        .withColumn("cell", F.explode(k_ring_cells_var(F.col("cell"), F.col("ring"))))
+        .select("query_id", "q_lat", "q_lon", "cell")
+    )
+    out_expand = _knn_topk(with_cell.join(F.broadcast(qcells), "cell", "inner"), k)
+
+    brute_q = routed.filter(F.col("ring") == -2).select("query_id", "q_lat", "q_lon")
+    out_brute = knn_bruteforce(pages, brute_q, k=k)
+
+    # empty branches union to nothing — a 0-query input yields an empty
+    # DataFrame with the output schema (no special-casing)
+    return out_done.unionByName(out_expand).unionByName(out_brute)
 
 
 def zonal_stats(pages: DataFrame, areas: List[AdminArea],

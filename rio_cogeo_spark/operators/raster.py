@@ -237,8 +237,6 @@ def downsample_pixel_level(tiles_px: DataFrame, px: int, kernel: str = "sum") ->
 
     Input/output schema: (zoom, tile_x, tile_y, pixels array<long>).
     """
-    child_zoom = None  # resolved per-group from the data
-
     def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
         z = int(pdf["zoom"].iloc[0])
         ptx = int(pdf["ptx"].iloc[0])

@@ -48,21 +48,27 @@ def ivf_build_centroids(embeddings: DataFrame, vec_col: str = "embedding",
                         list_col: str = "label") -> np.ndarray:
     """IVF coarse quantizer: one centroid per inverted list. Uses the
     existing ``label`` partition as the list assignment (k-means-free;
-    swap in any clustering at ingest). Returns (n_lists, dim)."""
+    swap in any clustering at ingest). Returns (n_lists, dim).
+
+    Mergeable formulation: per-component ``avg`` after ``posexplode`` —
+    partial aggregation combines map-side, so the shuffle carries
+    n_partitions x n_lists x dim partial sums, never a ``collect_list``
+    of whole vectors per group. Only the (n_lists x dim) centroid matrix
+    reaches the driver."""
     rows = (
-        embeddings.groupBy(list_col)
-        .agg(F.transform(
-            F.aggregate(
-                F.collect_list(vec_col),
-                F.array_repeat(F.lit(0.0), F.size(F.first(vec_col))),
-                lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b.cast("double")),
-            ),
-            lambda x: x / F.count(F.lit(1)),
-        ).alias("centroid"))
-        .orderBy(list_col)
+        embeddings.select(list_col, F.posexplode(vec_col).alias("pos", "x"))
+        .groupBy(list_col, "pos")
+        .agg(F.avg(F.col("x").cast("double")).alias("m"))
         .collect()
     )
-    return np.stack([np.asarray(r["centroid"], dtype=np.float64) for r in rows])
+    by_list: dict = {}
+    for r in rows:
+        by_list.setdefault(r[list_col], {})[r["pos"]] = r["m"]
+    labels = sorted(by_list)
+    dim = max(max(d) for d in by_list.values()) + 1
+    return np.array(
+        [[by_list[lbl][p] for p in range(dim)] for lbl in labels], dtype=np.float64
+    )
 
 
 def ivf_assign_lists(embeddings: DataFrame, centroids: np.ndarray,
@@ -89,29 +95,39 @@ def ann_ivf_topk(
     n_probe: int = 3,
     list_col: str = "label",
     include_self: bool = False,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """IVF ANN: vectors are re-assigned to their nearest coarse centroid
     (seeded from ``list_col`` means); each query probes only its
     ``n_probe`` nearest inverted lists, then exact cosine + rank within
     them. Candidates shrink from |corpus| to ~n_probe/n_lists of it —
-    the structure that scales to 10^12 vectors (lists = partitions)."""
-    spark = embeddings.sparkSession
+    the structure that scales to 10^12 vectors (lists = partitions).
+
+    Probe routing is distributed: the (tiny) centroid matrix ships to
+    executors inside the routing UDF's closure and each query's n_probe
+    list is computed vectorized per Arrow batch, then exploded — the
+    query table is never collected, so queries can themselves be a large
+    table. ``broadcast_queries`` keeps the probe side broadcast (right
+    for <=10^6 probe rows); set False to let the optimizer shuffle both
+    sides on ivf_list when the query table is huge."""
     centroids = ivf_build_centroids(embeddings, "embedding", list_col)
     norm_c = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
     indexed = ivf_assign_lists(embeddings, centroids)
+    np_ = int(min(n_probe, norm_c.shape[0]))
 
-    qrows = queries.collect()
-    probe_rows = []
-    for r in qrows:
-        v = np.asarray(r["q_embedding"], dtype=np.float64)
-        sims = norm_c @ (v / np.linalg.norm(v))
-        for lst in np.argsort(-sims)[:n_probe]:
-            probe_rows.append((r["query_id"], int(lst),
-                               [float(x) for x in r["q_embedding"]]))
-    probes = spark.createDataFrame(
-        probe_rows, "query_id long, ivf_list int, q_embedding array<double>"
+    @F.pandas_udf("array<int>")
+    def _probe_lists(qv: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in qv])
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        order = np.argsort(-(m @ norm_c.T), axis=1, kind="stable")[:, :np_]
+        return pd.Series([row.astype(np.int32).tolist() for row in order])
+
+    probes = queries.withColumn(
+        "ivf_list", F.explode(_probe_lists(F.col("q_embedding")))
     )
-    joined = indexed.join(F.broadcast(probes), "ivf_list", "inner")
+    if broadcast_queries:
+        probes = F.broadcast(probes)
+    joined = indexed.join(probes, "ivf_list", "inner")
     if not include_self:
         joined = joined.filter(F.col("vec_id") != F.col("query_id"))
     cos = cosine_rounded(F.col("embedding"), F.col("q_embedding"))

@@ -132,3 +132,31 @@ def test_ann_ivf_finds_planted_near_duplicates(spark, emb):
     top1 = {r["query_id"]: r["vec_id"] for r in got.filter(F.col("rank") == 1).collect()}
     hits = sum(1 for q, v in top1.items() if q == v)
     assert hits >= 19, top1
+
+
+def test_scale_safe_defaults_and_auto_chunks(spark):
+    """Corpus-scale guards are the DEFAULTS: ngram_jaccard_pairs caps hot
+    shingles unless explicitly disabled, and the block-matmul chunk count
+    derives from corpus bytes rather than a fixed constant."""
+    import inspect
+
+    assert inspect.signature(DD.ngram_jaccard_pairs).parameters["df_cap"].default == "auto"
+    assert inspect.signature(DD.embedding_neardup_pairs).parameters["n_chunks"].default is None
+
+    # auto chunk count scales linearly with corpus bytes (dim 4 doubles)
+    def corpus(n):
+        return spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.array(*[(F.col("id") * (i + 1)).cast("double") for i in range(4)]).alias(
+                "embedding"
+            ),
+        )
+
+    small = DD._auto_n_chunks(corpus(100), target_chunk_bytes=1600)
+    big = DD._auto_n_chunks(corpus(1000), target_chunk_bytes=1600)
+    assert small >= 2 and big >= 10 * small // 5  # grows with N
+    assert big >= 20  # 1000 vecs * 32 B = 32000 B / 1600 B
+    # parallelism floor: even a tiny corpus gets enough chunk pairs
+    par = spark.sparkContext.defaultParallelism
+    tiny = DD._auto_n_chunks(corpus(2), target_chunk_bytes=1 << 30)
+    assert tiny * (tiny + 1) // 2 >= par

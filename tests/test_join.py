@@ -153,3 +153,61 @@ def test_range_join_matches_naive(spark, sf_mid):
                         & (F.abs(F.col("ct") - F.col("pt")) <= 3600)).collect()
     }
     assert got == naive and len(naive) > 0
+
+
+def test_knn_exact_empty_query_table(spark, pages):
+    """0 queries → empty result with the output schema (no IndexError)."""
+    q = spark.createDataFrame([], "query_id string, q_lat double, q_lon double")
+    out = J.knn_kring_exact(pages, q, k=5)
+    assert out.columns == ["query_id", "doc_id", "url", "rank", "dist2"]
+    assert out.count() == 0
+
+
+def test_knn_exact_large_query_table(spark, pages):
+    """Routing is distributed (pandas UDF over the phase-1 aggregate, no
+    driver collect of the query table): a 10^4-row query table runs and
+    matches brute force on a deterministic sample of queries."""
+    n_q = 10_000
+    q = (
+        spark.range(n_q)
+        .select(
+            F.concat(F.lit("LQ"), F.col("id")).alias("query_id"),
+            # deterministic spread: lat in [-60, 60), lon in [-180, 180)
+            ((F.col("id") % 120) - 60 + 0.37).cast("double").alias("q_lat"),
+            ((F.col("id") * 7 % 360) - 180 + 0.73).cast("double").alias("q_lon"),
+        )
+    )
+    out = J.knn_kring_exact(pages, q, k=3)
+    got = out.groupBy("query_id").count().filter(F.col("count") != 3).count()
+    assert got == 0
+    assert out.count() == 3 * n_q
+    # value check on a 25-query sample vs brute force
+    sample = q.filter(F.col("id") % 400 == 0).drop("id")
+    brute = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["dist2"])
+        for r in J.knn_bruteforce(pages, sample, k=3).collect()
+    }
+    sample_ids = {r["query_id"] for r in sample.collect()}
+    exact = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["dist2"])
+        for r in out.collect()
+        if r["query_id"] in sample_ids
+    }
+    assert exact == brute
+
+
+def test_ann_ivf_large_query_table(spark, sf_mid):
+    """IVF probe routing is computed in a UDF (queries never collected):
+    every embedding used as a query, n_probe=all ⇒ must equal brute."""
+    from rio_cogeo_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{sf_mid}/embeddings.parquet")
+    queries = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    n_lists = emb.select("label").distinct().count()
+    got = SIM.ann_ivf_topk(emb, queries, k=3, n_probe=n_lists)
+    brute = SIM.ann_bruteforce_topk(emb, queries, k=3)
+    g = {(r["query_id"], r["rank"]): (r["vec_id"], r["cos"]) for r in got.collect()}
+    b = {(r["query_id"], r["rank"]): (r["vec_id"], r["cos"]) for r in brute.collect()}
+    assert g == b and len(g) == 3 * emb.count()
