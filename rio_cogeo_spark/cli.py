@@ -61,6 +61,8 @@ def _meta_from_dir(spark, tiles_dir):
         decimations=pj["decimations"],
     )
     plan.band_meta = pj.get("band_meta") or {}
+    if pj.get("colormap"):
+        plan.colormap = {int(k): tuple(v) for k, v in pj["colormap"].items()}
     if pj.get("nodata") is not None:
         plan.properties["NODATA"] = str(pj["nodata"])
     if pj.get("web_optimized") and pj.get("aligned_levels"):
@@ -157,7 +159,34 @@ def cmd_create(args) -> int:
     blocksize, overview_blocksize = resolve_blocksizes(
         args.blocksize, args.overview_blocksize, args.web_optimized
     )
-    max_zoom = args.zoom_level if args.zoom_level is not None else args.max_zoom
+    # zoom resolution, reference scripts/cli.py:146-156 semantics:
+    # --zoom-level wins; else --source-resolution + --zoom-level-strategy
+    # (grid.zoom_for_res); else --max-zoom. A non-default strategy with
+    # nothing to apply it to is a usage error, never a silent no-op.
+    if args.zoom_level is not None:
+        max_zoom = args.zoom_level
+    elif args.source_resolution is not None:
+        max_zoom = grid.zoom_for_res(
+            args.source_resolution, zoom_level_strategy=args.zoom_level_strategy
+        )
+        print(f"Deriving zoom level {max_zoom} from source resolution "
+              f"{args.source_resolution} ({args.zoom_level_strategy})",
+              file=sys.stderr)
+    else:
+        if args.zoom_level_strategy != "auto":
+            print("--zoom-level-strategy has no effect without "
+                  "--source-resolution or --zoom-level", file=sys.stderr)
+            return 2
+        max_zoom = args.max_zoom
+    colormap = None
+    if args.colormap:
+        with open(args.colormap) as f:
+            colormap = {int(k): tuple(v) for k, v in json.load(f).items()}
+        if len(bands) > 1:
+            # same guard as cog_translate (reference cogeo.py:225-228)
+            print("Cannot add a colormap for multiple bands data.",
+                  file=sys.stderr)
+            return 2
     pages = read_pages(spark, args.pages_path)
     band_meta = {
         b.name: {"scale": 1.0, "offset": 0.0, "merge": b.merge} for b in bands
@@ -195,6 +224,12 @@ def cmd_create(args) -> int:
                 "aligned_levels": args.aligned_levels,
                 "band_meta": band_meta,
                 "nodata": args.nodata,
+                "colormap": (
+                    {str(k): list(v) for k, v in colormap.items()}
+                    if colormap else None
+                ),
+                "zoom_level_strategy": args.zoom_level_strategy,
+                "source_resolution": args.source_resolution,
             },
             f,
         )
@@ -235,6 +270,7 @@ def cmd_info(args) -> int:
     info = cog_info(
         tiles, meta, {"format": "parquet", **plan.properties},
         path=args.tiles_dir, band_meta=plan.band_meta,
+        colormap=plan.colormap, ns_tags=plan.ns_tags,
     )
     if args.json:
         print(json.dumps(info.dict(), default=str))
@@ -291,6 +327,13 @@ def main(argv=None) -> int:
                    dest="aligned_levels",
                    help="Overview levels whose tiles must align with the "
                         "tiling scheme (web-optimized only).")
+    c.add_argument("--source-resolution", type=float, default=None,
+                   dest="source_resolution",
+                   help="Source ground resolution (mercator m/px) from "
+                        "which --zoom-level-strategy derives the max zoom.")
+    c.add_argument("--colormap", default=None,
+                   help="JSON file mapping pixel value -> [R,G,B,A] "
+                        "(single-band datasets only).")
     c.set_defaults(fn=cmd_create)
 
     v = sub.add_parser("validate")

@@ -19,6 +19,26 @@ from rio_cogeo_spark.models import BandMetadata, Geo, IFD, Info, Profile
 from rio_cogeo_spark.operators.validate import cog_validate
 
 
+def _build_tags(
+    properties: Dict[str, str], ns_tags: Optional[Dict[str, Dict[str, str]]]
+) -> Dict[str, Dict[str, str]]:
+    """``Info.Tags`` in the reference's nested-namespace shape
+    (cogeo.py:750-755): flat dataset tags under ``Image Metadata``, the
+    structural namespace under ``Image Structure``, then every custom
+    namespace title-cased (``str.title(ns).replace('_', ' ')``), with
+    DERIVED_SUBDATASETS skipped."""
+    tags: Dict[str, Dict[str, str]] = {
+        "Image Metadata": {k: str(v) for k, v in properties.items()},
+        "Image Structure": {"LAYOUT": "COG"},
+    }
+    for ns, kv in (ns_tags or {}).items():
+        if ns == "DERIVED_SUBDATASETS":
+            continue
+        key = str.title(ns).replace("_", " ")
+        tags[key] = {**tags.get(key, {}), **{str(k): str(v) for k, v in kv.items()}}
+    return tags
+
+
 def cog_info(
     tiles: DataFrame,
     meta: DataFrame,
@@ -26,6 +46,7 @@ def cog_info(
     path: str = "tiles",
     band_meta: Optional[Dict[str, dict]] = None,
     colormap: Optional[Dict[int, tuple]] = None,
+    ns_tags: Optional[Dict[str, Dict[str, str]]] = None,
 ) -> Info:
     properties = properties or {}
     is_valid, errors, warnings = cog_validate(tiles, meta, properties)
@@ -70,7 +91,9 @@ def cog_info(
     if colormap and len(data_bands) == 1:
         colorinterp: tuple = ("palette",)
     else:
-        colorinterp = tuple(band_cols)
+        # data bands only: the internal mask is not a color band in the
+        # reference (rasterio colorinterp never includes the mask plane)
+        colorinterp = tuple(data_bands)
     bmeta = band_meta or {}
     scales = tuple(float(bmeta.get(c, {}).get("scale", 1.0)) for c in band_cols)
     offsets = tuple(float(bmeta.get(c, {}).get("offset", 0.0)) for c in band_cols)
@@ -109,17 +132,19 @@ def cog_info(
             MinZoom=min_zoom,
             MaxZoom=max_zoom,
         ),
-        Tags={
-            "IMAGE_STRUCTURE": {"LAYOUT": "COG"},
-            "DATASET": {k: str(v) for k, v in properties.items()},
-        },
+        Tags=_build_tags(properties, ns_tags),
         Band_Metadata={
             name: BandMetadata(
                 Description=name,
                 ColorInterp=("palette" if colorinterp == ("palette",) else name),
                 Scale=float(bm.get("scale", 1.0)),
                 Offset=float(bm.get("offset", 0.0)),
-                Metadata={"merge": str(bm.get("merge", ""))},
+                # merge rule + forwarded per-band tags (the reference's
+                # Metadata = src_dst.tags(ix), cogeo.py:764)
+                Metadata={
+                    "merge": str(bm.get("merge", "")),
+                    **{str(k): str(v) for k, v in (bm.get("tags") or {}).items()},
+                },
             )
             for name, bm in bmeta.items()
         },

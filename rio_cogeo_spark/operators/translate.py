@@ -117,6 +117,9 @@ class TileJobPlan:
     # per-band metadata: {band: {"scale":…, "offset":…, "description":…}}
     band_meta: Dict[str, Dict[str, object]] = field(default_factory=dict)
     colormap: Optional[Dict[int, Tuple[int, int, int, int]]] = None
+    # namespaced dataset tags (cogeo.py:428-433 forward_ns_tags analog):
+    # {namespace: {key: value}}; surfaced by cog_info as nested Tags
+    ns_tags: Dict[str, Dict[str, str]] = field(default_factory=dict)
 
     @property
     def tms_aligned(self) -> bool:
@@ -334,6 +337,8 @@ def cog_translate(
     add_mask: bool = False,
     colormap: Optional[Dict[int, Tuple[int, int, int, int]]] = None,
     tags: Optional[Dict[str, str]] = None,
+    band_tags: Optional[Dict[str, Dict[str, str]]] = None,
+    ns_tags: Optional[Dict[str, Dict[str, str]]] = None,
     additional_cog_metadata: Optional[Dict[str, str]] = None,
     band_scales: Optional[List[float]] = None,
     band_offsets: Optional[List[float]] = None,
@@ -443,11 +448,26 @@ def cog_translate(
         props["N_MASKED"] = str(invalid_pages.count())
     plan.properties.update(props)
     plan.colormap = colormap
+    # namespaced dataset tags (cogeo.py:428-433 forward_ns_tags: every
+    # source namespace except DERIVED_SUBDATASETS/IMAGE_STRUCTURE is
+    # forwarded; here the namespaces are an explicit input since a pages
+    # table carries no GDAL tag namespaces)
+    for ns, kv in (ns_tags or {}).items():
+        if ns in ("DERIVED_SUBDATASETS", "IMAGE_STRUCTURE"):
+            continue
+        plan.ns_tags[ns] = {str(k): str(v) for k, v in kv.items()}
+    band_tags = band_tags or {}
+    known = {s.name for s in bands}
+    unknown = set(band_tags) - known
+    if unknown:
+        raise ValueError(f"band_tags for unknown bands: {sorted(unknown)}")
     for i, spec in enumerate(bands):
         plan.band_meta[spec.name] = {
             "scale": band_scales[i] if band_scales and i < len(band_scales) else 1.0,
             "offset": band_offsets[i] if band_offsets and i < len(band_offsets) else 0.0,
             "merge": spec.merge,
+            # per-band tags (cogeo.py:397-398 forward_band_tags analog)
+            "tags": {str(k): str(v) for k, v in band_tags.get(spec.name, {}).items()},
         }
 
     levels = [level]

@@ -81,7 +81,12 @@ def cog_validate(
     # web-optimized or custom --blocksize outputs are tiled), not a fixed
     # 512; the fixed size only names the bigness threshold.
     if width > BLOCKSIZE and height > BLOCKSIZE:
-        if max_zoom_row["blocksize_x"] <= 0 or max_zoom_row["blocksize_y"] <= 0:
+        bx, by = max_zoom_row["blocksize_x"], max_zoom_row["blocksize_y"]
+        # striped analog: a GDAL strip has block width == raster width and
+        # block height < raster height (`src.is_tiled` False) — full-width
+        # blocks on a big dataset mean the layout is row-striped, not tiled
+        striped = bx >= width and by < height
+        if bx <= 0 or by <= 0 or striped:
             errors.append("The file is greater than 512x512, but is not tiled.")
 
     # V4 (cogeo.py:533-537): big and no overviews → warning.

@@ -199,3 +199,66 @@ def read_pyramid(spark: SparkSession, root: str) -> DataFrame:
     return spark.read.option("basePath", root).parquet(
         os.path.join(root, "zoom=*")
     )
+
+
+def verify_written_tiles(
+    pages: DataFrame,
+    root: str,
+    bands: Optional[List[BandSpec]] = None,
+    decimation_base: int = 2,
+) -> dict:
+    """Golden-tile verification of the WRITTEN artifact: re-read the
+    committed pyramid from disk, independently recompute every level from
+    the source pages, and compare a per-tile digest over all band values —
+    the parquet analog of the reference's byte-level internal-tile checks
+    (tests/test_web.py:158-238: each tile's bytes must equal a windowed
+    read of the source). Distributed end to end: one full-outer join on
+    the tile key, only the aggregate counts reach the driver.
+
+    Returns {"n_written", "n_fresh", "n_mismatch"}; a clean artifact has
+    n_written == n_fresh and n_mismatch == 0.
+    """
+    spark = pages.sparkSession
+    written = read_pyramid(spark, root)
+    zooms = sorted(r["zoom"] for r in written.select("zoom").distinct().collect())
+    bands = bands or default_bands()
+    band_cols = [c for c in written.columns if c not in ("zoom", "tile_x", "tile_y")]
+
+    # independent recompute of the same level chain (children first)
+    fresh = base_tiles(pages, max(zooms), bands)
+    levels = [fresh]
+    for z in reversed(zooms[:-1]):
+        fresh = next_level(fresh, z, decimation_base, bands)
+        levels.append(fresh)
+    fresh_all = levels[0]
+    for lv in levels[1:]:
+        fresh_all = fresh_all.unionByName(lv)
+
+    def digest(df: DataFrame, name: str) -> DataFrame:
+        return df.select(
+            "zoom", "tile_x", "tile_y",
+            F.md5(F.concat_ws(
+                "|", *[F.col(c).cast("string") for c in band_cols]
+            )).alias(name),
+        )
+
+    joined = digest(written, "d_written").join(
+        digest(fresh_all, "d_fresh"), ["zoom", "tile_x", "tile_y"], "full_outer"
+    )
+    agg = joined.agg(
+        F.count("d_written").alias("n_written"),
+        F.count("d_fresh").alias("n_fresh"),
+        F.sum(
+            F.when(
+                F.col("d_written").isNull()
+                | F.col("d_fresh").isNull()
+                | (F.col("d_written") != F.col("d_fresh")),
+                1,
+            ).otherwise(0)
+        ).alias("n_mismatch"),
+    ).first()
+    return {
+        "n_written": int(agg["n_written"]),
+        "n_fresh": int(agg["n_fresh"]),
+        "n_mismatch": int(agg["n_mismatch"] or 0),
+    }

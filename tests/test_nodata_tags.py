@@ -119,6 +119,6 @@ def test_tags_scales_offsets_forwarding(spark, sf_small):
     info = cog_info(
         tiles, tiles_meta(tiles, plan), plan.properties, band_meta=plan.band_meta
     )
-    assert info.Tags["DATASET"]["AREA_OR_POINT"] == "Point"
+    assert info.Tags["Image Metadata"]["AREA_OR_POINT"] == "Point"
     assert info.Band_Metadata["page_count"].Scale == 2.0
     assert info.Band_Metadata["page_count"].Offset == 100.0

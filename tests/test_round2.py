@@ -603,7 +603,7 @@ def test_cli_end_to_end_web_optimized(spark, sf_small, tmp_path, monkeypatch):
     d = _json.loads(buf.getvalue().strip().splitlines()[-1])
     assert d["COG"] is True
     assert d["Profile"]["Bands"] == 1
-    assert d["Tags"]["DATASET"].get("TILING_SCHEME_ALIGNED_LEVELS") == "2"
+    assert d["Tags"]["Image Metadata"].get("TILING_SCHEME_ALIGNED_LEVELS") == "2"
 
 
 def test_simhash_md5_60_exact_by_construction(spark, sf_mid):

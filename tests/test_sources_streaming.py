@@ -239,3 +239,34 @@ def test_bucketed_join_has_no_exchange(spark, pages):
     n = joined.count()
     shuffled = assigned.join(tiles, ["tile_x", "tile_y"]).count()
     assert n == shuffled
+
+
+def test_written_artifact_tile_verification(tmp_path, spark, pages):
+    """Golden-tile check of the WRITTEN parquet (reference
+    tests/test_web.py:158-238 byte-level analog): per-tile digest of the
+    committed artifact equals an independent recompute — and a corrupted
+    artifact is caught."""
+    root = str(tmp_path / "pyr")
+    SRC.resumable_pyramid(pages, root, max_zoom=8, overview_level=3)
+    rep = SRC.verify_written_tiles(pages, root)
+    assert rep["n_mismatch"] == 0
+    assert rep["n_written"] == rep["n_fresh"] > 0
+
+    # corrupt one level: rewrite z6 with one band value bumped
+    z6 = spark.read.parquet(f"{root}/zoom=6")
+    (
+        z6.withColumn(
+            "page_count",
+            F.when(F.rand(7) < 0.05, F.col("page_count") + 1).otherwise(
+                F.col("page_count")
+            ),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{root}/_tmp_corrupt")
+    )
+    import shutil as _sh
+
+    _sh.rmtree(f"{root}/zoom=6")
+    os.rename(f"{root}/_tmp_corrupt", f"{root}/zoom=6")
+    rep2 = SRC.verify_written_tiles(pages, root)
+    assert rep2["n_mismatch"] > 0
