@@ -30,6 +30,11 @@ def __getattr__(name):
         from rio_cogeo_spark.operators.info import cog_info
 
         return cog_info
+    if name in ("resumable_pyramid", "read_pyramid", "verify_written_tiles",
+                "read_pages"):
+        from rio_cogeo_spark.sources import pages
+
+        return getattr(pages, name)
     if name == "cog_profiles":
         from rio_cogeo_spark.profiles import cog_profiles
 

@@ -37,6 +37,8 @@ def main() -> None:
 
     sections = []
     best_overall = None
+    best_overall_code = None
+    pair_stats: dict = {}
     for n_low, n_high, pinned in pairs:
         ps = [
             s for s in sessions
@@ -53,6 +55,10 @@ def main() -> None:
             for s in ps
         )
         best_sess = max(s["summary"]["scaling_efficiency"] for s in ps)
+        best_sess_code = next(
+            s.get("code", "?") for s in ps
+            if s["summary"]["scaling_efficiency"] == best_sess
+        )
         # conservative cross-session minima, ONLY within one code version
         # (mixing minima across code versions compares implementations)
         last_code = ps[-1].get("code")
@@ -63,7 +69,8 @@ def main() -> None:
         eff = round(bhi["pages_per_sec"] / (ratio * blo["pages_per_sec"]), 3)
         eff_pyr = round(blo["pyramid_sec"] / (ratio * bhi["pyramid_sec"]), 3)
         eff_pip = round(blo["pip_sec"] / (ratio * bhi["pip_sec"]), 3)
-        best_overall = max(best_overall or 0.0, best_sess)
+        if best_overall is None or best_sess > best_overall:
+            best_overall, best_overall_code = best_sess, best_sess_code
         pin_label = (
             " — taskset-pinned to exactly N CPUs (fairest protocol: bounds "
             "JVM + Python workers to the nominal core count)"
@@ -88,8 +95,13 @@ Cross-session per-phase minima at the latest code version
 | local[{n_high}] | {bhi['pyramid_sec']} | {bhi['pip_sec']} | {bhi['pages_per_sec']:,} |
 
 Conservative efficiency {n_low}→{n_high} = {eff}
-(pyramid {eff_pyr}, pip {eff_pip}); best single session = **{best_sess}**.
+(pyramid {eff_pyr}, pip {eff_pip}); best single session = **{best_sess}**
+(measured at code {best_sess_code}{'' if best_sess_code == last_code else ' — an EARLIER revision than the conservative group above'}).
 """)
+        pair_stats[(n_low, n_high, pinned)] = {
+            "eff": eff, "best": best_sess, "best_code": best_sess_code,
+            "last_code": last_code, "n_same": len(same_code),
+        }
 
     md = f"""# BENCH/BASELINE — two-parallelism scaling evidence
 
@@ -106,16 +118,21 @@ deterministic work on a shared VM whose contention varies 3-4x minute
 to minute — raw per-trial data in BENCH/scaling_runs.json).
 
 north_rule target: throughput scaling efficiency ≥ 0.8 from N to 4N
-executors on a real cluster. **Best single-session measurement on this
-sandbox: {best_overall}** — from the taskset-pinned 1→4 pair, which
-bounds the whole process tree (JVM task threads + Python UDF workers)
-to exactly N CPUs and is therefore the faithful N→4N proxy. Individual
-pinned sessions land on both sides of 0.8 depending on which leg a VM
-contention spike hits (all sessions reported below, none discarded);
-the plan-shape evidence for real-cluster scaling is in the final
-section. Unpinned local[N] pairs understate efficiency because the
-low-parallelism baseline borrows extra cores for its Python workers
-(see the 2N-runnable note below).
+executors on a real cluster. **Headline (conservative): current-code
+cross-session per-phase minima on the taskset-pinned 1→4 pair =
+{(pair_stats.get((1, 4, True)) or list(pair_stats.values())[-1])['eff']}
+(code {(pair_stats.get((1, 4, True)) or list(pair_stats.values())[-1])['last_code']},
+{(pair_stats.get((1, 4, True)) or list(pair_stats.values())[-1])['n_same']} sessions).**
+Best single pinned session ever observed: {best_overall}
+(measured at code {best_overall_code}{'' if (pair_stats.get((1, 4, True)) or {}).get('last_code') == best_overall_code else ' — an earlier code revision; it shows what an uncontended window yields, not the current-code conservative estimate'}).
+Taskset pinning bounds the whole process tree (JVM task threads +
+Python UDF workers) to exactly N CPUs and is therefore the faithful
+N→4N proxy. Individual pinned sessions land on both sides of 0.8
+depending on which leg a VM contention spike hits (all sessions
+reported below, none discarded); the plan-shape evidence for
+real-cluster scaling is in the final section. Unpinned local[N] pairs
+understate efficiency because the low-parallelism baseline borrows
+extra cores for its Python workers (see the 2N-runnable note below).
 
 {chr(10).join(sections)}
 ## Environment caveat (measured, not assumed)
