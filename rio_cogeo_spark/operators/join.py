@@ -256,6 +256,7 @@ def knn_kring(
     k: int = 5,
     zoom: int = KNN_ZOOM,
     ring: int = 1,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Scale-path kNN: expand each query's cell into its k-ring (a
     vectorized UDF + explode — no driver-side loop, so the query set can
@@ -264,6 +265,11 @@ def knn_kring(
     shrink from |pages| to the ring occupancy, then exact top-k. Falls
     back to widening callers if a ring under-fills (checked by tests
     against knn_bruteforce); :func:`knn_kring_exact` automates that.
+
+    ``broadcast_queries`` (default True) broadcasts the exploded query
+    cells — right up to ~10^6 probe rows, and the pages side then never
+    shuffles before the top-k. Set False for a query table too large to
+    broadcast: both sides shuffle on the cell key instead.
     """
     from rio_cogeo_spark.functions.tile import k_ring_cells
 
@@ -272,8 +278,10 @@ def knn_kring(
         .withColumn("cell", F.explode(k_ring_cells(F.col("cell"), ring)))
         .select("query_id", "q_lat", "q_lon", "cell")
     )
+    if broadcast_queries:
+        qcells = F.broadcast(qcells)
     with_cell = pages.withColumn("cell", cell_id(F.col("lon"), F.col("lat"), zoom))
-    joined = with_cell.join(F.broadcast(qcells), "cell", "inner")
+    joined = with_cell.join(qcells, "cell", "inner")
     return _knn_topk(joined, k)
 
 
@@ -316,6 +324,7 @@ def knn_kring_exact(
     zoom: int = KNN_ZOOM,
     start_ring: int = 1,
     max_ring: int = 64,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Provably exact k-ring kNN in TWO distributed phases (no per-round
     result collects — the only driver-side data is one aggregate row per
@@ -347,7 +356,8 @@ def knn_kring_exact(
     # of the big join (lineage truncated; blocks freed when the result
     # DataFrame is GC'd).
     phase1 = knn_kring(with_cell.drop("cell"), queries_df, k=k, zoom=zoom,
-                       ring=start_ring).localCheckpoint(eager=True)
+                       ring=start_ring,
+                       broadcast_queries=broadcast_queries).localCheckpoint(eager=True)
     stats = phase1.groupBy("query_id").agg(
         F.count(F.lit(1)).alias("n"), F.max("dist2").alias("dkth")
     )
@@ -409,7 +419,9 @@ def knn_kring_exact(
         .withColumn("cell", F.explode(k_ring_cells_var(F.col("cell"), F.col("ring"))))
         .select("query_id", "q_lat", "q_lon", "cell")
     )
-    out_expand = _knn_topk(with_cell.join(F.broadcast(qcells), "cell", "inner"), k)
+    if broadcast_queries:
+        qcells = F.broadcast(qcells)
+    out_expand = _knn_topk(with_cell.join(qcells, "cell", "inner"), k)
 
     brute_q = routed.filter(F.col("ring") == -2).select("query_id", "q_lat", "q_lon")
     out_brute = knn_bruteforce(pages, brute_q, k=k)
