@@ -346,6 +346,58 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_repetition(spark, sf_dir):
+    """Gopher-style duplicate-bigram repetition signals (pure JVM array
+    expressions; DuckDB twin in TX.repetition_sql())."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    st = TX.repetition_stats(F.col("text"))
+    return docs.select(
+        "doc_id",
+        st["n_bigrams"].alias("n_bigrams"),
+        st["n_distinct_bigrams"].alias("n_distinct_bigrams"),
+        st["top_bigram_count"].alias("top_bigram_count"),
+        st["dup_bigram_frac"].alias("dup_bigram_frac"),
+    )
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark-contamination n-gram overlap: benchmark = every 97th doc
+    (deterministic), corpus = the rest; hit = shared distinct 3-gram.
+    Benchmark shingle set is broadcast — the corpus side never shuffles."""
+    from rio_cogeo_spark.operators.contamination import contamination_hits
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return contamination_hits(corpus, bench, n=3)
+
+
+def q_url_hosts(spark, sf_dir):
+    """URL canonicalization + per-domain aggregation (the unit of crawl
+    policies: rate caps, blocklists, quality priors)."""
+    pages = _pages(spark, sf_dir)
+    return (
+        pages.withColumn("host", TX.host_col(F.col("url")))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
+
+
+def q_dedup_components(spark, sf_dir):
+    """Duplicate-GROUP resolution: minhash-LSH pairs -> connected
+    components (distributed min-label propagation; DuckDB oracle is the
+    recursive-CTE closure over the exact-Jaccard pair set, which the
+    minhash_lsh contract query already proves identical to the LSH
+    pairs)."""
+    docs = _docs_with_dups(spark, sf_dir)
+    pairs = DD.minhash_lsh_pairs(docs, threshold=0.5, num_hashes=128, bands=64)
+    return DD.dedup_components(pairs)
+
+
 def q_pip_semi(spark, sf_dir):
     semi = J.point_in_polygon(_pages(spark, sf_dir), J.build_admin_areas(), how="semi")
     return semi.select("url")
@@ -511,6 +563,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "token_stats_bpe": q_token_stats_bpe,
         "events_hourly": q_events_hourly,
+        "repetition": q_repetition,
+        "contamination": q_contamination,
+        "url_hosts": q_url_hosts,
+        "dedup_components": q_dedup_components,
     }
 
 
@@ -852,4 +908,40 @@ SELECT user_id,
        MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS t_start_sec,
        MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS t_end_sec
 FROM c GROUP BY 1, 2""",
+        "repetition": TX.repetition_sql("documents"),
+        "contamination": f"""
+WITH bench AS (
+  SELECT DISTINCT unnest({_SHINGLES}) AS shingle
+  FROM documents WHERE doc_id % 97 = 0),
+corp AS (
+  SELECT doc_id, unnest({_SHINGLES}) AS shingle
+  FROM documents WHERE doc_id % 97 <> 0)
+SELECT c.doc_id, COUNT(*) AS n_hits
+FROM corp c JOIN bench b USING (shingle)
+GROUP BY 1""",
+        "url_hosts": f"""{_P}
+SELECT {TX.HOST_SQL} AS host, COUNT(*) AS n_pages,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       COUNT(DISTINCT lang) AS n_langs
+FROM pages GROUP BY 1""",
+        "dedup_components": f"""WITH RECURSIVE docs2 AS (
+  SELECT * FROM documents UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
+  FROM documents WHERE doc_id < 50),
+s AS (SELECT doc_id, {_SHINGLES} AS sh FROM docs2),
+s2 AS (SELECT doc_id, sh, len(sh) AS n_sh FROM s WHERE len(sh) > 0),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id
+  WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / CAST(a.n_sh + b.n_sh - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6)
+        >= CAST(0.5 AS DOUBLE)),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b AS a, doc_a AS b FROM pairs),
+nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
+reach AS (SELECT doc_id AS a, doc_id AS b FROM nodes
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+SELECT a AS doc_id, MIN(b) AS component, (a = MIN(b)) AS is_keeper
+FROM reach GROUP BY a""",
     }

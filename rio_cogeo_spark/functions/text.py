@@ -255,6 +255,103 @@ LANG_ID_SQL = rf"""CASE
   ELSE 'fr' END"""
 
 
+# --------------------------------------------------------------------------
+# Repetition signal (Gopher-style duplicate-n-gram quality filter):
+# documents dominated by repeated bigrams are boilerplate/spam. Pure
+# JVM array expressions (no UDF) with an exact DuckDB twin.
+# --------------------------------------------------------------------------
+
+
+def word_bigrams_col(text: Column) -> Column:
+    """NON-distinct word bigram array (repetition needs multiplicity —
+    contrast :func:`~rio_cogeo_spark.operators.dedup.shingles_col`,
+    which is distinct). zip-of-slices, NOT transform-over-sequence: an
+    index lambda re-evaluates the token split per element (O(L²) splits
+    per row); slicing evaluates it twice."""
+    toks = tokens_col(text)
+    n = F.size(toks)
+    gram = F.zip_with(
+        F.slice(toks, F.lit(1), n - 1),
+        F.slice(toks, F.lit(2), n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    # slice() rejects negative lengths, so empty/1-token docs short-circuit
+    return F.when(n >= 2, gram).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(text: Column) -> dict[str, Column]:
+    """Duplicate-bigram repetition signals: ``n_bigrams``,
+    ``n_distinct_bigrams``, ``top_bigram_count`` (occurrences of the most
+    frequent bigram) and ``dup_bigram_frac`` (fraction of bigram slots
+    occupied by repeats, 6dp). O(L²) per row in the distinct-scan, fine
+    for document-length L; everything stays in whole-stage codegen."""
+    bg = word_bigrams_col(text)
+    n = F.size(bg)
+    nd = F.size(F.array_distinct(bg))
+    top = F.coalesce(
+        F.array_max(
+            F.transform(
+                F.array_distinct(bg),
+                lambda d: F.size(F.filter(bg, lambda b: b == d)),
+            )
+        ),
+        F.lit(0),
+    )
+    frac = F.when(n == 0, F.lit(0.0)).otherwise(
+        F.round((n - nd).cast("double") / n.cast("double"), 6)
+    )
+    return {
+        "n_bigrams": n,
+        "n_distinct_bigrams": nd,
+        "top_bigram_count": top,
+        "dup_bigram_frac": frac,
+    }
+
+
+def repetition_sql(table: str = "documents", id_col: str = "doc_id") -> str:
+    """Full DuckDB twin of :func:`repetition_stats`. Stages toks/bg
+    through CTE columns so lambdas reference a materialized list instead
+    of re-splitting the text per element (the naive inline form is
+    O(L³) splits per row and ~35s on 500 docs; this is milliseconds)."""
+    return rf"""
+WITH t AS (SELECT {id_col}, {TOKENS_SQL} AS toks FROM {table}),
+b AS (SELECT {id_col},
+             list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+                            i -> array_to_string(toks[i:i+1], ' ')) AS bg
+      FROM t),
+st AS (SELECT {id_col}, bg, len(bg) AS n, list_distinct(bg) AS dbg FROM b)
+SELECT {id_col},
+       CAST(n AS INT) AS n_bigrams,
+       CAST(len(dbg) AS INT) AS n_distinct_bigrams,
+       CAST(coalesce(list_max(list_transform(dbg,
+                d -> len(list_filter(bg, x -> x = d)))), 0) AS INT)
+           AS top_bigram_count,
+       CASE WHEN n = 0 THEN CAST(0 AS DOUBLE)
+            ELSE round(CAST(n - len(dbg) AS DOUBLE) / CAST(n AS DOUBLE), 6)
+       END AS dup_bigram_frac
+FROM st"""
+
+
+# --------------------------------------------------------------------------
+# URL canonicalization (per-domain aggregation is the unit of most
+# crawl-pipeline policies: rate caps, domain blocklists, quality priors).
+# --------------------------------------------------------------------------
+
+
+def host_col(url: Column) -> Column:
+    """Canonical host: strip scheme, take up to the first '/', drop a
+    leading 'www.'. String ops only — no Java-vs-RE2 regex divergence."""
+    h = F.substring_index(F.substring_index(url, "://", -1), "/", 1)
+    return F.when(h.startswith("www."), F.substring(h, 5, 1 << 30)).otherwise(h)
+
+
+HOST_SQL = (
+    "CASE WHEN split_part(split_part(url, '://', 2), '/', 1) LIKE 'www.%' "
+    "THEN substr(split_part(split_part(url, '://', 2), '/', 1), 5) "
+    "ELSE split_part(split_part(url, '://', 2), '/', 1) END"
+)
+
+
 def fingerprint(text: Column) -> Column:
     """Content fingerprint: md5 of the whitespace-normalized lowercase
     text. MD5 is the cross-engine-identical hash (Spark ``md5`` ==

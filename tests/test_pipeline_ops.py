@@ -1,0 +1,160 @@
+"""Round-3 training-data-pipeline additions: repetition signal,
+benchmark contamination, URL canonicalization, duplicate-group
+resolution (connected components)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from rio_cogeo_spark.functions import text as TX
+from rio_cogeo_spark.operators.contamination import (
+    contamination_hits,
+    contamination_rate,
+)
+from rio_cogeo_spark.operators.dedup import (
+    connected_components,
+    dedup_components,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# --- repetition (duplicate-bigram) signal ---------------------------------
+
+
+def test_repetition_stats_golden(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "a b a b a b"),   # bigrams: ab ba ab ba ab -> 5 total, 2 distinct
+            (2, "w x y z"),        # 3 distinct bigrams, no repeats
+            (3, "solo"),           # < 2 tokens -> all zeros
+        ],
+    )
+    st = TX.repetition_stats(F.col("text"))
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            st["n_bigrams"].alias("n"),
+            st["n_distinct_bigrams"].alias("nd"),
+            st["top_bigram_count"].alias("top"),
+            st["dup_bigram_frac"].alias("frac"),
+        ).collect()
+    }
+    assert (rows[1]["n"], rows[1]["nd"], rows[1]["top"]) == (5, 2, 3)
+    assert rows[1]["frac"] == pytest.approx(0.6)
+    assert (rows[2]["n"], rows[2]["nd"], rows[2]["top"]) == (3, 3, 1)
+    assert rows[2]["frac"] == 0.0
+    assert (rows[3]["n"], rows[3]["nd"], rows[3]["top"]) == (0, 0, 0)
+    assert rows[3]["frac"] == 0.0
+
+
+def test_repetition_matches_duckdb_twin(spark, tmp_path):
+    duckdb = pytest.importorskip("duckdb")
+    df = _docs(
+        spark,
+        [(i, " ".join(f"t{(i * j) % 7}" for j in range(12))) for i in range(30)],
+    )
+    p = str(tmp_path / "docs.parquet")
+    df.write.parquet(p)
+    st = TX.repetition_stats(F.col("text"))
+    got = sorted(
+        df.select(
+            "doc_id",
+            st["n_bigrams"].alias("n_bigrams"),
+            st["n_distinct_bigrams"].alias("n_distinct_bigrams"),
+            st["top_bigram_count"].alias("top_bigram_count"),
+            st["dup_bigram_frac"].alias("dup_bigram_frac"),
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM parquet_scan('{p}/*.parquet')"
+    )
+    want = sorted(con.execute(TX.repetition_sql("documents")).fetchall())
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+# --- URL canonicalization --------------------------------------------------
+
+
+def test_host_col_golden(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://www.example.com/a/b",),
+            ("http://sub.example.org/",),
+            ("https://example.net",),
+        ],
+        "url string",
+    )
+    hosts = [r[0] for r in df.select(TX.host_col(F.col("url"))).collect()]
+    assert hosts == ["example.com", "sub.example.org", "example.net"]
+
+
+# --- contamination ---------------------------------------------------------
+
+
+def test_contamination_hits_and_rate(spark):
+    corpus = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta"),      # shares 'alpha beta gamma' + 'beta gamma delta'
+            (2, "epsilon zeta eta theta"),      # no overlap
+            (3, "beta gamma delta zeta"),       # shares only 'beta gamma delta'
+        ],
+    )
+    bench = _docs(spark, [(100, "alpha beta gamma delta epsilon")])
+    hits = {
+        r["doc_id"]: r["n_hits"]
+        for r in contamination_hits(corpus, bench, n=3).collect()
+    }
+    assert hits == {1: 2, 3: 1}  # doc 2 clean -> absent
+    rate = {
+        r["doc_id"]: r
+        for r in contamination_rate(corpus, bench, n=3).collect()
+    }
+    assert rate[1]["n_shingles"] == 2 and rate[1]["hit_frac"] == pytest.approx(1.0)
+    assert rate[3]["n_shingles"] == 2 and rate[3]["hit_frac"] == pytest.approx(0.5)
+
+
+def test_contamination_plan_broadcasts_benchmark(spark):
+    corpus = _docs(spark, [(i, f"w{i} w{i + 1} w{i + 2} w{i + 3}") for i in range(50)])
+    bench = _docs(spark, [(999, "w1 w2 w3")])
+    plan = contamination_hits(corpus, bench, n=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+# --- connected components --------------------------------------------------
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, "doc_a long, doc_b long")
+
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3-4-5 needs multiple propagation rounds; 10-11 separate
+    pairs = _pairs(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)])
+    comp = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_dedup_components_keeper_flags(spark):
+    pairs = _pairs(spark, [(7, 3), (3, 9), (20, 21)])
+    rows = {r["doc_id"]: r for r in dedup_components(pairs).collect()}
+    assert rows[3]["component"] == 3 and rows[3]["is_keeper"]
+    assert rows[7]["component"] == 3 and not rows[7]["is_keeper"]
+    assert rows[9]["component"] == 3 and not rows[9]["is_keeper"]
+    assert rows[20]["is_keeper"] and not rows[21]["is_keeper"]
+
+
+def test_connected_components_empty_pairs(spark):
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    out = connected_components(pairs)
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "component"]
