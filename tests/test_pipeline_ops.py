@@ -158,3 +158,37 @@ def test_connected_components_empty_pairs(spark):
     out = connected_components(pairs)
     assert out.count() == 0
     assert out.columns == ["doc_id", "component"]
+
+
+def test_star_components_matches_label_propagation(spark):
+    import random
+
+    rng = random.Random(7)
+    nodes = list(range(60))
+    edges = [
+        (a, b)
+        for a, b in (
+            (rng.choice(nodes), rng.choice(nodes)) for _ in range(80)
+        )
+        if a != b
+    ]
+    pairs = _pairs(spark, edges)
+    from rio_cogeo_spark.operators.dedup import connected_components_star
+
+    lab = sorted(map(tuple, connected_components(pairs).collect()))
+    star = sorted(map(tuple, connected_components_star(pairs).collect()))
+    assert lab == star
+
+
+def test_star_components_long_chain_few_rounds(spark):
+    """A 300-node path has diameter 299 — label propagation at its
+    default max_iter cannot finish, the O(log n) star algorithm must."""
+    from rio_cogeo_spark.operators.dedup import connected_components_star
+
+    pairs = _pairs(spark, [(i, i + 1) for i in range(299)])
+    comp = {
+        r["doc_id"]: r["component"]
+        for r in connected_components_star(pairs, max_iter=15).collect()
+    }
+    assert len(comp) == 300
+    assert set(comp.values()) == {0}
