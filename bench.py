@@ -189,6 +189,34 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
         ),
     )
 
+    # 4b. repetition signal + benchmark contamination over documents
+    # (JVM-expression text ops; contamination broadcasts the benchmark
+    # shingle set so the corpus side never shuffles)
+    from rio_cogeo_spark.functions.text import repetition_stats
+    from rio_cogeo_spark.operators.contamination import contamination_hits
+
+    rep = repetition_stats(F.col("text"))
+    timed(
+        "repetition",
+        lambda: materialize(
+            docs.select(
+                "doc_id",
+                rep["top_bigram_count"].alias("top_bigram_count"),
+                rep["dup_bigram_frac"].alias("dup_bigram_frac"),
+            )
+        ),
+    )
+    timed(
+        "contamination",
+        lambda: materialize(
+            contamination_hits(
+                docs.filter(F.col("doc_id") % 97 != 0),
+                docs.filter(F.col("doc_id") % 97 == 0),
+                n=3,
+            )
+        ),
+    )
+
     # 5. ANN brute-force top-k over embeddings
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q_emb = emb.filter(F.col("vec_id") < 10).select(

@@ -63,11 +63,14 @@ def windowed_rollup_batch(events: DataFrame, window: str = "1 hour") -> DataFram
     )
 
 
-def run_stream_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
+def run_stream_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
     """Drive a streaming query to completion over the bounded source
-    (memory sink + processAllAvailable) and return the result table."""
+    (memory sink + processAllAvailable) and return the result table.
+    ``output_mode='append'`` for non-aggregating operators (dedup)."""
     q = (
-        stream_df.writeStream.outputMode("complete")
+        stream_df.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(name)
         .start()

@@ -192,3 +192,39 @@ def test_star_components_long_chain_few_rounds(spark):
     }
     assert len(comp) == 300
     assert set(comp.values()) == {0}
+
+
+# --- streaming dedup -------------------------------------------------------
+
+
+def test_streaming_dedup_first_seen(spark, tmp_path):
+    """Streaming exact-dedup emits one row per content fingerprint and
+    agrees with the batch fingerprint set."""
+    import datetime
+
+    from rio_cogeo_spark.streaming.dedup import dedup_stream
+    from rio_cogeo_spark.streaming.events import run_stream_to_memory
+
+    base = datetime.datetime(2026, 1, 1)
+    rows = [
+        (i, f"doc text {i % 20}", base + datetime.timedelta(seconds=i))
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, ts timestamp")
+    src = str(tmp_path / "docs_stream")
+    df.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    got = run_stream_to_memory(
+        dedup_stream(stream, ts_col="ts"), "dedup_stream_test",
+        output_mode="append",
+    )
+    out = got.collect()
+    assert len(out) == 20
+    batch_fps = {
+        r["fp"]
+        for r in df.select(TX.fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+        .collect()
+    }
+    assert {r["fp"] for r in out} == batch_fps
