@@ -146,6 +146,22 @@ def main() -> None:
         must_not=[r"BroadcastNestedLoopJoin", r"CartesianProduct"],
     )
 
+    # 8. benchmark contamination: the benchmark shingle set must broadcast
+    # (corpus side never shuffles before the per-doc hit aggregation)
+    from rio_cogeo_spark.operators.contamination import contamination_hits
+
+    cont = contamination_hits(
+        docs_d.filter(F.col("doc_id") % 97 != 0),
+        docs_d.filter(F.col("doc_id") % 97 == 0),
+        n=3,
+    )
+    audit(
+        "contamination (benchmark shingles broadcast)",
+        cont,
+        must=[r"BroadcastHashJoin|BroadcastExchange"],
+        must_not=[r"SortMergeJoin"],
+    )
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:
