@@ -398,6 +398,39 @@ def q_dedup_components(spark, sf_dir):
     return DD.dedup_components(pairs)
 
 
+def q_clean_corpus(spark, sf_dir):
+    """FLAGSHIP composite: the full training-data filtering pipeline as
+    ONE declarative plan — benchmark-member removal, exact-dup keeper
+    (hash groupBy), language-ID, quality score, repetition filter, and
+    contamination anti-join (broadcast benchmark shingles). Every stage
+    is an individually-oracle-proven op; Catalyst fuses the stateless
+    projections into one pass over the corpus, and the only shuffles are
+    the fingerprint groupBy and the final tiny aggregation."""
+    from rio_cogeo_spark.operators.contamination import contamination_hits
+
+    docs2 = _docs_with_dups(spark, sf_dir)
+    bench = docs2.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs2.filter(F.col("doc_id") % 97 != 0)
+    t = F.col("text")
+    rep = TX.repetition_stats(t)
+    kept = DD.exact_dedup(corpus).select(
+        "doc_id",
+        TX.lang_id(t).alias("pred_lang"),
+        TX.quality_score(t).alias("quality"),
+        rep["dup_bigram_frac"].alias("dup_frac"),
+    )
+    hits = contamination_hits(corpus, bench, n=3)
+    return (
+        kept.filter(
+            (F.col("pred_lang") == "en")
+            & (F.col("quality") >= 0.25)
+            & (F.col("dup_frac") <= 0.1)
+        )
+        .join(hits, "doc_id", "left_anti")
+        .select("doc_id", "pred_lang", "quality", "dup_frac")
+    )
+
+
 def q_pip_semi(spark, sf_dir):
     semi = J.point_in_polygon(_pages(spark, sf_dir), J.build_admin_areas(), how="semi")
     return semi.select("url")
@@ -567,6 +600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "url_hosts": q_url_hosts,
         "dedup_components": q_dedup_components,
+        "clean_corpus": q_clean_corpus,
     }
 
 
@@ -944,4 +978,29 @@ reach AS (SELECT doc_id AS a, doc_id AS b FROM nodes
           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
 SELECT a AS doc_id, MIN(b) AS component, (a = MIN(b)) AS is_keeper
 FROM reach GROUP BY a""",
+        "clean_corpus": f"""{_DOCS2}
+, corpus AS (SELECT * FROM docs2 WHERE doc_id % 97 <> 0),
+fpk AS (SELECT MIN(doc_id) AS doc_id FROM corpus
+        GROUP BY {TX.FINGERPRINT_SQL}),
+bsh AS (SELECT DISTINCT unnest({_SHINGLES}) AS shingle
+        FROM docs2 WHERE doc_id % 97 = 0),
+csh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM corpus),
+hits AS (SELECT DISTINCT c.doc_id FROM csh c JOIN bsh b USING (shingle)),
+rt AS (SELECT doc_id, {TX.TOKENS_SQL} AS toks FROM corpus),
+rb AS (SELECT doc_id,
+              list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+                             i -> array_to_string(toks[i:i+1], ' ')) AS bg
+       FROM rt),
+rep AS (SELECT doc_id,
+               CASE WHEN len(bg) = 0 THEN CAST(0 AS DOUBLE)
+                    ELSE round(CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE)
+                               / CAST(len(bg) AS DOUBLE), 6) END AS dup_frac
+        FROM rb)
+SELECT c.doc_id, {TX.LANG_ID_SQL} AS pred_lang,
+       {TX.QUALITY_SCORE_SQL} AS quality, rep.dup_frac AS dup_frac
+FROM corpus c JOIN fpk USING (doc_id) JOIN rep USING (doc_id)
+WHERE {TX.LANG_ID_SQL} = 'en'
+  AND {TX.QUALITY_SCORE_SQL} >= CAST(0.25 AS DOUBLE)
+  AND rep.dup_frac <= CAST(0.1 AS DOUBLE)
+  AND NOT EXISTS (SELECT 1 FROM hits h WHERE h.doc_id = c.doc_id)""",
     }

@@ -217,6 +217,11 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
         ),
     )
 
+    # 4c. flagship composite: full filtering pipeline in one plan
+    import __spark_entry__ as _entry
+
+    timed("clean_corpus", lambda: materialize(_entry.q_clean_corpus(spark, sf_dir)))
+
     # 5. ANN brute-force top-k over embeddings
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q_emb = emb.filter(F.col("vec_id") < 10).select(
