@@ -339,16 +339,30 @@ FROM st"""
 
 
 def host_col(url: Column) -> Column:
-    """Canonical host: strip scheme, take up to the first '/', drop a
-    leading 'www.'. String ops only — no Java-vs-RE2 regex divergence."""
-    h = F.substring_index(F.substring_index(url, "://", -1), "/", 1)
+    """Canonical host: strip the scheme at the FIRST '://' (a second
+    '://' inside a path/query — redirect params embedding another URL —
+    must not win), take up to the first '/', drop a leading 'www.'.
+    Scheme-less input passes through whole. String ops only — no
+    Java-vs-RE2 regex divergence. Twin: :data:`HOST_SQL`.
+
+    ``substring_index(url, '://', 2)`` = text before the 2nd occurrence
+    (the whole string when there are <2), so taking its last-'://'
+    suffix yields the after-FIRST-occurrence remainder for any count.
+    """
+    after_scheme = F.substring_index(
+        F.substring_index(url, "://", 2), "://", -1
+    )
+    h = F.substring_index(after_scheme, "/", 1)
     return F.when(h.startswith("www."), F.substring(h, 5, 1 << 30)).otherwise(h)
 
 
+_HOST_CORE = (
+    "split_part(CASE WHEN strpos(url, '://') > 0 "
+    "THEN substr(url, strpos(url, '://') + 3) ELSE url END, '/', 1)"
+)
 HOST_SQL = (
-    "CASE WHEN split_part(split_part(url, '://', 2), '/', 1) LIKE 'www.%' "
-    "THEN substr(split_part(split_part(url, '://', 2), '/', 1), 5) "
-    "ELSE split_part(split_part(url, '://', 2), '/', 1) END"
+    f"CASE WHEN {_HOST_CORE} LIKE 'www.%' "
+    f"THEN substr({_HOST_CORE}, 5) ELSE {_HOST_CORE} END"
 )
 
 

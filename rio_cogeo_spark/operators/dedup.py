@@ -582,96 +582,6 @@ def embedding_neardup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("vec_a", "vec_b", "cos")
     )
-
-
-# ---------------------------------------------------------------------------
-# Duplicate-group resolution: pairs -> connected components
-# ---------------------------------------------------------------------------
-
-
-def connected_components(
-    pairs: DataFrame,
-    src: str = "doc_a",
-    dst: str = "doc_b",
-    max_iter: int = 50,
-) -> DataFrame:
-    """Resolve near-dup PAIRS into duplicate GROUPS: for every node in
-    the pair graph, ``(doc_id, component)`` where component = min node id
-    reachable — the canonical keeper, making "keep one per group" a
-    single filter. The missing last step of every pair-mining dedup op
-    (minhash_lsh_pairs / ngram_jaccard_pairs / simhash_pairs /
-    embedding_neardup_pairs all feed this).
-
-    Algorithm: distributed min-label propagation. Each round joins the
-    current labels across the symmetric edge list and takes
-    min(own, min(neighbor labels)); converged when no label changed.
-    Rounds = graph diameter, and near-dup components are overwhelmingly
-    small cliques (diameter ~1-2), so 2-3 rounds dominate in practice;
-    a `localCheckpoint` per round truncates lineage so plans stay flat.
-    The per-round convergence check moves ONE scalar (changed-count) to
-    the driver. For adversarial long-chain graphs swap in the
-    large-star/small-star variant (Kiveris et al., "Connected Components
-    in MapReduce", SOCC'14) — O(log n) rounds of the same join shape.
-    """
-    edges = (
-        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(
-            pairs.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-        )
-        .distinct()
-    )
-    labels = (
-        edges.select(F.col("a").alias("doc_id"))
-        .distinct()
-        .withColumn("component", F.col("doc_id"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(max_iter):
-        neigh = (
-            edges.join(
-                labels.withColumnRenamed("doc_id", "b"), "b"
-            )
-            .groupBy(F.col("a").alias("doc_id"))
-            .agg(F.min("component").alias("neigh_min"))
-        )
-        new_labels = (
-            labels.join(neigh, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("neigh_min"), F.col("component")),
-                ).alias("component"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels
-
-
-def dedup_components(docs: DataFrame, pairs: DataFrame,
-                     src: str = "doc_a", dst: str = "doc_b") -> DataFrame:
-    """Per-document duplicate-group assignment over a mined pair set:
-    ``(doc_id, component, is_keeper)`` for every doc that appears in a
-    pair (singletons are trivially their own keeper and are omitted,
-    keeping output bounded by the duplicate population)."""
-    comp = connected_components(pairs, src, dst)
-    return comp.withColumn(
-        "is_keeper", (F.col("doc_id") == F.col("component"))
-    )
-
-
-# ---------------------------------------------------------------------------
-# Duplicate-group resolution: pairs -> connected components
 # ---------------------------------------------------------------------------
 
 
@@ -695,7 +605,9 @@ def connected_components(
     small cliques (diameter ~1-2), so 2-3 rounds dominate in practice;
     a localCheckpoint per round truncates lineage so plans stay flat.
     The per-round convergence check moves ONE scalar (an any-change
-    probe) to the driver. For adversarial long-chain graphs use
+    probe) to the driver. Raises ``RuntimeError`` if the graph's
+    diameter exceeds ``max_iter`` (partial labels would silently keep
+    duplicates); for such long-chain graphs use
     :func:`connected_components_star` — O(log n) rounds regardless of
     diameter.
     """
@@ -740,8 +652,12 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        "(graph diameter > max_iter); use connected_components_star for "
+        "long-chain graphs"
+    )
 
 
 def dedup_components(pairs: DataFrame,

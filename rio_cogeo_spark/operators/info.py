@@ -95,8 +95,11 @@ def cog_info(
         # reference (rasterio colorinterp never includes the mask plane)
         colorinterp = tuple(data_bands)
     bmeta = band_meta or {}
-    scales = tuple(float(bmeta.get(c, {}).get("scale", 1.0)) for c in band_cols)
-    offsets = tuple(float(bmeta.get(c, {}).get("offset", 0.0)) for c in band_cols)
+    # data bands only throughout the Profile: in the reference the
+    # internal mask is not a band, so Bands/Scales/Offsets/ColorInterp
+    # must agree in length (a consumer zips them)
+    scales = tuple(float(bmeta.get(c, {}).get("scale", 1.0)) for c in data_bands)
+    offsets = tuple(float(bmeta.get(c, {}).get("offset", 0.0)) for c in data_bands)
     nodata = (
         float(properties["NODATA"]) if properties.get("NODATA") is not None else None
     )
@@ -110,7 +113,7 @@ def cog_info(
         COG_errors=errors or None,
         COG_warnings=warnings or None,
         Profile=Profile(
-            Bands=len(band_cols),
+            Bands=len(data_bands),
             Width=int(max_row["width"]),
             Height=int(max_row["height"]),
             Tiled=True,

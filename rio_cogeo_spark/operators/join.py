@@ -345,7 +345,12 @@ def knn_kring_exact(
     aggregate DataFrame (never a driver collect), so the query set can
     itself be a large table: the only eager materializations are two
     ``localCheckpoint``s of O(k·|queries|) and O(|queries|) rows, both
-    distributed.
+    distributed. With ``broadcast_queries=False`` neither the exploded
+    ring cells nor the done-id set is broadcast (both scale with
+    |queries|); the brute-force fallback branch still broadcasts its
+    residual, which the adaptive ring routing keeps to the genuinely
+    empty-neighborhood queries — a tiny set for any real point
+    distribution.
     """
     from rio_cogeo_spark.functions.tile import k_ring_cells_var
 
@@ -411,7 +416,9 @@ def knn_kring_exact(
     )
 
     done_ids = routed.filter(F.col("ring") == -1).select("query_id")
-    out_done = phase1.join(F.broadcast(done_ids), "query_id", "inner")
+    if broadcast_queries:
+        done_ids = F.broadcast(done_ids)
+    out_done = phase1.join(done_ids, "query_id", "inner")
 
     exp = routed.filter(F.col("ring") > 0)
     qcells = (

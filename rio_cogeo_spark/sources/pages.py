@@ -235,10 +235,14 @@ def verify_written_tiles(
         fresh_all = fresh_all.unionByName(lv)
 
     def digest(df: DataFrame, name: str) -> DataFrame:
+        # coalesce each band to an explicit marker: concat_ws SKIPS nulls,
+        # so (5, NULL, 7) and (5, 7, NULL) would otherwise digest equal
         return df.select(
             "zoom", "tile_x", "tile_y",
             F.md5(F.concat_ws(
-                "|", *[F.col(c).cast("string") for c in band_cols]
+                "|",
+                *[F.coalesce(F.col(c).cast("string"), F.lit("∅"))
+                  for c in band_cols],
             )).alias(name),
         )
 

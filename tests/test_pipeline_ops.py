@@ -86,11 +86,41 @@ def test_host_col_golden(spark):
             ("https://www.example.com/a/b",),
             ("http://sub.example.org/",),
             ("https://example.net",),
+            # second '://' inside a query param must NOT win
+            ("https://a.com/r?u=https://b.com/x",),
+            # scheme-less passes through whole
+            ("example.com/x",),
         ],
         "url string",
     )
     hosts = [r[0] for r in df.select(TX.host_col(F.col("url"))).collect()]
-    assert hosts == ["example.com", "sub.example.org", "example.net"]
+    assert hosts == [
+        "example.com", "sub.example.org", "example.net", "a.com",
+        "example.com",
+    ]
+
+
+def test_host_col_matches_duckdb_twin(spark):
+    duckdb = pytest.importorskip("duckdb")
+    urls = [
+        "https://www.example.com/a/b",
+        "http://sub.example.org/",
+        "https://example.net",
+        "https://a.com/r?u=https://b.com/x",
+        "example.com/x",
+        "www.plain.net/path",
+        "ftp://files.example.io/a",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [r[0] for r in df.select(TX.host_col(F.col("url"))).collect()]
+    con = duckdb.connect()
+    want = [
+        con.execute(
+            f"SELECT {TX.HOST_SQL} FROM (SELECT ? AS url)", [u]
+        ).fetchone()[0]
+        for u in urls
+    ]
+    assert got == want
 
 
 # --- contamination ---------------------------------------------------------
@@ -178,6 +208,14 @@ def test_star_components_matches_label_propagation(spark):
     lab = sorted(map(tuple, connected_components(pairs).collect()))
     star = sorted(map(tuple, connected_components_star(pairs).collect()))
     assert lab == star
+
+
+def test_label_propagation_raises_beyond_max_iter(spark):
+    """Partial labels would silently keep duplicates — exceeding the
+    round budget must be loud, pointing at the star variant."""
+    pairs = _pairs(spark, [(i, i + 1) for i in range(30)])
+    with pytest.raises(RuntimeError, match="connected_components_star"):
+        connected_components(pairs, max_iter=5)
 
 
 def test_star_components_long_chain_few_rounds(spark):
