@@ -431,6 +431,28 @@ def q_clean_corpus(spark, sf_dir):
     )
 
 
+def q_sample_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (cumulative-weight bins
+    over a cross-engine uniform key hash) — reproducible across engines
+    and reruns, a stateless projection at any scale."""
+    from rio_cogeo_spark.operators.sampling import split_assign
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return split_assign(docs).select("doc_id", "split")
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Per-language deterministic sampling (the training-mix primitive:
+    keep row iff uniform_hash(doc_id) < rate[lang])."""
+    from rio_cogeo_spark.operators.sampling import sample_stratified
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rates = {"en": 0.5, "es": 0.25, "de": 0.1}
+    return sample_stratified(docs, rates, default_rate=0.05).select(
+        "doc_id", "lang"
+    )
+
+
 def q_pip_semi(spark, sf_dir):
     semi = J.point_in_polygon(_pages(spark, sf_dir), J.build_admin_areas(), how="semi")
     return semi.select("url")
@@ -601,6 +623,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_hosts": q_url_hosts,
         "dedup_components": q_dedup_components,
         "clean_corpus": q_clean_corpus,
+        "sample_split": q_sample_split,
+        "sample_stratified": q_sample_stratified,
     }
 
 
@@ -1003,4 +1027,27 @@ WHERE {TX.LANG_ID_SQL} = 'en'
   AND {TX.QUALITY_SCORE_SQL} >= CAST(0.25 AS DOUBLE)
   AND rep.dup_frac <= CAST(0.1 AS DOUBLE)
   AND NOT EXISTS (SELECT 1 FROM hits h WHERE h.doc_id = c.doc_id)""",
+        "sample_split": _sample_split_oracle(),
+        "sample_stratified": _sample_stratified_oracle(),
     }
+
+
+def _sample_split_oracle() -> str:
+    from rio_cogeo_spark.operators.sampling import split_assign_sql
+
+    return (
+        f"SELECT doc_id, {split_assign_sql('doc_id')} AS split "
+        "FROM documents"
+    )
+
+
+def _sample_stratified_oracle() -> str:
+    from rio_cogeo_spark.operators.sampling import uniform_hash_sql
+
+    u = uniform_hash_sql("doc_id")
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE {u} < CASE lang WHEN 'en' THEN CAST(0.5 AS DOUBLE)
+                      WHEN 'es' THEN CAST(0.25 AS DOUBLE)
+                      WHEN 'de' THEN CAST(0.1 AS DOUBLE)
+                      ELSE CAST(0.05 AS DOUBLE) END"""

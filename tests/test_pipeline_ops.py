@@ -266,3 +266,40 @@ def test_streaming_dedup_first_seen(spark, tmp_path):
         .collect()
     }
     assert {r["fp"] for r in out} == batch_fps
+
+
+# --- deterministic sampling ------------------------------------------------
+
+
+def test_sample_stratified_deterministic_and_proportional(spark):
+    from rio_cogeo_spark.operators.sampling import sample_stratified
+
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(2000)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    rates = {"en": 0.5, "de": 0.1}
+    a = sorted(r["doc_id"] for r in sample_stratified(docs, rates).collect())
+    b = sorted(r["doc_id"] for r in sample_stratified(docs, rates).collect())
+    assert a == b  # reproducible
+    kept = sample_stratified(docs, rates)
+    n_en = kept.filter(F.col("lang") == "en").count()
+    n_de = kept.filter(F.col("lang") == "de").count()
+    assert abs(n_en / 1000 - 0.5) < 0.08
+    assert abs(n_de / 1000 - 0.1) < 0.05
+
+
+def test_split_assign_partitions_everything_once(spark):
+    from rio_cogeo_spark.operators.sampling import split_assign
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(5000)], "doc_id long"
+    )
+    out = split_assign(docs, [("train", 0.8), ("val", 0.1), ("test", 0.1)])
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 5000
+    assert abs(counts["train"] / 5000 - 0.8) < 0.05
+    # stable across calls
+    again = split_assign(docs, [("train", 0.8), ("val", 0.1), ("test", 0.1)])
+    joined = out.join(again.withColumnRenamed("split", "split2"), "doc_id")
+    assert joined.filter(F.col("split") != F.col("split2")).count() == 0
