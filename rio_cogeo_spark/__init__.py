@@ -39,4 +39,20 @@ def __getattr__(name):
         from rio_cogeo_spark.profiles import cog_profiles
 
         return cog_profiles
+    # training-data-pipeline suite (beyond-reference operators)
+    if name in ("exact_dedup", "exact_dedup_groups", "ngram_jaccard_pairs",
+                "minhash_lsh_pairs", "simhash_pairs", "embedding_neardup_pairs",
+                "connected_components", "connected_components_star",
+                "dedup_components"):
+        from rio_cogeo_spark.operators import dedup
+
+        return getattr(dedup, name)
+    if name in ("contamination_hits", "contamination_rate"):
+        from rio_cogeo_spark.operators import contamination
+
+        return getattr(contamination, name)
+    if name in ("sample_stratified", "split_assign", "uniform_hash"):
+        from rio_cogeo_spark.operators import sampling
+
+        return getattr(sampling, name)
     raise AttributeError(name)
