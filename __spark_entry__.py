@@ -453,6 +453,26 @@ def q_sample_stratified(spark, sf_dir):
     )
 
 
+def q_search(spark, sf_dir):
+    """Inverted-index bag-of-terms search, exact-integer tf-idf scoring
+    (floor(N*10^6/df) idf — bit-identical across engines regardless of
+    summation order)."""
+    from rio_cogeo_spark.operators.search import search_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return search_topk(docs, ["spark", "hash", "window"], k=20)
+
+
+def q_top_per_lang(spark, sf_dir):
+    """Generic per-group top-k: 3 longest docs per language."""
+    from rio_cogeo_spark.operators.search import topk_per_group
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return topk_per_group(docs, ["lang"], "n_chars", k=3).select(
+        "lang", "doc_id", "n_chars", "rank"
+    )
+
+
 def q_pip_semi(spark, sf_dir):
     semi = J.point_in_polygon(_pages(spark, sf_dir), J.build_admin_areas(), how="semi")
     return semi.select("url")
@@ -625,6 +645,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_corpus": q_clean_corpus,
         "sample_split": q_sample_split,
         "sample_stratified": q_sample_stratified,
+        "search": q_search,
+        "top_per_lang": q_top_per_lang,
     }
 
 
@@ -1029,6 +1051,26 @@ WHERE {TX.LANG_ID_SQL} = 'en'
   AND NOT EXISTS (SELECT 1 FROM hits h WHERE h.doc_id = c.doc_id)""",
         "sample_split": _sample_split_oracle(),
         "sample_stratified": _sample_stratified_oracle(),
+        "search": f"""
+WITH tok AS (SELECT doc_id, unnest({TX.TOKENS_SQL}) AS term FROM documents),
+p AS (SELECT term, doc_id, COUNT(*) AS tf FROM tok
+      WHERE term IN ('spark', 'hash', 'window') GROUP BY 1, 2),
+d AS (SELECT term, COUNT(*) AS df FROM p GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_total FROM documents),
+s AS (SELECT p.doc_id,
+             CAST(SUM(p.tf * ((n.n_total * 1000000) // d.df)) AS BIGINT)
+                 AS score,
+             COUNT(*) AS n_terms_hit
+      FROM p JOIN d USING (term) CROSS JOIN n
+      GROUP BY 1)
+SELECT doc_id, score, n_terms_hit,
+       CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+FROM s QUALIFY rank <= 20""",
+        "top_per_lang": """
+SELECT lang, doc_id, n_chars,
+       CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                               ORDER BY n_chars DESC, doc_id) AS INT) AS rank
+FROM documents QUALIFY rank <= 3""",
     }
 
 

@@ -1,0 +1,109 @@
+"""Inverted-index keyword search over the ``documents`` table.
+
+The retrieval side of a corpus pipeline: build a postings table
+(term → doc, tf), score a bag-of-terms query with tf-idf, return the
+top-k. Scale design (100 TB):
+
+* the postings build is explode → groupBy — map-side combinable, key
+  cardinality = |vocab| × |docs containing each term|; at scale this is
+  the table you bucket by term so query-time lookups are partition
+  pruned joins;
+* a query touches only its terms' postings (`isin` prunes at the scan
+  when postings are stored term-partitioned);
+* document frequencies for the query terms are a tiny aggregate, joined
+  back by term; the corpus size joins in as a broadcast 1-row aggregate
+  (never a driver `.count()` — the plan stays fully declarative/lazy);
+* the final top-k is a window over candidates only (docs sharing ≥1
+  query term), not the corpus.
+
+Scoring is tf × idf with an INTEGER-SCALED idf:
+``idf_scaled = floor(N · 10^6 / df)`` — every intermediate is exact
+BIGINT arithmetic in both Spark and DuckDB, so scores are bit-identical
+regardless of summation order (a float tf-idf sum is associativity-
+dependent and cannot be hash-compared across engines).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from rio_cogeo_spark.functions.text import tokens_col
+
+_IDF_SCALE = 1_000_000
+
+
+def build_postings(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Postings table ``(term, doc_id, tf)`` — one explode + one
+    map-side-combinable groupBy."""
+    return (
+        docs.select(
+            F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("term")
+        )
+        .groupBy("term", id_col)
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def search_topk(
+    docs: DataFrame,
+    terms: List[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents for a bag-of-terms query, scored by
+    ``sum(tf · floor(N·10^6 / df))`` (exact-integer tf-idf; higher =
+    better). Ties break on ascending doc id. Returns
+    ``(doc_id, score, n_terms_hit, rank)``.
+    """
+    postings = build_postings(docs, id_col, text_col).filter(
+        F.col("term").isin(list(terms))
+    )
+    df_by_term = postings.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    n_total = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    scored = (
+        postings.join(F.broadcast(df_by_term), "term")
+        .crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "w",
+            F.col("tf")
+            * F.floor(F.col("n_total") * F.lit(_IDF_SCALE) / F.col("df")).cast(
+                "long"
+            ),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("w").alias("score"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+    )
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: List[str],
+    order_col: str,
+    k: int,
+    tie_col: str = "doc_id",
+    ascending: bool = False,
+) -> DataFrame:
+    """Generic per-group top-k (window + row_number ≤ k): 'best k pages
+    per domain', 'longest k docs per language'. One shuffle on the group
+    key; rank is emitted as ``rank``."""
+    direction = F.asc(order_col) if ascending else F.desc(order_col)
+    w = Window.partitionBy(*group_cols).orderBy(direction, F.asc(tie_col))
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -303,3 +303,47 @@ def test_split_assign_partitions_everything_once(spark):
     again = split_assign(docs, [("train", 0.8), ("val", 0.1), ("test", 0.1)])
     joined = out.join(again.withColumnRenamed("split", "split2"), "doc_id")
     assert joined.filter(F.col("split") != F.col("split2")).count() == 0
+
+
+# --- inverted-index search -------------------------------------------------
+
+
+def test_search_topk_scoring_and_rank(spark):
+    from rio_cogeo_spark.operators.search import search_topk
+
+    docs = _docs(
+        spark,
+        [
+            (1, "spark spark hash"),     # rare-term heavy
+            (2, "spark table table"),
+            (3, "table row value"),      # no query terms -> absent
+            (4, "hash hash hash hash"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in search_topk(docs, ["spark", "hash"], k=10).collect()}
+    assert 3 not in out
+    # df(spark)=2, df(hash)=2, N=4 -> idf_scaled = 2_000_000 each
+    assert out[1]["score"] == 3 * 2_000_000 and out[1]["n_terms_hit"] == 2
+    assert out[4]["score"] == 4 * 2_000_000 and out[4]["n_terms_hit"] == 1
+    assert out[4]["rank"] == 1 and out[1]["rank"] == 2  # 8M > 6M > 4M
+    assert out[2]["rank"] == 3
+
+
+def test_topk_per_group(spark):
+    from rio_cogeo_spark.operators.search import topk_per_group
+
+    df = spark.createDataFrame(
+        [(i, "g" + str(i % 2), i * 10) for i in range(10)],
+        "doc_id long, g string, v long",
+    )
+    out = topk_per_group(df, ["g"], "v", k=2)
+    got = {(r["g"], r["rank"]): r["doc_id"] for r in out.collect()}
+    assert got == {("g0", 1): 8, ("g0", 2): 6, ("g1", 1): 9, ("g1", 2): 7}
+
+
+def test_search_plan_broadcasts_tiny_sides(spark):
+    from rio_cogeo_spark.operators.search import search_topk
+
+    docs = _docs(spark, [(i, f"w{i} spark hash") for i in range(100)])
+    plan = search_topk(docs, ["spark"], k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
