@@ -55,4 +55,8 @@ def __getattr__(name):
         from rio_cogeo_spark.operators import sampling
 
         return getattr(sampling, name)
+    if name in ("build_postings", "search_topk", "topk_per_group"):
+        from rio_cogeo_spark.operators import search
+
+        return getattr(search, name)
     raise AttributeError(name)

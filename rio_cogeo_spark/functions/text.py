@@ -149,6 +149,19 @@ def bpe_token_count(text: Column) -> Column:
 BPE_TOKEN_COUNT_SQL = rf"len(regexp_extract_all(text, '{_BPE_SQL_LIT}'))"
 
 
+# THE cross-engine integer hash: first 15 hex chars of md5 as a 60-bit
+# int. Single definition — dedup (simhash), sampling (uniform_hash) and
+# the rolling fingerprint below all build on it; a prefix-length change
+# here is the only place that could break oracle parity.
+def md5_60(c: Column) -> Column:
+    """60-bit integer from the md5 hex prefix; DuckDB twin
+    :data:`MD5_60_SQL` (hex-literal cast)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+MD5_60_SQL = "CAST(('0x' || substr(md5({c}), 1, 15)) AS BIGINT)"
+
+
 # Karp-Rabin rolling-hash fingerprint over cross-engine token hashes:
 # fp = fold(tokens, acc -> (acc * B + h(tok)) % M), h(tok) = 60-bit md5
 # prefix % M. B=131, M=2^31-1 keep every intermediate < 2^39 (exact in
@@ -160,8 +173,7 @@ _RH_MOD = (1 << 31) - 1
 def rolling_fingerprint(text: Column) -> Column:
     h = F.transform(
         tokens_col(text),
-        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
-        % F.lit(_RH_MOD),
+        lambda t: md5_60(t) % F.lit(_RH_MOD),
     )
     return F.aggregate(
         h,

@@ -302,14 +302,9 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
-def md5_60(c: Column) -> Column:
-    """Cross-engine 60-bit token hash: first 15 hex chars of md5 as int.
-    Identical in DuckDB via :data:`MD5_60_SQL` (hex-literal cast), which
-    makes simhash oracle-pairable (xxhash64 is Spark-only)."""
-    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
-
-
-MD5_60_SQL = "CAST(('0x' || substr(md5({c}), 1, 15)) AS BIGINT)"
+# re-exported from the single definition in functions/text.py (simhash's
+# oracle-pairable hasher; xxhash64 is Spark-only)
+from rio_cogeo_spark.functions.text import MD5_60_SQL, md5_60  # noqa: E402,F401
 
 
 def simhash(docs: DataFrame, bits: int = 64, hasher: str = "xxhash64") -> DataFrame:

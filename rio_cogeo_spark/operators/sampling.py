@@ -20,23 +20,23 @@ from typing import Dict, List, Optional, Tuple
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from rio_cogeo_spark.functions.text import MD5_60_SQL, md5_60
+
 _U_MOD = 1_000_000  # 6 decimal digits of uniformity — plenty for rates
 
 
 def uniform_hash(key: Column) -> Column:
     """Deterministic uniform [0, 1) from a stable key column: 60-bit md5
-    prefix mod 10^6, scaled. Cross-engine identical (see
-    :data:`UNIFORM_HASH_SQL`)."""
-    h = F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast(
-        "long"
-    )
+    prefix mod 10^6, scaled. Cross-engine identical (twin:
+    :func:`uniform_hash_sql`)."""
+    h = md5_60(key.cast("string"))
     return (h % _U_MOD).cast("double") / F.lit(float(_U_MOD))
 
 
 def uniform_hash_sql(key: str) -> str:
+    h = MD5_60_SQL.format(c=f"CAST({key} AS VARCHAR)")
     return (
-        f"CAST(CAST(('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 15)) "
-        f"AS BIGINT) % {_U_MOD} AS DOUBLE) / CAST({_U_MOD} AS DOUBLE)"
+        f"CAST({h} % {_U_MOD} AS DOUBLE) / CAST({_U_MOD} AS DOUBLE)"
     )
 
 

@@ -70,12 +70,11 @@ def search_topk(
     scored = (
         postings.join(F.broadcast(df_by_term), "term")
         .crossJoin(F.broadcast(n_total))
+        # `div` is exact 64-bit integer division; floor(a / b) would go
+        # through doubles and diverge from the oracle's `//` once
+        # N*10^6 exceeds 2^53 (~9e9 docs — inside the design envelope)
         .withColumn(
-            "w",
-            F.col("tf")
-            * F.floor(F.col("n_total") * F.lit(_IDF_SCALE) / F.col("df")).cast(
-                "long"
-            ),
+            "w", F.col("tf") * F.expr(f"(n_total * {_IDF_SCALE}) div df")
         )
         .groupBy(id_col)
         .agg(
@@ -83,11 +82,12 @@ def search_topk(
             F.count(F.lit(1)).alias("n_terms_hit"),
         )
     )
+    # distributed top-k (TakeOrderedAndProject), then rank over the k
+    # survivors only — an unpartitioned row_number window would funnel
+    # EVERY candidate row through one partition
+    topk = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
     w = Window.orderBy(F.desc("score"), F.asc(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return topk.withColumn("rank", F.row_number().over(w))
 
 
 def topk_per_group(
