@@ -222,6 +222,14 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
 
     timed("clean_corpus", lambda: materialize(_entry.q_clean_corpus(spark, sf_dir)))
 
+    # 4d. inverted-index search (exact-integer tf-idf top-k)
+    from rio_cogeo_spark.operators.search import search_topk
+
+    timed(
+        "search",
+        lambda: materialize(search_topk(docs, ["spark", "hash", "window"], k=20)),
+    )
+
     # 5. ANN brute-force top-k over embeddings
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q_emb = emb.filter(F.col("vec_id") < 10).select(
