@@ -347,3 +347,20 @@ def test_search_plan_broadcasts_tiny_sides(spark):
     docs = _docs(spark, [(i, f"w{i} spark hash") for i in range(100)])
     plan = search_topk(docs, ["spark"], k=5)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_sampling_plan_has_no_exchange(spark):
+    """Stratified sampling and split assignment are pure projections —
+    any Exchange in the plan would mean an accidental shuffle."""
+    from rio_cogeo_spark.operators.sampling import sample_stratified, split_assign
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(100)],
+        "doc_id long, lang string",
+    )
+    for df in (
+        sample_stratified(docs, {"en": 0.5}, default_rate=0.1),
+        split_assign(docs),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
