@@ -162,6 +162,20 @@ def main() -> None:
         must_not=[r"SortMergeJoin"],
     )
 
+    # 9. inverted-index search: df + corpus-size join in as broadcasts,
+    # top-k via TakeOrderedAndProject (never an unpartitioned window
+    # over every candidate)
+    from rio_cogeo_spark.operators.search import search_topk
+
+    srch = search_topk(docs_d, ["spark", "hash", "window"], k=20)
+    audit(
+        "search top-k (broadcast stats, distributed TakeOrdered)",
+        srch,
+        must=[r"BroadcastHashJoin|BroadcastNestedLoopJoin",
+              r"TakeOrderedAndProject"],
+        must_not=[r"SortMergeJoin"],
+    )
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:
