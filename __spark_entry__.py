@@ -473,6 +473,16 @@ def q_top_per_lang(spark, sf_dir):
     )
 
 
+def q_chunks(spark, sf_dir):
+    """Document chunking (embedding-pipeline primitive): tokenize ONCE
+    per doc (posexplode), assign chunk by integer position div, rebuild
+    text with an order-deterministic grouped aggregate — one shuffle."""
+    from rio_cogeo_spark.operators.chunking import chunk_docs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_docs(docs, chunk_tokens=16)
+
+
 def q_pip_semi(spark, sf_dir):
     semi = J.point_in_polygon(_pages(spark, sf_dir), J.build_admin_areas(), how="semi")
     return semi.select("url")
@@ -647,6 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "search": q_search,
         "top_per_lang": q_top_per_lang,
+        "chunks": q_chunks,
     }
 
 
@@ -1071,7 +1082,14 @@ SELECT lang, doc_id, n_chars,
        CAST(ROW_NUMBER() OVER (PARTITION BY lang
                                ORDER BY n_chars DESC, doc_id) AS INT) AS rank
 FROM documents QUALIFY rank <= 3""",
+        "chunks": _chunks_oracle(),
     }
+
+
+def _chunks_oracle() -> str:
+    from rio_cogeo_spark.operators.chunking import chunk_docs_sql
+
+    return chunk_docs_sql("documents", chunk_tokens=16)
 
 
 def _sample_split_oracle() -> str:

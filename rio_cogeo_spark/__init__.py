@@ -59,4 +59,8 @@ def __getattr__(name):
         from rio_cogeo_spark.operators import search
 
         return getattr(search, name)
+    if name == "chunk_docs":
+        from rio_cogeo_spark.operators.chunking import chunk_docs
+
+        return chunk_docs
     raise AttributeError(name)

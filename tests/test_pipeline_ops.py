@@ -364,3 +364,41 @@ def test_sampling_plan_has_no_exchange(spark):
     ):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+# --- document chunking -----------------------------------------------------
+
+
+def test_chunk_docs_roundtrip_and_sizes(spark):
+    from rio_cogeo_spark.operators.chunking import chunk_docs
+
+    docs = _docs(
+        spark,
+        [
+            (1, " ".join(f"w{i}" for i in range(10))),  # 10 toks -> 4,4,2
+            (2, "a b c"),                                # one partial chunk
+            (3, ""),  # empty text -> [''] per the shared tokenizer
+        ],
+    )
+    out = chunk_docs(docs, chunk_tokens=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_idx"]] = r
+    assert [by_doc[1][i]["n_tokens"] for i in range(3)] == [4, 4, 2]
+    # ordered concatenation of chunks reconstructs the normalized text
+    recon = " ".join(
+        by_doc[1][i]["chunk_text"] for i in sorted(by_doc[1])
+    )
+    assert recon == " ".join(f"w{i}" for i in range(10))
+    assert by_doc[2][0]["chunk_text"] == "a b c"
+    # the shared whitespace tokenizer maps '' to [''] (one empty token)
+    # in BOTH engines — consistent with token_count('') == 1 suite-wide
+    assert by_doc[3][0]["n_tokens"] == 1 and by_doc[3][0]["chunk_text"] == ""
+
+
+def test_chunk_docs_single_shuffle(spark):
+    from rio_cogeo_spark.operators.chunking import chunk_docs
+
+    docs = _docs(spark, [(i, "x y z w v u t s") for i in range(50)])
+    plan = chunk_docs(docs, chunk_tokens=3)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1
