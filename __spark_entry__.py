@@ -453,6 +453,17 @@ def q_sample_stratified(spark, sf_dir):
     )
 
 
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-weighted domain sampling (alpha=0.5 multilingual-mix
+    primitive): exact-integer ppm rates — domain counts (map-side
+    combine) -> broadcast rates -> stateless filter; the corpus never
+    shuffles."""
+    from rio_cogeo_spark.operators.sampling import temperature_mix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return temperature_mix(docs, target_ppm=400_000).select("doc_id", "lang")
+
+
 def q_search(spark, sf_dir):
     """Inverted-index bag-of-terms search, exact-integer tf-idf scoring
     (floor(N*10^6/df) idf — bit-identical across engines regardless of
@@ -481,6 +492,17 @@ def q_chunks(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return chunk_docs(docs, chunk_tokens=16)
+
+
+def q_pack_chunks(spark, sf_dir):
+    """Sequence packing (pretraining-batch primitive): concat-then-chunk
+    pack assignment — sharded running token sum (one window, one
+    shuffle) + explode over the pack span; all-integer, cross-engine
+    bit-identical."""
+    from rio_cogeo_spark.operators.packing import pack_chunks
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_chunks(docs, context_tokens=64, n_shards=8)
 
 
 def q_pip_semi(spark, sf_dir):
@@ -658,6 +680,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search": q_search,
         "top_per_lang": q_top_per_lang,
         "chunks": q_chunks,
+        "pack_chunks": q_pack_chunks,
+        "temperature_mix": q_temperature_mix,
     }
 
 
@@ -1083,6 +1107,8 @@ SELECT lang, doc_id, n_chars,
                                ORDER BY n_chars DESC, doc_id) AS INT) AS rank
 FROM documents QUALIFY rank <= 3""",
         "chunks": _chunks_oracle(),
+        "pack_chunks": _pack_chunks_oracle(),
+        "temperature_mix": _temperature_mix_oracle(),
     }
 
 
@@ -1090,6 +1116,20 @@ def _chunks_oracle() -> str:
     from rio_cogeo_spark.operators.chunking import chunk_docs_sql
 
     return chunk_docs_sql("documents", chunk_tokens=16)
+
+
+def _pack_chunks_oracle() -> str:
+    from rio_cogeo_spark.operators.packing import pack_chunks_sql
+
+    return pack_chunks_sql("documents", context_tokens=64, n_shards=8)
+
+
+def _temperature_mix_oracle() -> str:
+    from rio_cogeo_spark.operators.sampling import temperature_mix_sql
+
+    return temperature_mix_sql(
+        "documents", target_ppm=400_000, select="d.doc_id, d.lang"
+    )
 
 
 def _sample_split_oracle() -> str:

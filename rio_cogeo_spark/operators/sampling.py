@@ -84,6 +84,99 @@ def split_assign(
     return docs.withColumn(out_col, expr)
 
 
+def temperature_mix(
+    docs: DataFrame,
+    target_ppm: int = 250_000,
+    domain_col: str = "lang",
+    key_col: str = "doc_id",
+    alpha: float = 0.5,
+    weight_scale: int = 1000,
+) -> DataFrame:
+    """Temperature-weighted domain sampling (the multilingual /
+    multi-source mix primitive, XLM-R-style): sample domain ``d`` with
+    probability proportional to ``count_d ** alpha``, down-weighting
+    head domains and up-weighting the tail, at an overall target rate of
+    ``target_ppm`` parts-per-million of the corpus.
+
+    Per-doc keep rate for domain d (before the cap at 1):
+
+        rate_d = target_frac * tot * c_d**(alpha-1) / sum_d' c_d'**alpha
+
+    Exact-integer construction: ``w_d = floor(c_d**alpha *
+    weight_scale)`` quantizes the power once per domain; every later
+    step (sums, products, floor-division to ppm, the keep comparison
+    against the 60-bit key hash) is integer arithmetic in DECIMAL(38,0)
+    / HUGEINT, so the kept set is bit-identical across engines and
+    summation orders — same trick as search.py's integer idf. For the
+    default ``alpha=0.5`` the power is ``sqrt``, which IEEE 754 requires
+    to be correctly rounded, making even the quantization step
+    engine-exact; other alphas go through ``pow`` (documented caveat:
+    last-ulp pow differences could flip a w_d at a floor boundary).
+
+    Plan shape at 100 TB: one map-side-combinable groupBy(domain) count
+    (domain cardinality sized, not corpus sized) → one single-row total
+    → rates broadcast-joined back to the corpus → stateless filter. The
+    corpus is never shuffled. Caps at rate 1 shift the realized mix
+    slightly toward the head, as in the published recipe.
+    """
+    if not 0 < target_ppm <= 1_000_000:
+        raise ValueError("target_ppm must be in (0, 1e6]")
+    c = F.col("c")
+    power = (
+        F.sqrt(c) if alpha == 0.5 else F.pow(c, F.lit(float(alpha)))
+    )
+    counts = docs.groupBy(domain_col).agg(F.count("*").alias("c"))
+    weighted = counts.withColumn(
+        "w", F.floor(power * weight_scale).cast("long")
+    )
+    totals = weighted.agg(
+        F.sum("c").alias("tot"), F.sum("w").alias("totw")
+    )
+    rates = weighted.crossJoin(F.broadcast(totals)).withColumn(
+        "rate_ppm",
+        F.least(
+            F.lit(1_000_000).cast("long"),
+            F.expr(
+                f"CAST({int(target_ppm)} AS DECIMAL(38,0)) * tot * w"
+                " div (CAST(c AS DECIMAL(38,0)) * totw)"
+            ),
+        ),
+    )
+    h = md5_60(F.col(key_col).cast("string"))
+    return (
+        docs.join(F.broadcast(rates.select(domain_col, "rate_ppm")), domain_col)
+        .filter((h % _U_MOD) < F.col("rate_ppm"))
+        .drop("rate_ppm")
+    )
+
+
+def temperature_mix_sql(
+    table: str = "documents",
+    target_ppm: int = 250_000,
+    domain_col: str = "lang",
+    key_col: str = "doc_id",
+    select: str = "doc_id, lang",
+    weight_scale: int = 1000,
+) -> str:
+    """DuckDB twin of :func:`temperature_mix` (alpha = 0.5)."""
+    h = MD5_60_SQL.format(c=f"CAST(d.{key_col} AS VARCHAR)")
+    return rf"""
+WITH c AS (SELECT {domain_col}, COUNT(*) AS c FROM {table} GROUP BY 1),
+w AS (SELECT {domain_col}, c,
+             CAST(floor(sqrt(c) * {weight_scale}) AS BIGINT) AS w
+      FROM c),
+t AS (SELECT CAST(SUM(c) AS HUGEINT) AS tot,
+             CAST(SUM(w) AS HUGEINT) AS totw FROM w),
+r AS (SELECT {domain_col},
+             least(1000000,
+                   CAST(CAST({int(target_ppm)} AS HUGEINT) * tot * w
+                        // (CAST(c AS HUGEINT) * totw) AS BIGINT))
+               AS rate_ppm
+      FROM w, t)
+SELECT {select} FROM {table} d JOIN r USING ({domain_col})
+WHERE {h} % {_U_MOD} < r.rate_ppm"""
+
+
 def split_assign_sql(
     key: str,
     weights: Optional[List[Tuple[str, float]]] = None,
