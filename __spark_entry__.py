@@ -505,6 +505,52 @@ def q_pack_chunks(spark, sf_dir):
     return pack_chunks(docs, context_tokens=64, n_shards=8)
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction (email / IPv4 / long-digit-ID), staged counts +
+    scrubbed-text digest — one whole-stage-codegen projection, no
+    shuffle. Synthetic PII is injected per-doc so counts are non-trivial
+    on both engines."""
+    from rio_cogeo_spark.functions.text import pii_scrub
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".0.1 ref 9"),
+            F.lpad(F.col("doc_id").cast("string"), 8, "0"),
+        ).alias("text"),
+    )
+    out = pii_scrub(injected)
+    return out.select(
+        "doc_id",
+        "n_emails",
+        "n_ips",
+        "n_ids",
+        F.length("clean_text").alias("clean_len"),
+        F.md5(F.encode(F.col("clean_text"), "utf-8")).alias("clean_md5"),
+    )
+
+
+def q_zorder(spark, sf_dir):
+    """Z-order (Morton) layout key over the base tile grid — the
+    clustered-write key for bbox locality; pure BIGINT shift/mask
+    expressions, bit-identical cross-engine."""
+    from rio_cogeo_spark.functions.tile import morton_key
+
+    tiles = base_tiles(_pages(spark, sf_dir), ZOOM)
+    return tiles.select(
+        "tile_x",
+        "tile_y",
+        morton_key(F.col("tile_x"), F.col("tile_y")).alias("zkey"),
+        "page_count",
+    )
+
+
 def q_pip_semi(spark, sf_dir):
     semi = J.point_in_polygon(_pages(spark, sf_dir), J.build_admin_areas(), how="semi")
     return semi.select("url")
@@ -682,6 +728,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunks": q_chunks,
         "pack_chunks": q_pack_chunks,
         "temperature_mix": q_temperature_mix,
+        "pii_scrub": q_pii_scrub,
+        "zorder": q_zorder,
     }
 
 
@@ -1109,6 +1157,8 @@ FROM documents QUALIFY rank <= 3""",
         "chunks": _chunks_oracle(),
         "pack_chunks": _pack_chunks_oracle(),
         "temperature_mix": _temperature_mix_oracle(),
+        "pii_scrub": _pii_scrub_oracle(),
+        "zorder": _zorder_oracle(),
     }
 
 
@@ -1122,6 +1172,35 @@ def _pack_chunks_oracle() -> str:
     from rio_cogeo_spark.operators.packing import pack_chunks_sql
 
     return pack_chunks_sql("documents", context_tokens=64, n_shards=8)
+
+
+def _pii_scrub_oracle() -> str:
+    from rio_cogeo_spark.functions.text import pii_scrub_sql
+
+    cols = pii_scrub_sql("text")
+    return f"""
+WITH inj AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com from 10.' || CAST(doc_id % 200 AS VARCHAR)
+              || '.0.1 ref 9' || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+           AS text
+  FROM documents)
+SELECT doc_id,
+       {cols['n_emails']} AS n_emails,
+       {cols['n_ips']} AS n_ips,
+       {cols['n_ids']} AS n_ids,
+       CAST(length({cols['clean_text']}) AS INT) AS clean_len,
+       md5({cols['clean_text']}) AS clean_md5
+FROM inj"""
+
+
+def _zorder_oracle() -> str:
+    from rio_cogeo_spark.functions.tile import morton_sql
+
+    return f"""{_BASE_CTE}
+SELECT tile_x, tile_y, {morton_sql('tile_x', 'tile_y')} AS zkey, page_count
+FROM base"""
 
 
 def _temperature_mix_oracle() -> str:

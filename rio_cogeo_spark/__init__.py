@@ -51,10 +51,27 @@ def __getattr__(name):
         from rio_cogeo_spark.operators import contamination
 
         return getattr(contamination, name)
-    if name in ("sample_stratified", "split_assign", "uniform_hash"):
+    if name in ("sample_stratified", "split_assign", "uniform_hash",
+                "temperature_mix"):
         from rio_cogeo_spark.operators import sampling
 
         return getattr(sampling, name)
+    if name in ("pack_chunks", "pack_stats"):
+        from rio_cogeo_spark.operators import packing
+
+        return getattr(packing, name)
+    if name == "pii_scrub":
+        from rio_cogeo_spark.functions.text import pii_scrub
+
+        return pii_scrub
+    if name == "morton_key":
+        from rio_cogeo_spark.functions.tile import morton_key
+
+        return morton_key
+    if name == "write_tiles_zorder":
+        from rio_cogeo_spark.operators.translate import write_tiles_zorder
+
+        return write_tiles_zorder
     if name in ("build_postings", "search_topk", "topk_per_group"):
         from rio_cogeo_spark.operators import search
 

@@ -14,7 +14,7 @@ adjacent so the two stay in sync.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 BODY_OPEN = "<body><!--x-->"
@@ -388,3 +388,69 @@ def fingerprint(text: Column) -> Column:
 
 
 FINGERPRINT_SQL = rf"md5(lower(array_to_string({TOKENS_SQL}, ' ')))"
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing — redact before anything ships to a training corpus
+# --------------------------------------------------------------------------
+
+# Dialect-safe patterns: no lookaround, no backrefs, ASCII classes only —
+# identical semantics under Java regex (Spark) and RE2 (DuckDB).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_IDNUM_RE = r"\b\d{7,}\b"
+
+_PII_STAGES = (
+    ("n_emails", PII_EMAIL_RE, "<EMAIL>"),
+    ("n_ips", PII_IPV4_RE, "<IP>"),
+    ("n_ids", PII_IDNUM_RE, "<ID>"),
+)
+
+
+def pii_scrub_cols(text: Column) -> dict:
+    """Redaction columns: ``{n_emails, n_ips, n_ids, clean_text}``.
+
+    Staged left-to-right (emails, then IPv4s, then 7+-digit ID runs),
+    each stage counting on the previous stage's redacted text, so a
+    digit run inside an already-redacted email is not double-counted —
+    and the staging composes identically in the SQL twin
+    (:func:`pii_scrub_sql`). Pure JVM regexp expressions in one
+    whole-stage-codegen projection: stateless, shuffle-free, linear at
+    any corpus size.
+
+    Reference analog: rio-cogeo strips GDAL-internal metadata before
+    writing user-facing output (cogeo.py:400-435 tag filtering); this is
+    the web-corpus equivalent — strip personal identifiers before the
+    payload is published to a training set.
+    """
+    cols = {}
+    cur = text
+    for name, pattern, token in _PII_STAGES:
+        cols[name] = F.regexp_count(cur, F.lit(pattern))
+        cur = F.regexp_replace(cur, pattern, token)
+    cols["clean_text"] = cur
+    return cols
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", keep_text: bool = True
+) -> DataFrame:
+    """Append PII redaction columns to ``df`` (see
+    :func:`pii_scrub_cols`). ``keep_text=False`` drops the raw text —
+    the production shape, where unredacted bytes must not flow past
+    this operator."""
+    cols = pii_scrub_cols(F.col(text_col))
+    out = df.withColumns(cols)
+    return out.drop(text_col) if not keep_text else out
+
+
+def pii_scrub_sql(text_expr: str = "text") -> dict:
+    """DuckDB twins of :func:`pii_scrub_cols` (same staging order)."""
+    cols = {}
+    cur = text_expr
+    for name, pattern, token in _PII_STAGES:
+        pat = pattern.replace("'", "''")
+        cols[name] = f"CAST(len(regexp_extract_all({cur}, '{pat}')) AS INT)"
+        cur = f"regexp_replace({cur}, '{pat}', '{token}', 'g')"
+    cols["clean_text"] = cur
+    return cols

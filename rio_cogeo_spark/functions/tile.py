@@ -131,3 +131,53 @@ def tile_xy_sql(lon_expr: str, lat_expr: str, zoom: int) -> tuple[str, str]:
         f"CAST({span!r} AS DOUBLE) * CAST({n} AS DOUBLE)) AS BIGINT), 0), {n - 1})"
     )
     return tx, ty
+
+
+# --------------------------------------------------------------------------
+# Z-order (Morton) spatial key — 2-D locality clustering for tile layouts
+# --------------------------------------------------------------------------
+
+# bit-spread masks: interleave a 32-bit value into the even bits of 64
+_SPREAD = (
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+)
+
+
+def _spread_bits(v: Column) -> Column:
+    v = v.bitwiseAND(F.lit(0xFFFFFFFF))
+    for shift, mask in _SPREAD:
+        v = (v.bitwiseOR(F.shiftleft(v, shift))).bitwiseAND(F.lit(mask))
+    return v
+
+
+def morton_key(tile_x: Column, tile_y: Column) -> Column:
+    """Z-order key: interleave the bits of (tile_x, tile_y) so tiles
+    close in 2-D are close in the 1-D key — the layout key for
+    range-partitioned writes where bbox reads should touch few files.
+    Row-major COG order (``zoom, tile_y, tile_x`` — translate.py
+    write_tiles) optimizes full-row scans; Z-order optimizes square
+    window reads. Pure BIGINT shift/mask expressions, whole-stage
+    codegen, bit-identical in DuckDB (:func:`morton_sql`).
+
+    Supports coordinates up to 2^32 (zoom 32); the interleaved result
+    uses the low 64 bits of a BIGINT.
+    """
+    return _spread_bits(tile_x.cast("long")).bitwiseOR(
+        F.shiftleft(_spread_bits(tile_y.cast("long")), 1)
+    )
+
+
+def morton_sql(x_expr: str, y_expr: str) -> str:
+    """DuckDB/ANSI twin of :func:`morton_key`."""
+
+    def spread(e: str) -> str:
+        v = f"(CAST({e} AS BIGINT) & 4294967295)"
+        for shift, mask in _SPREAD:
+            v = f"(({v} | ({v} << {shift})) & {mask})"
+        return v
+
+    return f"({spread(x_expr)} | ({spread(y_expr)} << 1))"
