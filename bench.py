@@ -230,6 +230,21 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
         lambda: materialize(search_topk(docs, ["spark", "hash", "window"], k=20)),
     )
 
+    # 4e. sequence packing + PII scrub over documents (training-data ops)
+    from rio_cogeo_spark.functions.text import pii_scrub
+    from rio_cogeo_spark.operators.packing import pack_chunks
+
+    timed(
+        "pack_chunks",
+        lambda: materialize(pack_chunks(docs, context_tokens=2048, n_shards=32)),
+    )
+    timed(
+        "pii_scrub",
+        lambda: materialize(
+            pii_scrub(docs).select("doc_id", "n_emails", "n_ips", "n_ids")
+        ),
+    )
+
     # 5. ANN brute-force top-k over embeddings
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q_emb = emb.filter(F.col("vec_id") < 10).select(
