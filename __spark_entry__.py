@@ -505,6 +505,16 @@ def q_pack_chunks(spark, sf_dir):
     return pack_chunks(docs, context_tokens=64, n_shards=8)
 
 
+def q_repeated_spans(spark, sf_dir):
+    """Repeated-passage detection (Lee et al. 2022-style substring dedup
+    as DataFrame algebra): positional n-gram hashes -> corpus-wide count
+    (one map-side-combinable shuffle) -> hot-hash broadcast join -> per-
+    doc window merging hits into maximal spans. Bit-exact cross-engine."""
+    from rio_cogeo_spark.operators.passages import repeated_ngram_spans
+
+    return repeated_ngram_spans(_docs_with_dups(spark, sf_dir), n=5, min_count=2)
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII redaction (email / IPv4 / long-digit-ID), staged counts +
     scrubbed-text digest — one whole-stage-codegen projection, no
@@ -730,6 +740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "pii_scrub": q_pii_scrub,
         "zorder": q_zorder,
+        "repeated_spans": q_repeated_spans,
     }
 
 
@@ -1159,6 +1170,7 @@ FROM documents QUALIFY rank <= 3""",
         "temperature_mix": _temperature_mix_oracle(),
         "pii_scrub": _pii_scrub_oracle(),
         "zorder": _zorder_oracle(),
+        "repeated_spans": _repeated_spans_oracle(),
     }
 
 
@@ -1172,6 +1184,14 @@ def _pack_chunks_oracle() -> str:
     from rio_cogeo_spark.operators.packing import pack_chunks_sql
 
     return pack_chunks_sql("documents", context_tokens=64, n_shards=8)
+
+
+def _repeated_spans_oracle() -> str:
+    from rio_cogeo_spark.operators.passages import repeated_ngram_spans_sql
+
+    sql = repeated_ngram_spans_sql("docs2", n=5, min_count=2)
+    # splice the dup-union CTE in front of the operator's own CTE chain
+    return sql.replace("WITH t AS", _DOCS2 + ",\nt AS", 1)
 
 
 def _pii_scrub_oracle() -> str:

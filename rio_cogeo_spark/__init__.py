@@ -60,6 +60,10 @@ def __getattr__(name):
         from rio_cogeo_spark.operators import packing
 
         return getattr(packing, name)
+    if name in ("repeated_ngram_spans", "ngrams_col"):
+        from rio_cogeo_spark.operators import passages
+
+        return getattr(passages, name)
     if name == "pii_scrub":
         from rio_cogeo_spark.functions.text import pii_scrub
 

@@ -1,0 +1,142 @@
+"""Repeated-passage detection — corpus-level exact substring dedup.
+
+"Deduplicating Training Data Makes Language Models Better" (Lee et al.,
+ACL 2022) shows that removing *passages* repeated across a corpus (not
+just whole-document dups) measurably improves models. Their tool builds
+a monolithic suffix array — inherently single-machine. The
+Spark-native equivalent used here: a passage repeated verbatim
+somewhere else in the corpus is a run of token n-grams whose hashes
+each occur >= min_count times corpus-wide. Finding those is pure
+DataFrame algebra:
+
+  1. one O(L) pass builds each doc's positional n-gram array
+     (zip-of-shifted-slices — no per-element re-tokenize), posexplode
+     to (doc, pos, md5(gram));
+  2. groupBy(hash) count — the ONLY corpus-wide shuffle, map-side
+     combinable, key space = distinct n-grams;
+  3. hot hashes (count >= min_count) join back to (doc, pos, hash) —
+     the hot set is tiny relative to the corpus (Zipf), so Spark
+     broadcasts it and the corpus side never shuffles for the join;
+  4. per-doc window merges hit positions closer than ``n`` tokens into
+     maximal spans (gaps under one n-gram length are the same passage).
+
+Every step is integer/md5 arithmetic, so the spans are bit-identical on
+any engine — the DuckDB twin (:func:`repeated_ngram_spans_sql`) is
+exact. A span row ``(doc_id, span_start, span_end, n_hits)`` is the cut
+list a cleaning pipeline applies before packing.
+
+Scale: step 2's cardinality is the corpus's distinct-n-gram count —
+the same class as the inverted-index postings build (search.py), the
+standard web-scale shape. min_count thresholding is the df_cap analog:
+raising it shrinks the hot set linearly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from rio_cogeo_spark.functions.text import tokens_col
+
+
+def ngrams_col(text: Column, n: int) -> Column:
+    """Positional (non-distinct) word n-gram array: element i is the
+    n-gram starting at token i. Zip-of-shifted-slices — O(L) total, one
+    tokenize. Docs shorter than n tokens yield an empty array."""
+    toks = tokens_col(text)
+    m = F.size(toks) - (n - 1)
+    gram = F.slice(toks, F.lit(1), m)
+    for j in range(1, n):
+        gram = F.zip_with(
+            gram,
+            F.slice(toks, F.lit(1 + j), m),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    return F.when(F.size(toks) >= n, gram).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repeated_ngram_spans(
+    docs: DataFrame,
+    n: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Maximal per-document spans of corpus-repeated n-grams.
+
+    Output: ``(doc_id, span_start, span_end, n_hits)`` — token
+    positions, end exclusive (``span_end = last hit pos + n``),
+    ``n_hits`` = repeated n-grams merged into the span. A doc with no
+    repeated passage emits no rows.
+    """
+    if n < 1 or min_count < 2:
+        raise ValueError("need n >= 1 and min_count >= 2")
+    grams = docs.select(
+        F.col(id_col),
+        F.posexplode(ngrams_col(F.col(text_col), n)).alias("pos", "gram"),
+    ).select(id_col, "pos", F.md5(F.encode(F.col("gram"), "utf-8")).alias("h"))
+
+    hot = (
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("h")
+    )
+    hits = grams.join(F.broadcast(hot), "h").select(id_col, "pos")
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    flagged = hits.withColumn(
+        "new_span",
+        F.when(
+            F.col("pos") - F.lag("pos").over(w) <= n, F.lit(0)
+        ).otherwise(F.lit(1)),
+    ).withColumn(
+        "span_id",
+        F.sum("new_span").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return flagged.groupBy(id_col, "span_id").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") + n).cast("long").alias("span_end"),
+        F.count(F.lit(1)).alias("n_hits"),
+    ).drop("span_id")
+
+
+def repeated_ngram_spans_sql(
+    table: str = "documents",
+    n: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`repeated_ngram_spans` (same hash, same
+    merge rule — bit-identical spans)."""
+    from rio_cogeo_spark.functions.text import TOKENS_SQL
+
+    return rf"""
+WITH t AS (SELECT {id_col}, {TOKENS_SQL} AS toks FROM {table}),
+g AS (SELECT {id_col},
+             unnest(list_transform(
+                 generate_series(1, greatest(len(toks) - {n - 1}, 0)),
+                 i -> {{'pos': i - 1,
+                        'h': md5(array_to_string(toks[i:i+{n - 1}], ' '))}}))
+               AS pg
+      FROM t),
+e AS (SELECT {id_col}, pg.pos AS pos, pg.h AS h FROM g),
+hot AS (SELECT h FROM e GROUP BY h HAVING COUNT(*) >= {min_count}),
+hits AS (SELECT {id_col}, pos FROM e JOIN hot USING (h)),
+f AS (SELECT {id_col}, pos,
+             CASE WHEN pos - lag(pos) OVER w <= {n} THEN 0 ELSE 1 END
+               AS new_span
+      FROM hits WINDOW w AS (PARTITION BY {id_col} ORDER BY pos)),
+s AS (SELECT {id_col}, pos,
+             SUM(new_span) OVER (PARTITION BY {id_col} ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) AS span_id
+      FROM f)
+SELECT {id_col}, CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + {n} AS BIGINT) AS span_end,
+       COUNT(*) AS n_hits
+FROM s GROUP BY {id_col}, span_id"""

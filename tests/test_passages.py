@@ -1,0 +1,100 @@
+"""Repeated-passage detection (corpus-level substring dedup)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from rio_cogeo_spark.operators.passages import (
+    ngrams_col,
+    repeated_ngram_spans,
+)
+
+
+def test_ngrams_positional(spark):
+    df = spark.createDataFrame([("a b c d",)], "text string")
+    got = df.select(ngrams_col(F.col("text"), 2).alias("g")).first()["g"]
+    assert got == ["a b", "b c", "c d"]
+    short = spark.createDataFrame([("a",)], "text string")
+    assert short.select(ngrams_col(F.col("text"), 3).alias("g")).first()["g"] == []
+
+
+def test_repeated_spans_golden(spark):
+    """Two docs share the passage 'x1 x2 x3 x4 x5'; doc 3 is unique."""
+    shared = "x1 x2 x3 x4 x5"
+    df = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma delta"),
+            (2, f"{shared} epsilon zeta eta theta iota"),
+            (3, "nothing repeated in this document at all"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {r["doc_id"]: r for r in
+             repeated_ngram_spans(df, n=3, min_count=2).collect()}
+    # doc 3 emits nothing
+    assert 3 not in spans
+    # doc 1: shared passage occupies tokens 2..6 → 3-gram hits at 2,3,4
+    assert spans[1]["span_start"] == 2 and spans[1]["span_end"] == 7
+    assert spans[1]["n_hits"] == 3
+    # doc 2: tokens 0..4 → hits at 0,1,2
+    assert spans[2]["span_start"] == 0 and spans[2]["span_end"] == 5
+    assert spans[2]["n_hits"] == 3
+
+
+def test_repeated_spans_merge_vs_split(spark):
+    """Hits separated by more than n tokens form two spans; within n,
+    one merged span."""
+    p1, p2 = "r1 r2 r3", "s1 s2 s3"
+    df = spark.createDataFrame(
+        [
+            (1, f"{p1} a b c d e f g h i j {p2}"),
+            (2, f"{p1} k l m n o p q r s t {p2}"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = (
+        repeated_ngram_spans(df, n=3, min_count=2)
+        .filter("doc_id = 1")
+        .orderBy("span_start")
+        .collect()
+    )
+    assert len(spans) == 2
+    assert spans[0]["span_start"] == 0 and spans[0]["span_end"] == 3
+    assert spans[1]["span_start"] == 13 and spans[1]["span_end"] == 16
+
+
+def test_repeated_spans_full_dup_doc(spark, sf_mid):
+    """A verbatim duplicated document is one full-length span on both
+    copies."""
+    docs = spark.read.parquet(f"{sf_mid}/documents.parquet").limit(20)
+    dups = docs.filter("doc_id = 0").withColumn(
+        "doc_id", F.lit(999999).cast("long")
+    )
+    both = docs.unionByName(dups)
+    from rio_cogeo_spark.functions.text import token_count
+
+    n_tok = docs.filter("doc_id = 0").select(
+        token_count(F.col("text")).alias("n")
+    ).first()["n"]
+    spans = repeated_ngram_spans(both, n=5, min_count=2)
+    full = spans.filter(
+        (F.col("doc_id").isin(0, 999999))
+        & (F.col("span_start") == 0)
+        & (F.col("span_end") == n_tok)
+    )
+    assert full.count() == 2
+
+
+def test_repeated_spans_plan_broadcast_hot_set(spark, sf_mid):
+    """The hot-hash join must broadcast: the corpus side reaches the
+    span window without an extra join shuffle."""
+    docs = spark.read.parquet(f"{sf_mid}/documents.parquet")
+    plan = repeated_ngram_spans(docs, n=5, min_count=2)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_repeated_spans_rejects_bad_params(spark):
+    with pytest.raises(ValueError):
+        repeated_ngram_spans(None, n=0)
+    with pytest.raises(ValueError):
+        repeated_ngram_spans(None, min_count=1)
