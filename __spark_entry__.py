@@ -515,6 +515,26 @@ def q_repeated_spans(spark, sf_dir):
     return repeated_ngram_spans(_docs_with_dups(spark, sf_dir), n=5, min_count=2)
 
 
+def q_passage_cut(spark, sf_dir):
+    """Span-cut application (completes the substring-dedup pipeline):
+    spans aggregate to per-doc cut arrays, broadcast-join back, one
+    higher-order filter/exists projection rebuilds the text — JVM
+    expressions, no UDF."""
+    from rio_cogeo_spark.operators.passages import (
+        cut_spans,
+        repeated_ngram_spans,
+    )
+
+    docs = _docs_with_dups(spark, sf_dir)
+    spans = repeated_ngram_spans(docs, n=5, min_count=2)
+    out = cut_spans(docs, spans)
+    return out.select(
+        "doc_id",
+        F.md5(F.encode(F.col("clean_text"), "utf-8")).alias("clean_md5"),
+        "n_tokens_removed",
+    )
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII redaction (email / IPv4 / long-digit-ID), staged counts +
     scrubbed-text digest — one whole-stage-codegen projection, no
@@ -741,6 +761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "zorder": q_zorder,
         "repeated_spans": q_repeated_spans,
+        "passage_cut": q_passage_cut,
     }
 
 
@@ -1171,6 +1192,7 @@ FROM documents QUALIFY rank <= 3""",
         "pii_scrub": _pii_scrub_oracle(),
         "zorder": _zorder_oracle(),
         "repeated_spans": _repeated_spans_oracle(),
+        "passage_cut": _passage_cut_oracle(),
     }
 
 
@@ -1192,6 +1214,18 @@ def _repeated_spans_oracle() -> str:
     sql = repeated_ngram_spans_sql("docs2", n=5, min_count=2)
     # splice the dup-union CTE in front of the operator's own CTE chain
     return sql.replace("WITH t AS", _DOCS2 + ",\nt AS", 1)
+
+
+def _passage_cut_oracle() -> str:
+    from rio_cogeo_spark.operators.passages import cut_spans_sql
+
+    inner = cut_spans_sql("docs2", n=5, min_count=2).replace(
+        "WITH t AS", _DOCS2 + ",\nt AS", 1
+    )
+    return (
+        "SELECT doc_id, md5(clean_text) AS clean_md5, n_tokens_removed "
+        f"FROM ({inner}) q"
+    )
 
 
 def _pii_scrub_oracle() -> str:

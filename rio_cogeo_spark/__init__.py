@@ -60,7 +60,7 @@ def __getattr__(name):
         from rio_cogeo_spark.operators import packing
 
         return getattr(packing, name)
-    if name in ("repeated_ngram_spans", "ngrams_col"):
+    if name in ("repeated_ngram_spans", "ngrams_col", "cut_spans"):
         from rio_cogeo_spark.operators import passages
 
         return getattr(passages, name)

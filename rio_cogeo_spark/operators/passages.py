@@ -106,17 +106,57 @@ def repeated_ngram_spans(
     ).drop("span_id")
 
 
-def repeated_ngram_spans_sql(
-    table: str = "documents",
-    n: int = 8,
-    min_count: int = 2,
+def cut_spans(
+    docs: DataFrame,
+    spans: DataFrame,
     id_col: str = "doc_id",
-) -> str:
-    """DuckDB twin of :func:`repeated_ngram_spans` (same hash, same
-    merge rule — bit-identical spans)."""
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a :func:`repeated_ngram_spans` cut list: drop every token
+    covered by a span, rebuild whitespace-normalized text. Output:
+    ``(doc_id, clean_text, n_tokens_removed)``.
+
+    Plan: spans aggregate to one small per-doc cut array (collect_list
+    is order-nondeterministic, but span membership is a set predicate —
+    order never matters), equi-join back, then one higher-order
+    ``filter``/``exists`` projection — JVM expressions, no UDF. Applies
+    the given list verbatim; a keep-one-copy policy is a selection on
+    the spans table before calling this (the cut list is data, not
+    policy).
+    """
+    cuts = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"), F.col("span_end").alias("e")
+            )
+        ).alias("cuts")
+    )
+    joined = docs.join(cuts, id_col, "left").withColumn(
+        "cuts",
+        F.coalesce(F.col("cuts"), F.array().cast("array<struct<s:long,e:long>>")),
+    )
+    toks = tokens_col(F.col(text_col))
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            F.col("cuts"), lambda c: (i >= c["s"]) & (i < c["e"])
+        ),
+    )
+    return joined.select(
+        id_col,
+        F.array_join(kept, " ").alias("clean_text"),
+        (F.size(toks) - F.size(kept)).cast("long").alias("n_tokens_removed"),
+    )
+
+
+def _spans_parts(
+    table: str, n: int, min_count: int, id_col: str
+) -> tuple[str, str]:
+    """(CTE chain, final SELECT) of the DuckDB spans pipeline — split so
+    :func:`cut_spans_sql` can keep composing CTEs after the chain."""
     from rio_cogeo_spark.functions.text import TOKENS_SQL
 
-    return rf"""
+    ctes = rf"""
 WITH t AS (SELECT {id_col}, {TOKENS_SQL} AS toks FROM {table}),
 g AS (SELECT {id_col},
              unnest(list_transform(
@@ -135,8 +175,51 @@ f AS (SELECT {id_col}, pos,
 s AS (SELECT {id_col}, pos,
              SUM(new_span) OVER (PARTITION BY {id_col} ORDER BY pos
                                  ROWS UNBOUNDED PRECEDING) AS span_id
-      FROM f)
-SELECT {id_col}, CAST(MIN(pos) AS BIGINT) AS span_start,
+      FROM f)"""
+    final = rf"""SELECT {id_col}, CAST(MIN(pos) AS BIGINT) AS span_start,
        CAST(MAX(pos) + {n} AS BIGINT) AS span_end,
        COUNT(*) AS n_hits
 FROM s GROUP BY {id_col}, span_id"""
+    return ctes, final
+
+
+def repeated_ngram_spans_sql(
+    table: str = "documents",
+    n: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`repeated_ngram_spans` (same hash, same
+    merge rule — bit-identical spans)."""
+    ctes, final = _spans_parts(table, n, min_count, id_col)
+    return f"{ctes}\n{final}"
+
+
+def cut_spans_sql(
+    table: str = "documents",
+    n: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of the spans → :func:`cut_spans` composition (same
+    tokenizer, same 0-based span predicate — bit-identical text)."""
+    from rio_cogeo_spark.functions.text import TOKENS_SQL
+
+    ctes, final = _spans_parts(table, n, min_count, id_col)
+    return rf"""{ctes},
+spans AS ({final}),
+cuts AS (SELECT {id_col}, list({{'s': span_start, 'e': span_end}}) AS cuts
+         FROM spans GROUP BY {id_col}),
+src AS (SELECT d.{id_col}, {TOKENS_SQL} AS toks,
+               coalesce(c.cuts, []) AS cuts
+        FROM {table} d LEFT JOIN cuts c USING ({id_col})),
+k AS (SELECT {id_col}, toks,
+             list_filter(toks, (x, i) ->
+               NOT len(list_filter(cuts,
+                     c -> (i - 1) >= c.s AND (i - 1) < c.e)) > 0) AS kept
+      FROM src)
+SELECT {id_col},
+       -- DuckDB's array_to_string([]) is NULL; Spark's array_join is ''
+       coalesce(array_to_string(kept, ' '), '') AS clean_text,
+       CAST(len(toks) - len(kept) AS BIGINT) AS n_tokens_removed
+FROM k"""

@@ -98,3 +98,59 @@ def test_repeated_spans_rejects_bad_params(spark):
         repeated_ngram_spans(None, n=0)
     with pytest.raises(ValueError):
         repeated_ngram_spans(None, min_count=1)
+
+
+# --- cut_spans (span application)
+
+def test_cut_spans_golden(spark):
+    from rio_cogeo_spark.operators.passages import cut_spans
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "untouched text here")],
+        "doc_id long, text string",
+    )
+    spans = spark.createDataFrame(
+        [(1, 2, 5, 1)], "doc_id long, span_start long, span_end long, n_hits long"
+    )
+    rows = {r["doc_id"]: r for r in cut_spans(docs, spans).collect()}
+    assert rows[1]["clean_text"] == "a b f g h"
+    assert rows[1]["n_tokens_removed"] == 3
+    assert rows[2]["clean_text"] == "untouched text here"
+    assert rows[2]["n_tokens_removed"] == 0
+
+
+def test_cut_spans_overlapping_and_full(spark):
+    from rio_cogeo_spark.operators.passages import cut_spans
+
+    docs = spark.createDataFrame([(1, "t0 t1 t2 t3 t4")], "doc_id long, text string")
+    spans = spark.createDataFrame(
+        [(1, 0, 3, 1), (1, 2, 5, 1)],
+        "doc_id long, span_start long, span_end long, n_hits long",
+    )
+    r = cut_spans(docs, spans).first()
+    assert r["clean_text"] == "" and r["n_tokens_removed"] == 5
+
+
+def test_cut_conserves_tokens_end_to_end(spark, sf_mid):
+    """Pipeline invariant on real data: removed + kept == original
+    token count for every doc."""
+    from rio_cogeo_spark.functions.text import token_count
+    from rio_cogeo_spark.operators.passages import (
+        cut_spans,
+        repeated_ngram_spans,
+    )
+
+    docs = spark.read.parquet(f"{sf_mid}/documents.parquet")
+    spans = repeated_ngram_spans(docs, n=5, min_count=2)
+    out = cut_spans(docs, spans)
+    joined = out.join(
+        docs.select("doc_id", token_count(F.col("text")).alias("orig")), "doc_id"
+    )
+    kept_len = F.when(
+        F.col("clean_text") == "", F.lit(0)
+    ).otherwise(F.size(F.split(F.col("clean_text"), r"\s+")))
+    bad = joined.filter(
+        kept_len + F.col("n_tokens_removed") != F.col("orig")
+    ).count()
+    assert bad == 0
+    assert out.count() == docs.count()
