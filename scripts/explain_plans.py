@@ -176,6 +176,55 @@ def main() -> None:
         must_not=[r"SortMergeJoin"],
     )
 
+    # 10. sequence packing: exactly ONE exchange (the shard window);
+    # the explode over pack spans adds no further shuffle
+    from rio_cogeo_spark.operators.packing import pack_chunks
+
+    packed = pack_chunks(docs_d, context_tokens=64, n_shards=8)
+    p10 = plan_of(packed)
+    # formatted mode puts "Exchange" and its hashpartitioning arguments
+    # on separate lines — count the argument lines
+    n_exchanges = len(re.findall(r"hashpartitioning\(", p10))
+    one_shuffle = n_exchanges == 1
+    checks.append(("pack_chunks single shard-window shuffle", one_shuffle))
+    sections.append(
+        ("pack_chunks exchanges", f"  {'PASS' if one_shuffle else 'FAIL'} "
+         f"exactly one hash Exchange (saw {n_exchanges})", p10)
+    )
+    print(f"[{'OK' if one_shuffle else 'BAD'}] pack_chunks single shuffle")
+
+    # 11. temperature mix: rates broadcast back — the corpus side must
+    # reach the filter without a hash exchange
+    from rio_cogeo_spark.operators.sampling import temperature_mix
+
+    mix = temperature_mix(docs_d, target_ppm=300_000)
+    # simple (tree) mode: the stream (corpus) branch is printed between
+    # the BroadcastHashJoin node and its BroadcastExchange build side
+    p11 = mix._jdf.queryExecution().executedPlan().toString()
+    mix_ok = False
+    if "BroadcastHashJoin" in p11:
+        stream = p11.split("BroadcastHashJoin", 1)[1].split(
+            "BroadcastExchange", 1
+        )[0]
+        mix_ok = "Exchange hashpartitioning" not in stream
+    checks.append(("temperature_mix corpus never shuffles", mix_ok))
+    sections.append(
+        ("temperature_mix", f"  {'PASS' if mix_ok else 'FAIL'} broadcast "
+         "rates; no Exchange on the corpus side above the join", p11)
+    )
+    print(f"[{'OK' if mix_ok else 'BAD'}] temperature_mix broadcast rates")
+
+    # 12. repeated passages: the hot-hash set joins back via broadcast
+    from rio_cogeo_spark.operators.passages import repeated_ngram_spans
+
+    spans = repeated_ngram_spans(docs_d, n=5, min_count=2)
+    audit(
+        "repeated passages (hot set broadcast)",
+        spans,
+        must=[r"BroadcastHashJoin|BroadcastExchange"],
+        must_not=[r"SortMergeJoin"],
+    )
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:

@@ -125,9 +125,15 @@ def test_temperature_mix_plan_no_corpus_shuffle(docs):
     plan = temperature_mix(docs, target_ppm=300_000)._jdf.queryExecution(
     ).executedPlan().toString()
     assert "BroadcastHashJoin" in plan
-    before_join = plan.split("BroadcastHashJoin")[0]
-    # no shuffle exchange on the stream (corpus) side above the join
-    assert "Exchange hashpartitioning" not in before_join
+    # the stream (corpus) branch prints between the join node and its
+    # BroadcastExchange build side — it must carry no hash exchange
+    stream = plan.split("BroadcastHashJoin", 1)[1].split(
+        "BroadcastExchange", 1
+    )[0]
+    assert "Exchange hashpartitioning" not in stream
+    # nor may anything reshuffle between the join and the root
+    above = plan.split("BroadcastHashJoin", 1)[0]
+    assert "Exchange hashpartitioning" not in above
 
 
 def test_temperature_mix_rejects_bad_target(docs):
