@@ -42,7 +42,7 @@ from rio_cogeo_spark.functions.text import md5_60, token_count
 def pack_chunks(
     docs: DataFrame,
     context_tokens: int = 2048,
-    n_shards: int = 64,
+    n_shards: int | str = "auto",
     id_col: str = "doc_id",
     text_col: str = "text",
     ntokens_col: str | None = None,
@@ -60,9 +60,21 @@ def pack_chunks(
 
     ``ntokens_col`` lets callers reuse a precomputed token count (e.g.
     from ``token_stats``) instead of re-tokenizing.
+
+    ``n_shards`` bounds each window partition at corpus/n_shards rows,
+    so it must GROW with the corpus: the default ``'auto'`` derives it
+    from the cluster (``defaultParallelism * 16`` with a floor of 64) —
+    on a 1000-executor cluster that is ~10^5 shards, keeping every
+    shard's sort task-sized. A fixed small int is for tests and for
+    cross-engine-reproducible pack ids (the shard hash is part of the
+    output key).
     """
     if context_tokens <= 0:
         raise ValueError("context_tokens must be positive")
+    if n_shards == "auto":
+        n_shards = max(
+            64, docs.sparkSession.sparkContext.defaultParallelism * 16
+        )
     C = int(context_tokens)
     ntok = (
         F.col(ntokens_col)

@@ -64,6 +64,7 @@ def repeated_ngram_spans(
     min_count: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_hot: bool = True,
 ) -> DataFrame:
     """Maximal per-document spans of corpus-repeated n-grams.
 
@@ -71,6 +72,14 @@ def repeated_ngram_spans(
     positions, end exclusive (``span_end = last hit pos + n``),
     ``n_hits`` = repeated n-grams merged into the span. A doc with no
     repeated passage emits no rows.
+
+    ``broadcast_hot``: at min_count=2 on a Zipf web corpus the
+    hot-n-gram set is NOT broadcast-sized (billions of distinct
+    repeated n-grams at 100 TB) — pass ``False`` to shuffle-join the
+    hot set on the hash instead (same result, one more exchange on the
+    exploded n-grams). Keep ``True`` when min_count is high or the
+    corpus is bounded; results are identical either way
+    (pytest-asserted).
     """
     if n < 1 or min_count < 2:
         raise ValueError("need n >= 1 and min_count >= 2")
@@ -85,7 +94,8 @@ def repeated_ngram_spans(
         .filter(F.col("cnt") >= min_count)
         .select("h")
     )
-    hits = grams.join(F.broadcast(hot), "h").select(id_col, "pos")
+    hot = F.broadcast(hot) if broadcast_hot else hot
+    hits = grams.join(hot, "h").select(id_col, "pos")
 
     w = Window.partitionBy(id_col).orderBy("pos")
     flagged = hits.withColumn(

@@ -91,6 +91,7 @@ def temperature_mix(
     key_col: str = "doc_id",
     alpha: float = 0.5,
     weight_scale: int = 1000,
+    broadcast_rates: bool = True,
 ) -> DataFrame:
     """Temperature-weighted domain sampling (the multilingual /
     multi-source mix primitive, XLM-R-style): sample domain ``d`` with
@@ -143,8 +144,13 @@ def temperature_mix(
         ),
     )
     h = md5_60(F.col(key_col).cast("string"))
+    rates = rates.select(domain_col, "rate_ppm")
+    # broadcast_rates=False: for very-high-cardinality domains (e.g.
+    # 10^8 URL hosts) the rate table exceeds broadcast size — shuffle
+    # join on the domain key instead (identical result)
+    rates = F.broadcast(rates) if broadcast_rates else rates
     return (
-        docs.join(F.broadcast(rates.select(domain_col, "rate_ppm")), domain_col)
+        docs.join(rates, domain_col)
         .filter((h % _U_MOD) < F.col("rate_ppm"))
         .drop("rate_ppm")
     )

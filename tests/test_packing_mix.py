@@ -139,3 +139,24 @@ def test_temperature_mix_plan_no_corpus_shuffle(docs):
 def test_temperature_mix_rejects_bad_target(docs):
     with pytest.raises(ValueError):
         temperature_mix(docs, target_ppm=0)
+
+
+def test_pack_chunks_auto_shards(docs):
+    """'auto' derives shard count from cluster parallelism (floor 64)
+    and still conserves tokens."""
+    from rio_cogeo_spark.functions.text import token_count
+
+    packed = pack_chunks(docs, context_tokens=C)  # n_shards defaults to auto
+    n_shards = packed.select("shard").distinct().count()
+    assert n_shards <= max(64, docs.sparkSession.sparkContext.defaultParallelism * 16)
+    tot = packed.agg(F.sum("pack_tokens")).first()[0]
+    expect = docs.select(F.sum(token_count(F.col("text")))).first()[0]
+    assert tot == expect
+
+
+def test_temperature_mix_shuffle_rates_identical(docs):
+    a = temperature_mix(docs, target_ppm=300_000).select("doc_id")
+    b = temperature_mix(docs, target_ppm=300_000, broadcast_rates=False).select(
+        "doc_id"
+    )
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

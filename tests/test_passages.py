@@ -154,3 +154,12 @@ def test_cut_conserves_tokens_end_to_end(spark, sf_mid):
     ).count()
     assert bad == 0
     assert out.count() == docs.count()
+
+
+def test_repeated_spans_shuffle_hot_identical(spark, sf_mid):
+    """broadcast_hot=False (the 100 TB path) must produce identical
+    spans to the broadcast default."""
+    docs = spark.read.parquet(f"{sf_mid}/documents.parquet")
+    a = repeated_ngram_spans(docs, n=5, min_count=2)
+    b = repeated_ngram_spans(docs, n=5, min_count=2, broadcast_hot=False)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
