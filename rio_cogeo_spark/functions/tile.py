@@ -163,8 +163,12 @@ def morton_key(tile_x: Column, tile_y: Column) -> Column:
     window reads. Pure BIGINT shift/mask expressions, whole-stage
     codegen, bit-identical in DuckDB (:func:`morton_sql`).
 
-    Supports coordinates up to 2^32 (zoom 32); the interleaved result
-    uses the low 64 bits of a BIGINT.
+    Domain: tile_y < 2^31 and tile_x < 2^32 (i.e. any zoom <= 31) keeps
+    the interleaved key below 2^63 — nonnegative in a signed BIGINT, so
+    range-partition ordering is correct. Beyond that the top bit would
+    flip the sign and break ordering (hypothesis-asserted bound in
+    tests/test_pipeline_properties.py). Web-mercator zooms stop at ~23,
+    so the whole practical grid is safely inside.
     """
     return _spread_bits(tile_x.cast("long")).bitwiseOR(
         F.shiftleft(_spread_bits(tile_y.cast("long")), 1)

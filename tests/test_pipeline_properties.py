@@ -1,0 +1,120 @@
+"""Property-based tests (hypothesis) for the round-3 integer algebra:
+Morton interleave masks and the pack-span arithmetic. Pure-Python mirrors
+of the exact formulas the Spark/SQL twins execute (same constants,
+imported from the modules), so a property violation here means the
+operator math itself is wrong — complements the example-based Spark
+tests in test_packing_mix / test_pii_zorder."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from rio_cogeo_spark.functions.tile import _SPREAD
+
+coords = st.integers(min_value=0, max_value=(1 << 32) - 1)
+tokcounts = st.lists(
+    st.integers(min_value=1, max_value=5000), min_size=1, max_size=200
+)
+ctx = st.integers(min_value=1, max_value=4096)
+
+
+def _spread_py(v: int) -> int:
+    """The exact mask/shift pipeline from tile.py, on Python ints."""
+    v &= 0xFFFFFFFF
+    for shift, mask in _SPREAD:
+        v = (v | (v << shift)) & mask
+    return v
+
+
+def _morton_py(x: int, y: int) -> int:
+    return _spread_py(x) | (_spread_py(y) << 1)
+
+
+def _morton_ref(x: int, y: int) -> int:
+    out = 0
+    for i in range(32):
+        out |= ((x >> i) & 1) << (2 * i)
+        out |= ((y >> i) & 1) << (2 * i + 1)
+    return out
+
+
+@given(coords, coords)
+@settings(max_examples=300, deadline=None)
+def test_morton_masks_equal_bit_interleave(x, y):
+    assert _morton_py(x, y) == _morton_ref(x, y)
+
+
+@given(coords, coords, coords, coords)
+@settings(max_examples=300, deadline=None)
+def test_morton_injective(x1, y1, x2, y2):
+    if (x1, y1) != (x2, y2):
+        assert _morton_py(x1, y1) != _morton_py(x2, y2)
+
+
+@given(coords, st.integers(min_value=0, max_value=(1 << 31) - 1))
+@settings(max_examples=300, deadline=None)
+def test_morton_fits_in_signed_64_on_documented_domain(x, y):
+    """x < 2^32, y < 2^31 (any zoom <= 31) stays nonnegative in a
+    signed BIGINT — the documented ordering-safe domain."""
+    assert 0 <= _morton_py(x, y) < (1 << 63)
+
+
+def test_morton_sign_flips_just_past_domain():
+    """y = 2^31 is exactly the first coordinate whose key would read
+    negative as a signed BIGINT — why the domain stops at zoom 31."""
+    assert _morton_py(0, 1 << 31) >= (1 << 63)
+
+
+def _pack_py(ntokens, C):
+    """The exact pack_chunks span arithmetic (prev div C .. (cum-1) div
+    C) over one shard stream, on Python ints."""
+    rows = []
+    cum = 0
+    for i, nt in enumerate(ntokens):
+        prev, cum = cum, cum + nt
+        for p in range(prev // C, (cum - 1) // C + 1):
+            start = max(prev, p * C)
+            rows.append(
+                {"doc": i, "pack": p, "off": start - p * C,
+                 "tok": min(cum, (p + 1) * C) - start}
+            )
+    return rows
+
+
+@given(tokcounts, ctx)
+@settings(max_examples=200, deadline=None)
+def test_pack_conserves_tokens(ntokens, C):
+    rows = _pack_py(ntokens, C)
+    per_doc = {}
+    for r in rows:
+        per_doc[r["doc"]] = per_doc.get(r["doc"], 0) + r["tok"]
+    assert per_doc == {i: nt for i, nt in enumerate(ntokens)}
+
+
+@given(tokcounts, ctx)
+@settings(max_examples=200, deadline=None)
+def test_pack_nonfinal_packs_exactly_full_and_tiled(ntokens, C):
+    rows = _pack_py(ntokens, C)
+    packs = {}
+    for r in rows:
+        packs.setdefault(r["pack"], []).append(r)
+    last = max(packs)
+    for p, rs in packs.items():
+        total = sum(r["tok"] for r in rs)
+        assert total <= C
+        if p < last:
+            assert total == C
+        # segments tile [0, total) exactly
+        rs.sort(key=lambda r: r["off"])
+        pos = 0
+        for r in rs:
+            assert r["off"] == pos and r["tok"] >= 1
+            pos += r["tok"]
+        assert pos == total
+
+
+@given(tokcounts, ctx)
+@settings(max_examples=200, deadline=None)
+def test_pack_ids_contiguous_from_zero(ntokens, C):
+    rows = _pack_py(ntokens, C)
+    ids = {r["pack"] for r in rows}
+    assert ids == set(range(len(ids)))
