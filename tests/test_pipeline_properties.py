@@ -1,9 +1,10 @@
 """Property-based tests (hypothesis) for the round-3 integer algebra:
-Morton interleave masks and the pack-span arithmetic. Pure-Python mirrors
-of the exact formulas the Spark/SQL twins execute (same constants,
-imported from the modules), so a property violation here means the
-operator math itself is wrong — complements the example-based Spark
-tests in test_packing_mix / test_pii_zorder."""
+Morton interleave masks and the pack-span arithmetic. The Morton mirror
+imports the actual _SPREAD constants from tile.py; the pack mirror is a
+hand-transcribed copy of packing.py's span formulas (keep the two in
+sync — the example-based Spark tests in test_packing_mix are the ones
+that exercise the real operator). A property violation here means the
+algebra itself is wrong."""
 
 from hypothesis import given, settings
 from hypothesis import strategies as st
