@@ -1,15 +1,16 @@
 """Document chunking — the embedding-pipeline primitive (chunk → embed
 → index). Splits each document into fixed-token-count chunks.
 
-Scale design (100 TB): the naive form (slice the token array once per
-chunk inside a projection) re-evaluates the tokenizer per chunk —
-O(L²/chunk_size) work per long document. Instead: posexplode the token
-array ONCE (tokenize exactly once per doc), assign each token to
-``chunk_idx = pos div chunk_tokens``, and rebuild chunk text with an
-order-deterministic grouped aggregate. Exactly ONE shuffle, bounded by
-(doc, chunk) key cardinality; map-side combine applies. The aggregate
-sorts (pos, token) structs inside each group, so chunk text is
-deterministic despite ``collect_list``'s arrival-order semantics.
+Scale design (100 TB): chunking is logically a per-row projection, so
+the plan must contain ZERO exchanges. The token array is staged ONCE in
+a projected column (tokenize exactly once per doc), then
+``posexplode(transform(sequence(0, n_chunks-1), i ->
+slice(toks, i*C+1, C)))`` emits one row per chunk — O(L) work per
+document, no shuffle at all. The earlier formulation (posexplode every
+token → groupBy(doc, chunk) → sorted collect_list) was hash-identical
+but shuffled the corpus's ENTIRE token stream (~10^13 rows at 100 TB);
+this one keeps the whole operator inside a single WholeStageCodegen
+projection (plan-audited: docs/PLANS.md check #13, zero Exchange).
 """
 
 from __future__ import annotations
@@ -30,30 +31,47 @@ def chunk_docs(
     ``(doc_id, chunk_idx, chunk_text, n_tokens)``, ordered tokens
     preserved. Sliding/overlapping windows compose from this by unioning
     a second assignment with shifted positions.
+
+    Docs with NULL text or zero tokens emit no rows (same as the
+    grouped formulation: posexplode of an empty/NULL array is empty).
     """
-    toks = (
-        docs.select(
-            F.col(id_col),
-            F.posexplode(tokens_col(F.col(text_col))).alias("pos", "tok"),
-        )
-        # `div`: exact integer division (a float `/`+cast can truncate
-        # wrong in edge ulps for non-power-of-2 chunk sizes)
-        .withColumn("chunk_idx", F.expr(f"pos div {chunk_tokens}").cast("int"))
+    C = int(chunk_tokens)
+    if C <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    staged = docs.select(
+        F.col(id_col),
+        tokens_col(F.col(text_col)).alias("toks"),
     )
-    return (
-        toks.groupBy(id_col, "chunk_idx")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("pos", "tok"))
-                    ),
-                    lambda s: s["tok"],
-                ),
-                " ",
-            ).alias("chunk_text"),
-            F.count(F.lit(1)).alias("n_tokens"),
+    n = F.size("toks")
+    # size(NULL) is -1 under the non-ANSI default, so the <= 0 guard
+    # covers both NULL text and genuinely empty token arrays; without it
+    # sequence(0, -1) would step DOWNWARD and fabricate chunks.
+    chunk_structs = F.when(
+        F.col("toks").isNull() | (n <= 0),
+        F.expr(
+            "cast(array() as array<struct<chunk_text:string,n_tokens:bigint>>)"
+        ),
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.ceil(n / F.lit(C)).cast("int") - 1),
+            lambda i: F.struct(
+                F.array_join(
+                    F.slice(F.col("toks"), i * C + 1, C), " "
+                ).alias("chunk_text"),
+                F.size(F.slice(F.col("toks"), i * C + 1, C))
+                .cast("long")
+                .alias("n_tokens"),
+            ),
         )
+    )
+    return staged.select(
+        F.col(id_col),
+        F.posexplode(chunk_structs).alias("chunk_idx", "c"),
+    ).select(
+        id_col,
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.n_tokens").alias("n_tokens"),
     )
 
 

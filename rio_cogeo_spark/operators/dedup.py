@@ -118,15 +118,18 @@ def ngram_jaccard_pairs(
     sizes = with_sh.select("doc_id", F.size("sh").alias("n_sh"))
 
     inv = with_sh.select("doc_id", F.explode("sh").alias("shingle"))
-    if df_cap == "auto":
-        stats = inv.groupBy("shingle").count().agg(
-            F.mean("count").alias("m")
-        ).first()
-        df_cap = max(int(stats["m"] * 100), 10)
     if df_cap is not None:
-        hot = (
-            inv.groupBy("shingle").count().filter(F.col("count") > df_cap).select("shingle")
-        )
+        # ONE shingle-count aggregation serves both the auto-cap
+        # derivation and the hot-set filter: localCheckpoint pins the
+        # shuffled counts so the mean (driver round-trip to pick the
+        # cap) and the hot-set scan reuse the same materialized data
+        # instead of re-running the full inverted-index shuffle twice.
+        counts = inv.groupBy("shingle").count()
+        if df_cap == "auto":
+            counts = counts.localCheckpoint(eager=False)
+            mean_df = counts.agg(F.mean("count").alias("m")).first()
+            df_cap = max(int(mean_df["m"] * 100), 10)
+        hot = counts.filter(F.col("count") > df_cap).select("shingle")
         inv = inv.join(F.broadcast(hot), "shingle", "left_anti")
 
     a = inv.alias("a")

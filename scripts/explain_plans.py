@@ -225,6 +225,20 @@ def main() -> None:
         must_not=[r"SortMergeJoin"],
     )
 
+    # 13. chunking: logically a per-row projection — the plan must have
+    # ZERO exchanges (the old grouped formulation shuffled every token)
+    from rio_cogeo_spark.operators.chunking import chunk_docs
+
+    chk = chunk_docs(docs_d, chunk_tokens=64)
+    p13 = plan_of(chk)
+    no_exchange = "Exchange" not in p13
+    checks.append(("chunk_docs zero Exchange (pure projection)", no_exchange))
+    sections.append(
+        ("chunk_docs projection", f"  {'PASS' if no_exchange else 'FAIL'} "
+         "no Exchange anywhere in the chunking plan", p13)
+    )
+    print(f"[{'OK' if no_exchange else 'BAD'}] chunk_docs zero Exchange")
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:
