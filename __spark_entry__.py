@@ -871,7 +871,7 @@ def _pyramid_sql() -> str:
     return _BASE_CTE + "\n" + "\nUNION ALL\n".join(parts)
 
 
-def _tiles_meta_sql() -> str:
+def _tiles_meta_parts() -> list:
     parts = []
     for j in range(0, LEVELS + 1):
         d = 2**j
@@ -885,7 +885,85 @@ SELECT CAST({ZOOM - j} AS INT) AS zoom, CAST({j} AS INT) AS level,
        (SELECT COUNT(*) FROM (SELECT DISTINCT tile_x // {d}, tile_y // {d} FROM base) t)
            AS n_tiles
 FROM base""")
-    return _BASE_CTE + "\n" + "\nUNION ALL\n".join(parts)
+    return parts
+
+
+def _tiles_meta_sql() -> str:
+    return _BASE_CTE + "\n" + "\nUNION ALL\n".join(_tiles_meta_parts())
+
+
+def _validate_sql() -> str:
+    """DuckDB twin of ``validate_report``: every structural check V1-V14
+    recomputed in SQL over the tiles_meta + pyramid CTEs (the property
+    checks V1/V5/V6/V14 reduce to constants because the canon fixture's
+    table properties are the clean defaults and declare no aligned
+    levels). Failure messages come from the same CHECK_MSGS table as the
+    Spark side, so the two reports cannot drift."""
+    from rio_cogeo_spark.operators.validate import CHECK_MSGS, CHECK_ORDER
+
+    meta_union = "\nUNION ALL\n".join(_tiles_meta_parts())
+    pyr_union = "\nUNION ALL\n".join(
+        _PYRAMID_LEVEL_SQL.format(z=ZOOM - j, d=2**j) for j in range(0, LEVELS + 1)
+    )
+    agg = """
+agg AS (SELECT
+  (SELECT COUNT(*) FROM meta) AS n_levels,
+  (SELECT width  FROM meta WHERE level = 0) AS base_w,
+  (SELECT height FROM meta WHERE level = 0) AS base_h,
+  (SELECT blocksize_x FROM meta WHERE level = 0) AS base_bx,
+  (SELECT blocksize_y FROM meta WHERE level = 0) AS base_by,
+  (SELECT COUNT(*) FROM
+     (SELECT DISTINCT zoom FROM pyr EXCEPT SELECT zoom FROM meta)) AS n_external,
+  (SELECT coalesce(bool_and(CASE WHEN prev IS NULL THEN TRUE
+                                 ELSE decimation >= prev END), TRUE)
+   FROM (SELECT decimation, lag(decimation) OVER (ORDER BY level) AS prev
+         FROM meta WHERE level > 0)) AS v7_ok,
+  (SELECT coalesce(bool_and(decimation > 1), TRUE)
+   FROM meta WHERE level > 0) AS v8_ok,
+  (SELECT coalesce(bool_and(CASE WHEN prev IS NULL THEN TRUE
+                                 ELSE write_index > prev END), TRUE)
+   FROM (SELECT write_index, lag(write_index) OVER (ORDER BY zoom) AS prev
+         FROM meta)) AS v9_ok,
+  (SELECT coalesce(bool_and(blocksize_x > 0 AND blocksize_y > 0), TRUE)
+   FROM meta WHERE level > 0) AS v11_pos,
+  (SELECT COUNT(DISTINCT (blocksize_x, blocksize_y))
+   FROM meta WHERE level > 0) AS v11_uniq,
+  (SELECT coalesce(MAX(c), 0) FROM
+     (SELECT COUNT(*) AS c FROM pyr GROUP BY zoom, tile_x, tile_y)) AS max_dup
+)"""
+    flags = {
+        "v1_format": "TRUE",
+        "v2_no_external_overviews": "n_external = 0",
+        "v3_tiled": (
+            "NOT (base_w > 512 AND base_h > 512 AND (base_bx <= 0 OR "
+            "base_by <= 0 OR (base_bx >= base_w AND base_by < base_h)))"
+        ),
+        "v4_overviews_present": "NOT (base_w > 512 AND base_h > 512 AND n_levels < 2)",
+        "v5_header_first": "TRUE",
+        "v6_not_modified": "TRUE",
+        "v7_overviews_sorted": "v7_ok",
+        "v8_decimation_gt1": "v8_ok",
+        "v9_write_order": "v9_ok",
+        "v10_no_duplicate_tiles": "max_dup <= 1",
+        "v11_overview_blocksize": "(v11_pos AND v11_uniq <= 1)",
+        "v14_aligned_levels": "TRUE",
+    }
+    error_checks = [c for c in CHECK_ORDER if c != "v4_overviews_present"]
+    valid_expr = " AND ".join(f"({flags[c]})" for c in error_checks)
+    rows = [
+        f"SELECT 'valid' AS check_name, CAST({valid_expr} AS BOOLEAN) AS ok, "
+        "'' AS detail FROM agg"
+    ]
+    for c in CHECK_ORDER:
+        msg = CHECK_MSGS[c].replace("'", "''")
+        rows.append(
+            f"SELECT '{c}', CAST({flags[c]} AS BOOLEAN), "
+            f"CASE WHEN {flags[c]} THEN '' ELSE '{msg}' END FROM agg"
+        )
+    return (
+        f"{_BASE_CTE}\n, meta AS ({meta_union})\n, pyr AS ({pyr_union})\n, "
+        f"{agg}\n" + "\nUNION ALL\n".join(rows)
+    )
 
 
 _TILE_DISTINCT_LEVEL_SQL = """
@@ -966,7 +1044,7 @@ SELECT CAST({ZOOM} AS INT) AS zoom, tile_x, tile_y, page_count, sum_chars, max_d
 FROM base""",
         "pyramid": _pyramid_sql(),
         "tiles_meta": _tiles_meta_sql(),
-        "validate": "SELECT 'valid' AS check_name, TRUE AS ok, '' AS detail",
+        "validate": _validate_sql(),
         "pip_join": f"""{_P}{_ADMIN_CTE}
 SELECT p.url, a.admin_id FROM pages p JOIN admin a ON {_PIP_COND}""",
         "pip_anti": f"""{_P}{_ADMIN_CTE}

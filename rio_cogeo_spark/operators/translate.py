@@ -291,6 +291,60 @@ def next_level(tiles: DataFrame, zoom: int, base: int, bands: List[BandSpec]) ->
     )
 
 
+# Fold threshold for the tiny top-of-pyramid levels: once a level's
+# extent-derived tile-count upper bound is at or below this, every
+# remaining level is derived from it in ONE explode+groupBy stage
+# instead of one shuffle stage per level. The top levels hold tens to
+# thousands of rows; paying fixed stage-scheduling cost per level is
+# pure serial fraction (Amdahl) that caps scaling efficiency, while the
+# folded stage's input is bounded by FOLD_CELLS x n_levels rows —
+# trivial at any corpus size because the bound is geometric in the
+# extent, not the page count. sum/min/max/hll merges are associative,
+# so deriving level z directly from the last materialized level is
+# value-identical to the level-by-level chain.
+FOLD_CELLS = 262_144
+
+
+def fold_levels(
+    tiles: DataFrame,
+    rel_factors: List[Tuple[int, int]],
+    bands: List[BandSpec],
+) -> DataFrame:
+    """Stage 4 tail: ALL remaining overview levels in one stage.
+
+    ``rel_factors`` = [(zoom_label, factor_relative_to_input), ...].
+    Each input tile explodes to one row per remaining level, then a
+    single ``groupBy(zoom, tile_x, tile_y)`` merges every level at once
+    — one Exchange for the whole pyramid tail (cogeo.py:389 builds
+    overviews level-by-level because GDAL must write each IFD; a
+    mergeable-band table has no such constraint).
+    """
+    merges = []
+    for spec in bands:
+        if spec.merge not in _MERGE_FNS:
+            raise IncompatibleOptions(f"non-mergeable band merge: {spec.merge}")
+        merges.append(_MERGE_FNS[spec.merge](spec.name).alias(spec.name))
+    lv = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(z).cast("int").alias("zoom"),
+                F.lit(f).cast("long").alias("f"),
+            )
+            for z, f in rel_factors
+        ])
+    ).alias("lv")
+    band_cols = [s.name for s in bands]
+    return (
+        tiles.select(lv, "tile_x", "tile_y", *band_cols)
+        .groupBy(
+            F.col("lv.zoom").alias("zoom"),
+            F.floor(F.col("tile_x") / F.col("lv.f")).cast("long").alias("tile_x"),
+            F.floor(F.col("tile_y") / F.col("lv.f")).cast("long").alias("tile_y"),
+        )
+        .agg(*merges)
+    )
+
+
 def apply_nodata(
     pages: DataFrame,
     nodata: Optional[float] = None,
@@ -471,16 +525,37 @@ def cog_translate(
         }
 
     levels = [level]
-    for z, _dec in plan.level_zoom_decs[1:]:
+    pairs = plan.level_zoom_decs
+    tx0, ty0, tx1, ty1 = plan.extent
+    w_cells, h_cells = tx1 - tx0 + 1, ty1 - ty0 + 1
+    folded = None
+    prev_dec = 1
+    i = 1
+    while i < len(pairs):
+        # extent-derived tile-count upper bound of the INPUT level —
+        # static (no count job), so the fold decision is deterministic
+        bound = (-(-w_cells // prev_dec)) * (-(-h_cells // prev_dec))
+        if len(pairs) - i >= 2 and bound <= FOLD_CELLS:
+            folded = fold_levels(
+                level,
+                [(z, dec // prev_dec) for z, dec in pairs[i:]],
+                bands,
+            )
+            break
+        z, dec = pairs[i]
         level = next_level(level, z, decimation_base, bands)
         if persist_levels:
             level = level.persist()
         levels.append(level)
+        prev_dec = dec
+        i += 1
 
     cols = ["zoom", "tile_x", "tile_y"] + [s.name for s in bands]
     out = levels[0].select(cols)
     for lv in levels[1:]:
         out = out.unionByName(lv.select(cols))
+    if folded is not None:
+        out = out.unionByName(folded.select(cols))
     if dtype is not None:
         # P3: output dtype override (reference cogeo.py:81,221,262 — the
         # VRT dtype cast). Applied AFTER aggregation so band merges run
