@@ -139,7 +139,8 @@ def resolve_blocksizes(blocksize, overview_blocksize, web_optimized):
 def cmd_create(args) -> int:
     spark, _owns = _session(args.cpus)
     from rio_cogeo_spark import grid
-    from rio_cogeo_spark.operators.translate import default_bands
+    from rio_cogeo_spark.errors import IncompatibleOptions
+    from rio_cogeo_spark.operators.translate import warp_bands
     from rio_cogeo_spark.profiles import cog_profiles
     from rio_cogeo_spark.sources.pages import read_pages, resumable_pyramid
 
@@ -148,7 +149,37 @@ def cmd_create(args) -> int:
         print(f"Invalid overview resampling: {args.overview_resampling}",
               file=sys.stderr)
         return 2
-    bands = default_bands()
+    # warp (tile-assignment-time) kernel — distinct from the overview
+    # kernel, mirroring reference scripts/cli.py:165-171
+    try:
+        bands = warp_bands(args.resampling)
+    except IncompatibleOptions as exc:
+        print(str(exc), file=sys.stderr)
+        return 2
+    tms = None
+    if args.tms:
+        # custom TileMatrixSet from a JSON file (reference --tms,
+        # scripts/cli.py:214-219)
+        with open(args.tms) as f:
+            try:
+                tms = grid.tms_from_dict(json.load(f))
+            except ValueError as exc:
+                print(f"Invalid TMS file: {exc}", file=sys.stderr)
+                return 2
+    band_tags = {}
+    if args.band_tags:
+        # per-band tags from a JSON file {band: {key: value}} — the
+        # --forward-band-tags analog (reference scripts/cli.py:193-199)
+        with open(args.band_tags) as f:
+            band_tags = {
+                str(b): {str(k): str(v) for k, v in kv.items()}
+                for b, kv in json.load(f).items()
+            }
+        unknown = set(band_tags) - {b.name for b in bands}
+        if unknown:
+            print(f"--band-tags for unknown bands: {sorted(unknown)}",
+                  file=sys.stderr)
+            return 2
     if args.bidx:
         try:
             bands = [bands[i - 1] for i in args.bidx]
@@ -166,8 +197,16 @@ def cmd_create(args) -> int:
     if args.zoom_level is not None:
         max_zoom = args.zoom_level
     elif args.source_resolution is not None:
-        max_zoom = grid.zoom_for_res(
-            args.source_resolution, zoom_level_strategy=args.zoom_level_strategy
+        max_zoom = (
+            tms.zoom_for_res(
+                args.source_resolution,
+                zoom_level_strategy=args.zoom_level_strategy,
+            )
+            if tms is not None
+            else grid.zoom_for_res(
+                args.source_resolution,
+                zoom_level_strategy=args.zoom_level_strategy,
+            )
         )
         print(f"Deriving zoom level {max_zoom} from source resolution "
               f"{args.source_resolution} ({args.zoom_level_strategy})",
@@ -189,7 +228,11 @@ def cmd_create(args) -> int:
             return 2
     pages = read_pages(spark, args.pages_path)
     band_meta = {
-        b.name: {"scale": 1.0, "offset": 0.0, "merge": b.merge} for b in bands
+        b.name: {
+            "scale": 1.0, "offset": 0.0, "merge": b.merge,
+            "tags": band_tags.get(b.name, {}),
+        }
+        for b in bands
     }
     if args.nodata is not None:
         from rio_cogeo_spark.operators.translate import apply_nodata
@@ -205,6 +248,7 @@ def cmd_create(args) -> int:
         blocksize=blocksize,
         overview_blocksize=overview_blocksize,
         aligned_levels=(args.aligned_levels if args.web_optimized else None),
+        tms=tms,
     )
     with open(os.path.join(args.out_dir, "_plan.json"), "w") as f:
         json.dump(
@@ -230,6 +274,8 @@ def cmd_create(args) -> int:
                 ),
                 "zoom_level_strategy": args.zoom_level_strategy,
                 "source_resolution": args.source_resolution,
+                "resampling": args.resampling,
+                "tms": (args.tms and tms.id) or "WebMercatorQuad",
             },
             f,
         )
@@ -313,6 +359,16 @@ def main(argv=None) -> int:
     c.add_argument("--overview-resampling", default="sum",
                    dest="overview_resampling",
                    help="Overview creation resampling algorithm.")
+    c.add_argument("--resampling", "-r", default="sum",
+                   help="Warp (tile-assignment-time) resampling kernel for "
+                        "the value band: sum|average|min|max|rms.")
+    c.add_argument("--tms", default=None,
+                   help="JSON file describing a custom quad TileMatrixSet "
+                        "(id, crs, bbox, tile_px, matrix_width0, "
+                        "matrix_height0, geographic).")
+    c.add_argument("--band-tags", default=None, dest="band_tags",
+                   help="JSON file mapping band name -> {tag: value}; "
+                        "surfaced in info Band_Metadata.")
     c.add_argument("--web-optimized", "-w", action="store_true",
                    dest="web_optimized",
                    help="Create a web-optimized (TMS-aligned) pyramid.")

@@ -28,13 +28,21 @@ _TILE_SCHEMA = StructType(
 )
 
 
-def tile_assign(lon: Column, lat: Column, zoom: int) -> Column:
+def tile_assign(
+    lon: Column, lat: Column, zoom: int, tms: "grid.TileMatrixSet | None" = None
+) -> Column:
     """(lon, lat) → struct(tile_x, tile_y) at ``zoom`` via one Arrow batch
-    UDF (two outputs from one mercator computation)."""
+    UDF (two outputs from one mercator computation). ``tms`` selects a
+    non-default tile matrix set (reference ``cog_translate(tms=...)``,
+    cogeo.py:86); None keeps the WebMercatorQuad fast path the oracle SQL
+    twins mirror."""
 
     @F.pandas_udf(_TILE_SCHEMA)
     def _assign(lon_s: pd.Series, lat_s: pd.Series) -> pd.DataFrame:
-        tx, ty = grid.tile_index(lon_s.to_numpy(), lat_s.to_numpy(), zoom)
+        if tms is None:
+            tx, ty = grid.tile_index(lon_s.to_numpy(), lat_s.to_numpy(), zoom)
+        else:
+            tx, ty = tms.tile_index(lon_s.to_numpy(), lat_s.to_numpy(), zoom)
         return pd.DataFrame({"tile_x": tx, "tile_y": ty})
 
     return _assign(lon, lat)
@@ -176,7 +184,13 @@ def morton_key(tile_x: Column, tile_y: Column) -> Column:
 
 
 def morton_sql(x_expr: str, y_expr: str) -> str:
-    """DuckDB/ANSI twin of :func:`morton_key`."""
+    """DuckDB/ANSI twin of :func:`morton_key`.
+
+    ``x_expr``/``y_expr`` MUST be simple column references (or cheap
+    scalars): every spread round textually doubles the operand, so the
+    emitted SQL contains ~32 copies of each input expression. A complex
+    expression should be bound to a column in a CTE first — passing it
+    here inflates the generated SQL exponentially."""
 
     def spread(e: str) -> str:
         v = f"(CAST({e} AS BIGINT) & 4294967295)"

@@ -98,26 +98,18 @@ def tile_bounds_mercator(tx, ty, zoom: int):
     return west, north - span, west + span, north
 
 
-def zoom_for_res(
-    res: float,
-    max_z: int = MAX_ZOOM,
-    zoom_level_strategy: str = "auto",
-    min_z: int = 0,
-    tile_px: int = TMS_TILE_PX,
-) -> int:
-    """Zoom level for a target ground resolution.
-
-    Semantics mirror ``morecantile.TileMatrixSet.zoom_for_res`` as used by
-    the reference (utils.py:74-78; strategy semantics documented at
-    cogeo.py:134-140):
+def _zoom_snap(cs_fn, res: float, max_z: int, zoom_level_strategy: str,
+               min_z: int) -> int:
+    """Shared zoom_for_res core: ``cs_fn(z)`` gives the matrix cellSize.
+    Strategy semantics mirror ``morecantile.TileMatrixSet.zoom_for_res``
+    (reference utils.py:74-78; cogeo.py:134-140):
 
     * pick the smallest zoom whose cellSize <= res (within 1e-8 rel tol);
     * ``lower``  → snap one level coarser (never below ``min_z``);
     * ``upper``  → keep the finer level;
     * ``auto``   → snap coarser only when the coarser level's cellSize is
       within 10% above ``res`` (morecantile's auto threshold — ratio
-      ``cellSize(z-1)/res < 1.1`` — which the reference inherits via
-      ``tms.zoom_for_res``; GDAL's COG driver popularized the heuristic).
+      ``cellSize(z-1)/res < 1.1``; GDAL's COG driver popularized it).
     """
     strategy = zoom_level_strategy.lower()
     if strategy not in ("auto", "lower", "upper"):
@@ -128,20 +120,35 @@ def zoom_for_res(
 
     zoom = min_z
     for zoom in range(min_z, max_z + 1):
-        matrix_res = cell_size(zoom, tile_px)
+        matrix_res = cs_fn(zoom)
         if res > matrix_res or abs(res - matrix_res) / matrix_res <= 1e-8:
             break
     if zoom > min_z:
-        prev_res = cell_size(zoom - 1, tile_px)
+        prev_res = cs_fn(zoom - 1)
         if abs(res - prev_res) / prev_res <= 1e-8:
             zoom -= 1
 
     if strategy == "lower":
         zoom = max(zoom - 1, min_z)
     elif strategy == "auto":
-        if zoom > min_z and (cell_size(zoom - 1, tile_px) / res) < 1.1:
+        if zoom > min_z and (cs_fn(zoom - 1) / res) < 1.1:
             zoom = zoom - 1
     return zoom
+
+
+def zoom_for_res(
+    res: float,
+    max_z: int = MAX_ZOOM,
+    zoom_level_strategy: str = "auto",
+    min_z: int = 0,
+    tile_px: int = TMS_TILE_PX,
+) -> int:
+    """Zoom level for a target ground resolution on WebMercatorQuad —
+    see :func:`_zoom_snap` for the strategy semantics the reference
+    inherits via ``tms.zoom_for_res``."""
+    return _zoom_snap(
+        lambda z: cell_size(z, tile_px), res, max_z, zoom_level_strategy, min_z
+    )
 
 
 def max_overview_level(width: int, height: int, minsize: int = DEFAULT_BLOCKSIZE) -> int:
@@ -253,6 +260,131 @@ def web_optimized_grid(
         height=int(height),
         max_zoom=max_zoom,
         base_zoom=base_zoom,
+    )
+
+
+@dataclass(frozen=True)
+class TileMatrixSet:
+    """A quad-tree tile matrix set — the morecantile TMS contract the
+    reference accepts via ``cog_translate(tms=...)`` (cogeo.py:86, default
+    WebMercatorQuad at utils.py:51; CLI ``--tms`` JSON at
+    scripts/cli.py:214-219), reduced to the quad-pyramid family every
+    published OGC quad TMS fits: a CRS bounding box, a zoom-0 matrix
+    shape, and a power-of-2 matrix progression.
+
+    At zoom z the matrix is ``matrix_width0*2^z x matrix_height0*2^z``
+    tiles of ``tile_px`` px. ``geographic=True`` means the CRS IS lon/lat
+    (e.g. WorldCRS84Quad) so no projection step is applied; otherwise
+    coordinates go through web-mercator. A frozen dataclass with no
+    callable fields, so it pickles cleanly into pandas-UDF closures.
+
+    The module-level functions (cell_size/tile_index/...) remain the
+    WebMercatorQuad fast path and are floating-point-identical to
+    ``WEB_MERCATOR_QUAD``'s methods — the oracle SQL twins target them.
+    """
+
+    id: str
+    crs: str
+    bbox: tuple  # (minx, miny, maxx, maxy) in CRS units
+    tile_px: int = TMS_TILE_PX
+    matrix_width0: int = 1
+    matrix_height0: int = 1
+    geographic: bool = False
+
+    def matrix_size(self, zoom: int) -> tuple:
+        return (self.matrix_width0 << zoom, self.matrix_height0 << zoom)
+
+    def cell_size(self, zoom: int) -> float:
+        """``tms.matrix(zoom).cellSize`` (reference utils.py:131)."""
+        minx, _, maxx, _ = self.bbox
+        return (maxx - minx) / ((self.matrix_width0 << zoom) * self.tile_px)
+
+    def to_crs(self, lon, lat):
+        if self.geographic:
+            lon = np.asarray(lon, dtype=np.float64)
+            lat = np.asarray(lat, dtype=np.float64)
+            return lon, lat
+        return lonlat_to_mercator(lon, lat)
+
+    def tile_index(self, lon, lat, zoom: int):
+        """(lon, lat) → (tile_x, tile_y) — generic form of the module
+        :func:`tile_index`; identical output on WebMercatorQuad."""
+        x, y = self.to_crs(lon, lat)
+        minx, miny, maxx, maxy = self.bbox
+        nx, ny = self.matrix_size(zoom)
+        tx = np.floor((x - minx) / (maxx - minx) * nx).astype(np.int64)
+        ty = np.floor((maxy - y) / (maxy - miny) * ny).astype(np.int64)
+        return np.clip(tx, 0, nx - 1), np.clip(ty, 0, ny - 1)
+
+    def tile_bounds(self, tx, ty, zoom: int):
+        """Tile (x, y, z) → (west, south, east, north) in CRS units."""
+        tx = np.asarray(tx, dtype=np.float64)
+        ty = np.asarray(ty, dtype=np.float64)
+        minx, miny, maxx, maxy = self.bbox
+        nx, ny = self.matrix_size(zoom)
+        span_x = (maxx - minx) / nx
+        span_y = (maxy - miny) / ny
+        west = minx + tx * span_x
+        north = maxy - ty * span_y
+        return west, north - span_y, west + span_x, north
+
+    def zoom_for_res(
+        self,
+        res: float,
+        max_z: int = MAX_ZOOM,
+        zoom_level_strategy: str = "auto",
+        min_z: int = 0,
+    ) -> int:
+        return _zoom_snap(self.cell_size, res, max_z, zoom_level_strategy, min_z)
+
+
+# The default TMS — method results are FP-identical to the module-level
+# fast-path functions (the bbox spans/offsets reduce to the exact same
+# float arithmetic).
+WEB_MERCATOR_QUAD = TileMatrixSet(
+    id="WebMercatorQuad",
+    crs="EPSG:3857",
+    bbox=(-ORIGIN_SHIFT, -ORIGIN_SHIFT, ORIGIN_SHIFT, ORIGIN_SHIFT),
+)
+
+# The one non-mercator TMS every mass-market tool ships: geographic
+# lon/lat with a 2x1 zoom-0 matrix (OGC 17-083r2 Annex D).
+WORLD_CRS84_QUAD = TileMatrixSet(
+    id="WorldCRS84Quad",
+    crs="OGC:CRS84",
+    bbox=(-180.0, -90.0, 180.0, 90.0),
+    matrix_width0=2,
+    matrix_height0=1,
+    geographic=True,
+)
+
+TMS_REGISTRY = {t.id: t for t in (WEB_MERCATOR_QUAD, WORLD_CRS84_QUAD)}
+
+
+def tms_from_dict(d: dict) -> TileMatrixSet:
+    """Build a TMS from a JSON-style dict (the CLI ``--tms`` file shape):
+    ``{"id", "crs", "bbox", "tile_px", "matrix_width0", "matrix_height0",
+    "geographic"}`` — unknown keys rejected loudly."""
+    known = {
+        "id", "crs", "bbox", "tile_px", "matrix_width0", "matrix_height0",
+        "geographic",
+    }
+    unknown = set(d) - known
+    if unknown:
+        raise ValueError(f"unknown TMS keys: {sorted(unknown)}")
+    if "id" not in d or "crs" not in d or "bbox" not in d:
+        raise ValueError("TMS dict requires id, crs and bbox")
+    bbox = tuple(float(v) for v in d["bbox"])
+    if len(bbox) != 4 or bbox[0] >= bbox[2] or bbox[1] >= bbox[3]:
+        raise ValueError(f"invalid TMS bbox: {d['bbox']}")
+    return TileMatrixSet(
+        id=str(d["id"]),
+        crs=str(d["crs"]),
+        bbox=bbox,
+        tile_px=int(d.get("tile_px", TMS_TILE_PX)),
+        matrix_width0=int(d.get("matrix_width0", 1)),
+        matrix_height0=int(d.get("matrix_height0", 1)),
+        geographic=bool(d.get("geographic", False)),
     )
 
 

@@ -71,7 +71,48 @@ _MERGE_FNS = {
     # distinct-count band can re-aggregate through the pyramid without
     # re-reading pages (COUNT(DISTINCT) is not mergeable)
     "hll": F.hll_union_agg,
+    # GDAL builds each overview FROM the previous overview, so
+    # average-of-averages and rms-of-rms are exactly the reference's
+    # level-chain semantics for these kernels (cogeo.py:389 builds
+    # factor-by-factor) — not an approximation of a from-base resample.
+    "avg": F.avg,
+    "rms": lambda name: F.sqrt(F.avg(F.col(name) * F.col(name))),
 }
+
+# Warp resampling kernels meaningful for POINT-feature rasterization
+# (reference WarpResampling, cogeo.py:60-72): interpolating kernels
+# (bilinear/cubic/lanczos/...) are defined over pixel neighborhoods and
+# have no point-aggregation meaning, so they are rejected loudly.
+WARP_BAND_KERNELS = ("sum", "average", "min", "max", "rms")
+
+
+def warp_bands(resampling: str = "sum") -> List[BandSpec]:
+    """Default band set under a warp resampling kernel — the
+    tile-assignment-time analog of the reference's separate
+    ``--resampling`` option (scripts/cli.py:165-171, distinct from
+    ``--overview-resampling``). The value band aggregates page chars
+    with the kernel; ``page_count`` stays the density band and
+    ``max_doc_id`` the deterministic nearest stand-in.
+    """
+    if resampling not in WARP_BAND_KERNELS:
+        raise IncompatibleOptions(
+            f"Invalid warp resampling kernel for point features: "
+            f"{resampling}. Should be one of {sorted(WARP_BAND_KERNELS)}."
+        )
+    if resampling == "sum":
+        return default_bands()
+    value = {
+        "average": BandSpec("avg_chars", lambda: F.avg("n_chars"), "avg"),
+        "min": BandSpec("min_chars", lambda: F.min("n_chars").cast("long"), "min"),
+        "max": BandSpec("max_chars", lambda: F.max("n_chars").cast("long"), "max"),
+        "rms": BandSpec(
+            "rms_chars",
+            lambda: F.sqrt(F.avg(F.col("n_chars") * F.col("n_chars"))),
+            "rms",
+        ),
+    }[resampling]
+    b = default_bands()
+    return [b[0], value, b[2]]
 
 
 def hll_band(name: str, col: str, lg_k: int = 12) -> BandSpec:
@@ -160,6 +201,7 @@ def plan_tile_job(
     blocksize: int = grid.DEFAULT_BLOCKSIZE,
     aligned_levels: Optional[int] = None,
     overview_blocksize: Optional[int] = None,
+    tms: Optional[grid.TileMatrixSet] = None,
 ) -> TileJobPlan:
     """Stage 1+2: compute the aligned extent and the overview chain.
 
@@ -180,8 +222,9 @@ def plan_tile_job(
     ).first()
     if b is None or b["w"] is None:
         raise ValueError("cannot plan a tile job over an empty pages table")
-    tx0, ty0 = grid.tile_index([b["w"]], [b["n"]], max_zoom)
-    tx1, ty1 = grid.tile_index([b["e"]], [b["s"]], max_zoom)
+    idx = grid.tile_index if tms is None else tms.tile_index
+    tx0, ty0 = idx([b["w"]], [b["n"]], max_zoom)
+    tx1, ty1 = idx([b["e"]], [b["s"]], max_zoom)
     return _plan_from_tile_extent(
         int(tx0[0]), int(ty0[0]), int(tx1[0]), int(ty1[0]),
         max_zoom, overview_level, decimation_base, blocksize,
@@ -252,20 +295,28 @@ def _plan_from_tile_extent(
     )
 
 
-def assign_tiles(pages: DataFrame, zoom: int) -> DataFrame:
+def assign_tiles(
+    pages: DataFrame, zoom: int, tms: Optional[grid.TileMatrixSet] = None
+) -> DataFrame:
     """Stage 3a: the tile-assignment projection — a computed key via one
-    Arrow-vectorized UDF, NO shuffle (SURVEY.md §2.3 J1)."""
-    t = tile_assign(F.col("lon"), F.col("lat"), zoom)
+    Arrow-vectorized UDF, NO shuffle (SURVEY.md §2.3 J1). ``tms`` selects
+    a non-default tile matrix set (reference cogeo.py:86)."""
+    t = tile_assign(F.col("lon"), F.col("lat"), zoom, tms=tms)
     return pages.withColumn("tile_x", t["tile_x"]).withColumn("tile_y", t["tile_y"])
 
 
-def base_tiles(pages: DataFrame, zoom: int, bands: Optional[List[BandSpec]] = None) -> DataFrame:
+def base_tiles(
+    pages: DataFrame,
+    zoom: int,
+    bands: Optional[List[BandSpec]] = None,
+    tms: Optional[grid.TileMatrixSet] = None,
+) -> DataFrame:
     """Stage 3b: base-zoom aggregation. One shuffle on (tile_x, tile_y)
     with map-side partial aggregation absorbing megacity skew."""
     bands = bands or default_bands()
     aggs = [spec.base().alias(spec.name) for spec in bands]
     return (
-        assign_tiles(pages, zoom)
+        assign_tiles(pages, zoom, tms=tms)
         .groupBy("tile_x", "tile_y")
         .agg(*aggs)
         .withColumn("zoom", F.lit(zoom).cast("int"))
@@ -303,6 +354,12 @@ def next_level(tiles: DataFrame, zoom: int, base: int, bands: List[BandSpec]) ->
 # so deriving level z directly from the last materialized level is
 # value-identical to the level-by-level chain.
 FOLD_CELLS = 262_144
+
+# Merges where a direct multi-level derivation equals the level chain:
+# avg/rms are chain-dependent (avg over 16 grandchildren != avg of 4
+# child avgs when child counts differ — GDAL's overview-from-overview
+# semantics), so pyramids carrying them never fold.
+FOLD_SAFE_MERGES = frozenset({"sum", "min", "max", "hll"})
 
 
 def fold_levels(
@@ -404,6 +461,7 @@ def cog_translate(
     zoom_level: Optional[int] = None,
     aligned_levels: Optional[int] = None,
     source_resolution: Optional[float] = None,
+    tms: Optional[grid.TileMatrixSet] = None,
 ) -> Tuple[DataFrame, TileJobPlan]:
     """Full pyramid: union of all levels, ordered smallest-overview-first.
 
@@ -448,9 +506,14 @@ def cog_translate(
             raise ValueError(
                 "one of max_zoom, zoom_level or source_resolution is required"
             )
-        max_zoom = grid.zoom_for_res(
-            source_resolution, zoom_level_strategy=zoom_level_strategy
-        )
+        if tms is None:
+            max_zoom = grid.zoom_for_res(
+                source_resolution, zoom_level_strategy=zoom_level_strategy
+            )
+        else:
+            max_zoom = tms.zoom_for_res(
+                source_resolution, zoom_level_strategy=zoom_level_strategy
+            )
     valid_pages, invalid_pages = apply_nodata(pages, nodata, validity_col)
     if add_mask or nodata is not None or validity_col is not None:
         # P6: the mask band — per-cell count of VALID points, the
@@ -463,7 +526,7 @@ def cog_translate(
     # (small, persisted) base tile table instead of a second full pages
     # scan (_plan_from_tile_extent: tile_index is monotonic, so the two
     # derivations are identical).
-    level = base_tiles(valid_pages, max_zoom, bands)
+    level = base_tiles(valid_pages, max_zoom, bands, tms=tms)
     if persist_levels:
         level = level.persist()
     ext = level.agg(
@@ -487,7 +550,7 @@ def cog_translate(
     # tag forwarding — reference stage 5 (cogeo.py:395-437)
     props: Dict[str, str] = dict(tags or {})
     props["OVERVIEW_RESAMPLING"] = overview_resampling.upper()
-    props["TILING_SCHEME_NAME"] = "WebMercatorQuad"
+    props["TILING_SCHEME_NAME"] = tms.id if tms is not None else "WebMercatorQuad"
     props["TILING_SCHEME_ZOOM_LEVEL"] = str(max_zoom)
     if web_optimized and aligned_levels:
         # reference tag name, cogeo.py:423
@@ -529,13 +592,14 @@ def cog_translate(
     tx0, ty0, tx1, ty1 = plan.extent
     w_cells, h_cells = tx1 - tx0 + 1, ty1 - ty0 + 1
     folded = None
+    can_fold = all(s.merge in FOLD_SAFE_MERGES for s in bands)
     prev_dec = 1
     i = 1
     while i < len(pairs):
         # extent-derived tile-count upper bound of the INPUT level —
         # static (no count job), so the fold decision is deterministic
         bound = (-(-w_cells // prev_dec)) * (-(-h_cells // prev_dec))
-        if len(pairs) - i >= 2 and bound <= FOLD_CELLS:
+        if can_fold and len(pairs) - i >= 2 and bound <= FOLD_CELLS:
             folded = fold_levels(
                 level,
                 [(z, dec // prev_dec) for z, dec in pairs[i:]],

@@ -155,6 +155,7 @@ def resumable_pyramid(
     blocksize: Optional[int] = None,
     overview_blocksize: Optional[int] = None,
     aligned_levels: Optional[int] = None,
+    tms=None,
 ) -> Tuple[TileJobPlan, List[dict]]:
     """Checkpointed pyramid build: one committed level at a time,
     max_zoom first (children before parents), skipping levels whose
@@ -173,6 +174,7 @@ def resumable_pyramid(
         blocksize=blocksize or _grid.DEFAULT_BLOCKSIZE,
         aligned_levels=aligned_levels,
         overview_blocksize=overview_blocksize,
+        tms=tms,
     )
 
     manifests = []
@@ -184,7 +186,7 @@ def resumable_pyramid(
             prev = spark.read.parquet(_level_dir(root, z))
             continue
         if dec == 1:
-            level = base_tiles(pages, z, bands).drop("zoom")
+            level = base_tiles(pages, z, bands, tms=tms).drop("zoom")
         else:
             assert prev is not None
             level = next_level(prev, z, decimation_base, bands).drop("zoom")
