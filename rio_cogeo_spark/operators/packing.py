@@ -68,6 +68,12 @@ def pack_chunks(
     shard's sort task-sized. A fixed small int is for tests and for
     cross-engine-reproducible pack ids (the shard hash is part of the
     output key).
+
+    Documents with a NULL text (or NULL ``ntokens_col``) are EXCLUDED
+    from the packing — an explicit filter, not silent NULL propagation:
+    a NULL has no tokens to assign, so the 'every document's tokens are
+    fully assigned' invariant is scoped to non-null documents (the
+    DuckDB twin behaves identically).
     """
     if context_tokens <= 0:
         raise ValueError("context_tokens must be positive")
@@ -81,11 +87,17 @@ def pack_chunks(
         if ntokens_col is not None
         else token_count(F.col(text_col))
     )
-    base = docs.select(
-        F.col(id_col),
-        md5_60(F.col(id_col).cast("string")).alias("h"),
-        ntok.cast("long").alias("n_tokens"),
-    ).withColumn("shard", (F.col("h") % n_shards).cast("int"))
+    base = (
+        docs.select(
+            F.col(id_col),
+            md5_60(F.col(id_col).cast("string")).alias("h"),
+            ntok.cast("long").alias("n_tokens"),
+        )
+        # loud NULL policy (see docstring): NULL text would otherwise
+        # propagate through cum/prev and vanish in the sequence explode
+        .filter(F.col("n_tokens").isNotNull())
+        .withColumn("shard", (F.col("h") % n_shards).cast("int"))
+    )
 
     # Running token total per shard stream. The window buffers one
     # shard's rows per task — bounded by corpus/n_shards, which is the

@@ -64,7 +64,8 @@ def repeated_ngram_spans(
     min_count: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
-    broadcast_hot: bool = True,
+    broadcast_hot: "bool | str" = "auto",
+    broadcast_hot_max_rows: int = 5_000_000,
 ) -> DataFrame:
     """Maximal per-document spans of corpus-repeated n-grams.
 
@@ -75,11 +76,13 @@ def repeated_ngram_spans(
 
     ``broadcast_hot``: at min_count=2 on a Zipf web corpus the
     hot-n-gram set is NOT broadcast-sized (billions of distinct
-    repeated n-grams at 100 TB) — pass ``False`` to shuffle-join the
-    hot set on the hash instead (same result, one more exchange on the
-    exploded n-grams). Keep ``True`` when min_count is high or the
-    corpus is bounded; results are identical either way
-    (pytest-asserted).
+    repeated n-grams at 100 TB), so the DEFAULT is ``'auto'``: count
+    the hot set (one aggregate over counts the plan computes anyway)
+    and broadcast only when it is at or under
+    ``broadcast_hot_max_rows``; a too-big hot set falls back to the
+    shuffle join instead of a broadcast OOM. Pass ``True``/``False``
+    to force a strategy; results are identical either way
+    (pytest-asserted) — only the join plan changes.
     """
     if n < 1 or min_count < 2:
         raise ValueError("need n >= 1 and min_count >= 2")
@@ -94,6 +97,9 @@ def repeated_ngram_spans(
         .filter(F.col("cnt") >= min_count)
         .select("h")
     )
+    if broadcast_hot == "auto":
+        hot = hot.localCheckpoint(eager=False)
+        broadcast_hot = hot.count() <= broadcast_hot_max_rows
     hot = F.broadcast(hot) if broadcast_hot else hot
     hits = grams.join(hot, "h").select(id_col, "pos")
 

@@ -119,6 +119,12 @@ def temperature_mix(
     → rates broadcast-joined back to the corpus → stateless filter. The
     corpus is never shuffled. Caps at rate 1 shift the realized mix
     slightly toward the head, as in the published recipe.
+
+    NULL-domain rows are EXCLUDED from the output: the rate join is an
+    inner join on ``domain_col`` and SQL equality never matches NULL, so
+    a row without a domain has no sampling rate (the DuckDB twin
+    behaves identically). Coalesce NULL domains into a sentinel bucket
+    upstream if they should participate in the mix.
     """
     if not 0 < target_ppm <= 1_000_000:
         raise ValueError("target_ppm must be in (0, 1e6]")

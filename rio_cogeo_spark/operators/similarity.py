@@ -44,31 +44,51 @@ def ann_bruteforce_topk(
     )
 
 
-def ivf_build_centroids(embeddings: DataFrame, vec_col: str = "embedding",
-                        list_col: str = "label") -> np.ndarray:
-    """IVF coarse quantizer: one centroid per inverted list. Uses the
-    existing ``label`` partition as the list assignment (k-means-free;
-    swap in any clustering at ingest). Returns (n_lists, dim).
-
-    Mergeable formulation: per-component ``avg`` after ``posexplode`` —
-    partial aggregation combines map-side, so the shuffle carries
-    n_partitions x n_lists x dim partial sums, never a ``collect_list``
-    of whole vectors per group. Only the (n_lists x dim) centroid matrix
-    reaches the driver."""
+def _component_means(df: DataFrame, key_col: str, vec_col: str) -> dict:
+    """Per-key per-component vector means via posexplode + avg — the
+    mergeable shape: partial aggregation combines map-side, so the
+    shuffle carries n_partitions x n_keys x dim partial sums, never a
+    ``collect_list`` of whole vectors per group. Only the (n_keys x dim)
+    mean matrix reaches the driver."""
     rows = (
-        embeddings.select(list_col, F.posexplode(vec_col).alias("pos", "x"))
-        .groupBy(list_col, "pos")
+        df.select(key_col, F.posexplode(vec_col).alias("pos", "x"))
+        .groupBy(key_col, "pos")
         .agg(F.avg(F.col("x").cast("double")).alias("m"))
         .collect()
     )
-    by_list: dict = {}
+    by_key: dict = {}
     for r in rows:
-        by_list.setdefault(r[list_col], {})[r["pos"]] = r["m"]
+        by_key.setdefault(r[key_col], {})[r["pos"]] = r["m"]
+    return by_key
+
+
+def ivf_build_centroids(embeddings: DataFrame, vec_col: str = "embedding",
+                        list_col: str = "label",
+                        lloyd_iters: int = 0) -> np.ndarray:
+    """IVF coarse quantizer: one centroid per inverted list, seeded from
+    the ``list_col`` partition means, then refined with ``lloyd_iters``
+    distributed k-means rounds (each round: vectorized nearest-centroid
+    assignment + the same mergeable per-component avg as the seed — one
+    shuffle per round, bounded by n_lists x dim). With iterations the
+    quantizer no longer depends on the quality of a pre-existing
+    partition column. Returns (n_lists, dim).
+
+    A list that loses all members in a round keeps its previous centroid
+    (the standard empty-cluster rule), so n_lists is stable."""
+    by_list = _component_means(embeddings, list_col, vec_col)
     labels = sorted(by_list)
     dim = max(max(d) for d in by_list.values()) + 1
-    return np.array(
+    cent = np.array(
         [[by_list[lbl][p] for p in range(dim)] for lbl in labels], dtype=np.float64
     )
+    for _ in range(int(lloyd_iters)):
+        assigned = ivf_assign_lists(embeddings, cent, vec_col)
+        by_idx = _component_means(assigned, "ivf_list", vec_col)
+        new_cent = cent.copy()
+        for idx, comps in by_idx.items():
+            new_cent[int(idx)] = [comps[p] for p in range(dim)]
+        cent = new_cent
+    return cent
 
 
 def ivf_assign_lists(embeddings: DataFrame, centroids: np.ndarray,
@@ -96,9 +116,11 @@ def ann_ivf_topk(
     list_col: str = "label",
     include_self: bool = False,
     broadcast_queries: bool = True,
+    lloyd_iters: int = 0,
 ) -> DataFrame:
     """IVF ANN: vectors are re-assigned to their nearest coarse centroid
-    (seeded from ``list_col`` means); each query probes only its
+    (seeded from ``list_col`` means, optionally Lloyd-refined with
+    ``lloyd_iters`` distributed k-means rounds); each query probes only its
     ``n_probe`` nearest inverted lists, then exact cosine + rank within
     them. Candidates shrink from |corpus| to ~n_probe/n_lists of it —
     the structure that scales to 10^12 vectors (lists = partitions).
@@ -110,7 +132,9 @@ def ann_ivf_topk(
     table. ``broadcast_queries`` keeps the probe side broadcast (right
     for <=10^6 probe rows); set False to let the optimizer shuffle both
     sides on ivf_list when the query table is huge."""
-    centroids = ivf_build_centroids(embeddings, "embedding", list_col)
+    centroids = ivf_build_centroids(
+        embeddings, "embedding", list_col, lloyd_iters=lloyd_iters
+    )
     norm_c = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
     indexed = ivf_assign_lists(embeddings, centroids)
     np_ = int(min(n_probe, norm_c.shape[0]))

@@ -134,6 +134,30 @@ def test_ann_ivf_finds_planted_near_duplicates(spark, emb):
     assert hits >= 19, top1
 
 
+def test_ann_ivf_lloyd_recall_not_worse(spark, emb):
+    """Distributed Lloyd refinement must not hurt top-k recall vs the
+    seed-only quantizer at the same n_probe (and removes the dependence
+    on the quality of the pre-existing ``label`` partition column)."""
+    queries = emb.filter(F.col("vec_id") < 15).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    exact = SIM.ann_bruteforce_topk(emb, queries, k=5)
+    truth = {
+        (r["query_id"], r["vec_id"]) for r in exact.collect()
+    }
+
+    def recall(lloyd_iters):
+        got = SIM.ann_ivf_topk(
+            emb, queries, k=5, n_probe=3, lloyd_iters=lloyd_iters
+        )
+        hits = {(r["query_id"], r["vec_id"]) for r in got.collect()}
+        return len(hits & truth) / len(truth)
+
+    r0, r2 = recall(0), recall(2)
+    assert r2 >= r0, (r0, r2)
+
+
 def test_scale_safe_defaults_and_auto_chunks(spark):
     """Corpus-scale guards are the DEFAULTS: ngram_jaccard_pairs caps hot
     shingles unless explicitly disabled, and the block-matmul chunk count
