@@ -762,7 +762,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder": q_zorder,
         "repeated_spans": q_repeated_spans,
         "passage_cut": q_passage_cut,
+        "pyramid_crs84": q_pyramid_crs84,
+        "tile_counts_avg": q_tile_counts_avg,
     }
+
+
+def q_pyramid_crs84(spark, sf_dir):
+    """Pyramid over the geographic WorldCRS84Quad TMS (round-4 custom-TMS
+    surface; reference cog_translate(tms=...), cogeo.py:86)."""
+    from rio_cogeo_spark.grid import WORLD_CRS84_QUAD
+
+    tiles, _ = cog_translate(
+        _pages(spark, sf_dir), max_zoom=6, overview_level=2,
+        tms=WORLD_CRS84_QUAD,
+    )
+    return tiles
+
+
+def q_tile_counts_avg(spark, sf_dir):
+    """Base tiles under the warp 'average' kernel (round-4 --resampling
+    surface; reference WarpResampling, cogeo.py:60-72)."""
+    from rio_cogeo_spark.operators.translate import warp_bands
+
+    return base_tiles(
+        _pages(spark, sf_dir), ZOOM, warp_bands("average")
+    ).select(
+        "zoom", "tile_x", "tile_y", "page_count",
+        F.round("avg_chars", 6).alias("avg_chars"), "max_doc_id",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -890,6 +917,33 @@ FROM base""")
 
 def _tiles_meta_sql() -> str:
     return _BASE_CTE + "\n" + "\nUNION ALL\n".join(_tiles_meta_parts())
+
+
+def _geo_tile_sql(z: int) -> tuple:
+    """WorldCRS84Quad tile index (2x1 zoom-0 matrix, geographic CRS) —
+    operation-order-identical to grid.TileMatrixSet.tile_index."""
+    nx = 2 * (1 << z)
+    ny = 1 << z
+    tx = (
+        f"least(greatest(CAST(floor((lon - CAST(-180.0 AS DOUBLE)) / "
+        f"CAST(360.0 AS DOUBLE) * CAST({nx} AS DOUBLE)) AS BIGINT), 0), {nx - 1})"
+    )
+    ty = (
+        f"least(greatest(CAST(floor((CAST(90.0 AS DOUBLE) - lat) / "
+        f"CAST(180.0 AS DOUBLE) * CAST({ny} AS DOUBLE)) AS BIGINT), 0), {ny - 1})"
+    )
+    return tx, ty
+
+
+def _pyramid_crs84_sql() -> str:
+    tx, ty = _geo_tile_sql(6)
+    base = f"""{_P}
+, assigned AS (SELECT doc_id, n_chars, {tx} AS tile_x, {ty} AS tile_y FROM pages),
+base AS (SELECT tile_x, tile_y, COUNT(*) AS page_count,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         MAX(doc_id) AS max_doc_id FROM assigned GROUP BY 1, 2)"""
+    parts = [_PYRAMID_LEVEL_SQL.format(z=6 - j, d=2**j) for j in range(0, 3)]
+    return base + "\n" + "\nUNION ALL\n".join(parts)
 
 
 def _validate_sql() -> str:
@@ -1271,6 +1325,14 @@ FROM documents QUALIFY rank <= 3""",
         "zorder": _zorder_oracle(),
         "repeated_spans": _repeated_spans_oracle(),
         "passage_cut": _passage_cut_oracle(),
+        "pyramid_crs84": _pyramid_crs84_sql(),
+        "tile_counts_avg": f"""{_P}
+, assigned AS (SELECT doc_id, n_chars, {_TX8} AS tile_x, {_TY8} AS tile_y FROM pages)
+SELECT CAST({ZOOM} AS INT) AS zoom, tile_x, tile_y,
+       COUNT(*) AS page_count,
+       round(AVG(n_chars), 6) AS avg_chars,
+       MAX(doc_id) AS max_doc_id
+FROM assigned GROUP BY 1, 2, 3""",
     }
 
 
