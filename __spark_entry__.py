@@ -485,13 +485,23 @@ def q_top_per_lang(spark, sf_dir):
 
 
 def q_chunks(spark, sf_dir):
-    """Document chunking (embedding-pipeline primitive): tokenize ONCE
-    per doc (posexplode), assign chunk by integer position div, rebuild
-    text with an order-deterministic grouped aggregate — one shuffle."""
+    """Document chunking (embedding-pipeline primitive): stage the token
+    array once, emit every chunk from a slice-transform projection —
+    ZERO Exchange (plan-audit check #13)."""
     from rio_cogeo_spark.operators.chunking import chunk_docs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return chunk_docs(docs, chunk_tokens=16)
+
+
+def q_chunks_sliding(spark, sf_dir):
+    """Overlapping sliding-window chunking (RAG-ingest default): window i
+    covers tokens [i*stride, i*stride + C) — same zero-Exchange
+    projection structure as q_chunks."""
+    from rio_cogeo_spark.operators.chunking import chunk_docs_sliding
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_docs_sliding(docs, chunk_tokens=16, stride=8)
 
 
 def q_pack_chunks(spark, sf_dir):
@@ -764,6 +774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "passage_cut": q_passage_cut,
         "pyramid_crs84": q_pyramid_crs84,
         "tile_counts_avg": q_tile_counts_avg,
+        "chunks_sliding": q_chunks_sliding,
     }
 
 
@@ -1333,7 +1344,14 @@ SELECT CAST({ZOOM} AS INT) AS zoom, tile_x, tile_y,
        round(AVG(n_chars), 6) AS avg_chars,
        MAX(doc_id) AS max_doc_id
 FROM assigned GROUP BY 1, 2, 3""",
+        "chunks_sliding": _chunks_sliding_oracle(),
     }
+
+
+def _chunks_sliding_oracle() -> str:
+    from rio_cogeo_spark.operators.chunking import chunk_docs_sliding_sql
+
+    return chunk_docs_sliding_sql("documents", chunk_tokens=16, stride=8)
 
 
 def _chunks_oracle() -> str:

@@ -1,0 +1,173 @@
+"""sf1 memory-pressure probe for the text/packing suite (round-3 verdict
+item #10): run minhash_lsh / repetition / contamination / pack_chunks /
+clean_corpus over a documents table ~100x the sf0.1 one (500k docs,
+deterministic replication with shifted doc_ids and per-replica token
+salting, so pair structure grows linearly — see build_docs_sf1), and compare per-doc seconds against the same ops
+over the sf0.1 table measured in the same session.
+
+PASS criterion (verdict): no query's per-doc time at the big scale may
+exceed 10x its sf0.1 per-doc time — a super-linear blowup there means a
+memory/spill cliff the 100 TB design would hit.
+
+Usage: python scripts/bench_sf1.py   (writes BENCH/SF1.md + sf1_snapshot.json)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+REPO = Path(__file__).resolve().parents[1]
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPLICATE = int(os.environ.get("SPARK_GRAFT_SF1_REPLICATE", "100"))
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+
+
+def build_docs_sf1(spark, sf_dir: str, replicate: int):
+    """Deterministically replicate documents: replica k shifts doc_id by
+    k*stride and SALTS every token with the replica index, so replicas
+    share zero shingles. The sf0.1 near-dup/duplicate structure repeats
+    once per replica (pair count grows LINEARLY with the corpus, as it
+    must for a scaling probe) while the distinct-shingle vocabulary and
+    every per-doc cost grow 100x. Exact-duplicate or rotated replicas
+    would instead create quadratic cross-replica candidate clusters — a
+    data pathology (real pipelines exact-dedup before MinHash), not an
+    engine measurement."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stride = docs.agg(F.max("doc_id")).first()[0] + 1
+    k = F.explode(F.sequence(F.lit(0), F.lit(replicate - 1))).alias("k")
+    e = docs.select("doc_id", "text", "lang", "n_chars", k)
+    sep = F.concat(F.lit("_"), F.col("k").cast("string"), F.lit(" "))
+    salted = F.when(F.col("k") == 0, F.col("text")).otherwise(
+        F.concat(
+            F.regexp_replace(F.col("text"), F.lit(" "), sep),
+            F.lit("_"), F.col("k").cast("string"),
+        )
+    )
+    return e.select(
+        (F.col("doc_id") + F.col("k") * stride).alias("doc_id"),
+        salted.alias("text"),
+        "lang",
+        F.length(salted).cast("long").alias("n_chars"),
+    )
+
+
+def main() -> None:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("bench_sf1")
+        .config("spark.sql.shuffle.partitions", str(cpus * 2))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from rio_cogeo_spark.functions.text import repetition_stats
+    from rio_cogeo_spark.operators import dedup as DD
+    from rio_cogeo_spark.operators.contamination import contamination_hits
+    from rio_cogeo_spark.operators.packing import pack_chunks
+
+    import tempfile
+
+    big_path = os.path.join(tempfile.gettempdir(), f"sf1_docs_v2_{REPLICATE}")
+    if not os.path.exists(os.path.join(big_path, "_SUCCESS")):
+        build_docs_sf1(spark, SF_DIR, REPLICATE).repartition(64).write.mode(
+            "overwrite"
+        ).parquet(big_path)
+
+    small = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    big = spark.read.parquet(big_path)
+    n_small, n_big = small.count(), big.count()
+
+    def suite(docs):
+        bench_docs = docs.filter(F.col("doc_id") % 97 == 0)
+        corpus = docs.filter(F.col("doc_id") % 97 != 0)
+        rep = repetition_stats(F.col("text"))
+        return {
+            "minhash_lsh": lambda: DD.minhash_lsh_pairs(
+                docs, threshold=0.5, num_hashes=128, bands=64
+            ).count(),
+            "repetition": lambda: docs.select(
+                "doc_id", rep["dup_bigram_frac"].alias("f")
+            ).agg(F.sum("f")).first(),
+            "contamination": lambda: contamination_hits(
+                corpus, bench_docs, n=3
+            ).count(),
+            "pack_chunks": lambda: pack_chunks(
+                docs, context_tokens=2048, n_shards=64
+            ).count(),
+            "clean_corpus": lambda: (
+                DD.exact_dedup(corpus)
+                .select("doc_id", rep["dup_bigram_frac"].alias("dup_frac"))
+                .filter(F.col("dup_frac") <= 0.1)
+                .join(contamination_hits(corpus, bench_docs, n=3),
+                      "doc_id", "left_anti")
+                .count()
+            ),
+        }
+
+    results = {}
+    for scale, docs, n in (("sf0.1", small, n_small), ("sf1", big, n_big)):
+        for name, fn in suite(docs).items():
+            best = None
+            for _ in range(REPS):
+                t0 = time.time()
+                fn()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            results.setdefault(name, {})[scale] = round(best, 3)
+            print(f"{scale} {name}: {best:.2f}s", flush=True)
+
+    rows = []
+    ok_all = True
+    for name, t in results.items():
+        per_small = t["sf0.1"] / n_small
+        per_big = t["sf1"] / n_big
+        ratio = per_big / per_small
+        ok = ratio <= 10.0
+        ok_all &= ok
+        rows.append((name, t["sf0.1"], t["sf1"], ratio, ok))
+
+    md = [
+        "# BENCH/SF1 — text/packing suite at ~100x documents\n",
+        f"Input: {n_big:,} docs (deterministic {REPLICATE}x replication of "
+        f"{SF_DIR} documents, shifted ids + per-replica token salting) vs "
+        f"{n_small:,} docs; local[{cpus}], min-of-{REPS}.\n",
+        "PASS rule (round-3 verdict #10): per-doc time at the big scale "
+        "<= 10x the sf0.1 per-doc time for every query.\n",
+        "| query | sf0.1 (s) | sf1 (s) | per-doc ratio | ok |",
+        "|---|---|---|---|---|",
+    ]
+    for name, ts, tb, ratio, ok in rows:
+        md.append(f"| {name} | {ts} | {tb} | {ratio:.2f}x | "
+                  f"{'PASS' if ok else 'FAIL'} |")
+    md.append(f"\n**Overall: {'PASS' if ok_all else 'FAIL'}** — a per-doc "
+              "ratio near 1x means the op is linear in the corpus; the 10x "
+              "bound is the memory/spill-cliff detector.")
+    (REPO / "BENCH" / "SF1.md").write_text("\n".join(md) + "\n")
+    (REPO / "BENCH" / "sf1_snapshot.json").write_text(json.dumps({
+        "n_small": n_small, "n_big": n_big, "replicate": REPLICATE,
+        "cpus": cpus, "reps": REPS, "results": results,
+        "pass": ok_all,
+    }, indent=1))
+    print(json.dumps({"pass": ok_all, "results": results}))
+    spark.stop()
+    if not ok_all:
+        raise SystemExit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -401,4 +401,37 @@ def test_chunk_docs_single_shuffle(spark):
 
     docs = _docs(spark, [(i, "x y z w v u t s") for i in range(50)])
     plan = chunk_docs(docs, chunk_tokens=3)._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange") <= 1
+    # round 4: the slice-transform projection has ZERO exchanges (the
+    # grouped formulation had one) — plan-audit check #13
+    assert plan.count("Exchange") == 0
+
+
+def test_chunk_docs_sliding_windows(spark):
+    from rio_cogeo_spark.operators.chunking import (
+        chunk_docs, chunk_docs_sliding,
+    )
+
+    toks = [f"w{i}" for i in range(10)]
+    docs = _docs(spark, [(1, " ".join(toks)), (2, "a b"), (3, "")])
+    out = chunk_docs_sliding(docs, chunk_tokens=4, stride=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_idx"]] = r
+    # 10 tokens, C=4, S=2 -> ceil(6/2)+1 = 4 windows: [0:4),[2:6),[4:8),[6:10)
+    assert sorted(by_doc[1]) == [0, 1, 2, 3]
+    for i in range(4):
+        assert by_doc[1][i]["chunk_text"] == " ".join(toks[2 * i:2 * i + 4])
+        assert by_doc[1][i]["n_tokens"] == 4
+    # doc shorter than one window -> exactly one window with all tokens
+    assert sorted(by_doc[2]) == [0] and by_doc[2][0]["chunk_text"] == "a b"
+    # '' tokenizes to [''] (one empty token), same as chunk_docs
+    assert by_doc[3][0]["n_tokens"] == 1
+
+    # stride == chunk_tokens degenerates to the non-overlapping form
+    a = sorted(map(tuple, chunk_docs_sliding(
+        docs, chunk_tokens=4, stride=4).collect()))
+    b = sorted(map(tuple, chunk_docs(docs, chunk_tokens=4).collect()))
+    assert a == b
+
+    with pytest.raises(ValueError):
+        chunk_docs_sliding(docs, chunk_tokens=4, stride=5)
