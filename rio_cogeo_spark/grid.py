@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass
+from typing import Optional
 
 import numpy as np
 
@@ -265,12 +266,16 @@ def web_optimized_grid(
 
 @dataclass(frozen=True)
 class TileMatrixSet:
-    """A quad-tree tile matrix set — the morecantile TMS contract the
-    reference accepts via ``cog_translate(tms=...)`` (cogeo.py:86, default
+    """A tile matrix set — the morecantile TMS contract the reference
+    accepts via ``cog_translate(tms=...)`` (cogeo.py:86, default
     WebMercatorQuad at utils.py:51; CLI ``--tms`` JSON at
-    scripts/cli.py:214-219), reduced to the quad-pyramid family every
-    published OGC quad TMS fits: a CRS bounding box, a zoom-0 matrix
-    shape, and a power-of-2 matrix progression.
+    scripts/cli.py:214-219). The default form is the quad-pyramid family
+    every published OGC quad TMS fits (a CRS bounding box, a zoom-0
+    matrix shape, a power-of-2 progression); ``matrices`` /
+    ``variable_widths`` extend it to explicit per-zoom matrix shapes and
+    OGC variableMatrixWidths (GNOSISGlobalGrid-style row coalescing) for
+    tile addressing — pyramids/overviews remain quad-only (``is_quad``)
+    because parent-cell decimation needs the power-of-2 progression.
 
     At zoom z the matrix is ``matrix_width0*2^z x matrix_height0*2^z``
     tiles of ``tile_px`` px. ``geographic=True`` means the CRS IS lon/lat
@@ -290,14 +295,57 @@ class TileMatrixSet:
     matrix_width0: int = 1
     matrix_height0: int = 1
     geographic: bool = False
+    # Explicit per-zoom matrix shapes ((w0, h0), (w1, h1), ...): set for
+    # grids whose matrices do NOT follow the power-of-2 progression
+    # (morecantile admits these via tileMatrices; reference cogeo.py:86).
+    # Index = zoom; zooms beyond the list are an error.
+    matrices: Optional[tuple] = None
+    # OGC 2D-TMS variableMatrixWidths (GNOSISGlobalGrid-style): per zoom,
+    # a tuple of (min_row, max_row, coalesce) entries — rows in
+    # [min_row, max_row] hold tiles ``coalesce`` columns wide, and a
+    # coalesced tile's tile_x snaps to the leftmost constituent column
+    # (tile_x % coalesce == 0), exactly morecantile's xy→tile snapping.
+    # Entries align with ``matrices`` by zoom; None entries = uniform row.
+    variable_widths: Optional[tuple] = None
+
+    @property
+    def is_quad(self) -> bool:
+        """True for the power-of-2 quad family — the only grids whose
+        tile addresses support parent-cell decimation (``tx // base``),
+        so pyramids/overviews and k-ring expansion require it. Variable
+        grids still get tile_index/tile_bounds/cell_size."""
+        return self.matrices is None and self.variable_widths is None
 
     def matrix_size(self, zoom: int) -> tuple:
+        if self.matrices is not None:
+            if zoom >= len(self.matrices):
+                raise ValueError(
+                    f"TMS {self.id!r} defines {len(self.matrices)} zoom "
+                    f"levels; zoom {zoom} is out of range"
+                )
+            w, h = self.matrices[zoom]
+            return (int(w), int(h))
         return (self.matrix_width0 << zoom, self.matrix_height0 << zoom)
+
+    def _coalesce_per_row(self, zoom: int) -> Optional[np.ndarray]:
+        """Per-row coalescing factor at ``zoom`` (length = matrix height),
+        or None when every row is uniform."""
+        if self.variable_widths is None or zoom >= len(self.variable_widths):
+            return None
+        spans = self.variable_widths[zoom]
+        if not spans:
+            return None
+        _, ny = self.matrix_size(zoom)
+        c = np.ones(ny, dtype=np.int64)
+        for (r0, r1, k) in spans:
+            c[int(r0): int(r1) + 1] = int(k)
+        return c
 
     def cell_size(self, zoom: int) -> float:
         """``tms.matrix(zoom).cellSize`` (reference utils.py:131)."""
         minx, _, maxx, _ = self.bbox
-        return (maxx - minx) / ((self.matrix_width0 << zoom) * self.tile_px)
+        nx, _ = self.matrix_size(zoom)
+        return (maxx - minx) / (nx * self.tile_px)
 
     def to_crs(self, lon, lat):
         if self.geographic:
@@ -308,25 +356,38 @@ class TileMatrixSet:
 
     def tile_index(self, lon, lat, zoom: int):
         """(lon, lat) → (tile_x, tile_y) — generic form of the module
-        :func:`tile_index`; identical output on WebMercatorQuad."""
+        :func:`tile_index`; identical output on WebMercatorQuad. In
+        variable-width rows tile_x snaps to the leftmost constituent
+        column of the coalesced tile (OGC 2D-TMS §variableMatrixWidths)."""
         x, y = self.to_crs(lon, lat)
         minx, miny, maxx, maxy = self.bbox
         nx, ny = self.matrix_size(zoom)
         tx = np.floor((x - minx) / (maxx - minx) * nx).astype(np.int64)
         ty = np.floor((maxy - y) / (maxy - miny) * ny).astype(np.int64)
-        return np.clip(tx, 0, nx - 1), np.clip(ty, 0, ny - 1)
+        tx = np.clip(tx, 0, nx - 1)
+        ty = np.clip(ty, 0, ny - 1)
+        c = self._coalesce_per_row(zoom)
+        if c is not None:
+            k = c[ty]
+            tx = (tx // k) * k
+        return tx, ty
 
     def tile_bounds(self, tx, ty, zoom: int):
-        """Tile (x, y, z) → (west, south, east, north) in CRS units."""
-        tx = np.asarray(tx, dtype=np.float64)
-        ty = np.asarray(ty, dtype=np.float64)
+        """Tile (x, y, z) → (west, south, east, north) in CRS units.
+        Coalesced tiles span ``coalesce`` columns eastward."""
+        tx_i = np.asarray(tx, dtype=np.int64)
+        ty_i = np.asarray(ty, dtype=np.int64)
+        tx = tx_i.astype(np.float64)
+        ty = ty_i.astype(np.float64)
         minx, miny, maxx, maxy = self.bbox
         nx, ny = self.matrix_size(zoom)
         span_x = (maxx - minx) / nx
         span_y = (maxy - miny) / ny
+        c = self._coalesce_per_row(zoom)
+        width = span_x if c is None else span_x * c[np.clip(ty_i, 0, ny - 1)]
         west = minx + tx * span_x
         north = maxy - ty * span_y
-        return west, north - span_y, west + span_x, north
+        return west, north - span_y, west + width, north
 
     def zoom_for_res(
         self,
@@ -335,6 +396,8 @@ class TileMatrixSet:
         zoom_level_strategy: str = "auto",
         min_z: int = 0,
     ) -> int:
+        if self.matrices is not None:
+            max_z = min(max_z, len(self.matrices) - 1)
         return _zoom_snap(self.cell_size, res, max_z, zoom_level_strategy, min_z)
 
 
@@ -364,10 +427,13 @@ TMS_REGISTRY = {t.id: t for t in (WEB_MERCATOR_QUAD, WORLD_CRS84_QUAD)}
 def tms_from_dict(d: dict) -> TileMatrixSet:
     """Build a TMS from a JSON-style dict (the CLI ``--tms`` file shape):
     ``{"id", "crs", "bbox", "tile_px", "matrix_width0", "matrix_height0",
-    "geographic"}`` — unknown keys rejected loudly."""
+    "geographic", "matrices", "variable_widths"}`` — unknown keys rejected
+    loudly, non-positive dimensions too (a 0 tile_px or matrix dimension
+    would otherwise yield division-by-zero cell sizes / clip-to-(-1)
+    garbage tile indices silently)."""
     known = {
         "id", "crs", "bbox", "tile_px", "matrix_width0", "matrix_height0",
-        "geographic",
+        "geographic", "matrices", "variable_widths",
     }
     unknown = set(d) - known
     if unknown:
@@ -377,14 +443,68 @@ def tms_from_dict(d: dict) -> TileMatrixSet:
     bbox = tuple(float(v) for v in d["bbox"])
     if len(bbox) != 4 or bbox[0] >= bbox[2] or bbox[1] >= bbox[3]:
         raise ValueError(f"invalid TMS bbox: {d['bbox']}")
+    tile_px = int(d.get("tile_px", TMS_TILE_PX))
+    w0 = int(d.get("matrix_width0", 1))
+    h0 = int(d.get("matrix_height0", 1))
+    for name, v in (("tile_px", tile_px), ("matrix_width0", w0),
+                    ("matrix_height0", h0)):
+        if v < 1:
+            raise ValueError(f"TMS {name} must be >= 1, got {v}")
+
+    matrices = None
+    if d.get("matrices") is not None:
+        matrices = tuple(
+            (int(w), int(h)) for w, h in d["matrices"]
+        )
+        if not matrices:
+            raise ValueError("TMS matrices must be non-empty when given")
+        for z, (w, h) in enumerate(matrices):
+            if w < 1 or h < 1:
+                raise ValueError(
+                    f"TMS matrices[{z}] must be >= 1x1, got {w}x{h}"
+                )
+
+    variable_widths = None
+    if d.get("variable_widths") is not None:
+        if matrices is None:
+            raise ValueError(
+                "TMS variable_widths requires explicit matrices "
+                "(per-zoom matrix shapes)"
+            )
+        vw = []
+        for z, spans in enumerate(d["variable_widths"]):
+            if z >= len(matrices):
+                raise ValueError(
+                    "TMS variable_widths lists more zooms than matrices"
+                )
+            if not spans:
+                vw.append(())
+                continue
+            _, ny = matrices[z]
+            norm = []
+            for (r0, r1, c) in spans:
+                r0, r1, c = int(r0), int(r1), int(c)
+                if c < 1:
+                    raise ValueError(f"TMS coalesce must be >= 1, got {c}")
+                if not (0 <= r0 <= r1 < ny):
+                    raise ValueError(
+                        f"TMS variable_widths[{z}] rows [{r0},{r1}] outside "
+                        f"matrix height {ny}"
+                    )
+                norm.append((r0, r1, c))
+            vw.append(tuple(norm))
+        variable_widths = tuple(vw)
+
     return TileMatrixSet(
         id=str(d["id"]),
         crs=str(d["crs"]),
         bbox=bbox,
-        tile_px=int(d.get("tile_px", TMS_TILE_PX)),
-        matrix_width0=int(d.get("matrix_width0", 1)),
-        matrix_height0=int(d.get("matrix_height0", 1)),
+        tile_px=tile_px,
+        matrix_width0=w0,
+        matrix_height0=h0,
         geographic=bool(d.get("geographic", False)),
+        matrices=matrices,
+        variable_widths=variable_widths,
     )
 
 

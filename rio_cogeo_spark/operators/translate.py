@@ -214,6 +214,11 @@ def plan_tile_job(
     (utils.py:120-140; reference tests/test_web.py:241-300), so every
     overview level down to k stays tile-aligned.
     """
+    if tms is not None and not tms.is_quad:
+        raise IncompatibleOptions(
+            f"TMS {tms.id!r} is not a quad (power-of-2) tile matrix set; "
+            "tile-job plans require quad parent-cell decimation."
+        )
     b = pages.agg(
         F.min("lon").alias("w"),
         F.max("lon").alias("e"),
@@ -353,7 +358,15 @@ def next_level(tiles: DataFrame, zoom: int, base: int, bands: List[BandSpec]) ->
 # extent, not the page count. sum/min/max/hll merges are associative,
 # so deriving level z directly from the last materialized level is
 # value-identical to the level-by-level chain.
-FOLD_CELLS = 262_144
+#
+# 2**20 covers a full-globe z10 base extent (1024x1024), so a global
+# pyramid with a fold-safe band set derives EVERY overview from the base
+# level in one stage (2 shuffles total: base agg + fold). The folded
+# exchange stays tiny regardless: map-side partial aggregation reduces
+# the exploded rows to the output tile count (~bound/3) before any bytes
+# move, so the shuffle is bounded by the extent geometry, never the
+# corpus size.
+FOLD_CELLS = 1_048_576
 
 # Merges where a direct multi-level derivation equals the level chain:
 # avg/rms are chain-dependent (avg over 16 grandchildren != avg of 4
@@ -495,6 +508,15 @@ def cog_translate(
     if colormap and len(bands) > 1:
         raise IncompatibleOptions(
             "Cannot add a colormap for multiple bands data."
+        )
+    if tms is not None and not tms.is_quad:
+        # variable-width / explicit-matrix grids address tiles fine
+        # (grid.TileMatrixSet.tile_index) but have no power-of-2 parent
+        # relation, so overview decimation (tx // base) is undefined
+        raise IncompatibleOptions(
+            f"TMS {tms.id!r} is not a quad (power-of-2) tile matrix set; "
+            "pyramids/overviews require quad parent-cell decimation. "
+            "Use tile_assign/assign_tiles for addressing on this grid."
         )
     # zoom resolution (cogeo.py:134-145 / utils.py:106-117): an explicit
     # zoom_level wins; else an explicit max_zoom; else derive from the

@@ -1,0 +1,153 @@
+"""Round-5 surface: variable-width TileMatrixSet (morecantile's full
+matrix contract, reference cogeo.py:86 — explicit per-zoom matrices +
+OGC 2D-TMS variableMatrixWidths row coalescing, GNOSISGlobalGrid-style),
+TMS dict validation hardening, the quad-only pyramid gate, and the
+fold-from-base-level pyramid equivalence (translate.FOLD_CELLS covers a
+global z10 base extent, so chained-vs-folded derivations must stay
+value-identical).
+"""
+
+import numpy as np
+import pytest
+
+from rio_cogeo_spark import grid
+from rio_cogeo_spark.errors import IncompatibleOptions
+from rio_cogeo_spark.operators import translate as T
+from rio_cogeo_spark.synth import synth_pages
+
+
+# A GNOSIS-style grid: geographic, 4x2 zoom-0 matrix doubling per zoom,
+# with the polar rows coalesced (top/bottom row tiles span 4 columns at
+# every zoom, the next rows 2 at zoom >= 1) — the shape
+# GNOSISGlobalGrid uses, exercised with small numbers.
+GNOSISH = {
+    "id": "GNOSISish",
+    "crs": "OGC:CRS84",
+    "bbox": [-180.0, -90.0, 180.0, 90.0],
+    "geographic": True,
+    "matrices": [[4, 2], [8, 4], [16, 8]],
+    "variable_widths": [
+        [[0, 0, 4], [1, 1, 4]],
+        [[0, 0, 4], [3, 3, 4], [1, 1, 2], [2, 2, 2]],
+        [[0, 0, 4], [7, 7, 4], [1, 1, 2], [6, 6, 2]],
+    ],
+}
+
+
+def test_variable_tms_matrix_and_cell_size():
+    t = grid.tms_from_dict(GNOSISH)
+    assert not t.is_quad
+    assert t.matrix_size(0) == (4, 2)
+    assert t.matrix_size(2) == (16, 8)
+    assert t.cell_size(1) == 360.0 / (8 * 256)
+    with pytest.raises(ValueError, match="out of range"):
+        t.matrix_size(3)
+    # zoom_for_res clamps to the defined matrices
+    assert t.zoom_for_res(1e-12) == 2
+
+
+def test_variable_tms_coalesced_snapping():
+    t = grid.tms_from_dict(GNOSISH)
+    # zoom 1: rows 0 and 3 coalesce by 4, rows 1-2 by 2 (matrix 8x4)
+    lon = np.array([170.0, 170.0, 170.0, -170.0])
+    lat = np.array([80.0, 30.0, -30.0, -80.0])
+    tx, ty = t.tile_index(lon, lat, 1)
+    assert list(ty) == [0, 1, 2, 3]
+    # uniform tx for lon=170 at 8 cols is 7 → snaps to 4 (row 0, c=4)
+    # and 6 (rows 1-2, c=2); lon=-170 → uniform 0 stays 0
+    assert list(tx) == [4, 6, 6, 0]
+    # every snapped tile_x is a multiple of its row's coalesce factor
+    c = {0: 4, 1: 2, 2: 2, 3: 4}
+    assert all(int(x) % c[int(y)] == 0 for x, y in zip(tx, ty))
+
+
+def test_variable_tms_bounds_span_coalesced_columns():
+    t = grid.tms_from_dict(GNOSISH)
+    # zoom 1, row 0 (c=4): tile (4, 0) spans 4 uniform columns = 180 deg
+    w, s, e, n = t.tile_bounds([4], [0], 1)
+    assert (float(w[0]), float(n[0])) == (0.0, 90.0)
+    assert float(e[0]) - float(w[0]) == 4 * 45.0
+    # row 1 (c=2): spans 2 columns
+    w, s, e, n = t.tile_bounds([6], [1], 1)
+    assert float(e[0]) - float(w[0]) == 2 * 45.0
+    # points round-trip into their tile's bounds
+    lon = np.linspace(-179.9, 179.9, 41)
+    lat = np.linspace(-89.9, 89.9, 41)
+    for z in (0, 1, 2):
+        tx, ty = t.tile_index(lon, lat, z)
+        w, s, e, n = t.tile_bounds(tx, ty, z)
+        assert (w <= lon).all() and (lon < e).all()
+        assert (s <= lat).all() and (lat <= n).all()
+
+
+def test_uniform_tms_unaffected_by_extension():
+    # quad grids keep byte-identical behavior through the new code paths
+    q = grid.WEB_MERCATOR_QUAD
+    assert q.is_quad
+    rng = np.random.default_rng(11)
+    lon = rng.uniform(-179, 179, 1000)
+    lat = rng.uniform(-84, 84, 1000)
+    for z in (0, 5, 12):
+        a = grid.tile_index(lon, lat, z)
+        b = q.tile_index(lon, lat, z)
+        assert (a[0] == b[0]).all() and (a[1] == b[1]).all()
+
+
+def test_tms_from_dict_rejects_nonpositive_dims():
+    base = {"id": "x", "crs": "OGC:CRS84", "bbox": [-180, -90, 180, 90]}
+    for k in ("tile_px", "matrix_width0", "matrix_height0"):
+        with pytest.raises(ValueError, match=">= 1"):
+            grid.tms_from_dict({**base, k: 0})
+        with pytest.raises(ValueError, match=">= 1"):
+            grid.tms_from_dict({**base, k: -3})
+
+
+def test_tms_from_dict_rejects_bad_variable_widths():
+    base = {"id": "x", "crs": "OGC:CRS84", "bbox": [-180, -90, 180, 90]}
+    with pytest.raises(ValueError, match="requires explicit matrices"):
+        grid.tms_from_dict({**base, "variable_widths": [[[0, 0, 2]]]})
+    with pytest.raises(ValueError, match=">= 1x1"):
+        grid.tms_from_dict({**base, "matrices": [[4, 0]]})
+    with pytest.raises(ValueError, match="coalesce"):
+        grid.tms_from_dict(
+            {**base, "matrices": [[4, 2]], "variable_widths": [[[0, 0, 0]]]}
+        )
+    with pytest.raises(ValueError, match="outside"):
+        grid.tms_from_dict(
+            {**base, "matrices": [[4, 2]], "variable_widths": [[[0, 5, 2]]]}
+        )
+    with pytest.raises(ValueError, match="more zooms"):
+        grid.tms_from_dict(
+            {**base, "matrices": [[4, 2]],
+             "variable_widths": [[], [[0, 0, 2]]]}
+        )
+
+
+def test_pyramid_rejects_non_quad_tms(spark, sf_small):
+    pages = synth_pages(spark, sf_small).limit(50)
+    t = grid.tms_from_dict(GNOSISH)
+    with pytest.raises(IncompatibleOptions, match="not a quad"):
+        T.cog_translate(pages, max_zoom=2, overview_level=2, tms=t)
+    with pytest.raises(IncompatibleOptions, match="not a quad"):
+        T.plan_tile_job(pages, max_zoom=2, tms=t)
+    # addressing still works on the variable grid — it is only the
+    # pyramid (parent-cell decimation) that requires quad
+    out = T.assign_tiles(pages, 1, tms=t)
+    rows = out.select("tile_x", "tile_y").collect()
+    assert len(rows) == 50
+
+
+def test_fold_from_base_equals_level_chain(spark, sf_small, monkeypatch):
+    """FOLD_CELLS now covers a global z10 base extent, so the whole
+    overview tail folds into one stage directly from the base level —
+    assert value-identity against the never-folding chain."""
+    pages = synth_pages(spark, sf_small)
+    folded, plan_f = T.cog_translate(pages, max_zoom=8, overview_level=5)
+    assert plan_f.zooms == list(range(8, 2, -1))
+    monkeypatch.setattr(T, "FOLD_CELLS", 0)
+    chained, plan_c = T.cog_translate(pages, max_zoom=8, overview_level=5)
+    assert plan_c.zooms == plan_f.zooms
+    cols = ["zoom", "tile_x", "tile_y"]
+    a = {tuple(r) for r in folded.collect()}
+    b = {tuple(r) for r in chained.collect()}
+    assert a == b
