@@ -61,6 +61,10 @@ def _meta_from_dir(spark, tiles_dir):
         decimations=pj["decimations"],
     )
     plan.band_meta = pj.get("band_meta") or {}
+    # resolved profile options (post --co): surface the codec and the
+    # patched options as table properties so info/validate see them
+    for k, v in (pj.get("profile_options") or {}).items():
+        plan.properties[str(k)] = str(v)
     if pj.get("colormap"):
         plan.colormap = {int(k): tuple(v) for k, v in pj["colormap"].items()}
     if pj.get("nodata") is not None:
@@ -101,6 +105,81 @@ def parse_bidx(value):
         raise argparse.ArgumentTypeError(
             f"{value} is not a valid band index list (e.g. '1,2,3')"
         ) from exc
+
+
+# rasterio dtype names (the reference's options.dtype_opt choices) →
+# Spark SQL types. Spark has no unsigned integers, so each uN widens to
+# the smallest signed type that holds its full range — value-preserving,
+# never lossy.
+GDAL_TO_SPARK_DTYPE = {
+    "int8": "tinyint",
+    "uint8": "smallint",
+    "int16": "smallint",
+    "uint16": "int",
+    "int32": "int",
+    "uint32": "bigint",
+    "int64": "bigint",
+    "float32": "float",
+    "float64": "double",
+}
+
+
+_SPARK_TO_GDAL_DTYPE = {
+    "tinyint": "int8",
+    "smallint": "int16",
+    "int": "int32",
+    "bigint": "int64",
+    "float": "float32",
+    "double": "float64",
+}
+
+
+def parse_dtype(value):
+    """--dtype parse (reference options.dtype_opt): a rasterio dtype
+    name (canonical form returned); Spark type names also accepted."""
+    if value is None:
+        return None
+    v = value.lower()
+    if v in GDAL_TO_SPARK_DTYPE:
+        return v
+    if v in _SPARK_TO_GDAL_DTYPE:
+        return _SPARK_TO_GDAL_DTYPE[v]
+    raise argparse.ArgumentTypeError(
+        f"{value} is not a valid dtype "
+        f"(one of {sorted(GDAL_TO_SPARK_DTYPE)})"
+    )
+
+
+# GDAL COMPRESS= codec names → parquet codecs, same analog mapping the
+# profile registry uses (profiles.py _PROFILES).
+_GDAL_CODECS = {
+    "deflate": "gzip",
+    "lzw": "lz4",
+    "packbits": "snappy",
+    "none": "uncompressed",
+    "raw": "uncompressed",
+}
+
+
+def parse_co(pairs):
+    """--co NAME=VALUE creation options (reference options.creation_options
+    / scripts/cli.py:270-271 ``output_profile.update(creation_options)``):
+    keys lowercased; COMPRESS→compression with GDAL codec names mapped to
+    their parquet analogs."""
+    out = {}
+    for item in pairs or []:
+        if "=" not in item:
+            raise argparse.ArgumentTypeError(
+                f"--co expects NAME=VALUE, got {item!r}"
+            )
+        k, v = item.split("=", 1)
+        k = k.strip().lower()
+        if k == "compress":
+            k = "compression"
+        if k == "compression":
+            v = _GDAL_CODECS.get(v.strip().lower(), v.strip().lower())
+        out[k] = v
+    return out
 
 
 def resolve_blocksizes(blocksize, overview_blocksize, web_optimized):
@@ -144,7 +223,14 @@ def cmd_create(args) -> int:
     from rio_cogeo_spark.profiles import cog_profiles
     from rio_cogeo_spark.sources.pages import read_pages, resumable_pyramid
 
-    cog_profiles.get(args.profile)  # KeyError on unknown, like the reference
+    profile = cog_profiles.get(args.profile)  # KeyError on unknown
+    try:
+        # reference scripts/cli.py:270-271: --co patches the resolved
+        # profile (copy-on-get, so the registry is never mutated)
+        profile.update(parse_co(args.creation_options))
+    except argparse.ArgumentTypeError as exc:
+        print(str(exc), file=sys.stderr)
+        return 2
     if args.overview_resampling not in grid.ALL_KERNELS:
         print(f"Invalid overview resampling: {args.overview_resampling}",
               file=sys.stderr)
@@ -175,16 +261,30 @@ def cmd_create(args) -> int:
                 str(b): {str(k): str(v) for k, v in kv.items()}
                 for b, kv in json.load(f).items()
             }
-        unknown = set(band_tags) - {b.name for b in bands}
-        if unknown:
-            print(f"--band-tags for unknown bands: {sorted(unknown)}",
-                  file=sys.stderr)
-            return 2
     if args.bidx:
         try:
             bands = [bands[i - 1] for i in args.bidx]
         except IndexError:
             print(f"band index out of range (1..{len(bands)}): {args.bidx}",
+                  file=sys.stderr)
+            return 2
+    if args.add_mask:
+        # reference --add-mask (scripts/cli.py:111-117): force an
+        # internal mask band — per-cell count of valid points (P6)
+        from pyspark.sql import functions as F
+
+        from rio_cogeo_spark.operators.translate import BandSpec
+
+        bands = list(bands) + [
+            BandSpec("mask_count", lambda: F.count(F.lit(1)).cast("long"), "sum")
+        ]
+    if band_tags:
+        # validated against the FINAL band list (post --bidx/--add-mask):
+        # tags naming a band dropped by --bidx must fail loudly, not
+        # silently vanish from band_meta
+        unknown = set(band_tags) - {b.name for b in bands}
+        if unknown:
+            print(f"--band-tags for unknown bands: {sorted(unknown)}",
                   file=sys.stderr)
             return 2
     blocksize, overview_blocksize = resolve_blocksizes(
@@ -231,6 +331,7 @@ def cmd_create(args) -> int:
         b.name: {
             "scale": 1.0, "offset": 0.0, "merge": b.merge,
             "tags": band_tags.get(b.name, {}),
+            **({"dtype": args.dtype} if args.dtype else {}),
         }
         for b in bands
     }
@@ -249,6 +350,8 @@ def cmd_create(args) -> int:
         overview_blocksize=overview_blocksize,
         aligned_levels=(args.aligned_levels if args.web_optimized else None),
         tms=tms,
+        dtype=(GDAL_TO_SPARK_DTYPE[args.dtype] if args.dtype else None),
+        compression=profile.get("compression"),
     )
     with open(os.path.join(args.out_dir, "_plan.json"), "w") as f:
         json.dump(
@@ -263,6 +366,11 @@ def cmd_create(args) -> int:
                 "height_px": plan.height_px,
                 "decimations": plan.decimations,
                 "profile": args.profile,
+                # resolved profile AFTER --co patches (the reference
+                # writes the patched output_profile, scripts/cli.py:270)
+                "profile_options": {k: v for k, v in profile.items()},
+                "dtype": args.dtype,
+                "add_mask": bool(args.add_mask),
                 "overview_resampling": args.overview_resampling,
                 "web_optimized": bool(args.web_optimized),
                 "aligned_levels": args.aligned_levels,
@@ -350,6 +458,16 @@ def main(argv=None) -> int:
     c.add_argument("--nodata", type=parse_nodata, default=None)
     c.add_argument("--bidx", "-b", type=parse_bidx, default=None,
                    help="Band indexes to copy (1-based, comma-separated).")
+    c.add_argument("--dtype", "-t", type=parse_dtype, default=None,
+                   help="Output data type (rasterio dtype name, e.g. "
+                        "uint16/float32; cast applied on write).")
+    c.add_argument("--add-mask", action="store_true", dest="add_mask",
+                   help="Force output dataset creation with an internal "
+                        "mask band (per-cell valid-point count).")
+    c.add_argument("--co", metavar="NAME=VALUE", action="append",
+                   default=[], dest="creation_options",
+                   help="Creation option patching the resolved profile "
+                        "(repeatable), e.g. --co compress=deflate.")
     c.add_argument("--blocksize", type=int, default=None,
                    help="Overwrite profile's tile size.")
     c.add_argument("--overview-blocksize", type=int, default=None,

@@ -103,6 +103,10 @@ def cog_info(
     nodata = (
         float(properties["NODATA"]) if properties.get("NODATA") is not None else None
     )
+    # band dtype: the --dtype cast recorded in band_meta (reference
+    # Profile.Dtype, models.py:37); int64 is the native band type
+    cast_dtypes = {bmeta.get(c, {}).get("dtype") for c in data_bands} - {None}
+    dtype = cast_dtypes.pop() if len(cast_dtypes) == 1 else "int64"
 
     return Info(
         Path=path,
@@ -117,7 +121,7 @@ def cog_info(
             Width=int(max_row["width"]),
             Height=int(max_row["height"]),
             Tiled=True,
-            Dtype="int64",
+            Dtype=str(dtype),
             Interleave="pixel",
             AlphaBand=False,
             InternalMask=has_mask,

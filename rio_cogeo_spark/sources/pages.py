@@ -99,19 +99,25 @@ def _manifest_path(root: str, zoom: int) -> str:
     return os.path.join(root, f"_manifest_z{zoom}.json")
 
 
-def _write_level(tiles: DataFrame, root: str, zoom: int) -> dict:
+def _write_level(
+    tiles: DataFrame, root: str, zoom: int, compression: Optional[str] = None
+) -> dict:
     """Atomic level commit: write to a temp dir, fsync the manifest last
     (the parquet stand-in for an Iceberg snapshot commit). The manifest
     records per-partition row counts — the 'per-partition lineage +
-    tile-count metrics' of the north_star."""
+    tile-count metrics' of the north_star. ``compression`` is the
+    profile/creation-option parquet codec (reference profiles.py:10-18
+    COMPRESS= creation option)."""
     tmp = os.path.join(root, f"_tmp_z{zoom}")
     final = _level_dir(root, zoom)
-    (
+    w = (
         tiles.repartitionByRange(8, "tile_y", "tile_x")
         .sortWithinPartitions("tile_y", "tile_x")
         .write.mode("overwrite")
-        .parquet(tmp)
     )
+    if compression:
+        w = w.option("compression", compression)
+    w.parquet(tmp)
     back = tiles.sparkSession.read.parquet(tmp)
     per_part = [
         {"partition": int(r["pid"]), "rows": int(r["rows"])}
@@ -156,11 +162,20 @@ def resumable_pyramid(
     overview_blocksize: Optional[int] = None,
     aligned_levels: Optional[int] = None,
     tms=None,
+    dtype: Optional[str] = None,
+    compression: Optional[str] = None,
 ) -> Tuple[TileJobPlan, List[dict]]:
     """Checkpointed pyramid build: one committed level at a time,
     max_zoom first (children before parents), skipping levels whose
     manifest is already complete — kill the job between levels and rerun
-    to resume. Returns (plan, manifests)."""
+    to resume. Returns (plan, manifests).
+
+    ``dtype`` (Spark type name) casts every band on write, and each
+    overview re-aggregates the CASTED committed level below it — exactly
+    GDAL's order of operations under ``--dtype`` (the VRT cast happens at
+    translate time, then ``build_overviews`` reads the casted dataset;
+    reference cogeo.py:81,221,262). ``compression`` is the profile /
+    ``--co`` parquet codec."""
     from rio_cogeo_spark import grid as _grid
 
     spark = pages.sparkSession
@@ -190,7 +205,12 @@ def resumable_pyramid(
         else:
             assert prev is not None
             level = next_level(prev, z, decimation_base, bands).drop("zoom")
-        manifests.append(_write_level(level, root, z))
+        if dtype is not None:
+            level = level.select(
+                "tile_x", "tile_y",
+                *[F.col(b.name).cast(dtype).alias(b.name) for b in bands],
+            )
+        manifests.append(_write_level(level, root, z, compression=compression))
         prev = spark.read.parquet(_level_dir(root, z))
     return plan, manifests
 

@@ -137,6 +137,141 @@ def test_pyramid_rejects_non_quad_tms(spark, sf_small):
     assert len(rows) == 50
 
 
+# --- CLI parity tail: --dtype / --add-mask / --co (reference
+# scripts/cli.py:111-117 --add-mask, options.dtype_opt,
+# options.creation_options + cli.py:270-271 profile patching)
+
+@pytest.fixture(scope="module")
+def pages_path(spark, sf_small, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("r5") / "pages")
+    synth_pages(spark, sf_small).write.parquet(p)
+    return p
+
+
+def _info_json(out):
+    import contextlib
+    import io
+    import json as _json
+
+    from rio_cogeo_spark.cli import main
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main(["--cpus", "8", "info", out, "--json"]) == 0
+    return _json.loads(buf.getvalue().strip().splitlines()[-1])
+
+
+def test_cli_dtype_cast_visible_in_info_and_on_disk(spark, pages_path, tmp_path):
+    import json as _json
+
+    from rio_cogeo_spark.cli import main
+
+    out = str(tmp_path / "pyr")
+    rc = main([
+        "--cpus", "8", "create", pages_path, out,
+        "--max-zoom", "6", "--overview-level", "2", "--dtype", "int32",
+    ])
+    assert rc == 0
+    assert _json.load(open(f"{out}/_plan.json"))["dtype"] == "int32"
+    d = _info_json(out)
+    assert d["Profile"]["Dtype"] == "int32"
+    # the written parquet really carries the casted type
+    back = spark.read.parquet(f"{out}/zoom=6")
+    assert dict(back.dtypes)["page_count"] == "int"
+
+
+def test_cli_dtype_rejects_unknown(pages_path, tmp_path):
+    from rio_cogeo_spark.cli import main
+
+    with pytest.raises(SystemExit):
+        main([
+            "--cpus", "8", "create", pages_path, str(tmp_path / "p"),
+            "--max-zoom", "6", "--dtype", "complex128",
+        ])
+
+
+def test_cli_add_mask_produces_mask_band(spark, pages_path, tmp_path):
+    from rio_cogeo_spark.cli import main
+
+    out = str(tmp_path / "pyr")
+    rc = main([
+        "--cpus", "8", "create", pages_path, out,
+        "--max-zoom", "6", "--overview-level", "2", "--add-mask",
+    ])
+    assert rc == 0
+    back = spark.read.parquet(f"{out}/zoom=6")
+    assert "mask_count" in back.columns
+    # every source point is valid here, so mask == page_count
+    from pyspark.sql import functions as F
+
+    bad = back.filter(F.col("mask_count") != F.col("page_count")).count()
+    assert bad == 0
+    d = _info_json(out)
+    assert d["Profile"]["InternalMask"] is True
+    # the mask is not a color band (reference: mask plane is not a band)
+    assert "mask_count" not in list(d["Profile"]["ColorInterp"])
+
+
+def test_cli_co_patches_profile_and_codec(spark, pages_path, tmp_path):
+    import json as _json
+
+    from rio_cogeo_spark.cli import main
+
+    out = str(tmp_path / "pyr")
+    rc = main([
+        "--cpus", "8", "create", pages_path, out,
+        "--max-zoom", "6", "--overview-level", "1",
+        "--profile", "zstd",
+        "--co", "COMPRESS=DEFLATE", "--co", "custom_opt=7",
+    ])
+    assert rc == 0
+    pj = _json.load(open(f"{out}/_plan.json"))
+    assert pj["profile_options"]["compression"] == "gzip"  # DEFLATE analog
+    assert pj["profile_options"]["custom_opt"] == "7"
+    # the parquet files are really gzip-compressed
+    import glob
+    import pyarrow.parquet as pq
+
+    f = glob.glob(f"{out}/zoom=6/*.parquet")[0]
+    codecs = {
+        pq.ParquetFile(f).metadata.row_group(0).column(i).compression
+        for i in range(pq.ParquetFile(f).metadata.num_columns)
+    }
+    assert codecs == {"GZIP"}
+    # info surfaces the patched codec
+    assert _info_json(out)["Compression"] == "gzip"
+
+
+def test_cli_band_tags_checked_after_bidx(pages_path, tmp_path):
+    """Tags naming a band dropped by --bidx must be rejected, not
+    silently vanish (ADVICE r4)."""
+    import json as _json
+
+    from rio_cogeo_spark.cli import main
+
+    tags_path = str(tmp_path / "tags.json")
+    with open(tags_path, "w") as f:
+        _json.dump({"sum_chars": {"k": "v"}}, f)
+    rc = main([
+        "--cpus", "8", "create", pages_path, str(tmp_path / "pyr"),
+        "--max-zoom", "6", "--overview-level", "1",
+        "--bidx", "1", "--band-tags", tags_path,
+    ])
+    assert rc == 2
+    # and tags on the mask band added by --add-mask are accepted
+    with open(tags_path, "w") as f:
+        _json.dump({"mask_count": {"role": "mask"}}, f)
+    out = str(tmp_path / "pyr2")
+    rc = main([
+        "--cpus", "8", "create", pages_path, out,
+        "--max-zoom", "6", "--overview-level", "1",
+        "--add-mask", "--band-tags", tags_path,
+    ])
+    assert rc == 0
+    pj = _json.load(open(f"{out}/_plan.json"))
+    assert pj["band_meta"]["mask_count"]["tags"] == {"role": "mask"}
+
+
 def test_fold_from_base_equals_level_chain(spark, sf_small, monkeypatch):
     """FOLD_CELLS now covers a global z10 base extent, so the whole
     overview tail folds into one stage directly from the base level —
