@@ -220,6 +220,19 @@ def q_ann_ivf(spark, sf_dir):
     return SIM.ann_ivf_topk(emb, queries, k=10, n_probe=10)
 
 
+def q_ann_ivf_free(spark, sf_dir):
+    """Label-free IVF (round-5 quantizer decoupling): explicit n_lists +
+    deterministic k-means++ sample seeding — NO label column touches the
+    build. Driver-certified exactly the same way as `ann_ivf`: probing
+    all lists makes the candidate set the full corpus, so output must
+    equal the brute-force oracle whatever the quantizer is."""
+    emb = _embeddings(spark, sf_dir).drop("label")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    return SIM.ann_ivf_topk(emb, queries, k=10, n_probe=8, n_lists=8)
+
+
 def q_asof_join(spark, sf_dir):
     """Each event joined to the user's most recent purchase at-or-before
     its timestamp (the as-of join operator, operators/asof.py)."""
@@ -747,6 +760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup": q_embed_neardup,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_free": q_ann_ivf_free,
         "pip_semi": q_pip_semi,
         "sessionize": q_sessionize,
         "media_features": q_media_features,
@@ -772,7 +786,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "clean_corpus": q_clean_corpus,
         "tile_counts_avg": q_tile_counts_avg,
-        "sample_stratified": q_sample_stratified,
         "search": q_search,
         "chunks_sliding": q_chunks_sliding,
         "chunks": q_chunks,
@@ -785,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "quality_percentiles": q_quality_percentiles,
         "tile_rollup": q_tile_rollup,
+        "sample_stratified": q_sample_stratified,
     }
 
 
@@ -1189,6 +1203,7 @@ WHERE {_COS} >= CAST(0.4 AS DOUBLE)""",
         # IVF with n_probe = all lists scans the full corpus → exact,
         # so it shares the brute-force oracle
         "ann_ivf": _ANN_TOPK_SQL,
+        "ann_ivf_free": _ANN_TOPK_SQL,
         "quality": f"""
 SELECT doc_id, {TX.TOKEN_COUNT_SQL} AS n_tokens, {TX.PUNCT_COUNT_SQL} AS n_punct,
        {TX.STOPWORD_COUNT_SQL} AS n_stopwords, {TX.QUALITY_SCORE_SQL} AS quality

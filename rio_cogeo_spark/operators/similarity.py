@@ -62,31 +62,114 @@ def _component_means(df: DataFrame, key_col: str, vec_col: str) -> dict:
     return by_key
 
 
+def _kmeanspp_sample_seed(
+    embeddings: DataFrame,
+    n_lists: int,
+    vec_col: str,
+    id_col: str,
+    sample_rows: int,
+    seed: int,
+) -> np.ndarray:
+    """k-means++ seeding from a DETERMINISTIC corpus sample: the sample
+    is the ``sample_rows`` smallest ``xxhash64(id)`` rows (a distributed
+    TakeOrdered — no full sort, no dependence on partitioning or row
+    order), and the ++ chain runs driver-side on that small matrix with
+    a fixed RNG. Only sample_rows x dim doubles ever reach the driver."""
+    rows = (
+        embeddings.select(F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
+        .limit(int(sample_rows))
+        .collect()
+    )
+    X = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    if n_lists > X.shape[0]:
+        raise ValueError(
+            f"n_lists={n_lists} exceeds the seed sample ({X.shape[0]} rows); "
+            "raise sample_rows"
+        )
+    rng = np.random.default_rng(seed)
+
+    def _pp_seed():
+        centers = [X[int(rng.integers(X.shape[0]))]]
+        d2 = np.full(X.shape[0], np.inf)
+        for _ in range(n_lists - 1):
+            d2 = np.minimum(d2, ((X - centers[-1]) ** 2).sum(axis=1))
+            if d2.sum() <= 0:  # fewer distinct points than lists
+                centers.append(X[int(rng.integers(X.shape[0]))])
+                continue
+            centers.append(X[int(rng.choice(X.shape[0], p=d2 / d2.sum()))])
+        return np.stack(centers)
+
+    def _lloyd_on_sample(cent, iters=25):
+        for _ in range(iters):
+            assign = (X @ cent.T).argmax(axis=1)  # cosine on unit vectors
+            new = cent.copy()
+            for j in range(n_lists):
+                m = assign == j
+                if m.any():
+                    new[j] = X[m].mean(axis=0)
+            new = new / np.maximum(np.linalg.norm(new, axis=1, keepdims=True), 1e-12)
+            if np.allclose(new, cent):
+                break
+            cent = new
+        inertia = -np.max(X @ cent.T, axis=1).sum()
+        return cent, inertia
+
+    # a single ++ chain can split one true cluster and merge two others;
+    # full k-means on the (driver-side, tiny) sample with several
+    # restarts costs milliseconds and reliably recovers the coarse
+    # structure — the distributed Lloyd rounds then only polish
+    best_cent, best_inertia = None, np.inf
+    for _ in range(8):
+        cent, inertia = _lloyd_on_sample(_pp_seed())
+        if inertia < best_inertia:
+            best_cent, best_inertia = cent, inertia
+    return best_cent
+
+
 def ivf_build_centroids(embeddings: DataFrame, vec_col: str = "embedding",
                         list_col: str = "label",
-                        lloyd_iters: int = 0) -> np.ndarray:
-    """IVF coarse quantizer: one centroid per inverted list, seeded from
-    the ``list_col`` partition means, then refined with ``lloyd_iters``
-    distributed k-means rounds (each round: vectorized nearest-centroid
-    assignment + the same mergeable per-component avg as the seed — one
-    shuffle per round, bounded by n_lists x dim). With iterations the
-    quantizer no longer depends on the quality of a pre-existing
-    partition column. Returns (n_lists, dim).
+                        lloyd_iters: int = 0,
+                        n_lists: int = None,
+                        id_col: str = "vec_id",
+                        sample_rows: int = 4096,
+                        seed: int = 13) -> np.ndarray:
+    """IVF coarse quantizer. Two seeding modes:
+
+    * ``n_lists`` given — k-means++ over a deterministic hash-ordered
+      sample (:func:`_kmeanspp_sample_seed`); the corpus needs NO label
+      column and the list count is an explicit knob, as in any IVF index.
+    * ``n_lists`` None — one centroid per distinct ``list_col`` value,
+      seeded from the partition means (useful when a meaningful grouping
+      column already exists).
+
+    Either seed is then refined with ``lloyd_iters`` distributed k-means
+    rounds (each round: vectorized nearest-centroid assignment + a
+    mergeable per-component avg — one shuffle per round, carrying
+    n_lists x dim partial sums, never whole vectors per group). Returns
+    (n_lists, dim).
 
     A list that loses all members in a round keeps its previous centroid
     (the standard empty-cluster rule), so n_lists is stable."""
-    by_list = _component_means(embeddings, list_col, vec_col)
-    labels = sorted(by_list)
-    dim = max(max(d) for d in by_list.values()) + 1
-    cent = np.array(
-        [[by_list[lbl][p] for p in range(dim)] for lbl in labels], dtype=np.float64
-    )
+    if n_lists is not None:
+        cent = _kmeanspp_sample_seed(
+            embeddings, int(n_lists), vec_col, id_col, sample_rows, seed
+        )
+    else:
+        by_list = _component_means(embeddings, list_col, vec_col)
+        labels = sorted(by_list)
+        dim = max(max(d) for d in by_list.values()) + 1
+        cent = np.array(
+            [[by_list[lbl][p] for p in range(dim)] for lbl in labels],
+            dtype=np.float64,
+        )
     for _ in range(int(lloyd_iters)):
         assigned = ivf_assign_lists(embeddings, cent, vec_col)
         by_idx = _component_means(assigned, "ivf_list", vec_col)
         new_cent = cent.copy()
         for idx, comps in by_idx.items():
-            new_cent[int(idx)] = [comps[p] for p in range(dim)]
+            new_cent[int(idx)] = [comps[p] for p in range(cent.shape[1])]
         cent = new_cent
     return cent
 
@@ -117,6 +200,7 @@ def ann_ivf_topk(
     include_self: bool = False,
     broadcast_queries: bool = True,
     lloyd_iters: int = 0,
+    n_lists: int = None,
 ) -> DataFrame:
     """IVF ANN: vectors are re-assigned to their nearest coarse centroid
     (seeded from ``list_col`` means, optionally Lloyd-refined with
@@ -131,9 +215,14 @@ def ann_ivf_topk(
     query table is never collected, so queries can themselves be a large
     table. ``broadcast_queries`` keeps the probe side broadcast (right
     for <=10^6 probe rows); set False to let the optimizer shuffle both
-    sides on ivf_list when the query table is huge."""
+    sides on ivf_list when the query table is huge.
+
+    ``n_lists`` switches the quantizer to the label-free k-means++
+    sample seed (see :func:`ivf_build_centroids`) — the right mode for a
+    corpus without a meaningful grouping column."""
     centroids = ivf_build_centroids(
-        embeddings, "embedding", list_col, lloyd_iters=lloyd_iters
+        embeddings, "embedding", list_col, lloyd_iters=lloyd_iters,
+        n_lists=n_lists,
     )
     norm_c = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
     indexed = ivf_assign_lists(embeddings, centroids)

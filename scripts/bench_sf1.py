@@ -92,10 +92,29 @@ def main() -> None:
     big = spark.read.parquet(big_path)
     n_small, n_big = small.count(), big.count()
 
+    from rio_cogeo_spark.operators.chunking import (
+        chunk_docs, chunk_docs_sliding,
+    )
+    from rio_cogeo_spark.operators.passages import (
+        cut_spans, repeated_ngram_spans,
+    )
+    from rio_cogeo_spark.operators.search import search_topk
+
     def suite(docs):
         bench_docs = docs.filter(F.col("doc_id") % 97 == 0)
         corpus = docs.filter(F.col("doc_id") % 97 != 0)
         rep = repetition_stats(F.col("text"))
+
+        def _components():
+            pairs = DD.minhash_lsh_pairs(
+                docs, threshold=0.5, num_hashes=128, bands=64
+            )
+            return DD.dedup_components(pairs).count()
+
+        def _spans_and_cut():
+            spans = repeated_ngram_spans(docs, n=5, min_count=2)
+            return cut_spans(docs, spans).count()
+
         return {
             "minhash_lsh": lambda: DD.minhash_lsh_pairs(
                 docs, threshold=0.5, num_hashes=128, bands=64
@@ -117,6 +136,16 @@ def main() -> None:
                       "doc_id", "left_anti")
                 .count()
             ),
+            # round-5 extension (VERDICT r4 #5): the round-3/4 operators
+            "chunks": lambda: chunk_docs(docs, chunk_tokens=128).count(),
+            "chunks_sliding": lambda: chunk_docs_sliding(
+                docs, chunk_tokens=128, stride=64
+            ).count(),
+            "search": lambda: search_topk(
+                docs, ["spark", "hash", "window"], k=20
+            ).count(),
+            "dedup_components": _components,
+            "spans_cut": _spans_and_cut,
         }
 
     results = {}

@@ -239,6 +239,57 @@ def main() -> None:
     )
     print(f"[{'OK' if no_exchange else 'BAD'}] chunk_docs zero Exchange")
 
+    # 14. pyramid fold: with FOLD_CELLS covering the base extent, the
+    # whole overview tail must be ONE aggregation stage over the base
+    # level — exactly one Exchange in the folded-tail subplan (the fold's
+    # own groupBy), never one per level
+    from rio_cogeo_spark.operators.translate import (
+        FOLD_CELLS, base_tiles as _bt, default_bands, fold_levels,
+    )
+
+    base_lv = _bt(pages, 10)
+    folded = fold_levels(
+        base_lv, [(z, 1 << (10 - z)) for z in range(9, 3, -1)], default_bands()
+    )
+    # subtract the base level's own exchanges: the TAIL adds exactly one.
+    # Count detail headers "(n) Exchange" — each Exchange node prints
+    # twice in formatted explain (tree line + detail block)
+    def n_exchanges(p):
+        return len(re.findall(r"\(\d+\) Exchange", p))
+
+    n_exch_base = n_exchanges(plan_of(base_lv))
+    p14 = plan_of(folded)
+    n_exch_fold = n_exchanges(p14)
+    one_exchange_tail = (n_exch_fold - n_exch_base) == 1
+    checks.append(
+        ("pyramid fold tail = ONE Exchange for all 6 folded levels",
+         one_exchange_tail)
+    )
+    sections.append(
+        ("pyramid fold tail", f"  {'PASS' if one_exchange_tail else 'FAIL'} "
+         f"fold adds exactly 1 Exchange over the base plan "
+         f"({n_exch_base} -> {n_exch_fold}); FOLD_CELLS={FOLD_CELLS}", p14)
+    )
+    print(f"[{'OK' if one_exchange_tail else 'BAD'}] pyramid fold tail one "
+          f"Exchange ({n_exch_base} -> {n_exch_fold})")
+
+    # 15. sliding-window chunking: same zero-Exchange contract as the
+    # fixed chunker (a pure slice-transform projection)
+    from rio_cogeo_spark.operators.chunking import chunk_docs_sliding
+
+    chk_s = chunk_docs_sliding(docs_d, chunk_tokens=64, stride=32)
+    p15 = plan_of(chk_s)
+    no_exchange_s = "Exchange" not in p15
+    checks.append(
+        ("chunk_docs_sliding zero Exchange (pure projection)", no_exchange_s)
+    )
+    sections.append(
+        ("chunk_docs_sliding projection",
+         f"  {'PASS' if no_exchange_s else 'FAIL'} no Exchange anywhere "
+         "in the sliding-chunking plan", p15)
+    )
+    print(f"[{'OK' if no_exchange_s else 'BAD'}] chunk_docs_sliding zero Exchange")
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:

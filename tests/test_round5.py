@@ -272,6 +272,114 @@ def test_cli_band_tags_checked_after_bidx(pages_path, tmp_path):
     assert pj["band_meta"]["mask_count"]["tags"] == {"role": "mask"}
 
 
+# --- IVF quantizer decoupled from the label column (VERDICT r4 #4):
+# explicit n_lists + deterministic k-means++ sample seeding
+
+def test_ann_ivf_label_free_recall(spark, sf_mid):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from rio_cogeo_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{sf_mid}/embeddings.parquet").cache()
+    emb.count()
+    n_lists = emb.select("label").distinct().count()
+    queries = emb.filter(F.col("vec_id") < 15).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    truth = {
+        (r["query_id"], r["vec_id"])
+        for r in SIM.ann_bruteforce_topk(emb, queries, k=5).collect()
+    }
+
+    def recall(df):
+        hits = {(r["query_id"], r["vec_id"]) for r in df.collect()}
+        return len(hits & truth) / len(truth)
+
+    labeled = recall(SIM.ann_ivf_topk(emb, queries, k=5, n_probe=3))
+    # label-free corpus: same list count, same n_probe, NO label column.
+    # The label-free build is k-means++ seed + Lloyd refinement (the
+    # production config when no grouping column exists); it must match
+    # or beat the label-seeded quantizer's recall.
+    no_label = emb.drop("label")
+    free = recall(
+        SIM.ann_ivf_topk(
+            no_label, queries, k=5, n_probe=3, n_lists=n_lists,
+            lloyd_iters=2,
+        )
+    )
+    assert free >= labeled, (free, labeled)
+    # determinism: the sample seed is hash-ordered, not partition-ordered
+    c1 = SIM.ivf_build_centroids(no_label, n_lists=n_lists)
+    c2 = SIM.ivf_build_centroids(no_label.repartition(7), n_lists=n_lists)
+    assert np.allclose(c1, c2)
+
+
+def test_ivf_n_lists_exceeding_sample_rejected(spark, sf_mid):
+    from rio_cogeo_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{sf_mid}/embeddings.parquet")
+    with pytest.raises(ValueError, match="exceeds the seed sample"):
+        SIM.ivf_build_centroids(emb, n_lists=50, sample_rows=10)
+
+
+# --- streaming contamination (VERDICT r4 #8): stream-static broadcast
+# join + watermarked windowed fold == batch twin, at 2 micro-batch sizes
+
+def test_streaming_contamination_equals_batch(spark, tmp_path):
+    import datetime
+
+    from rio_cogeo_spark.streaming.contamination import (
+        contamination_batch_windowed,
+        contamination_stream,
+    )
+
+    base = datetime.datetime(2026, 1, 1)
+    bench = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog",),
+         ("pack my box with five dozen liquor jugs",)],
+        "text string",
+    )
+    rows = []
+    for i in range(60):
+        if i % 3 == 0:
+            txt = f"prefix {i} the quick brown fox jumps far"
+        elif i % 3 == 1:
+            txt = f"doc {i} pack my box with five dozen things"
+        else:
+            txt = f"clean document number {i} with no overlap at all"
+        rows.append((i, txt, base + datetime.timedelta(minutes=i * 7)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, ts timestamp")
+    src = str(tmp_path / "docs_stream")
+    docs.repartition(4).write.parquet(src)
+
+    expected = {
+        (r["window_sec"], r["doc_id"]): r["n_hits"]
+        for r in contamination_batch_windowed(docs, bench).collect()
+    }
+    assert expected and any(v >= 1 for v in expected.values())
+
+    from rio_cogeo_spark.streaming.events import run_stream_to_memory
+
+    for name, opts in (
+        ("contam_all", {}),
+        ("contam_one", {"maxFilesPerTrigger": "1"}),
+    ):
+        reader = spark.readStream.schema(docs.schema)
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        stream = reader.parquet(src)
+        got_df = run_stream_to_memory(
+            contamination_stream(stream, bench), name
+        )
+        got = {
+            (r["window_sec"], r["doc_id"]): r["n_hits"]
+            for r in got_df.collect()
+        }
+        assert got == expected, name
+
+
 def test_fold_from_base_equals_level_chain(spark, sf_small, monkeypatch):
     """FOLD_CELLS now covers a global z10 base extent, so the whole
     overview tail folds into one stage directly from the base level —
