@@ -83,6 +83,12 @@ def repeated_ngram_spans(
     shuffle join instead of a broadcast OOM. Pass ``True``/``False``
     to force a strategy; results are identical either way
     (pytest-asserted) — only the join plan changes.
+
+    Cost note: ``'auto'`` runs one extra eager job (the hot-set count)
+    and pins the hot set with ``persist(MEMORY_AND_DISK)`` so the count
+    and the join share one computation. An explicit ``True``/``False``
+    skips both the extra job and the pin entirely — use that on jobs
+    where the caller already knows the hot-set size class.
     """
     if n < 1 or min_count < 2:
         raise ValueError("need n >= 1 and min_count >= 2")
@@ -98,7 +104,13 @@ def repeated_ngram_spans(
         .select("h")
     )
     if broadcast_hot == "auto":
-        hot = hot.localCheckpoint(eager=False)
+        # persist (spillable, recomputable on executor loss) rather than
+        # localCheckpoint: the pin only exists so the size probe and the
+        # join share one computation, and a lost block must be
+        # recomputable on a long-running cluster job (ADVICE r4)
+        from pyspark.storagelevel import StorageLevel
+
+        hot = hot.persist(StorageLevel.MEMORY_AND_DISK)
         broadcast_hot = hot.count() <= broadcast_hot_max_rows
     hot = F.broadcast(hot) if broadcast_hot else hot
     hits = grams.join(hot, "h").select(id_col, "pos")
