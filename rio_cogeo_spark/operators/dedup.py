@@ -266,16 +266,24 @@ def minhash_lsh_pairs(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
 
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # Candidate pairs via ONE aggregation instead of a (band, bucket)
+    # self-join: the join form sorts the 32M-row banded table twice (a
+    # sort-merge join's both sides are this same table); grouping bucket
+    # members into a list sorts it once and expands pairs in place.
+    # Identical output — singleton buckets produce no pairs either way,
+    # and cross-band duplicates still collapse in dropDuplicates. The
+    # per-bucket list is bucket-member count only (bytes, not shingles);
+    # a pathological mega-bucket yields the same size² pair count the
+    # self-join would have produced, so no new memory class.
+    grouped = (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
     cands = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        grouped.select(F.explode("ids").alias("doc_a"), "ids")
+        .select("doc_a", F.explode("ids").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
 
