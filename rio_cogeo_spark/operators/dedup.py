@@ -132,12 +132,22 @@ def ngram_jaccard_pairs(
         hot = counts.filter(F.col("count") > df_cap).select("shingle")
         inv = inv.join(F.broadcast(hot), "shingle", "left_anti")
 
-    a = inv.alias("a")
-    b = inv.alias("b")
+    # Shared-shingle counts via ONE aggregation instead of an
+    # inverted-index self-join: the join form sorts the exploded index
+    # twice (both sort-merge sides are this same table); grouping each
+    # shingle's posting list sorts it once and expands the pairs in
+    # place. Identical output. Posting-list length is bounded by df_cap
+    # (the web-scale guard above), so per-group memory is capped; with
+    # df_cap=None (oracle-exact mode only) a hot shingle's list is as
+    # quadratic as the join's pair rows would have been.
     common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        inv.groupBy("shingle")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.explode("ids").alias("doc_a"), "ids")
+        .select("doc_a", F.explode("ids").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("size_a"))
@@ -378,11 +388,16 @@ def simhash_pairs(
         ).alias("bb"),
     ).select("doc_id", "simhash", "bb.band", "bb.bucket")
 
-    a, b = banded.alias("a"), banded.alias("b")
+    # single-sort bucket aggregation instead of a (band, bucket)
+    # self-join — same rewrite as minhash_lsh_pairs/ngram_jaccard_pairs:
+    # the self-join sorts the banded table twice, the grouped form once
     cands = (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.bucket") == F.col("b.bucket"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list(F.struct("doc_id", "simhash")).alias("ms"))
+        .filter(F.size("ms") >= 2)
+        .select(F.explode("ms").alias("a"), "ms")
+        .select("a", F.explode("ms").alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
