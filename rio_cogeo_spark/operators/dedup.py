@@ -328,23 +328,29 @@ def minhash_lsh_pairs(
 from rio_cogeo_spark.functions.text import MD5_60_SQL, md5_60  # noqa: E402,F401
 
 
-def simhash(docs: DataFrame, bits: int = 64, hasher: str = "xxhash64") -> DataFrame:
-    """SimHash over JVM-hashed tokens: (doc_id, simhash long).
-    Sign aggregation is one vectorized numpy pass per Arrow batch.
+def simhash(docs: DataFrame, bits: int = 64, hasher: str = "xxhash64",
+            extra_cols: tuple = ()) -> DataFrame:
+    """SimHash over JVM-hashed tokens: (doc_id, [extra_cols...], simhash
+    long). Sign aggregation is one vectorized numpy pass per Arrow batch.
 
     ``hasher='xxhash64'`` (default, fastest JVM hash, 64 bits) or
     ``'md5_60'`` (60-bit md5 prefix — bit-identical in DuckDB, used by
-    the oracle-paired contract query)."""
+    the oracle-paired contract query). ``extra_cols`` carries columns
+    through (e.g. the event-time column for the streaming near-dup
+    operator); streaming inputs skip the small-input repartition probe
+    (``.rdd`` is undefined on a stream — partitioning is the source's)."""
     if hasher == "md5_60":
         bits = min(bits, 60)
         tok_hash = md5_60
     else:
         tok_hash = F.xxhash64
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par)
+    if not docs.isStreaming:
+        par = docs.sparkSession.sparkContext.defaultParallelism
+        if docs.rdd.getNumPartitions() < par:
+            docs = docs.repartition(par)
     with_h = docs.select(
         "doc_id",
+        *extra_cols,
         F.transform(tokens_col(F.col("text")), lambda t: tok_hash(t)).alias("th"),
     ).filter(F.size("th") > 0)
 
@@ -360,7 +366,9 @@ def simhash(docs: DataFrame, bits: int = 64, hasher: str = "xxhash64") -> DataFr
             out[i] = (bitw[votes > 0]).sum().astype(np.int64)
         return pd.Series(out)
 
-    return with_h.select("doc_id", _sim(F.col("th")).alias("simhash"))
+    return with_h.select(
+        "doc_id", *extra_cols, _sim(F.col("th")).alias("simhash")
+    )
 
 
 def simhash_pairs(

@@ -307,3 +307,81 @@ def ann_lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "rank", "cos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Persistable IVF index (build once, query many)
+# ---------------------------------------------------------------------------
+
+
+def ivf_save_index(
+    spark_or_df,
+    centroids: np.ndarray,
+    path: str,
+) -> None:
+    """Persist an IVF coarse quantizer as a tiny parquet table
+    ``(list_id int, centroid array<double>)`` — the FAISS-index-file
+    analog for a Spark pipeline: build the quantizer once (expensive
+    Lloyd rounds over the corpus), then every later query job loads the
+    n_lists x dim matrix instead of re-clustering. The INVERTED LISTS
+    themselves need no separate artifact: ``ivf_assign_lists`` is a
+    stateless projection, so writing the corpus bucketed/partitioned by
+    ``ivf_list`` (sources/pages.py::write_bucketed) IS the posting-list
+    store, with partition pruning as the list scan."""
+    spark = getattr(spark_or_df, "sparkSession", spark_or_df)
+    rows = [
+        (int(i), [float(x) for x in centroids[i]])
+        for i in range(centroids.shape[0])
+    ]
+    spark.createDataFrame(
+        rows, "list_id int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def ivf_load_index(spark, path: str) -> np.ndarray:
+    """Load a quantizer saved by :func:`ivf_save_index` back into the
+    (n_lists, dim) ndarray shape the routing UDFs close over."""
+    rows = spark.read.parquet(path).orderBy("list_id").collect()
+    if not rows:
+        raise ValueError(f"empty IVF index at {path}")
+    return np.array([r["centroid"] for r in rows], dtype=np.float64)
+
+
+def ann_ivf_topk_with_index(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 10,
+    n_probe: int = 3,
+    include_self: bool = False,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """IVF ANN against a prebuilt quantizer (see :func:`ivf_save_index`)
+    — identical query plan to :func:`ann_ivf_topk` minus the build."""
+    norm_c = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    indexed = ivf_assign_lists(embeddings, centroids)
+    np_ = int(min(n_probe, norm_c.shape[0]))
+
+    @F.pandas_udf("array<int>")
+    def _probe_lists(qv: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in qv])
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        order = np.argsort(-(m @ norm_c.T), axis=1, kind="stable")[:, :np_]
+        return pd.Series([row.astype(np.int32).tolist() for row in order])
+
+    probes = queries.withColumn(
+        "ivf_list", F.explode(_probe_lists(F.col("q_embedding")))
+    )
+    if broadcast_queries:
+        probes = F.broadcast(probes)
+    joined = indexed.join(probes, "ivf_list", "inner")
+    if not include_self:
+        joined = joined.filter(F.col("vec_id") != F.col("query_id"))
+    cos = cosine_rounded(F.col("embedding"), F.col("q_embedding"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        joined.withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "cos")
+    )

@@ -316,6 +316,45 @@ def test_ann_ivf_label_free_recall(spark, sf_mid):
     assert np.allclose(c1, c2)
 
 
+def test_ivf_index_save_load_roundtrip(spark, sf_mid, tmp_path):
+    """Persistable quantizer (FAISS-index-file analog): save/load is
+    value-exact and the with-index query path equals the build-inline
+    path."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from rio_cogeo_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{sf_mid}/embeddings.parquet").drop("label")
+    cent = SIM.ivf_build_centroids(emb, n_lists=6)
+    path = str(tmp_path / "ivf_index")
+    SIM.ivf_save_index(spark, cent, path)
+    loaded = SIM.ivf_load_index(spark, path)
+    assert np.array_equal(cent, loaded)
+
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    a = sorted(
+        map(tuple, SIM.ann_ivf_topk_with_index(
+            emb, queries, loaded, k=5, n_probe=2
+        ).collect())
+    )
+    b = sorted(
+        map(tuple, SIM.ann_ivf_topk(
+            emb, queries, k=5, n_probe=2, n_lists=6
+        ).collect())
+    )
+    assert a == b and len(a) > 0
+    with pytest.raises(ValueError, match="empty IVF index"):
+        empty = str(tmp_path / "empty_index")
+        spark.createDataFrame(
+            [], "list_id int, centroid array<double>"
+        ).write.parquet(empty)
+        SIM.ivf_load_index(spark, empty)
+
+
 def test_ivf_n_lists_exceeding_sample_rejected(spark, sf_mid):
     from rio_cogeo_spark.operators import similarity as SIM
 
@@ -378,6 +417,90 @@ def test_streaming_contamination_equals_batch(spark, tmp_path):
             for r in got_df.collect()
         }
         assert got == expected, name
+
+
+# --- streaming near-dup (simhash banding + applyInPandasWithState):
+# distinct candidate pairs must equal the batch simhash_pairs set
+
+def test_streaming_neardup_equals_batch(spark, tmp_path):
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from rio_cogeo_spark.operators import dedup as DD
+    from rio_cogeo_spark.streaming.events import run_stream_to_memory
+    from rio_cogeo_spark.streaming.neardup import neardup_pairs_stream
+
+    base = datetime.datetime(2026, 2, 1)
+    texts = []
+    for i in range(60):
+        family = i % 12
+        if i < 36:
+            # three near-identical copies per family (one token varies)
+            txt = (f"shared boilerplate text for family {family} with "
+                   f"many common tokens and variant {i // 12}")
+        else:
+            txt = f"totally unique document {i} nothing in common here {i*7}"
+        texts.append((i, txt, base + datetime.timedelta(minutes=i)))
+    docs = spark.createDataFrame(
+        texts, "doc_id long, text string, ts timestamp"
+    )
+    src = str(tmp_path / "neardup_stream")
+    docs.repartition(3).write.parquet(src)
+
+    batch = {
+        (min(r["doc_a"], r["doc_b"]), max(r["doc_a"], r["doc_b"]))
+        for r in DD.simhash_pairs(docs, max_hamming=3).collect()
+    }
+    assert batch  # the families must produce near-dup pairs
+
+    for name, opts in (
+        ("neardup_all", {}),
+        ("neardup_one", {"maxFilesPerTrigger": "1"}),
+    ):
+        reader = spark.readStream.schema(docs.schema)
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        stream = reader.parquet(src)
+        got_df = run_stream_to_memory(
+            neardup_pairs_stream(stream, max_hamming=3, horizon_sec=86400),
+            name, output_mode="append",
+        )
+        got = {
+            (min(r["doc_a"], r["doc_b"]), max(r["doc_a"], r["doc_b"]))
+            for r in got_df.collect()
+        }
+        assert got == batch, (name, got ^ batch)
+        # hamming values are verified (<= 3), not just band collisions
+        assert got_df.filter(F.col("hamming") > 3).count() == 0
+
+
+def test_streaming_neardup_horizon_bounds_state(spark, tmp_path):
+    """Members older than the horizon are pruned: a duplicate arriving
+    beyond the horizon is NOT paired with its ancient twin."""
+    import datetime
+
+    from rio_cogeo_spark.streaming.events import run_stream_to_memory
+    from rio_cogeo_spark.streaming.neardup import neardup_pairs_stream
+
+    base = datetime.datetime(2026, 2, 1)
+    rows = [
+        (1, "the same exact duplicated text content here", base),
+        (2, "the same exact duplicated text content here",
+         base + datetime.timedelta(seconds=30)),       # inside horizon
+        (3, "the same exact duplicated text content here",
+         base + datetime.timedelta(hours=10)),         # far outside
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, ts timestamp")
+    src = str(tmp_path / "horizon_stream")
+    docs.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    got_df = run_stream_to_memory(
+        neardup_pairs_stream(stream, max_hamming=3, horizon_sec=60),
+        "neardup_horizon", output_mode="append",
+    )
+    pairs = {(r["doc_a"], r["doc_b"]) for r in got_df.collect()}
+    assert pairs == {(1, 2)}, pairs
 
 
 def test_fold_from_base_equals_level_chain(spark, sf_small, monkeypatch):
