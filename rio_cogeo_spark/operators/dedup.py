@@ -236,26 +236,11 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 128, n: int = 3,
     return out.select("doc_id", F.col("s.sh").alias("sh"), F.col("s.sig").alias("sig"))
 
 
-def minhash_lsh_pairs(
-    docs: DataFrame,
-    threshold: float = 0.5,
-    num_hashes: int = 128,
-    bands: int = 32,
-    n: int = 3,
-    seed: int = 42,
-    eager_release: bool = True,
-) -> DataFrame:
-    """MinHash-LSH near-dup pairs, exactly verified: LSH banding generates
-    candidates; surviving pairs are re-checked with the *exact* shingle
-    Jaccard, so output equals the brute-force result whenever LSH recall
-    is 1.0 at the threshold (tests + oracle enforce this at test scale;
-    128 hashes / 32 bands → P(miss | j=0.5) < 1e-6 per pair)."""
-    rows = num_hashes // bands
-    sigs = minhash_signatures(docs, num_hashes, n, seed).persist()
-
-    # Band WITHOUT the shingle arrays: the banding shuffle + self-join move
-    # only (doc_id, band, bucket) — shingles re-join per *surviving
-    # candidate*, so the heavy string arrays never amplify 'bands'-fold.
+def _band_table(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(doc_id, band, bucket) — band WITHOUT the shingle arrays: the
+    banding shuffle moves only three thin columns; shingles re-join per
+    *surviving candidate*, so the heavy arrays never amplify
+    ``bands``-fold."""
     band_cols = F.explode(
         F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -272,9 +257,28 @@ def minhash_lsh_pairs(
             ),
         )
     )
-    banded = sigs.select("doc_id", band_cols.alias("bb")).select(
+    return sigs.select("doc_id", band_cols.alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 128,
+    bands: int = 32,
+    n: int = 3,
+    seed: int = 42,
+    eager_release: bool = True,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs, exactly verified: LSH banding generates
+    candidates; surviving pairs are re-checked with the *exact* shingle
+    Jaccard, so output equals the brute-force result whenever LSH recall
+    is 1.0 at the threshold (tests + oracle enforce this at test scale;
+    128 hashes / 32 bands → P(miss | j=0.5) < 1e-6 per pair)."""
+    rows = num_hashes // bands
+    sigs = minhash_signatures(docs, num_hashes, n, seed).persist()
+    banded = _band_table(sigs, bands, rows)
 
     # Candidate pairs via ONE aggregation instead of a (band, bucket)
     # self-join: the join form sorts the 32M-row banded table twice (a
@@ -315,6 +319,146 @@ def minhash_lsh_pairs(
     if eager_release:
         out = out.localCheckpoint(eager=True)
         sigs.unpersist()
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup against a persisted LSH index
+# ---------------------------------------------------------------------------
+#
+# The production crawl pattern at 100 TB: the accumulated corpus is
+# fingerprinted ONCE into an on-disk index (thin band table + shingle
+# sets); each new crawl snapshot dedups against the index without
+# re-reading — let alone re-pairing — the old corpus. Old-corpus cost
+# per snapshot: a scan of the (3-column) band table plus a shingle
+# lookup for surviving candidates only.
+
+
+def _index_meta_path(path: str) -> str:
+    import os
+
+    return os.path.join(path, "_index_meta.json")
+
+
+def minhash_save_index(
+    docs: DataFrame,
+    path: str,
+    num_hashes: int = 128,
+    bands: int = 32,
+    n: int = 3,
+    seed: int = 42,
+    mode: str = "overwrite",
+) -> dict:
+    """Persist a corpus's MinHash-LSH index at ``path``:
+
+    * ``bands/``    — (doc_id, band, bucket), the thin candidate table;
+    * ``shingles/`` — (doc_id, sh array<long>), for exact verification;
+    * ``_index_meta.json`` — the LSH parameters, validated on query
+      (querying with mismatched num_hashes/bands/n/seed would silently
+      find nothing — fail loudly instead).
+
+    ``mode='append'`` adds a snapshot to an existing index (parameters
+    must match); :func:`minhash_update_index` is the convenience wrapper.
+    The band table writes partitioned by ``band`` (per-band rebuilds and
+    band-subset scans stay pruned); shingles are unpartitioned — they
+    are only ever read through the per-candidate doc_id join. On a real
+    cluster, write both through ``sources.pages.write_bucketed`` on the
+    join key to make the candidate join shuffle-free."""
+    import json
+    import os
+
+    rows = num_hashes // bands
+    meta = {"num_hashes": num_hashes, "bands": bands, "n": n, "seed": seed}
+    mp = _index_meta_path(path)
+    if mode == "append" and os.path.exists(mp):
+        with open(mp) as f:
+            existing = json.load(f)
+        if existing != meta:
+            raise ValueError(
+                f"index at {path} was built with {existing}, got {meta}"
+            )
+    sigs = minhash_signatures(docs, num_hashes, n, seed).persist()
+    _band_table(sigs, bands, rows).write.mode(mode).partitionBy("band").parquet(
+        os.path.join(path, "bands")
+    )
+    sigs.select("doc_id", "sh").write.mode(mode).parquet(
+        os.path.join(path, "shingles")
+    )
+    sigs.unpersist()
+    os.makedirs(path, exist_ok=True)
+    with open(mp, "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def minhash_update_index(docs: DataFrame, path: str) -> dict:
+    """Append a new snapshot's fingerprints to an existing index (the
+    post-dedup half of the incremental loop: query, keep the novel docs,
+    add THEM to the index for the next snapshot)."""
+    import json
+
+    with open(_index_meta_path(path)) as f:
+        meta = json.load(f)
+    return minhash_save_index(docs, path, mode="append", **meta)
+
+
+def minhash_dedup_against_index(
+    new_docs: DataFrame,
+    path: str,
+    threshold: float = 0.5,
+    eager_release: bool = True,
+) -> DataFrame:
+    """Near-dup pairs between ``new_docs`` and a corpus indexed by
+    :func:`minhash_save_index`: ``(doc_a, doc_b, jaccard)`` with doc_a
+    the INDEXED doc and doc_b the new doc, jaccard the exact shingle
+    Jaccard (same verification as :func:`minhash_lsh_pairs`, so output
+    equals brute-force cross Jaccard whenever LSH recall is 1.0 at the
+    threshold).
+
+    Plan shape: the new snapshot's thin band table joins the index's on
+    (band, bucket) — only 3-column tables shuffle; the index's shingle
+    arrays are read for SURVIVING candidates only (join on doc_id). The
+    old corpus itself is never touched."""
+    import json
+    import os
+
+    spark = new_docs.sparkSession
+    with open(_index_meta_path(path)) as f:
+        meta = json.load(f)
+    rows = meta["num_hashes"] // meta["bands"]
+    sigs_new = minhash_signatures(
+        new_docs, meta["num_hashes"], meta["n"], meta["seed"]
+    ).persist()
+    banded_new = _band_table(sigs_new, meta["bands"], rows)
+    idx_bands = spark.read.parquet(os.path.join(path, "bands")).select(
+        F.col("doc_id").alias("doc_a"), "band", "bucket"
+    )
+    cands = (
+        idx_bands.join(
+            banded_new.select(F.col("doc_id").alias("doc_b"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    idx_sh = spark.read.parquet(os.path.join(path, "shingles")).select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+    )
+    new_sh = sigs_new.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+    )
+    pairs = cands.join(idx_sh, "doc_a").join(new_sh, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    out = (
+        pairs.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    if eager_release:
+        out = out.localCheckpoint(eager=True)
+        sigs_new.unpersist()
     return out
 
 

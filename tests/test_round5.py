@@ -517,3 +517,71 @@ def test_fold_from_base_equals_level_chain(spark, sf_small, monkeypatch):
     a = {tuple(r) for r in folded.collect()}
     b = {tuple(r) for r in chained.collect()}
     assert a == b
+
+
+# --- incremental dedup against a persisted LSH index -------------------
+
+def test_minhash_index_incremental_equals_batch(spark, sf_mid, tmp_path):
+    """Index old half, query new half: the cross pairs must equal the
+    old-new subset of the full-batch minhash_lsh_pairs output."""
+    from pyspark.sql import functions as F
+
+    from rio_cogeo_spark.operators import dedup as DD
+
+    docs = spark.read.parquet(f"{sf_mid}/documents.parquet")
+    dups = docs.filter(F.col("doc_id") < 50).withColumn(
+        "doc_id", F.col("doc_id") + 100001
+    )
+    both = docs.unionByName(dups)
+    old = both.filter(F.col("doc_id") % 2 == 0)
+    new = both.filter(F.col("doc_id") % 2 == 1)
+
+    full = DD.minhash_lsh_pairs(both, threshold=0.5, num_hashes=128, bands=64)
+    want = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        if r["doc_a"] % 2 == 0 else (r["doc_b"], r["doc_a"], r["jaccard"])
+        for r in full.collect()
+        if (r["doc_a"] % 2) != (r["doc_b"] % 2)
+    }
+    assert want  # +100001 flips parity, so the 50 exact-dup pairs cross
+
+    path = str(tmp_path / "lsh_index")
+    meta = DD.minhash_save_index(old, path, num_hashes=128, bands=64)
+    assert meta["bands"] == 64
+    got_df = DD.minhash_dedup_against_index(new, path, threshold=0.5)
+    got = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in got_df.collect()}
+    assert got == want
+
+
+def test_minhash_index_update_and_param_guard(spark, sf_mid, tmp_path):
+    """update_index appends a snapshot (later queries see it); appending
+    with mismatched LSH params fails loudly."""
+    from pyspark.sql import functions as F
+
+    from rio_cogeo_spark.operators import dedup as DD
+
+    docs = spark.read.parquet(f"{sf_mid}/documents.parquet")
+    a = docs.filter(F.col("doc_id") < 30)
+    b = docs.filter((F.col("doc_id") >= 30) & (F.col("doc_id") < 60))
+    # the probe: exact copies of two docs from each snapshot half
+    probe = docs.filter(F.col("doc_id").isin(10, 40)).withColumn(
+        "doc_id", F.col("doc_id") + 500000
+    )
+
+    path = str(tmp_path / "incr_index")
+    DD.minhash_save_index(a, path, num_hashes=64, bands=32)
+    hits1 = {
+        r["doc_a"]
+        for r in DD.minhash_dedup_against_index(probe, path, 0.9).collect()
+    }
+    assert hits1 == {10}  # doc 40's twin not indexed yet
+
+    DD.minhash_update_index(b, path)
+    hits2 = {
+        r["doc_a"]
+        for r in DD.minhash_dedup_against_index(probe, path, 0.9).collect()
+    }
+    assert hits2 == {10, 40}
+
+    with pytest.raises(ValueError, match="was built with"):
+        DD.minhash_save_index(b, path, num_hashes=128, bands=64, mode="append")
