@@ -188,6 +188,22 @@ def q_minhash_lsh(spark, sf_dir):
     )
 
 
+def q_url_latest(spark, sf_dir):
+    """Re-crawl snapshot resolution: pages ∪ a later re-crawl of the
+    first 200 (same page behind a scheme/www/trailing-slash URL
+    variant, ts +1e7 s, re-keyed doc_id) → keep-latest per canonical
+    URL. The 200 re-crawled pages must win over their originals."""
+    pages = _pages(spark, sf_dir).select("doc_id", "url", "ts_sec")
+    recrawl = pages.filter(F.col("doc_id") < 200).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat(
+            F.lit("http://www."), F.expr("substr(url, 9)"), F.lit("/")
+        ).alias("url"),
+        (F.col("ts_sec") + 10_000_000).alias("ts_sec"),
+    )
+    return DD.url_dedup_latest(pages.unionByName(recrawl))
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Incremental dedup against a persisted LSH index (the production
     crawl loop: index the accumulated corpus once, dedup each new
@@ -786,6 +802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "dedup_incremental": q_dedup_incremental,
+        "url_latest": q_url_latest,
         "simhash_pairs": q_simhash_pairs,
         "embed_neardup": q_embed_neardup,
         "ann_topk": q_ann_topk,
@@ -811,7 +828,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats_bpe": q_token_stats_bpe,
         "events_hourly": q_events_hourly,
         "repetition": q_repetition,
-        "contamination": q_contamination,
         "pyramid_crs84": q_pyramid_crs84,
         "dedup_components": q_dedup_components,
         "clean_corpus": q_clean_corpus,
@@ -829,6 +845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_rollup": q_tile_rollup,
         "sample_stratified": q_sample_stratified,
         "pack_chunks": q_pack_chunks,
+        "contamination": q_contamination,
     }
 
 
@@ -1223,6 +1240,22 @@ SELECT {TX.FINGERPRINT_SQL} AS fp, COUNT(*) AS n_docs, MIN(doc_id) AS keeper
 FROM docs2 GROUP BY 1""",
         "ngram_jaccard": _JACCARD_SQL,
         "minhash_lsh": _JACCARD_SQL,
+        # keep-latest per canonical URL over pages ∪ a URL-variant
+        # re-crawl; window twin of the max_by aggregation
+        "url_latest": f"""{_P}
+, re AS (SELECT doc_id + 500000 AS doc_id,
+                'http://www.' || substr(url, 9) || '/' AS url,
+                ts_sec + 10000000 AS ts_sec
+         FROM pages WHERE doc_id < 200),
+allp AS (SELECT doc_id, url, ts_sec FROM pages
+         UNION ALL SELECT doc_id, url, ts_sec FROM re),
+c AS (SELECT doc_id, ts_sec, {TX.CANONICAL_URL_SQL} AS canon_url FROM allp),
+r AS (SELECT canon_url, doc_id, ts_sec,
+             COUNT(*) OVER (PARTITION BY canon_url) AS n_snapshots,
+             ROW_NUMBER() OVER (PARTITION BY canon_url
+                                ORDER BY ts_sec DESC, doc_id DESC) AS rn
+      FROM c)
+SELECT canon_url, doc_id, ts_sec, n_snapshots FROM r WHERE rn = 1""",
         # brute-force cross-parity Jaccard: doc_a = indexed (even),
         # doc_b = new snapshot (odd); dup copies at +100001 flip parity
         "dedup_incremental": f"""

@@ -378,6 +378,40 @@ HOST_SQL = (
 )
 
 
+def canonical_url(url: Column) -> Column:
+    """Canonical URL for re-crawl snapshot dedup: scheme stripped at the
+    FIRST '://' (same guard as :func:`host_col`), leading 'www.'
+    dropped, '#fragment' removed, trailing '/' run stripped. Query
+    strings are KEPT — they address distinct content. String ops plus
+    one anchored '/+$' regex (identical semantics in Java regex and
+    DuckDB's RE2). Twin: :data:`CANONICAL_URL_SQL`.
+
+    Unlike :func:`host_col`, the whole path/query survives, so the
+    scheme strip must cut at the first '://' WITHOUT truncating a
+    second one embedded in a query param (host_col's double
+    substring_index would) — hence locate + substring."""
+    pos = F.locate("://", url)
+    after_scheme = F.when(
+        pos > 0, F.substring(url, pos + F.lit(3), F.lit(1 << 30))
+    ).otherwise(url)
+    no_www = F.when(
+        after_scheme.startswith("www."), F.substring(after_scheme, 5, 1 << 30)
+    ).otherwise(after_scheme)
+    return F.regexp_replace(F.substring_index(no_www, "#", 1), "/+$", "")
+
+
+_SCHEMELESS = (
+    "CASE WHEN strpos(url, '://') > 0 "
+    "THEN substr(url, strpos(url, '://') + 3) ELSE url END"
+)
+CANONICAL_URL_SQL = (
+    "regexp_replace(split_part("
+    f"CASE WHEN {_SCHEMELESS} LIKE 'www.%' "
+    f"THEN substr({_SCHEMELESS}, 5) ELSE {_SCHEMELESS} END"
+    ", '#', 1), '/+$', '')"
+)
+
+
 def fingerprint(text: Column) -> Column:
     """Content fingerprint: md5 of the whitespace-normalized lowercase
     text. MD5 is the cross-engine-identical hash (Spark ``md5`` ==

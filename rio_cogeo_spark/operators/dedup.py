@@ -52,6 +52,44 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
+def url_dedup_latest(
+    pages: DataFrame, url_col: str = "url", ts_col: str = "ts_sec"
+) -> DataFrame:
+    """Re-crawl snapshot resolution: one row per CANONICAL url (see
+    functions/text.canonical_url — scheme/www/fragment/trailing-slash
+    normalization), keeping the NEWEST snapshot, ties by highest doc_id
+    (deterministic). The crawl-pipeline counterpart to content dedup:
+    successive crawls of the same page are resolved by recency before
+    any text comparison runs.
+
+    One map-side-combinable aggregation — ``max_by`` over a (ts, doc_id)
+    ordering struct partial-aggregates per input partition, so shuffle
+    bytes are bounded by distinct-URL count, not snapshot count (a
+    window row_number would sort every partition's full snapshot list
+    instead). Returns (canon_url, doc_id, ``ts_col``, n_snapshots)."""
+    from rio_cogeo_spark.functions.text import canonical_url
+
+    ordk = F.struct(F.col(ts_col), F.col("doc_id"))
+    return (
+        pages.select(
+            canonical_url(F.col(url_col)).alias("canon_url"),
+            "doc_id",
+            F.col(ts_col),
+        )
+        .groupBy("canon_url")
+        .agg(
+            F.max_by(F.struct(F.col("doc_id"), F.col(ts_col)), ordk).alias("kept"),
+            F.count(F.lit(1)).alias("n_snapshots"),
+        )
+        .select(
+            "canon_url",
+            F.col("kept.doc_id").alias("doc_id"),
+            F.col(f"kept.{ts_col}").alias(ts_col),
+            "n_snapshots",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Word n-gram shingles (shared by Jaccard + MinHash)
 # ---------------------------------------------------------------------------

@@ -115,6 +115,24 @@ def main() -> None:
             spans = repeated_ngram_spans(docs, n=5, min_count=2)
             return cut_spans(docs, spans).count()
 
+        def _dedup_incremental():
+            # the crawl loop: index the even half once, dedup the odd
+            # half against it (build + query both timed — the build is
+            # the amortized cost, the query the per-snapshot one)
+            import shutil
+            import tempfile
+
+            old = docs.filter(F.col("doc_id") % 2 == 0)
+            new = docs.filter(F.col("doc_id") % 2 == 1)
+            path = tempfile.mkdtemp(prefix="sf1_lsh_idx_")
+            try:
+                DD.minhash_save_index(old, path, num_hashes=128, bands=64)
+                return DD.minhash_dedup_against_index(
+                    new, path, threshold=0.5
+                ).count()
+            finally:
+                shutil.rmtree(path, ignore_errors=True)
+
         return {
             "minhash_lsh": lambda: DD.minhash_lsh_pairs(
                 docs, threshold=0.5, num_hashes=128, bands=64
@@ -146,6 +164,7 @@ def main() -> None:
             ).count(),
             "dedup_components": _components,
             "spans_cut": _spans_and_cut,
+            "dedup_incremental": _dedup_incremental,
         }
 
     results = {}

@@ -585,3 +585,46 @@ def test_minhash_index_update_and_param_guard(spark, sf_mid, tmp_path):
 
     with pytest.raises(ValueError, match="was built with"):
         DD.minhash_save_index(b, path, num_hashes=128, bands=64, mode="append")
+
+
+# --- canonical-URL keep-latest dedup (re-crawl snapshot resolution) ----
+
+def test_canonical_url_edges(spark):
+    from pyspark.sql import functions as F
+
+    from rio_cogeo_spark.functions.text import canonical_url
+
+    cases = [
+        ("https://www.a.com/x/", "a.com/x"),
+        ("http://a.com#frag", "a.com"),
+        ("a.com//", "a.com"),
+        ("https://a.com/r?u=http://b.com", "a.com/r?u=http://b.com"),
+        ("www.b.org/p", "b.org/p"),
+        ("https://a.com/", "a.com"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r[0] for r in df.select(canonical_url(F.col("url"))).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_url_dedup_latest_keeps_newest(spark):
+    from rio_cogeo_spark.operators.dedup import url_dedup_latest
+
+    rows = [
+        (1, "https://a.com/p", 100),
+        (2, "http://www.a.com/p/", 300),   # newest snapshot of a.com/p
+        (3, "a.com/p#frag", 200),
+        (4, "https://b.com", 50),
+        (5, "https://c.com", 70),
+        (6, "https://c.com", 70),           # ts tie → highest doc_id wins
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, ts_sec long")
+    got = {
+        r["canon_url"]: (r["doc_id"], r["ts_sec"], r["n_snapshots"])
+        for r in url_dedup_latest(df).collect()
+    }
+    assert got == {
+        "a.com/p": (2, 300, 3),
+        "b.com": (4, 50, 1),
+        "c.com": (6, 70, 2),
+    }
