@@ -204,6 +204,29 @@ def q_url_latest(spark, sf_dir):
     return DD.url_dedup_latest(pages.unionByName(recrawl))
 
 
+def q_snapshot_delta(spark, sf_dir):
+    """Per-URL change history across crawl snapshots: pages ∪ an
+    UNCHANGED re-crawl of doc_id<150 (+1e7 s) ∪ a CHANGED re-crawl of
+    doc_id<100 (+2e7 s, text edited) → (n_snapshots, n_changes,
+    first/last/last_change ts) per canonical URL."""
+    pages = _pages(spark, sf_dir).select("doc_id", "url", "ts_sec", "text")
+    re1 = pages.filter(F.col("doc_id") < 150).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "url",
+        (F.col("ts_sec") + 10_000_000).alias("ts_sec"),
+        "text",
+    )
+    re2 = pages.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        "url",
+        (F.col("ts_sec") + 20_000_000).alias("ts_sec"),
+        F.concat(F.col("text"), F.lit(" updated edition")).alias("text"),
+    )
+    return DD.snapshot_change_stats(
+        pages.unionByName(re1).unionByName(re2)
+    )
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Incremental dedup against a persisted LSH index (the production
     crawl loop: index the accumulated corpus once, dedup each new
@@ -531,6 +554,16 @@ def q_search(spark, sf_dir):
     return search_topk(docs, ["spark", "hash", "window"], k=20)
 
 
+def q_search_bm25(spark, sf_dir):
+    """BM25 ranking (k1=1.2, b=0.75) in exact BIGINT fixed-point —
+    length-normalized counterpart of `search`; identical scores on both
+    engines regardless of summation order."""
+    from rio_cogeo_spark.operators.search import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bm25_topk(docs, ["spark", "hash", "window"], k=20)
+
+
 def q_top_per_lang(spark, sf_dir):
     """Generic per-group top-k: 3 longest docs per language."""
     from rio_cogeo_spark.operators.search import topk_per_group
@@ -803,6 +836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "dedup_incremental": q_dedup_incremental,
         "url_latest": q_url_latest,
+        "snapshot_delta": q_snapshot_delta,
         "simhash_pairs": q_simhash_pairs,
         "embed_neardup": q_embed_neardup,
         "ann_topk": q_ann_topk,
@@ -832,9 +866,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "clean_corpus": q_clean_corpus,
         "tile_counts_avg": q_tile_counts_avg,
-        "search": q_search,
+        "search_bm25": q_search_bm25,
         "chunks_sliding": q_chunks_sliding,
-        "chunks": q_chunks,
         "lang_pivot": q_lang_pivot,
         "rollup": q_rollup,
         "url_hosts": q_url_hosts,
@@ -846,6 +879,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "pack_chunks": q_pack_chunks,
         "contamination": q_contamination,
+        "search": q_search,
+        "chunks": q_chunks,
     }
 
 
@@ -1242,6 +1277,32 @@ FROM docs2 GROUP BY 1""",
         "minhash_lsh": _JACCARD_SQL,
         # keep-latest per canonical URL over pages ∪ a URL-variant
         # re-crawl; window twin of the max_by aggregation
+        # per-URL change history: window twin of snapshot_change_stats
+        # (fingerprint lag over (canon_url, ts, doc_id) order)
+        "snapshot_delta": f"""{_P}
+, re1 AS (SELECT doc_id + 1000000 AS doc_id, url,
+                 ts_sec + 10000000 AS ts_sec, text
+          FROM pages WHERE doc_id < 150),
+re2 AS (SELECT doc_id + 2000000 AS doc_id, url,
+               ts_sec + 20000000 AS ts_sec,
+               text || ' updated edition' AS text
+        FROM pages WHERE doc_id < 100),
+allp AS (SELECT doc_id, url, ts_sec, text FROM pages
+         UNION ALL SELECT doc_id, url, ts_sec, text FROM re1
+         UNION ALL SELECT doc_id, url, ts_sec, text FROM re2),
+c AS (SELECT {TX.CANONICAL_URL_SQL} AS canon_url, doc_id, ts_sec,
+             {TX.FINGERPRINT_SQL} AS fp
+      FROM allp),
+v AS (SELECT canon_url, ts_sec,
+             COALESCE(fp <> LAG(fp) OVER (PARTITION BY canon_url
+                                          ORDER BY ts_sec, doc_id),
+                      TRUE) AS changed
+      FROM c)
+SELECT canon_url, COUNT(*) AS n_snapshots,
+       CAST(SUM(CASE WHEN changed THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+       MIN(ts_sec) AS first_ts, MAX(ts_sec) AS last_ts,
+       MAX(CASE WHEN changed THEN ts_sec END) AS last_change_ts
+FROM v GROUP BY 1""",
         "url_latest": f"""{_P}
 , re AS (SELECT doc_id + 500000 AS doc_id,
                 'http://www.' || substr(url, 9) || '/' AS url,
@@ -1424,6 +1485,27 @@ s AS (SELECT p.doc_id,
                  AS score,
              COUNT(*) AS n_terms_hit
       FROM p JOIN d USING (term) CROSS JOIN n
+      GROUP BY 1)
+SELECT doc_id, score, n_terms_hit,
+       CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+FROM s QUALIFY rank <= 20""",
+        # BM25 (k1=6/5, b=3/4) in pure BIGINT fixed-point — the exact
+        # twin of operators/search.bm25_topk's scaled contribution
+        "search_bm25": f"""
+WITH t AS (SELECT doc_id, {TX.TOKENS_SQL} AS toks FROM documents),
+tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t),
+p AS (SELECT term, doc_id, dl, COUNT(*) AS tf FROM tok
+      WHERE term IN ('spark', 'hash', 'window') GROUP BY 1, 2, 3),
+d AS (SELECT term, COUNT(*) AS df FROM p GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_total, CAST(SUM(len(toks)) AS BIGINT) AS sum_dl
+      FROM t),
+a AS (SELECT n_total, (sum_dl * 1000) // n_total AS avgdl_s FROM n),
+s AS (SELECT p.doc_id,
+             CAST(SUM((((a.n_total * 1000) // d.df) * p.tf * 22 * a.avgdl_s)
+                      // (p.tf * 10 * a.avgdl_s + 3 * a.avgdl_s
+                          + 9 * p.dl * 1000)) AS BIGINT) AS score,
+             COUNT(*) AS n_terms_hit
+      FROM p JOIN d USING (term) CROSS JOIN a
       GROUP BY 1)
 SELECT doc_id, score, n_terms_hit,
        CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank

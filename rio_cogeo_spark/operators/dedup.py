@@ -90,6 +90,50 @@ def url_dedup_latest(
     )
 
 
+def snapshot_change_stats(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "ts_sec",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-canonical-URL change history over crawl snapshots: order each
+    URL's snapshots by (ts, doc_id), compare consecutive content
+    fingerprints (functions/text.fingerprint — the cross-engine md5, so
+    whitespace-only edits don't count as changes), and roll up to one
+    row per URL: ``(canon_url, n_snapshots, n_changes, first_ts,
+    last_ts, last_change_ts)``. The first observation of a URL counts
+    as a change (version 1), so ``n_changes >= 1`` and
+    ``n_changes == 1`` means the page never changed across re-crawls.
+
+    The crawl-scheduling input at 100 TB: change frequency drives
+    re-crawl priority. One shuffle on canon_url; the per-group window
+    sort is bounded by snapshots-per-URL (crawl cadence), never corpus
+    size, and the rollup is map-side-free (same key, same stage as the
+    window — zero extra exchange)."""
+    from rio_cogeo_spark.functions.text import canonical_url
+
+    w = Window.partitionBy("canon_url").orderBy(ts_col, "doc_id")
+    versioned = (
+        pages.select(
+            canonical_url(F.col(url_col)).alias("canon_url"),
+            "doc_id",
+            F.col(ts_col),
+            fingerprint(F.col(text_col)).alias("fp"),
+        )
+        .withColumn(
+            "changed",
+            F.coalesce(F.col("fp") != F.lag("fp").over(w), F.lit(True)),
+        )
+    )
+    return versioned.groupBy("canon_url").agg(
+        F.count(F.lit(1)).alias("n_snapshots"),
+        F.sum(F.col("changed").cast("long")).alias("n_changes"),
+        F.min(ts_col).alias("first_ts"),
+        F.max(ts_col).alias("last_ts"),
+        F.max(F.when(F.col("changed"), F.col(ts_col))).alias("last_change_ts"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Word n-gram shingles (shared by Jaccard + MinHash)
 # ---------------------------------------------------------------------------

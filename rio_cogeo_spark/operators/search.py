@@ -107,3 +107,73 @@ def topk_per_group(
         df.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: List[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents under BM25 with k1=1.2, b=0.75 and the
+    exact-integer ``N/df`` idf (same scaled-idf family as
+    :func:`search_topk` — the Robertson log-idf is float-only and its
+    cross-engine sum is associativity-dependent).
+
+    All arithmetic is BIGINT so scores hash identically on Spark and
+    DuckDB. With k1 = 6/5 and b = 3/4 the per-term contribution
+
+        idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    multiplies out (numerator and denominator by ``10·avgdl_s``, where
+    ``avgdl_s = (Σdl·1000) div N`` is the fixed-point average doc
+    length) to
+
+        (idf_s · tf · 22 · avgdl_s) div (tf·10·avgdl_s + 3·avgdl_s + 9·dl·1000)
+
+    with ``idf_s = (N·1000) div df``. Exact-integer envelope:
+    idf_s·tf·22·avgdl_s must fit in int64 — holds to ~10^8 docs at
+    web-page token counts; beyond that, drop to float scoring and
+    rank-only comparison.
+
+    Scale design mirrors :func:`search_topk`: the doc length rides
+    along the postings build (tokens computed ONCE per doc — no second
+    corpus scan or corpus-wide doc-length join), postings are pruned to
+    the query terms before any shuffle, df/N/avgdl are tiny broadcast
+    aggregates, and top-k is a distributed TakeOrdered, never a global
+    window. Returns ``(doc_id, score, n_terms_hit, rank)``.
+    """
+    toks = docs.select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("toks")
+    ).withColumn("dl", F.size("toks"))
+    postings = (
+        toks.select(id_col, "dl", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(list(terms)))
+        .groupBy("term", id_col, "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_by_term = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    ).withColumn("avgdl_s", F.expr("(sum_dl * 1000) div n_total"))
+    scored = (
+        postings.join(F.broadcast(df_by_term), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "w",
+            F.expr(
+                "(((n_total * 1000) div df) * tf * 22 * avgdl_s) div "
+                "(tf * 10 * avgdl_s + 3 * avgdl_s + 9 * dl * 1000)"
+            ),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("w").alias("score"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+    )
+    topk = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return topk.withColumn("rank", F.row_number().over(w))

@@ -205,7 +205,15 @@ def main() -> None:
     md.append(f"\n**Overall: {'PASS' if ok_all else 'FAIL'}** — a per-doc "
               "ratio near 1x means the op is linear in the corpus; the 10x "
               "bound is the memory/spill-cliff detector.")
-    (REPO / "BENCH" / "SF1.md").write_text("\n".join(md) + "\n")
+    # keep hand-written analysis sections ("## ..." after the table) across
+    # regenerations — the table is machine-owned, the notes are not
+    sf1_md = REPO / "BENCH" / "SF1.md"
+    if sf1_md.exists():
+        old = sf1_md.read_text()
+        cut = old.find("\n## ")
+        if cut != -1:
+            md.append(old[cut:].rstrip("\n"))
+    sf1_md.write_text("\n".join(md) + "\n")
     (REPO / "BENCH" / "sf1_snapshot.json").write_text(json.dumps({
         "n_small": n_small, "n_big": n_big, "replicate": REPLICATE,
         "cpus": cpus, "reps": REPS, "results": results,

@@ -628,3 +628,166 @@ def test_url_dedup_latest_keeps_newest(spark):
         "b.com": (4, 50, 1),
         "c.com": (6, 70, 2),
     }
+
+
+# --- BM25 ranking (exact-integer fixed-point) --------------------------
+
+def test_bm25_topk_ranks_and_length_normalizes(spark):
+    from rio_cogeo_spark.operators.search import bm25_topk
+
+    rows = [
+        # short doc with one hit must outrank a long doc with one hit
+        (1, "spark " + "pad " * 4),
+        (2, "spark " + "pad " * 400),
+        # two distinct query terms beat one term at equal length
+        (3, "spark hash " + "pad " * 4),
+        (4, "nothing here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in bm25_topk(df, ["spark", "hash"], k=10).collect()}
+    assert set(got) == {1, 2, 3}          # doc 4 never scored
+    assert got[3]["n_terms_hit"] == 2
+    assert got[3]["rank"] == 1
+    assert got[1]["score"] > got[2]["score"]   # dl normalization
+    assert all(isinstance(r["score"], int) for r in got.values())
+
+
+def test_bm25_tf_saturates(spark):
+    # BM25's tf saturation: 50 repeats must score < 50x a single hit
+    from rio_cogeo_spark.operators.search import bm25_topk
+
+    rows = [(1, "spark " + "pad " * 49), (2, "spark " * 50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["score"] for r in bm25_topk(df, ["spark"], k=10).collect()}
+    assert got[2] < 50 * got[1]
+    assert got[2] > got[1]
+
+
+# --- snapshot change history ------------------------------------------
+
+def test_snapshot_change_stats(spark):
+    from rio_cogeo_spark.operators.dedup import snapshot_change_stats
+
+    rows = [
+        (1, "https://a.com/p", 100, "alpha beta"),
+        (2, "http://www.a.com/p/", 200, "alpha beta"),   # same content
+        (3, "a.com/p", 300, "alpha beta gamma"),          # changed
+        (4, "a.com/p", 400, "Alpha   BETA gamma"),        # ws/case only: no change
+        (5, "https://b.com", 50, "x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, ts_sec long, text string")
+    got = {r["canon_url"]: r for r in snapshot_change_stats(df).collect()}
+    a = got["a.com/p"]
+    assert (a["n_snapshots"], a["n_changes"]) == (4, 2)
+    assert (a["first_ts"], a["last_ts"], a["last_change_ts"]) == (100, 400, 300)
+    b = got["b.com"]
+    assert (b["n_snapshots"], b["n_changes"], b["last_change_ts"]) == (1, 1, 50)
+
+
+def test_snapshot_change_stats_single_exchange(spark):
+    # window + same-key rollup must reuse one hash partitioning
+    import contextlib, io
+
+    from rio_cogeo_spark.operators.dedup import snapshot_change_stats
+
+    df = spark.createDataFrame(
+        [(1, "a.com", 1, "t")], "doc_id long, url string, ts_sec long, text string"
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        snapshot_change_stats(df).explain(mode="formatted")
+    plan = buf.getvalue()
+    assert plan.count(") Exchange") == 1, plan
+
+
+# --- streaming URL keep-latest ----------------------------------------
+
+def _url_stream_rows():
+    rows = []
+    for i in range(120):
+        # 40 canonical urls, 3 snapshots each, URL-form variants per crawl
+        page = i % 40
+        crawl = i // 40
+        form = ["https://s%d.example/p", "http://www.s%d.example/p/",
+                "s%d.example/p#f"][crawl]
+        rows.append((i, form % page, 1000 + crawl * 100 + page))
+    return rows
+
+
+@pytest.mark.parametrize("files_per_trigger", [1, 4])
+def test_url_latest_stream_equals_batch(spark, tmp_path, files_per_trigger):
+    from rio_cogeo_spark.operators.dedup import url_dedup_latest
+    from rio_cogeo_spark.streaming.events import run_stream_to_memory
+    from rio_cogeo_spark.streaming.urls import url_latest_stream
+
+    df = spark.createDataFrame(
+        _url_stream_rows(), "doc_id long, url string, ts_sec long"
+    )
+    src = str(tmp_path / f"urls_{files_per_trigger}")
+    # one file per crawl so micro-batches interleave crawls
+    df.repartition(6).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(src)
+    )
+    name = f"url_latest_stream_{files_per_trigger}"
+    got = run_stream_to_memory(
+        url_latest_stream(stream), name, output_mode="complete"
+    )
+    batch = {
+        r["canon_url"]: (r["doc_id"], r["ts_sec"], r["n_snapshots"])
+        for r in url_dedup_latest(df).collect()
+    }
+    streamed = {
+        r["canon_url"]: (r["doc_id"], r["ts_sec"], r["n_snapshots"])
+        for r in got.collect()
+    }
+    assert streamed == batch
+    assert len(batch) == 40 and all(n == 3 for _, _, n in batch.values())
+
+
+def test_url_latest_stream_update_mode_converges(spark, tmp_path):
+    # production shape: update mode emits only re-crawled urls; the last
+    # emission per key (max n_snapshots — monotone) is the final table
+    from rio_cogeo_spark.operators.dedup import url_dedup_latest
+    from rio_cogeo_spark.streaming.events import run_stream_to_memory
+    from rio_cogeo_spark.streaming.urls import url_latest_stream
+
+    df = spark.createDataFrame(
+        _url_stream_rows(), "doc_id long, url string, ts_sec long"
+    )
+    src = str(tmp_path / "urls_upd")
+    df.repartition(6).write.parquet(src)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    got = run_stream_to_memory(
+        url_latest_stream(stream), "url_latest_stream_upd",
+        output_mode="update",
+    )
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    final = (
+        got.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("canon_url").orderBy(F.desc("n_snapshots"))
+            ),
+        )
+        .filter("rn = 1")
+        .drop("rn")
+    )
+    batch = {
+        r["canon_url"]: (r["doc_id"], r["ts_sec"], r["n_snapshots"])
+        for r in url_dedup_latest(df).collect()
+    }
+    streamed = {
+        r["canon_url"]: (r["doc_id"], r["ts_sec"], r["n_snapshots"])
+        for r in final.collect()
+    }
+    assert streamed == batch
