@@ -227,6 +227,46 @@ def q_snapshot_delta(spark, sf_dir):
     )
 
 
+def q_domain_filter(spark, sf_dir):
+    """Domain-blocklist URL filter with suffix semantics: pages ∪ a
+    'cdn.' subdomain variant of the first 100; blocking
+    site3/site7.example must drop the exact hosts AND the cdn
+    subdomains of site3, and nothing else."""
+    from rio_cogeo_spark.operators.urlfilter import blocklist_filter
+
+    pages = _pages(spark, sf_dir).select("doc_id", "url")
+    cdn = pages.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 800_000).alias("doc_id"),
+        F.concat(
+            F.lit("https://cdn.site"),
+            (F.col("doc_id") % 9973).cast("string"),
+            F.lit(".example/p"),
+        ).alias("url"),
+    )
+    return blocklist_filter(
+        pages.unionByName(cdn), ["site3.example", "site7.example"]
+    )
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """C4-style corpus-wide paragraph dedup: every doc gets a shared
+    boilerplate header + footer paragraph, and doc_id<50 get whole-doc
+    copies at +700000. The boilerplate survives only in the lowest
+    (doc_id, idx) occurrence and the pure-copy docs vanish entirely."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sep = F.lit("\n\n")
+    boiler = F.concat(
+        F.lit("shared boilerplate header paragraph"), sep,
+        F.col("text"), sep,
+        F.lit("shared boilerplate footer paragraph"),
+    )
+    d0 = docs.select("doc_id", boiler.alias("text"))
+    copies = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 700_000).alias("doc_id"), boiler.alias("text")
+    )
+    return DD.paragraph_dedup(d0.unionByName(copies))
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Incremental dedup against a persisted LSH index (the production
     crawl loop: index the accumulated corpus once, dedup each new
@@ -837,6 +877,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "url_latest": q_url_latest,
         "snapshot_delta": q_snapshot_delta,
+        "paragraph_dedup": q_paragraph_dedup,
+        "domain_filter": q_domain_filter,
         "simhash_pairs": q_simhash_pairs,
         "embed_neardup": q_embed_neardup,
         "ann_topk": q_ann_topk,
@@ -856,8 +898,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder": q_zorder,
         "repeated_spans": q_repeated_spans,
         "quality": q_quality,
-        "lang_id": q_lang_id,
-        "fingerprint": q_fingerprint,
         "passage_cut": q_passage_cut,
         "token_stats_bpe": q_token_stats_bpe,
         "events_hourly": q_events_hourly,
@@ -881,6 +921,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "search": q_search,
         "chunks": q_chunks,
+        "fingerprint": q_fingerprint,
+        "lang_id": q_lang_id,
     }
 
 
@@ -914,6 +956,7 @@ def q_tile_counts_avg(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _P = pages_cte("VARCHAR")
+from rio_cogeo_spark.operators.urlfilter import DOMAIN_SUFFIXES_SQL as _DOMAIN_SFX  # noqa: E402
 _TX8, _TY8 = tile_xy_sql("lon", "lat", ZOOM)
 _TX9, _TY9 = tile_xy_sql("lon", "lat", 9)  # raster_tiles: z6 tiles, 8x8 px grid
 
@@ -1277,6 +1320,48 @@ FROM docs2 GROUP BY 1""",
         "minhash_lsh": _JACCARD_SQL,
         # keep-latest per canonical URL over pages ∪ a URL-variant
         # re-crawl; window twin of the max_by aggregation
+        # suffix-semantics blocklist: list_has_any over the dot-suffix
+        # chain (twin of urlfilter.blocklist_filter's literal path)
+        "domain_filter": f"""{_P}
+, allp AS (SELECT doc_id, url FROM pages
+           UNION ALL
+           SELECT doc_id + 800000,
+                  'https://cdn.site' || CAST(doc_id % 9973 AS VARCHAR)
+                      || '.example/p'
+           FROM pages WHERE doc_id < 100)
+SELECT doc_id, url FROM allp
+WHERE NOT list_has_any({_DOMAIN_SFX},
+                       ['site3.example', 'site7.example'])""",
+        # C4-style paragraph dedup: window twin of the min_by keeper
+        # (oracle scale doesn't need the skew-free aggregation)
+        "paragraph_dedup": """
+WITH d0 AS (
+  SELECT doc_id,
+         'shared boilerplate header paragraph' || chr(10) || chr(10) ||
+         text || chr(10) || chr(10) ||
+         'shared boilerplate footer paragraph' AS text
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 700000,
+         'shared boilerplate header paragraph' || chr(10) || chr(10) ||
+         text || chr(10) || chr(10) ||
+         'shared boilerplate footer paragraph'
+  FROM documents WHERE doc_id < 50),
+p AS (SELECT doc_id,
+             unnest(list_transform(string_split(text, chr(10) || chr(10)),
+                    (x, i) -> {'idx': i - 1, 'para': x})) AS pt
+      FROM d0),
+f AS (SELECT doc_id, pt.idx AS idx, pt.para AS para, md5(pt.para) AS ph
+      FROM p WHERE len(trim(pt.para)) > 0),
+k AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY ph
+                                   ORDER BY doc_id, idx) AS rn FROM f),
+t AS (SELECT doc_id, COUNT(*) AS n_total FROM f GROUP BY 1)
+SELECT k.doc_id,
+       string_agg(k.para, chr(10) || chr(10) ORDER BY k.idx) AS text,
+       COUNT(*) AS n_kept, ANY_VALUE(t.n_total) AS n_total
+FROM k JOIN t ON k.doc_id = t.doc_id
+WHERE k.rn = 1
+GROUP BY 1""",
         # per-URL change history: window twin of snapshot_change_stats
         # (fingerprint lag over (canon_url, ts, doc_id) order)
         "snapshot_delta": f"""{_P}

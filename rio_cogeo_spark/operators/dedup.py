@@ -1007,3 +1007,71 @@ def connected_components_star(
         roots.select("doc_id"), "doc_id", "left_anti"
     ).withColumn("component", F.col("doc_id"))
     return roots.unionByName(singles)
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup (the C4 preprocessing
+    primitive: boilerplate headers/footers/navigation repeat across a
+    site's pages and must be dropped corpus-wide, keeping ONE copy).
+    Splits each document on the LITERAL ``sep``, keeps only the
+    globally first occurrence of each distinct paragraph — lowest
+    (doc_id, position) — and reassembles documents in original
+    paragraph order. Documents left with zero paragraphs (pure
+    boilerplate / exact whole-text dups) drop from the output.
+
+    Returns ``(id_col, text, n_kept, n_total)``.
+
+    Scale design: the keeper per paragraph hash is a map-side-combinable
+    ``min_by`` — NOT a row_number window, because hot boilerplate
+    paragraphs repeat millions of times and a per-key window sort puts
+    each hot key's entire posting list through one task (skew); min_by
+    partial-aggregates per input partition so the hot keys arrive
+    pre-collapsed. The keeper join is key-partitioned on both sides
+    (no broadcast needed at any corpus size), and the reassembly
+    groupBy ships only surviving paragraphs. Empty paragraphs (runs of
+    ``sep``) are dropped before hashing so they never dedup across
+    documents."""
+    # \Q...\E quotes the separator so regex metacharacters in `sep`
+    # (e.g. '. ') are literal; sep must not contain \E itself
+    pat = "\\Q" + sep + "\\E"
+    paras = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), pat)).alias("idx", "para"),
+        )
+        .filter(F.length(F.trim(F.col("para"))) > 0)
+        .withColumn("ph", F.md5(F.col("para")))
+    )
+    keepers = paras.groupBy("ph").agg(
+        F.min_by(
+            F.struct(F.col(id_col), F.col("idx")),
+            F.struct(F.col(id_col), F.col("idx")),
+        ).alias("keep")
+    )
+    kept = paras.join(keepers, "ph").filter(
+        (F.col(id_col) == F.col(f"keep.{id_col}"))
+        & (F.col("idx") == F.col("keep.idx"))
+    )
+    totals = paras.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("idx"), F.col("para")))
+                    ),
+                    lambda x: x["para"],
+                ),
+            ).alias("text"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+        .join(totals, id_col)
+        .select(id_col, "text", "n_kept", "n_total")
+    )

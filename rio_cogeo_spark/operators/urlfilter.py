@@ -1,0 +1,86 @@
+"""Domain-blocklist URL filtering — the crawl-pipeline gatekeeper stage
+(C4/RefinedWeb-style curated blocklists run before any text processing).
+
+Blocking is by DOMAIN SUFFIX: an entry ``bad.example`` blocks the host
+``bad.example`` and every subdomain (``a.bad.example``), never the
+unrelated ``notbad.example``. Suffix matching can't equi-join on the
+raw host, so each host expands to its dot-suffix chain
+(``a.b.c → [a.b.c, b.c, c]`` — bounded by DNS label count, ~4-6) and
+membership is tested against that array.
+
+Two execution paths by blocklist size:
+
+* a Python list/set (curated lists, up to ~10^5 entries) ships as a
+  plan literal and the test is one JVM ``arrays_overlap`` — zero joins,
+  zero shuffles, whole-stage codegen;
+* a DataFrame (web-scale lists) goes through explode → semi-join →
+  anti-join by id, both joins on small/thin sides (AQE broadcasts the
+  blocklist when it fits).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from rio_cogeo_spark.functions.text import HOST_SQL, host_col
+
+
+def domain_suffixes(url: Column) -> Column:
+    """Dot-suffix chain of the canonical host, most-specific first.
+    Twin: :data:`DOMAIN_SUFFIXES_SQL`."""
+    parts = F.split(host_col(url), "\\.")
+    n = F.size(parts)
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat_ws(".", F.slice(parts, i, n)),
+    )
+
+
+DOMAIN_SUFFIXES_SQL = (
+    "list_transform(generate_series(1, len(string_split({host}, '.'))), "
+    "i -> array_to_string(string_split({host}, '.')[i:], '.'))"
+).format(host=HOST_SQL)
+
+
+def blocklist_filter(
+    pages: DataFrame,
+    blocklist: Union[Iterable[str], DataFrame],
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rows of ``pages`` whose URL host matches NO blocklist entry by
+    domain suffix. ``blocklist`` is an iterable of domains (literal
+    ``arrays_overlap`` path) or a single-column DataFrame of domains
+    (join path for lists too big to inline)."""
+    sfx = domain_suffixes(F.col(url_col))
+    if isinstance(blocklist, DataFrame):
+        dom = blocklist.columns[0]
+        blocked = (
+            pages.select(id_col, F.explode(sfx).alias("_sfx"))
+            .join(blocklist, F.col("_sfx") == F.col(dom), "leftsemi")
+            .select(id_col)
+            .distinct()
+        )
+        return pages.join(blocked, id_col, "left_anti")
+    domains = sorted(set(blocklist))
+    if not domains:
+        return pages
+    lit = F.array(*[F.lit(d) for d in domains])
+    return pages.filter(~F.arrays_overlap(sfx, lit))
+
+
+def blocklist_filter_sql(
+    table: str, domains: Iterable[str], url_col: str = "url"
+) -> str:
+    """DuckDB twin of the literal-list path (suffix semantics
+    identical). ``DOMAIN_SUFFIXES_SQL`` reads a column literally named
+    ``url``, matching :data:`HOST_SQL`."""
+    assert url_col == "url", "twin is bound to a column named 'url'"
+    arr = ", ".join("'" + d.replace("'", "''") + "'" for d in sorted(set(domains)))
+    return (
+        f"SELECT * FROM {table} WHERE NOT list_has_any("
+        f"{DOMAIN_SUFFIXES_SQL}, [{arr}])"
+    )

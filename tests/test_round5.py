@@ -791,3 +791,71 @@ def test_url_latest_stream_update_mode_converges(spark, tmp_path):
         for r in final.collect()
     }
     assert streamed == batch
+
+
+# --- C4-style paragraph dedup -----------------------------------------
+
+def test_paragraph_dedup_boilerplate_and_copies(spark):
+    from rio_cogeo_spark.operators.dedup import paragraph_dedup
+
+    hdr, ftr = "site header", "site footer"
+    rows = [
+        (1, f"{hdr}\n\nunique one\n\n{ftr}"),
+        (2, f"{hdr}\n\nunique two\n\n{ftr}"),
+        (3, f"{hdr}\n\nunique one\n\n{ftr}"),   # body dups doc 1 too
+        (4, f"{hdr}\n\n{ftr}"),                  # pure boilerplate → drops
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in paragraph_dedup(df).collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["text"] == f"{hdr}\n\nunique one\n\n{ftr}"
+    assert (got[1]["n_kept"], got[1]["n_total"]) == (3, 3)
+    assert got[2]["text"] == "unique two"
+    assert (got[2]["n_kept"], got[2]["n_total"]) == (1, 3)
+
+
+def test_paragraph_dedup_literal_separator_and_empties(spark):
+    from rio_cogeo_spark.operators.dedup import paragraph_dedup
+
+    # '. ' has a regex metachar; empty paragraphs from separator runs
+    # must not dedup across docs
+    rows = [(1, "aa. bb. . cc"), (2, "dd. . ee")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in paragraph_dedup(df, sep=". ").collect()}
+    assert got[1]["text"] == "aa. bb. cc"
+    assert got[2]["text"] == "dd. ee"
+    assert got[2]["n_total"] == 2
+
+
+# --- domain blocklist filter ------------------------------------------
+
+def test_blocklist_filter_suffix_semantics(spark):
+    from rio_cogeo_spark.operators.urlfilter import blocklist_filter
+
+    rows = [
+        (1, "https://bad.example/x"),
+        (2, "https://a.bad.example/x"),       # subdomain → blocked
+        (3, "https://notbad.example/x"),      # suffix, not domain suffix
+        (4, "https://www.bad.example/x"),     # www-stripped → blocked
+        (5, "https://good.org/x"),
+        (6, "bad.example/no-scheme"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    kept = sorted(
+        r["doc_id"] for r in blocklist_filter(df, ["bad.example"]).collect()
+    )
+    assert kept == [3, 5]
+
+
+def test_blocklist_filter_df_path_equals_list_path(spark):
+    from rio_cogeo_spark.operators.urlfilter import blocklist_filter
+
+    rows = [(i, f"https://s{i % 7}.d{i % 3}.net/p") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    bl = ["s1.d1.net", "d2.net"]
+    bl_df = spark.createDataFrame([(d,) for d in bl], "domain string")
+    a = sorted(r["doc_id"] for r in blocklist_filter(df, bl).collect())
+    b = sorted(r["doc_id"] for r in blocklist_filter(df, bl_df).collect())
+    assert a == b
+    assert all(i % 3 != 2 for i in a)          # every *.d2.net suffix gone
+    assert blocklist_filter(df, []).count() == 200
