@@ -227,6 +227,17 @@ def q_snapshot_delta(spark, sf_dir):
     )
 
 
+def q_host_cap(spark, sf_dir):
+    """Per-host diversity cap (at most k=1 page per host here, so the
+    ~9973-host pages table loses its multi-page hosts' extras): the
+    kept page per host is the smallest md5_60(doc_id) rank — a uniform
+    reproducible pick, identical to the oracle's single-window twin."""
+    from rio_cogeo_spark.operators.sampling import cap_per_host
+
+    pages = _pages(spark, sf_dir).select("doc_id", "url")
+    return cap_per_host(pages, k=1).select("doc_id", "host")
+
+
 def q_domain_filter(spark, sf_dir):
     """Domain-blocklist URL filter with suffix semantics: pages ∪ a
     'cdn.' subdomain variant of the first 100; blocking
@@ -879,6 +890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_delta": q_snapshot_delta,
         "paragraph_dedup": q_paragraph_dedup,
         "domain_filter": q_domain_filter,
+        "host_cap": q_host_cap,
         "simhash_pairs": q_simhash_pairs,
         "embed_neardup": q_embed_neardup,
         "ann_topk": q_ann_topk,
@@ -900,7 +912,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "passage_cut": q_passage_cut,
         "token_stats_bpe": q_token_stats_bpe,
-        "events_hourly": q_events_hourly,
         "repetition": q_repetition,
         "pyramid_crs84": q_pyramid_crs84,
         "dedup_components": q_dedup_components,
@@ -923,6 +934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunks": q_chunks,
         "fingerprint": q_fingerprint,
         "lang_id": q_lang_id,
+        "events_hourly": q_events_hourly,
     }
 
 
@@ -957,6 +969,7 @@ def q_tile_counts_avg(spark, sf_dir):
 
 _P = pages_cte("VARCHAR")
 from rio_cogeo_spark.operators.urlfilter import DOMAIN_SUFFIXES_SQL as _DOMAIN_SFX  # noqa: E402
+_MD5_60_DOCID = TX.MD5_60_SQL.format(c="CAST(doc_id AS VARCHAR)")
 _TX8, _TY8 = tile_xy_sql("lon", "lat", ZOOM)
 _TX9, _TY9 = tile_xy_sql("lon", "lat", 9)  # raster_tiles: z6 tiles, 8x8 px grid
 
@@ -1320,6 +1333,15 @@ FROM docs2 GROUP BY 1""",
         "minhash_lsh": _JACCARD_SQL,
         # keep-latest per canonical URL over pages ∪ a URL-variant
         # re-crawl; window twin of the max_by aggregation
+        # per-host cap twin: single-window selection (the operator's
+        # two-phase salted top-k is selection-identical by construction)
+        "host_cap": f"""{_P}
+, hosted AS (SELECT doc_id, {TX.HOST_SQL} AS host FROM pages)
+SELECT doc_id, host FROM (
+  SELECT doc_id, host,
+         ROW_NUMBER() OVER (PARTITION BY host
+                            ORDER BY {_MD5_60_DOCID}, doc_id) AS rn
+  FROM hosted) WHERE rn = 1""",
         # suffix-semantics blocklist: list_has_any over the dot-suffix
         # chain (twin of urlfilter.blocklist_filter's literal path)
         "domain_filter": f"""{_P}

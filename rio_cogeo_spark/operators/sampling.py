@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional, Tuple
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from rio_cogeo_spark.functions.text import MD5_60_SQL, md5_60
@@ -207,3 +207,68 @@ def split_assign_sql(
     return (
         "CASE " + " ".join(cases) + f" ELSE '{weights[-1][0]}' END"
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_cols: List[str],
+    k: int,
+    id_col: str = "doc_id",
+    n_salts: int = 16,
+) -> DataFrame:
+    """Diversity cap: keep at most ``k`` rows per group, selected as the
+    ``k`` smallest deterministic-hash ranks (a uniform reproducible
+    sample of each group, NOT first-k by id — a mega-host's kept pages
+    shouldn't all be its oldest). The de-facto corpus rule "at most k
+    pages per domain".
+
+    Skew-safe two-phase top-k: a single per-group row_number window
+    sends every hot group's full posting list through one task
+    (a 10^7-page host = one straggler). Phase 1 ranks within
+    (group, salt) — the hot group splits across ``n_salts`` tasks —
+    and keeps k per salt; phase 2 ranks the surviving ≤ n_salts·k rows
+    per group. The result is identical to the single-window selection
+    (phase 1 can never evict a global top-k row), which is what the
+    oracle twin uses. Salt derives from the same hash as the rank, so
+    reruns are byte-identical."""
+    rk = md5_60(F.col(id_col).cast("string"))
+    salted = df.withColumn("_rk", rk).withColumn(
+        "_salt", (F.col("_rk") % n_salts).cast("int")
+    )
+    w1 = Window.partitionBy(*group_cols, "_salt").orderBy("_rk", id_col)
+    w2 = Window.partitionBy(*group_cols).orderBy("_rk", id_col)
+    return (
+        salted.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k)
+        .withColumn("_rn2", F.row_number().over(w2))
+        .filter(F.col("_rn2") <= k)
+        .drop("_rk", "_salt", "_rn", "_rn2")
+    )
+
+
+def cap_per_host(
+    pages: DataFrame, k: int, url_col: str = "url", id_col: str = "doc_id",
+    n_salts: int = 16,
+) -> DataFrame:
+    """``cap_per_group`` keyed by the canonical URL host (adds a
+    ``host`` column)."""
+    from rio_cogeo_spark.functions.text import host_col
+
+    return cap_per_group(
+        pages.withColumn("host", host_col(F.col(url_col))),
+        ["host"], k, id_col=id_col, n_salts=n_salts,
+    )
+
+
+def cap_per_group_sql(
+    table: str, group_cols: List[str], k: int, id_col: str = "doc_id",
+    select: str = "*",
+) -> str:
+    """DuckDB twin: the equivalent single-window selection."""
+    h = MD5_60_SQL.format(c=f"CAST({id_col} AS VARCHAR)")
+    g = ", ".join(group_cols)
+    return f"""
+SELECT {select} FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY {g}
+                               ORDER BY {h}, {id_col}) AS _rn
+  FROM {table}) WHERE _rn <= {k}"""

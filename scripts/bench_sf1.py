@@ -98,12 +98,27 @@ def main() -> None:
     from rio_cogeo_spark.operators.passages import (
         cut_spans, repeated_ngram_spans,
     )
-    from rio_cogeo_spark.operators.search import search_topk
+    from rio_cogeo_spark.operators.sampling import cap_per_host
+    from rio_cogeo_spark.operators.search import bm25_topk, search_topk
+    from rio_cogeo_spark.operators.urlfilter import blocklist_filter
 
     def suite(docs):
         bench_docs = docs.filter(F.col("doc_id") % 97 == 0)
         corpus = docs.filter(F.col("doc_id") % 97 != 0)
         rep = repetition_stats(F.col("text"))
+        # crawl-shaped view: urls/timestamps derived from doc_id exactly
+        # like synth.pages_cte, so the url ops see pages-table cardinality
+        paged = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("https://site"),
+                (F.col("doc_id") % 9973).cast("string"),
+                F.lit(".example/page/"),
+                F.col("doc_id").cast("string"),
+            ).alias("url"),
+            (F.lit(1735689600) + F.col("doc_id") * 13).alias("ts_sec"),
+            "text",
+        )
 
         def _components():
             pairs = DD.minhash_lsh_pairs(
@@ -165,6 +180,26 @@ def main() -> None:
             "dedup_components": _components,
             "spans_cut": _spans_and_cut,
             "dedup_incremental": _dedup_incremental,
+            "url_latest": lambda: DD.url_dedup_latest(paged).count(),
+            "snapshot_delta": lambda: DD.snapshot_change_stats(
+                paged
+            ).count(),
+            "paragraph_dedup": lambda: DD.paragraph_dedup(
+                paged.select(
+                    "doc_id",
+                    F.concat(
+                        F.lit("shared header"), F.lit("\n\n"), "text",
+                        F.lit("\n\n"), F.lit("shared footer"),
+                    ).alias("text"),
+                )
+            ).count(),
+            "domain_filter": lambda: blocklist_filter(
+                paged, [f"site{i}.example" for i in range(0, 9973, 13)]
+            ).count(),
+            "search_bm25": lambda: bm25_topk(
+                docs, ["spark", "hash", "window"], k=20
+            ).count(),
+            "host_cap": lambda: cap_per_host(paged, k=3).count(),
         }
 
     results = {}

@@ -290,6 +290,45 @@ def main() -> None:
     )
     print(f"[{'OK' if no_exchange_s else 'BAD'}] chunk_docs_sliding zero Exchange")
 
+    # 16. url keep-latest: map-side partial_max_by, never a window sort
+    audit(
+        "url_dedup_latest (partial_max_by combine, no Window)",
+        DD.url_dedup_latest(pages),
+        must=[r"partial_max_by"],
+        must_not=[r"\) Window"],
+    )
+
+    # 17. bm25: df/stats broadcast, no corpus-wide doclen shuffle join —
+    # the only SortMergeJoin-free plan shape; TakeOrdered for top-k
+    from rio_cogeo_spark.operators.search import bm25_topk
+
+    audit(
+        "bm25_topk (broadcast stats, TakeOrdered top-k, no SMJ)",
+        bm25_topk(docs_d, ["spark", "hash"], k=10),
+        must=[r"BroadcastExchange", r"TakeOrderedAndProject"],
+        must_not=[r"SortMergeJoin"],
+    )
+
+    # 18. paragraph dedup: min_by keeper partial-aggregates map-side
+    # (the skew guard for hot boilerplate paragraphs)
+    audit(
+        "paragraph_dedup (partial_min_by keeper, skew-free)",
+        DD.paragraph_dedup(docs_d),
+        must=[r"partial_min_by"],
+    )
+
+    # 19. blocklist literal path: one codegen filter, zero joins/exchanges
+    from rio_cogeo_spark.operators.urlfilter import blocklist_filter
+
+    # (the pages *input* derivation carries a tiny broadcast join of the
+    # city table — the filter itself must add no shuffle join/exchange)
+    audit(
+        "blocklist_filter literal path (zero Exchange, no shuffle join)",
+        blocklist_filter(pages, ["site3.example", "site7.example"]),
+        must=[r"arrays_overlap"],
+        must_not=[r"\) Exchange", r"SortMergeJoin", r"ShuffledHashJoin"],
+    )
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:

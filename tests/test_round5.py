@@ -859,3 +859,49 @@ def test_blocklist_filter_df_path_equals_list_path(spark):
     assert a == b
     assert all(i % 3 != 2 for i in a)          # every *.d2.net suffix gone
     assert blocklist_filter(df, []).count() == 200
+
+
+# --- per-group diversity cap ------------------------------------------
+
+def test_cap_per_group_equals_single_window_and_is_salt_invariant(spark):
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from rio_cogeo_spark.functions.text import md5_60
+    from rio_cogeo_spark.operators.sampling import cap_per_group
+
+    # skewed groups: group 0 has 500 rows, others 5
+    rows = [(i, 0 if i < 500 else 1 + i % 7) for i in range(535)]
+    df = spark.createDataFrame(rows, "doc_id long, g int")
+    for k in (1, 3):
+        single = (
+            df.withColumn("_rk", md5_60(F.col("doc_id").cast("string")))
+            .withColumn(
+                "rn",
+                F.row_number().over(W.partitionBy("g").orderBy("_rk", "doc_id")),
+            )
+            .filter(F.col("rn") <= k)
+        )
+        want = sorted(r["doc_id"] for r in single.collect())
+        for n_salts in (1, 16):
+            got = sorted(
+                r["doc_id"]
+                for r in cap_per_group(df, ["g"], k, n_salts=n_salts).collect()
+            )
+            assert got == want, (k, n_salts)
+        counts = {
+            r["g"]: r["n"]
+            for r in cap_per_group(df, ["g"], k)
+            .groupBy("g").agg(F.count("*").alias("n")).collect()
+        }
+        assert counts[0] == k and all(v <= k for v in counts.values())
+
+
+def test_cap_per_host_adds_host_and_caps(spark):
+    from rio_cogeo_spark.operators.sampling import cap_per_host
+
+    rows = [(i, f"https://h{i % 4}.net/p/{i}") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = cap_per_host(df, k=5).collect()
+    assert len(out) == 20
+    assert {r["host"] for r in out} == {f"h{j}.net" for j in range(4)}
