@@ -905,3 +905,148 @@ def test_cap_per_host_adds_host_and_caps(spark):
     out = cap_per_host(df, k=5).collect()
     assert len(out) == 20
     assert {r["host"] for r in out} == {f"h{j}.net" for j in range(4)}
+
+
+# --- streaming snapshot change history --------------------------------
+
+@pytest.mark.parametrize("files_per_trigger", [1, 3])
+def test_snapshot_stats_stream_equals_batch(spark, tmp_path, files_per_trigger):
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from rio_cogeo_spark.operators.dedup import snapshot_change_stats
+    from rio_cogeo_spark.streaming.events import run_stream_to_memory
+    from rio_cogeo_spark.streaming.snapshots import snapshot_stats_stream
+
+    base = datetime.datetime(2026, 1, 1)
+    rows = []
+    # 12 urls x 4 snapshots, versions 30s apart (total event-time span
+    # ~101s, inside the 150s watermark delay, so ANY arrival scrambling
+    # of the files is legal out-of-orderness, never lateness); text
+    # changes at versions 0 and 2 only
+    for u in range(12):
+        for v in range(4):
+            rows.append((
+                u * 10 + v,
+                f"https://h{u}.net/p",
+                f"content {u} v{v // 2}",
+                base + datetime.timedelta(seconds=v * 30 + u),
+            ))
+    df = spark.createDataFrame(
+        rows, "doc_id long, url string, text string, ts timestamp"
+    )
+    src = str(tmp_path / f"snaps_{files_per_trigger}")
+    # random file assignment scrambles arrival order across micro-batches
+    df.repartition(6).write.parquet(src)
+    # sentinel appended as a LATER file (file source drains oldest-first):
+    # pushes the watermark past every wave snapshot so the pending tails
+    # flush through the event-time timeout in the no-data final batch
+    spark.createDataFrame(
+        [(9999, "https://zz.net/", "z",
+          base + datetime.timedelta(seconds=100000))],
+        df.schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(src)
+    )
+    got = run_stream_to_memory(
+        snapshot_stats_stream(stream, delay_sec=150),
+        f"snap_stream_{files_per_trigger}", output_mode="append",
+    )
+    from pyspark.sql import Window as W
+
+    final = {
+        r["canon_url"]: (r["n_snapshots"], r["n_changes"],
+                         r["first_ts"], r["last_ts"], r["last_change_ts"])
+        for r in got.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("canon_url").orderBy(F.desc("n_snapshots"))
+            ),
+        ).filter("rn = 1").collect()
+    }
+    batch_in = df.select(
+        "doc_id", "url",
+        F.unix_timestamp("ts").cast("long").alias("ts_sec"), "text",
+    )
+    batch = {
+        r["canon_url"]: (r["n_snapshots"], r["n_changes"],
+                         r["first_ts"], r["last_ts"], r["last_change_ts"])
+        for r in snapshot_change_stats(batch_in).collect()
+    }
+    assert {k: v for k, v in final.items() if k != "zz.net"} == batch
+    assert all(v[0] == 4 and v[1] == 2 for v in batch.values())
+
+
+def test_snapshot_stats_stream_incremental_folds(spark, tmp_path):
+    # two event-time waves written as successively-appended files (the
+    # file source drains oldest-first): wave B's arrival seals wave A,
+    # the sentinel seals wave B — the fold must advance per wave and
+    # the final stats must still equal batch
+    import datetime
+    import time
+
+    from pyspark.sql import functions as F
+
+    from rio_cogeo_spark.operators.dedup import snapshot_change_stats
+    from rio_cogeo_spark.streaming.events import run_stream_to_memory
+    from rio_cogeo_spark.streaming.snapshots import snapshot_stats_stream
+
+    base = datetime.datetime(2026, 1, 1)
+    schema = "doc_id long, url string, text string, ts timestamp"
+
+    def wave(offset_sec, ver0):
+        return [
+            (u * 100 + ver0 + v, f"https://w{u}.org/p",
+             f"w {u} v{(ver0 + v) // 2}",
+             base + datetime.timedelta(seconds=offset_sec + v * 10 + u))
+            for u in range(6) for v in range(2)
+        ]
+
+    src = str(tmp_path / "snap_waves")
+    a = spark.createDataFrame(wave(0, 0), schema)
+    b = spark.createDataFrame(wave(10000, 2), schema)
+    sent = spark.createDataFrame(
+        [(9999, "https://zz.net/", "z",
+          base + datetime.timedelta(seconds=50000))], schema)
+    a.coalesce(2).write.parquet(src)
+    time.sleep(1.1)
+    b.coalesce(2).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    sent.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(a.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    got = run_stream_to_memory(
+        snapshot_stats_stream(stream, delay_sec=60),
+        "snap_stream_waves", output_mode="append",
+    )
+    rows = got.filter("canon_url != 'zz.net'").collect()
+    # each url must have emitted an intermediate (wave-A) stats row AND
+    # a final one — the fold advanced at least twice
+    per_url = {}
+    for r in rows:
+        per_url.setdefault(r["canon_url"], []).append(r["n_snapshots"])
+    assert all(len(v) >= 2 and max(v) == 4 for v in per_url.values()), per_url
+    final = {
+        u: max(zip(ns, [r for r in rows if r["canon_url"] == u]),
+               key=lambda x: x[0])[1]
+        for u, ns in per_url.items()
+    }
+    batch_in = a.unionByName(b).select(
+        "doc_id", "url",
+        F.unix_timestamp("ts").cast("long").alias("ts_sec"), "text")
+    batch = {
+        r["canon_url"]: (r["n_snapshots"], r["n_changes"])
+        for r in snapshot_change_stats(batch_in).collect()
+    }
+    got_final = {
+        u: (r["n_snapshots"], r["n_changes"]) for u, r in final.items()
+    }
+    assert got_final == batch
