@@ -259,6 +259,15 @@ def q_domain_filter(spark, sf_dir):
     )
 
 
+def q_crawl_priority(spark, sf_dir):
+    """Re-crawl scheduling projection over the snapshot change history
+    (fixed now_ts for determinism): changed-often + stale-longest
+    first, in exact ppb fixed-point."""
+    return DD.crawl_priority(
+        q_snapshot_delta(spark, sf_dir), now_ts=1_800_000_000
+    )
+
+
 def q_paragraph_dedup(spark, sf_dir):
     """C4-style corpus-wide paragraph dedup: every doc gets a shared
     boilerplate header + footer paragraph, and doc_id<50 get whole-doc
@@ -888,6 +897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "url_latest": q_url_latest,
         "snapshot_delta": q_snapshot_delta,
+        "crawl_priority": q_crawl_priority,
         "paragraph_dedup": q_paragraph_dedup,
         "domain_filter": q_domain_filter,
         "host_cap": q_host_cap,
@@ -911,7 +921,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_spans": q_repeated_spans,
         "quality": q_quality,
         "passage_cut": q_passage_cut,
-        "token_stats_bpe": q_token_stats_bpe,
         "repetition": q_repetition,
         "pyramid_crs84": q_pyramid_crs84,
         "dedup_components": q_dedup_components,
@@ -935,6 +944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "lang_id": q_lang_id,
         "events_hourly": q_events_hourly,
+        "token_stats_bpe": q_token_stats_bpe,
     }
 
 
@@ -970,6 +980,30 @@ def q_tile_counts_avg(spark, sf_dir):
 _P = pages_cte("VARCHAR")
 from rio_cogeo_spark.operators.urlfilter import DOMAIN_SUFFIXES_SQL as _DOMAIN_SFX  # noqa: E402
 _MD5_60_DOCID = TX.MD5_60_SQL.format(c="CAST(doc_id AS VARCHAR)")
+_SNAPSHOT_DELTA_SQL = f"""{_P}
+, re1 AS (SELECT doc_id + 1000000 AS doc_id, url,
+                 ts_sec + 10000000 AS ts_sec, text
+          FROM pages WHERE doc_id < 150),
+re2 AS (SELECT doc_id + 2000000 AS doc_id, url,
+               ts_sec + 20000000 AS ts_sec,
+               text || ' updated edition' AS text
+        FROM pages WHERE doc_id < 100),
+allp AS (SELECT doc_id, url, ts_sec, text FROM pages
+         UNION ALL SELECT doc_id, url, ts_sec, text FROM re1
+         UNION ALL SELECT doc_id, url, ts_sec, text FROM re2),
+c AS (SELECT {TX.CANONICAL_URL_SQL} AS canon_url, doc_id, ts_sec,
+             {TX.FINGERPRINT_SQL} AS fp
+      FROM allp),
+v AS (SELECT canon_url, ts_sec,
+             COALESCE(fp <> LAG(fp) OVER (PARTITION BY canon_url
+                                          ORDER BY ts_sec, doc_id),
+                      TRUE) AS changed
+      FROM c)
+SELECT canon_url, COUNT(*) AS n_snapshots,
+       CAST(SUM(CASE WHEN changed THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+       MIN(ts_sec) AS first_ts, MAX(ts_sec) AS last_ts,
+       MAX(CASE WHEN changed THEN ts_sec END) AS last_change_ts
+FROM v GROUP BY 1"""
 _TX8, _TY8 = tile_xy_sql("lon", "lat", ZOOM)
 _TX9, _TY9 = tile_xy_sql("lon", "lat", 9)  # raster_tiles: z6 tiles, 8x8 px grid
 
@@ -1386,30 +1420,24 @@ WHERE k.rn = 1
 GROUP BY 1""",
         # per-URL change history: window twin of snapshot_change_stats
         # (fingerprint lag over (canon_url, ts, doc_id) order)
-        "snapshot_delta": f"""{_P}
-, re1 AS (SELECT doc_id + 1000000 AS doc_id, url,
-                 ts_sec + 10000000 AS ts_sec, text
-          FROM pages WHERE doc_id < 150),
-re2 AS (SELECT doc_id + 2000000 AS doc_id, url,
-               ts_sec + 20000000 AS ts_sec,
-               text || ' updated edition' AS text
-        FROM pages WHERE doc_id < 100),
-allp AS (SELECT doc_id, url, ts_sec, text FROM pages
-         UNION ALL SELECT doc_id, url, ts_sec, text FROM re1
-         UNION ALL SELECT doc_id, url, ts_sec, text FROM re2),
-c AS (SELECT {TX.CANONICAL_URL_SQL} AS canon_url, doc_id, ts_sec,
-             {TX.FINGERPRINT_SQL} AS fp
-      FROM allp),
-v AS (SELECT canon_url, ts_sec,
-             COALESCE(fp <> LAG(fp) OVER (PARTITION BY canon_url
-                                          ORDER BY ts_sec, doc_id),
-                      TRUE) AS changed
-      FROM c)
-SELECT canon_url, COUNT(*) AS n_snapshots,
-       CAST(SUM(CASE WHEN changed THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
-       MIN(ts_sec) AS first_ts, MAX(ts_sec) AS last_ts,
-       MAX(CASE WHEN changed THEN ts_sec END) AS last_change_ts
-FROM v GROUP BY 1""",
+        "snapshot_delta": _SNAPSHOT_DELTA_SQL,
+        # scheduling projection over the change history (ppb fixed-point)
+        "crawl_priority": f"""
+WITH stats AS ({_SNAPSHOT_DELTA_SQL})
+SELECT *,
+       CAST(CASE WHEN n_snapshots > 1 AND last_ts - first_ts > 0
+                 THEN least((n_changes - 1) * 1000000000
+                            // (last_ts - first_ts), 1000000000)
+                 ELSE {1_000_000_000 // (30 * 86400)} END AS BIGINT)
+           AS change_rate_ppb,
+       1800000000 - last_ts AS age_sec,
+       (1800000000 - last_ts) *
+       CAST(CASE WHEN n_snapshots > 1 AND last_ts - first_ts > 0
+                 THEN least((n_changes - 1) * 1000000000
+                            // (last_ts - first_ts), 1000000000)
+                 ELSE {1_000_000_000 // (30 * 86400)} END AS BIGINT)
+           AS priority
+FROM stats""",
         "url_latest": f"""{_P}
 , re AS (SELECT doc_id + 500000 AS doc_id,
                 'http://www.' || substr(url, 9) || '/' AS url,

@@ -1075,3 +1075,37 @@ def paragraph_dedup(
         .join(totals, id_col)
         .select(id_col, "text", "n_kept", "n_total")
     )
+
+
+def crawl_priority(
+    stats: DataFrame, now_ts: int, horizon_sec: int = 30 * 86400
+) -> DataFrame:
+    """Re-crawl priority from :func:`snapshot_change_stats` output — the
+    scheduling read of the change history: pages that change often and
+    haven't been fetched recently come first.
+
+    All-BIGINT fixed-point (cross-engine exact): change_rate_ppb =
+    (n_changes − 1)·10^9 div observed-span, capped at 10^9 (one change
+    per second = max urgency; the cap also keeps age·rate inside int64
+    for ages to ~10^9 s). Re-observations only — the version-1 'change'
+    is discovery, not volatility; single-snapshot URLs get the PRIOR
+    rate = 10^9 div horizon (assume one change per horizon until
+    observed; ppb, not ppm, so a monthly rate is 385, not 0). priority
+    = age since last fetch × rate. A pure projection — no shuffle, no
+    state; ranking is the consumer's choice (TakeOrdered for a fetch
+    budget).
+
+    Returns stats + (change_rate_ppb, age_sec, priority)."""
+    span = F.col("last_ts") - F.col("first_ts")
+    rate = F.when(
+        (F.col("n_snapshots") > 1) & (span > 0),
+        F.least(
+            F.expr("(n_changes - 1) * 1000000000 div (last_ts - first_ts)"),
+            F.lit(1_000_000_000),
+        ),
+    ).otherwise(F.lit(1_000_000_000 // int(horizon_sec)))
+    return (
+        stats.withColumn("change_rate_ppb", rate)
+        .withColumn("age_sec", F.lit(int(now_ts)) - F.col("last_ts"))
+        .withColumn("priority", F.col("age_sec") * F.col("change_rate_ppb"))
+    )

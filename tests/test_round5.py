@@ -1050,3 +1050,31 @@ def test_snapshot_stats_stream_incremental_folds(spark, tmp_path):
         u: (r["n_snapshots"], r["n_changes"]) for u, r in final.items()
     }
     assert got_final == batch
+
+
+# --- crawl priority ----------------------------------------------------
+
+def test_crawl_priority_ordering_and_prior(spark):
+    from rio_cogeo_spark.operators.dedup import crawl_priority
+
+    rows = [
+        # (url, n_snapshots, n_changes, first, last, last_change)
+        ("hot", 10, 10, 0, 900, 900),        # changes every ~100s
+        ("cold", 10, 1, 0, 900, 0),          # never changed again
+        ("new", 1, 1, 500, 500, 500),        # single snapshot → prior
+        ("burst", 3, 3, 0, 1, 1),            # 2 changes in 1s → capped
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "canon_url string, n_snapshots long, n_changes long, "
+        "first_ts long, last_ts long, last_change_ts long",
+    )
+    got = {r["canon_url"]: r for r in crawl_priority(df, now_ts=1000).collect()}
+    assert got["cold"]["change_rate_ppb"] == 0
+    assert got["cold"]["priority"] == 0
+    assert got["hot"]["change_rate_ppb"] == (9 * 10**9) // 900
+    assert got["burst"]["change_rate_ppb"] == 10**9        # capped
+    assert got["new"]["change_rate_ppb"] == 10**9 // (30 * 86400)
+    assert got["hot"]["priority"] == 100 * got["hot"]["change_rate_ppb"]
+    # hot outranks everything except the capped burst at equal age
+    assert got["burst"]["priority"] > got["hot"]["priority"] > got["new"]["priority"]
