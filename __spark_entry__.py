@@ -238,6 +238,31 @@ def q_host_cap(spark, sf_dir):
     return cap_per_host(pages, k=1).select("doc_id", "host")
 
 
+def q_boilerplate_cut(spark, sf_dir):
+    """CCNet-style host-frequency boilerplate removal: 50 hosts × ~100
+    docs; NAV/FOOTER lines on every page (100% → cut), a PROMO line on
+    exactly half (50% ≥ the 500000 ppm threshold → cut at the integer
+    boundary), unique bodies kept."""
+    from rio_cogeo_spark.operators.boilerplate import boilerplate_lines
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    k = (F.col("doc_id") % 50).cast("string")
+    pages2 = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://h"), k, F.lit(".net/p/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.concat(
+            F.lit("NAV "), k, F.lit("\n"),
+            F.when(F.col("doc_id") % 2 == 0,
+                   F.concat(F.lit("PROMO "), k, F.lit("\n")))
+            .otherwise(F.lit("")),
+            F.col("text"), F.lit("\n"),
+            F.lit("FOOTER "), k,
+        ).alias("text"),
+    )
+    return boilerplate_lines(pages2, min_frac_ppm=500_000, min_docs=2)
+
+
 def q_domain_filter(spark, sf_dir):
     """Domain-blocklist URL filter with suffix semantics: pages ∪ a
     'cdn.' subdomain variant of the first 100; blocking
@@ -901,6 +926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "domain_filter": q_domain_filter,
         "host_cap": q_host_cap,
+        "boilerplate_cut": q_boilerplate_cut,
         "simhash_pairs": q_simhash_pairs,
         "embed_neardup": q_embed_neardup,
         "ann_topk": q_ann_topk,
@@ -919,7 +945,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "zorder": q_zorder,
         "repeated_spans": q_repeated_spans,
-        "quality": q_quality,
         "passage_cut": q_passage_cut,
         "repetition": q_repetition,
         "pyramid_crs84": q_pyramid_crs84,
@@ -945,6 +970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "events_hourly": q_events_hourly,
         "token_stats_bpe": q_token_stats_bpe,
+        "quality": q_quality,
     }
 
 
@@ -1376,6 +1402,41 @@ SELECT doc_id, host FROM (
          ROW_NUMBER() OVER (PARTITION BY host
                             ORDER BY {_MD5_60_DOCID}, doc_id) AS rn
   FROM hosted) WHERE rn = 1""",
+        # host-frequency boilerplate: distinct-doc line counts vs host
+        # doc totals, exact ppm threshold, NOT EXISTS anti-join twin
+        "boilerplate_cut": """
+WITH d0 AS (
+  SELECT doc_id, 'h' || CAST(doc_id % 50 AS VARCHAR) || '.net' AS host,
+         'NAV ' || CAST(doc_id % 50 AS VARCHAR) || chr(10) ||
+         CASE WHEN doc_id % 2 = 0
+              THEN 'PROMO ' || CAST(doc_id % 50 AS VARCHAR) || chr(10)
+              ELSE '' END ||
+         text || chr(10) || 'FOOTER ' || CAST(doc_id % 50 AS VARCHAR)
+             AS text
+  FROM documents),
+l0 AS (SELECT doc_id, host,
+              unnest(list_transform(string_split(text, chr(10)),
+                     (x, i) -> {'idx': i - 1, 'line': x})) AS pt
+       FROM d0),
+l AS (SELECT doc_id, host, pt.idx AS idx, pt.line AS line,
+             md5(pt.line) AS lh
+      FROM l0 WHERE len(trim(pt.line)) > 0),
+ld AS (SELECT host, lh, COUNT(DISTINCT doc_id) AS n_docs
+       FROM l GROUP BY 1, 2),
+hd AS (SELECT host, COUNT(DISTINCT doc_id) AS host_docs
+       FROM d0 GROUP BY 1),
+hot AS (SELECT ld.host, ld.lh FROM ld JOIN hd USING (host)
+        WHERE ld.n_docs * 1000000 >= 500000 * hd.host_docs
+          AND ld.n_docs >= 2),
+t AS (SELECT doc_id, COUNT(*) AS n_total FROM l GROUP BY 1),
+kept AS (SELECT * FROM l
+         WHERE NOT EXISTS (SELECT 1 FROM hot h
+                           WHERE h.host = l.host AND h.lh = l.lh))
+SELECT k.doc_id, ANY_VALUE(k.host) AS host,
+       string_agg(k.line, chr(10) ORDER BY k.idx) AS text,
+       COUNT(*) AS n_kept, ANY_VALUE(t.n_total) AS n_total
+FROM kept k JOIN t ON k.doc_id = t.doc_id
+GROUP BY 1""",
         # suffix-semantics blocklist: list_has_any over the dot-suffix
         # chain (twin of urlfilter.blocklist_filter's literal path)
         "domain_filter": f"""{_P}

@@ -98,6 +98,7 @@ def main() -> None:
     from rio_cogeo_spark.operators.passages import (
         cut_spans, repeated_ngram_spans,
     )
+    from rio_cogeo_spark.operators.boilerplate import boilerplate_lines
     from rio_cogeo_spark.operators.sampling import cap_per_host
     from rio_cogeo_spark.operators.search import bm25_topk, search_topk
     from rio_cogeo_spark.operators.urlfilter import blocklist_filter
@@ -200,6 +201,16 @@ def main() -> None:
                 docs, ["spark", "hash", "window"], k=20
             ).count(),
             "host_cap": lambda: cap_per_host(paged, k=3).count(),
+            "boilerplate_cut": lambda: boilerplate_lines(
+                paged.select(
+                    "doc_id", "url",
+                    F.concat(
+                        F.lit("NAV "),
+                        (F.col("doc_id") % 9973).cast("string"),
+                        F.lit("\n"), "text", F.lit("\nSHARED FOOTER"),
+                    ).alias("text"),
+                )
+            ).count(),
         }
 
     results = {}

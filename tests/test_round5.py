@@ -1078,3 +1078,46 @@ def test_crawl_priority_ordering_and_prior(spark):
     assert got["hot"]["priority"] == 100 * got["hot"]["change_rate_ppb"]
     # hot outranks everything except the capped burst at equal age
     assert got["burst"]["priority"] > got["hot"]["priority"] > got["new"]["priority"]
+
+
+# --- host-level boilerplate line removal ------------------------------
+
+def test_boilerplate_lines_host_scoped(spark):
+    from rio_cogeo_spark.operators.boilerplate import boilerplate_lines
+
+    rows = []
+    for h in ("a", "b"):
+        for i in range(4):
+            did = (0 if h == "a" else 100) + i
+            rows.append((
+                did, f"https://{h}.net/p/{i}",
+                f"NAV {h}\nbody {h} {i}\nFOOTER {h}",
+            ))
+    # host c has ONE doc — its NAV never reaches min_docs=2
+    rows.append((200, "https://c.net/p", "NAV c\nbody c"))
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    got = {r["doc_id"]: r for r in boilerplate_lines(df).collect()}
+    assert got[0]["text"] == "body a 0"
+    assert (got[0]["n_kept"], got[0]["n_total"]) == (1, 3)
+    assert got[101]["text"] == "body b 1"
+    # the single-doc host keeps everything
+    assert got[200]["text"] == "NAV c\nbody c"
+    assert got[200]["n_kept"] == 2
+
+
+def test_boilerplate_lines_threshold_is_exact_integer(spark):
+    from rio_cogeo_spark.operators.boilerplate import boilerplate_lines
+
+    # PROMO in exactly 2 of 4 docs: 2*1e6 >= 500000*4 → cut at boundary;
+    # RARE in 1 of 4 → kept by frequency AND min_docs
+    rows = [
+        (i, "https://x.org/p",
+         ("PROMO\n" if i < 2 else "") + ("RARE\n" if i == 0 else "")
+         + f"body {i}")
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    got = {r["doc_id"]: r["text"] for r in boilerplate_lines(df).collect()}
+    assert got[0] == "RARE\nbody 0"
+    assert got[1] == "body 1"
+    assert got[3] == "body 3"
