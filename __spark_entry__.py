@@ -649,6 +649,26 @@ def q_search_bm25(spark, sf_dir):
     return bm25_topk(docs, ["spark", "hash", "window"], k=20)
 
 
+def q_rarity_score(spark, sf_dir):
+    """Corpus token-rarity quality signal (CCNet-family): per-doc mean
+    unigram corpus frequency (ppb) + rare-token occurrence fraction
+    (ppm), all exact BIGINT arithmetic."""
+    from rio_cogeo_spark.operators.rarity import token_rarity
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return token_rarity(docs, rare_cnt=2)
+
+
+def q_search_phrase(spark, sf_dir):
+    """Exact-phrase search over a positional index ("table table" —
+    the repeated term exercises the per-term slot-list logic): anchor
+    decomposition, one shuffle for an m-term phrase, exact BIGINT tf."""
+    from rio_cogeo_spark.operators.search import phrase_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return phrase_topk(docs, ["table", "table"], k=20)
+
+
 def q_top_per_lang(spark, sf_dir):
     """Generic per-group top-k: 3 longest docs per language."""
     from rio_cogeo_spark.operators.search import topk_per_group
@@ -937,7 +957,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "raster_tiles": q_raster_tiles,
         "raster_overview": q_raster_overview,
-        "media_frames": q_media_frames,
         "pyramid_web": q_pyramid_web,
         "temperature_mix": q_temperature_mix,
         "tile_distinct": q_tile_distinct,
@@ -946,7 +965,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder": q_zorder,
         "repeated_spans": q_repeated_spans,
         "passage_cut": q_passage_cut,
-        "repetition": q_repetition,
+        "search_phrase": q_search_phrase,
+        "rarity_score": q_rarity_score,
         "pyramid_crs84": q_pyramid_crs84,
         "dedup_components": q_dedup_components,
         "clean_corpus": q_clean_corpus,
@@ -971,6 +991,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "token_stats_bpe": q_token_stats_bpe,
         "quality": q_quality,
+        "repetition": q_repetition,
+        "media_frames": q_media_frames,
     }
 
 
@@ -1711,6 +1733,8 @@ SELECT lang, doc_id, n_chars,
        CAST(ROW_NUMBER() OVER (PARTITION BY lang
                                ORDER BY n_chars DESC, doc_id) AS INT) AS rank
 FROM documents QUALIFY rank <= 3""",
+        "search_phrase": _search_phrase_oracle(),
+        "rarity_score": _rarity_score_oracle(),
         "chunks": _chunks_oracle(),
         "pack_chunks": _pack_chunks_oracle(),
         "temperature_mix": _temperature_mix_oracle(),
@@ -1728,6 +1752,18 @@ SELECT CAST({ZOOM} AS INT) AS zoom, tile_x, tile_y,
 FROM assigned GROUP BY 1, 2, 3""",
         "chunks_sliding": _chunks_sliding_oracle(),
     }
+
+
+def _rarity_score_oracle() -> str:
+    from rio_cogeo_spark.operators.rarity import token_rarity_sql
+
+    return token_rarity_sql("documents", rare_cnt=2)
+
+
+def _search_phrase_oracle() -> str:
+    from rio_cogeo_spark.operators.search import phrase_topk_sql
+
+    return phrase_topk_sql("documents", ["table", "table"], k=20)
 
 
 def _chunks_sliding_oracle() -> str:

@@ -177,3 +177,107 @@ def bm25_topk(
     topk = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
     w = Window.orderBy(F.desc("score"), F.asc(id_col))
     return topk.withColumn("rank", F.row_number().over(w))
+
+
+def phrase_topk(
+    docs: DataFrame,
+    phrase: List[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents by EXACT-PHRASE frequency — the positional-index
+    query ("table table" matches only adjacent occurrences, in order).
+
+    Anchor decomposition instead of an m-way self-join: an occurrence of
+    ``phrase[i]`` at token position ``p`` votes for a phrase START at
+    ``a = p - i``; a start is real iff all ``m`` slots voted. Because
+    token positions are unique within a doc, the ``(doc, a, i)`` vote
+    rows are distinct, so "all slots voted" is a plain ``COUNT(*) = m``
+    — no COUNT(DISTINCT) expand, and a term repeated in the phrase
+    (slots carried per-term in a plan-literal map) is handled by the
+    same rule. Scale design (100 TB):
+
+    * positions are pruned to the phrase's term SET right after the
+      explode — only the query terms' occurrences ever shuffle
+      (`isin` reaches the scan when postings are stored
+      term-partitioned, same as :func:`search_topk`);
+    * one groupBy on ``(doc, anchor)`` with a map-side-combinable
+      count, then a per-doc count of surviving anchors — both keys are
+      bounded by occurrences of the phrase's RAREST term, never corpus
+      size, and an m-term phrase costs one shuffle, not m-1 self-joins;
+    * all arithmetic is BIGINT — ``tf`` hashes identically on Spark and
+      DuckDB; top-k is a distributed TakeOrdered, rank over the k
+      survivors only.
+
+    Returns ``(doc_id, tf, rank)``; ties break on ascending doc id.
+    """
+    if not phrase:
+        raise ValueError("phrase must have at least one term")
+    m = len(phrase)
+    slots: dict[str, list[int]] = {}
+    for i, t in enumerate(phrase):
+        slots.setdefault(t, []).append(i)
+    slot_map = F.create_map(
+        *[
+            c
+            for term, idxs in slots.items()
+            for c in (F.lit(term), F.array(*[F.lit(i) for i in idxs]))
+        ]
+    )
+    pos = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(tokens_col(F.col(text_col))).alias("p", "term"),
+        )
+        .filter(F.col("term").isin(list(slots)))
+    )
+    votes = (
+        pos.select(F.col(id_col), "p", F.explode(slot_map[F.col("term")]).alias("i"))
+        .withColumn("a", F.col("p") - F.col("i"))
+        .filter(F.col("a") >= 0)
+    )
+    hits = (
+        votes.groupBy(id_col, "a")
+        .agg(F.count(F.lit(1)).alias("n_slots"))
+        .filter(F.col("n_slots") == m)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    topk = hits.orderBy(F.desc("tf"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc("tf"), F.asc(id_col))
+    return topk.withColumn("rank", F.row_number().over(w))
+
+
+def phrase_topk_sql(
+    table: str,
+    phrase: List[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`phrase_topk` (same anchor decomposition)."""
+    from rio_cogeo_spark.functions.text import TOKENS_SQL
+
+    m = len(phrase)
+    terms = sorted(set(phrase))
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    slot_rows = ", ".join(
+        f"('{t.replace(chr(39), chr(39) * 2)}', {i})"
+        for i, t in enumerate(phrase)
+    )
+    return rf"""
+WITH t AS (SELECT {id_col}, {TOKENS_SQL} AS toks FROM {table}),
+e AS (SELECT {id_col},
+             unnest(list_transform(toks, (x, i) -> {{'p': i - 1, 'term': x}})) AS pt
+      FROM t),
+f AS (SELECT {id_col}, pt.p AS p, pt.term AS term FROM e
+      WHERE pt.term IN ({in_list})),
+s(term, i) AS (VALUES {slot_rows}),
+votes AS (SELECT f.{id_col}, f.p - s.i AS a FROM f JOIN s ON f.term = s.term
+          WHERE f.p - s.i >= 0),
+hit AS (SELECT {id_col}, a FROM votes GROUP BY 1, 2 HAVING COUNT(*) = {m}),
+tfq AS (SELECT {id_col}, COUNT(*) AS tf FROM hit GROUP BY 1),
+topk AS (SELECT {id_col}, tf FROM tfq ORDER BY tf DESC, {id_col} LIMIT {k})
+SELECT {id_col}, tf,
+       CAST(row_number() OVER (ORDER BY tf DESC, {id_col}) AS INT) AS rank
+FROM topk"""

@@ -1121,3 +1121,80 @@ def test_boilerplate_lines_threshold_is_exact_integer(spark):
     assert got[0] == "RARE\nbody 0"
     assert got[1] == "body 1"
     assert got[3] == "body 3"
+
+
+def test_phrase_topk_adjacency_and_order(spark):
+    from rio_cogeo_spark.operators.search import phrase_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "quick brown fox"),           # exact phrase once
+            (2, "quick red brown fox"),       # terms present, not adjacent
+            (3, "brown quick fox"),           # adjacent, wrong order
+            (4, "quick brown fox quick brown fox"),  # twice
+            (5, "quick brown"),               # prefix only
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in
+           phrase_topk(df, ["quick", "brown", "fox"], k=10).collect()}
+    assert set(got) == {1, 4}
+    assert got[4]["tf"] == 2 and got[4]["rank"] == 1
+    assert got[1]["tf"] == 1 and got[1]["rank"] == 2
+
+
+def test_phrase_topk_repeated_term_and_overlap(spark):
+    from rio_cogeo_spark.operators.search import phrase_topk
+
+    # "the the the" contains TWO overlapping "the the" occurrences —
+    # anchor decomposition must count both, and the shared term must
+    # fill both slots via its per-term slot list
+    df = spark.createDataFrame(
+        [(1, "the the the"), (2, "the x the"), (3, "the the")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["tf"] for r in
+           phrase_topk(df, ["the", "the"], k=10).collect()}
+    assert got == {1: 2, 3: 1}
+
+
+def test_phrase_topk_single_term_equals_tf(spark):
+    from rio_cogeo_spark.operators.search import phrase_topk
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "b b"), (3, "a")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["tf"] for r in phrase_topk(df, ["a"], k=10).collect()}
+    assert got == {1: 2, 3: 1}
+
+
+def test_token_rarity_scores_common_vs_rare(spark):
+    from rio_cogeo_spark.operators.rarity import token_rarity
+
+    # corpus: "the" ×6, "zyx" ×1, "q" ×1 → total 8 occurrences
+    df = spark.createDataFrame(
+        [(1, "the the the"), (2, "the the the"), (3, "zyx q")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in token_rarity(df, rare_cnt=2).collect()}
+    ppb = 1_000_000_000
+    # doc 1/2: every token has corpus cnt 6 → freq_ppb = 6e9 div 8
+    assert got[1]["mean_tok_freq_ppb"] == (6 * ppb) // 8
+    assert got[1]["rare_frac_ppm"] == 0
+    # doc 3: both tokens have cnt 1 (≤ rare_cnt) → all-rare, freq 1e9 div 8
+    assert got[3]["mean_tok_freq_ppb"] == ppb // 8
+    assert got[3]["rare_frac_ppm"] == 1_000_000
+    assert got[3]["n_tokens"] == 2
+
+
+def test_token_rarity_broadcast_off_identical(spark):
+    from rio_cogeo_spark.operators.rarity import token_rarity
+
+    df = spark.createDataFrame(
+        [(i, f"w{i % 3} common common") for i in range(12)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, token_rarity(df, broadcast_vocab=True).collect()))
+    b = sorted(map(tuple, token_rarity(df, broadcast_vocab=False).collect()))
+    assert a == b
