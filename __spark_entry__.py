@@ -227,6 +227,36 @@ def q_snapshot_delta(spark, sf_dir):
     )
 
 
+def q_snapshot_para_diff(spark, sf_dir):
+    """Paragraph-granularity crawl delta: every page gets header+footer
+    paragraphs; a re-crawl of doc_id<150 (+1e7 s) swaps the footer for
+    an ad unit (→ 1 added / 1 removed / 2 common), and a second
+    re-crawl of doc_id<100 (+2e7 s) is identical to the first
+    (→ 0 added / 0 removed / 3 common)."""
+    sep_s = " ## "
+    pages = _pages(spark, sf_dir).select("doc_id", "url", "ts_sec", "text")
+    base = pages.select(
+        "doc_id", "url", "ts_sec",
+        F.concat(F.lit("site header" + sep_s), F.col("text"),
+                 F.lit(sep_s + "site footer")).alias("text"),
+    )
+    re1 = pages.filter(F.col("doc_id") < 150).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "url",
+        (F.col("ts_sec") + 10_000_000).alias("ts_sec"),
+        F.concat(F.lit("site header" + sep_s), F.col("text"),
+                 F.lit(sep_s + "AD UNIT 7")).alias("text"),
+    )
+    re2 = pages.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "url",
+        (F.col("ts_sec") + 20_000_000).alias("ts_sec"),
+        F.concat(F.lit("site header" + sep_s), F.col("text"),
+                 F.lit(sep_s + "AD UNIT 7")).alias("text"),
+    )
+    return DD.snapshot_paragraph_diff(
+        base.unionByName(re1).unionByName(re2), sep=sep_s
+    )
+
+
 def q_host_cap(spark, sf_dir):
     """Per-host diversity cap (at most k=1 page per host here, so the
     ~9973-host pages table loses its multi-page hosts' extras): the
@@ -942,6 +972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "url_latest": q_url_latest,
         "snapshot_delta": q_snapshot_delta,
+        "snapshot_para_diff": q_snapshot_para_diff,
         "crawl_priority": q_crawl_priority,
         "paragraph_dedup": q_paragraph_dedup,
         "domain_filter": q_domain_filter,
@@ -954,7 +985,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_free": q_ann_ivf_free,
         "pip_semi": q_pip_semi,
         "sessionize": q_sessionize,
-        "media_features": q_media_features,
         "raster_tiles": q_raster_tiles,
         "raster_overview": q_raster_overview,
         "pyramid_web": q_pyramid_web,
@@ -993,6 +1023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "repetition": q_repetition,
         "media_frames": q_media_frames,
+        "media_features": q_media_features,
     }
 
 
@@ -1735,6 +1766,7 @@ SELECT lang, doc_id, n_chars,
 FROM documents QUALIFY rank <= 3""",
         "search_phrase": _search_phrase_oracle(),
         "rarity_score": _rarity_score_oracle(),
+        "snapshot_para_diff": _snapshot_para_diff_oracle(),
         "chunks": _chunks_oracle(),
         "pack_chunks": _pack_chunks_oracle(),
         "temperature_mix": _temperature_mix_oracle(),
@@ -1752,6 +1784,24 @@ SELECT CAST({ZOOM} AS INT) AS zoom, tile_x, tile_y,
 FROM assigned GROUP BY 1, 2, 3""",
         "chunks_sliding": _chunks_sliding_oracle(),
     }
+
+
+def _snapshot_para_diff_oracle() -> str:
+    from rio_cogeo_spark.operators.dedup import snapshot_paragraph_diff_sql
+
+    base = f"""{_P}
+, b AS (SELECT doc_id, url, ts_sec,
+               'site header ## ' || text || ' ## site footer' AS text
+        FROM pages),
+r1 AS (SELECT doc_id + 1000000 AS doc_id, url, ts_sec + 10000000 AS ts_sec,
+              'site header ## ' || text || ' ## AD UNIT 7' AS text
+       FROM pages WHERE doc_id < 150),
+r2 AS (SELECT doc_id + 2000000 AS doc_id, url, ts_sec + 20000000 AS ts_sec,
+              'site header ## ' || text || ' ## AD UNIT 7' AS text
+       FROM pages WHERE doc_id < 100),
+snapfix AS (SELECT * FROM b UNION ALL SELECT * FROM r1
+            UNION ALL SELECT * FROM r2)"""
+    return snapshot_paragraph_diff_sql(base, sep=" ## ")
 
 
 def _rarity_score_oracle() -> str:

@@ -134,6 +134,143 @@ def snapshot_change_stats(
     )
 
 
+def snapshot_paragraph_diff(
+    pages: DataFrame,
+    sep: str = "\n\n",
+    url_col: str = "url",
+    ts_col: str = "ts_sec",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Paragraph-granularity diff between consecutive snapshots of each
+    canonical URL — :func:`snapshot_change_stats` says *whether* a page
+    changed; this says *how much*: per snapshot (from the 2nd on), how
+    many DISTINCT paragraphs were added, removed, and kept versus the
+    previous snapshot (set semantics on md5(paragraph); blank
+    paragraphs ignored). The incremental-extraction / crawl-delta
+    primitive: re-crawls that shuffle ads but keep content score
+    near-zero added/removed.
+
+    Returns ``(canon_url, snap_idx, doc_id, ts, n_paras, n_added,
+    n_removed, n_common)`` where ``snap_idx`` ≥ 2 is the snapshot's
+    (ts, doc_id)-rank within its URL.
+
+    Scale design (100 TB): consecutive-snapshot paragraph overlap is
+    NOT a paragraph-table self-join (which would sort the exploded
+    corpus twice — the round-5 single-sort rule, ROUND5.md §9): a
+    paragraph present in ranks r−1 and r is found by ONE lag window
+    over (canon_url, paragraph-hash) — group size bounded by
+    snapshots-per-URL. The snapshot ranking window, the per-snapshot
+    totals, and the final assembly all key on canon_url / (canon_url,
+    rank); the paragraph explode is the only corpus-width stage and it
+    carries 16-byte hashes, not text."""
+    from rio_cogeo_spark.functions.text import canonical_url
+
+    pat = "\\Q" + sep + "\\E"
+    w = Window.partitionBy("canon_url").orderBy(ts_col, id_col)
+    snaps = (
+        pages.select(
+            canonical_url(F.col(url_col)).alias("canon_url"),
+            F.col(id_col), F.col(ts_col), F.col(text_col).alias("__text"),
+        )
+        .withColumn("snap_idx", F.row_number().over(w))
+    )
+    paras = (
+        snaps.select(
+            "canon_url", "snap_idx",
+            F.explode(F.split(F.col("__text"), pat)).alias("para"),
+        )
+        .filter(F.length(F.trim(F.col("para"))) > 0)
+        .select("canon_url", "snap_idx", F.md5(F.col("para")).alias("ph"))
+        .distinct()
+    )
+    totals = paras.groupBy("canon_url", "snap_idx").agg(
+        F.count(F.lit(1)).alias("n_paras")
+    )
+    w2 = Window.partitionBy("canon_url", "ph").orderBy("snap_idx")
+    common = (
+        paras.withColumn("prev_idx", F.lag("snap_idx").over(w2))
+        .filter(F.col("snap_idx") == F.col("prev_idx") + 1)
+        .groupBy("canon_url", "snap_idx")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    prev_totals = totals.select(
+        "canon_url",
+        (F.col("snap_idx") + 1).alias("snap_idx"),
+        F.col("n_paras").alias("n_prev"),
+    )
+    cur = snaps.filter(F.col("snap_idx") >= 2).select(
+        "canon_url", "snap_idx", id_col, F.col(ts_col).alias("ts")
+    )
+    keys = ["canon_url", "snap_idx"]
+    return (
+        cur.join(totals, keys, "left")
+        .join(prev_totals, keys, "left")
+        .join(common, keys, "left")
+        .select(
+            "canon_url", "snap_idx", id_col, "ts",
+            F.coalesce("n_paras", F.lit(0)).alias("n_paras"),
+            (F.coalesce("n_paras", F.lit(0))
+             - F.coalesce("n_common", F.lit(0))).alias("n_added"),
+            (F.coalesce("n_prev", F.lit(0))
+             - F.coalesce("n_common", F.lit(0))).alias("n_removed"),
+            F.coalesce("n_common", F.lit(0)).alias("n_common"),
+        )
+    )
+
+
+def snapshot_paragraph_diff_sql(
+    base_cte: str,
+    sep: str = "\n\n",
+    url_expr: str = None,
+    ts_col: str = "ts_sec",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`snapshot_paragraph_diff`. ``base_cte`` must
+    define a relation ``snapfix(doc_id, url, ts_sec, text)``; the twin
+    uses the same lag-adjacency overlap formula."""
+    from rio_cogeo_spark.functions.text import CANONICAL_URL_SQL
+
+    canon = url_expr or CANONICAL_URL_SQL
+    sep_lit = sep.replace("'", "''")
+    return rf"""{base_cte}
+, snaps AS (SELECT {canon} AS canon_url, {id_col}, {ts_col}, text,
+                   CAST(row_number() OVER (PARTITION BY {canon}
+                        ORDER BY {ts_col}, {id_col}) AS INT) AS snap_idx
+            FROM snapfix),
+exploded AS (SELECT canon_url, snap_idx,
+                    unnest(string_split(text, '{sep_lit}')) AS para
+             FROM snaps),
+paras AS (SELECT DISTINCT canon_url, snap_idx, md5(para) AS ph
+          FROM exploded WHERE length(trim(para)) > 0),
+totals AS (SELECT canon_url, snap_idx, COUNT(*) AS n_paras
+           FROM paras GROUP BY 1, 2),
+adj AS (SELECT canon_url, snap_idx FROM (
+          SELECT canon_url, snap_idx,
+                 lag(snap_idx) OVER (PARTITION BY canon_url, ph
+                                     ORDER BY snap_idx) AS prev_idx
+          FROM paras)
+        WHERE snap_idx = prev_idx + 1),
+common AS (SELECT canon_url, snap_idx, COUNT(*) AS n_common
+           FROM adj GROUP BY 1, 2),
+cur AS (SELECT canon_url, snap_idx, {id_col}, {ts_col} AS ts
+        FROM snaps WHERE snap_idx >= 2)
+SELECT c.canon_url, c.snap_idx, c.{id_col}, c.ts,
+       CAST(COALESCE(t.n_paras, 0) AS BIGINT) AS n_paras,
+       CAST(COALESCE(t.n_paras, 0) - COALESCE(m.n_common, 0) AS BIGINT)
+           AS n_added,
+       CAST(COALESCE(p.n_prev, 0) - COALESCE(m.n_common, 0) AS BIGINT)
+           AS n_removed,
+       CAST(COALESCE(m.n_common, 0) AS BIGINT) AS n_common
+FROM cur c
+LEFT JOIN totals t USING (canon_url, snap_idx)
+LEFT JOIN (SELECT canon_url, snap_idx + 1 AS snap_idx, n_paras AS n_prev
+           FROM totals) p ON c.canon_url = p.canon_url
+                          AND c.snap_idx = p.snap_idx
+LEFT JOIN common m ON c.canon_url = m.canon_url
+                   AND c.snap_idx = m.snap_idx"""
+
+
 # ---------------------------------------------------------------------------
 # Word n-gram shingles (shared by Jaccard + MinHash)
 # ---------------------------------------------------------------------------

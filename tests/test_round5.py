@@ -1198,3 +1198,45 @@ def test_token_rarity_broadcast_off_identical(spark):
     a = sorted(map(tuple, token_rarity(df, broadcast_vocab=True).collect()))
     b = sorted(map(tuple, token_rarity(df, broadcast_vocab=False).collect()))
     assert a == b
+
+
+def test_snapshot_paragraph_diff_add_remove_common(spark):
+    from rio_cogeo_spark.operators.dedup import snapshot_paragraph_diff
+
+    rows = [
+        # url A: v1 {h, x, f} → v2 {h, x, ad} → v3 == v2
+        (1, "https://a.com/p", 100, "h\n\nx\n\nf"),
+        (2, "https://a.com/p", 200, "h\n\nx\n\nad"),
+        (3, "https://a.com/p", 300, "h\n\nx\n\nad"),
+        # url B: single snapshot → no diff row
+        (4, "https://b.com/p", 100, "only"),
+        # url C: v2 empties out entirely
+        (5, "https://c.com/p", 100, "p1\n\np2"),
+        (6, "https://c.com/p", 200, "\n\n"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, ts_sec long, text string")
+    got = {(r["canon_url"], r["snap_idx"]): r
+           for r in snapshot_paragraph_diff(df, sep="\n\n").collect()}
+    a2 = got[("a.com/p", 2)]
+    assert (a2["n_paras"], a2["n_added"], a2["n_removed"], a2["n_common"]) == (3, 1, 1, 2)
+    a3 = got[("a.com/p", 3)]
+    assert (a3["n_added"], a3["n_removed"], a3["n_common"]) == (0, 0, 3)
+    assert not any(u == "b.com/p" for u, _ in got)
+    c2 = got[("c.com/p", 2)]
+    assert (c2["n_paras"], c2["n_added"], c2["n_removed"], c2["n_common"]) == (0, 0, 2, 0)
+
+
+def test_snapshot_paragraph_diff_set_semantics_and_reappear(spark):
+    from rio_cogeo_spark.operators.dedup import snapshot_paragraph_diff
+
+    rows = [
+        # repeated paragraph counts once (set semantics); a paragraph
+        # absent in v2 but back in v3 is ADDED at v3, not common
+        (1, "https://d.com", 100, "p\n\np\n\nq"),
+        (2, "https://d.com", 200, "q"),
+        (3, "https://d.com", 300, "p\n\nq"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, ts_sec long, text string")
+    got = {r["snap_idx"]: r for r in snapshot_paragraph_diff(df, sep="\n\n").collect()}
+    assert (got[2]["n_paras"], got[2]["n_added"], got[2]["n_removed"], got[2]["n_common"]) == (1, 0, 1, 1)
+    assert (got[3]["n_paras"], got[3]["n_added"], got[3]["n_removed"], got[3]["n_common"]) == (2, 1, 0, 1)
