@@ -593,6 +593,22 @@ def q_dedup_components(spark, sf_dir):
     return DD.dedup_components(pairs)
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Canonical selection per duplicate group, LONGEST member wins:
+    doc_id<50 get near-dup copies at +100000 whose text is DOUBLED —
+    the copy out-scores its original on exact token count, so the
+    keeper must be the +100000 doc, not the min id."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dups = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 100_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" "), F.col("text")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    both = docs.unionByName(dups.select(*docs.columns))
+    pairs = DD.minhash_lsh_pairs(both, threshold=0.5, num_hashes=128, bands=64)
+    return DD.dedup_keep_best(both, pairs)
+
+
 def q_clean_corpus(spark, sf_dir):
     """FLAGSHIP composite: the full training-data filtering pipeline as
     ONE declarative plan — benchmark-member removal, exact-dup keeper
@@ -989,7 +1005,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_overview": q_raster_overview,
         "pyramid_web": q_pyramid_web,
         "temperature_mix": q_temperature_mix,
-        "tile_distinct": q_tile_distinct,
         "asof_join": q_asof_join,
         "pii_scrub": q_pii_scrub,
         "zorder": q_zorder,
@@ -999,6 +1014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rarity_score": q_rarity_score,
         "pyramid_crs84": q_pyramid_crs84,
         "dedup_components": q_dedup_components,
+        "dedup_keep_best": q_dedup_keep_best,
         "clean_corpus": q_clean_corpus,
         "tile_counts_avg": q_tile_counts_avg,
         "search_bm25": q_search_bm25,
@@ -1024,6 +1040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,
         "media_frames": q_media_frames,
         "media_features": q_media_features,
+        "tile_distinct": q_tile_distinct,
     }
 
 
@@ -1696,6 +1713,33 @@ reach AS (SELECT doc_id AS a, doc_id AS b FROM nodes
           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
 SELECT a AS doc_id, MIN(b) AS component, (a = MIN(b)) AS is_keeper
 FROM reach GROUP BY a""",
+        "dedup_keep_best": f"""WITH RECURSIVE docs2 AS (
+  SELECT * FROM documents UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text || ' ' || text AS text,
+         lang, source, n_chars
+  FROM documents WHERE doc_id < 50),
+s AS (SELECT doc_id, {_SHINGLES} AS sh FROM docs2),
+s2 AS (SELECT doc_id, sh, len(sh) AS n_sh FROM s WHERE len(sh) > 0),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id
+  WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / CAST(a.n_sh + b.n_sh - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6)
+        >= CAST(0.5 AS DOUBLE)),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b AS a, doc_a AS b FROM pairs),
+nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
+reach AS (SELECT doc_id AS a, doc_id AS b FROM nodes
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+comp AS (SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a),
+scored AS (SELECT c.doc_id, c.component, {TX.TOKEN_COUNT_SQL} AS score
+           FROM comp c JOIN docs2 USING (doc_id)),
+keep AS (SELECT component, MIN(STRUCT_PACK(ns := -score, kid := doc_id)).kid
+                 AS keeper
+         FROM scored GROUP BY component)
+SELECT s.doc_id, s.component, s.score, (s.doc_id = k.keeper) AS is_keeper
+FROM scored s JOIN keep k USING (component)""",
         "clean_corpus": f"""{_DOCS2}
 , corpus AS (SELECT * FROM docs2 WHERE doc_id % 97 <> 0),
 fpk AS (SELECT MIN(doc_id) AS doc_id FROM corpus

@@ -21,7 +21,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from rio_cogeo_spark.functions.text import fingerprint, tokens_col
+from rio_cogeo_spark.functions.text import fingerprint, token_count, tokens_col
 from rio_cogeo_spark.functions.vector import cosine_rounded
 
 # ---------------------------------------------------------------------------
@@ -1061,6 +1061,61 @@ def dedup_components(pairs: DataFrame,
     comp = connected_components(pairs, src, dst)
     return comp.withColumn(
         "is_keeper", (F.col("doc_id") == F.col("component"))
+    )
+
+
+def dedup_keep_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    score: Optional[Column] = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Canonical-document selection per duplicate group: resolve the
+    mined pair set into components, then keep the member with the
+    HIGHEST ``score`` (default: exact whitespace token count — longer
+    page wins, the usual crawl heuristic that the fuller mirror beats
+    the truncated one), ties to the lowest doc id. This replaces
+    :func:`dedup_components`' keep-min-id rule when members differ
+    (truncated mirrors, print views, AMP pages).
+
+    Returns ``(id_col, component, score, is_keeper)`` for every doc in
+    a pair — singletons are trivially keepers and stay omitted, so the
+    output is bounded by the duplicate population.
+
+    Scale design (100 TB): scores join the component table (duplicate
+    population only, not the corpus) on the doc id; the per-component
+    argmax is a map-side-combinable ``min_by``-style struct-min — NOT a
+    row_number window, because a viral boilerplate component with
+    millions of members would put its whole posting list through one
+    task's sort (the same skew rule as :func:`paragraph_dedup`). Score
+    must be exact-integer for cross-engine hashing; floats rank but
+    won't hash-compare.
+    """
+    score_col = score if score is not None else token_count(F.col(text_col))
+    comp = connected_components(pairs, src, dst)
+    scored = comp.join(
+        docs.select(F.col(id_col), score_col.alias("score")), id_col
+    )
+    # struct-min over (-score, doc_id): highest score, then lowest id —
+    # partial-aggregates per input partition (skew-safe argmax)
+    keepers = (
+        scored.groupBy("component")
+        .agg(
+            F.min(
+                F.struct((-F.col("score")).alias("ns"), F.col(id_col).alias("kid"))
+            ).alias("best")
+        )
+        .select("component", F.col("best.kid").alias("__keeper"))
+    )
+    return (
+        scored.join(keepers, "component")
+        .select(
+            id_col, "component", "score",
+            (F.col(id_col) == F.col("__keeper")).alias("is_keeper"),
+        )
     )
 
 

@@ -1240,3 +1240,41 @@ def test_snapshot_paragraph_diff_set_semantics_and_reappear(spark):
     got = {r["snap_idx"]: r for r in snapshot_paragraph_diff(df, sep="\n\n").collect()}
     assert (got[2]["n_paras"], got[2]["n_added"], got[2]["n_removed"], got[2]["n_common"]) == (1, 0, 1, 1)
     assert (got[3]["n_paras"], got[3]["n_added"], got[3]["n_removed"], got[3]["n_common"]) == (2, 1, 0, 1)
+
+
+def test_dedup_keep_best_longest_wins_and_ties_to_min_id(spark):
+    from rio_cogeo_spark.operators.dedup import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),          # comp {1,2,3}: doc 2 longest
+            (2, "a b c d e"),
+            (3, "a b"),
+            (10, "x y"),           # comp {10,11}: equal length → min id
+            (11, "x y"),
+            (99, "lonely"),        # not in any pair → absent
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {r["doc_id"]: r for r in dedup_keep_best(docs, pairs).collect()}
+    assert set(got) == {1, 2, 3, 10, 11}
+    assert [d for d in (1, 2, 3) if got[d]["is_keeper"]] == [2]
+    assert got[2]["score"] == 5 and got[2]["component"] == 1
+    assert got[10]["is_keeper"] and not got[11]["is_keeper"]
+
+
+def test_dedup_keep_best_custom_score(spark):
+    from pyspark.sql import functions as F
+    from rio_cogeo_spark.operators.dedup import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [(1, "long long long text", 1), (2, "short", 9)],
+        "doc_id long, text string, trust long",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["is_keeper"]
+           for r in dedup_keep_best(docs, pairs, score=F.col("trust")).collect()}
+    assert got == {1: False, 2: True}
