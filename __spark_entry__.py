@@ -257,6 +257,23 @@ def q_snapshot_para_diff(spark, sf_dir):
     )
 
 
+def q_path_filter(spark, sf_dir):
+    """Literal URL path/query blocklist (the C4 bad-URL heuristics):
+    pages ∪ mixed-case '/Login?SessionID=' variants of doc_id<120;
+    blocking ['/login', 'sessionid='] must drop exactly the variants —
+    case-insensitively — and nothing else."""
+    from rio_cogeo_spark.operators.urlfilter import path_pattern_filter
+
+    pages = _pages(spark, sf_dir).select("doc_id", "url")
+    bad = pages.filter(F.col("doc_id") < 120).select(
+        (F.col("doc_id") + 900_000).alias("doc_id"),
+        F.concat(F.col("url"), F.lit("/Login?SessionID=abc")).alias("url"),
+    )
+    return path_pattern_filter(
+        pages.unionByName(bad), ["/login", "sessionid="]
+    )
+
+
 def q_host_cap(spark, sf_dir):
     """Per-host diversity cap (at most k=1 page per host here, so the
     ~9973-host pages table loses its multi-page hosts' extras): the
@@ -977,7 +994,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate": q_validate,
         "pip_join": q_pip_join,
         "pip_anti": q_pip_anti,
-        "knn_brute": q_knn_brute,
         "knn_kring": q_knn_kring,
         "knn_exact": q_knn_exact,
         "range_join": q_range_join,
@@ -992,6 +1008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_priority": q_crawl_priority,
         "paragraph_dedup": q_paragraph_dedup,
         "domain_filter": q_domain_filter,
+        "path_filter": q_path_filter,
         "host_cap": q_host_cap,
         "boilerplate_cut": q_boilerplate_cut,
         "simhash_pairs": q_simhash_pairs,
@@ -1041,6 +1058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames": q_media_frames,
         "media_features": q_media_features,
         "tile_distinct": q_tile_distinct,
+        "knn_brute": q_knn_brute,
     }
 
 
@@ -1519,6 +1537,7 @@ GROUP BY 1""",
 SELECT doc_id, url FROM allp
 WHERE NOT list_has_any({_DOMAIN_SFX},
                        ['site3.example', 'site7.example'])""",
+        "path_filter": _path_filter_oracle(),
         # C4-style paragraph dedup: window twin of the min_by keeper
         # (oracle scale doesn't need the skew-free aggregation)
         "paragraph_dedup": """
@@ -1846,6 +1865,19 @@ r2 AS (SELECT doc_id + 2000000 AS doc_id, url, ts_sec + 20000000 AS ts_sec,
 snapfix AS (SELECT * FROM b UNION ALL SELECT * FROM r1
             UNION ALL SELECT * FROM r2)"""
     return snapshot_paragraph_diff_sql(base, sep=" ## ")
+
+
+def _path_filter_oracle() -> str:
+    from rio_cogeo_spark.operators.urlfilter import path_pattern_filter_sql
+
+    base = f"""{_P}
+, allp AS (SELECT doc_id, url FROM pages
+           UNION ALL
+           SELECT doc_id + 900000, url || '/Login?SessionID=abc'
+           FROM pages WHERE doc_id < 120)"""
+    return base + "\n" + path_pattern_filter_sql(
+        "allp", ["/login", "sessionid="]
+    )
 
 
 def _rarity_score_oracle() -> str:

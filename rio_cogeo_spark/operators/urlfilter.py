@@ -84,3 +84,57 @@ def blocklist_filter_sql(
         f"SELECT * FROM {table} WHERE NOT list_has_any("
         f"{DOMAIN_SUFFIXES_SQL}, [{arr}])"
     )
+
+
+def path_pattern_filter(
+    pages: DataFrame,
+    patterns: Iterable[str],
+    url_col: str = "url",
+    case_insensitive: bool = True,
+) -> DataFrame:
+    """Rows of ``pages`` whose URL contains NONE of the literal
+    ``patterns`` — the path/query gatekeeper beside the domain
+    blocklist (``/login``, ``?sessionid=``, ``/cgi-bin/``, ``.exe`` —
+    the C4/crawler "bad URL" heuristics are substring rules, not
+    domains). Patterns are LITERAL substrings, not regexes: crawl
+    blocklists are curated as literals, and literal `contains` is
+    engine-portable (Java vs RE2 regex dialects diverge) and
+    whole-stage-codegen friendly.
+
+    Scale design: the pattern list ships as a plan literal and the test
+    is one JVM ``exists(array, p -> contains(url, p))`` — zero joins,
+    zero shuffles, fully pushed into the scan stage. Case-insensitive
+    by default (URLs are mixed-case in the wild); the lowercase is
+    applied to both sides once.
+    """
+    pats = sorted(set(patterns))
+    if not pats:
+        return pages
+    url = F.col(url_col)
+    if case_insensitive:
+        url = F.lower(url)
+        pats = [p.lower() for p in pats]
+    lit = F.array(*[F.lit(p) for p in pats])
+    return pages.filter(
+        ~F.exists(lit, lambda p: url.contains(p))
+    )
+
+
+def path_pattern_filter_sql(
+    table: str,
+    patterns: Iterable[str],
+    url_col: str = "url",
+    case_insensitive: bool = True,
+) -> str:
+    """DuckDB twin of :func:`path_pattern_filter`."""
+    pats = sorted(set(patterns))
+    if case_insensitive:
+        pats = [p.lower() for p in pats]
+        url = f"lower({url_col})"
+    else:
+        url = url_col
+    arr = ", ".join("'" + p.replace("'", "''") + "'" for p in pats)
+    return (
+        f"SELECT * FROM {table} WHERE len(list_filter([{arr}], "
+        f"p -> contains({url}, p))) = 0"
+    )

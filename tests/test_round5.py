@@ -1278,3 +1278,28 @@ def test_dedup_keep_best_custom_score(spark):
     got = {r["doc_id"]: r["is_keeper"]
            for r in dedup_keep_best(docs, pairs, score=F.col("trust")).collect()}
     assert got == {1: False, 2: True}
+
+
+def test_path_pattern_filter_literal_and_case(spark):
+    from rio_cogeo_spark.operators.urlfilter import path_pattern_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://a.com/page"),
+            (2, "https://a.com/Login"),
+            (3, "https://a.com/p?SessionID=9"),
+            (4, "https://a.com/blogin"),        # substring matches: dropped
+            (5, "https://a.com/log"),           # prefix only: kept
+        ],
+        "doc_id long, url string",
+    )
+    got = {r["doc_id"] for r in
+           path_pattern_filter(df, ["login", "sessionid="]).collect()}
+    assert got == {1, 5}
+    # case-sensitive mode keeps the mixed-case variants
+    got_cs = {r["doc_id"] for r in
+              path_pattern_filter(df, ["login", "sessionid="],
+                                  case_insensitive=False).collect()}
+    assert got_cs == {1, 2, 3, 5}
+    # empty pattern list is the identity
+    assert path_pattern_filter(df, []).count() == 5
