@@ -329,6 +329,80 @@ def main() -> None:
         must_not=[r"\) Exchange", r"SortMergeJoin", r"ShuffledHashJoin"],
     )
 
+    # 20. phrase search: anchor decomposition — no positional self-join
+    # (no SortMergeJoin at ANY phrase length), distributed TakeOrdered
+    # top-k, and at most 2 Exchanges (the (doc,anchor) count and the
+    # per-doc anchor count), never one per phrase term
+    from rio_cogeo_spark.operators.search import phrase_topk
+
+    p20 = plan_of(phrase_topk(docs_d, ["the", "data", "the"], k=10))
+    phrase_ok = (
+        "SortMergeJoin" not in p20
+        and "TakeOrderedAndProject" in p20
+        and len(re.findall(r"\(\d+\) Exchange", p20)) <= 2
+    )
+    checks.append(
+        ("phrase_topk: no positional self-join, <=2 Exchanges for a "
+         "3-term phrase", phrase_ok)
+    )
+    sections.append(
+        ("phrase_topk anchors", f"  {'PASS' if phrase_ok else 'FAIL'} "
+         "no SMJ + TakeOrdered + <=2 Exchanges", p20)
+    )
+    print(f"[{'OK' if phrase_ok else 'BAD'}] phrase_topk anchor plan")
+
+    # 21. token rarity: vocabulary + grand total join back as broadcasts
+    # (no corpus-side shuffle join), partial aggregation before exchange
+    from rio_cogeo_spark.operators.rarity import token_rarity
+
+    audit(
+        "token_rarity (broadcast vocab + total, no shuffle join)",
+        token_rarity(docs_d),
+        must=[r"BroadcastExchange", r"partial_sum"],
+        must_not=[r"SortMergeJoin", r"ShuffledHashJoin"],
+    )
+
+    # 22. path pattern filter: plan-literal exists/contains — zero
+    # Exchange, zero joins (same contract as the literal blocklist)
+    from rio_cogeo_spark.operators.urlfilter import path_pattern_filter
+
+    audit(
+        "path_pattern_filter literal (zero Exchange, no joins)",
+        path_pattern_filter(pages, ["/login", "sessionid="]),
+        must=[r"exists"],
+        must_not=[r"\) Exchange", r"SortMergeJoin", r"ShuffledHashJoin",
+                  r"CartesianProduct"],
+    )
+
+    # 23. keep-best keeper: map-side partial_min over the (-score, id)
+    # struct — the skew guard for viral components; never a Window sort
+    from rio_cogeo_spark.operators.dedup import dedup_keep_best
+
+    kb_docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b c"), (3, "a")], "doc_id long, text string"
+    )
+    kb_pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    audit(
+        "dedup_keep_best (partial_min struct argmax, no Window)",
+        dedup_keep_best(kb_docs, kb_pairs),
+        must=[r"partial_min"],
+        must_not=[r"\) Window"],
+    )
+
+    # 24. snapshot paragraph diff: lag-adjacency overlap — the exploded
+    # paragraph table is never self-joined (no CartesianProduct; joins in
+    # the assembly are on (url, snap_idx) only) and counts partial-agg
+    from rio_cogeo_spark.operators.dedup import snapshot_paragraph_diff
+
+    audit(
+        "snapshot_paragraph_diff (lag overlap, partial counts)",
+        snapshot_paragraph_diff(pages.withColumn(
+            "text", F.concat_ws(" ## ", F.col("url"), F.col("text"))
+        ), sep=" ## "),
+        must=[r"partial_count"],
+        must_not=[r"CartesianProduct"],
+    )
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:
