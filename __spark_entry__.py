@@ -722,6 +722,18 @@ def q_rarity_score(spark, sf_dir):
     return token_rarity(docs, rare_cnt=2)
 
 
+def q_normalize_text(spark, sf_dir):
+    """Unicode NFC normalization (the one genuinely-Python text op,
+    Arrow-batched): decomposed accents injected around each doc must
+    fold to precomposed forms, whitespace runs collapse, ends trim —
+    byte-identical to DuckDB's nfc_normalize."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    messy = F.concat(
+        F.lit("  Résumé\t"), F.col("text"), F.lit("  café ")
+    )
+    return docs.select("doc_id", TX.normalize_text(messy).alias("text_norm"))
+
+
 def q_search_phrase(spark, sf_dir):
     """Exact-phrase search over a positional index ("table table" —
     the repeated term exercises the per-term slot-list logic): anchor
@@ -993,7 +1005,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tiles_meta": q_tiles_meta,
         "validate": q_validate,
         "pip_join": q_pip_join,
-        "pip_anti": q_pip_anti,
         "knn_kring": q_knn_kring,
         "knn_exact": q_knn_exact,
         "range_join": q_range_join,
@@ -1029,6 +1040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "passage_cut": q_passage_cut,
         "search_phrase": q_search_phrase,
         "rarity_score": q_rarity_score,
+        "normalize_text": q_normalize_text,
         "pyramid_crs84": q_pyramid_crs84,
         "dedup_components": q_dedup_components,
         "dedup_keep_best": q_dedup_keep_best,
@@ -1059,6 +1071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "tile_distinct": q_tile_distinct,
         "knn_brute": q_knn_brute,
+        "pip_anti": q_pip_anti,
     }
 
 
@@ -1829,6 +1842,7 @@ SELECT lang, doc_id, n_chars,
 FROM documents QUALIFY rank <= 3""",
         "search_phrase": _search_phrase_oracle(),
         "rarity_score": _rarity_score_oracle(),
+        "normalize_text": _normalize_text_oracle(),
         "snapshot_para_diff": _snapshot_para_diff_oracle(),
         "chunks": _chunks_oracle(),
         "pack_chunks": _pack_chunks_oracle(),
@@ -1877,6 +1891,18 @@ def _path_filter_oracle() -> str:
            FROM pages WHERE doc_id < 120)"""
     return base + "\n" + path_pattern_filter_sql(
         "allp", ["/login", "sessionid="]
+    )
+
+
+def _normalize_text_oracle() -> str:
+    # the same decomposed-accent fixture, built with chr(769) = U+0301
+    messy = (
+        "'  Re' || chr(769) || 'sume' || chr(769) || chr(9) || text "
+        "|| '  cafe' || chr(769) || ' '"
+    )
+    return (
+        f"SELECT doc_id, {TX.NORMALIZE_TEXT_SQL.format(c=messy)} "
+        "AS text_norm FROM documents"
     )
 
 

@@ -488,3 +488,42 @@ def pii_scrub_sql(text_expr: str = "text") -> dict:
         cur = f"regexp_replace({cur}, '{pat}', '{token}', 'g')"
     cols["clean_text"] = cur
     return cols
+
+
+# ---------------------------------------------------------------------------
+# Unicode NFC normalization (Arrow-batched pandas UDF — Spark has no
+# built-in Unicode normalizer; this is the one text op where the Python
+# path is genuinely required, so it runs vectorized per Arrow batch,
+# never per row)
+# ---------------------------------------------------------------------------
+
+
+def _nfc_batch(s):
+    import unicodedata
+
+    return s.map(
+        lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+    )
+
+
+def nfc_col(text: Column) -> Column:
+    """Unicode NFC composition of ``text`` (combining sequences fold to
+    precomposed forms: 'cafe'+U+0301 → 'café'). Twin: DuckDB
+    ``nfc_normalize`` — both sides implement Unicode canonical
+    composition, so outputs are byte-identical."""
+    from pyspark.sql.functions import pandas_udf
+
+    return pandas_udf(_nfc_batch, "string")(text)
+
+
+def normalize_text(text: Column) -> Column:
+    """Crawl-text normalization: NFC composition, whitespace runs
+    collapsed to one space, ends trimmed. The NFC step is the pandas
+    UDF (unavoidable Python); the whitespace pass stays JVM-side.
+    Twin: :data:`NORMALIZE_TEXT_SQL`."""
+    return F.trim(F.regexp_replace(nfc_col(text), r"\s+", " "))
+
+
+NORMALIZE_TEXT_SQL = (
+    r"trim(regexp_replace(nfc_normalize({c}), '\s+', ' ', 'g'))"
+)

@@ -100,8 +100,13 @@ def main() -> None:
     )
     from rio_cogeo_spark.operators.boilerplate import boilerplate_lines
     from rio_cogeo_spark.operators.sampling import cap_per_host
-    from rio_cogeo_spark.operators.search import bm25_topk, search_topk
-    from rio_cogeo_spark.operators.urlfilter import blocklist_filter
+    from rio_cogeo_spark.operators.rarity import token_rarity
+    from rio_cogeo_spark.operators.search import (
+        bm25_topk, phrase_topk, search_topk,
+    )
+    from rio_cogeo_spark.operators.urlfilter import (
+        blocklist_filter, path_pattern_filter,
+    )
 
     def suite(docs):
         bench_docs = docs.filter(F.col("doc_id") % 97 == 0)
@@ -201,6 +206,38 @@ def main() -> None:
                 docs, ["spark", "hash", "window"], k=20
             ).count(),
             "host_cap": lambda: cap_per_host(paged, k=3).count(),
+            # round-5 additions (ROUND5.md §24-28)
+            "rarity_score": lambda: token_rarity(docs).count(),
+            "search_phrase": lambda: phrase_topk(
+                docs, ["table", "table"], k=20
+            ).count(),
+            "path_filter": lambda: path_pattern_filter(
+                paged, ["/login", "sessionid=", "/cgi-bin/", ".exe"]
+            ).count(),
+            "dedup_keep_best": lambda: DD.dedup_keep_best(
+                docs,
+                DD.minhash_lsh_pairs(
+                    docs, threshold=0.5, num_hashes=128, bands=64
+                ),
+            ).count(),
+            # snapshot-shaped view: ~9973 canonical URLs, so each URL
+            # accumulates n_docs/9973 snapshots (50 at sf0.1, 5000 at
+            # sf1) — the per-URL window stress grows WITH scale here
+            "snapshot_para_diff": lambda: DD.snapshot_paragraph_diff(
+                paged.select(
+                    "doc_id",
+                    F.concat(
+                        F.lit("https://site"),
+                        (F.col("doc_id") % 9973).cast("string"),
+                        F.lit(".example/p"),
+                    ).alias("url"),
+                    "ts_sec",
+                    F.concat(
+                        F.lit("hdr ## "), "text", F.lit(" ## ftr"),
+                    ).alias("text"),
+                ),
+                sep=" ## ",
+            ).count(),
             "boilerplate_cut": lambda: boilerplate_lines(
                 paged.select(
                     "doc_id", "url",

@@ -1303,3 +1303,24 @@ def test_path_pattern_filter_literal_and_case(spark):
     assert got_cs == {1, 2, 3, 5}
     # empty pattern list is the identity
     assert path_pattern_filter(df, []).count() == 5
+
+
+def test_normalize_text_nfc_and_whitespace(spark):
+    from rio_cogeo_spark.functions.text import normalize_text
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "café"),              # combining acute → é
+            (2, "  a \t\n b  "),            # ws collapse + trim
+            (3, "Å"),            # A + ring → Å
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n"] for r in
+           df.select("doc_id", normalize_text(F.col("text")).alias("n")).collect()}
+    assert got[1] == "café"
+    assert got[2] == "a b"
+    assert got[3] == "Å"
+    assert got[4] is None
