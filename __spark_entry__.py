@@ -722,6 +722,16 @@ def q_rarity_score(spark, sf_dir):
     return token_rarity(docs, rare_cnt=2)
 
 
+def q_bpe_merges(spark, sf_dir):
+    """One distributed BPE merge round: top-30 adjacent character pairs
+    by corpus count, computed over the word-frequency table (vocab-
+    bounded explode), ties on pair ascending — exact BIGINT counts."""
+    from rio_cogeo_spark.operators.bpe import bpe_merge_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bpe_merge_topk(docs, k=30)
+
+
 def q_normalize_text(spark, sf_dir):
     """Unicode NFC normalization (the one genuinely-Python text op,
     Arrow-batched): decomposed accents injected around each doc must
@@ -1029,7 +1039,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_free": q_ann_ivf_free,
         "pip_semi": q_pip_semi,
         "sessionize": q_sessionize,
-        "raster_tiles": q_raster_tiles,
         "raster_overview": q_raster_overview,
         "pyramid_web": q_pyramid_web,
         "temperature_mix": q_temperature_mix,
@@ -1041,6 +1050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_phrase": q_search_phrase,
         "rarity_score": q_rarity_score,
         "normalize_text": q_normalize_text,
+        "bpe_merges": q_bpe_merges,
         "pyramid_crs84": q_pyramid_crs84,
         "dedup_components": q_dedup_components,
         "dedup_keep_best": q_dedup_keep_best,
@@ -1072,6 +1082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_distinct": q_tile_distinct,
         "knn_brute": q_knn_brute,
         "pip_anti": q_pip_anti,
+        "raster_tiles": q_raster_tiles,
     }
 
 
@@ -1843,6 +1854,7 @@ FROM documents QUALIFY rank <= 3""",
         "search_phrase": _search_phrase_oracle(),
         "rarity_score": _rarity_score_oracle(),
         "normalize_text": _normalize_text_oracle(),
+        "bpe_merges": _bpe_merges_oracle(),
         "snapshot_para_diff": _snapshot_para_diff_oracle(),
         "chunks": _chunks_oracle(),
         "pack_chunks": _pack_chunks_oracle(),
@@ -1892,6 +1904,12 @@ def _path_filter_oracle() -> str:
     return base + "\n" + path_pattern_filter_sql(
         "allp", ["/login", "sessionid="]
     )
+
+
+def _bpe_merges_oracle() -> str:
+    from rio_cogeo_spark.operators.bpe import bpe_merge_topk_sql
+
+    return bpe_merge_topk_sql("documents", k=30)
 
 
 def _normalize_text_oracle() -> str:

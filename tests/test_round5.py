@@ -1324,3 +1324,31 @@ def test_normalize_text_nfc_and_whitespace(spark):
     assert got[2] == "a b"
     assert got[3] == "Å"
     assert got[4] is None
+
+
+def test_bpe_merge_topk_counts_and_ties(spark):
+    from rio_cogeo_spark.operators.bpe import bpe_merge_topk
+
+    # "abab" occurs in 2 docs ×1; pairs per occurrence: ab, ba, ab
+    # "ab" occurs 3 times: pair ab ×3. "x" (1 char) contributes nothing.
+    df = spark.createDataFrame(
+        [(1, "abab ab x"), (2, "abab ab ab")],
+        "doc_id long, text string",
+    )
+    got = {r["pair"]: (r["n"], r["rank"]) for r in
+           bpe_merge_topk(df, k=10).collect()}
+    assert got["ab"] == (2 * 2 + 3 * 1, 1)   # 2 per "abab" ×2, 1 per "ab" ×3
+    assert got["ba"] == (2, 2)
+    assert set(got) == {"ab", "ba"}
+
+
+def test_bpe_merge_topk_weighted_by_word_frequency(spark):
+    from rio_cogeo_spark.operators.bpe import bpe_merge_topk
+
+    # same word repeated must multiply its pair counts (BPE counts
+    # occurrences, not vocabulary membership)
+    df = spark.createDataFrame(
+        [(1, "zz zz zz qy")], "doc_id long, text string"
+    )
+    got = {r["pair"]: r["n"] for r in bpe_merge_topk(df, k=10).collect()}
+    assert got == {"zz": 3, "qy": 1}
