@@ -400,6 +400,22 @@ def q_embed_neardup(spark, sf_dir):
     return DD.embedding_neardup_pairs(_embeddings(spark, sf_dir), threshold=0.4)
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup: label-mean coarse quantizer (0 Lloyd rounds, so the
+    oracle can rebuild the exact centroids in SQL), embeddings ∪ exact
+    copies of vec_id<50 at +10000 — each copy lands in its original's
+    cluster and must pair at cosine 1.0; organic ≥0.4 pairs survive
+    only when cluster-local (the SemDeDup trade-off, mirrored exactly
+    by the twin)."""
+    emb = _embeddings(spark, sf_dir)
+    copies = emb.filter(F.col("vec_id") < 50).withColumn(
+        "vec_id", F.col("vec_id") + 10_000
+    )
+    both = emb.unionByName(copies)
+    cent = SIM.ivf_build_centroids(both, list_col="label", lloyd_iters=0)
+    return SIM.semantic_dedup_pairs(both, cent, threshold=0.4)
+
+
 def q_ann_topk(spark, sf_dir):
     emb = _embeddings(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5).select(
@@ -1015,7 +1031,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tiles_meta": q_tiles_meta,
         "validate": q_validate,
         "pip_join": q_pip_join,
-        "knn_kring": q_knn_kring,
         "knn_exact": q_knn_exact,
         "range_join": q_range_join,
         "zonal_stats": q_zonal_stats,
@@ -1034,6 +1049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_cut": q_boilerplate_cut,
         "simhash_pairs": q_simhash_pairs,
         "embed_neardup": q_embed_neardup,
+        "semantic_dedup": q_semantic_dedup,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_free": q_ann_ivf_free,
@@ -1083,6 +1099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_brute": q_knn_brute,
         "pip_anti": q_pip_anti,
         "raster_tiles": q_raster_tiles,
+        "knn_kring": q_knn_kring,
     }
 
 
@@ -1648,6 +1665,7 @@ WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_COS} AS cos
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE {_COS} >= CAST(0.4 AS DOUBLE)""",
+        "semantic_dedup": _semantic_dedup_oracle(),
         "ann_topk": _ANN_TOPK_SQL,
         # IVF with n_probe = all lists scans the full corpus → exact,
         # so it shares the brute-force oracle
@@ -1904,6 +1922,42 @@ def _path_filter_oracle() -> str:
     return base + "\n" + path_pattern_filter_sql(
         "allp", ["/login", "sessionid="]
     )
+
+
+def _semantic_dedup_oracle() -> str:
+    # label-mean centroids rebuilt in SQL (0 Lloyd rounds), assignment =
+    # argmax UNROUNDED cosine with label-ascending ties (the exact twin
+    # of numpy argmax over the sorted-label centroid matrix), pairs
+    # cluster-local with the shared 6-dp rounded cosine
+    cos_ab = VEC.cosine_sql("a.v", "b.v")
+    dot_vc = VEC.dot_sql("b2.v", "c.c")
+    n_v = f"sqrt({VEC.dot_sql('b2.v', 'b2.v')})"
+    n_c = f"sqrt({VEC.dot_sql('c.c', 'c.c')})"
+    return f"""
+WITH base AS (SELECT vec_id, label,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+bth AS (SELECT * FROM base
+        UNION ALL
+        SELECT vec_id + 10000, label, v FROM base WHERE vec_id < 50),
+pos AS (SELECT label,
+               unnest(list_transform(v, (x, i) -> {{'i': i, 'x': x}})) AS u
+        FROM bth),
+cm AS (SELECT label, u.i AS i, AVG(u.x) AS ax FROM pos GROUP BY 1, 2),
+cent AS (SELECT label, list(ax ORDER BY i) AS c FROM cm GROUP BY label),
+scored AS (SELECT b2.vec_id, c.label,
+                  {dot_vc} / ({n_v} * {n_c}) AS cs
+           FROM bth b2 CROSS JOIN cent c),
+asg AS (SELECT vec_id, label AS alist FROM (
+          SELECT vec_id, label,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY cs DESC, label) AS rn
+          FROM scored) WHERE rn = 1)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos_ab} AS cosine
+FROM bth a JOIN asg aa ON a.vec_id = aa.vec_id
+JOIN bth b ON a.vec_id < b.vec_id
+JOIN asg bb ON b.vec_id = bb.vec_id
+WHERE aa.alist = bb.alist AND {cos_ab} >= CAST(0.4 AS DOUBLE)"""
 
 
 def _bpe_merges_oracle() -> str:

@@ -385,3 +385,57 @@ def ann_ivf_topk_with_index(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "rank", "cos")
     )
+
+
+def semantic_dedup_pairs(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    near-dup pairs found CLUSTER-LOCALLY: assign every vector to its
+    nearest coarse-quantizer centroid (the same IVF routing the ANN
+    index uses — one index serves search AND dedup), then compare
+    cosine only within a cluster. Complexity drops from O(n²) to
+    Σ|cluster|², the entire point of SemDeDup at 100 TB: with ~10^5
+    clusters a trillion-vector corpus compares ~10^7× fewer pairs than
+    all-pairs. Cross-cluster near-dups are missed BY DESIGN (the paper's
+    trade-off); use :func:`dedup.embedding_neardup_pairs` when exact
+    recall matters at smaller scale.
+
+    Returns ``(vec_a, vec_b, cosine)`` with ``vec_a < vec_b`` and
+    6-dp-rounded cosine ≥ ``threshold``.
+
+    Scale design: the pair expansion groups each cluster's MEMBER IDS
+    into one list and expands in place (ids only — vectors join back
+    per surviving candidate) — one sort, not a cluster-key self-join
+    that sorts the same table twice (ROUND5.md §9); the final verify is
+    the shared JVM ``cosine_rounded`` expression, bit-identical to the
+    DuckDB twin."""
+    assigned = ivf_assign_lists(embeddings, centroids, vec_col)
+    grouped = (
+        assigned.groupBy("ivf_list")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    cands = (
+        grouped.select(F.explode("ids").alias("vec_a"), "ids")
+        .select("vec_a", F.explode("ids").alias("vec_b"))
+        .filter(F.col("vec_a") < F.col("vec_b"))
+    )
+    vt = embeddings.select(F.col(id_col), F.col(vec_col))
+    pairs = (
+        cands.join(
+            vt.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("ea")),
+            "vec_a",
+        )
+        .join(
+            vt.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("eb")),
+            "vec_b",
+        )
+        .withColumn("cosine", cosine_rounded(F.col("ea"), F.col("eb")))
+        .filter(F.col("cosine") >= float(threshold))
+    )
+    return pairs.select("vec_a", "vec_b", "cosine")

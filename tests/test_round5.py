@@ -1352,3 +1352,52 @@ def test_bpe_merge_topk_weighted_by_word_frequency(spark):
     )
     got = {r["pair"]: r["n"] for r in bpe_merge_topk(df, k=10).collect()}
     assert got == {"zz": 3, "qy": 1}
+
+
+def test_semantic_dedup_cluster_local_tradeoff(spark):
+    import numpy as np
+    from rio_cogeo_spark.operators.similarity import semantic_dedup_pairs
+
+    # axis-aligned quantizer; (3,4) straddle the boundary with cosine
+    # ~0.998 but land in DIFFERENT clusters → missed BY DESIGN, while
+    # the in-cluster exact copy (1,2) must pair at 1.0
+    cent = np.array([[1.0, 0.0], [0.0, 1.0]])
+    df = spark.createDataFrame(
+        [
+            (1, [0.9, 0.1]),
+            (2, [0.9, 0.1]),          # exact copy of 1, cluster 0
+            (3, [0.72, 0.69]),        # cluster 0 (x wins)
+            (4, [0.69, 0.72]),        # cluster 1
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {(r["vec_a"], r["vec_b"]): r["cosine"]
+           for r in semantic_dedup_pairs(df, cent, threshold=0.9).collect()}
+    assert got[(1, 2)] == 1.0
+    assert (3, 4) not in got
+    # and (1,3)/(2,3) are same-cluster but below threshold: absent
+    assert (1, 3) not in got
+
+
+def test_semantic_dedup_matches_allpairs_within_cluster(spark):
+    import numpy as np
+    from rio_cogeo_spark.operators.dedup import embedding_neardup_pairs
+    from rio_cogeo_spark.operators.similarity import (
+        ivf_assign_lists, semantic_dedup_pairs,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = [(i, (rng.randn(8)).tolist()) for i in range(60)]
+    # copies guarantee same-cluster qualifying pairs exist
+    rows += [(100 + i, rows[i][1]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cent = rng.randn(4, 8)
+    sem = {(r["vec_a"], r["vec_b"]) for r in
+           semantic_dedup_pairs(df, cent, threshold=0.5).collect()}
+    # oracle: all-pairs ∩ same-assigned-cluster
+    asg = {r["vec_id"]: r["ivf_list"] for r in
+           ivf_assign_lists(df, cent).collect()}
+    allp = {(r["vec_a"], r["vec_b"]) for r in
+            embedding_neardup_pairs(df, threshold=0.5).collect()}
+    expect = {p for p in allp if asg[p[0]] == asg[p[1]]}
+    assert sem == expect and len(sem) >= 10
