@@ -230,6 +230,18 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
         lambda: materialize(search_topk(docs, ["spark", "hash", "window"], k=20)),
     )
 
+    # 4d'. positional phrase search + corpus token-rarity scoring
+    # (round-5 ops: anchor-decomposition phrase match; postings-reusing
+    # unigram rarity with broadcast vocab)
+    from rio_cogeo_spark.operators.rarity import token_rarity
+    from rio_cogeo_spark.operators.search import phrase_topk
+
+    timed(
+        "search_phrase",
+        lambda: materialize(phrase_topk(docs, ["table", "table"], k=20)),
+    )
+    timed("rarity_score", lambda: materialize(token_rarity(docs)))
+
     # 4e. sequence packing + PII scrub over documents (training-data ops)
     from rio_cogeo_spark.functions.text import pii_scrub
     from rio_cogeo_spark.operators.packing import pack_chunks
