@@ -227,6 +227,22 @@ def q_snapshot_delta(spark, sf_dir):
     )
 
 
+def q_mirror_docs(spark, sf_dir):
+    """Cross-host mirror detection: doc_id<80 re-hosted verbatim on
+    mirror-site.example — every such fingerprint must flag on BOTH
+    hosts with n_hosts>=2; single-host content stays out."""
+    pages = _pages(spark, sf_dir).select("doc_id", "url", "text")
+    mirrored = pages.filter(F.col("doc_id") < 80).select(
+        (F.col("doc_id") + 950_000).alias("doc_id"),
+        F.concat(
+            F.lit("https://mirror-site.example/copy/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        "text",
+    )
+    return DD.mirror_docs(pages.unionByName(mirrored), min_hosts=2)
+
+
 def q_snapshot_para_diff(spark, sf_dir):
     """Paragraph-granularity crawl delta: every page gets header+footer
     paragraphs; a re-crawl of doc_id<150 (+1e7 s) swaps the footer for
@@ -1041,6 +1057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_latest": q_url_latest,
         "snapshot_delta": q_snapshot_delta,
         "snapshot_para_diff": q_snapshot_para_diff,
+        "mirror_docs": q_mirror_docs,
         "crawl_priority": q_crawl_priority,
         "paragraph_dedup": q_paragraph_dedup,
         "domain_filter": q_domain_filter,
@@ -1058,7 +1075,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_overview": q_raster_overview,
         "pyramid_web": q_pyramid_web,
         "temperature_mix": q_temperature_mix,
-        "asof_join": q_asof_join,
         "pii_scrub": q_pii_scrub,
         "zorder": q_zorder,
         "repeated_spans": q_repeated_spans,
@@ -1100,6 +1116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_anti": q_pip_anti,
         "raster_tiles": q_raster_tiles,
         "knn_kring": q_knn_kring,
+        "asof_join": q_asof_join,
     }
 
 
@@ -1874,6 +1891,7 @@ FROM documents QUALIFY rank <= 3""",
         "normalize_text": _normalize_text_oracle(),
         "bpe_merges": _bpe_merges_oracle(),
         "snapshot_para_diff": _snapshot_para_diff_oracle(),
+        "mirror_docs": _mirror_docs_oracle(),
         "chunks": _chunks_oracle(),
         "pack_chunks": _pack_chunks_oracle(),
         "temperature_mix": _temperature_mix_oracle(),
@@ -1891,6 +1909,28 @@ SELECT CAST({ZOOM} AS INT) AS zoom, tile_x, tile_y,
 FROM assigned GROUP BY 1, 2, 3""",
         "chunks_sliding": _chunks_sliding_oracle(),
     }
+
+
+def _mirror_docs_oracle() -> str:
+    return f"""{_P}
+, allp AS (SELECT doc_id, url, text FROM pages
+           UNION ALL
+           SELECT doc_id + 950000,
+                  'https://mirror-site.example/copy/'
+                      || CAST(doc_id AS VARCHAR),
+                  text
+           FROM pages WHERE doc_id < 80),
+tagged AS (SELECT doc_id, {TX.HOST_SQL} AS host,
+                  {TX.FINGERPRINT_SQL} AS fp
+           FROM allp),
+bh AS (SELECT fp, COUNT(*) AS n_hosts
+       FROM (SELECT DISTINCT fp, host FROM tagged)
+       GROUP BY fp HAVING COUNT(*) >= 2),
+cp AS (SELECT fp, COUNT(*) AS n_copies FROM tagged GROUP BY fp)
+SELECT t.doc_id, t.host, t.fp,
+       CAST(bh.n_hosts AS BIGINT) AS n_hosts,
+       CAST(cp.n_copies AS BIGINT) AS n_copies
+FROM tagged t JOIN bh USING (fp) JOIN cp USING (fp)"""
 
 
 def _snapshot_para_diff_oracle() -> str:

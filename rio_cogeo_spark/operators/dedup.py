@@ -134,6 +134,48 @@ def snapshot_change_stats(
     )
 
 
+def mirror_docs(
+    pages: DataFrame,
+    min_hosts: int = 2,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-host mirror/template detection: documents whose content
+    fingerprint appears on at least ``min_hosts`` DISTINCT hosts —
+    mirrors, scraped re-posts, and templated boilerplate sites, the
+    duplication class same-URL dedup can't see and per-host boilerplate
+    removal can't either (each host has only one copy). Returns one row
+    per affected document: ``(id_col, host, fp, n_hosts, n_copies)``.
+
+    Scale design (100 TB): the distinct-host count per fingerprint is
+    dropDuplicates(fp, host) + a map-side-combinable count — never a
+    COUNT(DISTINCT) expand (the :func:`boilerplate_lines` rule); the
+    qualifying-fingerprint set joins back co-partitioned on fp, and a
+    hot template fingerprint (one page mirrored on 10^5 hosts) costs
+    its posting list exactly once."""
+    from rio_cogeo_spark.functions.text import host_col
+
+    tagged = pages.select(
+        F.col(id_col),
+        host_col(F.col(url_col)).alias("host"),
+        fingerprint(F.col(text_col)).alias("fp"),
+    )
+    by_host = (
+        tagged.select("fp", "host")
+        .dropDuplicates(["fp", "host"])
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_hosts"))
+        .filter(F.col("n_hosts") >= int(min_hosts))
+    )
+    copies = tagged.groupBy("fp").agg(F.count(F.lit(1)).alias("n_copies"))
+    return (
+        tagged.join(by_host, "fp")
+        .join(copies, "fp")
+        .select(id_col, "host", "fp", "n_hosts", "n_copies")
+    )
+
+
 def snapshot_paragraph_diff(
     pages: DataFrame,
     sep: str = "\n\n",

@@ -1401,3 +1401,39 @@ def test_semantic_dedup_matches_allpairs_within_cluster(spark):
             embedding_neardup_pairs(df, threshold=0.5).collect()}
     expect = {p for p in allp if asg[p[0]] == asg[p[1]]}
     assert sem == expect and len(sem) >= 10
+
+
+def test_mirror_docs_cross_host_only(spark):
+    from rio_cogeo_spark.operators.dedup import mirror_docs
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://a.com/x", "same content here"),
+            (2, "https://b.com/y", "same content here"),   # cross-host mirror
+            (3, "https://a.com/z", "same content here"),   # extra copy, host a
+            (4, "https://a.com/w", "unique page a"),
+            # same-host duplicate only → NOT a mirror
+            (5, "https://c.com/1", "dup on one host"),
+            (6, "https://c.com/2", "dup on one host"),
+        ],
+        "doc_id long, url string, text string",
+    )
+    got = {r["doc_id"]: r for r in mirror_docs(df, min_hosts=2).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["n_hosts"] == 2 and got[1]["n_copies"] == 3
+    assert got[2]["host"] == "b.com"
+
+
+def test_mirror_docs_whitespace_insensitive_fp(spark):
+    from rio_cogeo_spark.operators.dedup import mirror_docs
+
+    # fingerprint is the whitespace-normalized lowercase md5, so a
+    # re-hosted copy with different spacing/casing still counts
+    df = spark.createDataFrame(
+        [
+            (1, "https://a.com/x", "Hello   World"),
+            (2, "https://b.com/y", "hello world"),
+        ],
+        "doc_id long, url string, text string",
+    )
+    assert mirror_docs(df, min_hosts=2).count() == 2
