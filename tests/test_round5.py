@@ -1437,3 +1437,45 @@ def test_mirror_docs_whitespace_insensitive_fp(spark):
         "doc_id long, url string, text string",
     )
     assert mirror_docs(df, min_hosts=2).count() == 2
+
+
+@pytest.mark.parametrize("files_per_trigger", [1, 3])
+def test_mirror_stream_equals_batch(spark, tmp_path, files_per_trigger):
+    from rio_cogeo_spark.operators.dedup import mirror_docs
+    from rio_cogeo_spark.streaming.events import run_stream_to_memory
+    from rio_cogeo_spark.streaming.mirrors import mirror_stream
+
+    rows = []
+    # 20 contents; content i mirrored on (i % 4) + 1 hosts, one extra
+    # same-host copy for i % 3 == 0 (must count in n_copies, not n_hosts)
+    did = 0
+    for i in range(20):
+        for h in range((i % 4) + 1):
+            rows.append((did, f"https://h{h}.example/p{i}", f"content {i}"))
+            did += 1
+        if i % 3 == 0:
+            rows.append((did, f"https://h0.example/dup{i}", f"content {i}"))
+            did += 1
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    src = str(tmp_path / f"mirrors_{files_per_trigger}")
+    df.repartition(6).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(src)
+    )
+    got = run_stream_to_memory(
+        mirror_stream(stream), f"mirror_stream_{files_per_trigger}",
+        output_mode="complete",
+    )
+    streamed = {r["fp"]: (r["n_hosts"], r["n_copies"]) for r in got.collect()}
+    batch = {
+        r["fp"]: (r["n_hosts"], r["n_copies"])
+        for r in mirror_docs(df, min_hosts=2)
+        .select("fp", "n_hosts", "n_copies").distinct().collect()
+    }
+    assert streamed == batch
+    # contents with i % 4 == 0 are single-host → absent even with the
+    # extra same-host copy
+    assert len(batch) == 15
