@@ -642,6 +642,23 @@ def q_dedup_components(spark, sf_dir):
     return DD.dedup_components(pairs)
 
 
+def q_containment(spark, sf_dir):
+    """Asymmetric shingle containment (quote/excerpt detection):
+    doc_id<60 get a 15-token excerpt doc at +960000 — containment
+    (excerpt in original) must be 1.0 while the Jaccard is far below
+    any useful threshold; df_cap=None pins oracle exactness (same rule
+    as the ngram_jaccard contract)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    excerpt = docs.filter(F.col("doc_id") < 60).select(
+        (F.col("doc_id") + 960_000).alias("doc_id"),
+        F.array_join(
+            F.slice(TX.tokens_col(F.col("text")), 1, 15), " "
+        ).alias("text"),
+    )
+    both = docs.select("doc_id", "text").unionByName(excerpt)
+    return DD.containment_pairs(both, threshold=0.8, n=3, df_cap=None)
+
+
 def q_dedup_keep_best(spark, sf_dir):
     """Canonical selection per duplicate group, LONGEST member wins:
     doc_id<50 get near-dup copies at +100000 whose text is DOUBLED —
@@ -1048,7 +1065,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate": q_validate,
         "pip_join": q_pip_join,
         "knn_exact": q_knn_exact,
-        "range_join": q_range_join,
         "zonal_stats": q_zonal_stats,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1086,6 +1102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pyramid_crs84": q_pyramid_crs84,
         "dedup_components": q_dedup_components,
         "dedup_keep_best": q_dedup_keep_best,
+        "containment": q_containment,
         "clean_corpus": q_clean_corpus,
         "tile_counts_avg": q_tile_counts_avg,
         "search_bm25": q_search_bm25,
@@ -1117,6 +1134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_tiles": q_raster_tiles,
         "knn_kring": q_knn_kring,
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
     }
 
 
@@ -1791,6 +1809,30 @@ reach AS (SELECT doc_id AS a, doc_id AS b FROM nodes
           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
 SELECT a AS doc_id, MIN(b) AS component, (a = MIN(b)) AS is_keeper
 FROM reach GROUP BY a""",
+        "containment": f"""
+WITH docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 960000 AS doc_id,
+         array_to_string(({TX.TOKENS_SQL})[1:15], ' ') AS text
+  FROM documents WHERE doc_id < 60),
+s AS (SELECT doc_id, {_SHINGLES} AS sh FROM docs2),
+s2 AS (SELECT doc_id, sh, len(sh) AS n_sh FROM s WHERE len(sh) > 0),
+j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.n_sh AS size_a, b.n_sh AS size_b,
+             len(list_intersect(a.sh, b.sh)) AS n_common
+      FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh)) > 0),
+d AS (SELECT doc_a AS doc_src, doc_b AS doc_dst,
+             round(CAST(n_common AS DOUBLE) / CAST(size_a AS DOUBLE), 6)
+                 AS containment
+      FROM j
+      UNION ALL
+      SELECT doc_b, doc_a,
+             round(CAST(n_common AS DOUBLE) / CAST(size_b AS DOUBLE), 6)
+      FROM j)
+SELECT doc_src, doc_dst, containment FROM d
+WHERE containment >= CAST(0.8 AS DOUBLE)""",
         "dedup_keep_best": f"""WITH RECURSIVE docs2 AS (
   SELECT * FROM documents UNION ALL
   SELECT doc_id + 100000 AS doc_id, text || ' ' || text AS text,

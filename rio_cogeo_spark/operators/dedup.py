@@ -349,26 +349,12 @@ SHINGLES_SQL = (
 )
 
 
-def ngram_jaccard_pairs(
-    docs: DataFrame,
-    threshold: float = 0.5,
-    n: int = 3,
-    df_cap: "Optional[int | str]" = "auto",
-) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via an inverted shingle index —
-    no O(N²) cross join. Output: (doc_a, doc_b, jaccard) with doc_a < doc_b
-    and jaccard >= threshold (rounded to 6dp).
-
-    ``df_cap`` drops ultra-common shingles (document frequency cap) — the
-    web-scale guard: a shingle in D docs contributes O(D^2) candidate
-    pairs, so at corpus scale this MUST be on, hence the ``'auto'``
-    DEFAULT (caps at ~100x the mean shingle document-frequency; boilerplate
-    n-grams shared by millions of pages never reach the pair join). An int
-    caps explicitly; pass ``df_cap=None`` explicitly for the oracle-exact
-    comparison ONLY — pairs reachable solely through capped shingles are
-    dropped by design (like stopword shingles), and an uncapped hot
-    shingle is quadratic at corpus scale.
-    """
+def _shingle_pair_counts(docs, n, df_cap):
+    """Shared inverted-index core for :func:`ngram_jaccard_pairs` and
+    :func:`containment_pairs`: returns ``(common, sizes)`` where
+    ``common`` is (doc_a < doc_b, n_common shared distinct shingles)
+    and ``sizes`` is (doc_id, n_sh). Single-sort posting-list pair
+    expansion; ``df_cap`` as documented on the public callers."""
     par = docs.sparkSession.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < par:
         docs = docs.repartition(par)
@@ -411,6 +397,30 @@ def ngram_jaccard_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    return common, sizes
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    df_cap: "Optional[int | str]" = "auto",
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via an inverted shingle index —
+    no O(N²) cross join. Output: (doc_a, doc_b, jaccard) with doc_a < doc_b
+    and jaccard >= threshold (rounded to 6dp).
+
+    ``df_cap`` drops ultra-common shingles (document frequency cap) — the
+    web-scale guard: a shingle in D docs contributes O(D^2) candidate
+    pairs, so at corpus scale this MUST be on, hence the ``'auto'``
+    DEFAULT (caps at ~100x the mean shingle document-frequency; boilerplate
+    n-grams shared by millions of pages never reach the pair join). An int
+    caps explicitly; pass ``df_cap=None`` explicitly for the oracle-exact
+    comparison ONLY — pairs reachable solely through capped shingles are
+    dropped by design (like stopword shingles), and an uncapped hot
+    shingle is quadratic at corpus scale.
+    """
+    common, sizes = _shingle_pair_counts(docs, n, df_cap)
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("size_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("size_b"))
     jac = (
@@ -427,6 +437,50 @@ def ngram_jaccard_pairs(
         .select("doc_a", "doc_b", "jaccard")
     )
     return jac
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    df_cap: "Optional[int | str]" = "auto",
+) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT (Broder's other resemblance
+    measure): ``containment(A in B) = |A∩B| / |A|`` — the quote/excerpt
+    detector. A 50-token excerpt pasted into a 5000-token page scores
+    containment ≈ 1.0 while its Jaccard is ≈ 0.01, so a Jaccard
+    threshold can never find it without flooding on long-vs-long
+    near-dups; containment is the right metric for "doc A's content is
+    INSIDE doc B".
+
+    Output: one row per DIRECTED inclusion ``(doc_src, doc_dst,
+    containment)`` with 6-dp-rounded ``containment(src in dst) >=
+    threshold`` (both directions emitted when both qualify — exact dups
+    appear twice, by definition of the directed measure). Same inverted
+    shingle index, single-sort pair expansion, and ``df_cap`` hot-
+    shingle guard as :func:`ngram_jaccard_pairs` (shared core)."""
+    common, sizes = _shingle_pair_counts(docs, n, df_cap)
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("size_b"))
+    joined = common.join(sa, "doc_a").join(sb, "doc_b")
+    a_in_b = joined.select(
+        F.col("doc_a").alias("doc_src"),
+        F.col("doc_b").alias("doc_dst"),
+        F.round(
+            F.col("n_common").cast("double") / F.col("size_a").cast("double"), 6
+        ).alias("containment"),
+    )
+    b_in_a = joined.select(
+        F.col("doc_b").alias("doc_src"),
+        F.col("doc_a").alias("doc_dst"),
+        F.round(
+            F.col("n_common").cast("double") / F.col("size_b").cast("double"), 6
+        ).alias("containment"),
+    )
+    return (
+        a_in_b.unionByName(b_in_a)
+        .filter(F.col("containment") >= float(threshold))
+    )
 
 
 # ---------------------------------------------------------------------------

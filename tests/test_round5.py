@@ -1479,3 +1479,30 @@ def test_mirror_stream_equals_batch(spark, tmp_path, files_per_trigger):
     # contents with i % 4 == 0 are single-host → absent even with the
     # extra same-host copy
     assert len(batch) == 15
+
+
+def test_containment_directed_excerpt(spark):
+    from rio_cogeo_spark.operators.dedup import containment_pairs
+
+    long = "w%d " * 40
+    long_text = " ".join(f"w{i}" for i in range(40))
+    excerpt = " ".join(f"w{i}" for i in range(10))       # prefix excerpt
+    other = " ".join(f"x{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, long_text), (2, excerpt), (3, other)],
+        "doc_id long, text string",
+    )
+    got = {(r["doc_src"], r["doc_dst"]): r["containment"]
+           for r in containment_pairs(df, threshold=0.8, df_cap=None).collect()}
+    # excerpt fully inside long: directed 2→1 at 1.0; reverse is 8/38
+    assert got == {(2, 1): 1.0}
+
+
+def test_containment_exact_dup_is_bidirectional(spark):
+    from rio_cogeo_spark.operators.dedup import containment_pairs
+
+    t = " ".join(f"w{i}" for i in range(20))
+    df = spark.createDataFrame([(1, t), (2, t)], "doc_id long, text string")
+    got = {(r["doc_src"], r["doc_dst"]) for r in
+           containment_pairs(df, threshold=0.99, df_cap=None).collect()}
+    assert got == {(1, 2), (2, 1)}
