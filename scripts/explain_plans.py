@@ -403,6 +403,36 @@ def main() -> None:
         must_not=[r"CartesianProduct"],
     )
 
+    # 25. BPE merge round: vocab-bounded pipeline — partial aggregation
+    # at both stages, distributed TakeOrdered top-k, no joins at all
+    from rio_cogeo_spark.operators.bpe import bpe_merge_topk
+
+    audit(
+        "bpe_merge_topk (partial aggs, TakeOrdered, zero joins)",
+        bpe_merge_topk(docs_d, k=30),
+        must=[r"partial_count", r"partial_sum", r"TakeOrderedAndProject"],
+        must_not=[r"SortMergeJoin", r"ShuffledHashJoin", r"CartesianProduct"],
+    )
+
+    # 26. mirror detection: distinct-host counts via dropDuplicates +
+    # combinable count — no COUNT(DISTINCT) expand in the plan
+    audit(
+        "mirror_docs (no count-distinct expand, partial counts)",
+        DD.mirror_docs(pages),
+        must=[r"partial_count"],
+        must_not=[r"\bExpand\b", r"CartesianProduct"],
+    )
+
+    # 27. containment: shares the jaccard single-sort core — the
+    # exploded shingle index is never self-joined (no cartesian), pair
+    # counts partial-aggregate
+    audit(
+        "containment_pairs (single-sort core, partial counts)",
+        DD.containment_pairs(docs_d, threshold=0.8, df_cap=None),
+        must=[r"partial_count"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    )
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:
