@@ -119,3 +119,67 @@ def test_pack_ids_contiguous_from_zero(ntokens, C):
     rows = _pack_py(ntokens, C)
     ids = {r["pack"] for r in rows}
     assert ids == set(range(len(ids)))
+
+
+# ---------------------------------------------------------------------------
+# round-5 algebra: phrase anchor decomposition + vocab-weighted BPE counts
+# ---------------------------------------------------------------------------
+
+words = st.sampled_from(["a", "b", "ab", "the", "zz"])
+docs_strat = st.lists(words, min_size=0, max_size=40)
+phrase_strat = st.lists(words, min_size=1, max_size=4)
+
+
+def _phrase_count_anchors(tokens, phrase):
+    """The anchor-decomposition count from search.phrase_topk, on
+    Python ints: occurrence of phrase[i] at p votes for start p - i;
+    a start is real iff all m slots voted."""
+    m = len(phrase)
+    slots = {}
+    for i, t in enumerate(phrase):
+        slots.setdefault(t, []).append(i)
+    votes = {}
+    for p, tok in enumerate(tokens):
+        for i in slots.get(tok, ()):
+            a = p - i
+            if a >= 0:
+                votes[a] = votes.get(a, 0) + 1
+    return sum(1 for a, n in votes.items() if n == m)
+
+
+def _phrase_count_naive(tokens, phrase):
+    m = len(phrase)
+    return sum(
+        1
+        for s in range(len(tokens) - m + 1)
+        if tokens[s:s + m] == phrase
+    )
+
+
+@given(docs_strat, phrase_strat)
+@settings(max_examples=400, deadline=None)
+def test_phrase_anchor_decomposition_equals_naive_scan(tokens, phrase):
+    assert _phrase_count_anchors(tokens, phrase) == _phrase_count_naive(
+        tokens, phrase
+    )
+
+
+@given(st.lists(st.sampled_from(["ab", "aba", "zz", "q", "hello"]),
+                min_size=0, max_size=60))
+@settings(max_examples=300, deadline=None)
+def test_bpe_vocab_weighted_counts_equal_per_occurrence_counts(stream):
+    """bpe.py counts char pairs over the word-FREQUENCY table weighted
+    by n_w; that must equal counting over every word occurrence."""
+    from collections import Counter
+
+    freq = Counter(w for w in stream if len(w) >= 2)
+    weighted = Counter()
+    for w, n in freq.items():
+        for i in range(len(w) - 1):
+            weighted[w[i:i + 2]] += n
+    direct = Counter()
+    for w in stream:
+        if len(w) >= 2:
+            for i in range(len(w) - 1):
+                direct[w[i:i + 2]] += 1
+    assert weighted == direct
