@@ -771,6 +771,27 @@ def q_rarity_score(spark, sf_dir):
     return token_rarity(docs, rare_cnt=2)
 
 
+def q_lang_mix(spark, sf_dir):
+    """mC4-style mixed-language page report: every doc gets a German
+    and a French paragraph appended (doc_id<100 get a second German
+    one, flipping the majority) — per-paragraph lang-id counts fold to
+    (n_paras, n_langs, major_lang, exact-ppm majority fraction)."""
+    from rio_cogeo_spark.operators.rarity import lang_mix
+
+    sep_s = " ## "
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mixed = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(sep_s + "der die und ist der" + sep_s + "le et est le"),
+            F.when(F.col("doc_id") < 100, F.lit(sep_s + "und der die"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return lang_mix(mixed, sep=sep_s)
+
+
 def q_bpe_merges(spark, sf_dir):
     """One distributed BPE merge round: top-30 adjacent character pairs
     by corpus count, computed over the word-frequency table (vocab-
@@ -1087,7 +1108,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "ann_ivf_free": q_ann_ivf_free,
         "pip_semi": q_pip_semi,
-        "sessionize": q_sessionize,
         "raster_overview": q_raster_overview,
         "pyramid_web": q_pyramid_web,
         "temperature_mix": q_temperature_mix,
@@ -1099,6 +1119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rarity_score": q_rarity_score,
         "normalize_text": q_normalize_text,
         "bpe_merges": q_bpe_merges,
+        "lang_mix": q_lang_mix,
         "pyramid_crs84": q_pyramid_crs84,
         "dedup_components": q_dedup_components,
         "dedup_keep_best": q_dedup_keep_best,
@@ -1135,6 +1156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_kring": q_knn_kring,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
+        "sessionize": q_sessionize,
     }
 
 
@@ -1932,6 +1954,7 @@ FROM documents QUALIFY rank <= 3""",
         "rarity_score": _rarity_score_oracle(),
         "normalize_text": _normalize_text_oracle(),
         "bpe_merges": _bpe_merges_oracle(),
+        "lang_mix": _lang_mix_oracle(),
         "snapshot_para_diff": _snapshot_para_diff_oracle(),
         "mirror_docs": _mirror_docs_oracle(),
         "chunks": _chunks_oracle(),
@@ -2040,6 +2063,18 @@ FROM bth a JOIN asg aa ON a.vec_id = aa.vec_id
 JOIN bth b ON a.vec_id < b.vec_id
 JOIN asg bb ON b.vec_id = bb.vec_id
 WHERE aa.alist = bb.alist AND {cos_ab} >= CAST(0.4 AS DOUBLE)"""
+
+
+def _lang_mix_oracle() -> str:
+    from rio_cogeo_spark.operators.rarity import lang_mix_sql
+
+    fixture = (
+        "SELECT doc_id, text || ' ## der die und ist der ## le et est le'"
+        " || CASE WHEN doc_id < 100 THEN ' ## und der die' ELSE '' END"
+        " AS text FROM documents"
+    )
+    sql = lang_mix_sql("mixed", sep=" ## ")
+    return sql.replace("\nWITH paras", f"\nWITH mixed AS ({fixture}),\nparas", 1)
 
 
 def _bpe_merges_oracle() -> str:

@@ -104,3 +104,90 @@ SELECT {id_col},
         * {_PPM}) // SUM(tf) AS BIGINT) AS rare_frac_ppm
 FROM tf JOIN vocab USING (term) CROSS JOIN tot
 GROUP BY 1"""
+
+
+def lang_mix(
+    docs: DataFrame,
+    sep: str = "\n\n",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document language-mix report over paragraphs — the
+    mC4/CCNet mixed-language page filter: pages whose paragraphs
+    disagree on language (embedded widgets, comment sections, scraped
+    mashups) are low-quality for monolingual training mixes. Each
+    paragraph gets the shared marker-based :func:`functions.text.lang_id`;
+    the report is ``(id_col, n_paras, n_langs, major_lang,
+    major_frac_ppm)`` with the majority fraction in exact ppm ints
+    (ties on the paragraph-language count break to the
+    lexicographically smallest language, so results hash cross-engine).
+    Blank paragraphs are ignored; docs with zero non-blank paragraphs
+    are absent.
+
+    Scale design: one explode (corpus-width but projection-only — the
+    language ID is a pure JVM expression), one map-side-combinable
+    count per (doc, lang), one per-doc fold whose group size is
+    bounded by the language-tag cardinality; the majority pick is a
+    combinable struct-min, never a per-doc window sort.
+    """
+    from rio_cogeo_spark.functions.text import lang_id
+
+    pat = "\\Q" + sep + "\\E"
+    paras = (
+        docs.select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text_col), pat)).alias("para"),
+        )
+        .filter(F.length(F.trim(F.col("para"))) > 0)
+    )
+    counts = (
+        paras.select(
+            id_col, lang_id(F.col("para").alias("text")).alias("plang")
+        )
+        .groupBy(id_col, "plang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        counts.groupBy(id_col)
+        .agg(
+            F.sum("n").alias("n_paras"),
+            F.count(F.lit(1)).alias("n_langs"),
+            F.min(
+                F.struct((-F.col("n")).alias("nn"), F.col("plang"))
+            ).alias("best"),
+        )
+        .select(
+            id_col, "n_paras", "n_langs",
+            F.col("best.plang").alias("major_lang"),
+            F.expr("(-best.nn * 1000000) div n_paras").alias("major_frac_ppm"),
+        )
+    )
+
+
+def lang_mix_sql(
+    table: str = "documents",
+    sep: str = "\n\n",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`lang_mix` (LANG_ID_SQL reads a column
+    literally named ``text``, so the paragraph aliases to it)."""
+    from rio_cogeo_spark.functions.text import LANG_ID_SQL
+
+    sep_lit = sep.replace("'", "''")
+    return rf"""
+WITH paras AS (SELECT {id_col},
+                      unnest(string_split(text, '{sep_lit}')) AS para
+               FROM {table}),
+pl AS (SELECT {id_col}, {LANG_ID_SQL.replace('text', 'para')} AS plang
+       FROM (SELECT {id_col}, para FROM paras
+             WHERE length(trim(para)) > 0)),
+cnt AS (SELECT {id_col}, plang, COUNT(*) AS n FROM pl GROUP BY 1, 2),
+agg AS (SELECT {id_col},
+               CAST(SUM(n) AS BIGINT) AS n_paras,
+               CAST(COUNT(*) AS BIGINT) AS n_langs,
+               MIN(STRUCT_PACK(nn := -n, plang := plang)) AS best
+        FROM cnt GROUP BY 1)
+SELECT {id_col}, n_paras, n_langs,
+       best.plang AS major_lang,
+       CAST((-best.nn * 1000000) // n_paras AS BIGINT) AS major_frac_ppm
+FROM agg"""

@@ -1506,3 +1506,29 @@ def test_containment_exact_dup_is_bidirectional(spark):
     got = {(r["doc_src"], r["doc_dst"]) for r in
            containment_pairs(df, threshold=0.99, df_cap=None).collect()}
     assert got == {(1, 2), (2, 1)}
+
+
+def test_lang_mix_majority_and_ties(spark):
+    from rio_cogeo_spark.operators.rarity import lang_mix
+
+    df = spark.createDataFrame(
+        [
+            # 2 en paras, 1 de → majority en at 666666 ppm
+            (1, "the cat and dog\n\nthe end of it\n\nder die und"),
+            # 1 en, 1 de → tie breaks to 'de' (lexicographically smaller)
+            (2, "the and of\n\nder die und"),
+            # all blank → absent
+            (3, "\n\n"),
+            # no markers anywhere → single 'und' paragraph language
+            (4, "zzz qqq"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in lang_mix(df).collect()}
+    assert got[1]["major_lang"] == "en"
+    assert got[1]["major_frac_ppm"] == (2 * 1_000_000) // 3
+    assert got[1]["n_langs"] == 2 and got[1]["n_paras"] == 3
+    assert got[2]["major_lang"] == "de"
+    assert got[2]["major_frac_ppm"] == 500_000
+    assert 3 not in got
+    assert got[4]["major_lang"] == "und" and got[4]["major_frac_ppm"] == 1_000_000
