@@ -100,7 +100,9 @@ def main() -> None:
     )
     from rio_cogeo_spark.operators.boilerplate import boilerplate_lines
     from rio_cogeo_spark.operators.sampling import cap_per_host
-    from rio_cogeo_spark.operators.rarity import token_rarity
+    from rio_cogeo_spark.functions.text import normalize_text
+    from rio_cogeo_spark.operators.bpe import bpe_merge_topk
+    from rio_cogeo_spark.operators.rarity import lang_mix, token_rarity
     from rio_cogeo_spark.operators.search import (
         bm25_topk, phrase_topk, search_topk,
     )
@@ -219,6 +221,35 @@ def main() -> None:
                 DD.minhash_lsh_pairs(
                     docs, threshold=0.5, num_hashes=128, bands=64
                 ),
+            ).count(),
+            # round-5 additions, part 2 (ROUND5.md §30-§38)
+            "bpe_merges": lambda: bpe_merge_topk(docs, k=30).count(),
+            "normalize_text": lambda: docs.select(
+                "doc_id", normalize_text(F.col("text")).alias("t")
+            ).agg(F.sum(F.length("t"))).first(),
+            "mirror_docs": lambda: DD.mirror_docs(
+                # re-host every 7th doc on a second host so mirrors exist
+                paged.unionByName(
+                    paged.filter(F.col("doc_id") % 7 == 0).select(
+                        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+                        F.concat(F.lit("https://m.example/"),
+                                 F.col("doc_id").cast("string")).alias("url"),
+                        "ts_sec", "text",
+                    )
+                )
+            ).count(),
+            "containment": lambda: DD.containment_pairs(
+                docs, threshold=0.8, df_cap="auto"
+            ).count(),
+            "lang_mix": lambda: lang_mix(
+                paged.select(
+                    "doc_id",
+                    F.concat(
+                        "text",
+                        F.lit(" ## der die und ist ## le et est le"),
+                    ).alias("text"),
+                ),
+                sep=" ## ",
             ).count(),
             # snapshot-shaped view: ~9973 canonical URLs, so each URL
             # accumulates n_docs/9973 snapshots (50 at sf0.1, 5000 at
