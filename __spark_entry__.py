@@ -771,6 +771,16 @@ def q_rarity_score(spark, sf_dir):
     return token_rarity(docs, rare_cnt=2)
 
 
+def q_trending(spark, sf_dir):
+    """Per-6h-window trending terms over the pages crawl timeline
+    (windowed counts + per-window top-5; exact BIGINT, term-ascending
+    ties)."""
+    from rio_cogeo_spark.operators.search import trending_terms
+
+    pages = _pages(spark, sf_dir).select("doc_id", "ts_sec", "text")
+    return trending_terms(pages, window_sec=21_600, k=5)
+
+
 def q_lang_mix(spark, sf_dir):
     """mC4-style mixed-language page report: every doc gets a German
     and a French paragraph appended (doc_id<100 get a second German
@@ -1109,7 +1119,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_free": q_ann_ivf_free,
         "pip_semi": q_pip_semi,
         "raster_overview": q_raster_overview,
-        "pyramid_web": q_pyramid_web,
         "temperature_mix": q_temperature_mix,
         "pii_scrub": q_pii_scrub,
         "zorder": q_zorder,
@@ -1120,6 +1129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": q_normalize_text,
         "bpe_merges": q_bpe_merges,
         "lang_mix": q_lang_mix,
+        "trending": q_trending,
         "pyramid_crs84": q_pyramid_crs84,
         "dedup_components": q_dedup_components,
         "dedup_keep_best": q_dedup_keep_best,
@@ -1157,6 +1167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "sessionize": q_sessionize,
+        "pyramid_web": q_pyramid_web,
     }
 
 
@@ -1955,6 +1966,7 @@ FROM documents QUALIFY rank <= 3""",
         "normalize_text": _normalize_text_oracle(),
         "bpe_merges": _bpe_merges_oracle(),
         "lang_mix": _lang_mix_oracle(),
+        "trending": _trending_oracle(),
         "snapshot_para_diff": _snapshot_para_diff_oracle(),
         "mirror_docs": _mirror_docs_oracle(),
         "chunks": _chunks_oracle(),
@@ -2063,6 +2075,14 @@ FROM bth a JOIN asg aa ON a.vec_id = aa.vec_id
 JOIN bth b ON a.vec_id < b.vec_id
 JOIN asg bb ON b.vec_id = bb.vec_id
 WHERE aa.alist = bb.alist AND {cos_ab} >= CAST(0.4 AS DOUBLE)"""
+
+
+def _trending_oracle() -> str:
+    from rio_cogeo_spark.operators.search import trending_terms_sql
+
+    return f"{_P}\n" + trending_terms_sql(
+        "pages", window_sec=21_600, k=5
+    ).replace("\nWITH ", "\n, ", 1).replace("WITH tok", ", tok", 1)
 
 
 def _lang_mix_oracle() -> str:

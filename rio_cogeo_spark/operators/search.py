@@ -281,3 +281,60 @@ topk AS (SELECT {id_col}, tf FROM tfq ORDER BY tf DESC, {id_col} LIMIT {k})
 SELECT {id_col}, tf,
        CAST(row_number() OVER (ORDER BY tf DESC, {id_col}) AS INT) AS rank
 FROM topk"""
+
+
+def trending_terms(
+    docs: DataFrame,
+    window_sec: int = 3600,
+    k: int = 5,
+    ts_col: str = "ts_sec",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-time-window trending terms: bucket documents into
+    ``window_sec`` event-time windows, count token occurrences, keep
+    each window's top-k (ties on term ascending) — the crawl-monitoring
+    rollup ("what surged this hour"). Returns ``(window_start, term,
+    n, rank)``.
+
+    Scale design: the explode is projection-only; counts are map-side
+    combinable on (window, term); the per-window top-k is a window
+    rank over (window-key-partitioned) COUNTS — group size is the
+    window's vocabulary, never its token stream. All counts exact
+    BIGINT."""
+    # `div` is exact 64-bit integer division (float-divide-then-cast
+    # would round through doubles)
+    win = F.expr(
+        f"({ts_col} div {int(window_sec)}) * {int(window_sec)}"
+    ).alias("window_start")
+    counts = (
+        docs.select(win, F.explode(tokens_col(F.col(text_col))).alias("term"))
+        .groupBy("window_start", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("window_start").orderBy(F.desc("n"), F.asc("term"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+    )
+
+
+def trending_terms_sql(
+    table: str,
+    window_sec: int = 3600,
+    k: int = 5,
+    ts_col: str = "ts_sec",
+) -> str:
+    """DuckDB twin of :func:`trending_terms`."""
+    from rio_cogeo_spark.functions.text import TOKENS_SQL
+
+    return rf"""
+WITH tok AS (SELECT (CAST({ts_col} AS BIGINT) // {int(window_sec)})
+                        * {int(window_sec)} AS window_start,
+                    unnest({TOKENS_SQL}) AS term
+             FROM {table}),
+cnt AS (SELECT window_start, term, COUNT(*) AS n FROM tok GROUP BY 1, 2),
+rnk AS (SELECT window_start, term, n,
+               CAST(row_number() OVER (PARTITION BY window_start
+                    ORDER BY n DESC, term) AS INT) AS rank
+        FROM cnt)
+SELECT window_start, term, n, rank FROM rnk WHERE rank <= {int(k)}"""

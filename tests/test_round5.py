@@ -1532,3 +1532,22 @@ def test_lang_mix_majority_and_ties(spark):
     assert got[2]["major_frac_ppm"] == 500_000
     assert 3 not in got
     assert got[4]["major_lang"] == "und" and got[4]["major_frac_ppm"] == 1_000_000
+
+
+def test_trending_terms_windows_and_ties(spark):
+    from rio_cogeo_spark.operators.search import trending_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, "x x y"),
+            (2, 50, "y z"),        # same 100s window as doc 1
+            (3, 150, "a a b b"),   # next window: a/b tie → term asc
+        ],
+        "doc_id long, ts_sec long, text string",
+    )
+    got = {(r["window_start"], r["rank"]): (r["term"], r["n"]) for r in
+           trending_terms(df, window_sec=100, k=2).collect()}
+    assert got[(0, 1)] == ("x", 2)      # x:2 / y:2 tie → term ascending
+    assert got[(0, 2)] == ("y", 2)
+    assert got[(100, 1)] == ("a", 2)
+    assert got[(100, 2)] == ("b", 2)
