@@ -463,22 +463,33 @@ def containment_pairs(
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("size_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("size_b"))
     joined = common.join(sa, "doc_a").join(sb, "doc_b")
-    a_in_b = joined.select(
-        F.col("doc_a").alias("doc_src"),
-        F.col("doc_b").alias("doc_dst"),
-        F.round(
-            F.col("n_common").cast("double") / F.col("size_a").cast("double"), 6
-        ).alias("containment"),
+    # both directions from ONE pass over the undirected pairs — a
+    # union of two selects over `joined` would re-run the whole
+    # candidate pipeline (index shuffle + both size joins) per branch
+    cont_a = F.round(
+        F.col("n_common").cast("double") / F.col("size_a").cast("double"), 6
     )
-    b_in_a = joined.select(
-        F.col("doc_b").alias("doc_src"),
-        F.col("doc_a").alias("doc_dst"),
-        F.round(
-            F.col("n_common").cast("double") / F.col("size_b").cast("double"), 6
-        ).alias("containment"),
+    cont_b = F.round(
+        F.col("n_common").cast("double") / F.col("size_b").cast("double"), 6
     )
     return (
-        a_in_b.unionByName(b_in_a)
+        joined.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("doc_src"),
+                        F.col("doc_b").alias("doc_dst"),
+                        cont_a.alias("containment"),
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("doc_src"),
+                        F.col("doc_a").alias("doc_dst"),
+                        cont_b.alias("containment"),
+                    ),
+                )
+            ).alias("r")
+        )
+        .select("r.doc_src", "r.doc_dst", "r.containment")
         .filter(F.col("containment") >= float(threshold))
     )
 
