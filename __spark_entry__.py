@@ -573,6 +573,17 @@ def q_rollup(spark, sf_dir):
     )
 
 
+def q_cube(spark, sf_dir):
+    """Full grouping-set cube over (lang, source) — the rollup's
+    superset (adds the source-only marginals): the OLAP summary table a
+    corpus dashboard materializes once instead of four GROUP BYs."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.cube("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
 def q_events_hourly(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     # floor-div on epoch seconds, NOT date_trunc: immune to whatever
@@ -1117,7 +1128,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_free": q_ann_ivf_free,
-        "pip_semi": q_pip_semi,
         "raster_overview": q_raster_overview,
         "temperature_mix": q_temperature_mix,
         "pii_scrub": q_pii_scrub,
@@ -1130,6 +1140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "lang_mix": q_lang_mix,
         "trending": q_trending,
+        "cube": q_cube,
         "pyramid_crs84": q_pyramid_crs84,
         "dedup_components": q_dedup_components,
         "dedup_keep_best": q_dedup_keep_best,
@@ -1168,6 +1179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "sessionize": q_sessionize,
         "pyramid_web": q_pyramid_web,
+        "pip_semi": q_pip_semi,
     }
 
 
@@ -1773,6 +1785,10 @@ WHERE EXISTS (SELECT 1 FROM admin a WHERE {_PIP_COND})""",
 SELECT lang, source, COUNT(*) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM documents GROUP BY ROLLUP (lang, source)""",
+        "cube": """
+SELECT lang, source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY CUBE (lang, source)""",
         "quality_percentiles": """
 SELECT lang, COUNT(*) AS n_docs,
        round(quantile_cont(n_chars, CAST(0.5 AS DOUBLE)), 6) AS p50_chars,
