@@ -686,6 +686,18 @@ def q_dedup_keep_best(spark, sf_dir):
     return DD.dedup_keep_best(both, pairs)
 
 
+def q_split_safe(spark, sf_dir):
+    """Leakage-safe train/val/test split: near-dup clusters (the
+    doc_id<50 exact copies at +100000) split by their COMPONENT key, so
+    a copy can never land in a different split than its original;
+    unpaired docs split exactly as `sample_split`."""
+    from rio_cogeo_spark.operators.sampling import split_assign_leakage_safe
+
+    docs = _docs_with_dups(spark, sf_dir)
+    pairs = DD.minhash_lsh_pairs(docs, threshold=0.5, num_hashes=128, bands=64)
+    return split_assign_leakage_safe(docs, pairs).select("doc_id", "split")
+
+
 def q_clean_corpus(spark, sf_dir):
     """FLAGSHIP composite: the full training-data filtering pipeline as
     ONE declarative plan — benchmark-member removal, exact-dup keeper
@@ -1103,7 +1115,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_assign": q_tile_assign,
         "tile_counts": q_tile_counts,
         "pyramid": q_pyramid,
-        "tiles_meta": q_tiles_meta,
         "validate": q_validate,
         "pip_join": q_pip_join,
         "knn_exact": q_knn_exact,
@@ -1145,6 +1156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "dedup_keep_best": q_dedup_keep_best,
         "containment": q_containment,
+        "split_safe": q_split_safe,
         "clean_corpus": q_clean_corpus,
         "tile_counts_avg": q_tile_counts_avg,
         "search_bm25": q_search_bm25,
@@ -1180,6 +1192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "pyramid_web": q_pyramid_web,
         "pip_semi": q_pip_semi,
+        "tiles_meta": q_tiles_meta,
     }
 
 
@@ -1858,6 +1871,7 @@ reach AS (SELECT doc_id AS a, doc_id AS b FROM nodes
           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
 SELECT a AS doc_id, MIN(b) AS component, (a = MIN(b)) AS is_keeper
 FROM reach GROUP BY a""",
+        "split_safe": _split_safe_oracle(),
         "containment": f"""
 WITH docs2 AS (
   SELECT doc_id, text FROM documents
@@ -2216,6 +2230,33 @@ def _temperature_mix_oracle() -> str:
     return temperature_mix_sql(
         "documents", target_ppm=400_000, select="d.doc_id, d.lang"
     )
+
+
+def _split_safe_oracle() -> str:
+    from rio_cogeo_spark.operators.sampling import split_assign_sql
+
+    key = split_assign_sql("COALESCE(c.component, d.doc_id)")
+    return f"""WITH RECURSIVE docs2 AS (
+  SELECT * FROM documents UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
+  FROM documents WHERE doc_id < 50),
+s AS (SELECT doc_id, {_SHINGLES} AS sh FROM docs2),
+s2 AS (SELECT doc_id, sh, len(sh) AS n_sh FROM s WHERE len(sh) > 0),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id
+  WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / CAST(a.n_sh + b.n_sh - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6)
+        >= CAST(0.5 AS DOUBLE)),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b AS a, doc_a AS b FROM pairs),
+nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
+reach AS (SELECT doc_id AS a, doc_id AS b FROM nodes
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+comp AS (SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a)
+SELECT d.doc_id, {key} AS split
+FROM docs2 d LEFT JOIN comp c ON d.doc_id = c.doc_id"""
 
 
 def _sample_split_oracle() -> str:

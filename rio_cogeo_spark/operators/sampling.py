@@ -272,3 +272,39 @@ SELECT {select} FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY {g}
                                ORDER BY {h}, {id_col}) AS _rn
   FROM {table}) WHERE _rn <= {k}"""
+
+
+def split_assign_leakage_safe(
+    docs: DataFrame,
+    pairs: DataFrame,
+    weights=None,
+    key_col: str = "doc_id",
+    out_col: str = "split",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: every member of a
+    near-dup CLUSTER gets the cluster's split, so a test document's
+    near-copy can never sit in train (the eval-contamination mode a
+    per-doc split is blind to — Lee et al. ACL'22 measure it directly).
+    ``pairs`` is any mined near-dup pair set (minhash / simhash /
+    embedding); docs absent from every pair split by their own id,
+    exactly as :func:`split_assign`.
+
+    Scale design: components are resolved once
+    (:func:`dedup.connected_components` — output bounded by the
+    duplicate population) and LEFT-join the corpus by id; the split is
+    then the same stateless cumulative-weight hash projection as
+    split_assign, keyed by ``coalesce(component, doc_id)``. Adding the
+    guard costs one co-partitioned join over the duplicate population —
+    the corpus never shuffles."""
+    from rio_cogeo_spark.operators.dedup import connected_components
+
+    comp = connected_components(pairs, src, dst).select(
+        F.col("doc_id").alias(key_col), "component"
+    )
+    keyed = docs.join(comp, key_col, "left").withColumn(
+        "__split_key", F.coalesce(F.col("component"), F.col(key_col))
+    )
+    out = split_assign(keyed, weights, key_col="__split_key", out_col=out_col)
+    return out.drop("__split_key", "component")

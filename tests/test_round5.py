@@ -1551,3 +1551,28 @@ def test_trending_terms_windows_and_ties(spark):
     assert got[(0, 2)] == ("y", 2)
     assert got[(100, 1)] == ("a", 2)
     assert got[(100, 2)] == ("b", 2)
+
+
+def test_split_leakage_safe_clusters_never_straddle(spark):
+    from rio_cogeo_spark.operators.sampling import (
+        split_assign, split_assign_leakage_safe,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "doc_id long, text string"
+    )
+    # clusters: {0..4}, {10,11}, rest singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+    )
+    w = [("train", 0.5), ("val", 0.25), ("test", 0.25)]
+    got = {r["doc_id"]: r["split"] for r in
+           split_assign_leakage_safe(docs, pairs, weights=w).collect()}
+    assert len(got) == 200
+    assert len({got[i] for i in range(5)}) == 1       # whole cluster together
+    assert got[10] == got[11]
+    # unpaired docs match the plain per-id split exactly
+    plain = {r["doc_id"]: r["split"] for r in
+             split_assign(docs, weights=w).collect()}
+    clustered = {0, 1, 2, 3, 4, 10, 11}
+    assert all(got[i] == plain[i] for i in range(200) if i not in clustered)
