@@ -549,6 +549,18 @@ def q_quality_percentiles(spark, sf_dir):
     )
 
 
+def q_quality_cut(spark, sf_dir):
+    """Quantile-threshold filtering: drop each language's bottom
+    quartile by length (the per-group cutoff is a tiny broadcast
+    aggregate; the corpus never shuffles)."""
+    from rio_cogeo_spark.operators.sampling import filter_by_group_quantile
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return filter_by_group_quantile(
+        docs, q=0.25, value_col="n_chars", group_col="lang"
+    ).select("doc_id", "lang", "n_chars")
+
+
 def q_lang_pivot(spark, sf_dir):
     """Pivot: per-source doc counts by language (wide layout)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1134,7 +1146,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_cap": q_host_cap,
         "boilerplate_cut": q_boilerplate_cut,
         "simhash_pairs": q_simhash_pairs,
-        "embed_neardup": q_embed_neardup,
         "semantic_dedup": q_semantic_dedup,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
@@ -1152,6 +1163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_mix": q_lang_mix,
         "trending": q_trending,
         "cube": q_cube,
+        "quality_cut": q_quality_cut,
         "pyramid_crs84": q_pyramid_crs84,
         "dedup_components": q_dedup_components,
         "dedup_keep_best": q_dedup_keep_best,
@@ -1193,6 +1205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pyramid_web": q_pyramid_web,
         "pip_semi": q_pip_semi,
         "tiles_meta": q_tiles_meta,
+        "embed_neardup": q_embed_neardup,
     }
 
 
@@ -1802,6 +1815,14 @@ FROM documents GROUP BY ROLLUP (lang, source)""",
 SELECT lang, source, COUNT(*) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM documents GROUP BY CUBE (lang, source)""",
+        "quality_cut": """
+WITH cuts AS (SELECT lang,
+                     round(quantile_cont(n_chars, CAST(0.25 AS DOUBLE)), 6)
+                         AS cut
+              FROM documents GROUP BY 1)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d JOIN cuts USING (lang)
+WHERE d.n_chars >= cut""",
         "quality_percentiles": """
 SELECT lang, COUNT(*) AS n_docs,
        round(quantile_cont(n_chars, CAST(0.5 AS DOUBLE)), 6) AS p50_chars,

@@ -308,3 +308,40 @@ def split_assign_leakage_safe(
     )
     out = split_assign(keyed, weights, key_col="__split_key", out_col=out_col)
     return out.drop("__split_key", "component")
+
+
+def filter_by_group_quantile(
+    docs: DataFrame,
+    q: float = 0.25,
+    value_col: str = "n_chars",
+    group_col: str = "lang",
+    exact: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Quantile-threshold filtering — the quality-cutoff stage ("drop
+    the bottom quartile per language"): keep rows whose ``value_col``
+    is at or above their group's q-quantile.
+
+    ``exact=True`` uses the exact interpolated percentile (matches
+    DuckDB ``quantile_cont`` at 6 dp — the oracle mode); Spark's exact
+    percentile buffers each GROUP's values in the aggregation, which is
+    fine for per-language groups but the wrong tool for millions of
+    groups × huge values — pass ``exact=False`` for
+    ``approx_percentile`` (GK sketch, bounded memory at any group
+    size; not cross-engine comparable).
+
+    Scale design: the cutoff table is one tiny aggregate (one row per
+    group) broadcast back; the corpus side is scan → broadcast-join →
+    filter — it never shuffles."""
+    if exact:
+        cut = F.round(F.expr(f"percentile({value_col}, {float(q)})"), 6)
+    else:
+        cut = F.expr(
+            f"approx_percentile({value_col}, {float(q)}, {int(accuracy)})"
+        )
+    cuts = docs.groupBy(group_col).agg(cut.alias("__cut"))
+    return (
+        docs.join(F.broadcast(cuts), group_col)
+        .filter(F.col(value_col) >= F.col("__cut"))
+        .drop("__cut")
+    )

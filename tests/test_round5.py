@@ -1576,3 +1576,19 @@ def test_split_leakage_safe_clusters_never_straddle(spark):
              split_assign(docs, weights=w).collect()}
     clustered = {0, 1, 2, 3, 4, 10, 11}
     assert all(got[i] == plain[i] for i in range(200) if i not in clustered)
+
+
+def test_filter_by_group_quantile_exact_and_approx(spark):
+    from rio_cogeo_spark.operators.sampling import filter_by_group_quantile
+
+    rows = [(i, "a", i) for i in range(1, 9)] + [(100 + i, "b", 10 * i) for i in range(1, 5)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    # group a: values 1..8, p50 = 4.5 → keep 5..8; group b: 10..40, p50=25 → keep 30,40
+    got = {r["doc_id"] for r in
+           filter_by_group_quantile(df, q=0.5).collect()}
+    assert got == {5, 6, 7, 8, 103, 104}
+    # approx path keeps a superset/subset near the cut but must keep the
+    # extremes and drop the minima
+    ap = {r["doc_id"] for r in
+          filter_by_group_quantile(df, q=0.5, exact=False).collect()}
+    assert {8, 104} <= ap and 1 not in ap and 101 not in ap
