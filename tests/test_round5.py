@@ -1592,3 +1592,33 @@ def test_filter_by_group_quantile_exact_and_approx(spark):
     ap = {r["doc_id"] for r in
           filter_by_group_quantile(df, q=0.5, exact=False).collect()}
     assert {8, 104} <= ap and 1 not in ap and 101 not in ap
+
+
+@pytest.mark.parametrize("files_per_trigger", [1, 3])
+def test_trending_stream_counts_equal_batch(spark, tmp_path, files_per_trigger):
+    from rio_cogeo_spark.operators.search import trending_terms
+    from rio_cogeo_spark.streaming.events import run_stream_to_memory
+    from rio_cogeo_spark.streaming.trending import trending_counts_stream
+
+    rows = [
+        (i, 100 * (i % 5) + (i % 7), f"w{i % 3} shared w{i % 4}")
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, ts_sec long, text string")
+    src = str(tmp_path / f"trend_{files_per_trigger}")
+    df.repartition(6).write.parquet(src)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(src)
+    )
+    got = run_stream_to_memory(
+        trending_counts_stream(stream, window_sec=100, watermark_sec=10),
+        f"trend_stream_{files_per_trigger}", output_mode="complete",
+    )
+    streamed = {(r["window_start"], r["term"]): r["n"] for r in got.collect()}
+    # batch twin: the count table under the SAME integer bucketing —
+    # take the full count table (k large enough to keep everything)
+    batch = {(r["window_start"], r["term"]): r["n"] for r in
+             trending_terms(df, window_sec=100, k=10**6).collect()}
+    assert streamed == batch
