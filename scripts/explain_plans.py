@@ -433,6 +433,46 @@ def main() -> None:
         must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     )
 
+    # 28. trending terms: combinable counts, the rank runs over the
+    # COUNT table (window group = window vocabulary), zero joins
+    from rio_cogeo_spark.operators.search import trending_terms
+
+    audit(
+        "trending_terms (partial counts, no joins)",
+        trending_terms(pages, window_sec=21_600, k=5),
+        must=[r"partial_count", r"\) Window"],
+        must_not=[r"SortMergeJoin", r"ShuffledHashJoin", r"CartesianProduct"],
+    )
+
+    # 29. language mix: majority via combinable struct-min — never a
+    # per-doc window sort
+    from rio_cogeo_spark.operators.rarity import lang_mix
+
+    audit(
+        "lang_mix (struct-min majority, no Window)",
+        lang_mix(docs_d, sep=" "),
+        must=[r"partial_count", r"partial_min"],
+        must_not=[r"\) Window", r"SortMergeJoin"],
+    )
+
+    # 30. quantile cut: per-group cutoffs broadcast back — the corpus
+    # side never shuffle-joins
+    from rio_cogeo_spark.operators.sampling import filter_by_group_quantile
+
+    audit(
+        "filter_by_group_quantile (broadcast cutoffs, no shuffle join)",
+        filter_by_group_quantile(
+            docs_d.withColumn("n_chars", F.length("text")),
+            q=0.25, value_col="n_chars", group_col="lang",
+        ) if "lang" in docs_d.columns else filter_by_group_quantile(
+            docs_d.withColumn("n_chars", F.length("text"))
+            .withColumn("lang", F.lit("en")),
+            q=0.25, value_col="n_chars", group_col="lang",
+        ),
+        must=[r"BroadcastExchange"],
+        must_not=[r"SortMergeJoin", r"ShuffledHashJoin"],
+    )
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:
