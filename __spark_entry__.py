@@ -816,6 +816,147 @@ def q_trending(spark, sf_dir):
     return trending_terms(pages, window_sec=21_600, k=5)
 
 
+# Deterministic host->host edge list derived from the documents table
+# (shared SQL, identical text on Spark and DuckDB): two outgoing links
+# per doc over a 97-host space, self-loops dropped, UNION-deduped to a
+# simple digraph.
+_PR_EDGES = """
+SELECT doc_id % 97 AS src, (doc_id * 31 + 7) % 97 AS dst FROM documents
+WHERE doc_id % 97 <> (doc_id * 31 + 7) % 97
+UNION
+SELECT doc_id % 97, (doc_id * 17 + 3) % 97 FROM documents
+WHERE doc_id % 97 <> (doc_id * 17 + 3) % 97
+""".strip()
+
+
+def q_pagerank(spark, sf_dir):
+    """Crawl-frontier host ranking: 3-iteration exact-BIGINT-fixed-point
+    PageRank over the deterministic host link graph, merged with the
+    in/out-degree table. The DataFrame engine (iterative joins) is
+    hash-compared against the chained-CTE SQL unroll."""
+    from rio_cogeo_spark.operators.graph import host_degrees, host_pagerank
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    edges = spark.sql(_PR_EDGES)
+    pr = host_pagerank(edges, iterations=3)
+    deg = host_degrees(edges)
+    return pr.join(deg, "host").select(
+        "host",
+        "rank_ppb",
+        F.col("out_deg").cast("long").alias("out_deg"),
+        F.col("in_deg").cast("long").alias("in_deg"),
+    )
+
+
+def _keywords_oracle() -> str:
+    from rio_cogeo_spark.operators.search import tfidf_keywords_sql
+
+    return tfidf_keywords_sql("documents", k=5)
+
+
+def _pagerank_oracle() -> str:
+    from rio_cogeo_spark.operators.graph import host_pagerank_sql
+
+    return host_pagerank_sql(
+        _PR_EDGES,
+        iterations=3,
+        extra_ctes=(
+            "outd AS (SELECT src AS host, COUNT(*) AS out_deg FROM e GROUP BY 1)",
+            "ind AS (SELECT dst AS host, COUNT(*) AS in_deg FROM e GROUP BY 1)",
+        ),
+        final_select="""SELECT host, rank AS rank_ppb,
+       CAST(COALESCE(out_deg, 0) AS BIGINT) AS out_deg,
+       CAST(COALESCE(in_deg, 0) AS BIGINT) AS in_deg
+FROM r3 LEFT JOIN outd USING (host) LEFT JOIN ind USING (host)""",
+    )
+
+
+# Deterministic messy-URL variants over the pages url space: fragments,
+# tracking params (leading / middle / only param), uppercase scheme+host,
+# www. prefix, explicit default port, trailing slash. Shared dialect-
+# common SQL so both engines canonicalize the SAME input strings.
+def _urlvar_sql(t: str) -> str:
+    sid = f"CAST(doc_id % 97 AS {t})"
+    did = f"CAST(doc_id AS {t})"
+    return f"""
+SELECT doc_id,
+  CASE doc_id % 6
+    WHEN 0 THEN 'https://site' || {sid} || '.example/page/' || {did}
+                 || '?utm_source=feed&fbclid=abc123'
+    WHEN 1 THEN 'https://www.site' || {sid} || '.example/page/' || {did} || '/'
+    WHEN 2 THEN 'HTTP://SITE' || {sid} || '.EXAMPLE:80/page/' || {did}
+                 || '#section-2'
+    WHEN 3 THEN 'https://site' || {sid} || '.example/page/' || {did}
+                 || '?a=1&utm_campaign=x&b=2'
+    WHEN 4 THEN 'https://site' || {sid} || '.example:443/page/' || {did}
+                 || '?utm_medium=rss'
+    ELSE 'https://site' || {sid} || '.example/page/' || {did}
+  END AS url
+FROM documents"""
+
+
+def q_url_canonical(spark, sf_dir):
+    """URL canonicalization (the pre-dedup normalizer): fragments,
+    utm_*/fbclid tracking params, host case, www., default ports and
+    trailing slashes all collapse; query-string punctuation repaired.
+    Pure JVM regexp projection vs the RE2 twin, byte-identical."""
+    from rio_cogeo_spark.operators.urlfilter import canonical_url
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    variants = spark.sql(_urlvar_sql("STRING"))
+    return variants.select(
+        "doc_id", "url", canonical_url(F.col("url")).alias("curl")
+    )
+
+
+def _url_canonical_oracle() -> str:
+    from rio_cogeo_spark.operators.urlfilter import canonical_url_sql
+
+    return (
+        f"SELECT doc_id, url, {canonical_url_sql('url')} AS curl\n"
+        f"FROM ({_urlvar_sql('VARCHAR')})"
+    )
+
+
+def q_readability(spark, sf_dir):
+    """Flesch reading-ease corpus quality signal: word / sentence /
+    vowel-group-syllable counts + the x1000 exact-BIGINT score."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rs = TX.readability_stats("text")
+    return docs.select(
+        "doc_id",
+        rs["n_words"].alias("n_words"),
+        rs["n_sentences"].alias("n_sentences"),
+        rs["n_syllables"].alias("n_syllables"),
+        rs["flesch_milli"].alias("flesch_milli"),
+    )
+
+
+def _readability_oracle() -> str:
+    from rio_cogeo_spark.functions.text import READABILITY_SQL as R
+
+    return (
+        f"SELECT doc_id, {R['n_words']} AS n_words,\n"
+        f"       {R['n_sentences']} AS n_sentences,\n"
+        f"       {R['n_syllables']} AS n_syllables,\n"
+        f"       {R['flesch_milli']} AS flesch_milli\n"
+        f"FROM documents"
+    )
+
+
+def q_keywords(spark, sf_dir):
+    """Per-document top-5 tf-idf keyword extraction (exact-integer
+    scaled idf, term-ascending ties)."""
+    from rio_cogeo_spark.operators.search import tfidf_keywords
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tfidf_keywords(docs, k=5)
+
+
 def q_lang_mix(spark, sf_dir):
     """mC4-style mixed-language page report: every doc gets a German
     and a French paragraph appended (doc_id<100 get a second German
@@ -1122,6 +1263,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # token_stats, quality_percentiles, tile_rollup, sample_stratified,
     # pack_chunks — all driver-certified hash-exact in rounds 2-4)
     # moved to the tail and stay covered by scripts/check_oracle.py.
+    # Late-round-5 additions pagerank/keywords displaced dedup_exact and
+    # ngram_jaccard (both r04-driver-certified) to the tail likewise.
     return {
         "pages_extract": q_pages_extract,
         "tile_assign": q_tile_assign,
@@ -1131,8 +1274,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_join": q_pip_join,
         "knn_exact": q_knn_exact,
         "zonal_stats": q_zonal_stats,
-        "dedup_exact": q_dedup_exact,
-        "ngram_jaccard": q_ngram_jaccard,
+        "pagerank": q_pagerank,
+        "keywords": q_keywords,
         "minhash_lsh": q_minhash_lsh,
         "dedup_incremental": q_dedup_incremental,
         "url_latest": q_url_latest,
@@ -1145,9 +1288,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_filter": q_path_filter,
         "host_cap": q_host_cap,
         "boilerplate_cut": q_boilerplate_cut,
-        "simhash_pairs": q_simhash_pairs,
+        "readability": q_readability,
         "semantic_dedup": q_semantic_dedup,
-        "ann_topk": q_ann_topk,
+        "url_canonical": q_url_canonical,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_free": q_ann_ivf_free,
         "raster_overview": q_raster_overview,
@@ -1206,6 +1349,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_semi": q_pip_semi,
         "tiles_meta": q_tiles_meta,
         "embed_neardup": q_embed_neardup,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash_pairs": q_simhash_pairs,
+        "ann_topk": q_ann_topk,
     }
 
 
@@ -2018,6 +2165,10 @@ FROM documents QUALIFY rank <= 3""",
         "bpe_merges": _bpe_merges_oracle(),
         "lang_mix": _lang_mix_oracle(),
         "trending": _trending_oracle(),
+        "pagerank": _pagerank_oracle(),
+        "keywords": _keywords_oracle(),
+        "readability": _readability_oracle(),
+        "url_canonical": _url_canonical_oracle(),
         "snapshot_para_diff": _snapshot_para_diff_oracle(),
         "mirror_docs": _mirror_docs_oracle(),
         "chunks": _chunks_oracle(),

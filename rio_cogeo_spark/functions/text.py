@@ -527,3 +527,69 @@ def normalize_text(text: Column) -> Column:
 NORMALIZE_TEXT_SQL = (
     r"trim(regexp_replace(nfc_normalize({c}), '\s+', ' ', 'g'))"
 )
+
+
+# ---------------------------------------------------------------------------
+# Readability (Flesch reading-ease family) — a classic corpus quality
+# signal (too-low = academic/legalese walls, too-high = fragment spam);
+# pipelines bucket on it alongside the Gopher rules. All counts are JVM
+# regexp expressions and the score is exact scaled-integer arithmetic,
+# so it hashes identically against the DuckDB twin.
+
+_SENT_PATTERN = r"[.!?]+"
+_SYLL_PATTERN = r"[aeiouy]+"
+
+
+def readability_stats(text_col: str = "text") -> dict:
+    """Per-row readability columns over the column NAMED ``text_col``
+    (a name, not a Column — the exact integer ``div`` arithmetic is
+    built as SQL expression text, mirroring the DuckDB twin verbatim):
+
+    * ``n_words`` — shared whitespace tokenizer count;
+    * ``n_sentences`` — terminal-punctuation runs (``[.!?]+``);
+    * ``n_syllables`` — lowercase vowel-group runs (the standard
+      syllable PROXY; exact syllabification needs a dictionary);
+    * ``flesch_milli`` — Flesch reading ease x1000 in exact BIGINT:
+      ``206835 - (1015*words) div max(sentences,1)
+      - (84600*syllables) div max(words,1)``
+      (the float constants 206.835 / 1.015 / 84.6 scaled to integers;
+      zero-denominator guards make empty docs well-defined instead of
+      NULL; ``div`` keeps every intermediate in exact int64 — a
+      ``floor(a/b)`` would round through doubles past 2^53).
+
+    Everything is whole-stage-codegen projection work — zero joins,
+    zero shuffles, linear scan at any corpus size.
+    """
+    c = text_col
+    words = rf"CAST(size(split(trim({c}), '\\s+')) AS BIGINT)"
+    sent = rf"CAST(size(regexp_extract_all({c}, '[.!?]+', 0)) AS BIGINT)"
+    syll = (
+        rf"CAST(size(regexp_extract_all(lower({c}), '[aeiouy]+', 0))"
+        rf" AS BIGINT)"
+    )
+    flesch = (
+        f"CAST(206835 AS BIGINT)"
+        f" - (1015 * {words}) div greatest({sent}, 1L)"
+        f" - (84600 * {syll}) div greatest({words}, 1L)"
+    )
+    return {
+        "n_words": F.expr(words),
+        "n_sentences": F.expr(sent),
+        "n_syllables": F.expr(syll),
+        "flesch_milli": F.expr(flesch),
+    }
+
+
+READABILITY_SQL = {
+    "n_words": f"CAST({TOKEN_COUNT_SQL} AS BIGINT)",
+    "n_sentences": r"CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)",
+    "n_syllables": (
+        r"CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)"
+    ),
+}
+READABILITY_SQL["flesch_milli"] = (
+    f"CAST(206835 - (1015 * {READABILITY_SQL['n_words']})"
+    f" // GREATEST({READABILITY_SQL['n_sentences']}, 1)"
+    f" - (84600 * {READABILITY_SQL['n_syllables']})"
+    f" // GREATEST({READABILITY_SQL['n_words']}, 1) AS BIGINT)"
+)

@@ -1,0 +1,196 @@
+"""Host link-graph analysis: degrees and fixed-point PageRank for
+crawl-frontier prioritization.
+
+The reference's world (rio-cogeo) has no link graph, but the corpus
+this engine targets (Common-Crawl-style web pages, BASELINE.json
+``north_star``) is crawled BY one: which host to fetch next is a
+link-graph ranking problem, and host-level PageRank is the classic
+prioritizer (Cho/Garcia-Molina/Page "Efficient Crawling Through URL
+Ordering", WWW'98). This module is the graph surface of the pipeline:
+in/out-degree tables and a damped PageRank over a host→host edge list.
+
+Determinism contract: all arithmetic is exact BIGINT fixed-point —
+ranks carry ``SCALE`` = 1e9 (ppb), the damping factor is an integer
+percentage, and every division is integer ``div``. Integer sums are
+exact and order-independent, so Spark and DuckDB hash identically
+regardless of partitioning; a float PageRank would diverge in the last
+ulps across engines/partitionings. Exact-integer envelope: the damped
+per-node contribution sum ``85 * Σ (rank div outdeg)`` must fit int64;
+with ppb ranks that admits ~1e8 in-neighbors of max-rank hosts per
+node — beyond any real host graph's hub in-degree at rank scale (mass
+is conserved, so a node's inbound sum is bounded by total graph mass
+only in pathological star graphs; shard the graph or drop SCALE to ppm
+beyond that).
+
+Dangling hosts (no out-links) keep their base rank but their mass is
+not redistributed — the standard web-crawl simplification (the crawl
+frontier never routes THROUGH a dangling host); documented rather than
+hidden.
+
+Scale design (100 TB / 10^8-host graph):
+
+* the edge list is the big table; it is shuffled ONCE per iteration by
+  ``dst`` in the contribution fold (a map-side-combinable groupBy —
+  partial sums collapse hub fan-in before the exchange), which IS
+  PageRank's irreducible data movement;
+* the rank table is node-bounded (hosts, not edges, not pages); each
+  iteration's join of edges with ranks on ``src`` broadcasts the ranks
+  when the host table fits (``broadcast_ranks=True``, the common case:
+  10^8 hosts x 16 B ≈ 1.6 GB is marginal, 10^7 is trivial), else a
+  co-partitioned shuffle join whose build side has one row per host;
+* iteration count is FIXED and small (the crawl scheduler wants a
+  stable ordering, not convergence to 1e-12); lineage therefore stays
+  bounded without checkpointing, but ``checkpoint_every`` is exposed
+  for long chains (localCheckpoint cuts the recursive plan);
+* no step collects: degrees, ranks, and the final ordering are all
+  DataFrames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000_000
+
+
+def host_degrees(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-host in/out degree over a distinct edge list.
+
+    Returns ``(host, out_deg, in_deg)`` for every host appearing as
+    source or destination of at least one edge. One union of two
+    map-side-combinable aggregates, then a node-bounded outer merge.
+    """
+    out_d = (
+        edges.groupBy(F.col(src_col).alias("host"))
+        .agg(F.count(F.lit(1)).alias("out_deg"))
+    )
+    in_d = (
+        edges.groupBy(F.col(dst_col).alias("host"))
+        .agg(F.count(F.lit(1)).alias("in_deg"))
+    )
+    return (
+        out_d.join(in_d, "host", "full_outer")
+        .select(
+            "host",
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+        )
+    )
+
+
+def host_pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping_pct: int = 85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    broadcast_ranks: bool = True,
+    checkpoint_every: int = 0,
+) -> DataFrame:
+    """Fixed-point damped PageRank over a host edge list.
+
+    ``edges`` is treated as a simple digraph (callers dedupe; parallel
+    edges would double-count contributions). Ranks use the
+    per-node-normalized formulation (mean rank = 1.0, here ``SCALE``):
+
+        rank'(v) = (100-d)% * SCALE + d% * Σ_{u→v} rank(u) div outdeg(u)
+
+    all in exact BIGINT, so the result hashes identically on any
+    engine/partitioning. Returns ``(host, rank_ppb)`` for every host in
+    the graph; higher = fetch sooner.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    if not (0 <= damping_pct <= 100):
+        raise ValueError(f"damping_pct must be in [0, 100], got {damping_pct}")
+    base = ((100 - damping_pct) * SCALE) // 100
+
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    nodes = (
+        e.select(F.col("src").alias("host"))
+        .union(e.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    outdeg = e.groupBy(F.col("src").alias("host")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    # src-side lookup table (host, outdeg, rank): node-bounded, reused
+    # (re-joined with fresh ranks) every iteration.
+    ranks = nodes.select("host", F.lit(SCALE).alias("rank"))
+
+    for it in range(iterations):
+        src_side = ranks.join(outdeg, "host")  # dangling hosts drop here
+        if broadcast_ranks:
+            src_side = F.broadcast(src_side)
+        contrib = (
+            e.join(src_side, e["src"] == src_side["host"])
+            .select(
+                F.col("dst").alias("host"),
+                F.expr("rank div outdeg").alias("c"),
+            )
+        )
+        sums = contrib.groupBy("host").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(sums, "host", "left")
+            .select(
+                "host",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_pct} * coalesce(s, 0L)) div 100"
+                    )
+                ).alias("rank"),
+            )
+        )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=False)
+
+    return ranks.select("host", F.col("rank").alias("rank_ppb"))
+
+
+def host_pagerank_sql(
+    edges_cte: str,
+    iterations: int = 3,
+    damping_pct: int = 85,
+    extra_ctes: tuple = (),
+    final_select: str | None = None,
+) -> str:
+    """DuckDB twin of :func:`host_pagerank`: the fixed iteration count
+    unrolls into chained CTEs (same exact-BIGINT formulas, so the twin
+    is hash-identical, not merely approximately equal).
+
+    ``edges_cte`` is a SQL relation body exposing ``(src, dst)``.
+    ``extra_ctes`` (each a complete ``name AS (...)`` string) and
+    ``final_select`` let a caller compose the rank table with e.g. the
+    degree tables in ONE query (the contract query does).
+    """
+    base = ((100 - damping_pct) * SCALE) // 100
+    parts = [
+        f"WITH e AS ({edges_cte})",
+        "nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e)",
+        "outdeg AS (SELECT src AS host, COUNT(*) AS outdeg FROM e GROUP BY 1)",
+        f"r0 AS (SELECT host, CAST({SCALE} AS BIGINT) AS rank FROM nodes)",
+    ]
+    for i in range(iterations):
+        parts.append(
+            f"c{i + 1} AS (SELECT e.dst AS host, "
+            f"SUM(r{i}.rank // o.outdeg) AS s "
+            f"FROM e JOIN r{i} ON e.src = r{i}.host "
+            f"JOIN outdeg o ON e.src = o.host GROUP BY 1)"
+        )
+        parts.append(
+            f"r{i + 1} AS (SELECT n.host, "
+            f"CAST({base} + ({damping_pct} * COALESCE(c.s, 0)) // 100 "
+            f"AS BIGINT) AS rank "
+            f"FROM nodes n LEFT JOIN c{i + 1} c ON n.host = c.host)"
+        )
+    parts.extend(extra_ctes)
+    body = ",\n".join(parts)
+    if final_select is None:
+        final_select = f"SELECT host, rank AS rank_ppb FROM r{iterations}"
+    return f"{body}\n{final_select}"

@@ -338,3 +338,70 @@ rnk AS (SELECT window_start, term, n,
                     ORDER BY n DESC, term) AS INT) AS rank
         FROM cnt)
 SELECT window_start, term, n, rank FROM rnk WHERE rank <= {int(k)}"""
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_df: bool = True,
+) -> DataFrame:
+    """Per-document top-k keyword extraction by exact-integer tf-idf —
+    the pipeline primitive behind topic tagging, corpus browsing, and
+    weak-label generation (extract each page's most distinctive terms).
+
+    Score = ``tf * ((N * 10^6) div df)`` — the same scaled inverse-
+    document-frequency family as :func:`search_topk` (exact BIGINT, so
+    results hash identically across engines; envelope ``N ≤ ~9e12``
+    docs before ``N * 10^6`` overflows int64). Ties break on ascending
+    term. Returns ``(id_col, term, tf, score, rank)`` with ``rank ≤ k``.
+
+    Scale design (100 TB): the postings build is the one corpus-width
+    explode (map-side-combinable groupBy); document frequencies are a
+    vocab-bounded second aggregate joined back by term — broadcast when
+    the vocabulary fits (``broadcast_df=True``), else a co-partitioned
+    shuffle join with one build row per term; N joins as a broadcast
+    1-row aggregate; the per-doc rank window's partition is one
+    document's DISTINCT terms (bounded by doc vocabulary, never the
+    corpus), so no partition outgrows memory at any corpus size.
+    """
+    postings = build_postings(docs, id_col, text_col)
+    df_by_term = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_total = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    scored = (
+        postings.join(
+            F.broadcast(df_by_term) if broadcast_df else df_by_term, "term"
+        )
+        .crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "score", F.col("tf") * F.expr(f"(n_total * {_IDF_SCALE}) div df")
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "score", "rank")
+    )
+
+
+def tfidf_keywords_sql(
+    table: str = "documents", k: int = 5, id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of :func:`tfidf_keywords` (same exact-BIGINT score)."""
+    from rio_cogeo_spark.functions.text import TOKENS_SQL
+
+    return rf"""
+WITH tok AS (SELECT {id_col}, unnest({TOKENS_SQL}) AS term FROM {table}),
+tf AS (SELECT {id_col}, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+tot AS (SELECT COUNT(*) AS n_total FROM {table}),
+sc AS (SELECT tf.{id_col}, tf.term, tf.tf,
+              CAST(tf.tf * ((tot.n_total * {_IDF_SCALE}) // dfx.df)
+                   AS BIGINT) AS score
+       FROM tf JOIN dfx USING (term) CROSS JOIN tot),
+rnk AS (SELECT *, CAST(row_number() OVER (PARTITION BY {id_col}
+             ORDER BY score DESC, term) AS INT) AS rank FROM sc)
+SELECT {id_col}, term, CAST(tf AS BIGINT) AS tf, score, rank
+FROM rnk WHERE rank <= {int(k)}"""

@@ -138,3 +138,66 @@ def path_pattern_filter_sql(
         f"SELECT * FROM {table} WHERE len(list_filter([{arr}], "
         f"p -> contains({url}, p))) = 0"
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization
+
+
+_TRACKING_PARAM = r"[?&](?:utm_[a-z0-9]+|fbclid|gclid|msclkid)=[^&#]*"
+_SCHEME_HOST = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*"
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of a URL — the crawl-dedup normalizer that runs
+    BEFORE exact URL dedup (``dedup.url_dedup_latest``): variants that
+    differ only in fragment, tracking parameters, host case, ``www.``
+    prefix, default port, or a trailing slash collapse to one key.
+
+    Rules (each a deliberate, documented choice — canonicalization is
+    policy, not discovery):
+
+    1. drop the ``#fragment``;
+    2. drop tracking parameters (``utm_*``, ``fbclid``, ``gclid``,
+       ``msclkid``), then repair the query-string punctuation
+       (dangling ``?``/``&``, ``&`` that should have been ``?``);
+    3. lowercase the ``scheme://host`` prefix (paths stay
+       case-sensitive per RFC 3986), strip a ``www.`` host prefix and
+       an explicit default port (``:80``/``:443``);
+    4. strip one trailing ``/``.
+
+    Every step is a JVM regexp/string expression (plan literal, zero
+    joins, zero shuffles, whole-stage codegen) using only RE2-safe
+    syntax — no lookaround, no backrefs in patterns — so the DuckDB
+    twin :func:`canonical_url_sql` is byte-identical.
+    """
+    u = F.regexp_replace(url, r"#.*$", "")
+    u = F.regexp_replace(u, _TRACKING_PARAM, "")
+    # an '&' directly after the path (its '?' was consumed with a
+    # dropped first tracking param) becomes the new '?'
+    u = F.regexp_replace(u, r"^([^?#]*)&", r"$1?")
+    u = F.regexp_replace(u, r"[?&]+$", "")
+    prefix = F.regexp_extract(u, _SCHEME_HOST, 0)
+    rest = F.substring(u, F.length(prefix) + 1, F.lit(2_147_483_647))
+    pfx = F.lower(prefix)
+    pfx = F.regexp_replace(pfx, r":(80|443)$", "")
+    pfx = F.regexp_replace(pfx, r"://www\.", "://")
+    u = F.concat(pfx, rest)
+    return F.regexp_replace(u, r"/$", "")
+
+
+CANONICAL_URL_SQL_COL = "__CANON_INPUT__"
+
+
+def canonical_url_sql(col: str = "url") -> str:
+    """DuckDB twin of :func:`canonical_url` (RE2 'g' flag where Spark
+    replaces all; ``\\1`` instead of ``$1``)."""
+    u = f"regexp_replace({col}, '#.*$', '', 'g')"
+    u = f"regexp_replace({u}, '{_TRACKING_PARAM}', '', 'g')"
+    u = f"regexp_replace({u}, '^([^?#]*)&', '\\1?', 'g')"
+    u = f"regexp_replace({u}, '[?&]+$', '', 'g')"
+    pfx = f"lower(regexp_extract({u}, '{_SCHEME_HOST}'))"
+    pfx = f"regexp_replace({pfx}, ':(80|443)$', '', 'g')"
+    pfx = f"regexp_replace({pfx}, '://www\\.', '://', 'g')"
+    rest = f"substring({u}, length(regexp_extract({u}, '{_SCHEME_HOST}')) + 1)"
+    return f"regexp_replace({pfx} || {rest}, '/$', '', 'g')"

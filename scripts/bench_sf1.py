@@ -103,8 +103,9 @@ def main() -> None:
     from rio_cogeo_spark.functions.text import normalize_text
     from rio_cogeo_spark.operators.bpe import bpe_merge_topk
     from rio_cogeo_spark.operators.rarity import lang_mix, token_rarity
+    from rio_cogeo_spark.operators.graph import host_pagerank
     from rio_cogeo_spark.operators.search import (
-        bm25_topk, phrase_topk, search_topk,
+        bm25_topk, phrase_topk, search_topk, tfidf_keywords,
     )
     from rio_cogeo_spark.operators.urlfilter import (
         blocklist_filter, path_pattern_filter,
@@ -269,6 +270,16 @@ def main() -> None:
                 ),
                 sep=" ## ",
             ).count(),
+            # round-5 additions, part 3 (ROUND5.md §47-§48)
+            "pagerank": lambda: host_pagerank(
+                # doc-derived host digraph: host space scales with the
+                # corpus (mod 9973) so the rank table grows too
+                docs.selectExpr(
+                    "doc_id % 9973 AS src", "(doc_id * 31 + 7) % 9973 AS dst"
+                ).filter("src <> dst").distinct(),
+                iterations=3,
+            ).agg(F.sum("rank_ppb")).first(),
+            "keywords": lambda: tfidf_keywords(docs, k=5).count(),
             "boilerplate_cut": lambda: boilerplate_lines(
                 paged.select(
                     "doc_id", "url",

@@ -473,6 +473,62 @@ def main() -> None:
         must_not=[r"SortMergeJoin", r"ShuffledHashJoin"],
     )
 
+    # 31. host PageRank: node-bounded rank table broadcast to the edge
+    # side every iteration (no edge-list SortMergeJoin); the per-node
+    # contribution fold partial-aggregates before its exchange
+    from rio_cogeo_spark.operators.graph import host_pagerank
+
+    edges_df = docs_d.selectExpr(
+        "doc_id % 97 AS src", "(doc_id * 31 + 7) % 97 AS dst"
+    ).filter("src <> dst").distinct()
+    audit(
+        "host_pagerank (broadcast ranks, partial contribution sums)",
+        host_pagerank(edges_df, iterations=3),
+        must=[r"BroadcastExchange", r"partial_sum"],
+        must_not=[r"SortMergeJoin", r"CartesianProduct"],
+    )
+
+    # 32. tf-idf keywords: vocab-bounded df table broadcast back onto
+    # the postings (the corpus-width side never shuffle-joins); the
+    # rank window partitions per doc (bounded by doc vocabulary)
+    from rio_cogeo_spark.operators.search import tfidf_keywords
+
+    audit(
+        "tfidf_keywords (broadcast df-table, partial counts)",
+        tfidf_keywords(docs_d, k=5),
+        must=[r"BroadcastExchange", r"partial_count"],
+        must_not=[r"SortMergeJoin", r"ShuffledHashJoin", r"CartesianProduct"],
+    )
+
+    # 33. URL canonicalization: a pure JVM regexp projection — zero
+    # Exchange, zero joins
+    from rio_cogeo_spark.operators.urlfilter import canonical_url
+
+    urls_d = docs_d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://site"), (F.col("doc_id") % 97).cast("string"),
+            F.lit(".example/p/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    audit(
+        "canonical_url (pure projection, zero Exchange)",
+        urls_d.select("doc_id", canonical_url(F.col("url")).alias("curl")),
+        must=[r"\* Project"],  # the * prefix = whole-stage-codegen'd
+        must_not=[r"Exchange", r"Join"],
+    )
+
+    # 34. readability: exact-int Flesch columns — zero Exchange
+    from rio_cogeo_spark.functions.text import readability_stats
+
+    rs = readability_stats("text")
+    audit(
+        "readability_stats (pure projection, zero Exchange)",
+        docs_d.select("doc_id", *(rs[k].alias(k) for k in rs)),
+        must=[r"\* Project"],  # the * prefix = whole-stage-codegen'd
+        must_not=[r"Exchange", r"Join"],
+    )
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:

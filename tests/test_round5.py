@@ -1622,3 +1622,252 @@ def test_trending_stream_counts_equal_batch(spark, tmp_path, files_per_trigger):
     batch = {(r["window_start"], r["term"]): r["n"] for r in
              trending_terms(df, window_sec=100, k=10**6).collect()}
     assert streamed == batch
+
+
+# ---------------------------------------------------------------------------
+# host link-graph: degrees + fixed-point PageRank (operators/graph.py)
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "src long, dst long")
+
+
+def test_host_degrees_full_outer(spark):
+    from rio_cogeo_spark.operators.graph import host_degrees
+
+    deg = host_degrees(_edges(spark, [(1, 2), (1, 3), (2, 3)]))
+    got = {r.host: (r.out_deg, r.in_deg) for r in deg.collect()}
+    # 3 is a dangling host (in-links only), 1 is a source-only host
+    assert got == {1: (2, 0), 2: (1, 1), 3: (0, 2)}
+
+
+def test_pagerank_cycle_is_uniform(spark):
+    from rio_cogeo_spark.operators.graph import SCALE, host_pagerank
+
+    # a 3-cycle: every host keeps exactly the base+damped-full share,
+    # which at outdeg=1 is the fixed point SCALE at every iteration
+    pr = host_pagerank(
+        _edges(spark, [(1, 2), (2, 3), (3, 1)]), iterations=4
+    )
+    ranks = {r.host: r.rank_ppb for r in pr.collect()}
+    assert set(ranks.values()) == {SCALE}
+
+
+def test_pagerank_hub_outranks_leaf_and_dangling_keeps_base(spark):
+    from rio_cogeo_spark.operators.graph import SCALE, host_pagerank
+
+    # 1→3, 2→3, 3→(nothing): 3 is a dangling sink that everyone cites
+    pr = host_pagerank(_edges(spark, [(1, 3), (2, 3)]), iterations=2)
+    ranks = {r.host: r.rank_ppb for r in pr.collect()}
+    base = 15 * SCALE // 100
+    assert ranks[1] == base and ranks[2] == base  # no in-links
+    assert ranks[3] > ranks[1]  # cited by both
+    # exact fixed-point value: base + 85% of two base-rank contributions
+    assert ranks[3] == base + (85 * 2 * base) // 100
+
+
+def test_pagerank_matches_duckdb_unroll(spark):
+    import duckdb
+
+    from rio_cogeo_spark.operators.graph import host_pagerank, host_pagerank_sql
+
+    edges = [(i % 11, (i * 7 + 3) % 11) for i in range(40) if i % 11 != (i * 7 + 3) % 11]
+    edges = sorted(set(edges))
+    got = {
+        r.host: r.rank_ppb
+        for r in host_pagerank(_edges(spark, edges), iterations=3).collect()
+    }
+    vals = ", ".join(f"({s}, {d})" for s, d in edges)
+    sql = host_pagerank_sql(
+        f"SELECT src, dst FROM (VALUES {vals}) AS v(src, dst)", iterations=3
+    )
+    want = {int(h): int(r) for h, r in duckdb.sql(sql).fetchall()}
+    assert got == want
+
+
+def test_pagerank_validates_args(spark):
+    import pytest as _pytest
+
+    from rio_cogeo_spark.operators.graph import host_pagerank
+
+    e = _edges(spark, [(1, 2)])
+    with _pytest.raises(ValueError):
+        host_pagerank(e, iterations=0)
+    with _pytest.raises(ValueError):
+        host_pagerank(e, damping_pct=101)
+
+
+# ---------------------------------------------------------------------------
+# per-doc tf-idf keyword extraction (operators/search.py)
+
+
+def test_tfidf_keywords_prefers_distinctive_terms(spark):
+    from rio_cogeo_spark.operators.search import tfidf_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common zebra"),
+            (2, "common yak yak"),
+            (3, "common emu"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_keywords(docs, k=1).collect()
+    top = {r.doc_id: r.term for r in out}
+    # 'common' has df=3 (idf floor 1e6); the doc-unique terms df=1 win
+    assert top == {1: "zebra", 2: "yak", 3: "emu"}
+    ranks = {r.doc_id: r.rank for r in out}
+    assert set(ranks.values()) == {1}
+
+
+def test_tfidf_keywords_tie_breaks_on_term(spark):
+    from rio_cogeo_spark.operators.search import tfidf_keywords
+
+    docs = spark.createDataFrame(
+        [(1, "beta alpha"), (2, "filler")], "doc_id long, text string"
+    )
+    out = tfidf_keywords(docs, k=2).filter("doc_id = 1").collect()
+    assert [r.term for r in sorted(out, key=lambda r: r.rank)] == [
+        "alpha", "beta",
+    ]
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (operators/urlfilter.py)
+
+
+def test_canonical_url_collapses_variants(spark):
+    from rio_cogeo_spark.operators.urlfilter import canonical_url
+
+    base = "https://site7.example/page/42"
+    variants = [
+        base,
+        base + "#frag",
+        base + "?utm_source=feed",
+        base + "?utm_source=feed&fbclid=zz",
+        "https://www.site7.example/page/42",
+        "HTTPS://SITE7.EXAMPLE/page/42",
+        "https://site7.example:443/page/42",
+        base + "/",
+    ]
+    df = spark.createDataFrame([(u,) for u in variants], "url string")
+    got = {r.c for r in df.select(canonical_url("url").alias("c")).collect()}
+    assert got == {base}
+
+
+def test_canonical_url_keeps_real_params_and_path_case(spark):
+    from rio_cogeo_spark.operators.urlfilter import canonical_url
+
+    cases = {
+        # tracking param FIRST: the surviving real param regains the '?'
+        "https://h.example/p?utm_campaign=x&q=1": "https://h.example/p?q=1",
+        # tracking param in the middle
+        "https://h.example/p?a=1&utm_medium=rss&b=2":
+            "https://h.example/p?a=1&b=2",
+        # path case is preserved (RFC 3986: only scheme/host fold)
+        "https://H.example/Page/One": "https://h.example/Page/One",
+        # a value merely CONTAINING 'utm_' is not a tracking param
+        "https://h.example/p?q=xutm_a": "https://h.example/p?q=xutm_a",
+        # non-default port survives
+        "https://h.example:8443/p": "https://h.example:8443/p",
+    }
+    df = spark.createDataFrame(
+        [(u,) for u in cases], "url string"
+    ).select("url", canonical_url("url").alias("c"))
+    for r in df.collect():
+        assert r.c == cases[r.url], (r.url, r.c)
+
+
+def test_canonical_url_matches_duckdb_twin(spark):
+    import duckdb
+
+    from rio_cogeo_spark.operators.urlfilter import (
+        canonical_url, canonical_url_sql,
+    )
+
+    urls = [
+        "https://site1.example/page/1?utm_source=a&q=2#f",
+        "HTTP://WWW.SITE2.EXAMPLE:80/Page/2/",
+        "https://h.example/p?a=1&utm_campaign=x&b=2&gclid=g",
+        "https://h.example/p?utm_medium=rss",
+        "ftp://Mixed.Case.Host/File.TXT",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = sorted(
+        r.c for r in df.select(canonical_url("url").alias("c")).collect()
+    )
+    vals = ", ".join("('" + u + "')" for u in urls)
+    want = sorted(
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT {canonical_url_sql('url')} FROM (VALUES {vals}) t(url)"
+        ).fetchall()
+    )
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# readability (functions/text.py)
+
+
+def test_readability_counts_and_score(spark):
+    from rio_cogeo_spark.functions.text import readability_stats
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The cat ran! Did it?"), (2, ""), (3, "xyz")],
+        "doc_id long, text string",
+    )
+    rs = readability_stats("text")
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            rs["n_words"].alias("n_words"),
+            rs["n_sentences"].alias("n_sentences"),
+            rs["n_syllables"].alias("n_syllables"),
+            rs["flesch_milli"].alias("flesch_milli"),
+        ).collect()
+    }
+    r1 = out[1]
+    assert r1.n_words == 8 and r1.n_sentences == 3
+    # vowel groups: e,a,a,e,a,a,i,i (y in 'Did'? no — d-i-d one group; 8)
+    assert r1.n_syllables == 8
+    assert r1.flesch_milli == 206835 - (1015 * 8) // 3 - (84600 * 8) // 8
+    # empty text: split(trim('')) -> [''] = 1 word, 0 sentences, 0 syll
+    assert out[2].n_sentences == 0 and out[2].n_syllables == 0
+    # no sentence-enders and no vowels: guards keep the score defined
+    assert out[3].flesch_milli is not None
+
+
+def test_readability_matches_duckdb_twin(spark):
+    import duckdb
+
+    from rio_cogeo_spark.functions.text import (
+        READABILITY_SQL, readability_stats,
+    )
+
+    texts = [
+        "Simple words read well. Short too!",
+        "Antidisestablishmentarianism notwithstanding, polysyllabic "
+        "verbiage diminishes readability considerably.",
+        "no enders here",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rs = readability_stats("text")
+    got = sorted(
+        tuple(r)
+        for r in df.select(
+            "doc_id", *(rs[k].alias(k) for k in READABILITY_SQL)
+        ).collect()
+    )
+    vals = ", ".join(f"({i}, '{t}')" for i, t in enumerate(texts))
+    cols = ",\n".join(f"{sql} AS {k}" for k, sql in READABILITY_SQL.items())
+    want = sorted(
+        tuple(r)
+        for r in duckdb.sql(
+            f"SELECT doc_id, {cols} FROM (VALUES {vals}) t(doc_id, text)"
+        ).fetchall()
+    )
+    assert got == want
