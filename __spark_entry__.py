@@ -806,6 +806,35 @@ def q_rarity_score(spark, sf_dir):
     return token_rarity(docs, rare_cnt=2)
 
 
+def q_lm_score(spark, sf_dir):
+    """Bigram-LM predictability score (the conditional form of the
+    CCNet LM-quality filter): per-doc occurrence-weighted mean of the
+    corpus conditional bigram frequency (ppm) + corpus-novel bigram
+    fraction (ppm), exact BIGINT throughout."""
+    from rio_cogeo_spark.operators.rarity import bigram_lm
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bigram_lm(docs, novel_cnt=1)
+
+
+def q_lexdiv(spark, sf_dir):
+    """Per-doc lexical diversity: type-token ratio + in-doc hapax share
+    in exact ppm ints; no joins, one combinable count + one fold."""
+    from rio_cogeo_spark.operators.rarity import lexical_diversity
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lexical_diversity(docs)
+
+
+def q_vocab_stats(spark, sf_dir):
+    """Per-language corpus vocabulary report (Heaps-law diagnostic):
+    tokens, types, hapax types, TTR and hapax share in exact ppm."""
+    from rio_cogeo_spark.operators.rarity import vocab_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return vocab_stats(docs, group_col="lang")
+
+
 def q_trending(spark, sf_dir):
     """Per-6h-window trending terms over the pages crawl timeline
     (windowed counts + per-window top-5; exact BIGINT, term-ascending
@@ -1264,16 +1293,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # pack_chunks — all driver-certified hash-exact in rounds 2-4)
     # moved to the tail and stay covered by scripts/check_oracle.py.
     # Late-round-5 additions pagerank/keywords displaced dedup_exact and
-    # ngram_jaccard (both r04-driver-certified) to the tail likewise.
+    # ngram_jaccard (both r04-driver-certified) to the tail likewise;
+    # lm_score/lexdiv/vocab_stats displaced tile_counts, zonal_stats and
+    # raster_overview (driver-certified r1-r4; tile_counts' agg is also
+    # still exercised inside pyramid, zonal_stats/raster_overview keep
+    # their pytest + check_oracle coverage).
     return {
         "pages_extract": q_pages_extract,
         "tile_assign": q_tile_assign,
-        "tile_counts": q_tile_counts,
         "pyramid": q_pyramid,
         "validate": q_validate,
         "pip_join": q_pip_join,
         "knn_exact": q_knn_exact,
-        "zonal_stats": q_zonal_stats,
         "pagerank": q_pagerank,
         "keywords": q_keywords,
         "minhash_lsh": q_minhash_lsh,
@@ -1293,7 +1324,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": q_url_canonical,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_free": q_ann_ivf_free,
-        "raster_overview": q_raster_overview,
+        "lm_score": q_lm_score,
+        "lexdiv": q_lexdiv,
+        "vocab_stats": q_vocab_stats,
         "temperature_mix": q_temperature_mix,
         "pii_scrub": q_pii_scrub,
         "zorder": q_zorder,
@@ -1316,6 +1349,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_counts_avg": q_tile_counts_avg,
         "search_bm25": q_search_bm25,
         "chunks_sliding": q_chunks_sliding,
+        "tile_counts": q_tile_counts,
+        "zonal_stats": q_zonal_stats,
+        "raster_overview": q_raster_overview,
         "lang_pivot": q_lang_pivot,
         "rollup": q_rollup,
         "url_hosts": q_url_hosts,
@@ -2161,6 +2197,9 @@ SELECT lang, doc_id, n_chars,
 FROM documents QUALIFY rank <= 3""",
         "search_phrase": _search_phrase_oracle(),
         "rarity_score": _rarity_score_oracle(),
+        "lm_score": _lm_score_oracle(),
+        "lexdiv": _lexdiv_oracle(),
+        "vocab_stats": _vocab_stats_oracle(),
         "normalize_text": _normalize_text_oracle(),
         "bpe_merges": _bpe_merges_oracle(),
         "lang_mix": _lang_mix_oracle(),
@@ -2321,6 +2360,24 @@ def _rarity_score_oracle() -> str:
     from rio_cogeo_spark.operators.rarity import token_rarity_sql
 
     return token_rarity_sql("documents", rare_cnt=2)
+
+
+def _lm_score_oracle() -> str:
+    from rio_cogeo_spark.operators.rarity import bigram_lm_sql
+
+    return bigram_lm_sql("documents", novel_cnt=1)
+
+
+def _lexdiv_oracle() -> str:
+    from rio_cogeo_spark.operators.rarity import lexical_diversity_sql
+
+    return lexical_diversity_sql("documents")
+
+
+def _vocab_stats_oracle() -> str:
+    from rio_cogeo_spark.operators.rarity import vocab_stats_sql
+
+    return vocab_stats_sql("documents", group_col="lang")
 
 
 def _search_phrase_oracle() -> str:

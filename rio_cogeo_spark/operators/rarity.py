@@ -191,3 +191,246 @@ SELECT {id_col}, n_paras, n_langs,
        best.plang AS major_lang,
        CAST((-best.nn * 1000000) // n_paras AS BIGINT) AS major_frac_ppm
 FROM agg"""
+
+
+def bigram_lm(
+    docs: DataFrame,
+    novel_cnt: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Bigram-LM predictability score — the conditional-probability form
+    of the CCNet/Gopher LM-quality filter (:func:`token_rarity` is the
+    unconditional unigram form). KenLM-style pipelines score each page
+    by the perplexity of an external n-gram LM; the self-contained
+    distributed analog trains the bigram model ON the corpus itself and
+    scores each page against it:
+
+    * ``pred_ppm(w1 w2) = count(w1 w2) * 10^6 div count(w1 ·)`` — the
+      corpus-wide conditional frequency of the bigram given its prefix
+      (an exact-integer stand-in for ``P(w2 | w1)``);
+    * ``mean_pred_ppm`` — the doc's occurrence-weighted mean
+      predictability (low = word-salad / OCR noise / other-language
+      leakage; implausibly high = boilerplate made of frozen phrases);
+    * ``novel_frac_ppm`` — the fraction of the doc's bigram occurrences
+      whose bigram appears ≤ ``novel_cnt`` times corpus-wide.
+
+    Returns ``(id_col, n_bigrams, mean_pred_ppm, novel_frac_ppm)``;
+    docs with fewer than 2 tokens emit no row (no bigram to score).
+    All arithmetic is exact BIGINT (``div`` only), so results hash
+    identically across engines and partitionings. Envelope: with the
+    ppm scale the hottest bigram may occur ≤ ~9.2e12 times corpus-wide
+    before ``cnt * 10^6`` overflows int64 — same documented-envelope
+    policy as :func:`token_rarity`.
+
+    Scale design (100 TB): the per-(doc, bigram) tf table is one
+    positional-ngram projection (zip-of-shifted-slices, O(L) per doc,
+    :func:`passages.ngrams_col`) plus one map-side-combinable groupBy;
+    the bigram model is TWO further aggregates over that table — both
+    vocabulary-bounded, never corpus-bounded (the prefix table derives
+    from the bigram-count table, not from a second corpus pass). The
+    model joins back by bigram: broadcast when it fits
+    (``broadcast_model=True``), else a shuffle join whose build side
+    has exactly one row per bigram (no hot keys). A production
+    pipeline hashes the join key (md5, as in passages.py) to fix the
+    shuffle width; kept as the raw string here so the model table
+    stays human-readable.
+    """
+    from rio_cogeo_spark.operators.passages import ngrams_col
+
+    tf = (
+        docs.select(
+            F.col(id_col),
+            F.explode(ngrams_col(F.col(text_col), 2)).alias("bigram"),
+        )
+        .groupBy(id_col, "bigram")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    bgc = tf.groupBy("bigram").agg(F.sum("tf").alias("cnt2"))
+    pfx = (
+        bgc.groupBy(F.substring_index("bigram", " ", 1).alias("w1"))
+        .agg(F.sum("cnt2").alias("cnt1"))
+    )
+    model = (
+        bgc.withColumn("w1", F.substring_index("bigram", " ", 1))
+        .join(pfx, "w1")
+        .select(
+            "bigram",
+            "cnt2",
+            F.expr(f"(cnt2 * {_PPM}) div cnt1").alias("pred_ppm"),
+        )
+    )
+    joined = tf.join(F.broadcast(model) if broadcast_model else model, "bigram")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.expr("sum(tf * pred_ppm) div sum(tf)").alias("mean_pred_ppm"),
+            F.expr(
+                f"(sum(CASE WHEN cnt2 <= {int(novel_cnt)} THEN tf ELSE 0 END)"
+                f" * {_PPM}) div sum(tf)"
+            ).alias("novel_frac_ppm"),
+        )
+        .select(id_col, "n_bigrams", "mean_pred_ppm", "novel_frac_ppm")
+    )
+
+
+def bigram_lm_sql(
+    table: str = "documents",
+    novel_cnt: int = 1,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`bigram_lm` (same positional bigram build —
+    inclusive 1-based list slice, as in passages._spans_parts — and the
+    same exact-BIGINT formulas)."""
+    from rio_cogeo_spark.functions.text import TOKENS_SQL
+
+    return rf"""
+WITH t AS (SELECT {id_col}, {TOKENS_SQL} AS toks FROM {table}),
+bg AS (SELECT {id_col},
+              unnest(list_transform(
+                  generate_series(1, greatest(len(toks) - 1, 0)),
+                  i -> array_to_string(toks[i:i+1], ' '))) AS bigram
+       FROM t),
+tf AS (SELECT {id_col}, bigram, COUNT(*) AS tf FROM bg GROUP BY 1, 2),
+bgc AS (SELECT bigram, SUM(tf) AS cnt2 FROM tf GROUP BY 1),
+pfx AS (SELECT split_part(bigram, ' ', 1) AS w1, SUM(cnt2) AS cnt1
+        FROM bgc GROUP BY 1),
+model AS (SELECT bigram, cnt2, (cnt2 * {_PPM}) // cnt1 AS pred_ppm
+          FROM bgc JOIN pfx ON split_part(bgc.bigram, ' ', 1) = pfx.w1)
+SELECT {id_col},
+       CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+       CAST(SUM(tf * pred_ppm) // SUM(tf) AS BIGINT) AS mean_pred_ppm,
+       CAST((SUM(CASE WHEN cnt2 <= {int(novel_cnt)} THEN tf ELSE 0 END)
+        * {_PPM}) // SUM(tf) AS BIGINT) AS novel_frac_ppm
+FROM tf JOIN model USING (bigram)
+GROUP BY 1"""
+
+
+def lexical_diversity(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document lexical diversity — the type-token-ratio family of
+    quality signals (a low TTR marks keyword-stuffing / template spam;
+    an implausibly high hapax share marks OCR noise and word-salad):
+
+    * ``n_tokens`` / ``n_types`` — token occurrences and distinct
+      tokens in the doc;
+    * ``ttr_ppm = n_types * 10^6 div n_tokens``;
+    * ``hapax_frac_ppm`` — share of the doc's TYPES that occur exactly
+      once in the doc, in ppm.
+
+    Zero-token docs are absent. Exact BIGINT throughout.
+
+    Scale design: one explode + one map-side-combinable (doc, term)
+    count + one per-doc fold — no joins, no windows; group sizes are
+    bounded by per-doc vocabulary. Reuses the postings shape
+    (:func:`search.build_postings`) so a pipeline that materialized
+    postings pays only the final fold.
+    """
+    from rio_cogeo_spark.operators.search import build_postings
+
+    tf = build_postings(docs, id_col=id_col, text_col=text_col)
+    return (
+        tf.groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.expr(f"(count(1) * {_PPM}) div sum(tf)").alias("ttr_ppm"),
+            F.expr(
+                f"(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) * {_PPM})"
+                f" div count(1)"
+            ).alias("hapax_frac_ppm"),
+        )
+        .select(id_col, "n_tokens", "n_types", "ttr_ppm", "hapax_frac_ppm")
+    )
+
+
+def lexical_diversity_sql(
+    table: str = "documents", id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of :func:`lexical_diversity`."""
+    from rio_cogeo_spark.functions.text import TOKENS_SQL
+
+    return rf"""
+WITH tok AS (SELECT {id_col}, unnest({TOKENS_SQL}) AS term FROM {table}),
+tf AS (SELECT {id_col}, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2)
+SELECT {id_col},
+       CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST((COUNT(*) * {_PPM}) // SUM(tf) AS BIGINT) AS ttr_ppm,
+       CAST((SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) * {_PPM})
+        // COUNT(*) AS BIGINT) AS hapax_frac_ppm
+FROM tf GROUP BY 1"""
+
+
+def vocab_stats(
+    docs: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group corpus vocabulary report — the Heaps-law diagnostic a
+    curation pipeline tracks per language/source slice (vocabulary size
+    vs corpus size, singleton share): a slice whose hapax share climbs
+    across snapshots is accumulating noise; one whose TTR collapses is
+    accumulating boilerplate.
+
+    Returns ``(group_col, n_tokens, n_types, hapax_types, ttr_ppm,
+    hapax_frac_ppm)`` in exact BIGINT.
+
+    Scale design: one explode + one map-side-combinable (group, term)
+    count + one per-group fold whose input is vocabulary-bounded
+    (distinct terms per group), never corpus-bounded. No joins.
+    """
+    from rio_cogeo_spark.functions.text import tokens_col
+
+    cnt = (
+        docs.select(
+            F.col(group_col),
+            F.explode(tokens_col(F.col(text_col))).alias("term"),
+        )
+        .groupBy(group_col, "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        cnt.groupBy(group_col)
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.expr("sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)").alias(
+                "hapax_types"
+            ),
+            F.expr(f"(count(1) * {_PPM}) div sum(cnt)").alias("ttr_ppm"),
+            F.expr(
+                f"(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) * {_PPM})"
+                f" div count(1)"
+            ).alias("hapax_frac_ppm"),
+        )
+        .select(
+            group_col, "n_tokens", "n_types", "hapax_types",
+            "ttr_ppm", "hapax_frac_ppm",
+        )
+    )
+
+
+def vocab_stats_sql(
+    table: str = "documents", group_col: str = "lang"
+) -> str:
+    """DuckDB twin of :func:`vocab_stats`."""
+    from rio_cogeo_spark.functions.text import TOKENS_SQL
+
+    return rf"""
+WITH tok AS (SELECT {group_col}, unnest({TOKENS_SQL}) AS term FROM {table}),
+cnt AS (SELECT {group_col}, term, COUNT(*) AS cnt FROM tok GROUP BY 1, 2)
+SELECT {group_col},
+       CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS hapax_types,
+       CAST((COUNT(*) * {_PPM}) // SUM(cnt) AS BIGINT) AS ttr_ppm,
+       CAST((SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) * {_PPM})
+        // COUNT(*) AS BIGINT) AS hapax_frac_ppm
+FROM cnt GROUP BY 1"""

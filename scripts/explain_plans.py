@@ -529,6 +529,25 @@ def main() -> None:
         must_not=[r"Exchange", r"Join"],
     )
 
+    # 35. bigram_lm: model joins back by broadcast (default), counts
+    # partial-agg'd map-side; no sort-merge join, no cartesian
+    from rio_cogeo_spark.operators.rarity import bigram_lm, lexical_diversity
+
+    audit(
+        "bigram_lm (broadcast model, partial counts)",
+        bigram_lm(docs_d),
+        must=[r"BroadcastExchange", r"partial_count"],
+        must_not=[r"SortMergeJoin", r"ShuffledHashJoin", r"CartesianProduct"],
+    )
+
+    # 36. lexical_diversity: explode + two combinable aggs — no joins
+    audit(
+        "lexical_diversity (combinable aggs, zero joins)",
+        lexical_diversity(docs_d),
+        must=[r"partial_count"],
+        must_not=[r"Join", r"CartesianProduct", r"Window"],
+    )
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:

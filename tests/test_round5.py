@@ -1871,3 +1871,66 @@ def test_readability_matches_duckdb_twin(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_bigram_lm_conditional_scores(spark):
+    from rio_cogeo_spark.operators.rarity import bigram_lm
+
+    # bigram counts: "a b"×3, "b a"×1, "b c"×1; prefixes: a·=3, b·=2
+    # → pred_ppm: "a b"=1_000_000, "b a"="b c"=500_000
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "x")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in bigram_lm(df, novel_cnt=1).collect()}
+    assert 3 not in got  # <2 tokens → no bigram → absent
+    assert got[1]["n_bigrams"] == 3
+    assert got[1]["mean_pred_ppm"] == (2 * 1_000_000 + 500_000) // 3
+    assert got[1]["novel_frac_ppm"] == 1_000_000 // 3
+    assert got[2]["n_bigrams"] == 2
+    assert got[2]["mean_pred_ppm"] == 750_000
+    assert got[2]["novel_frac_ppm"] == 500_000
+
+
+def test_bigram_lm_broadcast_off_identical(spark):
+    from rio_cogeo_spark.operators.rarity import bigram_lm
+
+    df = spark.createDataFrame(
+        [(i, f"w{i % 3} common common w{i % 5}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, bigram_lm(df, broadcast_model=True).collect()))
+    b = sorted(map(tuple, bigram_lm(df, broadcast_model=False).collect()))
+    assert a == b
+
+
+def test_lexical_diversity_ttr_and_hapax(spark):
+    from rio_cogeo_spark.operators.rarity import lexical_diversity
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "x y z")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in lexical_diversity(df).collect()}
+    assert (got[1]["n_tokens"], got[1]["n_types"]) == (3, 2)
+    assert got[1]["ttr_ppm"] == (2 * 1_000_000) // 3
+    assert got[1]["hapax_frac_ppm"] == 500_000  # only "b" is doc-hapax
+    assert (got[2]["ttr_ppm"], got[2]["hapax_frac_ppm"]) == (
+        1_000_000, 1_000_000,
+    )
+
+
+def test_vocab_stats_per_lang(spark):
+    from rio_cogeo_spark.operators.rarity import vocab_stats
+
+    df = spark.createDataFrame(
+        [("en", "a a b"), ("en", "b c"), ("fr", "d d")],
+        "lang string, text string",
+    )
+    got = {r["lang"]: r for r in vocab_stats(df).collect()}
+    en = got["en"]  # a×2 b×2 c×1
+    assert (en["n_tokens"], en["n_types"], en["hapax_types"]) == (5, 3, 1)
+    assert en["ttr_ppm"] == (3 * 1_000_000) // 5
+    assert en["hapax_frac_ppm"] == 1_000_000 // 3
+    fr = got["fr"]
+    assert (fr["n_tokens"], fr["n_types"], fr["hapax_types"]) == (2, 1, 0)
+    assert (fr["ttr_ppm"], fr["hapax_frac_ppm"]) == (500_000, 0)
