@@ -835,6 +835,26 @@ def q_vocab_stats(spark, sf_dir):
     return vocab_stats(docs, group_col="lang")
 
 
+def q_collocations(spark, sf_dir):
+    """Corpus collocation mining: top-20 bigrams by exact-integer lift
+    (the PMI analog) over positional-bigram marginals — the stop-phrase
+    / boilerplate-phrase discovery pass; deterministic TakeOrdered."""
+    from rio_cogeo_spark.operators.rarity import collocations
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return collocations(docs, min_cnt=3, topk=20)
+
+
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet-style per-language perplexity bucketing: bigram-LM score
+    every page, NTILE(3) within language → head/middle/tail, exact and
+    deterministic (score DESC, doc_id tiebreak)."""
+    from rio_cogeo_spark.operators.rarity import ccnet_buckets
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ccnet_buckets(docs, n_buckets=3)
+
+
 def q_trending(spark, sf_dir):
     """Per-6h-window trending terms over the pages crawl timeline
     (windowed counts + per-window top-5; exact BIGINT, term-ascending
@@ -1297,14 +1317,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # lm_score/lexdiv/vocab_stats displaced tile_counts, zonal_stats and
     # raster_overview (driver-certified r1-r4; tile_counts' agg is also
     # still exercised inside pyramid, zonal_stats/raster_overview keep
-    # their pytest + check_oracle coverage).
+    # their pytest + check_oracle coverage); collocations/ccnet_buckets
+    # displaced knn_exact and containment (driver-certified r2-r4;
+    # knn's machinery stays in-window via pip_join, and both keep
+    # pytest + check_oracle coverage at the tail).
     return {
         "pages_extract": q_pages_extract,
         "tile_assign": q_tile_assign,
         "pyramid": q_pyramid,
         "validate": q_validate,
         "pip_join": q_pip_join,
-        "knn_exact": q_knn_exact,
         "pagerank": q_pagerank,
         "keywords": q_keywords,
         "minhash_lsh": q_minhash_lsh,
@@ -1327,6 +1349,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": q_lm_score,
         "lexdiv": q_lexdiv,
         "vocab_stats": q_vocab_stats,
+        "collocations": q_collocations,
+        "ccnet_buckets": q_ccnet_buckets,
         "temperature_mix": q_temperature_mix,
         "pii_scrub": q_pii_scrub,
         "zorder": q_zorder,
@@ -1343,7 +1367,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pyramid_crs84": q_pyramid_crs84,
         "dedup_components": q_dedup_components,
         "dedup_keep_best": q_dedup_keep_best,
-        "containment": q_containment,
         "split_safe": q_split_safe,
         "clean_corpus": q_clean_corpus,
         "tile_counts_avg": q_tile_counts_avg,
@@ -1352,6 +1375,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_counts": q_tile_counts,
         "zonal_stats": q_zonal_stats,
         "raster_overview": q_raster_overview,
+        "knn_exact": q_knn_exact,
+        "containment": q_containment,
         "lang_pivot": q_lang_pivot,
         "rollup": q_rollup,
         "url_hosts": q_url_hosts,
@@ -2200,6 +2225,8 @@ FROM documents QUALIFY rank <= 3""",
         "lm_score": _lm_score_oracle(),
         "lexdiv": _lexdiv_oracle(),
         "vocab_stats": _vocab_stats_oracle(),
+        "collocations": _collocations_oracle(),
+        "ccnet_buckets": _ccnet_buckets_oracle(),
         "normalize_text": _normalize_text_oracle(),
         "bpe_merges": _bpe_merges_oracle(),
         "lang_mix": _lang_mix_oracle(),
@@ -2378,6 +2405,18 @@ def _vocab_stats_oracle() -> str:
     from rio_cogeo_spark.operators.rarity import vocab_stats_sql
 
     return vocab_stats_sql("documents", group_col="lang")
+
+
+def _collocations_oracle() -> str:
+    from rio_cogeo_spark.operators.rarity import collocations_sql
+
+    return collocations_sql("documents", min_cnt=3, topk=20)
+
+
+def _ccnet_buckets_oracle() -> str:
+    from rio_cogeo_spark.operators.rarity import ccnet_buckets_sql
+
+    return ccnet_buckets_sql("documents", n_buckets=3)
 
 
 def _search_phrase_oracle() -> str:

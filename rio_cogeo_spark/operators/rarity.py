@@ -308,6 +308,181 @@ FROM tf JOIN model USING (bigram)
 GROUP BY 1"""
 
 
+def collocations(
+    docs: DataFrame,
+    min_cnt: int = 5,
+    topk: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus collocation mining — the top-``topk`` bigrams by lift
+    (the exact-integer PMI analog), the signal a curation pipeline uses
+    to surface boilerplate phrases, navigation chrome, and frozen
+    template text ("all rights reserved", "click here to") for the
+    stop-phrase list that :mod:`passages` / boilerplate filters consume.
+
+    ``lift = P(w1 w2) / (P(w1·) · P(·w2))`` over bigram positions; in
+    exact fixed point: ``lift_ppm = ((cnt2 · 10^6) div c1) · total div
+    c2`` where ``c1``/``c2`` are the left/right positional marginals and
+    ``total`` the corpus bigram count. The staged div order is part of
+    the contract (both engines evaluate the identical expression, so
+    results hash exactly; associativity is NOT assumed). Envelope:
+    ``cnt2 · 10^6`` and the staged product each fit int64 up to ~9.2e12
+    corpus bigrams — the documented-envelope policy of
+    :func:`token_rarity`.
+
+    Returns ``(bigram, cnt2, lift_ppm)``, ordered by ``lift_ppm`` DESC,
+    ``cnt2`` DESC, ``bigram`` ASC — a total order (bigram is unique), so
+    the LIMIT is deterministic. ``min_cnt`` drops hapax bigrams, whose
+    lift is pure noise.
+
+    Scale design (100 TB): everything after the first (doc-free!)
+    bigram count is vocabulary-bounded — the marginals derive from the
+    bigram-count table, never from a second corpus pass; the two
+    marginal joins broadcast (a vocabulary table after ``min_cnt``
+    pruning fits; else they are one-row-per-key shuffle joins); the
+    top-k is a distributed TakeOrdered, never a full sort.
+    """
+    from rio_cogeo_spark.operators.passages import ngrams_col
+
+    bgc = (
+        docs.select(F.explode(ngrams_col(F.col(text_col), 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt2"))
+    )
+    left = (
+        bgc.groupBy(F.substring_index("bigram", " ", 1).alias("w1"))
+        .agg(F.sum("cnt2").alias("c1"))
+    )
+    right = (
+        bgc.groupBy(F.substring_index("bigram", " ", -1).alias("w2"))
+        .agg(F.sum("cnt2").alias("c2"))
+    )
+    total = bgc.agg(F.sum("cnt2").alias("total"))
+    return (
+        bgc.filter(F.col("cnt2") >= int(min_cnt))
+        .withColumn("w1", F.substring_index("bigram", " ", 1))
+        .withColumn("w2", F.substring_index("bigram", " ", -1))
+        .join(F.broadcast(left), "w1")
+        .join(F.broadcast(right), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bigram",
+            "cnt2",
+            F.expr(
+                f"(((cnt2 * {_PPM}) div c1) * total) div c2"
+            ).alias("lift_ppm"),
+        )
+        .orderBy(
+            F.col("lift_ppm").desc(), F.col("cnt2").desc(), F.col("bigram")
+        )
+        .limit(int(topk))
+    )
+
+
+def collocations_sql(
+    table: str = "documents", min_cnt: int = 5, topk: int = 100
+) -> str:
+    """DuckDB twin of :func:`collocations` (same positional bigram
+    build and the same staged exact-BIGINT lift expression)."""
+    from rio_cogeo_spark.functions.text import TOKENS_SQL
+
+    return rf"""
+WITH t AS (SELECT {TOKENS_SQL} AS toks FROM {table}),
+bg AS (SELECT unnest(list_transform(
+           generate_series(1, greatest(len(toks) - 1, 0)),
+           i -> array_to_string(toks[i:i+1], ' '))) AS bigram
+       FROM t),
+bgc AS (SELECT bigram, COUNT(*) AS cnt2 FROM bg GROUP BY 1),
+lft AS (SELECT split_part(bigram, ' ', 1) AS w1, SUM(cnt2) AS c1
+        FROM bgc GROUP BY 1),
+rgt AS (SELECT split_part(bigram, ' ', -1) AS w2, SUM(cnt2) AS c2
+        FROM bgc GROUP BY 1),
+tot AS (SELECT SUM(cnt2) AS total FROM bgc)
+SELECT bigram, CAST(cnt2 AS BIGINT) AS cnt2,
+       CAST((((cnt2 * {_PPM}) // c1) * total) // c2 AS BIGINT) AS lift_ppm
+FROM bgc
+JOIN lft ON split_part(bgc.bigram, ' ', 1) = lft.w1
+JOIN rgt ON split_part(bgc.bigram, ' ', -1) = rgt.w2
+CROSS JOIN tot
+WHERE cnt2 >= {int(min_cnt)}
+ORDER BY lift_ppm DESC, cnt2 DESC, bigram ASC
+LIMIT {int(topk)}"""
+
+
+def ccnet_buckets(
+    docs: DataFrame,
+    n_buckets: int = 3,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing: score every page
+    with the corpus bigram LM (:func:`bigram_lm`) and split each
+    language into ``n_buckets`` equal-count bands — CCNet's
+    head/middle/tail split, which downstream mixes sample from at
+    different rates. NTILE over (``mean_pred_ppm`` DESC, ``id_col``)
+    gives an exact, total order, so bucket assignment is deterministic
+    and hash-identical cross-engine. Returns ``(id_col, lang_col,
+    mean_pred_ppm, bucket, bucket_name)``; bucket 1 = most predictable
+    ("head"), bucket ``n`` = least ("tail"). Docs with <2 tokens are
+    absent (unscorable by a bigram LM).
+
+    Scale design (100 TB): the LM scoring inherits
+    :func:`bigram_lm`'s shape; the bucketing itself is ONE sort-based
+    window partitioned by language. A hot language (half the web is
+    English) makes that partition large — a production run swaps this
+    exact NTILE for sampled score thresholds (the
+    :func:`sampling.filter_by_group_quantile` machinery) and keeps the
+    window form, used here, as the deterministic contract that
+    validates the sampled path.
+    """
+    from pyspark.sql import Window
+
+    scores = bigram_lm(docs, id_col=id_col, text_col=text_col).select(
+        id_col, "mean_pred_ppm"
+    )
+    w = Window.partitionBy(lang_col).orderBy(
+        F.col("mean_pred_ppm").desc(), F.col(id_col)
+    )
+    n = int(n_buckets)
+    return (
+        docs.select(id_col, lang_col)
+        .join(scores, id_col)
+        .withColumn("bucket", F.ntile(n).over(w))
+        .withColumn(
+            "bucket_name",
+            F.expr(
+                f"CASE WHEN bucket = 1 THEN 'head' WHEN bucket = {n} "
+                f"THEN 'tail' ELSE 'middle' END"
+            ),
+        )
+        .select(id_col, lang_col, "mean_pred_ppm", "bucket", "bucket_name")
+    )
+
+
+def ccnet_buckets_sql(
+    table: str = "documents",
+    n_buckets: int = 3,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> str:
+    """DuckDB twin of :func:`ccnet_buckets` (bigram-LM CTEs +
+    the same NTILE window)."""
+    lm = bigram_lm_sql(table, id_col=id_col).strip()
+    n = int(n_buckets)
+    return rf"""
+WITH lm AS ({lm})
+SELECT d.{id_col}, d.{lang_col}, lm.mean_pred_ppm,
+       CAST(NTILE({n}) OVER (PARTITION BY d.{lang_col}
+            ORDER BY lm.mean_pred_ppm DESC, d.{id_col}) AS INT) AS bucket,
+       CASE WHEN NTILE({n}) OVER (PARTITION BY d.{lang_col}
+            ORDER BY lm.mean_pred_ppm DESC, d.{id_col}) = 1 THEN 'head'
+            WHEN NTILE({n}) OVER (PARTITION BY d.{lang_col}
+            ORDER BY lm.mean_pred_ppm DESC, d.{id_col}) = {n} THEN 'tail'
+            ELSE 'middle' END AS bucket_name
+FROM {table} d JOIN lm ON d.{id_col} = lm.{id_col}"""
+
+
 def lexical_diversity(
     docs: DataFrame,
     id_col: str = "doc_id",

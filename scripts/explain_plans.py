@@ -548,6 +548,37 @@ def main() -> None:
         must_not=[r"Join", r"CartesianProduct", r"Window"],
     )
 
+    # 37. collocations: vocab-bounded marginals broadcast back onto the
+    # bigram-count table; top-k is a distributed TakeOrdered, never a
+    # global sort
+    from rio_cogeo_spark.operators.rarity import collocations
+
+    audit(
+        "collocations (broadcast marginals, TakeOrdered top-k)",
+        collocations(docs_d, min_cnt=3, topk=20),
+        must=[r"BroadcastExchange", r"TakeOrderedAndProject",
+              r"partial_count"],
+        must_not=[r"SortMergeJoin", r"ShuffledHashJoin",
+                  r"CartesianProduct"],
+    )
+
+    # 38. ccnet_buckets: exactly ONE window (the per-lang NTILE); the LM
+    # scoring underneath keeps bigram_lm's broadcast-model shape
+    from rio_cogeo_spark.operators.rarity import ccnet_buckets
+
+    cb_plan = plan_of(ccnet_buckets(docs_d))
+    cb_ok = (
+        len(re.findall(r"\(\d+\) Window", cb_plan)) == 1
+        and "BroadcastExchange" in cb_plan
+        and "CartesianProduct" not in cb_plan
+    )
+    checks.append(("ccnet_buckets single NTILE window, broadcast LM", cb_ok))
+    sections.append(
+        ("ccnet_buckets", f"  {'PASS' if cb_ok else 'FAIL'} "
+         "exactly one Window + broadcast model + no cartesian", cb_plan)
+    )
+    print(f"[{'OK' if cb_ok else 'BAD'}] ccnet_buckets plan")
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:

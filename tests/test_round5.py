@@ -1934,3 +1934,68 @@ def test_vocab_stats_per_lang(spark):
     fr = got["fr"]
     assert (fr["n_tokens"], fr["n_types"], fr["hapax_types"]) == (2, 1, 0)
     assert (fr["ttr_ppm"], fr["hapax_frac_ppm"]) == (500_000, 0)
+
+
+def test_collocations_lift_hand_computed(spark):
+    from rio_cogeo_spark.operators.rarity import collocations
+
+    # overlapping bigrams: "a b a b a b" -> ab,ba,ab,ba,ab; "b a b a" ->
+    # ba,ab,ba; "b c" -> bc.  So "a b"x4, "b a"x4, "b c"x1, total=9;
+    # marginals c1(a)=4 c1(b)=5, c2(b)=4 c2(a)=4 c2(c)=1.
+    # lift("a b") = ((4e6 div 4) * 9) div 4 = 2_250_000
+    # lift("b a") = ((4e6 div 5) * 9) div 4 = 1_800_000
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "b a b a"), (3, "b c")],
+        "doc_id long, text string",
+    )
+    rows = collocations(df, min_cnt=2, topk=10).collect()
+    assert [(r["bigram"], r["cnt2"], r["lift_ppm"]) for r in rows] == [
+        ("a b", 4, 2_250_000),
+        ("b a", 4, 1_800_000),
+    ]
+
+
+def test_collocations_min_cnt_and_topk(spark):
+    from rio_cogeo_spark.operators.rarity import collocations
+
+    df = spark.createDataFrame(
+        [(1, "x y x y"), (2, "p q")], "doc_id long, text string"
+    )
+    # "p q" occurs once -> dropped by min_cnt=2
+    rows = collocations(df, min_cnt=2, topk=1).collect()
+    assert len(rows) == 1 and rows[0]["bigram"] == "x y"
+
+
+def test_ccnet_buckets_deterministic_tertiles(spark):
+    from rio_cogeo_spark.operators.rarity import ccnet_buckets
+
+    # 6 docs in one lang; doc text repetitiveness controls the LM score.
+    rows = [
+        (i, "en", ("hot pair " * (6 - i) + f"u{i} v{i}").strip())
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r["doc_id"]: r for r in ccnet_buckets(df, n_buckets=3).collect()}
+    assert len(got) == 6
+    buckets = [got[i]["bucket"] for i in sorted(got)]
+    assert sorted(buckets) == [1, 1, 2, 2, 3, 3]
+    # score must be non-increasing along bucket order
+    by_bucket = sorted(got.values(), key=lambda r: (r["bucket"], -r["mean_pred_ppm"]))
+    scores = [r["mean_pred_ppm"] for r in by_bucket]
+    assert scores == sorted(scores, reverse=True)
+    names = {r["bucket"]: r["bucket_name"] for r in got.values()}
+    assert names == {1: "head", 2: "middle", 3: "tail"}
+
+
+def test_ccnet_buckets_partitioned_by_lang(spark):
+    from rio_cogeo_spark.operators.rarity import ccnet_buckets
+
+    df = spark.createDataFrame(
+        [(1, "en", "a b c d"), (2, "en", "a b a b"), (3, "fr", "x y z w"),
+         (4, "fr", "x y x y"), (5, "en", "c d c d"), (6, "fr", "z w z w")],
+        "doc_id long, lang string, text string",
+    )
+    got = ccnet_buckets(df, n_buckets=3).collect()
+    # each lang gets its own full 1..3 tiling
+    for lang in ("en", "fr"):
+        assert sorted(r["bucket"] for r in got if r["lang"] == lang) == [1, 2, 3]
