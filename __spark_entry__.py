@@ -835,6 +835,25 @@ def q_vocab_stats(spark, sf_dir):
     return vocab_stats(docs, group_col="lang")
 
 
+def q_pair_verify(spark, sf_dir):
+    """Edit-distance verification of near-dup candidates: exact-Jaccard
+    pairs over the dup-injected corpus, then per-pair Levenshtein on the
+    256-char prefixes + similarity ratio in exact ppm ints."""
+    docs = _docs_with_dups(spark, sf_dir)
+    pairs = DD.ngram_jaccard_pairs(docs, threshold=0.5, df_cap=None)
+    return DD.pair_verify(docs, pairs, prefix_len=256)
+
+
+def q_dsir(spark, sf_dir):
+    """DSIR-style importance weighting: Laplace-smoothed target/raw
+    bigram frequency ratio (target = lang='en'), occurrence-weighted
+    per-doc mean in exact ppm ints."""
+    from rio_cogeo_spark.operators.sampling import importance_weights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return importance_weights(docs, "lang = 'en'")
+
+
 def q_collocations(spark, sf_dir):
     """Corpus collocation mining: top-20 bigrams by exact-integer lift
     (the PMI analog) over positional-bigram marginals — the stop-phrase
@@ -1320,7 +1339,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # their pytest + check_oracle coverage); collocations/ccnet_buckets
     # displaced knn_exact and containment (driver-certified r2-r4;
     # knn's machinery stays in-window via pip_join, and both keep
-    # pytest + check_oracle coverage at the tail).
+    # pytest + check_oracle coverage at the tail); pair_verify and
+    # dsir_weights displaced minhash_lsh and dedup_components
+    # (driver-certified r2-r4, still check_oracle-covered, and their
+    # machinery stays in-window via pair_verify's candidate stage and
+    # dedup_keep_best's component resolution).
     return {
         "pages_extract": q_pages_extract,
         "tile_assign": q_tile_assign,
@@ -1329,7 +1352,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_join": q_pip_join,
         "pagerank": q_pagerank,
         "keywords": q_keywords,
-        "minhash_lsh": q_minhash_lsh,
         "dedup_incremental": q_dedup_incremental,
         "url_latest": q_url_latest,
         "snapshot_delta": q_snapshot_delta,
@@ -1351,6 +1373,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_stats": q_vocab_stats,
         "collocations": q_collocations,
         "ccnet_buckets": q_ccnet_buckets,
+        "pair_verify": q_pair_verify,
+        "dsir_weights": q_dsir,
         "temperature_mix": q_temperature_mix,
         "pii_scrub": q_pii_scrub,
         "zorder": q_zorder,
@@ -1365,7 +1389,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube": q_cube,
         "quality_cut": q_quality_cut,
         "pyramid_crs84": q_pyramid_crs84,
-        "dedup_components": q_dedup_components,
         "dedup_keep_best": q_dedup_keep_best,
         "split_safe": q_split_safe,
         "clean_corpus": q_clean_corpus,
@@ -1377,6 +1400,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_overview": q_raster_overview,
         "knn_exact": q_knn_exact,
         "containment": q_containment,
+        "minhash_lsh": q_minhash_lsh,
+        "dedup_components": q_dedup_components,
         "lang_pivot": q_lang_pivot,
         "rollup": q_rollup,
         "url_hosts": q_url_hosts,
@@ -2227,6 +2252,8 @@ FROM documents QUALIFY rank <= 3""",
         "vocab_stats": _vocab_stats_oracle(),
         "collocations": _collocations_oracle(),
         "ccnet_buckets": _ccnet_buckets_oracle(),
+        "pair_verify": _pair_verify_oracle(),
+        "dsir_weights": _dsir_oracle(),
         "normalize_text": _normalize_text_oracle(),
         "bpe_merges": _bpe_merges_oracle(),
         "lang_mix": _lang_mix_oracle(),
@@ -2417,6 +2444,35 @@ def _ccnet_buckets_oracle() -> str:
     from rio_cogeo_spark.operators.rarity import ccnet_buckets_sql
 
     return ccnet_buckets_sql("documents", n_buckets=3)
+
+
+def _pair_verify_oracle() -> str:
+    # exact-Jaccard candidate pairs (the _JACCARD_SQL core) + the
+    # pair_verify Levenshtein/ppm formula on 256-char prefixes
+    return f"""{_DOCS2}
+, s2 AS (SELECT doc_id, sh, len(sh) AS n_sh
+         FROM (SELECT doc_id, {_SHINGLES} AS sh FROM docs2)
+         WHERE len(sh) > 0),
+pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id
+       WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / CAST(a.n_sh + b.n_sh - len(list_intersect(a.sh, b.sh))
+                    AS DOUBLE), 6) >= CAST(0.5 AS DOUBLE)),
+ta AS (SELECT doc_id AS doc_a, left(text, 256) AS ta FROM docs2),
+tb AS (SELECT doc_id AS doc_b, left(text, 256) AS tb FROM docs2)
+SELECT pr.doc_a, pr.doc_b,
+       CAST(levenshtein(ta, tb) AS INT) AS edit_dist,
+       CAST(((greatest(length(ta), length(tb)) - levenshtein(ta, tb))
+             * 1000000)
+            // greatest(greatest(length(ta), length(tb)), 1) AS BIGINT)
+           AS sim_ppm
+FROM pr JOIN ta USING (doc_a) JOIN tb USING (doc_b)"""
+
+
+def _dsir_oracle() -> str:
+    from rio_cogeo_spark.operators.sampling import importance_weights_sql
+
+    return importance_weights_sql("documents", target_pred="lang = 'en'")
 
 
 def _search_phrase_oracle() -> str:

@@ -345,3 +345,126 @@ def filter_by_group_quantile(
         .filter(F.col(value_col) >= F.col("__cut"))
         .drop("__cut")
     )
+
+
+def importance_weights(
+    docs: DataFrame,
+    target_pred: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """DSIR-style importance weighting (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS'23 — public
+    method): score every raw-corpus page by how target-like its n-gram
+    distribution is, where the target is the subset matching
+    ``target_pred`` (a SQL boolean over the docs table, e.g. a quality
+    gate or ``lang = 'en'``). DSIR computes per-feature log-likelihood
+    ratios between a target and a raw hashed-bigram model; the
+    exact-integer analog uses the Laplace-smoothed frequency RATIO in
+    ppm (the monotone surrogate of the per-feature LLR — ranking, which
+    is all resampling consumes, is preserved feature-wise)::
+
+        lr_ppm(g) = (((t_cnt+1) * 10^6) div (r_cnt+1)) * (R+V) div (T+V)
+
+    with ``t_cnt``/``r_cnt`` the bigram's target/raw occurrence counts,
+    ``T``/``R`` the total occurrences and ``V`` the raw vocabulary size
+    (Laplace denominators). The staged div order is the cross-engine
+    contract (no associativity assumed). Per doc the occurrence-weighted
+    mean: ``dsir_ppm = sum(tf * lr_ppm) div sum(tf)`` — > 10^6 means
+    "more target-like than the raw average". Returns ``(id_col,
+    n_bigrams, dsir_ppm)``; docs with <2 tokens are absent.
+
+    Exact-int envelope: ``(t_cnt+1)·10^6`` fits int64 to ~9.2e12
+    occurrences of one bigram; since target ⊆ raw, the staged first
+    factor is ≤ ~2·10^6, so the second product holds to R ≈ 4.6e12
+    bigrams — the :func:`rarity.token_rarity` documented-envelope
+    policy.
+
+    Scale design (100 TB): one corpus-width positional-bigram count
+    feeding TWO vocab-bounded models (the target model is a filtered
+    re-aggregation of the same per-doc tf table — the corpus is read
+    ONCE); totals are 1-row broadcast aggregates; the weight table has
+    one row per raw bigram and joins back by broadcast (or a
+    one-row-per-key shuffle join). DSIR proper hashes bigrams into 10k
+    buckets to bound the model; here the model is raw-string keyed (it
+    is vocabulary-bounded and the tables stay readable) — hashing the
+    key changes only the groupBy column.
+    """
+    from rio_cogeo_spark.operators.passages import ngrams_col
+
+    flagged = docs.withColumn("__is_t", F.expr(f"({target_pred})"))
+    tf = (
+        flagged.select(
+            F.col(id_col),
+            F.col("__is_t"),
+            F.explode(ngrams_col(F.col(text_col), 2)).alias("bigram"),
+        )
+        .groupBy(id_col, "__is_t", "bigram")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    model = tf.groupBy("bigram").agg(
+        F.sum("tf").alias("r_cnt"),
+        F.sum(F.when(F.col("__is_t"), F.col("tf")).otherwise(F.lit(0))).alias(
+            "t_cnt"
+        ),
+    )
+    tot = model.agg(
+        F.sum("r_cnt").alias("R"),
+        F.sum("t_cnt").alias("T"),
+        F.count(F.lit(1)).alias("V"),
+    )
+    weights = (
+        model.crossJoin(F.broadcast(tot))
+        .select(
+            "bigram",
+            F.expr(
+                "((((t_cnt + 1) * 1000000) div (r_cnt + 1)) * (R + V))"
+                " div (T + V)"
+            ).alias("lr_ppm"),
+        )
+    )
+    joined = tf.join(
+        F.broadcast(weights) if broadcast_model else weights, "bigram"
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.expr("sum(tf * lr_ppm) div sum(tf)").alias("dsir_ppm"),
+        )
+        .select(id_col, "n_bigrams", "dsir_ppm")
+    )
+
+
+def importance_weights_sql(
+    table: str = "documents",
+    target_pred: str = "lang = 'en'",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`importance_weights` (same positional bigram
+    build and the same staged exact-BIGINT ratio)."""
+    from rio_cogeo_spark.functions.text import TOKENS_SQL
+
+    return rf"""
+WITH t0 AS (SELECT {id_col}, ({target_pred}) AS is_t,
+                   {TOKENS_SQL} AS toks FROM {table}),
+bg AS (SELECT {id_col}, is_t,
+              unnest(list_transform(
+                  generate_series(1, greatest(len(toks) - 1, 0)),
+                  i -> array_to_string(toks[i:i+1], ' '))) AS bigram
+       FROM t0),
+tf AS (SELECT {id_col}, is_t, bigram, COUNT(*) AS tf FROM bg GROUP BY 1, 2, 3),
+model AS (SELECT bigram, SUM(tf) AS r_cnt,
+                 SUM(CASE WHEN is_t THEN tf ELSE 0 END) AS t_cnt
+          FROM tf GROUP BY 1),
+tot AS (SELECT SUM(r_cnt) AS R, SUM(t_cnt) AS T, COUNT(*) AS V FROM model),
+w AS (SELECT bigram,
+             ((((t_cnt + 1) * 1000000) // (r_cnt + 1)) * (R + V)) // (T + V)
+                 AS lr_ppm
+      FROM model CROSS JOIN tot)
+SELECT {id_col},
+       CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+       CAST(SUM(tf * lr_ppm) // SUM(tf) AS BIGINT) AS dsir_ppm
+FROM tf JOIN w USING (bigram)
+GROUP BY 1"""

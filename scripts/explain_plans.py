@@ -579,6 +579,36 @@ def main() -> None:
     )
     print(f"[{'OK' if cb_ok else 'BAD'}] ccnet_buckets plan")
 
+    # 39. pair_verify: candidate-bounded — the docs side is pruned to
+    # the substring projection BEFORE any exchange (full text never
+    # ships), and there is no cartesian pair expansion
+    from rio_cogeo_spark.operators.dedup import pair_verify
+
+    pv_pairs = spark.createDataFrame(
+        [(1, 2), (3, 4)], "doc_a long, doc_b long"
+    )
+    audit(
+        "pair_verify (substring-pruned shuffle, no cartesian)",
+        pair_verify(docs_d, pv_pairs, prefix_len=256),
+        must=[r"substring"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    )
+
+    # 40. importance_weights (DSIR): one corpus-width bigram count
+    # feeding two vocab-bounded models; the weight table joins back by
+    # broadcast — the corpus side never shuffle-joins
+    from rio_cogeo_spark.operators.sampling import importance_weights
+
+    iw_docs = docs_d.withColumn("lang", F.lit("en")) \
+        if "lang" not in docs_d.columns else docs_d
+    audit(
+        "importance_weights (broadcast weight table, partial counts)",
+        importance_weights(iw_docs, "lang = 'en'"),
+        must=[r"BroadcastExchange", r"partial_count"],
+        must_not=[r"SortMergeJoin", r"ShuffledHashJoin",
+                  r"CartesianProduct"],
+    )
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:

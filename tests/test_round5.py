@@ -1999,3 +1999,77 @@ def test_ccnet_buckets_partitioned_by_lang(spark):
     # each lang gets its own full 1..3 tiling
     for lang in ("en", "fr"):
         assert sorted(r["bucket"] for r in got if r["lang"] == lang) == [1, 2, 3]
+
+
+def test_pair_verify_identical_and_disjoint(spark):
+    from rio_cogeo_spark.operators.dedup import pair_verify
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "the quick brown fox"),
+         (3, "zzz yyy xxx www")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], "doc_a long, doc_b long"
+    )
+    got = {(r["doc_a"], r["doc_b"]): r for r in
+           pair_verify(docs, pairs).collect()}
+    assert got[(1, 2)]["edit_dist"] == 0
+    assert got[(1, 2)]["sim_ppm"] == 1_000_000
+    assert got[(1, 3)]["edit_dist"] > 0
+    assert got[(1, 3)]["sim_ppm"] < 1_000_000
+
+
+def test_pair_verify_prefix_truncation(spark):
+    from rio_cogeo_spark.operators.dedup import pair_verify
+
+    # identical prefixes, divergent tails -> dist 0 under prefix_len=5
+    docs = spark.createDataFrame(
+        [(1, "abcdeXXXXX"), (2, "abcdeYYYYY")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    r = pair_verify(docs, pairs, prefix_len=5).collect()[0]
+    assert (r["edit_dist"], r["sim_ppm"]) == (0, 1_000_000)
+
+
+def test_pair_verify_hand_computed_ratio(spark):
+    from rio_cogeo_spark.operators.dedup import pair_verify
+
+    # "kitten" -> "sitting": classic distance 3; maxlen 7
+    docs = spark.createDataFrame(
+        [(1, "kitten"), (2, "sitting")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    r = pair_verify(docs, pairs).collect()[0]
+    assert r["edit_dist"] == 3
+    assert r["sim_ppm"] == ((7 - 3) * 1_000_000) // 7
+
+
+def test_importance_weights_target_pages_score_higher(spark):
+    from rio_cogeo_spark.operators.sampling import importance_weights
+
+    # target docs share the bigram "t t"; raw-only docs use "r r"
+    rows = [(i, "en", "t t t t") for i in range(4)] + [
+        (i + 10, "fr", "r r r r") for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r["doc_id"]: r["dsir_ppm"] for r in
+           importance_weights(df, "lang = 'en'").collect()}
+    assert len(got) == 8
+    en_scores = {got[i] for i in range(4)}
+    fr_scores = {got[i + 10] for i in range(4)}
+    assert len(en_scores) == 1 and len(fr_scores) == 1
+    assert en_scores.pop() > 1_000_000 > fr_scores.pop()
+
+
+def test_importance_weights_smoothing_no_div_zero(spark):
+    from rio_cogeo_spark.operators.sampling import importance_weights
+
+    # empty target set: every weight is the same smoothed constant -> all
+    # docs score identically, nothing errors
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f")], "doc_id long, text string"
+    )
+    got = [r["dsir_ppm"] for r in
+           importance_weights(df, "1 = 0").collect()]
+    assert len(got) == 2 and len(set(got)) == 1
