@@ -835,6 +835,15 @@ def q_vocab_stats(spark, sf_dir):
     return vocab_stats(docs, group_col="lang")
 
 
+def q_embed_pool(spark, sf_dir):
+    """Deterministic per-label mean-pooling of embeddings (long form,
+    1-based dim): sequential sorted-by-id double fold on both engines,
+    so the means are BIT-identical with no rounding."""
+    from rio_cogeo_spark.operators.similarity import pool_embeddings
+
+    return pool_embeddings(_embeddings(spark, sf_dir))
+
+
 def q_pair_verify(spark, sf_dir):
     """Edit-distance verification of near-dup candidates: exact-Jaccard
     pairs over the dup-injected corpus, then per-pair Levenshtein on the
@@ -1343,10 +1352,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dsir_weights displaced minhash_lsh and dedup_components
     # (driver-certified r2-r4, still check_oracle-covered, and their
     # machinery stays in-window via pair_verify's candidate stage and
-    # dedup_keep_best's component resolution).
+    # dedup_keep_best's component resolution); embed_pool displaced
+    # tile_assign (driver-certified r1-r4; the same tile math runs
+    # in-window inside pyramid and zorder).
     return {
         "pages_extract": q_pages_extract,
-        "tile_assign": q_tile_assign,
         "pyramid": q_pyramid,
         "validate": q_validate,
         "pip_join": q_pip_join,
@@ -1375,6 +1385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": q_ccnet_buckets,
         "pair_verify": q_pair_verify,
         "dsir_weights": q_dsir,
+        "embed_pool": q_embed_pool,
         "temperature_mix": q_temperature_mix,
         "pii_scrub": q_pii_scrub,
         "zorder": q_zorder,
@@ -1402,6 +1413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment": q_containment,
         "minhash_lsh": q_minhash_lsh,
         "dedup_components": q_dedup_components,
+        "tile_assign": q_tile_assign,
         "lang_pivot": q_lang_pivot,
         "rollup": q_rollup,
         "url_hosts": q_url_hosts,
@@ -2253,6 +2265,7 @@ FROM documents QUALIFY rank <= 3""",
         "collocations": _collocations_oracle(),
         "ccnet_buckets": _ccnet_buckets_oracle(),
         "pair_verify": _pair_verify_oracle(),
+        "embed_pool": _embed_pool_oracle(),
         "dsir_weights": _dsir_oracle(),
         "normalize_text": _normalize_text_oracle(),
         "bpe_merges": _bpe_merges_oracle(),
@@ -2467,6 +2480,12 @@ SELECT pr.doc_a, pr.doc_b,
             // greatest(greatest(length(ta), length(tb)), 1) AS BIGINT)
            AS sim_ppm
 FROM pr JOIN ta USING (doc_a) JOIN tb USING (doc_b)"""
+
+
+def _embed_pool_oracle() -> str:
+    from rio_cogeo_spark.operators.similarity import pool_embeddings_sql
+
+    return pool_embeddings_sql("embeddings")
 
 
 def _dsir_oracle() -> str:

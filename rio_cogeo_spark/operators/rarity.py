@@ -415,6 +415,7 @@ def ccnet_buckets(
     id_col: str = "doc_id",
     lang_col: str = "lang",
     text_col: str = "text",
+    broadcast_model: bool = True,
 ) -> DataFrame:
     """CCNet-style per-language perplexity bucketing: score every page
     with the corpus bigram LM (:func:`bigram_lm`) and split each
@@ -438,9 +439,10 @@ def ccnet_buckets(
     """
     from pyspark.sql import Window
 
-    scores = bigram_lm(docs, id_col=id_col, text_col=text_col).select(
-        id_col, "mean_pred_ppm"
-    )
+    scores = bigram_lm(
+        docs, id_col=id_col, text_col=text_col,
+        broadcast_model=broadcast_model,
+    ).select(id_col, "mean_pred_ppm")
     w = Window.partitionBy(lang_col).orderBy(
         F.col("mean_pred_ppm").desc(), F.col(id_col)
     )

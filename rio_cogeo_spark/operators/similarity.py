@@ -439,3 +439,85 @@ def semantic_dedup_pairs(
         .filter(F.col("cosine") >= float(threshold))
     )
     return pairs.select("vec_a", "vec_b", "cosine")
+
+
+def pool_embeddings(
+    vecs: DataFrame,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic mean-pooling of embeddings per group — the
+    chunk-embeddings→document-embedding (or class-centroid) fold every
+    embedding pipeline needs before doc-level ANN / clustering.
+
+    Emitted LONG: ``(group_col, dim, n_vecs, mean_val)`` with ``dim``
+    1-based. ``mean_val`` is computed by a SEQUENTIAL left fold over the
+    group's values sorted by ``id_col`` (float32 → float64 first, so
+    every add is one IEEE-754 double op in a fixed order): both engines
+    execute the identical operation sequence, making the doubles
+    BIT-identical cross-engine — no rounding crutch. A plain ``SUM``
+    would be order-nondeterministic in the last ulp on any distributed
+    engine.
+
+    Scale design (100 TB): the explode is a projection; the shuffle
+    groups by (group, dim) — for doc-level pooling the group is one
+    document's chunks (tiny); for corpus-wide class centroids a
+    production run swaps the sorted-fold contract for plain
+    SUM/AVG (order-free, mergeable, last-ulp nondeterministic —
+    exactly how :func:`ivf_build_centroids` folds its per-component
+    means) and validates it against this exact form on a sample. The
+    collect_list per (group, dim) is bounded by group size, which the
+    caller controls.
+    """
+    ex = vecs.select(
+        F.col(group_col),
+        F.col(id_col),
+        F.posexplode(F.col(vec_col)).alias("dim0", "val0"),
+    ).select(
+        group_col,
+        id_col,
+        (F.col("dim0") + 1).alias("dim"),
+        F.col("val0").cast("double").alias("val"),
+    )
+    return (
+        ex.groupBy(group_col, "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col(id_col), F.col("val")))
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["val"],
+            ).alias("tot"),
+        )
+        .select(
+            group_col, "dim", "n_vecs",
+            (F.col("tot") / F.col("n_vecs")).alias("mean_val"),
+        )
+    )
+
+
+def pool_embeddings_sql(
+    table: str = "embeddings",
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`pool_embeddings` — the same
+    sorted-by-id sequential double fold (list_reduce is a left fold;
+    the 0.0-seeded Spark fold adds one exact 0.0+x step, which cannot
+    round), so the doubles are bit-identical."""
+    return rf"""
+WITH ex AS (
+  SELECT {group_col}, {id_col}, u.i AS dim, CAST(u.v AS DOUBLE) AS val
+  FROM {table},
+       unnest(list_transform({vec_col},
+              (x, i) -> struct_pack(i := i, v := x))) AS t(u)
+)
+SELECT {group_col}, dim,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       list_reduce(list(val ORDER BY {id_col}), (a, b) -> a + b)
+           / COUNT(*) AS mean_val
+FROM ex GROUP BY 1, 2"""

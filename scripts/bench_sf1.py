@@ -102,7 +102,11 @@ def main() -> None:
     from rio_cogeo_spark.operators.sampling import cap_per_host
     from rio_cogeo_spark.functions.text import normalize_text
     from rio_cogeo_spark.operators.bpe import bpe_merge_topk
-    from rio_cogeo_spark.operators.rarity import lang_mix, token_rarity
+    from rio_cogeo_spark.operators.rarity import (
+        bigram_lm, ccnet_buckets, collocations, lang_mix,
+        lexical_diversity, token_rarity, vocab_stats,
+    )
+    from rio_cogeo_spark.operators.sampling import importance_weights
     from rio_cogeo_spark.operators.graph import host_pagerank
     from rio_cogeo_spark.operators.search import (
         bm25_topk, phrase_topk, search_topk, tfidf_keywords,
@@ -290,11 +294,56 @@ def main() -> None:
                     ).alias("text"),
                 )
             ).count(),
+            # round-5 additions, part 4 (ROUND5.md §51-§53). The salted
+            # replication grows the BIGRAM vocabulary ~100x, so the LM
+            # family runs with broadcast_model=False at both scales —
+            # the one-row-per-key shuffle join IS the 100 TB
+            # configuration (a 100x bigram model stops fitting a
+            # broadcast long before the corpus stops fitting the
+            # cluster).
+            "lm_score": lambda: bigram_lm(
+                docs, broadcast_model=False
+            ).count(),
+            "lexdiv": lambda: lexical_diversity(docs).count(),
+            "vocab_stats": lambda: vocab_stats(docs).count(),
+            "collocations": lambda: collocations(
+                docs, min_cnt=5, topk=100
+            ).count(),
+            "ccnet_buckets": lambda: ccnet_buckets(
+                docs, broadcast_model=False
+            ).count(),
+            "dsir_weights": lambda: importance_weights(
+                docs, "lang = 'en'", broadcast_model=False
+            ).count(),
+            "pair_verify": lambda: DD.pair_verify(
+                docs,
+                DD.minhash_lsh_pairs(
+                    docs, threshold=0.5, num_hashes=128, bands=64
+                ),
+                prefix_len=256,
+            ).count(),
         }
 
+    # SPARK_GRAFT_SF1_ONLY="a,b,c" runs just those queries and merges
+    # into the existing snapshot (each query's small+big pair is still
+    # measured in ONE session, which is what the per-doc ratio needs)
+    only = {
+        s for s in os.environ.get("SPARK_GRAFT_SF1_ONLY", "").split(",") if s
+    }
+    snap_path = REPO / "BENCH" / "sf1_snapshot.json"
     results = {}
+    if only and snap_path.exists():
+        prior = json.loads(snap_path.read_text())
+        if prior.get("replicate") == REPLICATE:
+            results = {
+                k: v for k, v in prior.get("results", {}).items()
+                if k not in only
+            }
+
     for scale, docs, n in (("sf0.1", small, n_small), ("sf1", big, n_big)):
         for name, fn in suite(docs).items():
+            if only and name not in only:
+                continue
             best = None
             for _ in range(REPS):
                 t0 = time.time()
@@ -339,7 +388,7 @@ def main() -> None:
         if cut != -1:
             md.append(old[cut:].rstrip("\n"))
     sf1_md.write_text("\n".join(md) + "\n")
-    (REPO / "BENCH" / "sf1_snapshot.json").write_text(json.dumps({
+    snap_path.write_text(json.dumps({
         "n_small": n_small, "n_big": n_big, "replicate": REPLICATE,
         "cpus": cpus, "reps": REPS, "results": results,
         "pass": ok_all,

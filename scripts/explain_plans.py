@@ -609,6 +609,26 @@ def main() -> None:
                   r"CartesianProduct"],
     )
 
+    # 41. pool_embeddings: one (group, dim) shuffle, zero joins — the
+    # sorted-fold runs inside the aggregate (ObjectHashAggregate for
+    # collect_list), never as a Window or join
+    from rio_cogeo_spark.operators.similarity import pool_embeddings
+
+    emb_d = spark.read.parquet(f"{sf}/embeddings.parquet")
+    pe_plan = plan_of(pool_embeddings(emb_d))
+    pe_ok = (
+        "ObjectHashAggregate" in pe_plan
+        and len(re.findall(r"\(\d+\) Exchange", pe_plan)) <= 1
+        and "Join" not in pe_plan
+        and "Window" not in pe_plan
+    )
+    checks.append(("pool_embeddings single shuffle, no joins/windows", pe_ok))
+    sections.append(
+        ("pool_embeddings", f"  {'PASS' if pe_ok else 'FAIL'} "
+         "ObjectHashAggregate + <=1 Exchange + no Join/Window", pe_plan)
+    )
+    print(f"[{'OK' if pe_ok else 'BAD'}] pool_embeddings plan")
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:

@@ -2073,3 +2073,33 @@ def test_importance_weights_smoothing_no_div_zero(spark):
     got = [r["dsir_ppm"] for r in
            importance_weights(df, "1 = 0").collect()]
     assert len(got) == 2 and len(set(got)) == 1
+
+
+def test_pool_embeddings_hand_computed(spark):
+    from rio_cogeo_spark.operators.similarity import pool_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0], 7), (2, [3.0, 6.0], 7), (3, [10.0, 20.0], 8)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {(r["label"], r["dim"]): (r["n_vecs"], r["mean_val"])
+           for r in pool_embeddings(df).collect()}
+    assert got[(7, 1)] == (2, 2.0)
+    assert got[(7, 2)] == (2, 4.0)
+    assert got[(8, 1)] == (1, 10.0)
+    assert got[(8, 2)] == (1, 20.0)
+
+
+def test_pool_embeddings_fold_order_invariant_to_partitioning(spark):
+    from rio_cogeo_spark.operators.similarity import pool_embeddings
+
+    import random
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(4)], i % 3)
+            for i in range(60)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    a = sorted(map(tuple, pool_embeddings(df).collect()))
+    b = sorted(map(tuple, pool_embeddings(df.repartition(13)).collect()))
+    assert a == b  # bit-identical, not approximately equal
