@@ -835,6 +835,41 @@ def q_vocab_stats(spark, sf_dir):
     return vocab_stats(docs, group_col="lang")
 
 
+def q_corpus_info(spark, sf_dir):
+    """One-row corpus dashboard (the text-side cog_info): docs, langs,
+    tokens, types, chars, exact-dedup mass; all exact BIGINT."""
+    from rio_cogeo_spark.operators.report import corpus_info
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus_info(docs)
+
+
+def q_median_chars(spark, sf_dir):
+    """Exact per-language integer median of n_chars via the
+    value-frequency cumulative fold (no corpus sort)."""
+    from rio_cogeo_spark.operators.report import group_median
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return group_median(docs, value_col="n_chars", group_col="lang")
+
+
+def q_host_distance(spark, sf_dir):
+    """BFS hop distance from seed hosts over the doc-derived host
+    digraph (min-label propagation, 4 hops; recursive-unroll twin)."""
+    from rio_cogeo_spark.operators.graph import host_distance
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    edges = (
+        docs.selectExpr(
+            "doc_id % 97 AS src", "(doc_id * 31 + 7) % 97 AS dst"
+        )
+        .filter("src <> dst")
+        .distinct()
+    )
+    seeds = spark.range(0, 2).select(F.col("id").alias("host"))
+    return host_distance(edges, seeds, max_hops=4)
+
+
 def q_embed_pool(spark, sf_dir):
     """Deterministic per-label mean-pooling of embeddings (long form,
     1-based dim): sequential sorted-by-id double fold on both engines,
@@ -1354,11 +1389,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # machinery stays in-window via pair_verify's candidate stage and
     # dedup_keep_best's component resolution); embed_pool displaced
     # tile_assign (driver-certified r1-r4; the same tile math runs
-    # in-window inside pyramid and zorder).
+    # in-window inside pyramid and zorder); corpus_info/median_chars/
+    # host_distance displaced pages_extract, validate and clean_corpus
+    # (driver-certified r1-r4 every round; all three stay
+    # check_oracle-covered at the tail, and validate also keeps its
+    # bad-structure pytest suite).
     return {
-        "pages_extract": q_pages_extract,
         "pyramid": q_pyramid,
-        "validate": q_validate,
         "pip_join": q_pip_join,
         "pagerank": q_pagerank,
         "keywords": q_keywords,
@@ -1386,6 +1423,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pair_verify": q_pair_verify,
         "dsir_weights": q_dsir,
         "embed_pool": q_embed_pool,
+        "corpus_info": q_corpus_info,
+        "median_chars": q_median_chars,
+        "host_distance": q_host_distance,
         "temperature_mix": q_temperature_mix,
         "pii_scrub": q_pii_scrub,
         "zorder": q_zorder,
@@ -1402,10 +1442,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pyramid_crs84": q_pyramid_crs84,
         "dedup_keep_best": q_dedup_keep_best,
         "split_safe": q_split_safe,
-        "clean_corpus": q_clean_corpus,
         "tile_counts_avg": q_tile_counts_avg,
         "search_bm25": q_search_bm25,
         "chunks_sliding": q_chunks_sliding,
+        "pages_extract": q_pages_extract,
+        "validate": q_validate,
+        "clean_corpus": q_clean_corpus,
         "tile_counts": q_tile_counts,
         "zonal_stats": q_zonal_stats,
         "raster_overview": q_raster_overview,
@@ -2266,6 +2308,9 @@ FROM documents QUALIFY rank <= 3""",
         "ccnet_buckets": _ccnet_buckets_oracle(),
         "pair_verify": _pair_verify_oracle(),
         "embed_pool": _embed_pool_oracle(),
+        "corpus_info": _corpus_info_oracle(),
+        "median_chars": _median_chars_oracle(),
+        "host_distance": _host_distance_oracle(),
         "dsir_weights": _dsir_oracle(),
         "normalize_text": _normalize_text_oracle(),
         "bpe_merges": _bpe_merges_oracle(),
@@ -2480,6 +2525,30 @@ SELECT pr.doc_a, pr.doc_b,
             // greatest(greatest(length(ta), length(tb)), 1) AS BIGINT)
            AS sim_ppm
 FROM pr JOIN ta USING (doc_a) JOIN tb USING (doc_b)"""
+
+
+def _corpus_info_oracle() -> str:
+    from rio_cogeo_spark.operators.report import corpus_info_sql
+
+    return corpus_info_sql("documents")
+
+
+def _median_chars_oracle() -> str:
+    from rio_cogeo_spark.operators.report import group_median_sql
+
+    return group_median_sql("documents", value_col="n_chars",
+                            group_col="lang")
+
+
+def _host_distance_oracle() -> str:
+    from rio_cogeo_spark.operators.graph import host_distance_sql
+
+    return host_distance_sql(
+        "SELECT DISTINCT doc_id % 97 AS src, (doc_id * 31 + 7) % 97 AS dst"
+        " FROM documents WHERE doc_id % 97 <> (doc_id * 31 + 7) % 97",
+        "SELECT * FROM (VALUES (0), (1)) t(host)",
+        max_hops=4,
+    )
 
 
 def _embed_pool_oracle() -> str:

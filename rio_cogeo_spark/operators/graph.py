@@ -194,3 +194,83 @@ def host_pagerank_sql(
     if final_select is None:
         final_select = f"SELECT host, rank AS rank_ppb FROM r{iterations}"
     return f"{body}\n{final_select}"
+
+
+def host_distance(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "host",
+    broadcast_dist: bool = True,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """BFS hop distance from a seed host set — crawl-frontier DEPTH (how
+    many link hops a host sits from the trusted seed list), the other
+    classic crawl-ordering signal beside :func:`host_pagerank`
+    (Cho/Garcia-Molina/Page WWW'98 use both) and the feature
+    quality-curation pipelines use for "distance from curated seeds".
+
+    Distributed min-label propagation: ``dist`` holds ``(host, hops)``;
+    each round relaxes one hop (frontier join on ``src``) and re-folds
+    with ``MIN(hops)``. After ``max_hops`` rounds the table is exact
+    BFS for every host within that radius; hosts farther than
+    ``max_hops`` (or unreachable) are ABSENT — callers treat absence as
+    "beyond horizon", which is the crawl-scheduler semantic. All-int,
+    deterministic, hash-identical cross-engine.
+
+    Scale design (100 TB / 10^8-host graph): per round, ONE edge-table
+    shuffle (the relaxation join on ``src``) + one node-bounded MIN
+    fold with map-side partials; the dist table is node-bounded and
+    broadcasts when it fits (``broadcast_dist=True``), else a
+    co-partitioned join. ``max_hops`` is fixed and small (crawl
+    schedulers care about the first few hops), so the unrolled lineage
+    stays bounded; ``checkpoint_every`` cuts it for deeper runs. No
+    step collects.
+    """
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    dist = seeds.select(F.col(seed_col).alias("host")).distinct().select(
+        "host", F.lit(0).cast("int").alias("hops")
+    )
+    for it in range(max_hops):
+        d = F.broadcast(dist) if broadcast_dist else dist
+        relaxed = (
+            e.join(d, e["src"] == d["host"])
+            .select(F.col("dst").alias("host"), (F.col("hops") + 1).alias("hops"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("host")
+            .agg(F.min("hops").alias("hops"))
+        )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0:
+            dist = dist.localCheckpoint(eager=False)
+    return dist.select("host", "hops")
+
+
+def host_distance_sql(
+    edges_cte: str,
+    seeds_cte: str,
+    max_hops: int = 4,
+) -> str:
+    """DuckDB twin of :func:`host_distance`: the fixed hop count unrolls
+    into chained CTEs (same min-fold per round, exact ints — hash-
+    identical, not approximate). ``seeds_cte`` exposes ``(host)``."""
+    parts = [
+        f"WITH e AS ({edges_cte})",
+        f"s AS ({seeds_cte})",
+        "d0 AS (SELECT DISTINCT host, CAST(0 AS INT) AS hops FROM s)",
+    ]
+    for i in range(max_hops):
+        parts.append(
+            f"d{i + 1} AS (SELECT host, CAST(MIN(hops) AS INT) AS hops FROM ("
+            f"SELECT host, hops FROM d{i} "
+            f"UNION ALL "
+            f"SELECT e.dst AS host, d.hops + 1 AS hops "
+            f"FROM d{i} d JOIN e ON d.host = e.src) GROUP BY 1)"
+        )
+    body = ",\n".join(parts)
+    return f"{body}\nSELECT host, hops FROM d{max_hops}"

@@ -1,0 +1,168 @@
+"""Corpus-level reporting — the text-side analog of
+:func:`operators.info.cog_info` (reference rio_cogeo/cogeo.py:760
+``cog_info`` reports a raster's shape/levels/tags in one call): one
+query that tells a curation team what a corpus snapshot IS before any
+pipeline decision. All exact-integer, so the report hashes identically
+cross-engine.
+
+Scale design (100 TB): every number here is a combinable aggregate —
+the corpus is read once, the only shuffles are (a) the vocab count's
+(term) fold, (b) the dup count's (text-hash) fold, both map-side
+combinable; the per-slice medians are computed over the VALUE-frequency
+table (one row per distinct value per group — bounded by the value
+range, never the corpus), so no corpus-wide sort anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_PPM = 1_000_000
+
+
+def corpus_info(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """One-row corpus dashboard: ``(n_docs, n_langs, n_tokens, n_types,
+    sum_chars, avg_chars, dup_docs, dup_frac_ppm)``.
+
+    * ``n_tokens`` / ``n_types`` — corpus token occurrences / distinct
+      tokens (the Heaps-law pair, corpus-wide);
+    * ``avg_chars = sum_chars div n_docs`` (exact BIGINT);
+    * ``dup_docs`` — docs whose exact text (md5) is shared by at least
+      one other doc, i.e. the mass the exact-dedup pass would touch;
+      ``dup_frac_ppm`` in exact ppm.
+
+    Three 1-row aggregates (base / vocabulary / dup mass) cross-joined
+    — each is combinable, nothing collects.
+    """
+    from rio_cogeo_spark.functions.text import tokens_col
+
+    base = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(lang_col).alias("n_langs"),
+        F.sum(F.length(text_col)).alias("sum_chars"),
+    )
+    vocab = (
+        docs.select(F.explode(tokens_col(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+        )
+    )
+    dups = (
+        docs.groupBy(F.md5(F.col(text_col)).alias("h"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0)))
+            .alias("dup_docs")
+        )
+    )
+    return (
+        base.crossJoin(vocab)
+        .crossJoin(dups)
+        .select(
+            "n_docs", "n_langs", "n_tokens", "n_types", "sum_chars",
+            F.expr("sum_chars div n_docs").alias("avg_chars"),
+            "dup_docs",
+            F.expr(f"(dup_docs * {_PPM}) div n_docs").alias("dup_frac_ppm"),
+        )
+    )
+
+
+def corpus_info_sql(table: str = "documents", lang_col: str = "lang") -> str:
+    """DuckDB twin of :func:`corpus_info`."""
+    from rio_cogeo_spark.functions.text import TOKENS_SQL
+
+    return rf"""
+WITH base AS (SELECT COUNT(*) AS n_docs,
+                     COUNT(DISTINCT {lang_col}) AS n_langs,
+                     SUM(length(text)) AS sum_chars FROM {table}),
+vocab AS (SELECT SUM(cnt) AS n_tokens, COUNT(*) AS n_types FROM
+          (SELECT term, COUNT(*) AS cnt FROM
+           (SELECT unnest({TOKENS_SQL}) AS term FROM {table}) GROUP BY 1)),
+dups AS (SELECT SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_docs FROM
+         (SELECT md5(text) AS h, COUNT(*) AS cnt FROM {table} GROUP BY 1))
+SELECT CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_langs AS BIGINT) AS n_langs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_types AS BIGINT) AS n_types,
+       CAST(sum_chars AS BIGINT) AS sum_chars,
+       CAST(sum_chars // n_docs AS BIGINT) AS avg_chars,
+       CAST(dup_docs AS BIGINT) AS dup_docs,
+       CAST((dup_docs * {_PPM}) // n_docs AS BIGINT) AS dup_frac_ppm
+FROM base CROSS JOIN vocab CROSS JOIN dups"""
+
+
+def group_median(
+    docs: DataFrame,
+    value_col: str = "n_chars",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Exact per-group integer median — the lower median (element at
+    1-based position ``(n+1) div 2`` of the sorted values), all-int and
+    deterministic (no interpolated doubles, unlike percentile_cont).
+
+    Computed WITHOUT a corpus sort: fold to the VALUE-frequency table
+    (one row per distinct value per group — bounded by the value range,
+    e.g. a few thousand distinct document lengths, never the corpus),
+    then a cumulative-count window over that tiny table picks the
+    smallest value whose running count reaches the median position.
+    This is the 100 TB form: a window over per-group row data would
+    sort the corpus; this windows over per-group DISTINCT VALUES.
+
+    Returns ``(group_col, n, median)``.
+    """
+    freq = docs.groupBy(group_col, F.col(value_col).alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = freq.select(
+        group_col, "v", "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(
+            Window.partitionBy(group_col).orderBy("v").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    hit = cum.filter(F.expr("cum >= (n + 1) div 2")).groupBy(group_col).agg(
+        F.min(F.struct("v", "n")).alias("m")
+    )
+    return hit.select(
+        group_col,
+        F.col("m.n").alias("n"),
+        F.col("m.v").alias("median"),
+    )
+
+
+def group_median_sql(
+    table: str = "documents",
+    value_col: str = "n_chars",
+    group_col: str = "lang",
+) -> str:
+    """DuckDB twin of :func:`group_median` (same value-frequency
+    cumulative fold)."""
+    return rf"""
+WITH freq AS (SELECT {group_col}, {value_col} AS v, COUNT(*) AS cnt
+              FROM {table} GROUP BY 1, 2),
+cum AS (SELECT {group_col}, v, cnt,
+               SUM(cnt) OVER (PARTITION BY {group_col} ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               SUM(cnt) OVER (PARTITION BY {group_col}) AS n
+        FROM freq)
+SELECT {group_col},
+       CAST(MIN(STRUCT_PACK(v := v, n := n)).n AS BIGINT) AS n,
+       MIN(STRUCT_PACK(v := v, n := n)).v AS median
+FROM cum WHERE cum >= (n + 1) // 2
+GROUP BY 1"""

@@ -629,6 +629,49 @@ def main() -> None:
     )
     print(f"[{'OK' if pe_ok else 'BAD'}] pool_embeddings plan")
 
+    # 42. corpus_info: three combinable 1-row aggregates cross-joined —
+    # partial aggregation everywhere, broadcast nested-loop only for
+    # the 1-row joins, never a shuffled join
+    from rio_cogeo_spark.operators.report import corpus_info, group_median
+
+    audit(
+        "corpus_info (combinable 1-row aggs, no shuffled joins)",
+        corpus_info(docs_d.withColumn("lang", F.lit("en"))
+                    if "lang" not in docs_d.columns else docs_d),
+        must=[r"partial_count"],
+        must_not=[r"SortMergeJoin", r"ShuffledHashJoin"],
+    )
+
+    # 43. group_median: the window runs over the VALUE-frequency table
+    # (post-aggregation), never the corpus — partial counts BEFORE the
+    # single window sort, no joins
+    audit(
+        "group_median (freq-table window, partial counts, no joins)",
+        group_median(docs_d.withColumn("n_chars", F.length("text"))
+                     .withColumn("lang", F.lit("en"))
+                     if "lang" not in docs_d.columns else
+                     docs_d.withColumn("n_chars", F.length("text")),
+                     value_col="n_chars", group_col="lang"),
+        must=[r"partial_count", r"\) Window"],
+        must_not=[r"SortMergeJoin", r"ShuffledHashJoin",
+                  r"CartesianProduct"],
+    )
+
+    # 44. host_distance: per round, ranks/dist broadcast to the edge
+    # side (no edge-table SortMergeJoin), min-fold partial-aggregates
+    from rio_cogeo_spark.operators.graph import host_distance
+
+    hd_edges = docs_d.selectExpr(
+        "doc_id % 97 AS src", "(doc_id * 31 + 7) % 97 AS dst"
+    ).filter("src <> dst").distinct()
+    hd_seeds = spark.range(0, 2).select(F.col("id").alias("host"))
+    audit(
+        "host_distance (broadcast dist, partial min-fold)",
+        host_distance(hd_edges, hd_seeds, max_hops=3),
+        must=[r"BroadcastExchange", r"partial_min"],
+        must_not=[r"SortMergeJoin", r"CartesianProduct"],
+    )
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:

@@ -2103,3 +2103,69 @@ def test_pool_embeddings_fold_order_invariant_to_partitioning(spark):
     a = sorted(map(tuple, pool_embeddings(df).collect()))
     b = sorted(map(tuple, pool_embeddings(df.repartition(13)).collect()))
     assert a == b  # bit-identical, not approximately equal
+
+
+def test_corpus_info_hand_computed(spark):
+    from rio_cogeo_spark.operators.report import corpus_info
+
+    df = spark.createDataFrame(
+        [(1, "a b", "en"), (2, "a b", "en"), (3, "c", "fr")],
+        "doc_id long, text string, lang string",
+    )
+    r = corpus_info(df).collect()[0]
+    assert (r["n_docs"], r["n_langs"]) == (3, 2)
+    assert (r["n_tokens"], r["n_types"]) == (5, 3)
+    assert r["sum_chars"] == 3 + 3 + 1
+    assert r["avg_chars"] == 7 // 3
+    assert r["dup_docs"] == 2  # the two "a b" docs
+    assert r["dup_frac_ppm"] == (2 * 1_000_000) // 3
+
+
+def test_group_median_even_and_odd(spark):
+    from rio_cogeo_spark.operators.report import group_median
+
+    df = spark.createDataFrame(
+        [("en", 1), ("en", 5), ("en", 9),          # odd: median 5
+         ("fr", 2), ("fr", 4), ("fr", 6), ("fr", 8)],  # even: lower median 4
+        "lang string, n_chars long",
+    )
+    got = {r["lang"]: (r["n"], r["median"])
+           for r in group_median(df).collect()}
+    assert got == {"en": (3, 5), "fr": (4, 4)}
+
+
+def test_group_median_with_ties(spark):
+    from rio_cogeo_spark.operators.report import group_median
+
+    df = spark.createDataFrame(
+        [("en", 3)] * 5 + [("en", 7)] * 2, "lang string, n_chars long"
+    )
+    got = group_median(df).collect()[0]
+    assert (got["n"], got["median"]) == (7, 3)
+
+
+def test_host_distance_bfs_levels(spark):
+    from rio_cogeo_spark.operators.graph import host_distance
+
+    # chain 0->1->2->3->4->5 plus a shortcut 0->3
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (0, 3)],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame([(0,)], "host long")
+    got = {r["host"]: r["hops"]
+           for r in host_distance(edges, seeds, max_hops=3).collect()}
+    # shortcut wins: 3 is 1 hop, 4 is 2, 5 is 3; plain chain gives 1,2
+    assert got == {0: 0, 1: 1, 2: 2, 3: 1, 4: 2, 5: 3}
+
+
+def test_host_distance_horizon_and_unreachable(spark):
+    from rio_cogeo_spark.operators.graph import host_distance
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (8, 9)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,)], "host long")
+    got = {r["host"]: r["hops"]
+           for r in host_distance(edges, seeds, max_hops=1).collect()}
+    assert got == {0: 0, 1: 1}  # 2 beyond horizon, 8/9 unreachable
