@@ -870,6 +870,18 @@ def q_host_distance(spark, sf_dir):
     return host_distance(edges, seeds, max_hops=4)
 
 
+def q_recip_links(spark, sf_dir):
+    """Per-host link reciprocity over the doc-derived host digraph
+    (link-farm signal): out-edges, reciprocated edges, share in ppm."""
+    from rio_cogeo_spark.operators.graph import reciprocal_links
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    edges = docs.selectExpr(
+        "doc_id % 97 AS src", "(doc_id * 31 + 7) % 97 AS dst"
+    )
+    return reciprocal_links(edges)
+
+
 def q_embed_pool(spark, sf_dir):
     """Deterministic per-label mean-pooling of embeddings (long form,
     1-based dim): sequential sorted-by-id double fold on both engines,
@@ -1393,10 +1405,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # host_distance displaced pages_extract, validate and clean_corpus
     # (driver-certified r1-r4 every round; all three stay
     # check_oracle-covered at the tail, and validate also keeps its
-    # bad-structure pytest suite).
+    # bad-structure pytest suite); recip_links displaced pip_join
+    # (driver-certified r1-r4, measured in every scaling session, and
+    # check_oracle-covered at the tail).
     return {
         "pyramid": q_pyramid,
-        "pip_join": q_pip_join,
         "pagerank": q_pagerank,
         "keywords": q_keywords,
         "dedup_incremental": q_dedup_incremental,
@@ -1426,6 +1439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_info": q_corpus_info,
         "median_chars": q_median_chars,
         "host_distance": q_host_distance,
+        "recip_links": q_recip_links,
         "temperature_mix": q_temperature_mix,
         "pii_scrub": q_pii_scrub,
         "zorder": q_zorder,
@@ -1445,6 +1459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_counts_avg": q_tile_counts_avg,
         "search_bm25": q_search_bm25,
         "chunks_sliding": q_chunks_sliding,
+        "pip_join": q_pip_join,
         "pages_extract": q_pages_extract,
         "validate": q_validate,
         "clean_corpus": q_clean_corpus,
@@ -2311,6 +2326,7 @@ FROM documents QUALIFY rank <= 3""",
         "corpus_info": _corpus_info_oracle(),
         "median_chars": _median_chars_oracle(),
         "host_distance": _host_distance_oracle(),
+        "recip_links": _recip_links_oracle(),
         "dsir_weights": _dsir_oracle(),
         "normalize_text": _normalize_text_oracle(),
         "bpe_merges": _bpe_merges_oracle(),
@@ -2548,6 +2564,15 @@ def _host_distance_oracle() -> str:
         " FROM documents WHERE doc_id % 97 <> (doc_id * 31 + 7) % 97",
         "SELECT * FROM (VALUES (0), (1)) t(host)",
         max_hops=4,
+    )
+
+
+def _recip_links_oracle() -> str:
+    from rio_cogeo_spark.operators.graph import reciprocal_links_sql
+
+    return reciprocal_links_sql(
+        "SELECT doc_id % 97 AS src, (doc_id * 31 + 7) % 97 AS dst"
+        " FROM documents"
     )
 
 

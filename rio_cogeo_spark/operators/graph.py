@@ -274,3 +274,68 @@ def host_distance_sql(
         )
     body = ",\n".join(parts)
     return f"{body}\nSELECT host, hops FROM d{max_hops}"
+
+
+def reciprocal_links(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-host link reciprocity — the classic link-farm / link-exchange
+    spam signal (organic web linking is strongly asymmetric; hosts whose
+    out-links are mostly reciprocated are trading links): for each host
+    with out-links, the count of out-edges whose REVERSE edge also
+    exists, and the reciprocity share in exact ppm.
+
+    Returns ``(host, out_edges, recip_edges, recip_ppm)``. Input is
+    treated as a simple digraph (callers dedupe, as for
+    :func:`host_pagerank`); self-loops are ignored.
+
+    Scale design (100 TB): ONE co-partitioned self-join of the distinct
+    edge list on (src, dst) vs its reversal (left_semi, so nothing
+    widens), then a map-side-combinable per-src count. No node collects,
+    no windows; the join keys are edge-unique so there are no hot build
+    rows.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = e.join(rev, ["src", "dst"], "left_semi").select(
+        "src", F.lit(1).alias("is_r")
+    )
+    out = e.groupBy(F.col("src").alias("host")).agg(
+        F.count(F.lit(1)).alias("out_edges")
+    )
+    rc = recip.groupBy(F.col("src").alias("host")).agg(
+        F.count(F.lit(1)).alias("recip_edges")
+    )
+    return (
+        out.join(rc, "host", "left")
+        .select(
+            "host", "out_edges",
+            F.coalesce(F.col("recip_edges"), F.lit(0)).alias("recip_edges"),
+            F.expr(
+                "(coalesce(recip_edges, 0) * 1000000) div out_edges"
+            ).alias("recip_ppm"),
+        )
+    )
+
+
+def reciprocal_links_sql(edges_cte: str) -> str:
+    """DuckDB twin of :func:`reciprocal_links` (``edges_cte`` exposes
+    ``(src, dst)``)."""
+    return rf"""
+WITH e0 AS ({edges_cte}),
+e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+recip AS (SELECT a.src FROM e a
+          WHERE EXISTS (SELECT 1 FROM e b
+                        WHERE b.src = a.dst AND b.dst = a.src)),
+o AS (SELECT src AS host, COUNT(*) AS out_edges FROM e GROUP BY 1),
+r AS (SELECT src AS host, COUNT(*) AS recip_edges FROM recip GROUP BY 1)
+SELECT o.host,
+       CAST(o.out_edges AS BIGINT) AS out_edges,
+       CAST(COALESCE(r.recip_edges, 0) AS BIGINT) AS recip_edges,
+       CAST((COALESCE(r.recip_edges, 0) * 1000000) // o.out_edges
+            AS BIGINT) AS recip_ppm
+FROM o LEFT JOIN r ON o.host = r.host"""

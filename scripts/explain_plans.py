@@ -672,6 +672,18 @@ def main() -> None:
         must_not=[r"SortMergeJoin", r"CartesianProduct"],
     )
 
+    # 45. reciprocal_links: one co-partitioned left-semi self-join of
+    # the distinct edge list (no cartesian, no broadcast explosion of
+    # the edge table), counts partial-agg'd
+    from rio_cogeo_spark.operators.graph import reciprocal_links
+
+    audit(
+        "reciprocal_links (left-semi edge self-join, partial counts)",
+        reciprocal_links(hd_edges),
+        must=[r"partial_count", r"LeftSemi"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    )
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:

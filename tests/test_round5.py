@@ -2169,3 +2169,81 @@ def test_host_distance_horizon_and_unreachable(spark):
     got = {r["host"]: r["hops"]
            for r in host_distance(edges, seeds, max_hops=1).collect()}
     assert got == {0: 0, 1: 1}  # 2 beyond horizon, 8/9 unreachable
+
+
+def test_reciprocal_links_hand_computed(spark):
+    from rio_cogeo_spark.operators.graph import reciprocal_links
+
+    # 1<->2 reciprocal; 1->3 one-way; 3->3 self-loop dropped
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (3, 3)], "src long, dst long"
+    )
+    got = {r["host"]: (r["out_edges"], r["recip_edges"], r["recip_ppm"])
+           for r in reciprocal_links(edges).collect()}
+    assert got[1] == (2, 1, 500_000)
+    assert got[2] == (1, 1, 1_000_000)
+    assert 3 not in got  # only out-link was a self-loop
+
+
+def test_reciprocal_links_dedupes_parallel_edges(spark):
+    from rio_cogeo_spark.operators.graph import reciprocal_links
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 2), (2, 1)], "src long, dst long"
+    )
+    got = {r["host"]: (r["out_edges"], r["recip_edges"])
+           for r in reciprocal_links(edges).collect()}
+    assert got[1] == (1, 1)
+
+
+def test_training_shards_roundtrip_and_manifest(spark, tmp_path):
+    from rio_cogeo_spark.sources.shards import (
+        read_training_shards, verify_training_shards, write_training_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}", 10 + i) for i in range(100)],
+        "doc_id long, text string, n_tokens long",
+    )
+    root = str(tmp_path / "shards")
+    man = write_training_shards(df, root, n_shards=8)
+    assert man["rows"] == 100
+    assert man["tokens"] == sum(10 + i for i in range(100))
+    assert len(man["shards"]) == 8
+    back = read_training_shards(spark, root)
+    assert back.count() == 100
+    assert set(back.columns) >= {"doc_id", "text", "n_tokens", "shard"}
+    assert verify_training_shards(spark, root) == []
+
+
+def test_training_shards_membership_stable_under_partitioning(spark, tmp_path):
+    from rio_cogeo_spark.sources.shards import write_training_shards
+
+    df = spark.createDataFrame(
+        [(i, i) for i in range(60)], "doc_id long, n_tokens long"
+    )
+    r1, r2 = str(tmp_path / "a"), str(tmp_path / "b")
+    write_training_shards(df, r1, n_shards=4)
+    write_training_shards(df.repartition(17), r2, n_shards=4)
+    a = sorted(map(tuple, spark.read.parquet(r1).select("doc_id", "shard").collect()))
+    b = sorted(map(tuple, spark.read.parquet(r2).select("doc_id", "shard").collect()))
+    assert a == b
+
+
+def test_training_shards_manifest_is_commit_marker(spark, tmp_path):
+    import os
+
+    from rio_cogeo_spark.sources.shards import (
+        read_training_shards, verify_training_shards, write_training_shards,
+    )
+
+    df = spark.createDataFrame([(1, 5)], "doc_id long, n_tokens long")
+    root = str(tmp_path / "c")
+    write_training_shards(df, root, n_shards=2)
+    os.remove(os.path.join(root, "_manifest.json"))
+    try:
+        read_training_shards(spark, root)
+        raise AssertionError("expected FileNotFoundError")
+    except FileNotFoundError:
+        pass
+    assert verify_training_shards(spark, root) == ["missing _manifest.json"]
