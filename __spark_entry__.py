@@ -870,6 +870,23 @@ def q_host_distance(spark, sf_dir):
     return host_distance(edges, seeds, max_hops=4)
 
 
+def q_badwords(spark, sf_dir):
+    """C4-style blocklist word-rate filter: token-exact blocklist hits
+    + rate in exact ppm (pure plan-literal JVM expressions)."""
+    from rio_cogeo_spark.functions.text import blockword_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bs = blockword_stats(F.col("text"), _BADWORDS)
+    return docs.select(
+        "doc_id",
+        bs["block_hits"].alias("block_hits"),
+        bs["block_ppm"].alias("block_ppm"),
+    )
+
+
+_BADWORDS = ["alpha", "delta", "data", "the"]
+
+
 def q_recip_links(spark, sf_dir):
     """Per-host link reciprocity over the doc-derived host digraph
     (link-farm signal): out-edges, reciprocated edges, share in ppm."""
@@ -1409,7 +1426,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (driver-certified r1-r4, measured in every scaling session, and
     # check_oracle-covered at the tail).
     return {
-        "pyramid": q_pyramid,
         "pagerank": q_pagerank,
         "keywords": q_keywords,
         "dedup_incremental": q_dedup_incremental,
@@ -1440,6 +1456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "median_chars": q_median_chars,
         "host_distance": q_host_distance,
         "recip_links": q_recip_links,
+        "badwords": q_badwords,
         "temperature_mix": q_temperature_mix,
         "pii_scrub": q_pii_scrub,
         "zorder": q_zorder,
@@ -1459,6 +1476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_counts_avg": q_tile_counts_avg,
         "search_bm25": q_search_bm25,
         "chunks_sliding": q_chunks_sliding,
+        "pyramid": q_pyramid,
         "pip_join": q_pip_join,
         "pages_extract": q_pages_extract,
         "validate": q_validate,
@@ -2327,6 +2345,7 @@ FROM documents QUALIFY rank <= 3""",
         "median_chars": _median_chars_oracle(),
         "host_distance": _host_distance_oracle(),
         "recip_links": _recip_links_oracle(),
+        "badwords": _badwords_oracle(),
         "dsir_weights": _dsir_oracle(),
         "normalize_text": _normalize_text_oracle(),
         "bpe_merges": _bpe_merges_oracle(),
@@ -2564,6 +2583,16 @@ def _host_distance_oracle() -> str:
         " FROM documents WHERE doc_id % 97 <> (doc_id * 31 + 7) % 97",
         "SELECT * FROM (VALUES (0), (1)) t(host)",
         max_hops=4,
+    )
+
+
+def _badwords_oracle() -> str:
+    from rio_cogeo_spark.functions.text import blockword_stats_sql
+
+    sq = blockword_stats_sql(_BADWORDS)
+    return (
+        f"SELECT doc_id, {sq['block_hits']} AS block_hits, "
+        f"{sq['block_ppm']} AS block_ppm FROM documents"
     )
 
 

@@ -593,3 +593,60 @@ READABILITY_SQL["flesch_milli"] = (
     f" - (84600 * {READABILITY_SQL['n_syllables']})"
     f" // GREATEST({READABILITY_SQL['n_words']}, 1) AS BIGINT)"
 )
+
+
+def blockword_stats(
+    text: Column, blockwords: "list[str]", case_insensitive: bool = True
+) -> "dict[str, Column]":
+    """C4-style blocklist word-rate filter (Raffel et al. JMLR'20 drop
+    pages containing "bad words"; production filters threshold on the
+    RATE, not mere presence, to spare medical/educational pages): per
+    page, the count of token occurrences that exactly match the
+    blocklist and the rate in exact ppm ints.
+
+    Token-exact matching (not substring), so "assess" never trips a
+    blocked "ass" — the classic C4 false-positive. Matching lowercases
+    by default. Returns ``{"block_hits", "block_ppm"}`` columns; pure
+    JVM expressions (array_contains over a literal array folded by
+    ``filter``/``size``), zero joins — the list is a plan literal, the
+    1k-word production list stays far under the codegen limit.
+    """
+    words = sorted({w.lower() if case_insensitive else w for w in blockwords})
+    toks = tokens_col(text)
+    probe = (
+        F.transform(toks, lambda t: F.lower(t)) if case_insensitive else toks
+    )
+    arr = F.array(*[F.lit(w) for w in words])
+    hits = F.size(F.filter(probe, lambda t: F.array_contains(arr, t)))
+    n = F.size(toks)
+    # bigint/bigint is true division in Spark; the product stays under
+    # 2^53 (hits*1e6 <= ~9e12 for million-token pages), so the double is
+    # exact and the bigint cast floors it — identical to DuckDB's `//`
+    return {
+        "block_hits": hits.cast("long"),
+        "block_ppm": (
+            (hits.cast("bigint") * F.lit(1_000_000))
+            / F.greatest(n.cast("bigint"), F.lit(1))
+        ).cast("bigint"),
+    }
+
+
+def blockword_stats_sql(
+    blockwords: "list[str]", case_insensitive: bool = True
+) -> "dict[str, str]":
+    """DuckDB twins of :func:`blockword_stats` (same token-exact
+    semantics; integer division floors like the Spark cast)."""
+    words = sorted({w.lower() if case_insensitive else w for w in blockwords})
+    lst = ", ".join("'" + w.replace("'", "''") + "'" for w in words)
+    probe = (
+        f"list_transform({TOKENS_SQL}, t -> lower(t))"
+        if case_insensitive else TOKENS_SQL
+    )
+    hits = f"len(list_filter({probe}, t -> list_contains([{lst}], t)))"
+    return {
+        "block_hits": f"CAST({hits} AS BIGINT)",
+        "block_ppm": (
+            f"CAST(({hits} * 1000000) // greatest(len({TOKENS_SQL}), 1)"
+            f" AS BIGINT)"
+        ),
+    }

@@ -684,6 +684,21 @@ def main() -> None:
         must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     )
 
+    # 46. blockword stats: plan-literal blocklist — a single projection
+    # over the scan, zero Exchange, zero joins. (Higher-order array
+    # lambdas run outside whole-stage codegen, so this is a plain
+    # Project, not a `* Project` — still one JVM expression per row.)
+    from rio_cogeo_spark.functions.text import blockword_stats
+
+    bw = blockword_stats(F.col("text"), ["alpha", "delta", "the"])
+    audit(
+        "blockword_stats (projection-only, zero Exchange)",
+        docs_d.select("doc_id", bw["block_hits"].alias("h"),
+                      bw["block_ppm"].alias("p")),
+        must=[r"\) Project"],
+        must_not=[r"Exchange", r"Join"],
+    )
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:

@@ -2247,3 +2247,34 @@ def test_training_shards_manifest_is_commit_marker(spark, tmp_path):
     except FileNotFoundError:
         pass
     assert verify_training_shards(spark, root) == ["missing _manifest.json"]
+
+
+def test_blockword_stats_token_exact_and_case(spark):
+    import pyspark.sql.functions as SF
+
+    from rio_cogeo_spark.functions.text import blockword_stats
+
+    df = spark.createDataFrame(
+        [(1, "Ass assess ASS klass")], "doc_id long, text string"
+    )
+    bs = blockword_stats(SF.col("text"), ["ass"])
+    r = df.select(
+        bs["block_hits"].alias("h"), bs["block_ppm"].alias("p")
+    ).collect()[0]
+    # "assess"/"klass" must NOT match (token-exact); case folds
+    assert (r["h"], r["p"]) == (2, 500_000)
+
+    cs = blockword_stats(SF.col("text"), ["ass"], case_insensitive=False)
+    r2 = df.select(cs["block_hits"].alias("h")).collect()[0]
+    assert r2["h"] == 0  # only lowercase "ass" would match; none present
+
+
+def test_blockword_stats_empty_text_no_div_zero(spark):
+    import pyspark.sql.functions as SF
+
+    from rio_cogeo_spark.functions.text import blockword_stats
+
+    df = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    bs = blockword_stats(SF.col("text"), ["x"])
+    r = df.select(bs["block_ppm"].alias("p")).collect()[0]
+    assert r["p"] == 0
