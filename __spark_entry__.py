@@ -870,6 +870,29 @@ def q_host_distance(spark, sf_dir):
     return host_distance(edges, seeds, max_hops=4)
 
 
+def q_novelty(spark, sf_dir):
+    """Per-day crawl novelty: pages ∪ a same-day dup of doc_id<50 ∪ an
+    UNCHANGED re-crawl of doc_id<200 three days later (stale) ∪ a
+    CHANGED re-crawl of doc_id<100 five days later (novel) → per-day
+    stale share in exact ppm."""
+    pages = _pages(spark, sf_dir).select("doc_id", "ts_sec", "text")
+    same_day = pages.filter(F.col("doc_id") < 50).select("ts_sec", "text")
+    re1 = pages.filter(F.col("doc_id") < 200).select(
+        (F.col("ts_sec") + 259_200).alias("ts_sec"), "text"
+    )
+    re2 = pages.filter(F.col("doc_id") < 100).select(
+        (F.col("ts_sec") + 432_000).alias("ts_sec"),
+        F.concat(F.col("text"), F.lit(" EDITED")).alias("text"),
+    )
+    crawl = (
+        pages.select("ts_sec", "text")
+        .unionByName(same_day)
+        .unionByName(re1)
+        .unionByName(re2)
+    )
+    return DD.novelty_by_day(crawl)
+
+
 def q_badwords(spark, sf_dir):
     """C4-style blocklist word-rate filter: token-exact blocklist hits
     + rate in exact ppm (pure plan-literal JVM expressions)."""
@@ -1476,6 +1499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_counts_avg": q_tile_counts_avg,
         "search_bm25": q_search_bm25,
         "chunks_sliding": q_chunks_sliding,
+        "novelty": q_novelty,
         "pyramid": q_pyramid,
         "pip_join": q_pip_join,
         "pages_extract": q_pages_extract,
@@ -2346,6 +2370,7 @@ FROM documents QUALIFY rank <= 3""",
         "host_distance": _host_distance_oracle(),
         "recip_links": _recip_links_oracle(),
         "badwords": _badwords_oracle(),
+        "novelty": _novelty_oracle(),
         "dsir_weights": _dsir_oracle(),
         "normalize_text": _normalize_text_oracle(),
         "bpe_merges": _bpe_merges_oracle(),
@@ -2584,6 +2609,19 @@ def _host_distance_oracle() -> str:
         "SELECT * FROM (VALUES (0), (1)) t(host)",
         max_hops=4,
     )
+
+
+def _novelty_oracle() -> str:
+    from rio_cogeo_spark.operators.dedup import novelty_by_day_sql
+
+    inner = f"""{_P}
+SELECT ts_sec, text FROM pages
+UNION ALL SELECT ts_sec, text FROM pages WHERE doc_id < 50
+UNION ALL SELECT ts_sec + 259200 AS ts_sec, text FROM pages
+    WHERE doc_id < 200
+UNION ALL SELECT ts_sec + 432000 AS ts_sec, text || ' EDITED' AS text
+    FROM pages WHERE doc_id < 100"""
+    return novelty_by_day_sql(inner)
 
 
 def _badwords_oracle() -> str:

@@ -90,6 +90,72 @@ def url_dedup_latest(
     )
 
 
+def novelty_by_day(
+    pages: DataFrame,
+    ts_col: str = "ts_sec",
+    text_col: str = "text",
+    day_sec: int = 86_400,
+) -> DataFrame:
+    """Per-day crawl novelty — the cross-time dedup-rate dashboard a
+    crawl operator watches: of the pages fetched on day D, how many
+    carry exact text already seen on an EARLIER day? A rising stale
+    share means the frontier is re-fetching old content; a sudden
+    novelty spike means a new seed list (or a spam flood) landed.
+
+    ``day = ts div day_sec``; a page is *stale* when its text hash
+    first appeared on a strictly earlier day (same-day duplicates
+    count as novel — the first day owns its text). Returns
+    ``(day, n_docs, stale_docs, stale_ppm)`` in exact ints.
+
+    Scale design (100 TB): corpus-width stage carries 32-char md5
+    hashes, not texts; the first-seen table is one map-side-combinable
+    MIN fold per distinct hash (hash-bounded, not snapshot-bounded);
+    the join back is hash-co-partitioned with one row per hash on the
+    build side (no hot keys); the final per-day fold is day-bounded.
+    No windows, nothing collects.
+    """
+    h = pages.select(
+        F.expr(f"{ts_col} div {int(day_sec)}").alias("day"),
+        F.md5(F.col(text_col)).alias("h"),
+    )
+    first = h.groupBy("h").agg(F.min("day").alias("first_day"))
+    return (
+        h.join(first, "h")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("day") > F.col("first_day"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("stale_docs"),
+        )
+        .select(
+            "day", "n_docs", "stale_docs",
+            F.expr("(stale_docs * 1000000) div n_docs").alias("stale_ppm"),
+        )
+    )
+
+
+def novelty_by_day_sql(
+    pages_cte: str, ts_col: str = "ts_sec", day_sec: int = 86_400
+) -> str:
+    """DuckDB twin of :func:`novelty_by_day` (``pages_cte`` exposes
+    ``({ts_col}, text)``)."""
+    return rf"""
+WITH p AS ({pages_cte}),
+h AS (SELECT {ts_col} // {int(day_sec)} AS day, md5(text) AS h FROM p),
+first AS (SELECT h, MIN(day) AS first_day FROM h GROUP BY 1)
+SELECT day,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN day > first_day THEN 1 ELSE 0 END) AS BIGINT)
+           AS stale_docs,
+       CAST((SUM(CASE WHEN day > first_day THEN 1 ELSE 0 END) * 1000000)
+            // COUNT(*) AS BIGINT) AS stale_ppm
+FROM h JOIN first USING (h)
+GROUP BY 1"""
+
+
 def snapshot_change_stats(
     pages: DataFrame,
     url_col: str = "url",

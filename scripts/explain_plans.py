@@ -699,6 +699,21 @@ def main() -> None:
         must_not=[r"Exchange", r"Join"],
     )
 
+    # 47. novelty_by_day: corpus-width stage carries md5 hashes only;
+    # first-seen MIN fold partial-aggregates; the join back is
+    # hash-co-partitioned (no cartesian, no broadcast of corpus)
+    from rio_cogeo_spark.operators.dedup import novelty_by_day
+
+    nv_pages = docs_d.select(
+        (F.col("doc_id") * 13).alias("ts_sec"), "text"
+    )
+    audit(
+        "novelty_by_day (hash-bounded first-seen, partial min/count)",
+        novelty_by_day(nv_pages),
+        must=[r"partial_min", r"partial_count"],
+        must_not=[r"CartesianProduct", r"\) Window"],
+    )
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:

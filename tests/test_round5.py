@@ -2278,3 +2278,20 @@ def test_blockword_stats_empty_text_no_div_zero(spark):
     bs = blockword_stats(SF.col("text"), ["x"])
     r = df.select(bs["block_ppm"].alias("p")).collect()[0]
     assert r["p"] == 0
+
+
+def test_novelty_by_day_stale_accounting(spark):
+    from rio_cogeo_spark.operators.dedup import novelty_by_day
+
+    day = 86_400
+    rows = [
+        (0 * day + 10, "aaa"), (0 * day + 20, "bbb"),  # day 0: all novel
+        (0 * day + 30, "aaa"),          # same-day dup: still novel
+        (2 * day + 5, "aaa"),           # day 2: stale (seen day 0)
+        (2 * day + 6, "ccc"),           # day 2: novel
+    ]
+    df = spark.createDataFrame(rows, "ts_sec long, text string")
+    got = {r["day"]: (r["n_docs"], r["stale_docs"], r["stale_ppm"])
+           for r in novelty_by_day(df).collect()}
+    assert got[0] == (3, 0, 0)
+    assert got[2] == (2, 1, 500_000)
