@@ -870,6 +870,21 @@ def q_host_distance(spark, sf_dir):
     return host_distance(edges, seeds, max_hops=4)
 
 
+def q_gopher(spark, sf_dir):
+    """Composite Gopher quality-rule gate (Rae et al. 2021 App. A):
+    exact-int fail bitmask (token count / mean word length / symbol
+    ratio / alpha share / stopwords / dup-bigram share) + pass flag."""
+    from rio_cogeo_spark.functions.text import gopher_gate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    gg = gopher_gate(F.col("text"))
+    return docs.select(
+        "doc_id",
+        gg["gopher_mask"].alias("gopher_mask"),
+        gg["gopher_pass"].alias("gopher_pass"),
+    )
+
+
 def q_novelty(spark, sf_dir):
     """Per-day crawl novelty: pages ∪ a same-day dup of doc_id<50 ∪ an
     UNCHANGED re-crawl of doc_id<200 three days later (stale) ∪ a
@@ -1500,6 +1515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_bm25": q_search_bm25,
         "chunks_sliding": q_chunks_sliding,
         "novelty": q_novelty,
+        "gopher": q_gopher,
         "pyramid": q_pyramid,
         "pip_join": q_pip_join,
         "pages_extract": q_pages_extract,
@@ -2371,6 +2387,7 @@ FROM documents QUALIFY rank <= 3""",
         "recip_links": _recip_links_oracle(),
         "badwords": _badwords_oracle(),
         "novelty": _novelty_oracle(),
+        "gopher": _gopher_oracle(),
         "dsir_weights": _dsir_oracle(),
         "normalize_text": _normalize_text_oracle(),
         "bpe_merges": _bpe_merges_oracle(),
@@ -2608,6 +2625,16 @@ def _host_distance_oracle() -> str:
         " FROM documents WHERE doc_id % 97 <> (doc_id * 31 + 7) % 97",
         "SELECT * FROM (VALUES (0), (1)) t(host)",
         max_hops=4,
+    )
+
+
+def _gopher_oracle() -> str:
+    from rio_cogeo_spark.functions.text import gopher_gate_sql
+
+    sq = gopher_gate_sql()
+    return (
+        f"SELECT doc_id, {sq['gopher_mask']} AS gopher_mask, "
+        f"{sq['gopher_pass']} AS gopher_pass FROM documents"
     )
 
 

@@ -650,3 +650,114 @@ def blockword_stats_sql(
             f" AS BIGINT)"
         ),
     }
+
+
+# Gopher quality-rule thresholds (Rae et al. 2021 "Scaling Language
+# Models", Appendix A — public method), in exact-int ppm/x100 form so
+# the gate hashes identically cross-engine.
+GOPHER_MIN_TOKENS = 50
+GOPHER_MAX_TOKENS = 100_000
+GOPHER_MIN_MEANLEN_X100 = 300     # mean word length in [3, 10]
+GOPHER_MAX_MEANLEN_X100 = 1_000
+GOPHER_MAX_SYMBOL_PPM = 100_000   # symbol (#/…) to word ratio <= 0.1
+GOPHER_MIN_ALPHA_PPM = 800_000    # >= 80% words contain a letter
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_MAX_DUPBG_PPM = 200_000    # duplicate-bigram share <= 0.2
+
+
+def gopher_gate(text: Column) -> "dict[str, Column]":
+    """Composite Gopher quality-rule gate: the published document-level
+    filters, evaluated in exact integers and folded into a FAIL BITMASK
+    (bit set = rule violated) so a pipeline can both filter
+    (``gopher_pass``) and report WHY documents die (per-bit
+    aggregation), which the paper's ablations require.
+
+        bit 0  token count outside [50, 100k]
+        bit 1  mean word length outside [3, 10]
+        bit 2  symbol-to-word ratio > 0.1      (# and … marks)
+        bit 3  alphabetic-word share < 80%
+        bit 4  fewer than 2 stopword hits
+        bit 5  duplicate-bigram share > 20%
+
+    Returns ``{"gopher_mask", "gopher_pass"}``. Pure projection (array
+    lambdas + regex counts), zero joins — the repetition bit reuses
+    :func:`word_bigrams_col` exactly as :func:`repetition_stats` does.
+    """
+    toks = tokens_col(text)
+    n = F.size(toks)
+    nn = F.greatest(n.cast("bigint"), F.lit(1))
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    meanlen_x100 = (sum_len * F.lit(100)) / nn
+    sym = F.length(F.regexp_replace(text, r"[^#…]", "")).cast("bigint")
+    sym_ppm = (sym * F.lit(1_000_000)) / nn
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).cast(
+        "bigint"
+    )
+    alpha_ppm = (alpha * F.lit(1_000_000)) / nn
+    sw = stopword_count(text)
+    bg = word_bigrams_col(text)
+    nbg = F.greatest(F.size(bg).cast("bigint"), F.lit(1))
+    dup_ppm = (
+        (F.size(bg) - F.size(F.array_distinct(bg))).cast("bigint")
+        * F.lit(1_000_000)
+    ) / nbg
+    bits = [
+        (n < GOPHER_MIN_TOKENS) | (n > GOPHER_MAX_TOKENS),
+        (meanlen_x100 < GOPHER_MIN_MEANLEN_X100)
+        | (meanlen_x100 > GOPHER_MAX_MEANLEN_X100),
+        sym_ppm > GOPHER_MAX_SYMBOL_PPM,
+        alpha_ppm < GOPHER_MIN_ALPHA_PPM,
+        sw < GOPHER_MIN_STOPWORDS,
+        dup_ppm > GOPHER_MAX_DUPBG_PPM,
+    ]
+    mask = None
+    for i, b in enumerate(bits):
+        term = F.when(b, F.lit(1 << i)).otherwise(F.lit(0))
+        mask = term if mask is None else mask + term
+    mask = mask.cast("int")
+    return {"gopher_mask": mask, "gopher_pass": mask == 0}
+
+
+def gopher_gate_sql() -> "dict[str, str]":
+    """DuckDB twins of :func:`gopher_gate` (same exact-int thresholds;
+    the true-division ratios stay under 2^53 so the double comparisons
+    agree bit-for-bit with Spark's)."""
+    n = f"len({TOKENS_SQL})"
+    nn = f"greatest({n}, 1)"
+    sum_len = f"coalesce(list_sum(list_transform({TOKENS_SQL}, t -> length(t))), 0)"
+    meanlen = f"(CAST({sum_len} AS BIGINT) * 100) / {nn}"
+    sym = "length(regexp_replace(text, '[^#…]', '', 'g'))"
+    sym_ppm = f"(CAST({sym} AS BIGINT) * 1000000) / {nn}"
+    alpha = (
+        f"len(list_filter({TOKENS_SQL}, t -> regexp_matches(t, '[A-Za-z]')))"
+    )
+    alpha_ppm = f"(CAST({alpha} AS BIGINT) * 1000000) / {nn}"
+    bg = (
+        f"list_transform(generate_series(1, greatest({n} - 1, 0)), "
+        f"i -> array_to_string(({TOKENS_SQL})[i:i+1], ' '))"
+    )
+    nbg = f"greatest(len({bg}), 1)"
+    dup_ppm = (
+        f"(CAST(len({bg}) - len(list_distinct({bg})) AS BIGINT) * 1000000)"
+        f" / {nbg}"
+    )
+    bits = [
+        f"({n} < {GOPHER_MIN_TOKENS} OR {n} > {GOPHER_MAX_TOKENS})",
+        f"({meanlen} < {GOPHER_MIN_MEANLEN_X100} "
+        f"OR {meanlen} > {GOPHER_MAX_MEANLEN_X100})",
+        f"({sym_ppm} > {GOPHER_MAX_SYMBOL_PPM})",
+        f"({alpha_ppm} < {GOPHER_MIN_ALPHA_PPM})",
+        f"({STOPWORD_COUNT_SQL} < {GOPHER_MIN_STOPWORDS})",
+        f"({dup_ppm} > {GOPHER_MAX_DUPBG_PPM})",
+    ]
+    mask = " + ".join(
+        f"(CASE WHEN {b} THEN {1 << i} ELSE 0 END)" for i, b in enumerate(bits)
+    )
+    return {
+        "gopher_mask": f"CAST({mask} AS INT)",
+        "gopher_pass": f"(CAST({mask} AS INT) = 0)",
+    }

@@ -714,6 +714,19 @@ def main() -> None:
         must_not=[r"CartesianProduct", r"\) Window"],
     )
 
+    # 48. gopher_gate: all six rules fold into one projection over the
+    # scan — zero Exchange, zero joins
+    from rio_cogeo_spark.functions.text import gopher_gate
+
+    gg = gopher_gate(F.col("text"))
+    audit(
+        "gopher_gate (six rules, one projection, zero Exchange)",
+        docs_d.select("doc_id", gg["gopher_mask"].alias("m"),
+                      gg["gopher_pass"].alias("p")),
+        must=[r"\) Project"],
+        must_not=[r"Exchange", r"Join"],
+    )
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:

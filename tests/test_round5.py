@@ -2295,3 +2295,29 @@ def test_novelty_by_day_stale_accounting(spark):
            for r in novelty_by_day(df).collect()}
     assert got[0] == (3, 0, 0)
     assert got[2] == (2, 1, 500_000)
+
+
+def test_gopher_gate_rules(spark):
+    import pyspark.sql.functions as SF
+
+    from rio_cogeo_spark.functions.text import gopher_gate
+
+    good = " ".join(
+        ["the quick brown fox jumped over a lazy dog and ran off with"]
+        + [f"word{i} thing{i} other{i} item{i}" for i in range(15)]
+    )
+    rows = [
+        (1, good),                 # passes every rule
+        (2, "#### " * 60),         # symbol + alpha + stopword + dup fails
+        (3, "x " * 60),            # 1-char words: meanlen fails
+        (4, "word " * 10),         # too short: token-count bit
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    gg = gopher_gate(SF.col("text"))
+    got = {r["doc_id"]: r["gopher_mask"] for r in
+           df.select("doc_id", gg["gopher_mask"].alias("gopher_mask"))
+           .collect()}
+    assert got[1] == 0
+    assert got[2] & (1 << 2) and got[2] & (1 << 3)  # symbol + alpha bits
+    assert got[3] & (1 << 1)                        # meanlen bit
+    assert got[4] & (1 << 0)                        # token-count bit
