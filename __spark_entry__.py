@@ -870,6 +870,16 @@ def q_host_distance(spark, sf_dir):
     return host_distance(edges, seeds, max_hops=4)
 
 
+def q_quartiles(spark, sf_dir):
+    """Exact per-language n_chars quartiles (lower-quantile semantics,
+    pure BIGINT probe cum*den >= n*num) over the value-frequency table
+    — no corpus sort, no interpolated doubles."""
+    from rio_cogeo_spark.operators.report import group_quantiles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return group_quantiles(docs, value_col="n_chars", group_col="lang")
+
+
 def q_gopher(spark, sf_dir):
     """Composite Gopher quality-rule gate (Rae et al. 2021 App. A):
     exact-int fail bitmask (token count / mean word length / symbol
@@ -1516,6 +1526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunks_sliding": q_chunks_sliding,
         "novelty": q_novelty,
         "gopher": q_gopher,
+        "quartiles": q_quartiles,
         "pyramid": q_pyramid,
         "pip_join": q_pip_join,
         "pages_extract": q_pages_extract,
@@ -2388,6 +2399,7 @@ FROM documents QUALIFY rank <= 3""",
         "badwords": _badwords_oracle(),
         "novelty": _novelty_oracle(),
         "gopher": _gopher_oracle(),
+        "quartiles": _quartiles_oracle(),
         "dsir_weights": _dsir_oracle(),
         "normalize_text": _normalize_text_oracle(),
         "bpe_merges": _bpe_merges_oracle(),
@@ -2626,6 +2638,13 @@ def _host_distance_oracle() -> str:
         "SELECT * FROM (VALUES (0), (1)) t(host)",
         max_hops=4,
     )
+
+
+def _quartiles_oracle() -> str:
+    from rio_cogeo_spark.operators.report import group_quantiles_sql
+
+    return group_quantiles_sql("documents", value_col="n_chars",
+                               group_col="lang")
 
 
 def _gopher_oracle() -> str:

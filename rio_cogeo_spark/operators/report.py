@@ -166,3 +166,80 @@ SELECT {group_col},
        MIN(STRUCT_PACK(v := v, n := n)).v AS median
 FROM cum WHERE cum >= (n + 1) // 2
 GROUP BY 1"""
+
+
+def group_quantiles(
+    docs: DataFrame,
+    value_col: str = "n_chars",
+    group_col: str = "lang",
+    quantiles: "tuple[tuple[int, int], ...]" = ((1, 4), (1, 2), (3, 4)),
+    labels: "tuple[str, ...]" = ("p25", "p50", "p75"),
+) -> DataFrame:
+    """Exact per-group lower quantiles (generalizes
+    :func:`group_median`): for each ``q = num/den``, the smallest value
+    whose cumulative count reaches ``ceil(n·q)`` — all-int, no
+    interpolation, no doubles. The ceil never materializes: ``cum >=
+    ceil(n·num/den)  ⟺  cum·den >= n·num`` for integer ``cum``, so the
+    probe is a pure BIGINT comparison.
+
+    ONE pass over the same value-frequency + cumulative-count table as
+    the median (distinct-value-bounded, never a corpus sort); each
+    quantile is a conditional MIN over that table, so adding quantiles
+    adds columns, not passes. Returns ``(group_col, n, *labels)``.
+    """
+    if len(quantiles) != len(labels):
+        raise ValueError("quantiles and labels must pair up")
+    freq = docs.groupBy(group_col, F.col(value_col).alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = freq.select(
+        group_col, "v",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(
+            Window.partitionBy(group_col).orderBy("v").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    aggs = [F.max("n").alias("n")]
+    for (num, den), lab in zip(quantiles, labels):
+        aggs.append(
+            F.min(
+                F.when(
+                    F.expr(f"cum * {int(den)} >= n * {int(num)}"), F.col("v")
+                )
+            ).alias(lab)
+        )
+    return cum.groupBy(group_col).agg(*aggs)
+
+
+def group_quantiles_sql(
+    table: str = "documents",
+    value_col: str = "n_chars",
+    group_col: str = "lang",
+    quantiles: "tuple[tuple[int, int], ...]" = ((1, 4), (1, 2), (3, 4)),
+    labels: "tuple[str, ...]" = ("p25", "p50", "p75"),
+) -> str:
+    """DuckDB twin of :func:`group_quantiles`."""
+    sels = ",\n       ".join(
+        f"MIN(CASE WHEN cum * {int(den)} >= n * {int(num)} THEN v END)"
+        f" AS {lab}"
+        for (num, den), lab in zip(quantiles, labels)
+    )
+    return rf"""
+WITH freq AS (SELECT {group_col}, {value_col} AS v, COUNT(*) AS cnt
+              FROM {table} GROUP BY 1, 2),
+cum AS (SELECT {group_col}, v,
+               SUM(cnt) OVER (PARTITION BY {group_col} ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               SUM(cnt) OVER (PARTITION BY {group_col}) AS n
+        FROM freq)
+SELECT {group_col},
+       CAST(MAX(n) AS BIGINT) AS n,
+       {sels}
+FROM cum GROUP BY 1"""

@@ -2321,3 +2321,27 @@ def test_gopher_gate_rules(spark):
     assert got[2] & (1 << 2) and got[2] & (1 << 3)  # symbol + alpha bits
     assert got[3] & (1 << 1)                        # meanlen bit
     assert got[4] & (1 << 0)                        # token-count bit
+
+
+def test_group_quantiles_hand_computed(spark):
+    from rio_cogeo_spark.operators.report import group_quantiles
+
+    # en: values 1..8 -> ceil(8/4)=2nd=2, ceil(8/2)=4th=4, ceil(24/4)=6th=6
+    df = spark.createDataFrame(
+        [("en", v) for v in range(1, 9)], "lang string, n_chars long"
+    )
+    r = group_quantiles(df).collect()[0]
+    assert (r["n"], r["p25"], r["p50"], r["p75"]) == (8, 2, 4, 6)
+
+
+def test_group_quantiles_median_consistent(spark):
+    from rio_cogeo_spark.operators.report import group_median, group_quantiles
+
+    df = spark.createDataFrame(
+        [("en", (i * 37) % 101) for i in range(57)]
+        + [("fr", (i * 13) % 53) for i in range(30)],
+        "lang string, n_chars long",
+    )
+    med = {r["lang"]: r["median"] for r in group_median(df).collect()}
+    q = {r["lang"]: r["p50"] for r in group_quantiles(df).collect()}
+    assert med == q
