@@ -870,6 +870,20 @@ def q_host_distance(spark, sf_dir):
     return host_distance(edges, seeds, max_hops=4)
 
 
+def q_gate_rates(spark, sf_dir):
+    """Windowed Gopher-gate monitoring (batch twin of the streaming
+    operator, streaming==batch pytest-asserted at two micro-batch
+    sizes): per 6h window, pages / passes / pass_ppm / per-rule kill
+    counts from the fail bitmask."""
+    from rio_cogeo_spark.streaming.quality import gate_rates_batch
+
+    pages = _pages(spark, sf_dir).select("doc_id", "text", "ts_sec")
+    spread = pages.withColumn(
+        "ts_sec", F.col("ts_sec") + (F.col("doc_id") % 3) * 21_600
+    )
+    return gate_rates_batch(spread)
+
+
 def q_quartiles(spark, sf_dir):
     """Exact per-language n_chars quartiles (lower-quantile semantics,
     pure BIGINT probe cum*den >= n*num) over the value-frequency table
@@ -1527,6 +1541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "novelty": q_novelty,
         "gopher": q_gopher,
         "quartiles": q_quartiles,
+        "gate_rates": q_gate_rates,
         "pyramid": q_pyramid,
         "pip_join": q_pip_join,
         "pages_extract": q_pages_extract,
@@ -2400,6 +2415,7 @@ FROM documents QUALIFY rank <= 3""",
         "novelty": _novelty_oracle(),
         "gopher": _gopher_oracle(),
         "quartiles": _quartiles_oracle(),
+        "gate_rates": _gate_rates_oracle(),
         "dsir_weights": _dsir_oracle(),
         "normalize_text": _normalize_text_oracle(),
         "bpe_merges": _bpe_merges_oracle(),
@@ -2638,6 +2654,29 @@ def _host_distance_oracle() -> str:
         "SELECT * FROM (VALUES (0), (1)) t(host)",
         max_hops=4,
     )
+
+
+def _gate_rates_oracle() -> str:
+    from rio_cogeo_spark.functions.text import gopher_gate_sql
+
+    mask = gopher_gate_sql()["gopher_mask"]
+    kills = ",\n       ".join(
+        f"CAST(SUM(CASE WHEN (m & {1 << b}) <> 0 THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS kill_bit{b}"
+        for b in range(6)
+    )
+    return f"""{_P}
+, spread AS (SELECT ts_sec + (doc_id % 3) * 21600 AS ts_sec,
+                    {mask} AS m
+             FROM pages),
+win AS (SELECT (ts_sec // 21600) * 21600 AS win_sec, m FROM spread)
+SELECT win_sec,
+       CAST(COUNT(*) AS BIGINT) AS n_pages,
+       CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       CAST((SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) * 1000000)
+            // COUNT(*) AS BIGINT) AS pass_ppm,
+       {kills}
+FROM win GROUP BY 1"""
 
 
 def _quartiles_oracle() -> str:

@@ -2345,3 +2345,41 @@ def test_group_quantiles_median_consistent(spark):
     med = {r["lang"]: r["median"] for r in group_median(df).collect()}
     q = {r["lang"]: r["p50"] for r in group_quantiles(df).collect()}
     assert med == q
+
+
+def test_streaming_gate_rates_equals_batch_two_batch_sizes(
+    spark, tmp_path
+):
+    import pyspark.sql.functions as SF
+
+    from rio_cogeo_spark.streaming import quality as Q
+    from rio_cogeo_spark.streaming.events import run_stream_to_memory
+    from rio_cogeo_spark.synth import synth_pages
+
+    pages = synth_pages(spark, "/root/testdata/sf0.001").select(
+        "doc_id", "url", "text", "lang", "n_chars", "ts_sec"
+    ).withColumn(  # spread pages across three 6h windows
+        "ts_sec", SF.col("ts_sec") + (SF.col("doc_id") % 3) * 21_600
+    )
+    d = str(tmp_path / "pages_stream")
+    pages.repartition(4).write.parquet(d)
+
+    batch = spark.read.parquet(d)
+    expected = {
+        r["win_sec"]: tuple(r)[1:]
+        for r in Q.gate_rates_batch(batch).collect()
+    }
+    assert len(expected) >= 2
+    assert any(v[2] > 0 for v in expected.values())  # some pass_ppm > 0
+
+    for mfpt in ("1", "2"):
+        stream = (
+            spark.readStream.schema(Q.PAGES_SCHEMA)
+            .option("maxFilesPerTrigger", mfpt)
+            .parquet(d)
+        )
+        got_df = run_stream_to_memory(
+            Q.gate_rates(stream), f"gate_rates_{mfpt}"
+        )
+        got = {r["win_sec"]: tuple(r)[1:] for r in got_df.collect()}
+        assert got == expected
