@@ -870,6 +870,20 @@ def q_host_distance(spark, sf_dir):
     return host_distance(edges, seeds, max_hops=4)
 
 
+def q_frontier(spark, sf_dir):
+    """Crawl-frontier priority table: PageRank x BFS seed distance x
+    link-farm discount, all exact BIGINT, over the doc-derived host
+    digraph (composition of three oracle-paired graph operators)."""
+    from rio_cogeo_spark.operators.graph import crawl_frontier
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    edges = docs.selectExpr(
+        "doc_id % 97 AS src", "(doc_id * 31 + 7) % 97 AS dst"
+    )
+    seeds = spark.range(0, 2).select(F.col("id").alias("host"))
+    return crawl_frontier(edges, seeds, max_hops=4, iterations=3)
+
+
 def q_gate_rates(spark, sf_dir):
     """Windowed Gopher-gate monitoring (batch twin of the streaming
     operator, streaming==batch pytest-asserted at two micro-batch
@@ -1542,6 +1556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher": q_gopher,
         "quartiles": q_quartiles,
         "gate_rates": q_gate_rates,
+        "frontier": q_frontier,
         "pyramid": q_pyramid,
         "pip_join": q_pip_join,
         "pages_extract": q_pages_extract,
@@ -2416,6 +2431,7 @@ FROM documents QUALIFY rank <= 3""",
         "gopher": _gopher_oracle(),
         "quartiles": _quartiles_oracle(),
         "gate_rates": _gate_rates_oracle(),
+        "frontier": _frontier_oracle(),
         "dsir_weights": _dsir_oracle(),
         "normalize_text": _normalize_text_oracle(),
         "bpe_merges": _bpe_merges_oracle(),
@@ -2653,6 +2669,46 @@ def _host_distance_oracle() -> str:
         " FROM documents WHERE doc_id % 97 <> (doc_id * 31 + 7) % 97",
         "SELECT * FROM (VALUES (0), (1)) t(host)",
         max_hops=4,
+    )
+
+
+def _frontier_oracle() -> str:
+    from rio_cogeo_spark.operators.graph import host_pagerank_sql
+
+    edges = (
+        "SELECT DISTINCT doc_id % 97 AS src, (doc_id * 31 + 7) % 97 AS dst"
+        " FROM documents WHERE doc_id % 97 <> (doc_id * 31 + 7) % 97"
+    )
+    dist = ["sd AS (SELECT * FROM (VALUES (0), (1)) t(host))",
+            "d0 AS (SELECT DISTINCT host, CAST(0 AS INT) AS hops FROM sd)"]
+    for i in range(4):
+        dist.append(
+            f"d{i + 1} AS (SELECT host, CAST(MIN(hops) AS INT) AS hops "
+            f"FROM (SELECT host, hops FROM d{i} UNION ALL "
+            f"SELECT e.dst AS host, d.hops + 1 AS hops "
+            f"FROM d{i} d JOIN e ON d.host = e.src) GROUP BY 1)"
+        )
+    recip = [
+        "recipe AS (SELECT a.src FROM e a WHERE EXISTS "
+        "(SELECT 1 FROM e b WHERE b.src = a.dst AND b.dst = a.src))",
+        "og AS (SELECT src AS host, COUNT(*) AS out_edges FROM e GROUP BY 1)",
+        "rg AS (SELECT src AS host, COUNT(*) AS recip_edges FROM recipe"
+        " GROUP BY 1)",
+        "rc AS (SELECT og.host, CAST((COALESCE(rg.recip_edges, 0) * 1000000)"
+        " // og.out_edges AS BIGINT) AS recip_ppm"
+        " FROM og LEFT JOIN rg ON og.host = rg.host)",
+    ]
+    final = (
+        "SELECT d.host, d.hops, r.rank AS rank_ppb,\n"
+        "       CAST(COALESCE(rc.recip_ppm, 0) AS BIGINT) AS recip_ppm,\n"
+        "       CAST(((r.rank * (1000000 - COALESCE(rc.recip_ppm, 0) // 2))"
+        " // 1000000) // (d.hops + 1) AS BIGINT) AS priority_ppb\n"
+        "FROM d4 d JOIN r3 r ON d.host = r.host\n"
+        "LEFT JOIN rc ON d.host = rc.host"
+    )
+    return host_pagerank_sql(
+        edges, iterations=3, extra_ctes=tuple(dist + recip),
+        final_select=final,
     )
 
 

@@ -339,3 +339,54 @@ SELECT o.host,
        CAST((COALESCE(r.recip_edges, 0) * 1000000) // o.out_edges
             AS BIGINT) AS recip_ppm
 FROM o LEFT JOIN r ON o.host = r.host"""
+
+
+def crawl_frontier(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 4,
+    iterations: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "host",
+) -> DataFrame:
+    """The graph suite's flagship composition — the crawl-frontier
+    priority table (Cho/Garcia-Molina/Page WWW'98 combine importance
+    and reachability; modern curated crawls add a spam discount):
+
+        priority_ppb = (rank_ppb · (10^6 − recip_ppm div 2))
+                           div 10^6 div (hops + 1)
+
+    i.e. PageRank importance, discounted up to 50% by link-farm
+    reciprocity, divided by seed distance — exact BIGINT throughout
+    (staged div order is the contract). Only hosts within the BFS
+    horizon appear (beyond-horizon hosts are not fetchable this cycle
+    by definition). Input edges are deduped once and shared by all
+    three component passes.
+
+    Returns ``(host, hops, rank_ppb, recip_ppm, priority_ppb)``.
+    Scale: inherits the component designs (node-bounded rank/dist
+    tables, one edge shuffle per PageRank/BFS round, one left-semi
+    self-join for reciprocity); the final assembly is two node-bounded
+    co-partitioned joins.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    d = host_distance(e, seeds, max_hops=max_hops, seed_col=seed_col)
+    r = host_pagerank(e, iterations=iterations)
+    rec = reciprocal_links(e)
+    return (
+        d.join(r, "host")
+        .join(rec.select("host", "recip_ppm"), "host", "left")
+        .select(
+            "host", "hops", "rank_ppb",
+            F.coalesce(F.col("recip_ppm"), F.lit(0)).alias("recip_ppm"),
+            F.expr(
+                "((rank_ppb * (1000000 - coalesce(recip_ppm, 0) div 2))"
+                " div 1000000) div (hops + 1)"
+            ).alias("priority_ppb"),
+        )
+    )

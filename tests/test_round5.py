@@ -2383,3 +2383,26 @@ def test_streaming_gate_rates_equals_batch_two_batch_sizes(
         )
         got = {r["win_sec"]: tuple(r)[1:] for r in got_df.collect()}
         assert got == expected
+
+
+def test_crawl_frontier_semantics(spark):
+    from rio_cogeo_spark.operators.graph import crawl_frontier
+
+    # seed 0 -> 1 -> 2; mutual pair 1<->9 makes host 1 fully reciprocal
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (1, 9), (9, 1)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,)], "host long")
+    got = {r["host"]: r for r in
+           crawl_frontier(edges, seeds, max_hops=3, iterations=2).collect()}
+    # all reachable hosts present, none beyond horizon
+    assert set(got) == {0, 1, 2, 9}
+    # host 1: both out-links... one reciprocated -> recip_ppm 500k
+    assert got[1]["recip_ppm"] == 500_000
+    # priority formula holds exactly for a spot host
+    r1 = got[1]
+    assert r1["priority_ppb"] == (
+        (r1["rank_ppb"] * (1_000_000 - r1["recip_ppm"] // 2)) // 1_000_000
+    ) // (r1["hops"] + 1)
+    # deeper hosts are discounted: same-rank host at greater depth loses
+    assert got[0]["hops"] == 0 and got[2]["hops"] == 2
