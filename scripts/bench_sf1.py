@@ -107,6 +107,13 @@ def main() -> None:
         lexical_diversity, token_rarity, vocab_stats,
     )
     from rio_cogeo_spark.operators.sampling import importance_weights
+    from rio_cogeo_spark.functions.text import blockword_stats, gopher_gate
+    from rio_cogeo_spark.operators.graph import crawl_frontier
+    from rio_cogeo_spark.operators.report import corpus_info, group_quantiles
+    from rio_cogeo_spark.streaming.quality import gate_rates_batch
+
+    _GG = gopher_gate(F.col("text"))
+    _BW = blockword_stats(F.col("text"), ["alpha", "delta", "data", "the"])
     from rio_cogeo_spark.operators.graph import host_pagerank
     from rio_cogeo_spark.operators.search import (
         bm25_topk, phrase_topk, search_topk, tfidf_keywords,
@@ -322,6 +329,37 @@ def main() -> None:
                 ),
                 prefix_len=256,
             ).count(),
+            # round-5 additions, part 5 (ROUND5.md §55-§62). The host
+            # graph derives mod 9973 so the node space scales with the
+            # corpus, like the pagerank entry above.
+            "corpus_info": lambda: corpus_info(docs).count(),
+            "quartiles": lambda: group_quantiles(
+                docs, value_col="n_chars", group_col="lang"
+            ).count(),
+            "novelty": lambda: DD.novelty_by_day(
+                paged.select("ts_sec", "text")
+            ).count(),
+            "gopher": lambda: docs.select(
+                "doc_id", _GG["gopher_mask"].alias("m")
+            ).agg(F.sum("m")).first(),
+            "badwords": lambda: docs.select(
+                "doc_id", _BW["block_hits"].alias("h")
+            ).agg(F.sum("h")).first(),
+            "gate_rates": lambda: gate_rates_batch(
+                paged.select(
+                    "doc_id", "text",
+                    (F.col("ts_sec") + (F.col("doc_id") % 3) * 21_600)
+                    .alias("ts_sec"),
+                )
+            ).count(),
+            "frontier": lambda: crawl_frontier(
+                docs.selectExpr(
+                    "doc_id % 9973 AS src",
+                    "(doc_id * 31 + 7) % 9973 AS dst",
+                ),
+                docs.sparkSession.range(0, 5).selectExpr("id AS host"),
+                max_hops=4, iterations=3,
+            ).agg(F.sum("priority_ppb")).first(),
         }
 
     # SPARK_GRAFT_SF1_ONLY="a,b,c" runs just those queries and merges
