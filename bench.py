@@ -257,6 +257,38 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
         ),
     )
 
+    # 4f. late-round-5 ops: corpus bigram-LM scoring (non-broadcast
+    # model — the 100 TB configuration), the Gopher gate projection,
+    # and the composed crawl-frontier priority
+    from rio_cogeo_spark.functions.text import gopher_gate
+    from rio_cogeo_spark.operators.graph import crawl_frontier
+    from rio_cogeo_spark.operators.rarity import bigram_lm
+
+    timed(
+        "lm_score",
+        lambda: materialize(bigram_lm(docs, broadcast_model=False)),
+    )
+    _gg = gopher_gate(F.col("text"))
+    timed(
+        "gopher",
+        lambda: materialize(
+            docs.select("doc_id", _gg["gopher_mask"].alias("gopher_mask"))
+        ),
+    )
+    timed(
+        "frontier",
+        lambda: materialize(
+            crawl_frontier(
+                docs.selectExpr(
+                    "doc_id % 9973 AS src", "(doc_id * 31 + 7) % 9973 AS dst"
+                ),
+                spark.range(0, 5).selectExpr("id AS host"),
+                max_hops=4,
+                iterations=3,
+            )
+        ),
+    )
+
     # 5. ANN brute-force top-k over embeddings
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q_emb = emb.filter(F.col("vec_id") < 10).select(
