@@ -183,3 +183,79 @@ def test_bpe_vocab_weighted_counts_equal_per_occurrence_counts(stream):
             for i in range(len(w) - 1):
                 direct[w[i:i + 2]] += 1
     assert weighted == direct
+
+
+# ---------------------------------------------------------------------------
+# round-5 exact-int invariants (pure-Python mirrors of the SQL algebra;
+# the Spark/DuckDB cross-engine equality is covered by the oracle suite,
+# these pin the ALGEBRA: bounds, monotonicity, and probe equivalence)
+# ---------------------------------------------------------------------------
+
+values = st.lists(
+    st.integers(min_value=0, max_value=100_000), min_size=1, max_size=300
+)
+
+
+def _quantile_py(vals, num, den):
+    """group_quantiles' probe: smallest v whose cum*den >= n*num."""
+    n = len(vals)
+    cum = 0
+    for v, cnt in sorted(
+        {x: vals.count(x) for x in vals}.items()
+    ):
+        cum += cnt
+        if cum * den >= n * num:
+            return v
+    raise AssertionError("probe never fired")
+
+
+@given(values)
+@settings(max_examples=200, deadline=None)
+def test_quantile_probe_equals_ceil_position(vals):
+    # cum*den >= n*num  ⟺  cum >= ceil(n*num/den): the quantile equals
+    # the ceil(n*q)-th smallest element (1-based), for all three quarts
+    s = sorted(vals)
+    n = len(s)
+    for num, den in ((1, 4), (1, 2), (3, 4)):
+        pos = -(-n * num // den)  # ceil
+        assert _quantile_py(vals, num, den) == s[max(pos, 1) - 1]
+
+
+@given(values)
+@settings(max_examples=200, deadline=None)
+def test_quantiles_monotone(vals):
+    p25 = _quantile_py(vals, 1, 4)
+    p50 = _quantile_py(vals, 1, 2)
+    p75 = _quantile_py(vals, 3, 4)
+    assert p25 <= p50 <= p75
+
+
+@given(st.lists(st.integers(min_value=1, max_value=50), min_size=1,
+                max_size=60))
+@settings(max_examples=200, deadline=None)
+def test_bigram_pred_ppm_bounds(counts):
+    # pred_ppm = cnt2*1e6 div cnt1 with cnt1 = sum over the prefix group:
+    # always in (0, 1e6], and the occurrence-weighted mean stays in range
+    cnt1 = sum(counts)
+    preds = [(c * 1_000_000) // cnt1 for c in counts]
+    assert all(0 <= p <= 1_000_000 for p in preds)
+    mean = sum(c * p for c, p in zip(counts, preds)) // cnt1
+    assert 0 <= mean <= 1_000_000
+
+
+@given(st.integers(min_value=0, max_value=(1 << 40)),
+       st.integers(min_value=0, max_value=(1 << 20)),
+       st.integers(min_value=0, max_value=4))
+@settings(max_examples=200, deadline=None)
+def test_frontier_priority_monotone_in_rank_and_depth(rank, recip_raw, hops):
+    # priority is non-decreasing in rank, non-increasing in hops and in
+    # the reciprocity discount — for ALL exact-int inputs
+    recip = min(recip_raw, 1_000_000)
+
+    def prio(r, rc, h):
+        return ((r * (1_000_000 - rc // 2)) // 1_000_000) // (h + 1)
+
+    assert prio(rank + 1, recip, hops) >= prio(rank, recip, hops)
+    assert prio(rank, recip, hops) >= prio(rank, recip, hops + 1)
+    if recip < 1_000_000:
+        assert prio(rank, recip, hops) >= prio(rank, recip + 2, hops)
