@@ -1090,6 +1090,37 @@ FROM r3 LEFT JOIN outd USING (host) LEFT JOIN ind USING (host)""",
     )
 
 
+_TRUST_SEEDS = "(VALUES (0), (1), (2), (3), (4), (1000)) t(h)"
+
+
+def q_trustrank(spark, sf_dir):
+    """Seeded TrustRank (Gyongyi et al. VLDB'04) over the deterministic
+    host digraph: teleport mass only on 5 trusted seed hosts (+ one
+    seed absent from the graph, exercising the seed-anchoring path), 3
+    exact-BIGINT fixed-point iterations, hash-compared against the
+    chained-CTE SQL unroll."""
+    from rio_cogeo_spark.operators.graph import host_trustrank
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    edges = spark.sql(_PR_EDGES)
+    seeds = spark.sql(
+        f"SELECT CAST(h AS BIGINT) AS host FROM {_TRUST_SEEDS}"
+    )
+    return host_trustrank(edges, seeds, iterations=3)
+
+
+def _trustrank_oracle() -> str:
+    from rio_cogeo_spark.operators.graph import host_trustrank_sql
+
+    return host_trustrank_sql(
+        _PR_EDGES,
+        f"SELECT CAST(h AS BIGINT) AS host FROM {_TRUST_SEEDS}",
+        iterations=3,
+    )
+
+
 # Deterministic messy-URL variants over the pages url space: fragments,
 # tracking params (leading / middle / only param), uppercase scheme+host,
 # www. prefix, explicit default port, trailing slash. Shared dialect-
@@ -1557,6 +1588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quartiles": q_quartiles,
         "gate_rates": q_gate_rates,
         "frontier": q_frontier,
+        "trustrank": q_trustrank,
         "pyramid": q_pyramid,
         "pip_join": q_pip_join,
         "pages_extract": q_pages_extract,
@@ -2432,6 +2464,7 @@ FROM documents QUALIFY rank <= 3""",
         "quartiles": _quartiles_oracle(),
         "gate_rates": _gate_rates_oracle(),
         "frontier": _frontier_oracle(),
+        "trustrank": _trustrank_oracle(),
         "dsir_weights": _dsir_oracle(),
         "normalize_text": _normalize_text_oracle(),
         "bpe_merges": _bpe_merges_oracle(),

@@ -390,3 +390,129 @@ def crawl_frontier(
             ).alias("priority_ppb"),
         )
     )
+
+
+def host_trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 3,
+    damping_pct: int = 85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "host",
+    broadcast_ranks: bool = True,
+) -> DataFrame:
+    """Seeded TrustRank over a host edge list — the classic web-spam
+    demotion complement to PageRank (Gyongyi/Garcia-Molina/Pedersen,
+    "Combating Web Spam with TrustRank", VLDB 2004): teleport mass
+    lands ONLY on a curated trusted seed set, so trust decays with link
+    distance from the seeds and link farms unreachable from them stay
+    at zero no matter how densely they interlink. A crawl pipeline uses
+    the ratio/gap between PageRank and TrustRank as its spam-mass
+    signal.
+
+    Same exact-BIGINT fixed-point contract as :func:`host_pagerank`:
+
+        trust'(v) = base(v) + d% * Sum_{u->v} trust(u) div outdeg(u)
+
+    where ``base(v) = (100-d)% * SCALE`` for seed hosts and ``0``
+    otherwise, with initial ``trust = SCALE`` on seeds and ``0``
+    elsewhere. Every division is integer ``div``; integer sums are
+    exact and order-independent, so the result hashes identically on
+    any engine/partitioning. Seeds not present in the graph still
+    receive their base (they anchor trust even with no observed links
+    yet). Returns ``(host, trust_ppb)`` for every graph host and every
+    seed.
+
+    Scale design (100 TB / 10^8-host graph): identical movement to
+    :func:`host_pagerank` — the edge list shuffles ONCE per iteration
+    in the map-side-combinable contribution fold; the trust table is
+    node-bounded and broadcast when it fits (``broadcast_ranks``); the
+    seed set is crawl-curated (thousands), always broadcast via the
+    node-table left join. No step collects.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    if not (0 <= damping_pct <= 100):
+        raise ValueError(f"damping_pct must be in [0, 100], got {damping_pct}")
+    base = ((100 - damping_pct) * SCALE) // 100
+
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    s = seeds.select(F.col(seed_col).alias("host")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("host"))
+        .union(e.select(F.col("dst").alias("host")))
+        .union(s.select("host"))
+        .distinct()
+    )
+    is_seed = nodes.join(s, "host", "left_semi").select(
+        "host", F.lit(1).alias("seed")
+    )
+    # node-bounded (host, seed-flag) table, reused every iteration
+    flagged = nodes.join(is_seed, "host", "left").select(
+        "host", F.coalesce(F.col("seed"), F.lit(0)).alias("seed")
+    )
+    outdeg = e.groupBy(F.col("src").alias("host")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    trust = flagged.select(
+        "host", (F.col("seed") * F.lit(SCALE)).alias("trust")
+    )
+
+    for _ in range(iterations):
+        src_side = trust.join(outdeg, "host")  # dangling hosts drop here
+        if broadcast_ranks:
+            src_side = F.broadcast(src_side)
+        contrib = e.join(src_side, e["src"] == src_side["host"]).select(
+            F.col("dst").alias("host"),
+            F.expr("trust div outdeg").alias("c"),
+        )
+        sums = contrib.groupBy("host").agg(F.sum("c").alias("s"))
+        trust = flagged.join(sums, "host", "left").select(
+            "host",
+            (
+                F.col("seed") * F.lit(base)
+                + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
+            ).alias("trust"),
+        )
+
+    return trust.select("host", F.col("trust").alias("trust_ppb"))
+
+
+def host_trustrank_sql(
+    edges_cte: str,
+    seeds_cte: str,
+    iterations: int = 3,
+    damping_pct: int = 85,
+) -> str:
+    """DuckDB twin of :func:`host_trustrank`: the fixed iteration count
+    unrolls into chained CTEs (same exact-BIGINT formulas — hash-
+    identical, not approximate). ``seeds_cte`` exposes ``(host)``."""
+    base = ((100 - damping_pct) * SCALE) // 100
+    parts = [
+        f"WITH e AS ({edges_cte})",
+        f"s AS (SELECT DISTINCT host FROM ({seeds_cte}))",
+        "nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e "
+        "UNION SELECT host FROM s)",
+        "flagged AS (SELECT n.host, "
+        "CASE WHEN s.host IS NULL THEN 0 ELSE 1 END AS seed "
+        "FROM nodes n LEFT JOIN s ON n.host = s.host)",
+        "outdeg AS (SELECT src AS host, COUNT(*) AS outdeg FROM e GROUP BY 1)",
+        f"t0 AS (SELECT host, CAST(seed * {SCALE} AS BIGINT) AS trust "
+        "FROM flagged)",
+    ]
+    for i in range(iterations):
+        parts.append(
+            f"c{i + 1} AS (SELECT e.dst AS host, "
+            f"SUM(t{i}.trust // o.outdeg) AS s "
+            f"FROM e JOIN t{i} ON e.src = t{i}.host "
+            f"JOIN outdeg o ON e.src = o.host GROUP BY 1)"
+        )
+        parts.append(
+            f"t{i + 1} AS (SELECT f.host, "
+            f"CAST(f.seed * {base} + ({damping_pct} * COALESCE(c.s, 0)) // 100 "
+            f"AS BIGINT) AS trust "
+            f"FROM flagged f LEFT JOIN c{i + 1} c ON f.host = c.host)"
+        )
+    body = ",\n".join(parts)
+    return f"{body}\nSELECT host, trust AS trust_ppb FROM t{iterations}"

@@ -727,6 +727,20 @@ def main() -> None:
         must_not=[r"Exchange", r"Join"],
     )
 
+    # 49. host_trustrank: same movement contract as PageRank — the
+    # node-bounded trust table broadcasts to the edge side every
+    # iteration (no edge-list SortMergeJoin), the contribution fold
+    # partial-aggregates before its exchange
+    from rio_cogeo_spark.operators.graph import host_trustrank
+
+    seeds_df = spark.range(0, 5).select(F.col("id").alias("host"))
+    audit(
+        "host_trustrank (broadcast trust, partial contribution sums)",
+        host_trustrank(edges_df, seeds_df, iterations=3),
+        must=[r"BroadcastExchange", r"partial_sum"],
+        must_not=[r"SortMergeJoin", r"CartesianProduct"],
+    )
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:

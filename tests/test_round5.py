@@ -2406,3 +2406,84 @@ def test_crawl_frontier_semantics(spark):
     ) // (r1["hops"] + 1)
     # deeper hosts are discounted: same-rank host at greater depth loses
     assert got[0]["hops"] == 0 and got[2]["hops"] == 2
+
+
+# ---------------------------------------------------------------------------
+# TrustRank (seeded anti-spam trust propagation)
+
+
+def _hosts(spark, ids):
+    return spark.createDataFrame([(int(h),) for h in ids], "host long")
+
+
+def test_trustrank_decays_from_seed_and_farm_stays_zero(spark):
+    from rio_cogeo_spark.operators.graph import SCALE, host_trustrank
+
+    # 1→2→3 chain seeded at 1; {8,9} is a link farm unreachable from it
+    tr = host_trustrank(
+        _edges(spark, [(1, 2), (2, 3), (8, 9), (9, 8)]),
+        _hosts(spark, [1]),
+        iterations=3,
+    )
+    trust = {r.host: r.trust_ppb for r in tr.collect()}
+    base = 15 * SCALE // 100
+    assert trust[1] == base  # seed keeps teleport mass only (no in-links)
+    assert trust[1] > trust[2] > trust[3] > 0  # decay with hop distance
+    assert trust[8] == 0 and trust[9] == 0  # farm never earns trust
+    # exact: 2's trust is 85% of the seed's full prior-round trust
+    assert trust[2] == (85 * base) // 100
+
+
+def test_trustrank_seed_outside_graph_is_anchored(spark):
+    from rio_cogeo_spark.operators.graph import SCALE, host_trustrank
+
+    tr = host_trustrank(
+        _edges(spark, [(1, 2)]), _hosts(spark, [1, 99]), iterations=2
+    )
+    trust = {r.host: r.trust_ppb for r in tr.collect()}
+    assert trust[99] == 15 * SCALE // 100  # absent seed still anchored
+    assert set(trust) == {1, 2, 99}
+
+
+def test_trustrank_matches_duckdb_unroll(spark):
+    import duckdb
+
+    from rio_cogeo_spark.operators.graph import (
+        host_trustrank,
+        host_trustrank_sql,
+    )
+
+    edges = sorted(
+        {
+            (i % 11, (i * 7 + 3) % 11)
+            for i in range(40)
+            if i % 11 != (i * 7 + 3) % 11
+        }
+    )
+    got = {
+        r.host: r.trust_ppb
+        for r in host_trustrank(
+            _edges(spark, edges), _hosts(spark, [0, 1, 2]), iterations=3
+        ).collect()
+    }
+    vals = ", ".join(f"({s}, {d})" for s, d in edges)
+    sql = host_trustrank_sql(
+        f"SELECT src, dst FROM (VALUES {vals}) AS v(src, dst)",
+        "SELECT host FROM (VALUES (0), (1), (2)) AS s(host)",
+        iterations=3,
+    )
+    want = {int(h): int(t) for h, t in duckdb.sql(sql).fetchall()}
+    assert got == want
+
+
+def test_trustrank_validates_args(spark):
+    import pytest as _pytest
+
+    from rio_cogeo_spark.operators.graph import host_trustrank
+
+    e = _edges(spark, [(1, 2)])
+    s = _hosts(spark, [1])
+    with _pytest.raises(ValueError):
+        host_trustrank(e, s, iterations=0)
+    with _pytest.raises(ValueError):
+        host_trustrank(e, s, damping_pct=-1)
