@@ -1090,6 +1090,33 @@ FROM r3 LEFT JOIN outd USING (host) LEFT JOIN ind USING (host)""",
     )
 
 
+def q_overlap(spark, sf_dir):
+    """KMV corpus-overlap sketch between two crawl snapshots: B re-crawls
+    A with 60% of texts unchanged and 40% edited; the k=128 smallest
+    union hashes estimate the exact-text Jaccard in ppm without joining
+    the corpora."""
+    from rio_cogeo_spark.operators.dedup import corpus_overlap
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    b = docs.select(
+        F.when(F.col("doc_id") % 5 < 3, F.col("text"))
+        .otherwise(F.concat(F.col("text"), F.lit(" v2")))
+        .alias("text")
+    )
+    return corpus_overlap(docs.select("text"), b, k=128)
+
+
+def _overlap_oracle() -> str:
+    from rio_cogeo_spark.operators.dedup import corpus_overlap_sql
+
+    return corpus_overlap_sql(
+        "SELECT text FROM documents",
+        "SELECT CASE WHEN doc_id % 5 < 3 THEN text "
+        "ELSE text || ' v2' END AS text FROM documents",
+        k=128,
+    )
+
+
 _TRUST_SEEDS = "(VALUES (0), (1), (2), (3), (4), (1000)) t(h)"
 
 
@@ -1589,6 +1616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gate_rates": q_gate_rates,
         "frontier": q_frontier,
         "trustrank": q_trustrank,
+        "overlap": q_overlap,
         "pyramid": q_pyramid,
         "pip_join": q_pip_join,
         "pages_extract": q_pages_extract,
@@ -2465,6 +2493,7 @@ FROM documents QUALIFY rank <= 3""",
         "gate_rates": _gate_rates_oracle(),
         "frontier": _frontier_oracle(),
         "trustrank": _trustrank_oracle(),
+        "overlap": _overlap_oracle(),
         "dsir_weights": _dsir_oracle(),
         "normalize_text": _normalize_text_oracle(),
         "bpe_merges": _bpe_merges_oracle(),

@@ -1530,3 +1530,88 @@ def crawl_priority(
         .withColumn("age_sec", F.lit(int(now_ts)) - F.col("last_ts"))
         .withColumn("priority", F.col("age_sec") * F.col("change_rate_ppb"))
     )
+
+
+def corpus_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    text_col: str = "text",
+    k: int = 256,
+) -> DataFrame:
+    """KMV (k-minimum-values) corpus-overlap sketch — estimated exact-text
+    Jaccard between two crawl snapshots WITHOUT joining the corpora
+    (Bar-Yossef et al. "Counting distinct elements in a data stream",
+    RANDOM 2002; Beyer et al. SIGMOD 2007 for the union/intersection
+    estimator): the k smallest 60-bit text hashes of A∪B form a uniform
+    sample of the union, so the share of them present in BOTH sides
+    estimates |A∩B| / |A∪B|. The crawl dashboard asks this daily
+    ("how much of today's fetch is yesterday's corpus?") and the exact
+    answer needs a corpus-x-corpus join this sketch avoids.
+
+    Deterministic and engine-exact: the hash is the cross-engine md5-60
+    prefix (functions/text.md5_60), the k-smallest set is an order
+    statistic of those BIGINTs (no RNG, no floats), and the estimate is
+    integer ppm — the same input hashes identically on any
+    engine/partitioning. Returns ONE row
+    ``(k, kmv_size, shared, jaccard_est_ppm)``; ``kmv_size < k`` iff
+    the union has fewer than k distinct texts (the estimate is then
+    exact).
+
+    Scale design (100 TB): the corpus-width stage carries (hash, two
+    int flags) only; membership folds into ONE map-side-combinable
+    groupBy over hashes; the k-smallest is a TakeOrdered (k per
+    partition, then k at the driver-side merge — k is hundreds); the
+    final fold is k rows. Neither corpus shuffles its text, and the two
+    corpora never join.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from rio_cogeo_spark.functions.text import md5_60
+
+    ha = a.select(
+        md5_60(F.col(text_col)).alias("h"),
+        F.lit(1).alias("ia"),
+        F.lit(0).alias("ib"),
+    )
+    hb = b.select(
+        md5_60(F.col(text_col)).alias("h"),
+        F.lit(0).alias("ia"),
+        F.lit(1).alias("ib"),
+    )
+    u = (
+        ha.unionByName(hb)
+        .groupBy("h")
+        .agg(F.max("ia").alias("ia"), F.max("ib").alias("ib"))
+    )
+    kmv = u.orderBy("h").limit(k)
+    return kmv.agg(
+        F.lit(k).cast("long").alias("k"),
+        F.count(F.lit(1)).alias("kmv_size"),
+        F.sum(F.col("ia") * F.col("ib")).alias("shared"),
+        F.expr(
+            "(sum(ia * ib) * 1000000) div count(1)"
+        ).alias("jaccard_est_ppm"),
+    )
+
+
+def corpus_overlap_sql(
+    a_cte: str, b_cte: str, text_col: str = "text", k: int = 256
+) -> str:
+    """DuckDB twin of :func:`corpus_overlap` (each CTE exposes
+    ``{text_col}``)."""
+    from rio_cogeo_spark.functions.text import MD5_60_SQL
+
+    h = MD5_60_SQL.format(c=text_col)
+    return rf"""
+WITH a AS ({a_cte}), b AS ({b_cte}),
+hh AS (SELECT {h} AS h, 1 AS ia, 0 AS ib FROM a
+       UNION ALL
+       SELECT {h} AS h, 0 AS ia, 1 AS ib FROM b),
+u AS (SELECT h, MAX(ia) AS ia, MAX(ib) AS ib FROM hh GROUP BY 1),
+kmv AS (SELECT * FROM u ORDER BY h LIMIT {int(k)})
+SELECT CAST({int(k)} AS BIGINT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS kmv_size,
+       CAST(SUM(ia * ib) AS BIGINT) AS shared,
+       CAST((SUM(ia * ib) * 1000000) // COUNT(*) AS BIGINT)
+           AS jaccard_est_ppm
+FROM kmv"""

@@ -741,6 +741,21 @@ def main() -> None:
         must_not=[r"SortMergeJoin", r"CartesianProduct"],
     )
 
+    # 50. corpus_overlap: the two corpora NEVER join — membership folds
+    # into one partial-aggregated groupBy over hashes, the k-smallest
+    # set is a TakeOrdered (k per partition, k at the merge)
+    from rio_cogeo_spark.operators.dedup import corpus_overlap
+
+    ov_b = docs_d.select(
+        F.concat(F.col("text"), F.lit(" v2")).alias("text")
+    )
+    audit(
+        "corpus_overlap (no corpus join, partial max fold, TakeOrdered k)",
+        corpus_overlap(docs_d.select("text"), ov_b, k=128),
+        must=[r"TakeOrderedAndProject", r"partial_max"],
+        must_not=[r"Join", r"CartesianProduct"],
+    )
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:

@@ -2487,3 +2487,58 @@ def test_trustrank_validates_args(spark):
         host_trustrank(e, s, iterations=0)
     with _pytest.raises(ValueError):
         host_trustrank(e, s, damping_pct=-1)
+
+
+# ---------------------------------------------------------------------------
+# KMV corpus-overlap sketch
+
+
+def _texts(spark, texts):
+    return spark.createDataFrame([(t,) for t in texts], "text string")
+
+
+def test_corpus_overlap_small_union_is_exact(spark):
+    from rio_cogeo_spark.operators.dedup import corpus_overlap
+
+    a = _texts(spark, ["x", "y", "z", "y"])  # dups collapse
+    b = _texts(spark, ["y", "z", "w"])
+    row = corpus_overlap(a, b, k=256).collect()[0]
+    # union {x,y,z,w} < k, so the sketch IS the exact answer
+    assert row.kmv_size == 4 and row.shared == 2
+    assert row.jaccard_est_ppm == (2 * 1_000_000) // 4
+
+
+def test_corpus_overlap_estimates_true_jaccard(spark):
+    from rio_cogeo_spark.operators.dedup import corpus_overlap
+
+    # 600 shared + 200 only-A + 200 only-B: true J = 600/1000
+    a = _texts(spark, [f"s{i}" for i in range(600)] + [f"a{i}" for i in range(200)])
+    b = _texts(spark, [f"s{i}" for i in range(600)] + [f"b{i}" for i in range(200)])
+    row = corpus_overlap(a, b, k=128).collect()[0]
+    assert row.k == 128 and row.kmv_size == 128
+    # KMV std err ~ sqrt(J(1-J)/k) ≈ 0.043; allow 4 sigma
+    assert abs(row.jaccard_est_ppm / 1e6 - 0.6) < 0.18
+
+
+def test_corpus_overlap_matches_duckdb(spark):
+    import duckdb
+
+    from rio_cogeo_spark.operators.dedup import corpus_overlap, corpus_overlap_sql
+
+    a = _texts(spark, [f"doc {i}" for i in range(50)])
+    b = _texts(spark, [f"doc {i}" for i in range(25, 70)])
+    got = corpus_overlap(a, b, k=16).collect()[0].asDict()
+    a_sql = " UNION ALL ".join(f"SELECT 'doc {i}' AS text" for i in range(50))
+    b_sql = " UNION ALL ".join(f"SELECT 'doc {i}' AS text" for i in range(25, 70))
+    want = duckdb.sql(corpus_overlap_sql(a_sql, b_sql, k=16)).fetchall()[0]
+    assert (got["k"], got["kmv_size"], got["shared"], got["jaccard_est_ppm"]) == want
+
+
+def test_corpus_overlap_validates_k(spark):
+    import pytest as _pytest
+
+    from rio_cogeo_spark.operators.dedup import corpus_overlap
+
+    a = _texts(spark, ["x"])
+    with _pytest.raises(ValueError):
+        corpus_overlap(a, a, k=0)
