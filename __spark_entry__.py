@@ -1090,6 +1090,34 @@ FROM r3 LEFT JOIN outd USING (host) LEFT JOIN ind USING (host)""",
     )
 
 
+def q_bitext(spark, sf_dir):
+    """Margin-based bitext mining (Artetxe & Schwenk ACL'19): labels
+    0-4 as the source 'language', 5-9 as the target; best target per
+    source by the ratio margin over k=4 neighborhoods, all exact-BIGINT
+    micro-cosine math past the shared rounded-cosine."""
+    from rio_cogeo_spark.operators.similarity import bitext_mine
+
+    emb = _embeddings(spark, sf_dir)
+    src = emb.filter(F.col("label") < 5).select(
+        F.col("vec_id").alias("src_id"), "embedding"
+    )
+    tgt = emb.filter(F.col("label") >= 5).select(
+        F.col("vec_id").alias("tgt_id"), "embedding"
+    )
+    return bitext_mine(src, tgt, k=4, margin_threshold_ppm=1_000_000)
+
+
+def _bitext_oracle() -> str:
+    from rio_cogeo_spark.operators.similarity import bitext_mine_sql
+
+    return bitext_mine_sql(
+        "SELECT vec_id AS src_id, embedding FROM embeddings WHERE label < 5",
+        "SELECT vec_id AS tgt_id, embedding FROM embeddings WHERE label >= 5",
+        k=4,
+        margin_threshold_ppm=1_000_000,
+    )
+
+
 def q_overlap(spark, sf_dir):
     """KMV corpus-overlap sketch between two crawl snapshots: B re-crawls
     A with 60% of texts unchanged and 40% edited; the k=128 smallest
@@ -1617,6 +1645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier": q_frontier,
         "trustrank": q_trustrank,
         "overlap": q_overlap,
+        "bitext": q_bitext,
         "pyramid": q_pyramid,
         "pip_join": q_pip_join,
         "pages_extract": q_pages_extract,
@@ -2494,6 +2523,7 @@ FROM documents QUALIFY rank <= 3""",
         "frontier": _frontier_oracle(),
         "trustrank": _trustrank_oracle(),
         "overlap": _overlap_oracle(),
+        "bitext": _bitext_oracle(),
         "dsir_weights": _dsir_oracle(),
         "normalize_text": _normalize_text_oracle(),
         "bpe_merges": _bpe_merges_oracle(),

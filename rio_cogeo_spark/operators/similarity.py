@@ -521,3 +521,167 @@ SELECT {group_col}, dim,
        list_reduce(list(val ORDER BY {id_col}), (a, b) -> a + b)
            / COUNT(*) AS mean_val
 FROM ex GROUP BY 1, 2"""
+
+
+def bitext_mine(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    margin_threshold_ppm: int = 1_000_000,
+    src_id: str = "src_id",
+    tgt_id: str = "tgt_id",
+    vec_col: str = "embedding",
+    broadcast_tgt: bool = True,
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk, ACL 2019 — the
+    LASER / CCMatrix / ParaCrawl parallel-corpus miner): for every
+    source-language vector, the best target-language candidate scored
+    by the RATIO margin
+
+        margin(x, y) = cos(x, y) / ((avgNN_k(x) + avgNN_k(y)) / 2)
+
+    where ``avgNN_k`` is the mean cosine to the k nearest neighbors in
+    the OTHER set — raw cosine is miscalibrated across hubness regions,
+    the margin normalizes by each side's local neighborhood density.
+
+    Engine-exact determinism: cosines enter as integer micro-units
+    (``round(cos * 1e6)`` — one rounding step off the shared rounded-
+    cosine contract in functions/vector.py), and everything downstream
+    (k-NN means, the margin ratio in ppm, ranking) is exact BIGINT with
+    id tie-breaks, so Spark and DuckDB hash identically.
+    ``margin_threshold_ppm`` must be >= 1: the integer-division margins
+    of NEGATIVE-cosine pairs may differ between engines in the last
+    unit (trunc vs floor), but such pairs can never survive a positive
+    threshold in either engine, and the per-source argmax is decided by
+    the (identical) positive margins. Pairs whose pooled neighborhood
+    mean is <= 0 are dropped (margin undefined — nothing in their
+    neighborhood correlates).
+
+    Returns ``(src_id, tgt_id, cos_u, margin_ppm)``, the best target per
+    source with ``margin_ppm >= margin_threshold_ppm``.
+
+    Scale design (100 TB): this is the EXACT path — the target set
+    broadcasts (``broadcast_tgt``, the ann_bruteforce_topk discipline)
+    and the corpus-side table never shuffles except the two id-bounded
+    neighborhood folds (map-side-combinable sum/count per id). At
+    trillion-vector scale, swap the crossJoin candidate generator for
+    the IVF routing already in this module (``ivf_assign_lists`` /
+    :func:`semantic_dedup_pairs`'s cluster-local expansion) — margin
+    scoring downstream is unchanged.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if margin_threshold_ppm < 1:
+        raise ValueError(
+            "margin_threshold_ppm must be >= 1 (sign-safe), got "
+            f"{margin_threshold_ppm}"
+        )
+    from rio_cogeo_spark.functions.vector import cosine_rounded
+
+    s = src.select(F.col(src_id), F.col(vec_col).alias("_sv"))
+    t = tgt.select(F.col(tgt_id), F.col(vec_col).alias("_tv"))
+    pairs = s.crossJoin(F.broadcast(t) if broadcast_tgt else t).select(
+        src_id,
+        tgt_id,
+        F.round(cosine_rounded(F.col("_sv"), F.col("_tv")) * 1_000_000, 0)
+        .cast("long")
+        .alias("cos_u"),
+    )
+
+    def _nn_mean(part_col: str, other_col: str, out: str) -> DataFrame:
+        w = Window.partitionBy(part_col).orderBy(
+            F.col("cos_u").desc(), F.col(other_col).asc()
+        )
+        return (
+            pairs.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= k)
+            .groupBy(part_col)
+            # shift to [0, 2e6] before the integer mean: Spark's `div`
+            # truncates while DuckDB's `//` floors, which differ on
+            # negative sums — on the shifted non-negative sum they
+            # agree, and the shift distributes exactly through floor
+            # ((sum + c*1e6) div c = 1e6 + floor(sum/c))
+            .agg(
+                F.expr(
+                    "(sum(cos_u + 1000000) div count(1)) - 1000000"
+                ).alias(out)
+            )
+        )
+
+    a_src = _nn_mean(src_id, tgt_id, "a_src")
+    a_tgt = _nn_mean(tgt_id, src_id, "a_tgt")
+    # a_src is src-cardinality (joins back co-partitioned on src_id — a
+    # legitimate shuffle at corpus scale); a_tgt is target-bounded and
+    # rides the same broadcast budget as the target set itself
+    if broadcast_tgt:
+        a_tgt = F.broadcast(a_tgt)
+    scored = (
+        pairs.join(a_src, src_id)
+        .join(a_tgt, tgt_id)
+        .filter(F.col("a_src") + F.col("a_tgt") > 0)
+        .select(
+            src_id,
+            tgt_id,
+            "cos_u",
+            F.expr("(2 * cos_u * 1000000) div (a_src + a_tgt)").alias(
+                "margin_ppm"
+            ),
+        )
+    )
+    best = Window.partitionBy(src_id).orderBy(
+        F.col("margin_ppm").desc(), F.col(tgt_id).asc()
+    )
+    return (
+        scored.withColumn("_b", F.row_number().over(best))
+        .filter(
+            (F.col("_b") == 1)
+            & (F.col("margin_ppm") >= margin_threshold_ppm)
+        )
+        .select(src_id, tgt_id, "cos_u", "margin_ppm")
+    )
+
+
+def bitext_mine_sql(
+    src_cte: str,
+    tgt_cte: str,
+    k: int = 4,
+    margin_threshold_ppm: int = 1_000_000,
+    src_id: str = "src_id",
+    tgt_id: str = "tgt_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`bitext_mine` (each CTE exposes
+    ``({src,tgt}_id, {vec_col})``)."""
+    from rio_cogeo_spark.functions.vector import cosine_sql
+
+    cos = cosine_sql(f"s.{vec_col}", f"t.{vec_col}")
+    return rf"""
+WITH s AS ({src_cte}), t AS ({tgt_cte}),
+p AS (SELECT s.{src_id}, t.{tgt_id},
+             CAST(round(({cos}) * 1000000, 0) AS BIGINT) AS cos_u
+      FROM s CROSS JOIN t),
+rs AS (SELECT {src_id}, cos_u,
+              ROW_NUMBER() OVER (PARTITION BY {src_id}
+                                 ORDER BY cos_u DESC, {tgt_id}) AS r
+       FROM p),
+a_src AS (SELECT {src_id},
+                 CAST((SUM(cos_u + 1000000) // COUNT(*)) - 1000000
+                      AS BIGINT) AS a_src
+          FROM rs WHERE r <= {int(k)} GROUP BY 1),
+rt AS (SELECT {tgt_id}, cos_u,
+              ROW_NUMBER() OVER (PARTITION BY {tgt_id}
+                                 ORDER BY cos_u DESC, {src_id}) AS r
+       FROM p),
+a_tgt AS (SELECT {tgt_id},
+                 CAST((SUM(cos_u + 1000000) // COUNT(*)) - 1000000
+                      AS BIGINT) AS a_tgt
+          FROM rt WHERE r <= {int(k)} GROUP BY 1),
+m AS (SELECT p.{src_id}, p.{tgt_id}, p.cos_u,
+             CAST((2 * p.cos_u * 1000000) // (a_src + a_tgt)
+                  AS BIGINT) AS margin_ppm
+      FROM p JOIN a_src USING ({src_id}) JOIN a_tgt USING ({tgt_id})
+      WHERE a_src + a_tgt > 0),
+best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY {src_id}
+                   ORDER BY margin_ppm DESC, {tgt_id}) AS b FROM m)
+SELECT {src_id}, {tgt_id}, cos_u, margin_ppm
+FROM best WHERE b = 1 AND margin_ppm >= {int(margin_threshold_ppm)}"""

@@ -756,6 +756,28 @@ def main() -> None:
         must_not=[r"Join", r"CartesianProduct"],
     )
 
+    # 51. bitext_mine: the target set broadcasts (BroadcastNestedLoop
+    # over the candidate cross, never a shuffled cartesian); the two
+    # neighborhood folds partial-aggregate per id
+    from rio_cogeo_spark.operators.similarity import bitext_mine
+
+    emb_d = spark.read.parquet(f"{sf}/embeddings.parquet")
+    bt_src = emb_d.filter(F.col("label") < 5).select(
+        F.col("vec_id").alias("src_id"), "embedding"
+    )
+    bt_tgt = emb_d.filter(F.col("label") >= 5).select(
+        F.col("vec_id").alias("tgt_id"), "embedding"
+    )
+    audit(
+        "bitext_mine (broadcast targets, partial neighborhood sums)",
+        bitext_mine(bt_src, bt_tgt, k=4),
+        # the a_src join back IS a shuffle join by design (both sides
+        # src-cardinality), so SortMergeJoin is allowed; the candidate
+        # cross and the a_tgt join must both broadcast
+        must=[r"BroadcastNestedLoopJoin", r"BroadcastHashJoin", r"partial_sum"],
+        must_not=[r"CartesianProduct"],
+    )
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:

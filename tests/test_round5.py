@@ -2542,3 +2542,143 @@ def test_corpus_overlap_validates_k(spark):
     a = _texts(spark, ["x"])
     with _pytest.raises(ValueError):
         corpus_overlap(a, a, k=0)
+
+
+# ---------------------------------------------------------------------------
+# Margin-based bitext mining
+
+
+def _vecs(spark, id_name, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        f"{id_name} long, embedding array<float>",
+    )
+
+
+def _numpy_bitext(srcs, tgts, k, thr=1_000_000):
+    """Independent reimplementation of the exact-int margin pipeline."""
+    import numpy as np
+
+    def cos_u(a, b):
+        a = np.asarray(a, dtype=np.float32).astype(np.float64)
+        b = np.asarray(b, dtype=np.float32).astype(np.float64)
+        c = float(a @ b / (np.sqrt(a @ a) * np.sqrt(b @ b)))
+        return int(np.round(np.round(c, 6) * 1_000_000))
+
+    C = {(si, ti): cos_u(sv, tv) for si, sv in srcs for ti, tv in tgts}
+
+    def nn_mean(ids, other, key):
+        out = {}
+        for i in ids:
+            top = sorted(
+                ((C[key(i, o)], o) for o in other), key=lambda p: (-p[0], p[1])
+            )[:k]
+            s = sum(c + 1_000_000 for c, _ in top)
+            out[i] = s // len(top) - 1_000_000
+        return out
+
+    a_s = nn_mean([i for i, _ in srcs], [o for o, _ in tgts], lambda i, o: (i, o))
+    a_t = nn_mean([i for i, _ in tgts], [o for o, _ in srcs], lambda i, o: (o, i))
+    best = {}
+    for (si, ti), c in C.items():
+        den = a_s[si] + a_t[ti]
+        if den <= 0:
+            continue
+        # Spark's div truncates toward zero; replicate exactly
+        m = -((2 * -c * 1_000_000) // den) if c < 0 else (2 * c * 1_000_000) // den
+        cur = best.get(si)
+        if cur is None or (m, -ti) > (cur[2], -cur[1]):
+            best[si] = (si, ti, m, c)
+    return {
+        si: (ti, c, m)
+        for si, (si_, ti, m, c) in best.items()
+        if m >= thr
+    }
+
+
+def test_bitext_identity_pairs_and_margin(spark):
+    from rio_cogeo_spark.operators.similarity import bitext_mine
+
+    basis = [[1, 0, 0], [0, 1, 0], [0, 0, 1]]
+    src = _vecs(spark, "src_id", list(enumerate(basis)))
+    tgt = _vecs(spark, "tgt_id", [(i + 10, v) for i, v in enumerate(basis)])
+    got = {r.src_id: (r.tgt_id, r.cos_u) for r in bitext_mine(src, tgt, k=2).collect()}
+    # every source mines its identical (orthogonal) target at cos 1.0
+    assert got == {0: (10, 1_000_000), 1: (11, 1_000_000), 2: (12, 1_000_000)}
+
+
+def test_bitext_matches_numpy_reference(spark):
+    import numpy as np
+
+    from rio_cogeo_spark.operators.similarity import bitext_mine
+
+    rng = np.random.RandomState(7)
+    sv = [(i, rng.randn(8)) for i in range(12)]
+    # plant a hub: the normalized source mean attracts every source
+    hub = sum(v for _, v in sv) / 12
+    tv = [(100 + i, rng.randn(8)) for i in range(10)] + [(110, hub)]
+    got = {
+        r.src_id: (r.tgt_id, r.cos_u, r.margin_ppm)
+        for r in bitext_mine(
+            _vecs(spark, "src_id", sv), _vecs(spark, "tgt_id", tv), k=3
+        ).collect()
+    }
+    want = _numpy_bitext(
+        [(i, v) for i, v in sv], [(i, v) for i, v in tv], k=3
+    )
+    assert got == want
+    # the hub demotion is doing work: some source's raw-cosine argmax
+    # is NOT its mined (margin) target
+    def raw_best(v):
+        def c(a, b):
+            a = np.asarray(a, np.float32).astype(np.float64)
+            b = np.asarray(b, np.float32).astype(np.float64)
+            return a @ b / np.sqrt((a @ a) * (b @ b))
+        return max(tv, key=lambda p: (c(v, p[1]), -p[0]))[0]
+    raw = {i: raw_best(v) for i, v in sv}
+    assert any(
+        i in want and raw[i] != want[i][0] for i, _ in sv
+    ), "expected at least one margin-vs-raw reordering"
+
+
+def test_bitext_matches_duckdb(spark):
+    import duckdb
+    import numpy as np
+
+    from rio_cogeo_spark.operators.similarity import bitext_mine, bitext_mine_sql
+
+    rng = np.random.RandomState(11)
+    sv = [(i, rng.randn(6)) for i in range(8)]
+    tv = [(50 + i, rng.randn(6)) for i in range(9)]
+    got = sorted(
+        tuple(r) for r in bitext_mine(
+            _vecs(spark, "src_id", sv), _vecs(spark, "tgt_id", tv), k=2
+        ).collect()
+    )
+
+    def rel(rows, idc):
+        return " UNION ALL ".join(
+            f"SELECT {i} AS {idc}, [{', '.join(f'CAST({float(np.float32(x))} AS FLOAT)' for x in v)}] AS embedding"
+            for i, v in rows
+        )
+
+    want = sorted(
+        tuple(int(x) for x in row)
+        for row in duckdb.sql(
+            bitext_mine_sql(rel(sv, "src_id"), rel(tv, "tgt_id"), k=2)
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_bitext_validates_args(spark):
+    import pytest as _pytest
+
+    from rio_cogeo_spark.operators.similarity import bitext_mine
+
+    s = _vecs(spark, "src_id", [(0, [1.0, 0.0])])
+    t = _vecs(spark, "tgt_id", [(1, [1.0, 0.0])])
+    with _pytest.raises(ValueError):
+        bitext_mine(s, t, k=0)
+    with _pytest.raises(ValueError):
+        bitext_mine(s, t, margin_threshold_ppm=0)
