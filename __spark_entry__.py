@@ -1145,6 +1145,31 @@ def _overlap_oracle() -> str:
     )
 
 
+def q_winnow(spark, sf_dir):
+    """Winnowing (MOSS, Schleimer et al. SIGMOD 2003) partial-copy
+    candidate pairs over docs ∪ exact dups: token 3-gram md5-60 hashes,
+    window w=4 minima, pairs sharing >= 2 fingerprints. df_cap=None
+    ONLY here (the DuckDB oracle computes uncapped pairs); the
+    operator's default is 'auto' — the corpus-scale hot-fingerprint
+    guard."""
+    from rio_cogeo_spark.operators.dedup import winnow_pairs
+
+    return winnow_pairs(
+        _docs_with_dups(spark, sf_dir), min_shared=2, k=3, w=4, df_cap=None
+    )
+
+
+def _winnow_oracle() -> str:
+    from rio_cogeo_spark.operators.dedup import winnow_pairs_sql
+
+    return winnow_pairs_sql(
+        "SELECT doc_id, text FROM documents UNION ALL "
+        "SELECT doc_id + 100000 AS doc_id, text FROM documents "
+        "WHERE doc_id < 50",
+        min_shared=2, k=3, w=4,
+    )
+
+
 _TRUST_SEEDS = "(VALUES (0), (1), (2), (3), (4), (1000)) t(h)"
 
 
@@ -1646,6 +1671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trustrank": q_trustrank,
         "overlap": q_overlap,
         "bitext": q_bitext,
+        "winnow": q_winnow,
         "pyramid": q_pyramid,
         "pip_join": q_pip_join,
         "pages_extract": q_pages_extract,
@@ -2524,6 +2550,7 @@ FROM documents QUALIFY rank <= 3""",
         "trustrank": _trustrank_oracle(),
         "overlap": _overlap_oracle(),
         "bitext": _bitext_oracle(),
+        "winnow": _winnow_oracle(),
         "dsir_weights": _dsir_oracle(),
         "normalize_text": _normalize_text_oracle(),
         "bpe_merges": _bpe_merges_oracle(),

@@ -761,3 +761,90 @@ def gopher_gate_sql() -> "dict[str, str]":
         "gopher_mask": f"CAST({mask} AS INT)",
         "gopher_pass": f"(CAST({mask} AS INT) = 0)",
     }
+
+
+# --------------------------------------------------------------------------
+# Unicode script mix — the pre-language-ID routing signal: which writing
+# system(s) a page uses. CCNet/fastText-style pipelines route pages to
+# per-script language models before n-gram lang-ID; a page mixing scripts
+# (spam keyword stuffing, bilingual boilerplate) is its own signal. All
+# ranges are BMP, so Spark's UTF-16 `length` (code units) and DuckDB's
+# code-point `length` agree exactly.
+# --------------------------------------------------------------------------
+
+SCRIPT_RANGES: "list[tuple[str, str]]" = [
+    ("latin", "A-Za-z"),
+    ("cyrillic", "Ѐ-ӿ"),
+    ("greek", "Ͱ-Ͽ"),
+    ("cjk", "一-鿿"),
+    ("arabic", "؀-ۿ"),
+    ("hangul", "가-힯"),
+    ("devanagari", "ऀ-ॿ"),
+]
+
+
+def script_counts(text: Column) -> "dict[str, Column]":
+    """Per-script character counts (chars-in-class = length minus length
+    after stripping the class) — one codegen projection, no UDF."""
+    return {
+        name: F.length(text) - F.length(F.regexp_replace(text, f"[{rng}]", ""))
+        for name, rng in SCRIPT_RANGES
+    }
+
+
+def script_mix(text: Column) -> "dict[str, Column]":
+    """Dominant-script election over :data:`SCRIPT_RANGES`: returns
+    ``script_chars`` (total chars in any known script), ``dom_script``
+    (first-listed script reaching the max count — deterministic
+    tie-break by list order; ``'none'`` when no script chars), and
+    ``dom_ppm`` (dominant's exact-integer ppm share of script chars).
+    DuckDB twin :func:`script_mix_sql`."""
+    counts = script_counts(text)
+    cols = list(counts.values())
+    total = cols[0]
+    for c in cols[1:]:
+        total = total + c
+    m = F.greatest(*cols)
+    dom = F.lit("none")
+    for name, _ in reversed(SCRIPT_RANGES):
+        # reversed fold so the FIRST max in list order wins the chain
+        dom = F.when(counts[name] == m, F.lit(name)).otherwise(dom)
+    dom = F.when(total == 0, F.lit("none")).otherwise(dom)
+    dom_cnt = F.when(total == 0, F.lit(0)).otherwise(m).cast("long")
+    # exact integer ppm without an `expr` escape: a and b are BIGINT,
+    # (a - a % b) is an exact multiple of b, and multiples divide
+    # exactly in double below 2^53 (a <= length * 10^6 ~ 10^12)
+    a = dom_cnt * F.lit(1000000)
+    b = F.greatest(total, F.lit(1)).cast("long")
+    return {
+        "script_chars": total.cast("long"),
+        "dom_script": dom,
+        "dom_ppm": ((a - a % b) / b).cast("long"),
+    }
+
+
+def script_mix_sql(text_expr: str = "text") -> "dict[str, str]":
+    """DuckDB twin of :func:`script_mix` (same election order, same
+    integer ppm; RE2 char classes with the same literal BMP ranges)."""
+    cnt = {
+        name: (
+            f"(length({text_expr}) - length(regexp_replace({text_expr}, "
+            f"'[{rng}]', '', 'g')))"
+        )
+        for name, rng in SCRIPT_RANGES
+    }
+    total = " + ".join(cnt.values())
+    m = "greatest(" + ", ".join(cnt.values()) + ")"
+    whens = " ".join(
+        f"WHEN {cnt[name]} = {m} THEN '{name}'" for name, _ in SCRIPT_RANGES
+    )
+    dom = f"(CASE WHEN ({total}) = 0 THEN 'none' {whens} END)"
+    dom_cnt = f"(CASE WHEN ({total}) = 0 THEN 0 ELSE {m} END)"
+    return {
+        "script_chars": f"CAST(({total}) AS BIGINT)",
+        "dom_script": dom,
+        "dom_ppm": (
+            f"CAST((CAST({dom_cnt} AS BIGINT) * 1000000)"
+            f" // greatest({total}, 1) AS BIGINT)"
+        ),
+    }

@@ -1615,3 +1615,156 @@ SELECT CAST({int(k)} AS BIGINT) AS k,
        CAST((SUM(ia * ib) * 1000000) // COUNT(*) AS BIGINT)
            AS jaccard_est_ppm
 FROM kmv"""
+
+
+# ---------------------------------------------------------------------------
+# Winnowing (MOSS) fingerprints
+# ---------------------------------------------------------------------------
+
+
+def _gram_hash_col(text: Column, k: int) -> Column:
+    """ORDERED (positional, non-distinct) k-gram 60-bit hashes — the
+    winnowing input stream. Same zip-of-shifted-slices construction as
+    :func:`shingles_col` (an index lambda would re-split per element)
+    but keeps duplicates and positions, then hashes each gram with the
+    cross-engine md5-60."""
+    from rio_cogeo_spark.functions.text import md5_60
+
+    toks = tokens_col(text)
+    m = F.size(toks) - (k - 1)
+    gram = F.slice(toks, F.lit(1), m)
+    for j in range(1, k):
+        gram = F.zip_with(
+            gram,
+            F.slice(toks, F.lit(1 + j), m),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    return F.when(F.size(toks) >= k, F.transform(gram, md5_60)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, "Local
+    algorithms for document fingerprinting", SIGMOD 2003 — the MOSS
+    algorithm): hash every ORDERED token k-gram, then keep the minimum
+    hash of each sliding window of ``w`` consecutive gram hashes. The
+    selling point over MinHash is a positional GUARANTEE: any token run
+    of at least ``w + k - 1`` tokens shared by two documents contains a
+    full common window, so the two documents share at least one
+    fingerprint — partial-copy detection (quotes, syndicated passages,
+    stitched spam) that whole-document sketches dilute away. Returns
+    ``(doc_id, fp)`` with the per-document fingerprint set deduplicated
+    (overlapping windows usually elect the same minimum).
+
+    Deterministic and engine-exact: gram hash is the cross-engine md5-60
+    (functions/text.md5_60), window election is an integer MIN — no RNG,
+    no floats, no tie-break ambiguity (min of a set).
+
+    Scale design (100 TB): fingerprinting is two chained narrow
+    projections — grams from zipped shifted slices, window minima from a
+    ``least``-fold of w shifted slices of the MATERIALIZED gram column
+    (two projections on purpose: CollapseProject keeps non-cheap
+    expressions referenced w times un-inlined, so the md5 work runs once
+    per gram, not once per window) — zero Exchange until the caller
+    aggregates. Output carries (id, 8-byte hash), never text.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if w < 1:
+        raise ValueError(f"w must be >= 1, got {w}")
+    g_df = docs.select(
+        F.col(id_col).alias("doc_id"),
+        _gram_hash_col(F.col(text_col), k).alias("g"),
+    )
+    g = F.col("g")
+    mw = F.size(g) - (w - 1)
+    mins = F.slice(g, F.lit(1), mw)
+    for j in range(1, w):
+        mins = F.zip_with(
+            mins, F.slice(g, F.lit(1 + j), mw), lambda a, b: F.least(a, b)
+        )
+    fps = F.when(F.size(g) >= w, F.array_distinct(mins)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    return g_df.select("doc_id", F.explode(fps).alias("fp"))
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    min_shared: int = 2,
+    k: int = 3,
+    w: int = 4,
+    df_cap: "Optional[int | str]" = "auto",
+) -> DataFrame:
+    """Candidate near-dup / partial-copy pairs by shared winnowing
+    fingerprints: ``(doc_a, doc_b, n_shared)`` with ``doc_a < doc_b``
+    and ``n_shared >= min_shared`` shared distinct fingerprints. The
+    MOSS front-end of the dedup cascade — feed survivors to
+    :func:`pair_verify` for the exact edit-distance confirm.
+
+    ``df_cap`` is the same hot-fingerprint document-frequency guard as
+    :func:`ngram_jaccard_pairs` (a fingerprint in D docs contributes
+    O(D²) pairs; boilerplate navigation minima hit millions of pages),
+    with the same ``'auto'`` default (~100x the mean fingerprint
+    document-frequency, floor 10) and ``None`` reserved for the
+    oracle-exact comparison.
+
+    Scale design (100 TB): single-sort posting-list pair expansion (the
+    :func:`_shingle_pair_counts` rule — grouping each fingerprint's
+    posting list sorts the inverted index ONCE; a self-join would sort
+    it twice), per-group memory bounded by ``df_cap``.
+    """
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
+    inv = winnow_fingerprints(docs, k=k, w=w)
+    if df_cap is not None:
+        counts = inv.groupBy("fp").count()
+        if df_cap == "auto":
+            counts = counts.localCheckpoint(eager=False)
+            mean_df = counts.agg(F.mean("count").alias("m")).first()
+            df_cap = max(int(mean_df["m"] * 100), 10)
+        hot = counts.filter(F.col("count") > df_cap).select("fp")
+        inv = inv.join(F.broadcast(hot), "fp", "left_anti")
+    return (
+        inv.groupBy("fp")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.explode("ids").alias("doc_a"), "ids")
+        .select("doc_a", F.explode("ids").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def winnow_pairs_sql(
+    docs_cte: str, min_shared: int = 2, k: int = 3, w: int = 4
+) -> str:
+    """DuckDB twin of :func:`winnow_pairs` with ``df_cap=None``
+    (``docs_cte`` exposes ``(doc_id, text)``)."""
+    kk, ww = int(k), int(w)
+    return rf"""
+WITH docs AS ({docs_cte}),
+t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM docs),
+g AS (SELECT doc_id, list_transform(
+        generate_series(1, greatest(len(toks) - {kk - 1}, 0)),
+        i -> CAST(('0x' || substr(md5(array_to_string(toks[i:i+{kk - 1}], ' ')),
+                   1, 15)) AS BIGINT)) AS g FROM t),
+fps AS (SELECT doc_id, unnest(list_distinct(list_transform(
+          generate_series(1, greatest(len(g) - {ww - 1}, 0)),
+          i -> list_aggregate(g[i:i+{ww - 1}], 'min')))) AS fp FROM g)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= {int(min_shared)}"""

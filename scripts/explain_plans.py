@@ -778,6 +778,19 @@ def main() -> None:
         must_not=[r"CartesianProduct"],
     )
 
+    # 52. winnow_pairs: single-sort posting-list pair expansion — the
+    # inverted fingerprint index is grouped (partial-aggregated), never
+    # self-joined (no SortMergeJoin of the index against itself), and
+    # nothing goes cartesian; the hot-fingerprint anti-join broadcasts
+    from rio_cogeo_spark.operators.dedup import winnow_pairs
+
+    audit(
+        "winnow_pairs (grouped posting lists, broadcast hot-fp guard)",
+        winnow_pairs(docs.select("doc_id", "text"), min_shared=2, df_cap=10),
+        must=[r"BroadcastHashJoin LeftAnti", r"partial_count"],
+        must_not=[r"SortMergeJoin", r"CartesianProduct"],
+    )
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:
