@@ -1170,6 +1170,56 @@ def _winnow_oracle() -> str:
     )
 
 
+_SCRIPT_MIX_CASE = (
+    "CASE CAST(doc_id % 4 AS INT) "
+    "WHEN 1 THEN concat(text, ' привет мир привет мир') "
+    "WHEN 2 THEN repeat('中文网页内容 ', 30) "
+    "WHEN 3 THEN concat(repeat('مرحبا بالعالم ', 40), text) "
+    "ELSE text END"
+)
+
+
+def q_script_mix(spark, sf_dir):
+    """Unicode script-mix routing report: documents deterministically
+    remixed into four script profiles (pure Latin / Latin+Cyrillic
+    spice / pure CJK / Arabic-dominant + Latin tail), per-doc dominant
+    script elected over functions/text.SCRIPT_RANGES (first-listed max
+    wins ties), rolled up to (dom_script, n_docs, sum_script_chars,
+    sum_dom_ppm) exact ints — the pre-language-ID corpus router."""
+    from rio_cogeo_spark.functions.text import script_mix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mixed = docs.select(
+        "doc_id", F.expr(_SCRIPT_MIX_CASE).alias("text")
+    )
+    sm = script_mix(F.col("text"))
+    per_doc = mixed.select(
+        sm["dom_script"].alias("dom_script"),
+        sm["script_chars"].alias("script_chars"),
+        sm["dom_ppm"].alias("dom_ppm"),
+    )
+    return per_doc.groupBy("dom_script").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("script_chars").alias("sum_script_chars"),
+        F.sum("dom_ppm").alias("sum_dom_ppm"),
+    )
+
+
+def _script_mix_oracle() -> str:
+    from rio_cogeo_spark.functions.text import script_mix_sql
+
+    s = script_mix_sql("text")
+    return rf"""
+WITH mixed AS (SELECT doc_id, {_SCRIPT_MIX_CASE} AS text FROM documents),
+per_doc AS (SELECT {s['dom_script']} AS dom_script,
+                   {s['script_chars']} AS script_chars,
+                   {s['dom_ppm']} AS dom_ppm FROM mixed)
+SELECT dom_script, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(script_chars) AS BIGINT) AS sum_script_chars,
+       CAST(SUM(dom_ppm) AS BIGINT) AS sum_dom_ppm
+FROM per_doc GROUP BY 1"""
+
+
 _TRUST_SEEDS = "(VALUES (0), (1), (2), (3), (4), (1000)) t(h)"
 
 
@@ -1672,6 +1722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlap": q_overlap,
         "bitext": q_bitext,
         "winnow": q_winnow,
+        "script_mix": q_script_mix,
         "pyramid": q_pyramid,
         "pip_join": q_pip_join,
         "pages_extract": q_pages_extract,
@@ -2551,6 +2602,7 @@ FROM documents QUALIFY rank <= 3""",
         "overlap": _overlap_oracle(),
         "bitext": _bitext_oracle(),
         "winnow": _winnow_oracle(),
+        "script_mix": _script_mix_oracle(),
         "dsir_weights": _dsir_oracle(),
         "normalize_text": _normalize_text_oracle(),
         "bpe_merges": _bpe_merges_oracle(),
