@@ -1170,6 +1170,31 @@ def _winnow_oracle() -> str:
     )
 
 
+def q_bloom_prefilter(spark, sf_dir):
+    """Bloom-filter contamination PREFILTER (Bloom 1970 + Kirsch-
+    Mitzenmacher double hashing): benchmark = every 97th doc, corpus =
+    the rest; the benchmark's shingle bitset (2^16 bits here) broadcasts
+    as 8 KiB and the corpus never shuffles — flagged docs are a strict
+    superset of the exact contamination hits (zero false negatives),
+    bit membership recomputed relationally by the oracle."""
+    from rio_cogeo_spark.operators.contamination import bloom_prefilter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select("text")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0).select("doc_id", "text")
+    return bloom_prefilter(corpus, bench, n=3, m_bits=1 << 16, n_hashes=4)
+
+
+def _bloom_prefilter_oracle() -> str:
+    from rio_cogeo_spark.operators.contamination import bloom_prefilter_sql
+
+    return bloom_prefilter_sql(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 97 != 0",
+        "SELECT text FROM documents WHERE doc_id % 97 = 0",
+        n=3, m_bits=1 << 16, n_hashes=4,
+    )
+
+
 _SCRIPT_MIX_CASE = (
     "CASE CAST(doc_id % 4 AS INT) "
     "WHEN 1 THEN concat(text, ' привет мир привет мир') "
@@ -1723,6 +1748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitext": q_bitext,
         "winnow": q_winnow,
         "script_mix": q_script_mix,
+        "bloom_prefilter": q_bloom_prefilter,
         "pyramid": q_pyramid,
         "pip_join": q_pip_join,
         "pages_extract": q_pages_extract,
@@ -2603,6 +2629,7 @@ FROM documents QUALIFY rank <= 3""",
         "bitext": _bitext_oracle(),
         "winnow": _winnow_oracle(),
         "script_mix": _script_mix_oracle(),
+        "bloom_prefilter": _bloom_prefilter_oracle(),
         "dsir_weights": _dsir_oracle(),
         "normalize_text": _normalize_text_oracle(),
         "bpe_merges": _bpe_merges_oracle(),

@@ -791,6 +791,20 @@ def main() -> None:
         must_not=[r"SortMergeJoin", r"CartesianProduct"],
     )
 
+    # 53. bloom_prefilter: the corpus side is scan → JVM probe
+    # projection → ONE Arrow-batched pandas UDF → filter; zero Exchange,
+    # no join at all (the benchmark folds into a broadcast bitset)
+    from rio_cogeo_spark.operators.contamination import bloom_prefilter
+
+    bp_bench = docs.filter(F.col("doc_id") % 97 == 0).select("text")
+    bp_corpus = docs.filter(F.col("doc_id") % 97 != 0).select("doc_id", "text")
+    audit(
+        "bloom_prefilter (bitset broadcast, zero-Exchange corpus path)",
+        bloom_prefilter(bp_corpus, bp_bench, n=3, m_bits=1 << 16),
+        must=[r"ArrowEvalPython"],
+        must_not=[r"Exchange", r"Join", r"CartesianProduct"],
+    )
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:
