@@ -1195,6 +1195,54 @@ def _bloom_prefilter_oracle() -> str:
     )
 
 
+_LINKS_HTML = (
+    "'<p>intro</p>"
+    '<a href="https://site\' || CAST((doc_id * 31 + 1) % 9973 AS {st}) || '
+    "'.example/\">' || "
+    "CASE WHEN doc_id % 3 = 0 THEN 'home page' ELSE 'read more' END || "
+    "'</a>"
+    '<a href="https://www.site\' || CAST((doc_id * 17 + 2) % 9973 AS {st}) '
+    "|| '.example/about\">about ' || CAST(doc_id % 7 AS {st}) || '</a>'"
+)
+
+
+def q_anchors(spark, sf_dir):
+    """Hyperlink extraction + per-target-host anchor rollup: pages carry
+    two deterministic links each (one via a www. alias, exercising host
+    canonicalization); extraction is a pure JVM regexp projection over
+    the html binary, the rollup elects each host's top anchor with a
+    deterministic (count DESC, anchor ASC) tie-break."""
+    from rio_cogeo_spark.operators.links import anchor_stats, extract_links
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = docs.select(
+        F.concat(
+            F.lit("https://site"), (F.col("doc_id") % 9973).cast("string"),
+            F.lit(".example/page/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.encode(F.expr(_LINKS_HTML.format(st="STRING")), "utf-8").alias(
+            "html"
+        ),
+    )
+    return anchor_stats(extract_links(pages))
+
+
+def _anchors_oracle() -> str:
+    from rio_cogeo_spark.operators.links import (
+        anchor_stats_sql,
+        extract_links_sql,
+    )
+
+    pages_cte = (
+        "SELECT 'https://site' || CAST(doc_id % 9973 AS VARCHAR) || "
+        "'.example/page/' || CAST(doc_id AS VARCHAR) AS url, "
+        + _LINKS_HTML.format(st="VARCHAR")
+        + " AS html FROM documents"
+    )
+    links_cte = extract_links_sql(pages_cte)
+    return anchor_stats_sql(links_cte)
+
+
 _SCRIPT_MIX_CASE = (
     "CASE CAST(doc_id % 4 AS INT) "
     "WHEN 1 THEN concat(text, ' привет мир привет мир') "
@@ -1749,6 +1797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow": q_winnow,
         "script_mix": q_script_mix,
         "bloom_prefilter": q_bloom_prefilter,
+        "anchors": q_anchors,
         "pyramid": q_pyramid,
         "pip_join": q_pip_join,
         "pages_extract": q_pages_extract,
@@ -2630,6 +2679,7 @@ FROM documents QUALIFY rank <= 3""",
         "winnow": _winnow_oracle(),
         "script_mix": _script_mix_oracle(),
         "bloom_prefilter": _bloom_prefilter_oracle(),
+        "anchors": _anchors_oracle(),
         "dsir_weights": _dsir_oracle(),
         "normalize_text": _normalize_text_oracle(),
         "bpe_merges": _bpe_merges_oracle(),

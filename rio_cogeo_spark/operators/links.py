@@ -1,0 +1,144 @@
+"""Hyperlink extraction + anchor-text aggregation over the crawl.
+
+Anchor text is a first-class web-scale training signal: the anchor
+corpus (text OTHER pages use to describe a target) powers retrieval
+pretraining and query-document relevance sets, and per-target link/
+anchor statistics feed the host-graph suite (operators/graph.py:
+pagerank / trustrank / reciprocity consume the edges this module
+extracts). The reference (rio-cogeo) has no text ops; this belongs to
+the beyond-reference LLM-pipeline suite (COVERAGE.md "training-data
+pipeline" table).
+
+Scale notes (100 TB): extraction is one codegen projection per page
+(decode + two anchored regexp_extract_all passes + zip) followed by
+posexplode — corpus-width but narrow (no shuffle, no Python). The
+anchor rollup keys everything on dst_host: per-host group sizes are
+bounded by the host's in-link anchor vocabulary, the distinct-src-host
+count uses dropDuplicates + count (never a COUNT(DISTINCT) expand —
+the boilerplate_lines rule), and the top-anchor election is a
+per-dst_host window over anchor COUNTS (cardinality = distinct anchors
+per host, not links). Hot targets (a CDN host linked from 10^8 pages)
+cost their anchor-count list once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from rio_cogeo_spark.functions.text import HOST_SQL, host_col
+
+# One pattern, two group extractions — Java regex and RE2 agree on this
+# anchored form (no backtracking constructs).
+LINK_PATTERN = r'<a href="([^"]*)">([^<]*)</a>'
+
+
+def extract_links(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """Per-page hyperlink table ``(src_url, pos, dst_url, anchor)``:
+    every ``<a href="...">anchor</a>`` in the UTF-8 html binary, in
+    document order (``pos`` is the 0-based link index). Pure JVM
+    expressions: decode → two group extractions of the SAME pattern
+    (href, anchor — equal lengths by construction) → struct zip →
+    posexplode. DuckDB twin :func:`extract_links_sql`."""
+    s = F.decode(F.col(html_col), "utf-8")
+    hrefs = F.regexp_extract_all(s, F.lit(LINK_PATTERN), 1)
+    anchors = F.regexp_extract_all(s, F.lit(LINK_PATTERN), 2)
+    pairs = F.zip_with(
+        hrefs,
+        anchors,
+        lambda h, a: F.struct(h.alias("dst_url"), a.alias("anchor")),
+    )
+    return pages.select(
+        F.col(url_col).alias("src_url"), F.posexplode(pairs)
+    ).select(
+        "src_url",
+        F.col("pos").cast("int").alias("pos"),
+        F.col("col.dst_url").alias("dst_url"),
+        F.col("col.anchor").alias("anchor"),
+    )
+
+
+def extract_links_sql(pages_cte: str, html_expr: str = "html") -> str:
+    """DuckDB twin of :func:`extract_links` (``pages_cte`` exposes
+    ``(url, {html_expr})`` with the html as VARCHAR)."""
+    pat = LINK_PATTERN.replace("'", "''")
+    return rf"""
+WITH p AS ({pages_cte}),
+ext AS (SELECT url AS src_url,
+               regexp_extract_all({html_expr}, '{pat}', 1) AS hrefs,
+               regexp_extract_all({html_expr}, '{pat}', 2) AS anchors
+        FROM p),
+ix AS (SELECT src_url, unnest(generate_series(1, len(hrefs))) AS i,
+              hrefs, anchors FROM ext)
+SELECT src_url, CAST(i - 1 AS INT) AS pos,
+       hrefs[i] AS dst_url, anchors[i] AS anchor
+FROM ix"""
+
+
+def anchor_stats(links: DataFrame) -> DataFrame:
+    """Per-target-host anchor rollup: ``(dst_host, n_links,
+    n_src_hosts, top_anchor, top_anchor_count)`` — the anchor-corpus
+    summary (how the web describes each host) plus the in-link counts
+    the spam/authority suite consumes. ``top_anchor`` election is
+    deterministic: highest count, ties broken by lexicographically
+    smallest anchor. DuckDB twin :func:`anchor_stats_sql`."""
+    hosted = links.select(
+        host_col(F.col("src_url")).alias("src_host"),
+        host_col(F.col("dst_url")).alias("dst_host"),
+        "anchor",
+    )
+    n_links = hosted.groupBy("dst_host").agg(
+        F.count(F.lit(1)).alias("n_links")
+    )
+    n_src = (
+        hosted.select("dst_host", "src_host")
+        .dropDuplicates(["dst_host", "src_host"])
+        .groupBy("dst_host")
+        .agg(F.count(F.lit(1)).alias("n_src_hosts"))
+    )
+    w = Window.partitionBy("dst_host").orderBy(
+        F.col("anchor_count").desc(), F.col("anchor").asc()
+    )
+    top = (
+        hosted.groupBy("dst_host", "anchor")
+        .agg(F.count(F.lit(1)).alias("anchor_count"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "dst_host",
+            F.col("anchor").alias("top_anchor"),
+            F.col("anchor_count").alias("top_anchor_count"),
+        )
+    )
+    return n_links.join(n_src, "dst_host").join(top, "dst_host")
+
+
+def anchor_stats_sql(links_cte: str) -> str:
+    """DuckDB twin of :func:`anchor_stats` (``links_cte`` exposes
+    ``(src_url, dst_url, anchor)``)."""
+    src_host = HOST_SQL.replace("url", "src_url")
+    dst_host = HOST_SQL.replace("url", "dst_url")
+    return rf"""
+WITH links AS ({links_cte}),
+hosted AS (SELECT {src_host} AS src_host, {dst_host} AS dst_host, anchor
+           FROM links),
+nl AS (SELECT dst_host, CAST(COUNT(*) AS BIGINT) AS n_links
+       FROM hosted GROUP BY 1),
+ns AS (SELECT dst_host, CAST(COUNT(*) AS BIGINT) AS n_src_hosts
+       FROM (SELECT DISTINCT dst_host, src_host FROM hosted) GROUP BY 1),
+ac AS (SELECT dst_host, anchor, COUNT(*) AS anchor_count
+       FROM hosted GROUP BY 1, 2),
+top AS (SELECT dst_host, anchor AS top_anchor,
+               CAST(anchor_count AS BIGINT) AS top_anchor_count,
+               row_number() OVER (PARTITION BY dst_host
+                                  ORDER BY anchor_count DESC, anchor ASC)
+                   AS rn
+        FROM ac)
+SELECT nl.dst_host, nl.n_links, ns.n_src_hosts,
+       top.top_anchor, top.top_anchor_count
+FROM nl JOIN ns USING (dst_host) JOIN top USING (dst_host)
+WHERE top.rn = 1"""

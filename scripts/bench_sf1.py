@@ -77,7 +77,10 @@ def main() -> None:
 
     from rio_cogeo_spark.functions.text import repetition_stats
     from rio_cogeo_spark.operators import dedup as DD
-    from rio_cogeo_spark.operators.contamination import contamination_hits
+    from rio_cogeo_spark.operators.contamination import (
+        bloom_prefilter,
+        contamination_hits,
+    )
     from rio_cogeo_spark.operators.packing import pack_chunks
 
     import tempfile
@@ -360,6 +363,13 @@ def main() -> None:
                 docs.sparkSession.range(0, 5).selectExpr("id AS host"),
                 max_hops=4, iterations=3,
             ).agg(F.sum("priority_ppb")).first(),
+            # this-session additions (ROUND5.md §67, §69)
+            "winnow": lambda: DD.winnow_pairs(
+                docs, min_shared=2, k=3, w=4, df_cap="auto"
+            ).count(),
+            "bloom_prefilter": lambda: bloom_prefilter(
+                corpus, bench_docs, n=3, m_bits=1 << 20, n_hashes=4
+            ).count(),
         }
 
     # SPARK_GRAFT_SF1_ONLY="a,b,c" runs just those queries and merges

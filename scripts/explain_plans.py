@@ -805,6 +805,31 @@ def main() -> None:
         must_not=[r"Exchange", r"Join", r"CartesianProduct"],
     )
 
+    # 54. extract_links + anchor_stats: extraction is a pure projection
+    # (decode + regexp + posexplode — no Python, no Exchange of its
+    # own); the rollup's three aggregates and joins all key on dst_host
+    # (partial aggregation map-side), nothing cartesian
+    from rio_cogeo_spark.operators.links import anchor_stats, extract_links
+
+    lk_pages = docs.select(
+        F.concat(F.lit("https://s"), (F.col("doc_id") % 97).cast("string"),
+                 F.lit(".example/p")).alias("url"),
+        F.encode(
+            F.concat(
+                F.lit('<a href="https://t'),
+                (F.col("doc_id") % 31).cast("string"),
+                F.lit('.example/">go</a>'),
+            ),
+            "utf-8",
+        ).alias("html"),
+    )
+    audit(
+        "extract_links + anchor_stats (projection extract, keyed rollup)",
+        anchor_stats(extract_links(lk_pages)),
+        must=[r"partial_count", r"Generate"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    )
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:

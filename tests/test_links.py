@@ -1,0 +1,87 @@
+"""Hyperlink extraction + anchor-text rollup (operators/links.py):
+document-order extraction from the html binary, host canonicalization
+of both endpoints, deterministic top-anchor election, DuckDB twins."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from rio_cogeo_spark.operators.links import (
+    anchor_stats,
+    anchor_stats_sql,
+    extract_links,
+    extract_links_sql,
+)
+
+PAGES = [
+    ("https://a.example/1",
+     '<p>x</p><a href="https://b.example/">Bee</a>'
+     '<a href="https://www.c.example/about">see sea</a>'
+     '<a href="https://b.example/2"></a>'),
+    ("https://a.example/2", "<p>no links here</p>"),
+    ("https://www.d.example/",
+     '<a href="https://b.example/">Bee</a><a href="https://b.example/">Aye</a>'),
+]
+
+
+def _pages_df(spark):
+    return spark.createDataFrame(PAGES, "url string, page string").select(
+        "url", F.encode(F.col("page"), "utf-8").alias("html")
+    )
+
+
+def test_extract_links_golden(spark):
+    got = sorted(
+        tuple(r) for r in extract_links(_pages_df(spark)).collect()
+    )
+    assert got == sorted([
+        ("https://a.example/1", 0, "https://b.example/", "Bee"),
+        ("https://a.example/1", 1, "https://www.c.example/about", "see sea"),
+        ("https://a.example/1", 2, "https://b.example/2", ""),
+        ("https://www.d.example/", 0, "https://b.example/", "Bee"),
+        ("https://www.d.example/", 1, "https://b.example/", "Aye"),
+    ])
+
+
+def test_anchor_stats_golden_and_tiebreak(spark):
+    got = {
+        r.dst_host: (r.n_links, r.n_src_hosts, r.top_anchor,
+                     r.top_anchor_count)
+        for r in anchor_stats(extract_links(_pages_df(spark))).collect()
+    }
+    # b.example: 4 links from hosts {a.example, d.example}; anchor counts
+    # Bee=2, Aye=1, ''=1 -> top is Bee
+    assert got["b.example"] == (4, 2, "Bee", 2)
+    # c.example reached via its www. alias -> canonicalized
+    assert got["c.example"] == (1, 1, "see sea", 1)
+    # tie-break: equal counts elect the lexicographically smallest anchor
+    df = spark.createDataFrame(
+        [("https://x.example/", "https://t.example/", a) for a in
+         ("zeta", "alpha", "mid")],
+        "src_url string, dst_url string, anchor string",
+    )
+    top = anchor_stats(df).collect()[0]
+    assert (top.top_anchor, top.top_anchor_count) == ("alpha", 1)
+
+
+def test_links_match_duckdb_twins(spark):
+    duckdb = pytest.importorskip("duckdb")
+    import pandas as pd
+
+    got_links = sorted(
+        tuple(r) for r in extract_links(_pages_df(spark)).collect()
+    )
+    got_stats = sorted(
+        tuple(r)
+        for r in anchor_stats(extract_links(_pages_df(spark))).collect()
+    )
+    con = duckdb.connect()
+    con.register("pp", pd.DataFrame(PAGES, columns=["url", "html"]))
+    pages_cte = "SELECT url, html FROM pp"
+    links_sql = extract_links_sql(pages_cte)
+    want_links = sorted(tuple(r) for r in con.execute(links_sql).fetchall())
+    assert got_links == want_links
+    want_stats = sorted(
+        tuple(r)
+        for r in con.execute(anchor_stats_sql(links_sql)).fetchall()
+    )
+    assert got_stats == want_stats
