@@ -1243,6 +1243,35 @@ def _anchors_oracle() -> str:
     return anchor_stats_sql(links_cte)
 
 
+def q_budget(spark, sf_dir):
+    """Exact crawl-budget apportionment (Hamilton largest-remainder):
+    1,000,003 fetch slots split across the 97-host deterministic domain
+    layout proportionally to (host doc count x (1 + doc_id%5 priority
+    mass)); integral, sums to EXACTLY the budget, quota-rule-safe —
+    DECIMAL(38,0)/HUGEINT arithmetic, remainder election by distributed
+    TakeOrdered threshold (no global window)."""
+    from rio_cogeo_spark.operators.graph import apportion_budget
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    weights = docs.groupBy(
+        F.concat(
+            F.lit("site"), (F.col("doc_id") % 97).cast("string"),
+            F.lit(".example"),
+        ).alias("host")
+    ).agg(F.sum(F.lit(1) + F.col("doc_id") % 5).alias("weight"))
+    return apportion_budget(weights, budget=1_000_003)
+
+
+def _budget_oracle() -> str:
+    from rio_cogeo_spark.operators.graph import apportion_budget_sql
+
+    return apportion_budget_sql(
+        "SELECT 'site' || CAST(doc_id % 97 AS VARCHAR) || '.example'"
+        " AS host, SUM(1 + doc_id % 5) AS weight FROM documents GROUP BY 1",
+        budget=1_000_003,
+    )
+
+
 _SCRIPT_MIX_CASE = (
     "CASE CAST(doc_id % 4 AS INT) "
     "WHEN 1 THEN concat(text, ' привет мир привет мир') "
@@ -1798,6 +1827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_mix": q_script_mix,
         "bloom_prefilter": q_bloom_prefilter,
         "anchors": q_anchors,
+        "budget": q_budget,
         "pyramid": q_pyramid,
         "pip_join": q_pip_join,
         "pages_extract": q_pages_extract,
@@ -2680,6 +2710,7 @@ FROM documents QUALIFY rank <= 3""",
         "script_mix": _script_mix_oracle(),
         "bloom_prefilter": _bloom_prefilter_oracle(),
         "anchors": _anchors_oracle(),
+        "budget": _budget_oracle(),
         "dsir_weights": _dsir_oracle(),
         "normalize_text": _normalize_text_oracle(),
         "bpe_merges": _bpe_merges_oracle(),

@@ -516,3 +516,141 @@ def host_trustrank_sql(
         )
     body = ",\n".join(parts)
     return f"{body}\nSELECT host, trust AS trust_ppb FROM t{iterations}"
+
+
+def apportion_budget(
+    weights: DataFrame,
+    budget: int,
+    key_col: str = "host",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """EXACT integer crawl-budget apportionment by the largest-remainder
+    (Hamilton) method: split ``budget`` fetch slots across hosts
+    proportionally to ``weight`` (e.g. change rate x priority from
+    :func:`crawl_frontier`) so that the result is integral, sums to
+    EXACTLY ``budget``, and satisfies the quota rule
+    ``floor(q_i) <= alloc_i <= ceil(q_i)`` for every host
+    (``q_i = budget * w_i / W``). Float rounding would violate both;
+    schedulers need the invariants (a fetch fleet provisions exactly
+    ``budget`` slots).
+
+    All arithmetic is DECIMAL(38,0)/HUGEINT integer (the
+    temperature_mix overflow contract — ``budget * w_i`` exceeds int64
+    at corpus scale), so the allocation is bit-identical across
+    engines: ``base_i = (B * w_i) div W``; the ``R = B - sum(base_i)``
+    leftover slots (< #hosts) go to the R largest division remainders,
+    ties broken by ascending key. Returns ``(key, weight, alloc)``.
+
+    Scale design (100 TB / 10^8 hosts): W is ONE combinable aggregate
+    broadcast back; base/remainder are a stateless projection; the
+    R-th remainder THRESHOLD is found with a distributed TakeOrdered
+    (orderBy().limit(R) compiles to TakeOrderedAndProject — per-
+    partition partial top-R, no global sort, no single-partition
+    window), then the +1 set is a broadcast threshold comparison.
+    Zero-weight totals degrade to base 0 + first-R-keys round-robin
+    (deterministic; documented).
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    w = weights.select(
+        F.col(key_col).alias("k"),
+        F.col(weight_col).cast("long").alias("w"),
+    )
+    tot = w.agg(
+        F.expr("CAST(SUM(w) AS DECIMAL(38,0))").alias("tw"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    based = (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "k", "w", "n",
+            F.expr(
+                f"CAST(CAST({int(budget)} AS DECIMAL(38,0)) * w"
+                " div greatest(tw, CAST(1 AS DECIMAL(38,0))) AS BIGINT)"
+            ).alias("base"),
+            F.expr(
+                f"CAST(CAST({int(budget)} AS DECIMAL(38,0)) * w"
+                " % greatest(tw, CAST(1 AS DECIMAL(38,0))) AS DECIMAL(38,0))"
+            ).alias("rem"),
+        )
+    )
+    based = based.localCheckpoint(eager=False)
+    agg = based.agg(
+        (F.lit(int(budget)) - F.coalesce(F.sum("base"), F.lit(0))).alias("R")
+    ).first()
+    r_left = int(agg["R"] or 0)
+    if r_left == 0:
+        return based.select(
+            F.col("k").alias(key_col),
+            F.col("w").alias(weight_col),
+            F.col("base").alias("alloc"),
+        )
+    # the R-th (rem DESC, k ASC) row is the +1 threshold; strict total
+    # order because k is unique
+    # under (rem DESC, k ASC) the R-th row is the MAX of the lex struct
+    # (-rem, k): smallest remainder inside the top-R, then LARGEST key
+    # among its ties (the min-struct form would drop tied keys > t_k)
+    thr = (
+        based.select("rem", "k")
+        .orderBy(F.col("rem").desc(), F.col("k").asc())
+        .limit(r_left)
+        .agg(
+            F.max(
+                F.struct(
+                    (F.col("rem") * F.lit(-1)).alias("nr"),
+                    F.col("k").alias("tk"),
+                )
+            ).alias("t")
+        )
+        .select(
+            (F.col("t.nr") * F.lit(-1)).alias("t_rem"),
+            F.col("t.tk").alias("t_k"),
+        )
+    )
+    return (
+        based.crossJoin(F.broadcast(thr))
+        .select(
+            F.col("k").alias(key_col),
+            F.col("w").alias(weight_col),
+            (
+                F.col("base")
+                + F.when(
+                    (F.col("rem") > F.col("t_rem"))
+                    | (
+                        (F.col("rem") == F.col("t_rem"))
+                        & (F.col("k") <= F.col("t_k"))
+                    ),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).alias("alloc"),
+        )
+    )
+
+
+def apportion_budget_sql(
+    weights_cte: str, budget: int, key_col: str = "host",
+    weight_col: str = "weight",
+) -> str:
+    """DuckDB twin of :func:`apportion_budget` (``weights_cte`` exposes
+    ``({key_col}, {weight_col})``). The oracle uses a window rank for
+    the remainder election — value-identical to the engine's
+    threshold form."""
+    b = int(budget)
+    return rf"""
+WITH ab_in AS ({weights_cte}),
+ab_w AS (SELECT {key_col} AS k, CAST({weight_col} AS BIGINT) AS w
+         FROM ab_in),
+ab_t AS (SELECT greatest(CAST(SUM(w) AS HUGEINT), CAST(1 AS HUGEINT))
+             AS tw FROM ab_w),
+ab_based AS (SELECT k, w,
+                 CAST(CAST({b} AS HUGEINT) * w // tw AS BIGINT) AS base,
+                 CAST({b} AS HUGEINT) * w % tw AS rem
+             FROM ab_w CROSS JOIN ab_t),
+ab_r AS (SELECT {b} - COALESCE(SUM(base), 0) AS leftover FROM ab_based),
+ab_ranked AS (SELECT k, w, base, rem,
+                  row_number() OVER (ORDER BY rem DESC, k ASC) AS rn
+              FROM ab_based)
+SELECT k AS {key_col}, w AS {weight_col},
+       CAST(base + (CASE WHEN rn <= (SELECT leftover FROM ab_r)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS alloc
+FROM ab_ranked"""

@@ -830,6 +830,23 @@ def main() -> None:
         must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     )
 
+    # 55. apportion_budget: the remainder election is a distributed
+    # TakeOrderedAndProject threshold + broadcast comparison — NEVER a
+    # single-partition global Window (the scale trap for ranking ops)
+    from rio_cogeo_spark.operators.graph import apportion_budget
+
+    ab_w = docs.groupBy(
+        F.concat(F.lit("s"), (F.col("doc_id") % 97).cast("string")).alias(
+            "host"
+        )
+    ).agg(F.count(F.lit(1)).alias("weight"))
+    audit(
+        "apportion_budget (TakeOrdered threshold, no global window)",
+        apportion_budget(ab_w, budget=1_000_003),
+        must=[r"TakeOrderedAndProject", r"BroadcastExchange"],
+        must_not=[r"Window", r"CartesianProduct"],
+    )
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:
