@@ -1272,6 +1272,73 @@ def _budget_oracle() -> str:
     )
 
 
+_META_HTML = (
+    "'<!doctype html><head>' || "
+    "CASE CAST(doc_id % 5 AS INT) "
+    "WHEN 0 THEN '<meta name=\"robots\" content=\"noindex, follow\">' "
+    "WHEN 1 THEN '<meta name=\"robots\" content=\"index, follow\">' "
+    "WHEN 2 THEN '<meta name=\"robots\" content=\"NONE\">' "
+    "ELSE '' END || "
+    "'<meta name=\"description\" content=\"page ' || "
+    "CAST(doc_id % 13 AS {st}) || '\"></head>'"
+)
+
+
+def _meta_pages(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://site"), (F.col("doc_id") % 9973).cast("string"),
+            F.lit(".example/page/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.encode(F.expr(_META_HTML.format(st="STRING")), "utf-8").alias(
+            "html"
+        ),
+    )
+
+
+_META_PAGES_CTE = (
+    "SELECT doc_id, 'https://site' || CAST(doc_id % 9973 AS VARCHAR) || "
+    "'.example/page/' || CAST(doc_id AS VARCHAR) AS url, "
+    + _META_HTML.format(st="VARCHAR")
+    + " AS html FROM documents"
+)
+
+
+def q_meta_tags(spark, sf_dir):
+    """Document-order meta-tag extraction (the generic form of the
+    geotag parse): every page carries a description tag and 3/5 carry a
+    robots directive — one codegen projection, no Python."""
+    from rio_cogeo_spark.operators.links import extract_meta
+
+    return extract_meta(_meta_pages(spark, sf_dir))
+
+
+def _meta_tags_oracle() -> str:
+    from rio_cogeo_spark.operators.links import extract_meta_sql
+
+    return extract_meta_sql(_META_PAGES_CTE)
+
+
+def q_meta_robots(spark, sf_dir):
+    """Respect <meta name=robots>: drop pages whose robots directives
+    contain the TOKEN noindex or none (case-insensitive; 'NONE' implies
+    noindex per the robots spec) — pages with doc_id%5 in (0,2) must
+    vanish, the rest keep. Pure per-row EXISTS filter, zero shuffle."""
+    from rio_cogeo_spark.operators.links import meta_robots_noindex
+
+    kept = meta_robots_noindex(_meta_pages(spark, sf_dir))
+    return kept.select("doc_id", "url")
+
+
+def _meta_robots_oracle() -> str:
+    from rio_cogeo_spark.operators.links import meta_robots_noindex_sql
+
+    inner = meta_robots_noindex_sql(_META_PAGES_CTE)
+    return f"SELECT doc_id, url FROM ({inner})"
+
+
 _SCRIPT_MIX_CASE = (
     "CASE CAST(doc_id % 4 AS INT) "
     "WHEN 1 THEN concat(text, ' привет мир привет мир') "
@@ -1828,6 +1895,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_prefilter": q_bloom_prefilter,
         "anchors": q_anchors,
         "budget": q_budget,
+        "meta_tags": q_meta_tags,
+        "meta_robots": q_meta_robots,
         "pyramid": q_pyramid,
         "pip_join": q_pip_join,
         "pages_extract": q_pages_extract,
@@ -2711,6 +2780,8 @@ FROM documents QUALIFY rank <= 3""",
         "bloom_prefilter": _bloom_prefilter_oracle(),
         "anchors": _anchors_oracle(),
         "budget": _budget_oracle(),
+        "meta_tags": _meta_tags_oracle(),
+        "meta_robots": _meta_robots_oracle(),
         "dsir_weights": _dsir_oracle(),
         "normalize_text": _normalize_text_oracle(),
         "bpe_merges": _bpe_merges_oracle(),

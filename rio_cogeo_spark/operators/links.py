@@ -142,3 +142,114 @@ SELECT nl.dst_host, nl.n_links, ns.n_src_hosts,
        top.top_anchor, top.top_anchor_count
 FROM nl JOIN ns USING (dst_host) JOIN top USING (dst_host)
 WHERE top.rn = 1"""
+
+
+# ---------------------------------------------------------------------------
+# Meta-tag surface (same html-extraction family as extract_links)
+# ---------------------------------------------------------------------------
+
+META_PATTERN = r'<meta name="([^"]*)" content="([^"]*)">'
+
+
+def extract_meta(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """Per-page meta-tag table ``(url, pos, name, content)`` — every
+    ``<meta name="..." content="...">`` in document order. The generic
+    form of the geotag parse (functions/text.geotag_from_html): one
+    codegen projection, same two-group extraction shape as
+    :func:`extract_links`. DuckDB twin :func:`extract_meta_sql`."""
+    s = F.decode(F.col(html_col), "utf-8")
+    names = F.regexp_extract_all(s, F.lit(META_PATTERN), 1)
+    contents = F.regexp_extract_all(s, F.lit(META_PATTERN), 2)
+    pairs = F.zip_with(
+        names,
+        contents,
+        lambda n, c: F.struct(n.alias("name"), c.alias("content")),
+    )
+    return pages.select(F.col(url_col).alias("url"), F.posexplode(pairs)).select(
+        "url",
+        F.col("pos").cast("int").alias("pos"),
+        F.col("col.name").alias("name"),
+        F.col("col.content").alias("content"),
+    )
+
+
+def extract_meta_sql(pages_cte: str, html_expr: str = "html") -> str:
+    """DuckDB twin of :func:`extract_meta` (``pages_cte`` exposes
+    ``(url, {html_expr})`` with the html as VARCHAR)."""
+    pat = META_PATTERN.replace("'", "''")
+    return rf"""
+WITH p AS ({pages_cte}),
+ext AS (SELECT url,
+               regexp_extract_all({html_expr}, '{pat}', 1) AS names,
+               regexp_extract_all({html_expr}, '{pat}', 2) AS contents
+        FROM p),
+ix AS (SELECT url, unnest(generate_series(1, len(names))) AS i,
+              names, contents FROM ext)
+SELECT url, CAST(i - 1 AS INT) AS pos,
+       names[i] AS name, contents[i] AS content
+FROM ix"""
+
+
+# robots content is a comma/space-separated directive list; the noindex
+# decision is TOKEN membership (substring tests would false-positive on
+# hypothetical values containing 'noindex' — and 'none' implies
+# noindex,nofollow per the robots meta spec)
+_ROBOTS_SPLIT = r"[,\s]+"
+
+
+def meta_robots_noindex(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """Respect ``<meta name="robots">``: returns ``pages`` WITHOUT the
+    documents whose robots directives include the token ``noindex`` or
+    ``none`` (case-insensitive; any one of multiple robots tags
+    suffices) — the politeness step a C4-style corpus applies before
+    training. Pages with no robots meta are kept.
+
+    Scale design (100 TB): the noindex decision is a pure per-row
+    expression over the SAME page row (EXISTS over the extracted
+    directive tokens — no meta-table materialization, no join, no
+    shuffle); Catalyst keeps it one codegen filter. DuckDB twin
+    :func:`meta_robots_noindex_sql`.
+    """
+    s = F.decode(F.col(html_col), "utf-8")
+    contents = F.regexp_extract_all(s, F.lit(META_PATTERN), 2)
+    names = F.regexp_extract_all(s, F.lit(META_PATTERN), 1)
+    robots = F.zip_with(
+        names,
+        contents,
+        lambda n, c: F.when(n == F.lit("robots"), c),
+    )
+    blocked = F.exists(
+        robots,
+        lambda c: c.isNotNull()
+        & F.arrays_overlap(
+            F.split(F.lower(c), _ROBOTS_SPLIT),
+            F.array(F.lit("noindex"), F.lit("none")),
+        ),
+    )
+    return pages.filter(~blocked)
+
+
+def meta_robots_noindex_sql(pages_cte: str, html_expr: str = "html") -> str:
+    """DuckDB twin of :func:`meta_robots_noindex` (html as VARCHAR);
+    returns the kept rows of ``pages_cte``."""
+    pat = META_PATTERN.replace("'", "''")
+    return rf"""
+WITH p AS ({pages_cte})
+SELECT * FROM p
+WHERE NOT COALESCE(
+    len(list_filter(
+        list_zip(regexp_extract_all({html_expr}, '{pat}', 1),
+                 regexp_extract_all({html_expr}, '{pat}', 2)),
+        z -> z[1] = 'robots' AND
+             len(list_intersect(
+                 string_split_regex(lower(z[2]), '[,\s]+'),
+                 ['noindex', 'none'])) > 0)) > 0,
+    FALSE)"""

@@ -85,3 +85,93 @@ def test_links_match_duckdb_twins(spark):
         for r in con.execute(anchor_stats_sql(links_sql)).fetchall()
     )
     assert got_stats == want_stats
+
+
+# --- meta-tag surface ------------------------------------------------------
+
+from rio_cogeo_spark.operators.links import (  # noqa: E402
+    extract_meta,
+    extract_meta_sql,
+    meta_robots_noindex,
+    meta_robots_noindex_sql,
+)
+
+META_PAGES = [
+    ("https://a.example/1",
+     '<meta name="robots" content="noindex, follow">'
+     '<meta name="description" content="drop me">'),
+    ("https://a.example/2",
+     '<meta name="robots" content="index, follow">'
+     '<meta name="description" content="keep me">'),
+    ("https://a.example/3", '<meta name="robots" content="NONE">'),
+    ("https://a.example/4", "<p>no meta at all</p>"),
+    ("https://a.example/5",
+     # second robots tag blocks even though the first allows
+     '<meta name="robots" content="index">'
+     '<meta name="robots" content="nofollow,NoIndex">'),
+    ("https://a.example/6",
+     # 'noindexplease' is NOT the token noindex -> keep
+     '<meta name="robots" content="noindexplease">'),
+]
+
+
+def _meta_df(spark):
+    return spark.createDataFrame(META_PAGES, "url string, page string").select(
+        "url", F.encode(F.col("page"), "utf-8").alias("html")
+    )
+
+
+def test_extract_meta_golden(spark):
+    got = sorted(tuple(r) for r in extract_meta(_meta_df(spark)).collect())
+    assert ("https://a.example/1", 0, "robots", "noindex, follow") in got
+    assert ("https://a.example/1", 1, "description", "drop me") in got
+    assert len([g for g in got if g[0] == "https://a.example/4"]) == 0
+    assert len(got) == 8
+
+
+def test_meta_robots_noindex_semantics(spark):
+    kept = {r.url for r in meta_robots_noindex(_meta_df(spark)).collect()}
+    assert kept == {
+        "https://a.example/2",   # explicit index
+        "https://a.example/4",   # no meta
+        "https://a.example/6",   # substring but not the token
+    }
+
+
+def test_meta_twins_match_duckdb(spark):
+    duckdb = pytest.importorskip("duckdb")
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.register("mp", pd.DataFrame(META_PAGES, columns=["url", "html"]))
+    got_meta = sorted(tuple(r) for r in extract_meta(_meta_df(spark)).collect())
+    want_meta = sorted(
+        tuple(r)
+        for r in con.execute(
+            extract_meta_sql("SELECT url, html FROM mp")
+        ).fetchall()
+    )
+    assert got_meta == want_meta
+    got_kept = sorted(
+        r.url for r in meta_robots_noindex(_meta_df(spark)).collect()
+    )
+    want_kept = sorted(
+        r[0]
+        for r in con.execute(
+            "SELECT url FROM ("
+            + meta_robots_noindex_sql("SELECT url, html FROM mp")
+            + ")"
+        ).fetchall()
+    )
+    assert got_kept == want_kept
+
+
+def test_meta_robots_plan_is_filter_only(spark):
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        meta_robots_noindex(_meta_df(spark)).explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan and "Join" not in plan
