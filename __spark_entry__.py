@@ -1339,6 +1339,56 @@ def _meta_robots_oracle() -> str:
     return f"SELECT doc_id, url FROM ({inner})"
 
 
+_HREFLANG_HTML = (
+    "'<head>"
+    '<link rel="alternate" hreflang="en" href="https://x.example/\' || '
+    "CAST(doc_id {d} 5 AS {st}) || '/en\">"
+    '<link rel="alternate" hreflang="de" href="https://x.example/\' || '
+    "CAST(doc_id {d} 5 AS {st}) || '/de\">"
+    '<link rel="alternate" hreflang="zh" href="https://x.example/\' || '
+    "CAST(doc_id {d} 5 AS {st}) || '/zh\"></head>'"
+)
+
+
+def q_hreflang(spark, sf_dir):
+    """Publisher-declared translation pairs from hreflang alternates
+    (the ParaCrawl high-precision bitext seed): every page in a 5-doc
+    cluster re-declares the same en/de/zh alternate set — pair
+    expansion via grouped posting lists (no corpus self-join), pairs
+    deduplicated across the re-declaring pages to 3 per cluster."""
+    from rio_cogeo_spark.operators.links import (
+        extract_hreflang,
+        hreflang_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = docs.select(
+        F.concat(
+            F.lit("https://site"), (F.col("doc_id") % 9973).cast("string"),
+            F.lit(".example/page/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.encode(
+            F.expr(_HREFLANG_HTML.format(st="STRING", d="div")), "utf-8"
+        ).alias("html"),
+    )
+    return hreflang_pairs(extract_hreflang(pages))
+
+
+def _hreflang_oracle() -> str:
+    from rio_cogeo_spark.operators.links import (
+        extract_hreflang_sql,
+        hreflang_pairs_sql,
+    )
+
+    pages_cte = (
+        "SELECT 'https://site' || CAST(doc_id % 9973 AS VARCHAR) || "
+        "'.example/page/' || CAST(doc_id AS VARCHAR) AS url, "
+        + _HREFLANG_HTML.format(st="VARCHAR", d="//")
+        + " AS html FROM documents"
+    )
+    return hreflang_pairs_sql(extract_hreflang_sql(pages_cte))
+
+
 _SCRIPT_MIX_CASE = (
     "CASE CAST(doc_id % 4 AS INT) "
     "WHEN 1 THEN concat(text, ' привет мир привет мир') "
@@ -1897,6 +1947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget": q_budget,
         "meta_tags": q_meta_tags,
         "meta_robots": q_meta_robots,
+        "hreflang": q_hreflang,
         "pyramid": q_pyramid,
         "pip_join": q_pip_join,
         "pages_extract": q_pages_extract,
@@ -2782,6 +2833,7 @@ FROM documents QUALIFY rank <= 3""",
         "budget": _budget_oracle(),
         "meta_tags": _meta_tags_oracle(),
         "meta_robots": _meta_robots_oracle(),
+        "hreflang": _hreflang_oracle(),
         "dsir_weights": _dsir_oracle(),
         "normalize_text": _normalize_text_oracle(),
         "bpe_merges": _bpe_merges_oracle(),

@@ -253,3 +253,107 @@ WHERE NOT COALESCE(
                  string_split_regex(lower(z[2]), '[,\s]+'),
                  ['noindex', 'none'])) > 0)) > 0,
     FALSE)"""
+
+
+# ---------------------------------------------------------------------------
+# hreflang alternates — the high-precision bitext seed
+# ---------------------------------------------------------------------------
+
+HREFLANG_PATTERN = (
+    r'<link rel="alternate" hreflang="([^"]*)" href="([^"]*)">'
+)
+
+
+def extract_hreflang(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """Per-page hreflang alternate table ``(url, hreflang, alt_url)``:
+    every ``<link rel="alternate" hreflang="..." href="...">`` —
+    the publisher-declared translation graph (the seed signal ParaCrawl
+    / CCMatrix mine before any embedding alignment: hreflang clusters
+    are high-precision parallel-page candidates). Same codegen
+    extraction shape as :func:`extract_links`. DuckDB twin
+    :func:`extract_hreflang_sql`."""
+    s = F.decode(F.col(html_col), "utf-8")
+    langs = F.regexp_extract_all(s, F.lit(HREFLANG_PATTERN), 1)
+    hrefs = F.regexp_extract_all(s, F.lit(HREFLANG_PATTERN), 2)
+    pairs = F.zip_with(
+        langs,
+        hrefs,
+        lambda l, h: F.struct(l.alias("hreflang"), h.alias("alt_url")),
+    )
+    return pages.select(F.col(url_col).alias("url"), F.explode(pairs)).select(
+        "url",
+        F.col("col.hreflang").alias("hreflang"),
+        F.col("col.alt_url").alias("alt_url"),
+    )
+
+
+def extract_hreflang_sql(pages_cte: str, html_expr: str = "html") -> str:
+    """DuckDB twin of :func:`extract_hreflang`."""
+    pat = HREFLANG_PATTERN.replace("'", "''")
+    return rf"""
+WITH p AS ({pages_cte}),
+ext AS (SELECT url,
+               regexp_extract_all({html_expr}, '{pat}', 1) AS langs,
+               regexp_extract_all({html_expr}, '{pat}', 2) AS hrefs
+        FROM p),
+ix AS (SELECT url, unnest(generate_series(1, len(langs))) AS i,
+              langs, hrefs FROM ext)
+SELECT url, langs[i] AS hreflang, hrefs[i] AS alt_url
+FROM ix"""
+
+
+def hreflang_pairs(alternates: DataFrame) -> DataFrame:
+    """Distinct cross-language page pairs from the declared alternates:
+    ``(lang_a, url_a, lang_b, url_b)`` with ``(lang_a, url_a) <
+    (lang_b, url_b)`` — every two alternates a page declares together
+    form a translation-candidate pair (same-language alternates, e.g.
+    en-US/en-GB regional variants collapsing to one primary subtag,
+    are kept only when the full hreflang values differ). Pairs are
+    deduplicated ACROSS declaring pages (each member of a translation
+    set usually re-declares the whole set).
+
+    Scale design (100 TB): pair expansion is the single-sort
+    posting-list rule — group each declaring page's alternate list
+    (bounded by the site's language count, dozens at most) and expand
+    in place; the cross-page dedup is one map-side-combinable
+    dropDuplicates on the pair key. No self-join of the corpus-width
+    alternate table."""
+    grouped = alternates.groupBy("url").agg(
+        F.collect_list(F.struct("hreflang", "alt_url")).alias("alts")
+    )
+    return (
+        grouped.select(F.explode("alts").alias("a"), "alts")
+        .select("a", F.explode("alts").alias("b"))
+        .filter(
+            (F.col("a.hreflang") < F.col("b.hreflang"))
+            | (
+                (F.col("a.hreflang") == F.col("b.hreflang"))
+                & (F.col("a.alt_url") < F.col("b.alt_url"))
+            )
+        )
+        .select(
+            F.col("a.hreflang").alias("lang_a"),
+            F.col("a.alt_url").alias("url_a"),
+            F.col("b.hreflang").alias("lang_b"),
+            F.col("b.alt_url").alias("url_b"),
+        )
+        .dropDuplicates(["lang_a", "url_a", "lang_b", "url_b"])
+    )
+
+
+def hreflang_pairs_sql(alternates_cte: str) -> str:
+    """DuckDB twin of :func:`hreflang_pairs` (``alternates_cte``
+    exposes ``(url, hreflang, alt_url)``)."""
+    return rf"""
+WITH alts AS ({alternates_cte})
+SELECT DISTINCT
+       a.hreflang AS lang_a, a.alt_url AS url_a,
+       b.hreflang AS lang_b, b.alt_url AS url_b
+FROM alts a JOIN alts b
+  ON a.url = b.url
+ AND (a.hreflang < b.hreflang
+      OR (a.hreflang = b.hreflang AND a.alt_url < b.alt_url))"""

@@ -175,3 +175,73 @@ def test_meta_robots_plan_is_filter_only(spark):
         meta_robots_noindex(_meta_df(spark)).explain("formatted")
     plan = buf.getvalue()
     assert "Exchange" not in plan and "Join" not in plan
+
+
+# --- hreflang alternates ---------------------------------------------------
+
+from rio_cogeo_spark.operators.links import (  # noqa: E402
+    extract_hreflang,
+    extract_hreflang_sql,
+    hreflang_pairs,
+    hreflang_pairs_sql,
+)
+
+HREF_PAGES = [
+    # a 3-language translation set, re-declared by two of its members
+    ("https://x.example/en",
+     '<link rel="alternate" hreflang="en" href="https://x.example/en">'
+     '<link rel="alternate" hreflang="de" href="https://x.example/de">'
+     '<link rel="alternate" hreflang="zh" href="https://x.example/zh">'),
+    ("https://x.example/de",
+     '<link rel="alternate" hreflang="en" href="https://x.example/en">'
+     '<link rel="alternate" hreflang="de" href="https://x.example/de">'
+     '<link rel="alternate" hreflang="zh" href="https://x.example/zh">'),
+    # regional variants: same primary subtag, different hreflang values
+    ("https://y.example/",
+     '<link rel="alternate" hreflang="en-US" href="https://y.example/us">'
+     '<link rel="alternate" hreflang="en-GB" href="https://y.example/gb">'),
+    ("https://z.example/", "<p>no alternates</p>"),
+]
+
+
+def _href_df(spark):
+    return spark.createDataFrame(HREF_PAGES, "url string, page string").select(
+        "url", F.encode(F.col("page"), "utf-8").alias("html")
+    )
+
+
+def test_hreflang_extract_and_pairs(spark):
+    alts = extract_hreflang(_href_df(spark))
+    assert alts.count() == 8  # 3 + 3 + 2 + 0
+    pairs = sorted(
+        tuple(r) for r in hreflang_pairs(alts).collect()
+    )
+    # the re-declared set dedups to its 3 pairs; the regional page adds 1
+    assert pairs == sorted([
+        ("de", "https://x.example/de", "en", "https://x.example/en"),
+        ("de", "https://x.example/de", "zh", "https://x.example/zh"),
+        ("en", "https://x.example/en", "zh", "https://x.example/zh"),
+        ("en-GB", "https://y.example/gb", "en-US", "https://y.example/us"),
+    ])
+
+
+def test_hreflang_matches_duckdb_twin(spark):
+    duckdb = pytest.importorskip("duckdb")
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.register("hp", pd.DataFrame(HREF_PAGES, columns=["url", "html"]))
+    alts_sql = extract_hreflang_sql("SELECT url, html FROM hp")
+    got_alts = sorted(
+        tuple(r) for r in extract_hreflang(_href_df(spark)).collect()
+    )
+    assert got_alts == sorted(tuple(r) for r in con.execute(alts_sql).fetchall())
+    got_pairs = sorted(
+        tuple(r)
+        for r in hreflang_pairs(extract_hreflang(_href_df(spark))).collect()
+    )
+    want_pairs = sorted(
+        tuple(r)
+        for r in con.execute(hreflang_pairs_sql(alts_sql)).fetchall()
+    )
+    assert got_pairs == want_pairs
