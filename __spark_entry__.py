@@ -1389,6 +1389,41 @@ def _hreflang_oracle() -> str:
     return hreflang_pairs_sql(extract_hreflang_sql(pages_cte))
 
 
+_HOST_LANG_CASE = (
+    "CASE WHEN doc_id % 23 < 12 THEN 'en' ELSE lang END"
+)
+
+
+def q_host_langs(spark, sf_dir):
+    """Per-host language purity (the CCNet domain statistic / content-
+    farm signal): 23-host layout where hosts 0-11 are forced pure-en
+    and hosts 12-22 keep the natural 5-language mix — the mixed hosts
+    fall under the 60% majority threshold and get the suspect flag."""
+    from rio_cogeo_spark.operators.rarity import host_lang_purity
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = docs.select(
+        F.concat(
+            F.lit("https://site"), (F.col("doc_id") % 23).cast("string"),
+            F.lit(".example/p/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.expr(_HOST_LANG_CASE).alias("lang"),
+    )
+    return host_lang_purity(pages, min_docs=5, purity_ppm=600_000)
+
+
+def _host_langs_oracle() -> str:
+    from rio_cogeo_spark.operators.rarity import host_lang_purity_sql
+
+    return host_lang_purity_sql(
+        "SELECT 'https://site' || CAST(doc_id % 23 AS VARCHAR) || "
+        "'.example/p/' || CAST(doc_id AS VARCHAR) AS url, "
+        + _HOST_LANG_CASE
+        + " AS lang FROM documents",
+        min_docs=5, purity_ppm=600_000,
+    )
+
+
 _SCRIPT_MIX_CASE = (
     "CASE CAST(doc_id % 4 AS INT) "
     "WHEN 1 THEN concat(text, ' привет мир привет мир') "
@@ -1948,6 +1983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_tags": q_meta_tags,
         "meta_robots": q_meta_robots,
         "hreflang": q_hreflang,
+        "host_langs": q_host_langs,
         "pyramid": q_pyramid,
         "pip_join": q_pip_join,
         "pages_extract": q_pages_extract,
@@ -2834,6 +2870,7 @@ FROM documents QUALIFY rank <= 3""",
         "meta_tags": _meta_tags_oracle(),
         "meta_robots": _meta_robots_oracle(),
         "hreflang": _hreflang_oracle(),
+        "host_langs": _host_langs_oracle(),
         "dsir_weights": _dsir_oracle(),
         "normalize_text": _normalize_text_oracle(),
         "bpe_merges": _bpe_merges_oracle(),

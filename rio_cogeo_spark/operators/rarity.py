@@ -611,3 +611,93 @@ SELECT {group_col},
        CAST((SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) * {_PPM})
         // COUNT(*) AS BIGINT) AS hapax_frac_ppm
 FROM cnt GROUP BY 1"""
+
+
+def host_lang_purity(
+    pages: DataFrame,
+    url_col: str = "url",
+    lang_col: str = "lang",
+    min_docs: int = 5,
+    purity_ppm: int = 600_000,
+) -> DataFrame:
+    """Per-HOST language consistency — the CCNet-published domain
+    statistic and a standard spam/farm signal: a legitimate site serves
+    one dominant language; a host spraying many languages across its
+    pages (machine-translated content farms, parked-domain spam,
+    scraped mashups) earns a flag. The doc-level sibling is
+    :func:`lang_mix` (paragraph disagreement WITHIN a page); this is
+    the host rollup over the already-assigned page language.
+
+    Returns ``(host, n_docs, n_langs, major_lang, major_frac_ppm,
+    suspect)`` — majority fraction in exact ppm ints, ties to the
+    lexicographically smallest language, ``suspect`` true when the
+    host has at least ``min_docs`` pages and the majority share falls
+    below ``purity_ppm`` (default: flag hosts under 60% dominant).
+
+    Scale design (100 TB): one map-side-combinable count per
+    (host, lang) — group cardinality is hosts x language tags, never
+    pages; the majority pick is the combinable struct-min election
+    (never a per-host window); no joins. DuckDB twin
+    :func:`host_lang_purity_sql`.
+    """
+    from rio_cogeo_spark.functions.text import host_col
+
+    counts = (
+        pages.select(
+            host_col(F.col(url_col)).alias("host"),
+            F.col(lang_col).alias("lang"),
+        )
+        .groupBy("host", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        counts.groupBy("host")
+        .agg(
+            F.sum("n").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_langs"),
+            F.min(
+                F.struct((-F.col("n")).alias("nn"), F.col("lang"))
+            ).alias("best"),
+        )
+        .select(
+            "host", "n_docs", "n_langs",
+            F.col("best.lang").alias("major_lang"),
+            F.expr("(-best.nn * 1000000) div n_docs").alias(
+                "major_frac_ppm"
+            ),
+            (
+                (F.col("n_docs") >= F.lit(int(min_docs)))
+                & (
+                    F.expr("(-best.nn * 1000000) div n_docs")
+                    < F.lit(int(purity_ppm))
+                )
+            ).alias("suspect"),
+        )
+    )
+
+
+def host_lang_purity_sql(
+    pages_cte: str,
+    min_docs: int = 5,
+    purity_ppm: int = 600_000,
+) -> str:
+    """DuckDB twin of :func:`host_lang_purity` (``pages_cte`` exposes
+    ``(url, lang)``)."""
+    from rio_cogeo_spark.functions.text import HOST_SQL
+
+    return rf"""
+WITH hp_in AS ({pages_cte}),
+hp_cnt AS (SELECT {HOST_SQL} AS host, lang, COUNT(*) AS n
+           FROM hp_in GROUP BY 1, 2),
+hp_agg AS (SELECT host,
+                  CAST(SUM(n) AS BIGINT) AS n_docs,
+                  CAST(COUNT(*) AS BIGINT) AS n_langs,
+                  MIN(STRUCT_PACK(nn := -n, lang := lang)) AS best
+           FROM hp_cnt GROUP BY 1)
+SELECT host, n_docs, n_langs,
+       best.lang AS major_lang,
+       CAST((-best.nn * 1000000) // n_docs AS BIGINT) AS major_frac_ppm,
+       (n_docs >= {int(min_docs)}
+        AND CAST((-best.nn * 1000000) // n_docs AS BIGINT)
+            < {int(purity_ppm)}) AS suspect
+FROM hp_agg"""

@@ -435,3 +435,52 @@ def test_chunk_docs_sliding_windows(spark):
 
     with pytest.raises(ValueError):
         chunk_docs_sliding(docs, chunk_tokens=4, stride=5)
+
+
+# --- per-host language purity ----------------------------------------------
+
+def test_host_lang_purity_golden_and_twin(spark):
+    from rio_cogeo_spark.operators.rarity import (
+        host_lang_purity,
+        host_lang_purity_sql,
+    )
+
+    rows = (
+        # pure host: 6 en docs -> not suspect
+        [(f"https://pure.example/{i}", "en") for i in range(6)]
+        # mixed host: 3 en / 2 de / 2 fr of 7 -> 428571 ppm < 600000 -> suspect
+        + [(f"https://mixed.example/{i}", l)
+           for i, l in enumerate(["en", "en", "en", "de", "de", "fr", "fr"])]
+        # small host: 2 langs but only 2 docs < min_docs -> not suspect
+        + [("https://tiny.example/0", "en"), ("https://tiny.example/1", "zh")]
+        # tie host: 3 de / 3 en of 6 -> majority ties to 'de' (lexicographic)
+        + [(f"https://tie.example/{i}", l)
+           for i, l in enumerate(["en", "de", "en", "de", "en", "de"])]
+    )
+    df = spark.createDataFrame(rows, "url string, lang string")
+    got = {
+        r.host: (r.n_docs, r.n_langs, r.major_lang, r.major_frac_ppm,
+                 r.suspect)
+        for r in host_lang_purity(df, min_docs=5, purity_ppm=600_000).collect()
+    }
+    assert got["pure.example"] == (6, 1, "en", 1000000, False)
+    assert got["mixed.example"] == (7, 3, "en", 428571, True)
+    assert got["tiny.example"] == (2, 2, "en", 500000, False)
+    assert got["tie.example"] == (6, 2, "de", 500000, True)
+
+    duckdb = pytest.importorskip("duckdb")
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.register("hp", pd.DataFrame(rows, columns=["url", "lang"]))
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            host_lang_purity_sql("SELECT url, lang FROM hp")
+        ).fetchall()
+    )
+    got_rows = sorted(
+        tuple(r)
+        for r in host_lang_purity(df, min_docs=5, purity_ppm=600_000).collect()
+    )
+    assert got_rows == want
