@@ -1424,6 +1424,73 @@ def _host_langs_oracle() -> str:
     )
 
 
+def q_hits(spark, sf_dir):
+    """HITS hubs & authorities (Kleinberg JACM'99) over the
+    deterministic host digraph + a planted pure hub (out-links only)
+    and pure authority (in-links only): 2 exact-BIGINT sweeps with
+    HUGEINT L1 normalization — the pure hub's authority and the pure
+    authority's hub score must be EXACTLY zero; hash-compared against
+    the chained-CTE unroll."""
+    from rio_cogeo_spark.operators.graph import host_hits
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    edges = spark.sql(_HITS_EDGES)
+    return host_hits(edges, iterations=2)
+
+
+_HITS_EDGES = (
+    _PR_EDGES
+    + "\nUNION\nSELECT 1000 AS src, doc_id % 11 AS dst FROM documents"
+    + "\nUNION\nSELECT doc_id % 13 AS src, 2000 AS dst FROM documents"
+)
+
+
+def _hits_oracle() -> str:
+    from rio_cogeo_spark.operators.graph import host_hits_sql
+
+    return host_hits_sql(_HITS_EDGES, iterations=2)
+
+
+_REDIRECTS_CTE = (
+    "SELECT 'https://r.example/u' || CAST(doc_id AS {st}) AS src, "
+    "'https://r.example/u' || CAST(doc_id + 1 AS {st}) AS dst "
+    "FROM documents WHERE doc_id % 10 <> 9 "
+    "UNION ALL "
+    "SELECT 'https://loop.example/a' || CAST(doc_id AS {st}), "
+    "'https://loop.example/b' || CAST(doc_id AS {st}) "
+    "FROM documents WHERE doc_id % 100 = 0 "
+    "UNION ALL "
+    "SELECT 'https://loop.example/b' || CAST(doc_id AS {st}), "
+    "'https://loop.example/a' || CAST(doc_id AS {st}) "
+    "FROM documents WHERE doc_id % 100 = 0"
+)
+
+
+def q_redirects(spark, sf_dir):
+    """Redirect-chain resolution by pointer doubling (O(log n) rounds,
+    the connected-components discipline): per-decade chains u0→…→u9
+    (terminal) plus planted 2-cycles; every chain resolves with its
+    EXACT hop count, loop members surface resolved=false instead of
+    spinning — hash-compared against the unrolled doubling twin."""
+    from rio_cogeo_spark.operators.urlfilter import resolve_redirects
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    redirects = spark.sql(_REDIRECTS_CTE.format(st="STRING"))
+    return resolve_redirects(redirects, max_hops=16)
+
+
+def _redirects_oracle() -> str:
+    from rio_cogeo_spark.operators.urlfilter import resolve_redirects_sql
+
+    return resolve_redirects_sql(
+        _REDIRECTS_CTE.format(st="VARCHAR"), max_hops=16
+    )
+
+
 _SCRIPT_MIX_CASE = (
     "CASE CAST(doc_id % 4 AS INT) "
     "WHEN 1 THEN concat(text, ' привет мир привет мир') "
@@ -1984,6 +2051,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_robots": q_meta_robots,
         "hreflang": q_hreflang,
         "host_langs": q_host_langs,
+        "hits": q_hits,
+        "redirects": q_redirects,
         "pyramid": q_pyramid,
         "pip_join": q_pip_join,
         "pages_extract": q_pages_extract,
@@ -2871,6 +2940,8 @@ FROM documents QUALIFY rank <= 3""",
         "meta_robots": _meta_robots_oracle(),
         "hreflang": _hreflang_oracle(),
         "host_langs": _host_langs_oracle(),
+        "hits": _hits_oracle(),
+        "redirects": _redirects_oracle(),
         "dsir_weights": _dsir_oracle(),
         "normalize_text": _normalize_text_oracle(),
         "bpe_merges": _bpe_merges_oracle(),

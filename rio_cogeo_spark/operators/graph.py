@@ -654,3 +654,160 @@ SELECT k AS {key_col}, w AS {weight_col},
        CAST(base + (CASE WHEN rn <= (SELECT leftover FROM ab_r)
                          THEN 1 ELSE 0 END) AS BIGINT) AS alloc
 FROM ab_ranked"""
+
+
+def host_hits(
+    edges: DataFrame,
+    iterations: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    broadcast_scores: bool = True,
+) -> DataFrame:
+    """HITS hubs & authorities over a host edge list (Kleinberg,
+    "Authoritative sources in a hyperlinked environment", JACM 1999) —
+    the directional complement to :func:`host_pagerank`: an AUTHORITY
+    is a host good pages point TO (fetch its content), a HUB is a host
+    that points to good authorities (mine its out-links for frontier
+    seeds). Crawl schedulers want both rankings; PageRank conflates
+    them.
+
+    Exact-BIGINT fixed-point, same cross-engine contract as the other
+    graph ops: per round, ``a_raw(v) = Σ_{u→v} h(u)`` then
+    ``h_raw(u) = Σ_{u→v} a(v)`` (the standard a-from-h-then-h-from-
+    new-a sweep), each followed by L1 normalization to total mass
+    ``N * SCALE`` (mean SCALE) via DECIMAL(38,0)/HUGEINT floor
+    division — ``a_raw * N * SCALE`` exceeds int64 at host-graph
+    scale, the :func:`apportion_budget` overflow contract. Integer
+    sums are exact and order-independent, so results hash identically
+    on any engine/partitioning. Returns ``(host, auth_ppb, hub_ppb)``.
+    Isolated-side zeros stay exactly zero (a host nobody links to has
+    authority 0 no matter its hub mass).
+
+    Scale design (100 TB / 10^8-host graph): two edge-bounded
+    map-side-combinable folds per iteration (HITS' irreducible
+    movement); the score tables are node-bounded and broadcast when
+    they fit (``broadcast_scores``); each normalization is ONE 1-row
+    total aggregate cross-joined back as a broadcast. No step
+    collects. DuckDB twin :func:`host_hits_sql` (chained-CTE unroll).
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("host"))
+        .union(e.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+
+    def _normalize(scores: DataFrame, col: str) -> DataFrame:
+        # scores is referenced twice (total + join-back): pin it so the
+        # edge-join subtree runs once per round, not 2^rounds times
+        scores = scores.localCheckpoint(eager=False)
+        tot = scores.agg(
+            F.expr(
+                f"greatest(CAST(SUM({col}) AS DECIMAL(38,0)),"
+                " CAST(1 AS DECIMAL(38,0)))"
+            ).alias("tot"),
+            F.count(F.lit(1)).alias("n_nodes"),
+        )
+        return scores.crossJoin(F.broadcast(tot)).select(
+            "host",
+            F.expr(
+                f"CAST(CAST({col} AS DECIMAL(38,0)) * n_nodes"
+                f" * {SCALE} div tot AS BIGINT)"
+            ).alias(col),
+        )
+
+    auth = nodes.select("host", F.lit(SCALE).alias("a"))
+    hub = nodes.select("host", F.lit(SCALE).alias("h"))
+
+    for _ in range(iterations):
+        h_side = F.broadcast(hub) if broadcast_scores else hub
+        a_raw = (
+            e.join(h_side, e["src"] == h_side["host"])
+            .select(F.col("dst").alias("host"), F.col("h"))
+            .groupBy("host")
+            .agg(F.sum("h").alias("a"))
+        )
+        auth = _normalize(
+            nodes.join(a_raw, "host", "left").select(
+                "host", F.coalesce("a", F.lit(0)).alias("a")
+            ),
+            "a",
+        )
+        a_side = F.broadcast(auth) if broadcast_scores else auth
+        h_raw = (
+            e.join(a_side, e["dst"] == a_side["host"])
+            .select(F.col("src").alias("host"), F.col("a"))
+            .groupBy("host")
+            .agg(F.sum("a").alias("h"))
+        )
+        hub = _normalize(
+            nodes.join(h_raw, "host", "left").select(
+                "host", F.coalesce("h", F.lit(0)).alias("h")
+            ),
+            "h",
+        )
+
+    # node-bounded final merge — broadcast explicitly (the checkpoint
+    # pins strip stats, so auto-broadcast would fall back to SMJ)
+    hub_b = F.broadcast(hub) if broadcast_scores else hub
+    return (
+        auth.join(hub_b, "host")
+        .select(
+            "host",
+            F.col("a").alias("auth_ppb"),
+            F.col("h").alias("hub_ppb"),
+        )
+    )
+
+
+def host_hits_sql(edges_cte: str, iterations: int = 2) -> str:
+    """DuckDB twin of :func:`host_hits`: the fixed iteration count
+    unrolls into chained CTEs with the same HUGEINT normalization."""
+    norm = (
+        "CAST(CAST({c} AS HUGEINT) * (SELECT COUNT(*) FROM hits_nodes)"
+        f" * {SCALE} // greatest((SELECT CAST(SUM({{c}}) AS HUGEINT)"
+        " FROM {t}), CAST(1 AS HUGEINT)) AS BIGINT)"
+    )
+    parts = [
+        f"WITH hits_e AS ({edges_cte})",
+        "hits_nodes AS (SELECT src AS host FROM hits_e"
+        " UNION SELECT dst FROM hits_e)",
+        f"a0 AS (SELECT host, CAST({SCALE} AS BIGINT) AS a"
+        " FROM hits_nodes)",
+        f"h0 AS (SELECT host, CAST({SCALE} AS BIGINT) AS h"
+        " FROM hits_nodes)",
+    ]
+    for i in range(iterations):
+        parts.append(
+            f"ar{i + 1} AS (SELECT n.host,"
+            f" COALESCE(SUM(h{i}.h), 0) AS a"
+            f" FROM hits_nodes n LEFT JOIN hits_e e ON e.dst = n.host"
+            f" LEFT JOIN h{i} ON h{i}.host = e.src GROUP BY 1)"
+        )
+        parts.append(
+            f"a{i + 1} AS (SELECT host,"
+            f" {norm.format(c='a', t=f'ar{i + 1}')} AS a"
+            f" FROM ar{i + 1})"
+        )
+        parts.append(
+            f"hr{i + 1} AS (SELECT n.host,"
+            f" COALESCE(SUM(a{i + 1}.a), 0) AS h"
+            f" FROM hits_nodes n LEFT JOIN hits_e e ON e.src = n.host"
+            f" LEFT JOIN a{i + 1} ON a{i + 1}.host = e.dst GROUP BY 1)"
+        )
+        parts.append(
+            f"h{i + 1} AS (SELECT host,"
+            f" {norm.format(c='h', t=f'hr{i + 1}')} AS h"
+            f" FROM hr{i + 1})"
+        )
+    body = ",\n".join(parts)
+    return (
+        f"{body}\n"
+        f"SELECT a{iterations}.host, a{iterations}.a AS auth_ppb,"
+        f" h{iterations}.h AS hub_ppb\n"
+        f"FROM a{iterations} JOIN h{iterations}"
+        f" ON a{iterations}.host = h{iterations}.host"
+    )

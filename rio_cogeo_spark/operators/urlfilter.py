@@ -201,3 +201,103 @@ def canonical_url_sql(col: str = "url") -> str:
     pfx = f"regexp_replace({pfx}, '://www\\.', '://', 'g')"
     rest = f"substring({u}, length(regexp_extract({u}, '{_SCHEME_HOST}')) + 1)"
     return f"regexp_replace({pfx} || {rest}, '/$', '', 'g')"
+
+
+def resolve_redirects(
+    redirects: DataFrame,
+    max_hops: int = 16,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Resolve HTTP redirect chains to their terminal URL by POINTER
+    DOUBLING: each round composes the partial map with itself
+    (``f ∘ f``), so a chain of length L resolves in ``ceil(log2 L)``
+    self-joins instead of L sequential ones — the same O(log n)
+    round discipline as the connected-components suite, and the crawl
+    canonicalization step (dedup must credit content to the FINAL
+    URL, not the hop that served the 301).
+
+    ``redirects`` is the redirect map (one row per source URL; callers
+    dedupe — a source with two targets is crawl noise). Returns one
+    row per map source: ``(src, final_url, hops, resolved)`` where
+    ``hops`` is the EXACT chain length walked (hop counts add under
+    doubling: ``h' = h(x) + h(f(x))``), ``resolved`` is false when
+    the terminal is still a map key after ``max_hops`` — i.e. the
+    chain exceeds ``max_hops`` or ends in a redirect LOOP (a→b→a
+    never terminates; the bounded doubling surfaces it instead of
+    spinning).
+
+    Scale design (100 TB crawl): every table is redirect-map-bounded
+    (sources that 3xx'd), never corpus-bounded; each round is ONE
+    co-partitioned self-join on the chase key + a projection; rounds =
+    ``ceil(log2(max_hops))`` regardless of map size; per-round
+    localCheckpoint pins lineage. DuckDB twin
+    :func:`resolve_redirects_sql` (the same doubling, unrolled).
+    """
+    if max_hops < 1:
+        raise ValueError(f"max_hops must be >= 1, got {max_hops}")
+    import math
+
+    rounds = max(1, math.ceil(math.log2(max_hops)))
+    f = redirects.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("cur"),
+        F.lit(1).cast("long").alias("hops"),
+    )
+    keys = redirects.select(F.col(src_col).alias("k")).distinct()
+    for _ in range(rounds):
+        nxt = f.select(
+            F.col("src").alias("src2"),
+            F.col("cur").alias("cur2"),
+            F.col("hops").alias("hops2"),
+        )
+        f = (
+            f.join(nxt, f["cur"] == nxt["src2"], "left")
+            .select(
+                "src",
+                F.coalesce("cur2", "cur").alias("cur"),
+                (
+                    F.col("hops") + F.coalesce(F.col("hops2"), F.lit(0))
+                ).alias("hops"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        f.join(keys, f["cur"] == keys["k"], "left")
+        .select(
+            "src",
+            F.col("cur").alias("final_url"),
+            "hops",
+            F.col("k").isNull().alias("resolved"),
+        )
+    )
+
+
+def resolve_redirects_sql(
+    redirects_cte: str, max_hops: int = 16
+) -> str:
+    """DuckDB twin of :func:`resolve_redirects` (``redirects_cte``
+    exposes ``(src, dst)``)."""
+    import math
+
+    rounds = max(1, math.ceil(math.log2(int(max_hops))))
+    parts = [
+        f"WITH rr_m AS ({redirects_cte})",
+        "rr_f0 AS (SELECT src, dst AS cur, CAST(1 AS BIGINT) AS hops"
+        " FROM rr_m)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"rr_f{i + 1} AS (SELECT a.src,"
+            f" COALESCE(b.cur, a.cur) AS cur,"
+            f" a.hops + COALESCE(b.hops, 0) AS hops"
+            f" FROM rr_f{i} a LEFT JOIN rr_f{i} b ON a.cur = b.src)"
+        )
+    body = ",\n".join(parts)
+    return (
+        f"{body}\n"
+        f"SELECT f.src, f.cur AS final_url, f.hops,"
+        f" (m.src IS NULL) AS resolved\n"
+        f"FROM rr_f{rounds} f LEFT JOIN (SELECT DISTINCT src FROM rr_m) m"
+        f" ON f.cur = m.src"
+    )

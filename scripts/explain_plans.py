@@ -847,6 +847,22 @@ def main() -> None:
         must_not=[r"Window", r"CartesianProduct"],
     )
 
+    # 56. host_hits: per-sweep edge folds partial-aggregate map-side and
+    # the node-bounded score tables broadcast (BroadcastHashJoin), the
+    # normalization totals come back as broadcast 1-row cross joins —
+    # no shuffled cartesian
+    from rio_cogeo_spark.operators.graph import host_hits
+
+    hits_edges = docs.selectExpr(
+        "doc_id % 97 AS src", "(doc_id * 31 + 7) % 97 AS dst"
+    ).filter("src <> dst").distinct()
+    audit(
+        "host_hits (broadcast scores, partial edge folds)",
+        host_hits(hits_edges, iterations=2),
+        must=[r"BroadcastHashJoin", r"partial_sum"],
+        must_not=[r"CartesianProduct"],
+    )
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:

@@ -2682,3 +2682,95 @@ def test_bitext_validates_args(spark):
         bitext_mine(s, t, k=0)
     with _pytest.raises(ValueError):
         bitext_mine(s, t, margin_threshold_ppm=0)
+
+
+# --- HITS hubs & authorities (ROUND5.md §75) -------------------------------
+
+def test_hits_extremes_and_duckdb_unroll(spark):
+    import pytest as _pytest
+    duckdb = _pytest.importorskip("duckdb")
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from rio_cogeo_spark.operators.graph import host_hits, host_hits_sql
+
+    edges = sorted(
+        {(f"s{i % 7}", f"s{(i * 3 + 1) % 7}") for i in range(20)}
+        | {("hub", f"s{i}") for i in range(7)}
+        | {(f"s{i}", "auth") for i in range(5)}
+    )
+    df = spark.createDataFrame(edges, "src string, dst string")
+    for it in (1, 3):
+        got = sorted(tuple(r) for r in host_hits(df, iterations=it).collect())
+        con = duckdb.connect()
+        con.register("esrc", pd.DataFrame(edges, columns=["src", "dst"]))
+        want = sorted(
+            tuple(r)
+            for r in con.execute(
+                host_hits_sql("SELECT src, dst FROM esrc", it)
+            ).fetchall()
+        )
+        assert got == want, it
+    d = {h: (a, b) for h, a, b in got}
+    assert d["hub"][0] == 0      # no in-links -> authority EXACTLY zero
+    assert d["auth"][1] == 0     # no out-links -> hub EXACTLY zero
+    assert d["auth"][0] > max(v[0] for k, v in d.items() if k != "auth")
+    # L1 mass conservation: each score column sums to ~N*SCALE
+    # (floor-division loses < 1 unit per host)
+    n = len(d)
+    for idx in (0, 1):
+        tot = sum(v[idx] for v in d.values())
+        assert n * 1_000_000_000 - n <= tot <= n * 1_000_000_000
+
+
+def test_hits_arg_validation(spark):
+    from rio_cogeo_spark.operators.graph import host_hits
+
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="iterations"):
+        host_hits(df, iterations=0)
+
+
+# --- redirect-chain resolution (ROUND5.md §76) -----------------------------
+
+def test_resolve_redirects_chains_loops_and_twin(spark):
+    import pytest as _pytest
+    duckdb = _pytest.importorskip("duckdb")
+    import pandas as pd
+
+    from rio_cogeo_spark.operators.urlfilter import (
+        resolve_redirects,
+        resolve_redirects_sql,
+    )
+
+    rows = (
+        [(f"a{i}", f"a{i + 1}") for i in range(1, 9)] + [("a9", "FINAL")]
+        + [("l1", "l2"), ("l2", "l1"), ("s", "t")]
+    )
+    df = spark.createDataFrame(rows, "src string, dst string")
+    got = sorted(
+        tuple(r) for r in resolve_redirects(df, max_hops=16).collect()
+    )
+    con = duckdb.connect()
+    con.register("rsrc", pd.DataFrame(rows, columns=["src", "dst"]))
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            resolve_redirects_sql("SELECT src, dst FROM rsrc", 16)
+        ).fetchall()
+    )
+    assert got == want
+    d = {s: (f, h, ok) for s, f, h, ok in got}
+    assert d["a1"] == ("FINAL", 9, True)   # exact hop count through doubling
+    assert d["a5"] == ("FINAL", 5, True)
+    assert d["s"] == ("t", 1, True)
+    assert not d["l1"][2] and not d["l2"][2]  # loops surface, don't spin
+    # a chain longer than max_hops stays unresolved (bounded doubling)
+    caps = {
+        r.src: r.resolved
+        for r in resolve_redirects(df, max_hops=4).collect()
+    }
+    assert caps["a1"] is False and caps["a9"] is True
+    with _pytest.raises(ValueError, match="max_hops"):
+        resolve_redirects(df, max_hops=0)
