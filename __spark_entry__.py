@@ -1491,6 +1491,32 @@ def _redirects_oracle() -> str:
     )
 
 
+def q_lexical_pairs(spark, sf_dir):
+    """Sparse tf-idf cosine related-document pairs over docs ∪ exact
+    dups (the lexical complement to embed_neardup): exact-int weights
+    (BM25 scaled idf), DECIMAL(38,0)/HUGEINT dot products and norms
+    (order-independent sums — no float-associativity divergence),
+    doubles only in the final rounded scalar. df_cap=None ONLY here
+    for the oracle-exact comparison; 'auto' is the corpus-scale
+    hot-term guard."""
+    from rio_cogeo_spark.operators.search import lexical_cosine_pairs
+
+    return lexical_cosine_pairs(
+        _docs_with_dups(spark, sf_dir), threshold=0.6, df_cap=None
+    )
+
+
+def _lexical_pairs_oracle() -> str:
+    from rio_cogeo_spark.operators.search import lexical_cosine_pairs_sql
+
+    return lexical_cosine_pairs_sql(
+        "SELECT doc_id, text FROM documents UNION ALL "
+        "SELECT doc_id + 100000 AS doc_id, text FROM documents "
+        "WHERE doc_id < 50",
+        threshold=0.6,
+    )
+
+
 _SCRIPT_MIX_CASE = (
     "CASE CAST(doc_id % 4 AS INT) "
     "WHEN 1 THEN concat(text, ' привет мир привет мир') "
@@ -2053,6 +2079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_langs": q_host_langs,
         "hits": q_hits,
         "redirects": q_redirects,
+        "lexical_pairs": q_lexical_pairs,
         "pyramid": q_pyramid,
         "pip_join": q_pip_join,
         "pages_extract": q_pages_extract,
@@ -2942,6 +2969,7 @@ FROM documents QUALIFY rank <= 3""",
         "host_langs": _host_langs_oracle(),
         "hits": _hits_oracle(),
         "redirects": _redirects_oracle(),
+        "lexical_pairs": _lexical_pairs_oracle(),
         "dsir_weights": _dsir_oracle(),
         "normalize_text": _normalize_text_oracle(),
         "bpe_merges": _bpe_merges_oracle(),

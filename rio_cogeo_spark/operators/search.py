@@ -25,7 +25,7 @@ dependent and cannot be hash-compared across engines).
 
 from __future__ import annotations
 
-from typing import List
+from typing import List, Optional
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -405,3 +405,144 @@ rnk AS (SELECT *, CAST(row_number() OVER (PARTITION BY {id_col}
              ORDER BY score DESC, term) AS INT) AS rank FROM sc)
 SELECT {id_col}, term, CAST(tf AS BIGINT) AS tf, score, rank
 FROM rnk WHERE rank <= {int(k)}"""
+
+
+def lexical_cosine_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    df_cap: "Optional[int | str]" = "auto",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Related-document pairs by SPARSE tf-idf cosine over the inverted
+    index — the lexical complement to the embedding near-dup suite
+    (Salton's vector-space model): two pages are related when they
+    share distinctive VOCABULARY, no embeddings needed, and the
+    inverted index makes it pair-sparse (only docs sharing at least
+    one surviving term ever meet). Returns ``(doc_a, doc_b, cosine)``
+    with ``doc_a < doc_b`` and ``cosine >= threshold`` (rounded 6dp).
+
+    Determinism contract: weights are exact ints
+    (``w = tf * ((N*1000) div df)`` — the BM25 scaled-idf family),
+    dot products and norms are DECIMAL(38,0)/HUGEINT SUMS (exact and
+    order-independent, so no float-associativity divergence across
+    partitionings); doubles appear only in the FINAL per-pair scalar
+    ``num / (sqrt(na2)*sqrt(nb2))`` (IEEE sqrt/div on exact ints,
+    rounded 6dp). Integer envelope: per-term product ≤ (tf·N·10³)²
+    and pair sums stay under 10^38 for corpora to ~10^9 docs with
+    tf ≤ 10³ on shared terms.
+
+    ``df_cap`` drops ultra-common terms (document-frequency cap) —
+    the same web-scale guard as :func:`~rio_cogeo_spark.operators.
+    dedup.ngram_jaccard_pairs` and the classic stopword prune: a term
+    in D docs contributes O(D²) pairs. ``'auto'`` caps at ~100x the
+    mean term document frequency (floor 10); ``None`` is the
+    oracle-exact mode. Norms are computed over the SURVIVING terms so
+    the cosine stays a true cosine of the pruned vectors.
+
+    Scale design (100 TB): one postings build (explode + combinable
+    count), df/N as vocab-bounded aggregates, single-sort posting-list
+    pair expansion (the :func:`_shingle_pair_counts` rule), per-group
+    memory bounded by df_cap, norms join back co-partitioned on the
+    pair ends. DuckDB twin :func:`lexical_cosine_pairs_sql`.
+    """
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
+    postings = build_postings(docs, id_col, text_col)
+    n_docs = docs.select(F.col(id_col)).distinct().agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    dfs = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if df_cap is not None:
+        if df_cap == "auto":
+            dfs = dfs.localCheckpoint(eager=False)
+            mean_df = dfs.agg(F.mean("df").alias("m")).first()
+            df_cap = max(int(mean_df["m"] * 100), 10)
+        dfs = dfs.filter(F.col("df") <= df_cap)
+    weighted = (
+        postings.join(F.broadcast(dfs), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            F.col(id_col).alias("doc"),
+            F.expr("tf * ((n_docs * 1000) div df)").alias("w"),
+        )
+    )
+    weighted = weighted.localCheckpoint(eager=False)
+    norms = weighted.groupBy("doc").agg(
+        F.sum(
+            F.expr("CAST(w AS DECIMAL(38,0)) * CAST(w AS DECIMAL(38,0))")
+        ).alias("n2")
+    )
+    num = (
+        weighted.groupBy("term")
+        .agg(F.collect_list(F.struct("doc", "w")).alias("ps"))
+        .filter(F.size("ps") >= 2)
+        .select(F.explode("ps").alias("a"), "ps")
+        .select("a", F.explode("ps").alias("b"))
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(
+            F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b")
+        )
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(a.w AS DECIMAL(38,0)) * CAST(b.w AS DECIMAL(38,0))"
+                )
+            ).alias("num")
+        )
+    )
+    na = norms.select(F.col("doc").alias("doc_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("doc").alias("doc_b"), F.col("n2").alias("nb2"))
+    return (
+        num.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.round(
+                F.expr(
+                    "CAST(num AS DOUBLE) / (sqrt(CAST(na2 AS DOUBLE))"
+                    " * sqrt(CAST(nb2 AS DOUBLE)))"
+                ),
+                6,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+    )
+
+
+def lexical_cosine_pairs_sql(
+    docs_cte: str, threshold: float = 0.5, id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of :func:`lexical_cosine_pairs` with ``df_cap=None``
+    (``docs_cte`` exposes ``({id_col}, text)``)."""
+    from rio_cogeo_spark.functions.text import TOKENS_SQL
+
+    return rf"""
+WITH lc_docs AS ({docs_cte}),
+lc_p AS (SELECT {id_col} AS doc, unnest({TOKENS_SQL}) AS term
+         FROM lc_docs),
+lc_tf AS (SELECT term, doc, COUNT(*) AS tf FROM lc_p GROUP BY 1, 2),
+lc_df AS (SELECT term, COUNT(*) AS df FROM lc_tf GROUP BY 1),
+lc_n AS (SELECT COUNT(DISTINCT {id_col}) AS n_docs FROM lc_docs),
+lc_w AS (SELECT t.term, t.doc,
+                t.tf * ((n.n_docs * 1000) // d.df) AS w
+         FROM lc_tf t JOIN lc_df d USING (term) CROSS JOIN lc_n n),
+lc_norm AS (SELECT doc, SUM(CAST(w AS HUGEINT) * CAST(w AS HUGEINT))
+                AS n2 FROM lc_w GROUP BY 1),
+lc_num AS (SELECT a.doc AS doc_a, b.doc AS doc_b,
+                  SUM(CAST(a.w AS HUGEINT) * CAST(b.w AS HUGEINT)) AS num
+           FROM lc_w a JOIN lc_w b
+             ON a.term = b.term AND a.doc < b.doc
+           GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(CAST(num AS DOUBLE)
+             / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))),
+             6) AS cosine
+FROM lc_num
+JOIN lc_norm na ON na.doc = doc_a
+JOIN lc_norm nb ON nb.doc = doc_b
+WHERE round(CAST(num AS DOUBLE)
+            / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))),
+            6) >= CAST({float(threshold)} AS DOUBLE)"""

@@ -863,6 +863,21 @@ def main() -> None:
         must_not=[r"CartesianProduct"],
     )
 
+    # 57. lexical_cosine_pairs: df/N ride in as broadcasts, the pair
+    # numerators come from grouped posting lists (partial-aggregated),
+    # nothing cartesian (norm joins on the pair ends are legitimate
+    # co-partitioned shuffle joins)
+    from rio_cogeo_spark.operators.search import lexical_cosine_pairs
+
+    audit(
+        "lexical_cosine_pairs (broadcast df/N, grouped posting lists)",
+        lexical_cosine_pairs(
+            docs.select("doc_id", "text"), threshold=0.5, df_cap=10
+        ),
+        must=[r"BroadcastHashJoin", r"partial_sum"],
+        must_not=[r"CartesianProduct"],
+    )
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:

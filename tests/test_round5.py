@@ -2774,3 +2774,55 @@ def test_resolve_redirects_chains_loops_and_twin(spark):
     assert caps["a1"] is False and caps["a9"] is True
     with _pytest.raises(ValueError, match="max_hops"):
         resolve_redirects(df, max_hops=0)
+
+
+# --- sparse lexical tf-idf cosine pairs (ROUND5.md §77) --------------------
+
+def test_lexical_cosine_pairs_twin_and_semantics(spark):
+    import pytest as _pytest
+    duckdb = _pytest.importorskip("duckdb")
+    import pandas as pd
+    import random
+
+    from rio_cogeo_spark.operators.search import (
+        lexical_cosine_pairs,
+        lexical_cosine_pairs_sql,
+    )
+
+    rng = random.Random(9)
+    vocab = [f"w{i}" for i in range(50)]
+    rows = [
+        (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 25))))
+        for d in range(50)
+    ]
+    rows.append((100, rows[0][1]))  # exact copy -> cosine exactly 1.0
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        tuple(r)
+        for r in lexical_cosine_pairs(df, threshold=0.3, df_cap=None).collect()
+    )
+    con = duckdb.connect()
+    con.register("dsrc", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            lexical_cosine_pairs_sql("SELECT doc_id, text FROM dsrc", 0.3)
+        ).fetchall()
+    )
+    assert got == want
+    d = {(a, b): c for a, b, c in got}
+    assert d[(0, 100)] == 1.0
+    assert all(0 < c <= 1.0 for c in d.values())
+
+
+def test_lexical_cosine_df_cap_drops_stopword_pairs(spark):
+    from rio_cogeo_spark.operators.search import lexical_cosine_pairs
+
+    # 20 docs share ONLY the stopword 'the'; 2 docs share a rare phrase
+    rows = [(d, f"the u{d} v{d} x{d}") for d in range(20)]
+    rows += [(200, "rare alpha beta gamma"), (201, "rare alpha beta delta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = lexical_cosine_pairs(df, threshold=0.1, df_cap=10).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in capped}
+    assert (200, 201) in pairs
+    assert all(a >= 200 for a, _ in pairs)  # stopword-only pairs gone
