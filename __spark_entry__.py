@@ -1517,6 +1517,45 @@ def _lexical_pairs_oracle() -> str:
     )
 
 
+def q_host_trend(spark, sf_dir):
+    """Per-host Gopher-pass quality trend across crawl days (the
+    takeover/decay monitor): 23-host layout over 4 synthetic crawl
+    days; every 3rd day-2+ doc on odd hosts is symbol-spammed so
+    those (host, day) cells drop and flag degrading. Lag window group
+    size = crawl days per host, never pages."""
+    from rio_cogeo_spark.operators.rarity import host_quality_trend
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = docs.select(
+        F.concat(
+            F.lit("https://site"), (F.col("doc_id") % 23).cast("string"),
+            F.lit(".example/p/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        (F.col("doc_id") % 4 * 86400 + F.col("doc_id")).alias("ts_sec"),
+        F.expr(_HOST_TREND_TEXT).alias("text"),
+    )
+    return host_quality_trend(pages)
+
+
+_HOST_TREND_TEXT = (
+    "CASE WHEN doc_id % 4 >= 2 AND doc_id % 23 % 2 = 1"
+    " AND doc_id % 3 = 0"
+    " THEN '$$$ ### !!! %%% ^^^' ELSE text END"
+)
+
+
+def _host_trend_oracle() -> str:
+    from rio_cogeo_spark.operators.rarity import host_quality_trend_sql
+
+    return host_quality_trend_sql(
+        "SELECT 'https://site' || CAST(doc_id % 23 AS VARCHAR) || "
+        "'.example/p/' || CAST(doc_id AS VARCHAR) AS url, "
+        "doc_id % 4 * 86400 + doc_id AS ts_sec, "
+        + _HOST_TREND_TEXT
+        + " AS text FROM documents"
+    )
+
+
 _SCRIPT_MIX_CASE = (
     "CASE CAST(doc_id % 4 AS INT) "
     "WHEN 1 THEN concat(text, ' привет мир привет мир') "
@@ -2080,6 +2119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits": q_hits,
         "redirects": q_redirects,
         "lexical_pairs": q_lexical_pairs,
+        "host_trend": q_host_trend,
         "pyramid": q_pyramid,
         "pip_join": q_pip_join,
         "pages_extract": q_pages_extract,
@@ -2970,6 +3010,7 @@ FROM documents QUALIFY rank <= 3""",
         "hits": _hits_oracle(),
         "redirects": _redirects_oracle(),
         "lexical_pairs": _lexical_pairs_oracle(),
+        "host_trend": _host_trend_oracle(),
         "dsir_weights": _dsir_oracle(),
         "normalize_text": _normalize_text_oracle(),
         "bpe_merges": _bpe_merges_oracle(),

@@ -38,7 +38,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from rio_cogeo_spark.operators.search import build_postings
@@ -701,3 +701,98 @@ SELECT host, n_docs, n_langs,
         AND CAST((-best.nn * 1000000) // n_docs AS BIGINT)
             < {int(purity_ppm)}) AS suspect
 FROM hp_agg"""
+
+
+def host_quality_trend(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "ts_sec",
+    text_col: str = "text",
+    day_sec: int = 86_400,
+    drop_ppm: int = 100_000,
+) -> DataFrame:
+    """Per-host quality TREND across crawl days — the takeover/decay
+    monitor: a host whose Gopher-gate pass rate drops sharply between
+    crawl days just got parked, compromised, or template-spammed, and
+    the frontier should demote it before the next fetch wave. Returns
+    one row per (host, day) with ``(host, day, n_docs, pass_docs,
+    pass_ppm, prev_pass_ppm, delta_ppm, degrading)`` — all exact ints;
+    ``prev_pass_ppm`` is NULL on a host's first observed day, and
+    ``degrading`` flags ``delta_ppm <= -drop_ppm`` (default: a 10-point
+    pass-rate drop).
+
+    Scale design (100 TB): the per-doc Gopher mask is a zero-Exchange
+    projection (functions/text.gopher_gate); the (host, day) fold is
+    ONE map-side-combinable aggregation whose key cardinality is
+    hosts x crawl days, never pages; the trend lag is a window over
+    host partitions ORDERED BY DAY — group size = observed crawl days
+    per host (crawl cadence), never page count. DuckDB twin
+    :func:`host_quality_trend_sql`.
+    """
+    from rio_cogeo_spark.functions.text import gopher_gate, host_col
+
+    gg = gopher_gate(F.col(text_col))
+    per_day = (
+        pages.select(
+            host_col(F.col(url_col)).alias("host"),
+            F.expr(f"{ts_col} div {int(day_sec)}").alias("day"),
+            gg["gopher_pass"].cast("long").alias("p"),
+        )
+        .groupBy("host", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("p").alias("pass_docs"),
+        )
+        .select(
+            "host", "day", "n_docs", "pass_docs",
+            F.expr("(pass_docs * 1000000) div n_docs").alias("pass_ppm"),
+        )
+    )
+    w = Window.partitionBy("host").orderBy("day")
+    return (
+        per_day.withColumn("prev_pass_ppm", F.lag("pass_ppm").over(w))
+        .withColumn(
+            "delta_ppm", F.col("pass_ppm") - F.col("prev_pass_ppm")
+        )
+        .withColumn(
+            "degrading",
+            F.coalesce(
+                F.col("delta_ppm") <= F.lit(-int(drop_ppm)), F.lit(False)
+            ),
+        )
+    )
+
+
+def host_quality_trend_sql(
+    pages_cte: str,
+    day_sec: int = 86_400,
+    drop_ppm: int = 100_000,
+) -> str:
+    """DuckDB twin of :func:`host_quality_trend` (``pages_cte`` exposes
+    ``(url, ts_sec, text)``)."""
+    from rio_cogeo_spark.functions.text import HOST_SQL, gopher_gate_sql
+
+    gp = gopher_gate_sql()["gopher_pass"]
+    return rf"""
+WITH hq_in AS ({pages_cte}),
+hq_doc AS (SELECT {HOST_SQL} AS host,
+                  ts_sec // {int(day_sec)} AS day,
+                  CASE WHEN {gp} THEN 1 ELSE 0 END AS p
+           FROM hq_in),
+hq_day AS (SELECT host, day,
+                  CAST(COUNT(*) AS BIGINT) AS n_docs,
+                  CAST(SUM(p) AS BIGINT) AS pass_docs
+           FROM hq_doc GROUP BY 1, 2),
+hq_ppm AS (SELECT host, day, n_docs, pass_docs,
+                  CAST((pass_docs * 1000000) // n_docs AS BIGINT)
+                      AS pass_ppm
+           FROM hq_day),
+hq_lag AS (SELECT *,
+                  lag(pass_ppm) OVER (PARTITION BY host ORDER BY day)
+                      AS prev_pass_ppm
+           FROM hq_ppm)
+SELECT host, day, n_docs, pass_docs, pass_ppm, prev_pass_ppm,
+       pass_ppm - prev_pass_ppm AS delta_ppm,
+       COALESCE(pass_ppm - prev_pass_ppm <= -{int(drop_ppm)}, FALSE)
+           AS degrading
+FROM hq_lag"""

@@ -484,3 +484,48 @@ def test_host_lang_purity_golden_and_twin(spark):
         for r in host_lang_purity(df, min_docs=5, purity_ppm=600_000).collect()
     )
     assert got_rows == want
+
+
+# --- per-host quality trend ------------------------------------------------
+
+def test_host_quality_trend_golden_and_twin(spark):
+    from rio_cogeo_spark.operators.rarity import (
+        host_quality_trend,
+        host_quality_trend_sql,
+    )
+
+    good = " ".join(["the", "of", "and"] + [f"word{i}" for i in range(57)])
+    bad = "$$$ ### !!! %%% ^^^ &&& ***"
+    rows = (
+        [(f"https://a.example/{i}", 100 + i, good) for i in range(10)]
+        + [(f"https://a.example/x{i}", 86400 + 100 + i, bad)
+           for i in range(10)]
+        + [(f"https://b.example/{d}/{i}", d * 86400 + 50 + i, good)
+           for d in (0, 1) for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "url string, ts_sec long, text string")
+    got = {
+        (r.host, r.day): (r.n_docs, r.pass_ppm, r.prev_pass_ppm,
+                          r.delta_ppm, r.degrading)
+        for r in host_quality_trend(df).collect()
+    }
+    # first observed day: no prev, never degrading
+    assert got[("a.example", 0)] == (10, 1000000, None, None, False)
+    # collapse day: full million-point drop flags
+    assert got[("a.example", 1)] == (10, 0, 1000000, -1000000, True)
+    # steady host: zero delta, no flag
+    assert got[("b.example", 1)] == (5, 1000000, 1000000, 0, False)
+
+    duckdb = pytest.importorskip("duckdb")
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.register("psrc", pd.DataFrame(rows, columns=["url", "ts_sec", "text"]))
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            host_quality_trend_sql("SELECT url, ts_sec, text FROM psrc")
+        ).fetchall()
+    )
+    got_rows = sorted(tuple(r) for r in host_quality_trend(df).collect())
+    assert got_rows == want
