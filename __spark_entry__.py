@@ -1556,6 +1556,37 @@ def _host_trend_oracle() -> str:
     )
 
 
+def q_host_gate(spark, sf_dir):
+    """Per-(6h window, HOST) Gopher pass rate — the batch twin of the
+    streaming per-domain quality monitor (streaming==batch
+    pytest-asserted at two micro-batch sizes); state row per active
+    (window, host), never pages."""
+    from rio_cogeo_spark.streaming.quality import host_gate_rates_batch
+
+    pages = _pages(spark, sf_dir).select("doc_id", "url", "text", "ts_sec")
+    spread = pages.withColumn(
+        "ts_sec", F.col("ts_sec") + (F.col("doc_id") % 3) * 21_600
+    )
+    return host_gate_rates_batch(spread)
+
+
+def _host_gate_oracle() -> str:
+    from rio_cogeo_spark.functions.text import HOST_SQL, gopher_gate_sql
+
+    gp = gopher_gate_sql()["gopher_pass"]
+    return f"""{_P}
+, spread AS (SELECT url, ts_sec + (doc_id % 3) * 21600 AS ts_sec,
+                    CASE WHEN {gp} THEN 1 ELSE 0 END AS p
+             FROM pages),
+win AS (SELECT (ts_sec // 21600) * 21600 AS win_sec,
+               {HOST_SQL} AS host, p FROM spread)
+SELECT win_sec, host,
+       CAST(COUNT(*) AS BIGINT) AS n_pages,
+       CAST(SUM(p) AS BIGINT) AS n_pass,
+       CAST((SUM(p) * 1000000) // COUNT(*) AS BIGINT) AS pass_ppm
+FROM win GROUP BY 1, 2"""
+
+
 _SCRIPT_MIX_CASE = (
     "CASE CAST(doc_id % 4 AS INT) "
     "WHEN 1 THEN concat(text, ' привет мир привет мир') "
@@ -2120,6 +2151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirects": q_redirects,
         "lexical_pairs": q_lexical_pairs,
         "host_trend": q_host_trend,
+        "host_gate": q_host_gate,
         "pyramid": q_pyramid,
         "pip_join": q_pip_join,
         "pages_extract": q_pages_extract,
@@ -3011,6 +3043,7 @@ FROM documents QUALIFY rank <= 3""",
         "redirects": _redirects_oracle(),
         "lexical_pairs": _lexical_pairs_oracle(),
         "host_trend": _host_trend_oracle(),
+        "host_gate": _host_gate_oracle(),
         "dsir_weights": _dsir_oracle(),
         "normalize_text": _normalize_text_oracle(),
         "bpe_merges": _bpe_merges_oracle(),

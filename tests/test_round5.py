@@ -2826,3 +2826,44 @@ def test_lexical_cosine_df_cap_drops_stopword_pairs(spark):
     pairs = {(r.doc_a, r.doc_b) for r in capped}
     assert (200, 201) in pairs
     assert all(a >= 200 for a, _ in pairs)  # stopword-only pairs gone
+
+
+# --- host-keyed streaming quality monitor (ROUND5.md §79) ------------------
+
+def test_streaming_host_gate_rates_equals_batch_two_batch_sizes(
+    spark, tmp_path
+):
+    import pyspark.sql.functions as SF
+
+    from rio_cogeo_spark.streaming import quality as Q
+    from rio_cogeo_spark.streaming.events import run_stream_to_memory
+    from rio_cogeo_spark.synth import synth_pages
+
+    pages = synth_pages(spark, "/root/testdata/sf0.001").select(
+        "doc_id", "url", "text", "lang", "n_chars", "ts_sec"
+    ).withColumn(
+        "ts_sec", SF.col("ts_sec") + (SF.col("doc_id") % 3) * 21_600
+    )
+    d = str(tmp_path / "pages_stream_h")
+    pages.repartition(4).write.parquet(d)
+
+    batch = spark.read.parquet(d)
+    expected = {
+        (r["win_sec"], r["host"]): tuple(r)[2:]
+        for r in Q.host_gate_rates_batch(batch).collect()
+    }
+    assert len({h for _, h in expected}) >= 10  # truly host-keyed
+
+    for mfpt in ("1", "2"):
+        stream = (
+            spark.readStream.schema(Q.PAGES_SCHEMA)
+            .option("maxFilesPerTrigger", mfpt)
+            .parquet(d)
+        )
+        got_df = run_stream_to_memory(
+            Q.host_gate_rates(stream), f"host_gate_rates_{mfpt}"
+        )
+        got = {
+            (r["win_sec"], r["host"]): tuple(r)[2:] for r in got_df.collect()
+        }
+        assert got == expected
