@@ -1587,6 +1587,81 @@ SELECT win_sec, host,
 FROM win GROUP BY 1, 2"""
 
 
+_PLAN_EDGES = (
+    "SELECT 'site' || CAST(doc_id % 97 AS {st}) || '.example' AS src, "
+    "'site' || CAST((doc_id * 31 + 7) % 97 AS {st}) || '.example' AS dst "
+    "FROM documents WHERE doc_id % 97 <> (doc_id * 31 + 7) % 97 "
+    "UNION "
+    "SELECT 'site' || CAST(doc_id % 97 AS {st}) || '.example', "
+    "'site' || CAST((doc_id * 17 + 3) % 97 AS {st}) || '.example' "
+    "FROM documents WHERE doc_id % 97 <> (doc_id * 17 + 3) % 97"
+)
+
+_PLAN_TEXT = (
+    "CASE WHEN doc_id % 4 >= 2 AND (doc_id % 97) % 2 = 1"
+    " AND doc_id % 3 = 0"
+    " THEN '$$$ ### !!! %%% ^^^' ELSE text END"
+)
+
+_PLAN_PAGES = (
+    "SELECT doc_id, 'https://site' || CAST(doc_id % 97 AS {st}) || "
+    "'.example/p/' || CAST(doc_id AS {st}) AS url, "
+    "doc_id % 4 * 86400 + doc_id AS ts_sec, "
+    + _PLAN_TEXT + " AS text FROM documents"
+)
+
+
+def q_crawl_plan(spark, sf_dir):
+    """The crawl-SCHEDULING flagship composite (the frontier sibling of
+    clean_corpus): 3-iteration exact-BIGINT PageRank over the 97-host
+    digraph × each host's LATEST-day Gopher pass rate (max_by over the
+    quality-trend fold) → composite weight (rank_ppb·pass_ppm div
+    10^6) → Hamilton apportionment of 1,000,003 fetch slots. One
+    declarative plan; the oracle composes the PageRank CTE unroll, the
+    trend SQL, and the HUGEINT budget twin into ONE query."""
+    from rio_cogeo_spark.operators.graph import (
+        apportion_budget,
+        host_pagerank,
+    )
+    from rio_cogeo_spark.operators.rarity import host_quality_trend
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    edges = spark.sql(_PLAN_EDGES.format(st="STRING"))
+    rank = host_pagerank(edges, iterations=3)
+    pages = spark.sql(_PLAN_PAGES.format(st="STRING"))
+    latest = (
+        host_quality_trend(pages)
+        .groupBy("host")
+        .agg(F.expr("max_by(pass_ppm, day)").alias("latest_ppm"))
+    )
+    weights = rank.join(latest, "host").select(
+        "host",
+        F.expr("(rank_ppb * latest_ppm) div 1000000").alias("weight"),
+    )
+    return apportion_budget(weights, budget=1_000_003)
+
+
+def _crawl_plan_oracle() -> str:
+    from rio_cogeo_spark.operators.graph import (
+        apportion_budget_sql,
+        host_pagerank_sql,
+    )
+    from rio_cogeo_spark.operators.rarity import host_quality_trend_sql
+
+    pr = host_pagerank_sql(_PLAN_EDGES.format(st="VARCHAR"), iterations=3)
+    trend = host_quality_trend_sql(_PLAN_PAGES.format(st="VARCHAR"))
+    weights_cte = (
+        f"SELECT pr.host, (pr.rank_ppb * lt.latest_ppm) // 1000000"
+        f" AS weight "
+        f"FROM ({pr}) pr JOIN "
+        f"(SELECT host, max_by(pass_ppm, day) AS latest_ppm"
+        f" FROM ({trend}) t GROUP BY 1) lt ON pr.host = lt.host"
+    )
+    return apportion_budget_sql(weights_cte, budget=1_000_003)
+
+
 _SCRIPT_MIX_CASE = (
     "CASE CAST(doc_id % 4 AS INT) "
     "WHEN 1 THEN concat(text, ' привет мир привет мир') "
@@ -2152,6 +2227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lexical_pairs": q_lexical_pairs,
         "host_trend": q_host_trend,
         "host_gate": q_host_gate,
+        "crawl_plan": q_crawl_plan,
         "pyramid": q_pyramid,
         "pip_join": q_pip_join,
         "pages_extract": q_pages_extract,
@@ -3044,6 +3120,7 @@ FROM documents QUALIFY rank <= 3""",
         "lexical_pairs": _lexical_pairs_oracle(),
         "host_trend": _host_trend_oracle(),
         "host_gate": _host_gate_oracle(),
+        "crawl_plan": _crawl_plan_oracle(),
         "dsir_weights": _dsir_oracle(),
         "normalize_text": _normalize_text_oracle(),
         "bpe_merges": _bpe_merges_oracle(),

@@ -2867,3 +2867,20 @@ def test_streaming_host_gate_rates_equals_batch_two_batch_sizes(
             (r["win_sec"], r["host"]): tuple(r)[2:] for r in got_df.collect()
         }
         assert got == expected
+
+
+# --- crawl-scheduling flagship composite (ROUND5.md §80) -------------------
+
+def test_crawl_plan_composite_invariants(spark):
+    import __spark_entry__ as E
+
+    rows = E.q_crawl_plan(spark, "/root/testdata/sf0.001").collect()
+    assert sum(r.alloc for r in rows) == 1_000_003      # Hamilton exact sum
+    assert len(rows) == len({r.host for r in rows})     # one row per host
+    # quality gates the budget: weights are rank x latest pass rate,
+    # so every allocation is proportional within the quota rule
+    tw = sum(r.weight for r in rows)
+    import math
+    for r in rows:
+        q = 1_000_003 * r.weight / tw
+        assert math.floor(q) <= r.alloc <= math.ceil(q)
