@@ -1662,6 +1662,60 @@ def _crawl_plan_oracle() -> str:
     return apportion_budget_sql(weights_cte, budget=1_000_003)
 
 
+_ROBOTS_BODIES = (
+    "SELECT DISTINCT 'site' || CAST(doc_id % 23 AS {st}) || '.example'"
+    " AS host, "
+    "CASE WHEN doc_id % 23 % 3 = 0 THEN "
+    "'User-agent: googlebot' || chr(10) || 'Disallow: /g' || chr(10) || "
+    "'User-agent: *' || chr(10) || 'Disallow: /p' "
+    "WHEN doc_id % 23 % 3 = 1 THEN "
+    "'User-agent: onlybot' || chr(10) || 'Disallow: /p' "
+    "ELSE 'User-agent: bing' || chr(10) || 'User-agent: *' || chr(10) || "
+    "'Disallow: /q' END AS body FROM documents"
+)
+
+
+def q_robots(spark, sf_dir):
+    """Crawl-level robots.txt politeness: per-host wildcard Disallow
+    rules (UA-run grammar — a run naming '*' governs its block) parsed
+    from synthesized bodies over the 23-host layout, then pages under
+    /p or /q dropped per their host's rules; hosts whose robots only
+    constrain other agents keep everything."""
+    from rio_cogeo_spark.operators.urlfilter import robots_filter
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    robots = spark.sql(_ROBOTS_BODIES.format(st="STRING"))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://site"), (F.col("doc_id") % 23).cast("string"),
+            F.lit(".example"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("/p/"))
+            .when(F.col("doc_id") % 3 == 1, F.lit("/q/"))
+            .otherwise(F.lit("/ok/")),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    return robots_filter(pages, robots)
+
+
+def _robots_oracle() -> str:
+    from rio_cogeo_spark.operators.urlfilter import robots_filter_sql
+
+    pages_cte = (
+        "SELECT doc_id, 'https://site' || CAST(doc_id % 23 AS VARCHAR) || "
+        "'.example' || CASE WHEN doc_id % 3 = 0 THEN '/p/' "
+        "WHEN doc_id % 3 = 1 THEN '/q/' ELSE '/ok/' END || "
+        "CAST(doc_id AS VARCHAR) AS url FROM documents"
+    )
+    return robots_filter_sql(
+        pages_cte, _ROBOTS_BODIES.format(st="VARCHAR")
+    )
+
+
 _SCRIPT_MIX_CASE = (
     "CASE CAST(doc_id % 4 AS INT) "
     "WHEN 1 THEN concat(text, ' привет мир привет мир') "
@@ -2228,6 +2282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_trend": q_host_trend,
         "host_gate": q_host_gate,
         "crawl_plan": q_crawl_plan,
+        "robots": q_robots,
         "pyramid": q_pyramid,
         "pip_join": q_pip_join,
         "pages_extract": q_pages_extract,
@@ -3121,6 +3176,7 @@ FROM documents QUALIFY rank <= 3""",
         "host_trend": _host_trend_oracle(),
         "host_gate": _host_gate_oracle(),
         "crawl_plan": _crawl_plan_oracle(),
+        "robots": _robots_oracle(),
         "dsir_weights": _dsir_oracle(),
         "normalize_text": _normalize_text_oracle(),
         "bpe_merges": _bpe_merges_oracle(),

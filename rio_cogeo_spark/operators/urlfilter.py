@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from typing import Iterable, Union
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from rio_cogeo_spark.functions.text import HOST_SQL, host_col
@@ -301,3 +301,211 @@ def resolve_redirects_sql(
         f"FROM rr_f{rounds} f LEFT JOIN (SELECT DISTINCT src FROM rr_m) m"
         f" ON f.cur = m.src"
     )
+
+
+def robots_rules(
+    robots: DataFrame,
+    host_col_name: str = "host",
+    body_col: str = "body",
+) -> DataFrame:
+    """Parse ``robots.txt`` bodies into per-host Disallow rules for the
+    wildcard agent: ``(host, prefix)`` — one row per non-empty
+    ``Disallow:`` path prefix governed by a ``User-agent`` run that
+    names ``*``. Per the de-facto grammar, a rule block belongs to the
+    nearest preceding CONTIGUOUS run of ``User-agent:`` lines, and the
+    block applies to the wildcard if ANY line of that run names ``*``
+    (multi-agent runs share their block); other agents' sections and
+    ``Allow:`` are ignored — the conservative reading a polite
+    crawler defaults to. Values are taken after the FIRST colon, so a
+    path containing ':' survives.
+
+    Engine-exact: body → indexed line table (posexplode); UA runs via
+    gaps-and-islands (``run = i − running UA count``, one
+    host-partitioned window), per-run wildcard flag via a second
+    window over the (host, run) partition, governing run per rule
+    line via a running MAX of ``(i, run_star)`` structs — all window
+    groups are lines-per-robots.txt (dozens). DuckDB twin
+    :func:`robots_rules_sql`.
+    """
+    lines = robots.select(
+        F.col(host_col_name).alias("host"),
+        F.posexplode(F.split(F.col(body_col), "\n")).alias("i", "line"),
+    ).select("host", "i", F.trim("line").alias("line"))
+    low = F.lower(F.col("line"))
+    after_colon = F.trim(F.expr("substring(line, instr(line, ':') + 1)"))
+    w_run = (
+        Window.partitionBy("host")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = lines.select(
+        "host", "i", "line",
+        low.startswith("user-agent:").cast("int").alias("is_ua"),
+        (after_colon == "*").alias("is_star_val"),
+    ).withColumn(
+        "run", F.col("i") - F.sum("is_ua").over(w_run)
+    )
+    w_grp = Window.partitionBy("host", "is_ua", "run")
+    with_star = flagged.withColumn(
+        "run_star",
+        F.when(
+            F.col("is_ua") == 1,
+            F.max(F.col("is_star_val").cast("int")).over(w_grp) == 1,
+        ),
+    )
+    w_cur = (
+        Window.partitionBy("host")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sectioned = with_star.withColumn(
+        "cur_ua",
+        F.max(
+            F.when(
+                F.col("is_ua") == 1,
+                F.struct(F.col("i").alias("ua_i"), F.col("run_star")),
+            )
+        ).over(w_cur),
+    )
+    return (
+        sectioned.filter(
+            F.coalesce(F.col("cur_ua.run_star"), F.lit(False))
+            & F.lower(F.col("line")).startswith("disallow:")
+        )
+        .select(
+            "host",
+            F.trim(F.expr("substring(line, instr(line, ':') + 1)")).alias(
+                "prefix"
+            ),
+        )
+        .filter(F.length("prefix") > 0)
+        .distinct()
+    )
+
+
+def robots_rules_sql(robots_cte: str) -> str:
+    """DuckDB twin of :func:`robots_rules` (``robots_cte`` exposes
+    ``(host, body)``)."""
+    return r"""
+WITH rb_in AS (__CTE__),
+rb_lines0 AS (SELECT host, string_split(body, chr(10)) AS ls FROM rb_in),
+rb_lines AS (SELECT host, i - 1 AS i, trim(ls[i]) AS line
+             FROM rb_lines0, unnest(generate_series(1, len(ls))) r(i)),
+rb_flag AS (SELECT host, i, line,
+                   CASE WHEN lower(line) LIKE 'user-agent:%'
+                        THEN 1 ELSE 0 END AS is_ua,
+                   trim(substr(line, strpos(line, ':') + 1)) = '*'
+                       AS is_star_val
+            FROM rb_lines),
+rb_run AS (SELECT *,
+                  i - SUM(is_ua) OVER (PARTITION BY host ORDER BY i
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS run
+           FROM rb_flag),
+rb_star AS (SELECT *,
+                   CASE WHEN is_ua = 1 THEN
+                       MAX(CASE WHEN is_star_val THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY host, is_ua, run) = 1
+                   END AS run_star
+            FROM rb_run),
+rb_sec AS (SELECT *,
+                  MAX(CASE WHEN is_ua = 1
+                      THEN STRUCT_PACK(ua_i := i, run_star := run_star)
+                      END)
+                  OVER (PARTITION BY host ORDER BY i
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS cur_ua
+           FROM rb_star)
+SELECT DISTINCT host,
+       trim(substr(line, strpos(line, ':') + 1)) AS prefix
+FROM rb_sec
+WHERE COALESCE(cur_ua.run_star, FALSE)
+  AND lower(line) LIKE 'disallow:%'
+  AND length(trim(substr(line, strpos(line, ':') + 1))) > 0""".replace(
+        "__CTE__", robots_cte
+    )
+
+
+def url_path_col(url: Column) -> Column:
+    """URL path incl. leading '/' ('/' when absent); string ops only,
+    consistent with :func:`~rio_cogeo_spark.functions.text.host_col`'s
+    scheme handling. Twin :data:`URL_PATH_SQL`."""
+    after_scheme = F.substring_index(
+        F.substring_index(url, "://", 2), "://", -1
+    )
+    pos = F.locate("/", after_scheme)
+    return F.when(pos > 0, F.substring(after_scheme, pos, F.lit(1 << 30))
+                  ).otherwise(F.lit("/"))
+
+
+URL_PATH_SQL = (
+    "CASE WHEN strpos({a}, '/') > 0"
+    " THEN substr({a}, strpos({a}, '/')) ELSE '/' END"
+).format(
+    a="(CASE WHEN strpos(url, '://') > 0"
+      " THEN substr(url, strpos(url, '://') + 3) ELSE url END)"
+)
+
+
+def robots_filter(
+    pages: DataFrame,
+    robots: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Respect ``robots.txt``: drop pages whose URL path starts with
+    any of their host's wildcard-agent Disallow prefixes (prefix
+    match, the original robots.txt semantics). The crawl-level
+    politeness step beside the page-level
+    :func:`~rio_cogeo_spark.operators.links.meta_robots_noindex`.
+
+    Scale design (100 TB): rules fold to ONE array row per host
+    (host-bounded — a robots corpus is hosts, not pages) and
+    BROADCAST-join onto the pages; the block decision is a per-row
+    ``exists(startswith)`` over that array — the corpus never
+    shuffles. Pages on hosts with no robots entry are kept. DuckDB
+    twin :func:`robots_filter_sql`.
+    """
+    from rio_cogeo_spark.functions.text import host_col
+
+    rules = (
+        robots_rules(robots)
+        .groupBy("host")
+        .agg(F.collect_list("prefix").alias("prefixes"))
+    )
+    tagged = pages.withColumn(
+        "__host", host_col(F.col(url_col))
+    ).withColumn("__path", url_path_col(F.col(url_col)))
+    kept = (
+        tagged.join(
+            F.broadcast(rules),
+            tagged["__host"] == rules["host"],
+            "left",
+        )
+        .filter(
+            F.col("prefixes").isNull()
+            | ~F.exists(
+                "prefixes", lambda p: F.col("__path").startswith(p)
+            )
+        )
+    )
+    return kept.drop("__host", "__path", "host", "prefixes")
+
+
+def robots_filter_sql(pages_cte: str, robots_cte: str) -> str:
+    """DuckDB twin of :func:`robots_filter`; returns the kept rows of
+    ``pages_cte`` (which must expose ``url``)."""
+    from rio_cogeo_spark.functions.text import HOST_SQL
+
+    rules = robots_rules_sql(robots_cte)
+    return rf"""
+WITH rf_pages AS ({pages_cte}),
+rf_rules AS (SELECT host, list(prefix) AS prefixes
+             FROM ({rules}) GROUP BY 1),
+rf_tagged AS (SELECT p.*, {HOST_SQL} AS rf_host,
+                     {URL_PATH_SQL} AS rf_path
+              FROM rf_pages p)
+SELECT * EXCLUDE (rf_host, rf_path, prefixes, host)
+FROM rf_tagged t LEFT JOIN rf_rules r ON t.rf_host = r.host
+WHERE r.prefixes IS NULL
+   OR NOT len(list_filter(r.prefixes,
+                          pf -> starts_with(t.rf_path, pf))) > 0"""

@@ -2884,3 +2884,87 @@ def test_crawl_plan_composite_invariants(spark):
     for r in rows:
         q = 1_000_003 * r.weight / tw
         assert math.floor(q) <= r.alloc <= math.ceil(q)
+
+
+# --- robots.txt parsing + filtering (ROUND5.md §81) ------------------------
+
+ROBOTS_BODIES = [
+    ("a.example",
+     "User-agent: googlebot\nDisallow: /google-only\n\n"
+     "User-agent: bingbot\nUser-agent: *\nDisallow: /private\n"
+     "Disallow: /tmp:x\nAllow: /private/ok\n\n"
+     "User-agent: otherbot\nDisallow: /other"),
+    ("b.example", "User-agent: *\nDisallow:\nDisallow: /secret"),
+    ("c.example", "User-agent: specific\nDisallow: /all"),
+]
+
+
+def test_robots_rules_grammar_and_twin(spark):
+    import pytest as _pytest
+    duckdb = _pytest.importorskip("duckdb")
+    import pandas as pd
+
+    from rio_cogeo_spark.operators.urlfilter import (
+        robots_rules,
+        robots_rules_sql,
+    )
+
+    robots = spark.createDataFrame(ROBOTS_BODIES, "host string, body string")
+    got = sorted(tuple(r) for r in robots_rules(robots).collect())
+    # multi-agent run naming * shares its block; colon paths survive
+    # (first-colon split); empty Disallow ignored; non-* sections ignored
+    assert got == [
+        ("a.example", "/private"),
+        ("a.example", "/tmp:x"),
+        ("b.example", "/secret"),
+    ]
+    con = duckdb.connect()
+    con.register("rb", pd.DataFrame(ROBOTS_BODIES, columns=["host", "body"]))
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            robots_rules_sql("SELECT host, body FROM rb")
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_robots_filter_semantics_and_twin(spark):
+    import pytest as _pytest
+    duckdb = _pytest.importorskip("duckdb")
+    import pandas as pd
+
+    from rio_cogeo_spark.operators.urlfilter import (
+        robots_filter,
+        robots_filter_sql,
+    )
+
+    robots = spark.createDataFrame(ROBOTS_BODIES, "host string, body string")
+    urls = [
+        "https://a.example/private/page1",   # blocked (prefix match)
+        "https://a.example/public",          # kept
+        "https://a.example/google-only/x",   # kept (other agent's rule)
+        "https://b.example/secret",          # blocked
+        "https://b.example/",                # kept
+        "https://c.example/all",             # kept (no * section)
+        "https://d.example/anything",        # kept (no robots at all)
+    ]
+    pages = spark.createDataFrame([(u,) for u in urls], "url string")
+    kept = sorted(r.url for r in robots_filter(pages, robots).collect())
+    assert kept == sorted([
+        "https://a.example/public",
+        "https://a.example/google-only/x",
+        "https://b.example/",
+        "https://c.example/all",
+        "https://d.example/anything",
+    ])
+    con = duckdb.connect()
+    con.register("rb", pd.DataFrame(ROBOTS_BODIES, columns=["host", "body"]))
+    pcte = " UNION ALL ".join(f"SELECT '{u}' AS url" for u in urls)
+    want = sorted(
+        r[0]
+        for r in con.execute(
+            robots_filter_sql(pcte, "SELECT host, body FROM rb")
+        ).fetchall()
+    )
+    assert kept == want
