@@ -1716,6 +1716,64 @@ def _robots_oracle() -> str:
     )
 
 
+_SITEMAP_XML = (
+    "'<urlset><url><loc>https://site' || CAST(doc_id % 23 AS {st}) || "
+    "'.example/p/' || CAST(doc_id AS {st}) || '</loc></url>"
+    "<url><loc>https://site' || CAST(doc_id % 23 AS {st}) || "
+    "'.example/new/' || CAST(doc_id AS {st}) || '</loc></url></urlset>'"
+)
+
+
+def q_sitemap_new(spark, sf_dir):
+    """Sitemap frontier discovery: each host's sitemap declares a
+    crawled URL (/p/...) and an undiscovered one (/new/...); the
+    crawled set holds scheme/www/trailing-slash VARIANTS of the /p
+    pages, so canonicalization must collapse them and exactly the
+    /new URLs surface for the fetch queue."""
+    from rio_cogeo_spark.operators.links import (
+        extract_sitemap_urls,
+        frontier_discovery,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sitemaps = docs.select(
+        F.concat(
+            F.lit("site"), (F.col("doc_id") % 23).cast("string"),
+            F.lit(".example"),
+        ).alias("host"),
+        F.expr(_SITEMAP_XML.format(st="STRING")).alias("xml"),
+    )
+    crawled = docs.select(
+        F.concat(
+            F.lit("http://www.site"), (F.col("doc_id") % 23).cast("string"),
+            F.lit(".example/p/"), F.col("doc_id").cast("string"),
+            F.lit("/"),
+        ).alias("url")
+    )
+    return frontier_discovery(extract_sitemap_urls(sitemaps), crawled)
+
+
+def _sitemap_new_oracle() -> str:
+    from rio_cogeo_spark.operators.links import (
+        extract_sitemap_urls_sql,
+        frontier_discovery_sql,
+    )
+
+    sm_cte = (
+        "SELECT 'site' || CAST(doc_id % 23 AS VARCHAR) || '.example'"
+        " AS host, " + _SITEMAP_XML.format(st="VARCHAR")
+        + " AS xml FROM documents"
+    )
+    crawled_cte = (
+        "SELECT 'http://www.site' || CAST(doc_id % 23 AS VARCHAR) || "
+        "'.example/p/' || CAST(doc_id AS VARCHAR) || '/' AS url "
+        "FROM documents"
+    )
+    return frontier_discovery_sql(
+        extract_sitemap_urls_sql(sm_cte), crawled_cte
+    )
+
+
 _SCRIPT_MIX_CASE = (
     "CASE CAST(doc_id % 4 AS INT) "
     "WHEN 1 THEN concat(text, ' привет мир привет мир') "
@@ -2283,6 +2341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_gate": q_host_gate,
         "crawl_plan": q_crawl_plan,
         "robots": q_robots,
+        "sitemap_new": q_sitemap_new,
         "pyramid": q_pyramid,
         "pip_join": q_pip_join,
         "pages_extract": q_pages_extract,
@@ -3177,6 +3236,7 @@ FROM documents QUALIFY rank <= 3""",
         "host_gate": _host_gate_oracle(),
         "crawl_plan": _crawl_plan_oracle(),
         "robots": _robots_oracle(),
+        "sitemap_new": _sitemap_new_oracle(),
         "dsir_weights": _dsir_oracle(),
         "normalize_text": _normalize_text_oracle(),
         "bpe_merges": _bpe_merges_oracle(),

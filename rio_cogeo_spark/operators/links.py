@@ -357,3 +357,99 @@ FROM alts a JOIN alts b
   ON a.url = b.url
  AND (a.hreflang < b.hreflang
       OR (a.hreflang = b.hreflang AND a.alt_url < b.alt_url))"""
+
+
+# ---------------------------------------------------------------------------
+# Sitemap surface — frontier discovery
+# ---------------------------------------------------------------------------
+
+SITEMAP_LOC_PATTERN = r"<loc>([^<]*)</loc>"
+
+
+def extract_sitemap_urls(
+    sitemaps: DataFrame,
+    xml_col: str = "xml",
+    host_col_name: str = "host",
+) -> DataFrame:
+    """Per-host sitemap URL table ``(host, pos, loc_url)``: every
+    ``<loc>`` entry of a sitemap/sitemap-index XML body in document
+    order — the publisher-declared URL inventory, the highest-quality
+    frontier-discovery source a crawler has (URLs the site WANTS
+    fetched, before any link graph is walked). Same codegen extraction
+    shape as :func:`extract_links`. DuckDB twin
+    :func:`extract_sitemap_urls_sql`."""
+    locs = F.regexp_extract_all(
+        F.col(xml_col), F.lit(SITEMAP_LOC_PATTERN), 1
+    )
+    return sitemaps.select(
+        F.col(host_col_name).alias("host"), F.posexplode(locs)
+    ).select(
+        "host",
+        F.col("pos").cast("int").alias("pos"),
+        F.col("col").alias("loc_url"),
+    )
+
+
+def extract_sitemap_urls_sql(sitemaps_cte: str, xml_expr: str = "xml") -> str:
+    """DuckDB twin of :func:`extract_sitemap_urls` (``sitemaps_cte``
+    exposes ``(host, {xml_expr})``)."""
+    pat = SITEMAP_LOC_PATTERN.replace("'", "''")
+    return rf"""
+WITH s AS ({sitemaps_cte}),
+ext AS (SELECT host, regexp_extract_all({xml_expr}, '{pat}', 1) AS locs
+        FROM s),
+ix AS (SELECT host, unnest(generate_series(1, len(locs))) AS i, locs
+       FROM ext)
+SELECT host, CAST(i - 1 AS INT) AS pos, locs[i] AS loc_url
+FROM ix"""
+
+
+def frontier_discovery(
+    sitemap_urls: DataFrame,
+    crawled: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """New-URL discovery: distinct canonicalized sitemap URLs NOT yet
+    in the crawled set — the fetch-queue feed. Both sides canonicalize
+    with the shared :func:`~rio_cogeo_spark.functions.text.
+    canonical_url` (scheme/www/fragment/trailing-slash variants of an
+    already-crawled page must not re-enter the queue). Returns
+    ``(host, canon_url)`` distinct.
+
+    Scale design (100 TB): one left-anti join keyed on the canonical
+    URL — the sitemap side is inventory-bounded (what publishers
+    declare), the crawled side projects to its join key only (16-byte
+    scale: swap the key to a fingerprint and the anti-join to a Bloom
+    prefilter + exact confirm, the :func:`~rio_cogeo_spark.operators.
+    contamination.bloom_prefilter` pattern). DuckDB twin
+    :func:`frontier_discovery_sql`.
+    """
+    from rio_cogeo_spark.functions.text import canonical_url, host_col
+
+    sm = sitemap_urls.select(
+        host_col(F.col("loc_url")).alias("host"),
+        canonical_url(F.col("loc_url")).alias("canon_url"),
+    ).distinct()
+    seen = crawled.select(
+        canonical_url(F.col(url_col)).alias("canon_url")
+    ).distinct()
+    return sm.join(seen, "canon_url", "left_anti").select(
+        "host", "canon_url"
+    )
+
+
+def frontier_discovery_sql(sitemap_urls_cte: str, crawled_cte: str) -> str:
+    """DuckDB twin of :func:`frontier_discovery` (``sitemap_urls_cte``
+    exposes ``loc_url``; ``crawled_cte`` exposes ``url``)."""
+    from rio_cogeo_spark.functions.text import CANONICAL_URL_SQL, HOST_SQL
+
+    canon_loc = CANONICAL_URL_SQL.replace("url", "loc_url")
+    host_loc = HOST_SQL.replace("url", "loc_url")
+    return rf"""
+WITH fd_sm0 AS ({sitemap_urls_cte}),
+fd_cr AS ({crawled_cte}),
+fd_sm AS (SELECT DISTINCT {host_loc} AS host, {canon_loc} AS canon_url
+          FROM fd_sm0),
+fd_seen AS (SELECT DISTINCT {CANONICAL_URL_SQL} AS canon_url FROM fd_cr)
+SELECT host, canon_url FROM fd_sm
+WHERE canon_url NOT IN (SELECT canon_url FROM fd_seen)"""

@@ -245,3 +245,58 @@ def test_hreflang_matches_duckdb_twin(spark):
         for r in con.execute(hreflang_pairs_sql(alts_sql)).fetchall()
     )
     assert got_pairs == want_pairs
+
+
+# --- sitemap surface -------------------------------------------------------
+
+from rio_cogeo_spark.operators.links import (  # noqa: E402
+    extract_sitemap_urls,
+    extract_sitemap_urls_sql,
+    frontier_discovery,
+    frontier_discovery_sql,
+)
+
+
+def test_sitemap_extract_and_frontier(spark):
+    duckdb = pytest.importorskip("duckdb")
+    import pandas as pd
+
+    sitemaps = [
+        ("a.example",
+         "<urlset><url><loc>https://a.example/old</loc></url>"
+         "<url><loc>https://a.example/new1</loc></url>"
+         "<url><loc>https://a.example/new1</loc></url></urlset>"),
+        ("b.example", "<urlset></urlset>"),
+    ]
+    sm_df = spark.createDataFrame(sitemaps, "host string, xml string")
+    urls = extract_sitemap_urls(sm_df)
+    got_urls = sorted(tuple(r) for r in urls.collect())
+    assert got_urls == [
+        ("a.example", 0, "https://a.example/old"),
+        ("a.example", 1, "https://a.example/new1"),
+        ("a.example", 2, "https://a.example/new1"),
+    ]
+    # crawled holds a www/scheme/trailing-slash VARIANT of /old -> only
+    # new1 surfaces, deduped
+    crawled = spark.createDataFrame(
+        [("http://www.a.example/old/",)], "url string"
+    )
+    got_new = sorted(
+        tuple(r) for r in frontier_discovery(urls, crawled).collect()
+    )
+    assert got_new == [("a.example", "a.example/new1")]
+
+    con = duckdb.connect()
+    con.register("sm", pd.DataFrame(sitemaps, columns=["host", "xml"]))
+    sm_sql = extract_sitemap_urls_sql("SELECT host, xml FROM sm")
+    want_urls = sorted(tuple(r) for r in con.execute(sm_sql).fetchall())
+    assert got_urls == want_urls
+    want_new = sorted(
+        tuple(r)
+        for r in con.execute(
+            frontier_discovery_sql(
+                sm_sql, "SELECT 'http://www.a.example/old/' AS url"
+            )
+        ).fetchall()
+    )
+    assert got_new == want_new
