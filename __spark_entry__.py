@@ -1774,6 +1774,51 @@ def _sitemap_new_oracle() -> str:
     )
 
 
+def q_winnow_incremental(spark, sf_dir):
+    """Incremental MOSS matching against a persisted winnow index (the
+    partial-copy side of the crawl loop, mirroring dedup_incremental):
+    even doc_ids indexed once, odd snapshot matched against the thin
+    (doc_id, fp) table — the indexed corpus's TEXT is never re-read.
+    Exact-dup copies land at +100001 so every pair crosses the split;
+    df_cap=None ONLY for the oracle-exact comparison."""
+    import shutil
+    import tempfile
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dups = docs.filter(F.col("doc_id") < 50).withColumn(
+        "doc_id", F.col("doc_id") + 100001
+    )
+    both = docs.unionByName(dups)
+    old = both.filter(F.col("doc_id") % 2 == 0)
+    new = both.filter(F.col("doc_id") % 2 == 1)
+    path = tempfile.mkdtemp(prefix="winnow_index_")
+    try:
+        DD.winnow_save_index(old, path, k=3, w=4)
+        return DD.winnow_match_index(
+            new, path, min_shared=2, df_cap=None, eager_release=True
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def _winnow_incremental_oracle() -> str:
+    from rio_cogeo_spark.operators.dedup import winnow_pairs_sql
+
+    inner = winnow_pairs_sql(
+        "SELECT doc_id, text FROM documents UNION ALL "
+        "SELECT doc_id + 100001 AS doc_id, text FROM documents "
+        "WHERE doc_id < 50",
+        min_shared=2, k=3, w=4,
+    )
+    # re-orient the unordered batch pairs to (indexed=even, new=odd)
+    return rf"""
+SELECT CASE WHEN doc_a % 2 = 0 THEN doc_a ELSE doc_b END AS doc_a,
+       CASE WHEN doc_a % 2 = 0 THEN doc_b ELSE doc_a END AS doc_b,
+       n_shared
+FROM ({inner})
+WHERE (doc_a % 2 = 0) <> (doc_b % 2 = 0)"""
+
+
 _SCRIPT_MIX_CASE = (
     "CASE CAST(doc_id % 4 AS INT) "
     "WHEN 1 THEN concat(text, ' привет мир привет мир') "
@@ -2342,6 +2387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_plan": q_crawl_plan,
         "robots": q_robots,
         "sitemap_new": q_sitemap_new,
+        "winnow_incremental": q_winnow_incremental,
         "pyramid": q_pyramid,
         "pip_join": q_pip_join,
         "pages_extract": q_pages_extract,
@@ -3237,6 +3283,7 @@ FROM documents QUALIFY rank <= 3""",
         "crawl_plan": _crawl_plan_oracle(),
         "robots": _robots_oracle(),
         "sitemap_new": _sitemap_new_oracle(),
+        "winnow_incremental": _winnow_incremental_oracle(),
         "dsir_weights": _dsir_oracle(),
         "normalize_text": _normalize_text_oracle(),
         "bpe_merges": _bpe_merges_oracle(),

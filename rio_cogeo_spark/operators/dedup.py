@@ -1768,3 +1768,121 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(COUNT(*) AS BIGINT) AS n_shared
 FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2 HAVING COUNT(*) >= {int(min_shared)}"""
+
+
+def winnow_save_index(
+    docs: DataFrame,
+    path: str,
+    k: int = 3,
+    w: int = 4,
+    mode: str = "overwrite",
+) -> dict:
+    """Persist a corpus's winnowing fingerprints at ``path`` — the MOSS
+    counterpart of :func:`minhash_save_index` for the incremental crawl
+    loop (each snapshot checks for partial copies of the INDEXED corpus
+    without re-reading it):
+
+    * ``fps/`` — (doc_id, fp), the inverted fingerprint table, written
+      partitioned by ``pmod(fp, 64)`` buckets so the query-time join
+      prunes;
+    * ``_index_meta.json`` — (k, w), validated on query (mismatched
+      window parameters would silently find nothing — fail loudly).
+
+    ``mode='append'`` adds a snapshot (parameters must match);
+    :func:`winnow_update_index` is the convenience wrapper. On a real
+    cluster, write through ``sources.pages.write_bucketed`` on ``fp``
+    to make the candidate join shuffle-free."""
+    import json
+    import os
+
+    meta = {"k": int(k), "w": int(w)}
+    mp = os.path.join(path, "_winnow_meta.json")
+    if mode == "append" and os.path.exists(mp):
+        with open(mp) as f:
+            existing = json.load(f)
+        if existing != meta:
+            raise ValueError(
+                f"index at {path} was built with {existing}, got {meta}"
+            )
+    fps = winnow_fingerprints(docs, k=k, w=w).withColumn(
+        "fp_bucket", F.pmod(F.col("fp"), F.lit(64))
+    )
+    fps.write.mode(mode).partitionBy("fp_bucket").parquet(
+        os.path.join(path, "fps")
+    )
+    os.makedirs(path, exist_ok=True)
+    with open(mp, "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def winnow_update_index(docs: DataFrame, path: str) -> dict:
+    """Append a new snapshot's fingerprints to an existing winnow index
+    (the post-dedup half of the incremental loop)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_winnow_meta.json")) as f:
+        meta = json.load(f)
+    return winnow_save_index(
+        docs, path, k=meta["k"], w=meta["w"], mode="append"
+    )
+
+
+def winnow_match_index(
+    new_docs: DataFrame,
+    path: str,
+    min_shared: int = 2,
+    df_cap: "Optional[int]" = 1000,
+    eager_release: bool = False,
+) -> DataFrame:
+    """Partial-copy pairs between ``new_docs`` and a corpus indexed by
+    :func:`winnow_save_index`: ``(doc_a, doc_b, n_shared)`` with doc_a
+    the INDEXED doc, doc_b the new doc — the incremental form of
+    :func:`winnow_pairs` (same fingerprints, same guarantee: a shared
+    token run of >= w+k-1 tokens forces a shared fingerprint, so
+    syndicated passages of the indexed corpus inside the new snapshot
+    cannot hide). The old corpus's TEXT is never read — only its thin
+    (doc_id, fp) table.
+
+    ``df_cap`` caps the per-fingerprint posting list on BOTH sides
+    (hot boilerplate minima are quadratic; None disables for
+    oracle-exact comparisons).
+
+    Plan shape: new-snapshot fingerprints join the index on ``fp``
+    (two thin 2-column tables), pair counts fold map-side-combinably
+    on (doc_a, doc_b)."""
+    import json
+    import os
+
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    spark = new_docs.sparkSession
+    with open(os.path.join(path, "_winnow_meta.json")) as f:
+        meta = json.load(f)
+    new_fps = winnow_fingerprints(new_docs, k=meta["k"], w=meta["w"]).select(
+        F.col("doc_id").alias("doc_b"), "fp"
+    )
+    idx = spark.read.parquet(os.path.join(path, "fps")).select(
+        F.col("doc_id").alias("doc_a"), "fp"
+    )
+    if df_cap is not None:
+        hot = (
+            idx.groupBy("fp").count()
+            .filter(F.col("count") > int(df_cap))
+            .select("fp")
+        )
+        idx = idx.join(F.broadcast(hot), "fp", "left_anti")
+        new_fps = new_fps.join(F.broadcast(hot), "fp", "left_anti")
+    out = (
+        idx.join(new_fps, "fp")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= int(min_shared))
+    )
+    if eager_release:
+        # materialize the (pair-sized) result so the caller may drop
+        # the on-disk index before consuming it
+        out = out.localCheckpoint(eager=True)
+    return out

@@ -878,6 +878,44 @@ def main() -> None:
         must_not=[r"CartesianProduct"],
     )
 
+    # 58. robots_filter: the host-bounded rule arrays BROADCAST onto
+    # the pages (BroadcastHashJoin LeftOuter) and the block decision is
+    # a per-row exists — the page corpus never shuffles (no Exchange on
+    # the probe side other than the rules build's own aggregation)
+    from rio_cogeo_spark.operators.urlfilter import robots_filter
+
+    rb_robots = docs.selectExpr(
+        "'site' || CAST(doc_id % 23 AS STRING) || '.example' AS host",
+        "'User-agent: *' || chr(10) || 'Disallow: /p' AS body",
+    ).distinct()
+    rb_pages = docs.selectExpr(
+        "'https://site' || CAST(doc_id % 23 AS STRING) || '.example/p/'"
+        " || CAST(doc_id AS STRING) AS url"
+    )
+    audit(
+        "robots_filter (broadcast host rules, corpus never shuffles)",
+        robots_filter(rb_pages, rb_robots),
+        must=[r"BroadcastHashJoin", r"Generate"],
+        must_not=[r"CartesianProduct", r"SortMergeJoin"],
+    )
+
+    # 59. crawl_plan composite: the scheduling flagship stays free of
+    # cartesian products and single-partition global windows even with
+    # PageRank + trend + budget fused in one plan (the trend lag and
+    # budget threshold windows are partitioned/TakeOrdered forms)
+    import __spark_entry__ as E
+
+    # (the budget stage's localCheckpoint pins the PageRank/trend/
+    # weight subtree, so the visible tail is the TakeOrdered threshold
+    # + broadcast comparison — the partial aggregations are asserted on
+    # their own operators in checks 55/56)
+    audit(
+        "crawl_plan composite (no cartesian, TakeOrdered threshold)",
+        E.q_crawl_plan(spark, sf),
+        must=[r"TakeOrderedAndProject"],
+        must_not=[r"CartesianProduct", r"SortMergeJoin"],
+    )
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:
