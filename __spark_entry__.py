@@ -2321,13 +2321,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mirror_docs": q_mirror_docs,
         "crawl_priority": q_crawl_priority,
         "paragraph_dedup": q_paragraph_dedup,
-        "domain_filter": q_domain_filter,
-        "path_filter": q_path_filter,
-        "host_cap": q_host_cap,
+        "crawl_plan": q_crawl_plan,
+        "winnow": q_winnow,
+        "bloom_prefilter": q_bloom_prefilter,
         "boilerplate_cut": q_boilerplate_cut,
-        "readability": q_readability,
+        "hits": q_hits,
         "semantic_dedup": q_semantic_dedup,
-        "url_canonical": q_url_canonical,
+        "budget": q_budget,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_free": q_ann_ivf_free,
         "lm_score": q_lm_score,
@@ -2342,7 +2342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "median_chars": q_median_chars,
         "host_distance": q_host_distance,
         "recip_links": q_recip_links,
-        "badwords": q_badwords,
+        "robots": q_robots,
         "temperature_mix": q_temperature_mix,
         "pii_scrub": q_pii_scrub,
         "zorder": q_zorder,
@@ -2350,9 +2350,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "passage_cut": q_passage_cut,
         "search_phrase": q_search_phrase,
         "rarity_score": q_rarity_score,
-        "normalize_text": q_normalize_text,
+        "redirects": q_redirects,
         "bpe_merges": q_bpe_merges,
-        "lang_mix": q_lang_mix,
+        "lexical_pairs": q_lexical_pairs,
         "trending": q_trending,
         "cube": q_cube,
         "quality_cut": q_quality_cut,
@@ -2370,22 +2370,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trustrank": q_trustrank,
         "overlap": q_overlap,
         "bitext": q_bitext,
-        "winnow": q_winnow,
         "script_mix": q_script_mix,
-        "bloom_prefilter": q_bloom_prefilter,
         "anchors": q_anchors,
-        "budget": q_budget,
         "meta_tags": q_meta_tags,
         "meta_robots": q_meta_robots,
         "hreflang": q_hreflang,
         "host_langs": q_host_langs,
-        "hits": q_hits,
-        "redirects": q_redirects,
-        "lexical_pairs": q_lexical_pairs,
         "host_trend": q_host_trend,
         "host_gate": q_host_gate,
-        "crawl_plan": q_crawl_plan,
-        "robots": q_robots,
         "sitemap_new": q_sitemap_new,
         "winnow_incremental": q_winnow_incremental,
         "pyramid": q_pyramid,
@@ -2438,6 +2430,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "simhash_pairs": q_simhash_pairs,
         "ann_topk": q_ann_topk,
+        "domain_filter": q_domain_filter,
+        "path_filter": q_path_filter,
+        "readability": q_readability,
+        "badwords": q_badwords,
+        "url_canonical": q_url_canonical,
+        "normalize_text": q_normalize_text,
+        "lang_mix": q_lang_mix,
+        "host_cap": q_host_cap,
     }
 
 
