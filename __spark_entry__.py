@@ -2154,6 +2154,69 @@ def q_zorder(spark, sf_dir):
     )
 
 
+# bbox (x0, y0, x1, y1) for the Z-order range-decomposition contract —
+# inclusive tile coords at ZOOM, chosen to straddle many quad boundaries
+MORTON_BBOX = (120, 80, 180, 140)
+COMPACT_MIN_ZOOM = 4
+
+
+def q_tile_compact(spark, sf_dir):
+    """Quadtree compaction of the 1-ring-dilated occupied-tile set:
+    the minimal mixed-zoom cover (H3 `compact` analog / sparse-COG
+    overview structure). Iterative — one window shuffle per level on a
+    4x-shrinking set; oracle twin is the per-level window-CTE unroll."""
+    from rio_cogeo_spark.operators import focal
+
+    base = base_tiles(_pages(spark, sf_dir), ZOOM)
+    return focal.compact_tiles(
+        focal.dilate_tiles(base, ZOOM), ZOOM, min_zoom=COMPACT_MIN_ZOOM
+    )
+
+
+def q_tile_focal(spark, sf_dir):
+    """3x3 edge-clipped focal sum/mean over the density grid (absent
+    tiles are value 0; in-bounds window size in closed form)."""
+    from rio_cogeo_spark.operators import focal
+
+    base = base_tiles(_pages(spark, sf_dir), ZOOM)
+    return focal.focal_stats(base, ZOOM).select(
+        "tile_x", "tile_y", "focal_sum", "n_cells", "focal_mean"
+    )
+
+
+def q_hotspots(spark, sf_dir):
+    """Getis-Ord Gi* hotspot z-scores over the FULL 4^zoom grid (empty
+    cells count as 0 in the global moments). Exact-int moments feed a
+    deterministic IEEE expression tree mirrored by the SQL twin."""
+    from rio_cogeo_spark.operators import focal
+
+    base = base_tiles(_pages(spark, sf_dir), ZOOM)
+    return focal.hotspots(base, ZOOM).select(
+        "tile_x", "tile_y", "focal_sum", "n_cells", "gi_star"
+    )
+
+
+def q_morton_range(spark, sf_dir):
+    """Z-order bbox query: filter the tile table by the exact quadtree
+    range decomposition of MORTON_BBOX. The oracle twin filters by the
+    bbox directly — hash-equality IS the covering proof (the range set
+    admits exactly the bbox, nothing more, nothing less)."""
+    from rio_cogeo_spark.functions.tile import (
+        morton_bbox_ranges, morton_key, morton_range_filter,
+    )
+
+    x0, y0, x1, y1 = MORTON_BBOX
+    ranges = morton_bbox_ranges(x0, y0, x1, y1, ZOOM)
+    base = base_tiles(_pages(spark, sf_dir), ZOOM)
+    return (
+        base.withColumn(
+            "morton", morton_key(F.col("tile_x"), F.col("tile_y"))
+        )
+        .filter(morton_range_filter(F.col("morton"), ranges))
+        .select("tile_x", "tile_y", "morton")
+    )
+
+
 def q_pip_semi(spark, sf_dir):
     semi = J.point_in_polygon(_pages(spark, sf_dir), J.build_admin_areas(), how="semi")
     return semi.select("url")
@@ -2310,7 +2373,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # check_oracle-covered at the tail, and validate also keeps its
     # bad-structure pytest suite); recip_links displaced pip_join
     # (driver-certified r1-r4, measured in every scaling session, and
-    # check_oracle-covered at the tail).
+    # check_oracle-covered at the tail). Final-session rotation: the
+    # new focal-suite flagships compact/hotspots/morton_range (iterative
+    # quadtree compaction, Getis-Ord Gi*, Z-order range-decomposition
+    # covering contract) displaced trending/cube/quality_cut — standard
+    # SQL machinery (windowed counts, grouping sets, quantile
+    # thresholds) that stays represented in-window via collocations,
+    # corpus_info and ccnet_buckets, all three check_oracle-covered at
+    # the tail alongside tile_focal (the focal sum/mean variant whose
+    # machinery hotspots subsumes).
     return {
         "pagerank": q_pagerank,
         "keywords": q_keywords,
@@ -2353,9 +2424,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirects": q_redirects,
         "bpe_merges": q_bpe_merges,
         "lexical_pairs": q_lexical_pairs,
-        "trending": q_trending,
-        "cube": q_cube,
-        "quality_cut": q_quality_cut,
+        "compact": q_tile_compact,
+        "hotspots": q_hotspots,
+        "morton_range": q_morton_range,
         "pyramid_crs84": q_pyramid_crs84,
         "dedup_keep_best": q_dedup_keep_best,
         "split_safe": q_split_safe,
@@ -2380,6 +2451,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_gate": q_host_gate,
         "sitemap_new": q_sitemap_new,
         "winnow_incremental": q_winnow_incremental,
+        "tile_focal": q_tile_focal,
+        "trending": q_trending,
+        "cube": q_cube,
+        "quality_cut": q_quality_cut,
         "pyramid": q_pyramid,
         "pip_join": q_pip_join,
         "pages_extract": q_pages_extract,
@@ -3300,6 +3375,10 @@ FROM documents QUALIFY rank <= 3""",
         "temperature_mix": _temperature_mix_oracle(),
         "pii_scrub": _pii_scrub_oracle(),
         "zorder": _zorder_oracle(),
+        "compact": _compact_oracle(),
+        "hotspots": _hotspots_oracle(),
+        "morton_range": _morton_range_oracle(),
+        "tile_focal": _tile_focal_oracle(),
         "repeated_spans": _repeated_spans_oracle(),
         "passage_cut": _passage_cut_oracle(),
         "pyramid_crs84": _pyramid_crs84_sql(),
@@ -3719,6 +3798,105 @@ def _zorder_oracle() -> str:
     return f"""{_BASE_CTE}
 SELECT tile_x, tile_y, {morton_sql('tile_x', 'tile_y')} AS zkey, page_count
 FROM base"""
+
+
+def _dilate_cte(src: str, name: str) -> str:
+    """1-ring dilation of a (tile_x, tile_y) CTE, grid-clipped (the SQL
+    twin of focal._neighbor_rows at radius 1)."""
+    edge = 2 ** ZOOM - 1
+    return f"""
+, {name} AS (SELECT DISTINCT b.tile_x + o1.dx AS tile_x, b.tile_y + o2.dy AS tile_y
+             FROM {src} b,
+                  (VALUES (-1), (0), (1)) o1(dx),
+                  (VALUES (-1), (0), (1)) o2(dy)
+             WHERE b.tile_x + o1.dx BETWEEN 0 AND {edge}
+               AND b.tile_y + o2.dy BETWEEN 0 AND {edge})"""
+
+
+def _compact_oracle() -> str:
+    """Per-level window-CTE unroll of focal.compact_tiles over the
+    dilated base grid: count siblings per parent, keep qc<4 at the
+    level, promote one representative (even-even) child of each full
+    quad to the parent set."""
+    parts = [_BASE_CTE, _dilate_cte("base", "dil")]
+    prev = "dil"
+    keeps = []
+    for z in range(ZOOM, COMPACT_MIN_ZOOM, -1):
+        parts.append(f"""
+, c{z} AS (SELECT tile_x, tile_y,
+                  COUNT(*) OVER (PARTITION BY tile_x // 2, tile_y // 2) AS qc
+           FROM {prev})
+, k{z} AS (SELECT CAST({z} AS INT) AS zoom, tile_x, tile_y FROM c{z} WHERE qc < 4)
+, d{z - 1} AS (SELECT tile_x // 2 AS tile_x, tile_y // 2 AS tile_y
+               FROM c{z}
+               WHERE qc = 4 AND tile_x % 2 = 0 AND tile_y % 2 = 0)""")
+        keeps.append(f"SELECT zoom, tile_x, tile_y FROM k{z}")
+        prev = f"d{z - 1}"
+    keeps.append(
+        f"SELECT CAST({COMPACT_MIN_ZOOM} AS INT) AS zoom, tile_x, tile_y FROM {prev}"
+    )
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(keeps)
+
+
+def _focal_cte() -> str:
+    """Contribution-explode + neighbor-key aggregate + closed-form
+    in-bounds window size — the SQL twin of focal.focal_stats(r=1)."""
+    edge = 2 ** ZOOM - 1
+    return f"""{_BASE_CTE}
+, contrib AS (SELECT b.tile_x + o1.dx AS nx, b.tile_y + o2.dy AS ny,
+                     b.page_count AS v
+              FROM base b,
+                   (VALUES (-1), (0), (1)) o1(dx),
+                   (VALUES (-1), (0), (1)) o2(dy)
+              WHERE b.tile_x + o1.dx BETWEEN 0 AND {edge}
+                AND b.tile_y + o2.dy BETWEEN 0 AND {edge})
+, foc AS (SELECT nx AS tile_x, ny AS tile_y, CAST(SUM(v) AS BIGINT) AS focal_sum
+          FROM contrib GROUP BY 1, 2)
+, foc2 AS (SELECT tile_x, tile_y, focal_sum,
+                  CAST((1 + least(tile_x, 1) + least({edge} - tile_x, 1))
+                     * (1 + least(tile_y, 1) + least({edge} - tile_y, 1))
+                       AS BIGINT) AS n_cells
+           FROM foc)"""
+
+
+def _tile_focal_oracle() -> str:
+    return f"""{_focal_cte()}
+SELECT tile_x, tile_y, focal_sum, n_cells,
+       CAST(focal_sum AS DOUBLE) / CAST(n_cells AS DOUBLE) AS focal_mean
+FROM foc2"""
+
+
+def _hotspots_oracle() -> str:
+    """Gi* twin: exact-int global moments over the FULL 4^zoom grid
+    (absent cells are 0), then the identical IEEE expression tree as
+    focal.hotspots — plain * and sqrt, no pow."""
+    n = float(4 ** ZOOM)
+    nm1 = n - 1.0
+    return f"""{_focal_cte()}
+, mo AS (SELECT SUM(CAST(page_count AS DOUBLE)) / {n!r} AS g_mean,
+                SUM(CAST(page_count AS DOUBLE) * CAST(page_count AS DOUBLE))
+                  / {n!r} AS g_ex2
+         FROM base)
+SELECT tile_x, tile_y, focal_sum, n_cells,
+       (focal_sum - g_mean * CAST(n_cells AS DOUBLE))
+       / (sqrt(g_ex2 - g_mean * g_mean)
+          * sqrt(({n!r} * CAST(n_cells AS DOUBLE)
+                  - CAST(n_cells AS DOUBLE) * CAST(n_cells AS DOUBLE)) / {nm1!r}))
+         AS gi_star
+FROM foc2, mo"""
+
+
+def _morton_range_oracle() -> str:
+    """The bbox filter DIRECTLY — hash-equality with the Spark side's
+    OR-of-morton-ranges filter proves the quadtree decomposition covers
+    exactly the bbox."""
+    from rio_cogeo_spark.functions.tile import morton_sql
+
+    x0, y0, x1, y1 = MORTON_BBOX
+    return f"""{_BASE_CTE}
+, w AS (SELECT tile_x, tile_y FROM base
+        WHERE tile_x BETWEEN {x0} AND {x1} AND tile_y BETWEEN {y0} AND {y1})
+SELECT tile_x, tile_y, {morton_sql('tile_x', 'tile_y')} AS morton FROM w"""
 
 
 def _temperature_mix_oracle() -> str:

@@ -199,3 +199,135 @@ def morton_sql(x_expr: str, y_expr: str) -> str:
         return v
 
     return f"({spread(x_expr)} | ({spread(y_expr)} << 1))"
+
+
+def _morton_scalar(x: int, y: int) -> int:
+    """Driver-side scalar twin of :func:`morton_key` (same spread table)."""
+    out = 0
+    for v, off in ((int(x), 0), (int(y), 1)):
+        v &= 0xFFFFFFFF
+        for shift, mask in _SPREAD:
+            v = (v | (v << shift)) & mask
+        out |= v << off
+    return out
+
+
+def morton_bbox_ranges(
+    x0: int, y0: int, x1: int, y1: int, zoom: int
+) -> "list[tuple[int, int]]":
+    """Exact quadtree decomposition of a tile bbox into Z-order ranges.
+
+    The payoff of the Z-order layout (:func:`morton_key`,
+    translate.py ``layout='zorder'``): a rectangular window read
+    ``x0..x1 x y0..y1`` (inclusive) becomes a SHORT list of contiguous
+    ``(lo, hi)`` inclusive morton-key ranges — a handful of sequential
+    scans over a morton-sorted file instead of 4^zoom point lookups,
+    and each range prunes parquet row groups via min/max stats.
+
+    Classic recursion: a quad cell fully inside the bbox emits its
+    whole contiguous key block ``[morton(corner), +size^2-1]`` (quad-
+    aligned blocks ARE contiguous under bit interleave); a disjoint
+    cell emits nothing; a straddling cell recurses into its 4 children.
+    Adjacent ranges are merged, so the result is the MINIMAL sorted
+    disjoint cover: filtering any tile set by these ranges is exactly
+    the bbox filter (hash-asserted by the ``morton_range`` contract
+    query and a hypothesis sweep).  Driver-side pure function — the
+    range count is O(perimeter) = O(2^zoom), evaluated once per query,
+    never per row.
+    """
+    if not (0 <= x0 <= x1 < 2 ** zoom and 0 <= y0 <= y1 < 2 ** zoom):
+        raise ValueError(
+            f"bbox ({x0},{y0})..({x1},{y1}) out of zoom-{zoom} grid"
+        )
+    ranges: "list[tuple[int, int]]" = []
+
+    def rec(qx: int, qy: int, level: int) -> None:
+        size = 1 << (zoom - level)
+        cx0, cy0 = qx * size, qy * size
+        cx1, cy1 = cx0 + size - 1, cy0 + size - 1
+        if cx0 > x1 or cx1 < x0 or cy0 > y1 or cy1 < y0:
+            return
+        if cx0 >= x0 and cx1 <= x1 and cy0 >= y0 and cy1 <= y1:
+            lo = _morton_scalar(cx0, cy0)
+            ranges.append((lo, lo + size * size - 1))
+            return
+        for dy in (0, 1):
+            for dx in (0, 1):
+                rec(qx * 2 + dx, qy * 2 + dy, level + 1)
+
+    rec(0, 0, 0)
+    ranges.sort()
+    merged = [ranges[0]]
+    for lo, hi in ranges[1:]:
+        if lo == merged[-1][1] + 1:
+            merged[-1] = (merged[-1][0], hi)
+        else:
+            merged.append((lo, hi))
+    return merged
+
+
+def morton_range_filter(
+    morton_col: Column, ranges, or_chain_max: int = 16
+) -> Column:
+    """Membership predicate over :func:`morton_bbox_ranges` output.
+
+    Two shapes, picked by range count:
+
+    * ``len(ranges) <= or_chain_max`` → an OR-of-BETWEEN chain of plain
+      comparisons.  When ``morton_col`` is a STORED column of a
+      morton-sorted table this pushes to the parquet scan and prunes
+      row groups by min/max — the layout payoff.  (To force this path
+      for a big decomposition, coarsen with :func:`coarsen_ranges` and
+      AND the exact bbox predicate as a refine.)
+    * otherwise → ``exists()`` over a LITERAL array of (lo, hi)
+      structs.  On a COMPUTED key Catalyst's projection collapse would
+      inline the ~10-round spread expression into every OR term —
+      2 x len(ranges) textual copies, a codegen/heap blowup at ~100
+      ranges — whereas the higher-order form evaluates the key once
+      per row against a constant array.
+    """
+    if not ranges:
+        raise ValueError("empty range list")
+    if len(ranges) <= or_chain_max:
+        pred = None
+        for lo, hi in ranges:
+            term = (morton_col >= F.lit(int(lo))) & (
+                morton_col <= F.lit(int(hi))
+            )
+            pred = term if pred is None else pred | term
+        return pred
+    arr = F.array(*[
+        F.struct(
+            F.lit(int(lo)).cast("long").alias("lo"),
+            F.lit(int(hi)).cast("long").alias("hi"),
+        )
+        for lo, hi in ranges
+    ])
+    return F.exists(
+        arr, lambda r: (morton_col >= r["lo"]) & (morton_col <= r["hi"])
+    )
+
+
+def coarsen_ranges(ranges, max_ranges: int) -> "list[tuple[int, int]]":
+    """Merge the smallest inter-range gaps until ``<= max_ranges``
+    remain — a SUPERSET cover (reads a few extra keys; pair with the
+    exact bbox predicate as a refine).  This is how a scan planner
+    trades range count (seek/pushdown cost) against over-read: keep
+    the ``max_ranges`` largest gaps, close the rest.
+    """
+    if max_ranges < 1:
+        raise ValueError("max_ranges must be >= 1")
+    if len(ranges) <= max_ranges:
+        return list(ranges)
+    gaps = sorted(
+        range(1, len(ranges)),
+        key=lambda i: ranges[i][0] - ranges[i - 1][1],
+        reverse=True,
+    )[: max_ranges - 1]
+    cuts = sorted(gaps)
+    out = []
+    start = 0
+    for c in cuts + [len(ranges)]:
+        out.append((ranges[start][0], ranges[c - 1][1]))
+        start = c
+    return out

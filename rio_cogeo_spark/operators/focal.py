@@ -1,0 +1,297 @@
+"""Neighborhood (focal) raster operators over the tile grid.
+
+rio-cogeo's raster model treats a dataset as a dense grid of fixed-size
+blocks (reference ``utils.py:125-140`` block tiling); overview resampling
+(reference ``cogeo.py:259-276``) is the *vertical* neighborhood operation
+(4 children → 1 parent).  This module adds the *horizontal* neighborhood
+family over the same tile grid — the moving-window operations a density
+raster built from web pages needs before thresholding or publication:
+
+* :func:`dilate_tiles` — morphological dilation (the crawl-coverage
+  buffer: every tile within ``radius`` of an occupied tile).
+* :func:`focal_stats` — 3x3 (or (2r+1)^2) focal sum / mean smoothing,
+  edge-clipped like GDAL's ``-of`` focal tools (absent tiles are ZERO,
+  not NULL: density semantics).
+* :func:`hotspots` — Getis-Ord Gi* z-scores over the FULL grid
+  (empty cells count as 0 in the global mean/std), the standard
+  hotspot-detection statistic for point-density rasters.
+* :func:`compact_tiles` — quadtree compaction (H3 ``compact`` analog /
+  sparse-COG overview structure): replace 4 complete sibling tiles by
+  their parent, recursively, yielding the minimal mixed-zoom cover.
+
+Scale design (100 TB): every operator here consumes the *tile table*,
+whose row count is bounded by the grid size ``4^zoom`` — independent of
+corpus size — and emits thin ``(x, y, value)`` rows.  Dilation/focal are
+one explode (a fixed (2r+1)^2-row literal array, no UDF) plus ONE
+hash-aggregate shuffle on the neighbor key; the compaction loop runs at
+most ``zoom`` rounds, each ONE window shuffle over a set that shrinks 4x
+per round, with no joins (full quads are detected by a sibling count
+over the parent key and the parent set is re-derived from the same
+frame, so no driver collect and no broadcast).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _offsets(radius: int):
+    return [(dx, dy) for dx in range(-radius, radius + 1)
+            for dy in range(-radius, radius + 1)]
+
+
+def _neighbor_rows(
+    tiles: DataFrame, zoom: int, radius: int, x_col: str, y_col: str,
+    extra=(),
+) -> DataFrame:
+    """Explode each tile row into its (2r+1)^2 in-bounds neighbor keys.
+
+    Pure literal-array explode — whole-stage codegen, no UDF; the grid
+    bound ``0..2^zoom-1`` clips edge windows (no wrap: the reference's
+    grids do not wrap either — mercator tile (0, y) and (2^z-1, y) are
+    distinct blocks, utils.py block layout).
+    """
+    n = F.lit(2 ** zoom)
+    off = F.explode(
+        F.array(*[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in _offsets(radius)
+        ])
+    ).alias("off")
+    rows = tiles.select(
+        F.col(x_col).cast("long").alias("_sx"),
+        F.col(y_col).cast("long").alias("_sy"),
+        *[F.col(c) for c in extra],
+        off,
+    ).select(
+        (F.col("_sx") + F.col("off.dx")).alias("nx"),
+        (F.col("_sy") + F.col("off.dy")).alias("ny"),
+        *extra,
+    )
+    return rows.filter(
+        (F.col("nx") >= 0) & (F.col("nx") < n)
+        & (F.col("ny") >= 0) & (F.col("ny") < n)
+    )
+
+
+def dilate_tiles(
+    tiles: DataFrame,
+    zoom: int,
+    radius: int = 1,
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+) -> DataFrame:
+    """Morphological dilation of the occupied-tile set.
+
+    Output ``(tile_x, tile_y)`` distinct — every grid cell within
+    Chebyshev distance ``radius`` of an occupied tile (clipped to the
+    grid).  The crawl-coverage buffer: "tiles we must render because a
+    neighbor has pages" (halo tiles get nonzero smoothed density from
+    :func:`focal_stats`).  One explode + one aggregate shuffle.
+    """
+    if radius < 1:
+        raise ValueError(f"radius must be >= 1, got {radius}")
+    return (
+        _neighbor_rows(tiles, zoom, radius, x_col, y_col)
+        .groupBy(F.col("nx").alias("tile_x"), F.col("ny").alias("tile_y"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .drop("_n")
+    )
+
+
+def focal_stats(
+    tiles: DataFrame,
+    zoom: int,
+    value_col: str = "page_count",
+    radius: int = 1,
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+) -> DataFrame:
+    """Edge-clipped focal (moving-window) sum and mean over the grid.
+
+    Output ``(tile_x, tile_y, focal_sum, n_cells, focal_mean)`` for
+    every cell whose window contains at least one occupied tile (the
+    dilated set — sparse-raster semantics: cells outside it have
+    focal_sum 0 by definition and are not materialized).  Absent tiles
+    inside a window count as value 0 (density semantics), so
+    ``focal_mean = focal_sum / n_cells`` where ``n_cells`` is the
+    IN-BOUNDS window size, computed in closed form from the cell
+    coordinates — no second pass:
+
+        n_cells = (1 + min(x, r) + min(2^z-1-x, r))
+                * (1 + min(y, r) + min(2^z-1-y, r))
+    """
+    if radius < 1:
+        raise ValueError(f"radius must be >= 1, got {radius}")
+    contrib = _neighbor_rows(
+        tiles.select(
+            F.col(x_col), F.col(y_col),
+            F.col(value_col).cast("long").alias("_v"),
+        ),
+        zoom, radius, x_col, y_col, extra=("_v",),
+    )
+    edge = F.lit(2 ** zoom - 1)
+    r = F.lit(radius)
+    n_cells = (
+        (F.lit(1) + F.least(F.col("tile_x"), r)
+         + F.least(edge - F.col("tile_x"), r))
+        * (F.lit(1) + F.least(F.col("tile_y"), r)
+           + F.least(edge - F.col("tile_y"), r))
+    )
+    return (
+        contrib.groupBy(F.col("nx").alias("tile_x"), F.col("ny").alias("tile_y"))
+        .agg(F.sum("_v").alias("focal_sum"))
+        .withColumn("n_cells", n_cells.cast("long"))
+        .withColumn(
+            "focal_mean",
+            F.col("focal_sum").cast("double") / F.col("n_cells"),
+        )
+    )
+
+
+def hotspots(
+    tiles: DataFrame,
+    zoom: int,
+    value_col: str = "page_count",
+    radius: int = 1,
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+) -> DataFrame:
+    """Getis-Ord Gi* hotspot z-scores over the FULL grid.
+
+    The standard local spatial statistic for density hotspots: for each
+    cell, how far the window sum deviates from what a random scatter of
+    the corpus's total mass would put there,
+
+        Gi* = (S_i - mean * W_i)
+            / (std * sqrt((N*W_i - W_i^2) / (N - 1)))
+
+    with binary weights over the in-bounds (2r+1)^2 window:
+    ``S_i`` the focal sum, ``W_i`` the in-bounds window size, and
+    ``N = 4^zoom`` the FULL grid size — empty cells are value 0 and
+    participate in ``mean``/``std`` (density raster, not sample-of-
+    present-tiles), so both moments come from one global aggregate over
+    the present rows plus the grid constant.  Emitted rows: the dilated
+    set (every cell with S_i > 0); all other cells share the constant
+    ``Gi* = -mean*W_i / (...)`` per W_i class and are not materialized.
+
+    Cost: :func:`focal_stats` (one shuffle) + one scalar global
+    aggregate broadcast back as a literal cross-join (AQE folds it into
+    a BroadcastNestedLoopJoin of one row).
+    """
+    n_grid = float(4 ** zoom)
+    vals = tiles.select(F.col(value_col).cast("double").alias("_v"))
+    # two exact moments (integer-valued doubles: sums are order-independent),
+    # std derived afterwards with plain * and sqrt so the DuckDB oracle twin
+    # reproduces the identical IEEE expression tree bit-for-bit
+    moments = vals.agg(
+        (F.sum("_v") / F.lit(n_grid)).alias("g_mean"),
+        (F.sum(F.col("_v") * F.col("_v")) / F.lit(n_grid)).alias("g_ex2"),
+    )
+    foc = focal_stats(tiles, zoom, value_col, radius, x_col, y_col)
+    w = F.col("n_cells").cast("double")
+    g_std = F.sqrt(F.col("g_ex2") - F.col("g_mean") * F.col("g_mean"))
+    denom = g_std * F.sqrt(
+        (F.lit(n_grid) * w - w * w) / F.lit(n_grid - 1.0)
+    )
+    return (
+        foc.crossJoin(F.broadcast(moments))
+        .select(
+            "tile_x", "tile_y", "focal_sum", "n_cells",
+            ((F.col("focal_sum") - F.col("g_mean") * w) / denom).alias("gi_star"),
+        )
+    )
+
+
+def compact_tiles(
+    tiles: DataFrame,
+    zoom: int,
+    min_zoom: int = 0,
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+) -> DataFrame:
+    """Quadtree compaction: the minimal mixed-zoom cover of a tile set.
+
+    H3 ``compact`` semantics on the quad grid (and the sparse-COG
+    overview structure: "store the parent block instead of 4 fully-
+    covered children"): a parent at zoom z-1 replaces its 4 children
+    iff ALL FOUR are (recursively) fully covered.  Input: occupied
+    tiles at ``zoom`` (duplicates tolerated); output
+    ``(zoom, tile_x, tile_y)`` — the union over levels of cells kept at
+    that level; reconstructing each output cell's descendants at
+    ``zoom`` reproduces the input set exactly (pytest-asserted).
+
+    Plan: per level ONE window count over the parent key (shiftright by
+    1 — a computed key, so the 4 siblings of a parent hash to the same
+    partition); full quads promote ONE representative child (the even-
+    even sibling) to the parent set — no distinct, no join, no driver
+    collect.  The working set shrinks >= 4x per promoted level and the
+    loop is bounded by ``zoom - min_zoom`` (<= ~23 on web grids).
+    """
+    if not 0 <= min_zoom <= zoom:
+        raise ValueError(f"need 0 <= min_zoom <= zoom, got {min_zoom}..{zoom}")
+    cur = tiles.select(
+        F.col(x_col).cast("long").alias("tile_x"),
+        F.col(y_col).cast("long").alias("tile_y"),
+    ).distinct()
+    out = None
+    for z in range(zoom, min_zoom, -1):
+        parent = Window.partitionBy(
+            F.shiftright(F.col("tile_x"), 1), F.shiftright(F.col("tile_y"), 1)
+        )
+        flagged = cur.withColumn("_qc", F.count(F.lit(1)).over(parent))
+        keep = flagged.filter(F.col("_qc") < 4).select(
+            F.lit(z).cast("int").alias("zoom"), "tile_x", "tile_y"
+        )
+        out = keep if out is None else out.unionByName(keep)
+        cur = (
+            flagged.filter(
+                (F.col("_qc") == 4)
+                & (F.col("tile_x") % 2 == 0) & (F.col("tile_y") % 2 == 0)
+            )
+            .select(
+                F.shiftright(F.col("tile_x"), 1).alias("tile_x"),
+                F.shiftright(F.col("tile_y"), 1).alias("tile_y"),
+            )
+        )
+    tail = cur.select(
+        F.lit(min_zoom).cast("int").alias("zoom"), "tile_x", "tile_y"
+    )
+    return tail if out is None else out.unionByName(tail)
+
+
+def uncompact_tiles(
+    compacted: DataFrame,
+    zoom: int,
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+    zoom_col: str = "zoom",
+) -> DataFrame:
+    """Inverse of :func:`compact_tiles`: expand a mixed-zoom cover back
+    to the uniform ``zoom`` grid (each cell at z' → its 4^(zoom-z')
+    descendants).  One sequence explode per zoom delta — a projection,
+    no shuffle; row inflation equals the true descendant count, which
+    compaction already bounded by the original input size.
+    """
+    d = f"(CAST({zoom} AS INT) - CAST({zoom_col} AS INT))"
+    return (
+        compacted.select(
+            F.expr(f"shiftleft(CAST({x_col} AS BIGINT), {d})").alias("_bx"),
+            F.expr(f"shiftleft(CAST({y_col} AS BIGINT), {d})").alias("_by"),
+            F.expr(f"CAST(shiftleft(1, {d}) AS BIGINT)").alias("_k"),
+        )
+        .select(
+            "_bx", "_by",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("_k") - 1)).alias("_i"),
+            "_k",
+        )
+        .select(
+            "_bx", "_by", "_i", "_k",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("_k") - 1)).alias("_j"),
+        )
+        .select(
+            (F.col("_bx") + F.col("_i")).alias("tile_x"),
+            (F.col("_by") + F.col("_j")).alias("tile_y"),
+        )
+    )

@@ -916,6 +916,70 @@ def main() -> None:
         must_not=[r"CartesianProduct", r"SortMergeJoin"],
     )
 
+    # 60. focal_stats: ONE hash-aggregate exchange on the neighbor key
+    # — the (2r+1)^2 contribution explode is a Generate projection, the
+    # in-bounds window size is closed-form (no second pass, no join)
+    from rio_cogeo_spark.operators import focal as FC
+
+    base_t = base_tiles(pages, 8)
+    # (the input subtree's own megacity BroadcastHashJoin is allowed —
+    # the focal operator itself must add no join and no window)
+    foc_plan = plan_of(FC.focal_stats(base_t, 8))
+    foc_ok = (
+        "Generate" in foc_plan
+        and "SortMergeJoin" not in foc_plan
+        and "ShuffledHashJoin" not in foc_plan
+        and "CartesianProduct" not in foc_plan
+        and "Window" not in foc_plan
+    )
+    checks.append(("focal_stats explode+agg only (no join/window)", foc_ok))
+    sections.append(
+        ("focal_stats", f"  {'PASS' if foc_ok else 'FAIL'} "
+         "Generate + no Join/Window", foc_plan)
+    )
+    print(f"[{'OK' if foc_ok else 'BAD'}] focal_stats plan")
+
+    # 61. hotspots: the 1-row global-moments aggregate joins back as a
+    # broadcast nested loop (one row), never a shuffled join; both
+    # aggregates partial-combine before their exchange
+    audit(
+        "hotspots (1-row moments broadcast, partial aggs)",
+        FC.hotspots(base_t, 8),
+        must=[r"BroadcastNestedLoopJoin", r"partial_sum"],
+        must_not=[r"SortMergeJoin", r"ShuffledHashJoin"],
+    )
+
+    # 62. compact_tiles: per-level sibling counts are windows over the
+    # computed parent key — no joins at any level, no cartesian, and
+    # the level union adds no extra shuffle beyond the per-level window
+    # sorts
+    audit(
+        "compact_tiles (window-only per level, no shuffled joins)",
+        FC.compact_tiles(FC.dilate_tiles(base_t, 8), 8, min_zoom=5),
+        must=[r"\) Window"],
+        must_not=[r"SortMergeJoin", r"ShuffledHashJoin", r"CartesianProduct"],
+    )
+
+    # 63. morton_range exists-filter: a pure scan+filter projection —
+    # ZERO Exchange (the ~100-range membership test evaluates the
+    # morton key once per row via the higher-order exists, instead of
+    # inlining the spread expression into every OR term)
+    # (the one allowed Exchange is base_tiles' own aggregation; the
+    # range filter itself adds none)
+    mr_plan = plan_of(E.q_morton_range(spark, sf))
+    mr_ok = (
+        len(re.findall(r"\(\d+\) Exchange", mr_plan)) <= 1
+        and "SortMergeJoin" not in mr_plan
+        and "ShuffledHashJoin" not in mr_plan
+        and "CartesianProduct" not in mr_plan
+    )
+    checks.append(("morton_range filter (<=1 exchange, no joins)", mr_ok))
+    sections.append(
+        ("morton_range", f"  {'PASS' if mr_ok else 'FAIL'} "
+         "<=1 Exchange + no Join", mr_plan)
+    )
+    print(f"[{'OK' if mr_ok else 'BAD'}] morton_range plan")
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:

@@ -242,6 +242,37 @@ def main() -> None:
         "pinned": pinned,
     }
 
+    # Per-fingerprint-group pooled minima over the WHOLE fleet: the
+    # fingerprint hashes the measured job's source FILES, so appending
+    # new never-called helpers to one of them starts a fresh group even
+    # though the executed job is byte-identical — keep every group's
+    # pooled evidence visible instead of letting a young group hide a
+    # mature one.
+    groups: dict = {}
+    for s in history:
+        if s.get("pinned", False) != pinned:
+            continue
+        lv = s.get("levels", {})
+        if str(n_low) not in lv or str(n_high) not in lv:
+            continue
+        groups.setdefault(s.get("code") or "untagged", []).append(s)
+    group_rows = []
+    for c, ss in sorted(groups.items(), key=lambda kv: -len(kv[1])):
+        def _gmin(n):
+            return (
+                min(x["levels"][str(n)]["pyramid_sec"] for x in ss),
+                min(x["levels"][str(n)]["pip_sec"] for x in ss),
+            )
+        glo, ghi = _gmin(n_low), _gmin(n_high)
+        g_tot = round((glo[0] + glo[1]) / (ratio * (ghi[0] + ghi[1])), 3)
+        g_pyr = round(glo[0] / (ratio * ghi[0]), 3)
+        g_pip = round(glo[1] / (ratio * ghi[1]), 3)
+        mark = " (current)" if c == code else ""
+        group_rows.append(
+            f"| {c}{mark} | {len(ss)} | {g_tot} | {g_pyr} | {g_pip} |"
+        )
+    group_table = "\n".join(group_rows)
+
     md = f"""# BENCH/BASELINE — two-parallelism scaling evidence
 
 **Job**: tile-assign (Arrow UDF) → base groupBy → 6-level pyramid
@@ -300,6 +331,18 @@ fleet: {", ".join(str(s2) for s2 in fleet_effs)} — the spread is the
 documented 3-4x VM contention variance; the pooled minimum per
 (level, phase) is the least-contended observation of the SAME
 deterministic job.
+
+## Fingerprint-group history (pooled minima per group, same protocol)
+
+The fingerprint hashes the measured job's source FILES, so appending
+new never-called helper functions to one of those files starts a new
+group even when the executed job is byte-identical (verify with
+`git diff` over the job files between the groups' commits). Each group
+pools independently; no sessions are discarded anywhere.
+
+| code group | sessions | pooled total eff | pyramid | pip |
+|---|---|---|---|---|
+{group_table}
 
 ## Environment caveat (measured, not assumed)
 

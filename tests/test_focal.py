@@ -1,0 +1,229 @@
+"""Focal/neighborhood raster suite: dilation, focal stats, Gi*
+hotspots, quadtree compaction, Z-order range decomposition.
+
+Reference frame: rio-cogeo's block grid (utils.py:125-140) — these are
+the horizontal-window analogs of the vertical overview decimation
+(cogeo.py:259-276); compaction mirrors the sparse-COG "store the parent
+block" overview structure, morton ranges the clustered-read payoff of
+the Z-order layout variant.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rio_cogeo_spark.functions.tile import (
+    _morton_scalar,
+    coarsen_ranges,
+    morton_bbox_ranges,
+    morton_key,
+    morton_range_filter,
+)
+from rio_cogeo_spark.operators import focal
+
+
+def _tiles(spark, cells, zoom=None, value=None):
+    rows = [
+        (int(x), int(y), int(value[i] if value is not None else 1))
+        for i, (x, y) in enumerate(cells)
+    ]
+    return spark.createDataFrame(rows, "tile_x long, tile_y long, page_count long")
+
+
+# ---------------------------------------------------------------------------
+# dilation
+# ---------------------------------------------------------------------------
+
+
+def test_dilate_interior_and_corner(spark):
+    df = _tiles(spark, [(1, 1)])
+    got = {tuple(r) for r in focal.dilate_tiles(df, 2).collect()}
+    assert got == {(x, y) for x in (0, 1, 2) for y in (0, 1, 2)}
+
+    corner = _tiles(spark, [(0, 0)])
+    got = {tuple(r) for r in focal.dilate_tiles(corner, 2).collect()}
+    assert got == {(0, 0), (0, 1), (1, 0), (1, 1)}
+
+
+def test_dilate_radius_2_and_validation(spark):
+    df = _tiles(spark, [(4, 4)])
+    got = focal.dilate_tiles(df, 4, radius=2).count()
+    assert got == 25
+    with pytest.raises(ValueError):
+        focal.dilate_tiles(df, 4, radius=0)
+
+
+# ---------------------------------------------------------------------------
+# focal stats vs a dense numpy convolution
+# ---------------------------------------------------------------------------
+
+
+def _dense_focal(grid: np.ndarray, radius: int = 1):
+    n = grid.shape[0]
+    s = np.zeros_like(grid)
+    c = np.zeros_like(grid)
+    for x in range(n):
+        for y in range(n):
+            xs = slice(max(0, x - radius), min(n, x + radius + 1))
+            ys = slice(max(0, y - radius), min(n, y + radius + 1))
+            s[x, y] = grid[xs, ys].sum()
+            c[x, y] = (xs.stop - xs.start) * (ys.stop - ys.start)
+    return s, c
+
+
+def test_focal_stats_matches_dense_convolution(spark):
+    zoom = 3
+    n = 2 ** zoom
+    rng = np.random.RandomState(7)
+    grid = np.zeros((n, n), dtype=np.int64)
+    occupied = [(int(x), int(y)) for x, y in rng.randint(0, n, size=(20, 2))]
+    vals = rng.randint(1, 50, size=len(occupied))
+    for (x, y), v in zip(occupied, vals):
+        grid[x, y] += int(v)
+    cells = sorted({(x, y) for x, y in occupied})
+    df = _tiles(spark, cells, value=[grid[x, y] for x, y in cells])
+
+    s, c = _dense_focal(grid)
+    out = {
+        (r.tile_x, r.tile_y): (r.focal_sum, r.n_cells, r.focal_mean)
+        for r in focal.focal_stats(df, zoom).collect()
+    }
+    for x in range(n):
+        for y in range(n):
+            if s[x, y] == 0:
+                assert (x, y) not in out  # sparse: zero windows not emitted
+            else:
+                fs, nc, fm = out[(x, y)]
+                assert fs == s[x, y]
+                assert nc == c[x, y]
+                assert fm == pytest.approx(s[x, y] / c[x, y])
+
+
+def test_hotspots_matches_dense_gi_star(spark):
+    zoom = 3
+    n = 2 ** zoom
+    grid = np.zeros((n, n), dtype=np.int64)
+    cells = [(2, 2), (2, 3), (3, 2), (3, 3), (6, 6)]
+    for i, (x, y) in enumerate(cells):
+        grid[x, y] = 10 * (i + 1)
+    df = _tiles(spark, cells, value=[grid[x, y] for x, y in cells])
+
+    N = float(n * n)
+    mean = grid.sum() / N
+    std = np.sqrt((grid.astype(float) ** 2).sum() / N - mean ** 2)
+    s, c = _dense_focal(grid)
+    got = {
+        (r.tile_x, r.tile_y): r.gi_star for r in focal.hotspots(df, zoom).collect()
+    }
+    for (x, y), gi in got.items():
+        w = float(c[x, y])
+        want = (s[x, y] - mean * w) / (std * np.sqrt((N * w - w * w) / (N - 1)))
+        assert gi == pytest.approx(want, rel=1e-12)
+    # the dense 2x2 cluster's center windows dominate
+    top = max(got, key=got.get)
+    assert top in {(2, 2), (2, 3), (3, 2), (3, 3)}
+
+
+# ---------------------------------------------------------------------------
+# quadtree compaction
+# ---------------------------------------------------------------------------
+
+
+def test_compact_full_grid_collapses_to_root(spark):
+    zoom = 2
+    cells = [(x, y) for x in range(4) for y in range(4)]
+    out = focal.compact_tiles(_tiles(spark, cells), zoom, min_zoom=0).collect()
+    assert [(r.zoom, r.tile_x, r.tile_y) for r in out] == [(0, 0, 0)]
+
+
+def test_compact_partial_quads_stay_put(spark):
+    # one full quad (parent (0,0)) + one incomplete quad at parent (1,1)
+    cells = [(0, 0), (0, 1), (1, 0), (1, 1), (2, 2), (3, 2), (2, 3)]
+    out = {
+        (r.zoom, r.tile_x, r.tile_y)
+        for r in focal.compact_tiles(_tiles(spark, cells), 2, min_zoom=0).collect()
+    }
+    assert out == {(1, 0, 0), (2, 2, 2), (2, 3, 2), (2, 2, 3)}
+
+
+def test_compact_uncompact_roundtrip_random(spark):
+    zoom = 4
+    rng = np.random.RandomState(11)
+    cells = sorted({
+        (int(x), int(y)) for x, y in rng.randint(0, 2 ** zoom, size=(120, 2))
+    })
+    df = _tiles(spark, cells)
+    comp = focal.compact_tiles(df, zoom, min_zoom=0)
+    back = {
+        tuple(r) for r in focal.uncompact_tiles(comp, zoom).collect()
+    }
+    assert back == set(cells)
+    # compaction never inflates the cover
+    assert comp.count() <= len(cells)
+
+
+def test_compact_validation(spark):
+    df = _tiles(spark, [(0, 0)])
+    with pytest.raises(ValueError):
+        focal.compact_tiles(df, 3, min_zoom=4)
+
+
+# ---------------------------------------------------------------------------
+# morton bbox decomposition
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_morton_ranges_exact_cover(seed):
+    zoom = 4
+    n = 2 ** zoom
+    rng = np.random.RandomState(seed)
+    x0, x1 = sorted(rng.randint(0, n, 2))
+    y0, y1 = sorted(rng.randint(0, n, 2))
+    ranges = morton_bbox_ranges(int(x0), int(y0), int(x1), int(y1), zoom)
+    # sorted, disjoint, merged
+    assert all(ranges[i][1] + 1 < ranges[i + 1][0] for i in range(len(ranges) - 1))
+    want = {(x, y) for x in range(x0, x1 + 1) for y in range(y0, y1 + 1)}
+    got = {
+        (x, y)
+        for x in range(n)
+        for y in range(n)
+        if any(lo <= _morton_scalar(x, y) <= hi for lo, hi in ranges)
+    }
+    assert got == want
+
+
+def test_morton_ranges_validation():
+    with pytest.raises(ValueError):
+        morton_bbox_ranges(0, 0, 16, 3, 4)  # x1 out of grid
+
+
+def test_morton_filter_both_paths_agree(spark):
+    zoom = 4
+    cells = [(x, y) for x in range(16) for y in range(16)]
+    df = _tiles(spark, cells).withColumn(
+        "m", morton_key(F.col("tile_x"), F.col("tile_y"))
+    )
+    ranges = morton_bbox_ranges(3, 2, 12, 11, zoom)
+    assert len(ranges) > 1
+    via_or = df.filter(
+        morton_range_filter(F.col("m"), ranges, or_chain_max=10_000)
+    )
+    via_exists = df.filter(morton_range_filter(F.col("m"), ranges, or_chain_max=0))
+    a = {(r.tile_x, r.tile_y) for r in via_or.collect()}
+    b = {(r.tile_x, r.tile_y) for r in via_exists.collect()}
+    assert a == b == {(x, y) for x in range(3, 13) for y in range(2, 12)}
+    with pytest.raises(ValueError):
+        morton_range_filter(F.col("m"), [])
+
+
+def test_coarsen_ranges_superset():
+    ranges = morton_bbox_ranges(2, 3, 10, 12, 4)
+    coarse = coarsen_ranges(ranges, 4)
+    assert len(coarse) <= 4
+    assert coarse[0][0] == ranges[0][0] and coarse[-1][1] == ranges[-1][1]
+    # superset: every original key interval is inside some coarse range
+    for lo, hi in ranges:
+        assert any(clo <= lo and hi <= chi for clo, chi in coarse)
+    with pytest.raises(ValueError):
+        coarsen_ranges(ranges, 0)
