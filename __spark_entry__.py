@@ -2217,6 +2217,29 @@ def q_morton_range(spark, sf_dir):
     )
 
 
+def q_pyramid_update(spark, sf_dir):
+    """Incremental pyramid maintenance: pyramid(old 90%) merged with
+    pyramid(delta 10%) must equal the full-recompute pyramid — the
+    oracle IS the full-pyramid SQL, so hash-equality proves
+    merge(pyramid(A), pyramid(B)) == pyramid(A ∪ B) band-exactly."""
+    from rio_cogeo_spark.operators.incremental import (
+        pyramid_delta, pyramid_merge,
+    )
+
+    pages = _pages(spark, sf_dir)
+    old, _ = cog_translate(
+        pages.filter(F.col("doc_id") % 10 != 9),
+        max_zoom=ZOOM, overview_level=LEVELS,
+    )
+    delta = pyramid_delta(
+        pages.filter(F.col("doc_id") % 10 == 9),
+        max_zoom=ZOOM, overview_level=LEVELS,
+    )
+    return pyramid_merge(old, delta).select(
+        "zoom", "tile_x", "tile_y", "page_count", "sum_chars", "max_doc_id"
+    )
+
+
 def q_pip_semi(spark, sf_dir):
     semi = J.point_in_polygon(_pages(spark, sf_dir), J.build_admin_areas(), how="semi")
     return semi.select("url")
@@ -2381,12 +2404,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # thresholds) that stays represented in-window via collocations,
     # corpus_info and ccnet_buckets, all three check_oracle-covered at
     # the tail alongside tile_focal (the focal sum/mean variant whose
-    # machinery hotspots subsumes).
+    # machinery hotspots subsumes). pyramid_update (incremental pyramid
+    # maintenance — merge(pyr(old), pyr(delta)) == pyr(all), oracle =
+    # the full-recompute SQL) displaced url_latest, whose keep-latest
+    # window machinery stays in-window via dedup_keep_best.
     return {
         "pagerank": q_pagerank,
         "keywords": q_keywords,
         "dedup_incremental": q_dedup_incremental,
-        "url_latest": q_url_latest,
+        "pyramid_update": q_pyramid_update,
         "snapshot_delta": q_snapshot_delta,
         "snapshot_para_diff": q_snapshot_para_diff,
         "mirror_docs": q_mirror_docs,
@@ -2452,6 +2478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_new": q_sitemap_new,
         "winnow_incremental": q_winnow_incremental,
         "tile_focal": q_tile_focal,
+        "url_latest": q_url_latest,
         "trending": q_trending,
         "cube": q_cube,
         "quality_cut": q_quality_cut,
@@ -2872,6 +2899,9 @@ def oracle_sql() -> dict[str, str]:
 SELECT CAST({ZOOM} AS INT) AS zoom, tile_x, tile_y, page_count, sum_chars, max_doc_id
 FROM base""",
         "pyramid": _pyramid_sql(),
+        # the incremental-update contract's oracle IS the full recompute:
+        # hash-equality proves merge(pyr(old), pyr(delta)) == pyr(all)
+        "pyramid_update": _pyramid_sql(),
         "tiles_meta": _tiles_meta_sql(),
         "validate": _validate_sql(),
         "pip_join": f"""{_P}{_ADMIN_CTE}
