@@ -2217,6 +2217,27 @@ def q_morton_range(spark, sf_dir):
     )
 
 
+# viewport (x0, y0, x1, y1) at ZOOM for the LOD-assembly contract —
+# 40x40 requested tiles straddling dense and empty regions
+VIEWPORT_BBOX = (100, 70, 139, 109)
+
+
+def q_viewport(spark, sf_dir):
+    """LOD viewport assembly over the compacted mixed-zoom cover: each
+    requested tile resolves to the DEEPEST available ancestor cell
+    (rio-cogeo's read-the-nearest-overview semantics for a sparse tile
+    store); uncovered tiles emit nothing."""
+    from rio_cogeo_spark.operators import focal
+
+    base = base_tiles(_pages(spark, sf_dir), ZOOM)
+    avail = focal.compact_tiles(
+        focal.dilate_tiles(base, ZOOM), ZOOM, min_zoom=COMPACT_MIN_ZOOM
+    )
+    return focal.assemble_viewport(
+        avail, ZOOM, VIEWPORT_BBOX, min_zoom=COMPACT_MIN_ZOOM
+    )
+
+
 def q_pyramid_update(spark, sf_dir):
     """Incremental pyramid maintenance: pyramid(old 90%) merged with
     pyramid(delta 10%) must equal the full-recompute pyramid — the
@@ -2407,15 +2428,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # machinery hotspots subsumes). pyramid_update (incremental pyramid
     # maintenance — merge(pyr(old), pyr(delta)) == pyr(all), oracle =
     # the full-recompute SQL) displaced url_latest, whose keep-latest
-    # window machinery stays in-window via dedup_keep_best.
+    # window machinery stays in-window via dedup_keep_best; viewport
+    # (LOD deepest-ancestor assembly over the compacted cover) displaced
+    # snapshot_delta, whose two-snapshot diff machinery stays in-window
+    # via snapshot_para_diff.
     return {
         "pagerank": q_pagerank,
         "keywords": q_keywords,
         "dedup_incremental": q_dedup_incremental,
         "pyramid_update": q_pyramid_update,
-        "snapshot_delta": q_snapshot_delta,
         "snapshot_para_diff": q_snapshot_para_diff,
         "mirror_docs": q_mirror_docs,
+        "viewport": q_viewport,
         "crawl_priority": q_crawl_priority,
         "paragraph_dedup": q_paragraph_dedup,
         "crawl_plan": q_crawl_plan,
@@ -2478,6 +2502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_new": q_sitemap_new,
         "winnow_incremental": q_winnow_incremental,
         "tile_focal": q_tile_focal,
+        "snapshot_delta": q_snapshot_delta,
         "url_latest": q_url_latest,
         "trending": q_trending,
         "cube": q_cube,
@@ -3408,6 +3433,7 @@ FROM documents QUALIFY rank <= 3""",
         "compact": _compact_oracle(),
         "hotspots": _hotspots_oracle(),
         "morton_range": _morton_range_oracle(),
+        "viewport": _viewport_oracle(),
         "tile_focal": _tile_focal_oracle(),
         "repeated_spans": _repeated_spans_oracle(),
         "passage_cut": _passage_cut_oracle(),
@@ -3843,11 +3869,12 @@ def _dilate_cte(src: str, name: str) -> str:
                AND b.tile_y + o2.dy BETWEEN 0 AND {edge})"""
 
 
-def _compact_oracle() -> str:
+def _compact_parts() -> tuple:
     """Per-level window-CTE unroll of focal.compact_tiles over the
-    dilated base grid: count siblings per parent, keep qc<4 at the
-    level, promote one representative (even-even) child of each full
-    quad to the parent set."""
+    dilated base grid (count siblings per parent, keep qc<4 at the
+    level, promote one representative even-even child of each full quad
+    to the parent set). Returns (cte_chain, keeps_union) so the
+    viewport oracle can reuse the cover as a CTE."""
     parts = [_BASE_CTE, _dilate_cte("base", "dil")]
     prev = "dil"
     keeps = []
@@ -3865,7 +3892,41 @@ def _compact_oracle() -> str:
     keeps.append(
         f"SELECT CAST({COMPACT_MIN_ZOOM} AS INT) AS zoom, tile_x, tile_y FROM {prev}"
     )
-    return "".join(parts) + "\n" + "\nUNION ALL\n".join(keeps)
+    return "".join(parts), "\nUNION ALL\n".join(keeps)
+
+
+def _compact_oracle() -> str:
+    ctes, union = _compact_parts()
+    return ctes + "\n" + union
+
+
+def _viewport_oracle() -> str:
+    """Deepest-available-ancestor pick over the compacted cover: the
+    viewport enumerates via generate_series, each requested tile joins
+    its per-level ancestor keys against the cover, a window keeps the
+    deepest hit — the SQL twin of focal.assemble_viewport."""
+    ctes, union = _compact_parts()
+    x0, y0, x1, y1 = VIEWPORT_BBOX
+    anc = " UNION ALL ".join(
+        f"SELECT req_x, req_y, CAST({z} AS INT) AS anc_zoom, "
+        f"req_x // {2 ** (ZOOM - z)} AS anc_x, "
+        f"req_y // {2 ** (ZOOM - z)} AS anc_y FROM vp"
+        for z in range(COMPACT_MIN_ZOOM, ZOOM + 1)
+    )
+    return f"""{ctes}
+, avail AS ({union})
+, vp AS (SELECT CAST(gx.x AS BIGINT) AS req_x, CAST(gy.y AS BIGINT) AS req_y
+         FROM generate_series({x0}, {x1}) gx(x),
+              generate_series({y0}, {y1}) gy(y))
+, anc AS ({anc})
+, hit AS (SELECT a.req_x, a.req_y, v.zoom, v.tile_x, v.tile_y,
+                 row_number() OVER (PARTITION BY a.req_x, a.req_y
+                                    ORDER BY v.zoom DESC) AS rn
+          FROM anc a JOIN avail v
+            ON v.zoom = a.anc_zoom AND v.tile_x = a.anc_x
+           AND v.tile_y = a.anc_y)
+SELECT req_x, req_y, zoom AS src_zoom, tile_x AS src_x, tile_y AS src_y
+FROM hit WHERE rn = 1"""
 
 
 def _focal_cte() -> str:

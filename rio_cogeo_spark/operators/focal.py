@@ -295,3 +295,74 @@ def uncompact_tiles(
             (F.col("_by") + F.col("_j")).alias("tile_y"),
         )
     )
+
+
+def viewport_cells(x0: int, y0: int, x1: int, y1: int, zoom: int):
+    """Driver-side enumeration of the tiles a viewport needs at
+    ``zoom`` (inclusive tile-coord bbox). Bounded by the viewport size
+    (a few hundred cells for any real screen), never the corpus."""
+    if not (0 <= x0 <= x1 < 2 ** zoom and 0 <= y0 <= y1 < 2 ** zoom):
+        raise ValueError(
+            f"viewport ({x0},{y0})..({x1},{y1}) out of zoom-{zoom} grid"
+        )
+    return [(x, y) for x in range(x0, x1 + 1) for y in range(y0, y1 + 1)]
+
+
+def assemble_viewport(
+    available: DataFrame,
+    zoom: int,
+    bbox,
+    min_zoom: int = 0,
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+    zoom_col: str = "zoom",
+) -> DataFrame:
+    """LOD viewport assembly over a mixed-zoom cover.
+
+    The serving-path dual of :func:`compact_tiles`: a renderer asks for
+    the ``bbox`` tiles at ``zoom``; the store holds a compacted
+    mixed-zoom cover (or any partial pyramid). For each requested tile
+    emit the DEEPEST available cell among itself and its ancestors down
+    to ``min_zoom`` — rio-cogeo's overview-selection semantics (read
+    the overview nearest the requested resolution, utils.py overview
+    factors) restated for a sparse tile table. Requested tiles no
+    ancestor covers emit nothing (render transparent).
+
+    Plan shape: the (viewport x levels) ancestor-key table is built on
+    the driver (bounded by screen size) and BROADCAST onto the
+    available-tiles table — the big side never shuffles; the
+    deepest-match pick is ``max(struct(zoom, x, y))`` grouped by the
+    requested tile, whose input is at most (levels+1) rows per
+    requested tile.
+
+    Output: ``(req_x, req_y, src_zoom, src_x, src_y)``.
+    """
+    if not 0 <= min_zoom <= zoom:
+        raise ValueError(f"need 0 <= min_zoom <= zoom, got {min_zoom}..{zoom}")
+    x0, y0, x1, y1 = bbox
+    cells = viewport_cells(x0, y0, x1, y1, zoom)
+    anc_rows = [
+        (x, y, z, x >> (zoom - z), y >> (zoom - z))
+        for x, y in cells
+        for z in range(min_zoom, zoom + 1)
+    ]
+    spark = available.sparkSession
+    anc = spark.createDataFrame(
+        anc_rows,
+        "req_x long, req_y long, anc_zoom int, anc_x long, anc_y long",
+    )
+    hits = available.select(
+        F.col(zoom_col).cast("int").alias("anc_zoom"),
+        F.col(x_col).cast("long").alias("anc_x"),
+        F.col(y_col).cast("long").alias("anc_y"),
+    ).join(F.broadcast(anc), ["anc_zoom", "anc_x", "anc_y"])
+    deepest = (
+        hits.groupBy("req_x", "req_y")
+        .agg(F.max(F.struct("anc_zoom", "anc_x", "anc_y")).alias("src"))
+    )
+    return deepest.select(
+        "req_x", "req_y",
+        F.col("src.anc_zoom").alias("src_zoom"),
+        F.col("src.anc_x").alias("src_x"),
+        F.col("src.anc_y").alias("src_y"),
+    )

@@ -227,3 +227,55 @@ def test_coarsen_ranges_superset():
         assert any(clo <= lo and hi <= chi for clo, chi in coarse)
     with pytest.raises(ValueError):
         coarsen_ranges(ranges, 0)
+
+
+# ---------------------------------------------------------------------------
+# LOD viewport assembly
+# ---------------------------------------------------------------------------
+
+
+def _mixed(spark, rows):
+    return spark.createDataFrame(
+        [(int(z), int(x), int(y)) for z, x, y in rows],
+        "zoom int, tile_x long, tile_y long",
+    )
+
+
+def test_viewport_identity_on_full_level(spark):
+    # every requested tile present at the requested zoom → src == req
+    avail = _mixed(spark, [(2, x, y) for x in range(4) for y in range(4)])
+    out = focal.assemble_viewport(avail, 2, (1, 1, 2, 2), min_zoom=0)
+    got = {(r.req_x, r.req_y): (r.src_zoom, r.src_x, r.src_y)
+           for r in out.collect()}
+    assert got == {(x, y): (2, x, y) for x in (1, 2) for y in (1, 2)}
+
+
+def test_viewport_deepest_ancestor_wins(spark):
+    # z2 child exists for (2,2) only; z1 parent (1,1) covers its 3
+    # siblings; z0 root covers everything else
+    avail = _mixed(spark, [(2, 2, 2), (1, 1, 1), (0, 0, 0)])
+    out = focal.assemble_viewport(avail, 2, (0, 0, 3, 3), min_zoom=0)
+    got = {(r.req_x, r.req_y): (r.src_zoom, r.src_x, r.src_y)
+           for r in out.collect()}
+    assert got[(2, 2)] == (2, 2, 2)              # exact tile
+    assert got[(3, 2)] == (1, 1, 1)              # sibling → parent
+    assert got[(2, 3)] == (1, 1, 1)
+    assert got[(0, 0)] == (0, 0, 0)              # far tile → root
+    assert len(got) == 16
+
+
+def test_viewport_uncovered_tiles_absent(spark):
+    avail = _mixed(spark, [(2, 0, 0)])
+    out = focal.assemble_viewport(avail, 2, (0, 0, 3, 3), min_zoom=1)
+    got = {(r.req_x, r.req_y) for r in out.collect()}
+    assert got == {(0, 0)}  # min_zoom=1 excludes any z0 fallback
+
+
+def test_viewport_validation(spark):
+    avail = _mixed(spark, [(2, 0, 0)])
+    with pytest.raises(ValueError):
+        focal.assemble_viewport(avail, 2, (0, 0, 4, 3), min_zoom=0)
+    with pytest.raises(ValueError):
+        focal.assemble_viewport(avail, 2, (0, 0, 1, 1), min_zoom=3)
+    with pytest.raises(ValueError):
+        focal.viewport_cells(2, 2, 1, 3, 2)  # x0 > x1
