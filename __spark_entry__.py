@@ -2217,6 +2217,23 @@ def q_morton_range(spark, sf_dir):
     )
 
 
+def q_quadkey(spark, sf_dir):
+    """Quadkey addressing: the Spark side derives the parent key by
+    RE-ENCODING (x>>1, y>>1) at zoom-1 while the oracle takes
+    substr(child_qk, 1, zoom-1) — hash-equality proves the
+    prefix-ancestor property of the codec cross-engine."""
+    from rio_cogeo_spark.functions.quadkey import quadkey
+
+    tiles = base_tiles(_pages(spark, sf_dir), ZOOM)
+    x, y = F.col("tile_x"), F.col("tile_y")
+    return tiles.select(
+        "tile_x", "tile_y",
+        quadkey(x, y, ZOOM).alias("qk"),
+        quadkey(F.shiftright(x, 1), F.shiftright(y, 1), ZOOM - 1)
+        .alias("parent_qk"),
+    )
+
+
 # viewport (x0, y0, x1, y1) at ZOOM for the LOD-assembly contract —
 # 40x40 requested tiles straddling dense and empty regions
 VIEWPORT_BBOX = (100, 70, 139, 109)
@@ -2502,6 +2519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_new": q_sitemap_new,
         "winnow_incremental": q_winnow_incremental,
         "tile_focal": q_tile_focal,
+        "quadkey": q_quadkey,
         "snapshot_delta": q_snapshot_delta,
         "url_latest": q_url_latest,
         "trending": q_trending,
@@ -3434,6 +3452,7 @@ FROM documents QUALIFY rank <= 3""",
         "hotspots": _hotspots_oracle(),
         "morton_range": _morton_range_oracle(),
         "viewport": _viewport_oracle(),
+        "quadkey": _quadkey_oracle(),
         "tile_focal": _tile_focal_oracle(),
         "repeated_spans": _repeated_spans_oracle(),
         "passage_cut": _passage_cut_oracle(),
@@ -3975,6 +3994,17 @@ SELECT tile_x, tile_y, focal_sum, n_cells,
                   - CAST(n_cells AS DOUBLE) * CAST(n_cells AS DOUBLE)) / {nm1!r}))
          AS gi_star
 FROM foc2, mo"""
+
+
+def _quadkey_oracle() -> str:
+    """parent = substr(child, 1, z-1): the prefix-ancestor property is
+    the contract (the Spark side re-encodes the parent coords)."""
+    from rio_cogeo_spark.functions.quadkey import quadkey_sql
+
+    qk = quadkey_sql("tile_x", "tile_y", ZOOM)
+    return f"""{_BASE_CTE}
+SELECT tile_x, tile_y, {qk} AS qk, substr({qk}, 1, {ZOOM - 1}) AS parent_qk
+FROM base"""
 
 
 def _morton_range_oracle() -> str:

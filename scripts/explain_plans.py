@@ -980,6 +980,45 @@ def main() -> None:
     )
     print(f"[{'OK' if mr_ok else 'BAD'}] morton_range plan")
 
+    # 64. pyramid_merge: ONE union + hash aggregate with map-side
+    # partial agg (partial_sum) before the exchange — no joins; the
+    # merge input is tile-bounded, never page-bounded
+    from rio_cogeo_spark.operators.incremental import pyramid_merge
+    from rio_cogeo_spark.operators.translate import cog_translate
+
+    pm_old, _ = cog_translate(
+        pages.filter(F.col("doc_id") % 10 != 9), max_zoom=8, overview_level=3
+    )
+    pm_new, _ = cog_translate(
+        pages.filter(F.col("doc_id") % 10 == 9), max_zoom=8, overview_level=3
+    )
+    pm_plan = plan_of(pyramid_merge(pm_old, pm_new))
+    pm_ok = (
+        "partial_sum" in pm_plan
+        and "Union" in pm_plan
+        and "SortMergeJoin" not in pm_plan
+        and "ShuffledHashJoin" not in pm_plan
+        and "CartesianProduct" not in pm_plan
+    )
+    checks.append(("pyramid_merge union+partial-agg, no joins", pm_ok))
+    sections.append(
+        ("pyramid_merge", f"  {'PASS' if pm_ok else 'FAIL'} "
+         "Union + partial_sum + no shuffled joins", pm_plan)
+    )
+    print(f"[{'OK' if pm_ok else 'BAD'}] pyramid_merge plan")
+
+    # 65. assemble_viewport: the driver-built ancestor-key table
+    # BROADCASTS onto the tile table (big side never shuffles for the
+    # join); the deepest pick partial-aggregates (partial_max) before
+    # its exchange
+    vp_avail = FC.compact_tiles(FC.dilate_tiles(base_t, 8), 8, min_zoom=5)
+    audit(
+        "assemble_viewport (broadcast ancestors, partial max pick)",
+        FC.assemble_viewport(vp_avail, 8, (100, 70, 139, 109), min_zoom=5),
+        must=[r"BroadcastHashJoin", r"partial_max"],
+        must_not=[r"SortMergeJoin", r"ShuffledHashJoin", r"CartesianProduct"],
+    )
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:

@@ -279,3 +279,57 @@ def test_viewport_validation(spark):
         focal.assemble_viewport(avail, 2, (0, 0, 1, 1), min_zoom=3)
     with pytest.raises(ValueError):
         focal.viewport_cells(2, 2, 1, 3, 2)  # x0 > x1
+
+
+# ---------------------------------------------------------------------------
+# quadkey codec
+# ---------------------------------------------------------------------------
+
+
+def test_quadkey_roundtrip_and_prefix(spark):
+    from rio_cogeo_spark.functions.quadkey import (
+        quadkey, quadkey_decode, quadkey_sql,
+    )
+
+    zoom = 5
+    cells = [(x, y) for x in range(0, 32, 3) for y in range(0, 32, 5)]
+    df = _tiles(spark, cells).select(
+        "tile_x", "tile_y",
+        quadkey(F.col("tile_x"), F.col("tile_y"), zoom).alias("qk"),
+        quadkey(
+            F.shiftright(F.col("tile_x"), 2),
+            F.shiftright(F.col("tile_y"), 2),
+            zoom - 2,
+        ).alias("anc"),
+    )
+    for r in df.collect():
+        assert quadkey_decode(r.qk) == (r.tile_x, r.tile_y, zoom)
+        assert len(r.qk) == zoom
+        # prefix-ancestor property: the zoom-2 ancestor's key is the
+        # child key's first zoom-2 digits
+        assert r.anc == r.qk[: zoom - 2]
+        px, py, pz = quadkey_decode(r.qk[: zoom - 1])
+        assert (px, py, pz) == (r.tile_x >> 1, r.tile_y >> 1, zoom - 1)
+    # known Bing example: (x=3, y=5, z=3) -> "213"
+    import pandas as pd  # noqa: F401
+    row = _tiles(spark, [(3, 5)]).select(
+        quadkey(F.col("tile_x"), F.col("tile_y"), 3).alias("qk")
+    ).collect()[0]
+    assert row.qk == "213"
+    # SQL twin byte-identical via duckdb
+    import duckdb
+    got = duckdb.sql(
+        f"SELECT {quadkey_sql('3', '5', 3)} AS qk"
+    ).fetchone()[0]
+    assert got == "213"
+
+
+def test_quadkey_validation():
+    from rio_cogeo_spark.functions.quadkey import quadkey_decode, quadkey_sql
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        quadkey_decode("012x")
+    with _pytest.raises(ValueError):
+        quadkey_sql("a", "b", -1)
+    assert quadkey_sql("a", "b", 0) == "''"
