@@ -2217,6 +2217,26 @@ def q_morton_range(spark, sf_dir):
     )
 
 
+def q_pyramid_diff(spark, sf_dir):
+    """Pyramid map algebra: per-level per-tile signed difference
+    between two snapshot halves of the corpus — crawl-coverage change
+    detection. Sum-band-only (max/hll have no inverse)."""
+    from rio_cogeo_spark.operators.incremental import pyramid_subtract
+
+    pages = _pages(spark, sf_dir)
+    a, _ = cog_translate(
+        pages.filter(F.col("doc_id") % 10 < 5),
+        max_zoom=ZOOM, overview_level=LEVELS,
+    )
+    b, _ = cog_translate(
+        pages.filter(F.col("doc_id") % 10 >= 5),
+        max_zoom=ZOOM, overview_level=LEVELS,
+    )
+    return pyramid_subtract(a, b).select(
+        "zoom", "tile_x", "tile_y", "d_page_count", "d_sum_chars"
+    )
+
+
 def q_quadkey(spark, sf_dir):
     """Quadkey addressing: the Spark side derives the parent key by
     RE-ENCODING (x>>1, y>>1) at zoom-1 while the oracle takes
@@ -2520,6 +2540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_incremental": q_winnow_incremental,
         "tile_focal": q_tile_focal,
         "quadkey": q_quadkey,
+        "pyramid_diff": q_pyramid_diff,
         "snapshot_delta": q_snapshot_delta,
         "url_latest": q_url_latest,
         "trending": q_trending,
@@ -3453,6 +3474,7 @@ FROM documents QUALIFY rank <= 3""",
         "morton_range": _morton_range_oracle(),
         "viewport": _viewport_oracle(),
         "quadkey": _quadkey_oracle(),
+        "pyramid_diff": _pyramid_diff_oracle(),
         "tile_focal": _tile_focal_oracle(),
         "repeated_spans": _repeated_spans_oracle(),
         "passage_cut": _passage_cut_oracle(),
@@ -3994,6 +4016,42 @@ SELECT tile_x, tile_y, focal_sum, n_cells,
                   - CAST(n_cells AS DOUBLE) * CAST(n_cells AS DOUBLE)) / {nm1!r}))
          AS gi_star
 FROM foc2, mo"""
+
+
+def _pyramid_diff_oracle() -> str:
+    """Two filtered base CTEs → two per-level pyramid unions → the
+    union-negate-sum dual of pyramid_merge (zero rows cancel to
+    explicit 0, matching pyramid_subtract's keep-unchanged contract)."""
+    def levels(src: str) -> str:
+        parts = []
+        for j in range(0, LEVELS + 1):
+            d = 2 ** j
+            parts.append(f"""
+SELECT CAST({ZOOM - j} AS INT) AS zoom,
+       CAST(floor(tile_x / CAST({d} AS DOUBLE)) AS BIGINT) AS tile_x,
+       CAST(floor(tile_y / CAST({d} AS DOUBLE)) AS BIGINT) AS tile_y,
+       CAST(SUM(page_count) AS BIGINT) AS page_count,
+       CAST(SUM(sum_chars) AS BIGINT) AS sum_chars
+FROM {src} GROUP BY 1, 2, 3""")
+        return "\nUNION ALL\n".join(parts)
+
+    return f"""{_P}
+, assigned AS (SELECT doc_id, n_chars, {_TX8} AS tile_x, {_TY8} AS tile_y FROM pages)
+, base_a AS (SELECT tile_x, tile_y, COUNT(*) AS page_count,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+             FROM assigned WHERE doc_id % 10 < 5 GROUP BY 1, 2)
+, base_b AS (SELECT tile_x, tile_y, COUNT(*) AS page_count,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+             FROM assigned WHERE doc_id % 10 >= 5 GROUP BY 1, 2)
+, pyr_a AS ({levels('base_a')})
+, pyr_b AS ({levels('base_b')})
+, u AS (SELECT zoom, tile_x, tile_y, page_count, sum_chars FROM pyr_a
+        UNION ALL
+        SELECT zoom, tile_x, tile_y, -page_count, -sum_chars FROM pyr_b)
+SELECT zoom, tile_x, tile_y,
+       CAST(SUM(page_count) AS BIGINT) AS d_page_count,
+       CAST(SUM(sum_chars) AS BIGINT) AS d_sum_chars
+FROM u GROUP BY 1, 2, 3"""
 
 
 def _quadkey_oracle() -> str:

@@ -289,6 +289,43 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
         ),
     )
 
+    # 4g. final-session tile-grid suite: Gi* hotspots, quadtree
+    # compaction of the dilated cover, and LOD viewport assembly —
+    # all bounded by the 4^zoom grid, independent of corpus size
+    from rio_cogeo_spark.operators import focal as FC
+    from rio_cogeo_spark.operators.translate import base_tiles as _bt
+
+    bt = _bt(pages, BENCH_ZOOM)
+    timed("hotspots", lambda: materialize(FC.hotspots(bt, BENCH_ZOOM)))
+    timed(
+        "compact",
+        lambda: materialize(
+            FC.compact_tiles(
+                FC.dilate_tiles(bt, BENCH_ZOOM), BENCH_ZOOM,
+                min_zoom=max(0, BENCH_ZOOM - 4),
+            )
+        ),
+    )
+    timed(
+        "viewport",
+        lambda: materialize(
+            FC.assemble_viewport(
+                FC.compact_tiles(
+                    FC.dilate_tiles(bt, BENCH_ZOOM), BENCH_ZOOM,
+                    min_zoom=max(0, BENCH_ZOOM - 4),
+                ),
+                BENCH_ZOOM,
+                (
+                    2 ** BENCH_ZOOM // 3,
+                    2 ** BENCH_ZOOM // 4,
+                    2 ** BENCH_ZOOM // 3 + 39,
+                    2 ** BENCH_ZOOM // 4 + 39,
+                ),
+                min_zoom=max(0, BENCH_ZOOM - 4),
+            )
+        ),
+    )
+
     # 5. ANN brute-force top-k over embeddings
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q_emb = emb.filter(F.col("vec_id") < 10).select(

@@ -115,3 +115,42 @@ def pyramid_merge(
         .groupBy("zoom", "tile_x", "tile_y")
         .agg(*merges)
     )
+
+
+def pyramid_subtract(
+    current: DataFrame,
+    previous: DataFrame,
+    bands: Optional[List[BandSpec]] = None,
+) -> DataFrame:
+    """Map algebra between two pyramids: per-level per-tile signed
+    difference ``current - previous`` — crawl-coverage change detection
+    ("where did density move since the last snapshot").
+
+    Only SUM-merge bands subtract meaningfully (a max band has no
+    inverse), so anything else is rejected loudly. Implementation is
+    the merge's algebraic dual: union the previous side NEGATED and sum
+    — one exchange, tile-bounded, tiles present on one side only come
+    out as +/- their value, and tiles with identical values on both
+    sides cancel to an explicit 0 row (kept: "present but unchanged" is
+    signal for retention policies; filter it out downstream if not).
+    """
+    bands = bands or [s for s in default_bands() if s.merge == "sum"]
+    bad = [s.name for s in bands if s.merge != "sum"]
+    if bad:
+        raise IncompatibleOptions(
+            f"bands {bad} cannot be subtracted (merge must be 'sum'; "
+            "max/min/hll have no inverse — diff those by recomputing)"
+        )
+    from pyspark.sql import functions as F
+
+    cols = ["zoom", "tile_x", "tile_y"]
+    names = [s.name for s in bands]
+    cur = current.select(*cols, *[F.col(n).cast("long").alias(n) for n in names])
+    prev = previous.select(
+        *cols, *[(-F.col(n).cast("long")).alias(n) for n in names]
+    )
+    return (
+        cur.unionByName(prev)
+        .groupBy(*cols)
+        .agg(*[F.sum(n).alias(f"d_{n}") for n in names])
+    )

@@ -91,3 +91,33 @@ def test_non_mergeable_band_rejected(spark):
     ok, _ = cog_translate(pages, max_zoom=ZOOM, overview_level=LEVELS)
     with pytest.raises(IncompatibleOptions, match="avg_chars"):
         pyramid_merge(ok, ok, bands=bands)
+
+
+def test_subtract_matches_elementwise_difference(spark):
+    pages, old, new = _full_and_split(spark)
+    a, _ = cog_translate(old, max_zoom=ZOOM, overview_level=LEVELS)
+    b, _ = cog_translate(new, max_zoom=ZOOM, overview_level=LEVELS)
+    from rio_cogeo_spark.operators.incremental import pyramid_subtract
+
+    diff = {_key(r): (r.d_page_count, r.d_sum_chars)
+            for r in pyramid_subtract(a, b).collect()}
+    av = {_key(r): (r.page_count, r.sum_chars) for r in a.collect()}
+    bv = {_key(r): (r.page_count, r.sum_chars) for r in b.collect()}
+    for k in set(av) | set(bv):
+        pa, sa = av.get(k, (0, 0))
+        pb, sb = bv.get(k, (0, 0))
+        assert diff[k] == (pa - pb, sa - sb)
+    # self-difference cancels to explicit zero rows (kept, not dropped)
+    zero = pyramid_subtract(a, a)
+    rows = zero.collect()
+    assert len(rows) == a.count()
+    assert all(r.d_page_count == 0 and r.d_sum_chars == 0 for r in rows)
+
+
+def test_subtract_rejects_non_sum_bands(spark):
+    pages = synth_pages(spark, SF)
+    t, _ = cog_translate(pages, max_zoom=ZOOM, overview_level=LEVELS)
+    from rio_cogeo_spark.operators.incremental import pyramid_subtract
+
+    with pytest.raises(IncompatibleOptions, match="max_doc_id"):
+        pyramid_subtract(t, t, bands=default_bands())
