@@ -2217,6 +2217,30 @@ def q_morton_range(spark, sf_dir):
     )
 
 
+def q_pyramid_stream(spark, sf_dir):
+    """Continuous pyramid maintenance driven to completion
+    (availableNow): the streaming store must equal the batch pyramid —
+    the oracle IS the full-recompute pyramid SQL, certifying
+    streaming == batch cross-engine."""
+    import tempfile
+
+    from rio_cogeo_spark.streaming.pyramid import (
+        maintain_pyramid, read_pyramid_store,
+    )
+    from rio_cogeo_spark.streaming.tiles import read_pages_stream
+
+    tmp = tempfile.mkdtemp(prefix="rcs_pyr_stream_")
+    q = maintain_pyramid(
+        read_pages_stream(spark, sf_dir),
+        f"{tmp}/store", ZOOM, LEVELS, checkpoint=f"{tmp}/ckpt",
+        available_now=True,
+    )
+    q.awaitTermination(600)
+    return read_pyramid_store(spark, f"{tmp}/store").select(
+        "zoom", "tile_x", "tile_y", "page_count", "sum_chars", "max_doc_id"
+    )
+
+
 def q_pyramid_diff(spark, sf_dir):
     """Pyramid map algebra: per-level per-tile signed difference
     between two snapshot halves of the corpus — crawl-coverage change
@@ -2478,7 +2502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mirror_docs": q_mirror_docs,
         "viewport": q_viewport,
         "crawl_priority": q_crawl_priority,
-        "paragraph_dedup": q_paragraph_dedup,
+        "pyramid_stream": q_pyramid_stream,
         "crawl_plan": q_crawl_plan,
         "winnow": q_winnow,
         "bloom_prefilter": q_bloom_prefilter,
@@ -2541,6 +2565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_focal": q_tile_focal,
         "quadkey": q_quadkey,
         "pyramid_diff": q_pyramid_diff,
+        "paragraph_dedup": q_paragraph_dedup,
         "snapshot_delta": q_snapshot_delta,
         "url_latest": q_url_latest,
         "trending": q_trending,
@@ -2966,6 +2991,9 @@ FROM base""",
         # the incremental-update contract's oracle IS the full recompute:
         # hash-equality proves merge(pyr(old), pyr(delta)) == pyr(all)
         "pyramid_update": _pyramid_sql(),
+        # streaming==batch certified cross-engine: the drained stream's
+        # store must hash-match the full-recompute pyramid
+        "pyramid_stream": _pyramid_sql(),
         "tiles_meta": _tiles_meta_sql(),
         "validate": _validate_sql(),
         "pip_join": f"""{_P}{_ADMIN_CTE}
