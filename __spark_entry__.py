@@ -2217,6 +2217,16 @@ def q_morton_range(spark, sf_dir):
     )
 
 
+def q_ann_int8(spark, sf_dir):
+    """Int8-quantized brute-force ANN: symmetric absmax quantization +
+    INTEGER dot scoring — hash-exact on raw BIGINTs (no 6dp rounding),
+    the memory/bandwidth configuration of a 100 TB embedding store."""
+    from rio_cogeo_spark.operators.quantize import ann_int8_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_int8_topk(emb, k=10, n_queries=5)
+
+
 def q_pyramid_stream(spark, sf_dir):
     """Continuous pyramid maintenance driven to completion
     (availableNow): the streaming store must equal the batch pyramid —
@@ -2492,7 +2502,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window machinery stays in-window via dedup_keep_best; viewport
     # (LOD deepest-ancestor assembly over the compacted cover) displaced
     # snapshot_delta, whose two-snapshot diff machinery stays in-window
-    # via snapshot_para_diff.
+    # via snapshot_para_diff; pyramid_stream (streaming==batch pyramid
+    # certified against the full-recompute SQL) displaced
+    # paragraph_dedup (exact-dedup machinery in-window via
+    # dedup_incremental/winnow/bloom_prefilter/pair_verify); ann_int8
+    # (symmetric absmax quantization, exact-integer dot contract)
+    # displaced crawl_priority, whose composition crawl_plan — a strict
+    # superset of its machinery — remains in-window.
     return {
         "pagerank": q_pagerank,
         "keywords": q_keywords,
@@ -2501,7 +2517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_para_diff": q_snapshot_para_diff,
         "mirror_docs": q_mirror_docs,
         "viewport": q_viewport,
-        "crawl_priority": q_crawl_priority,
+        "ann_int8": q_ann_int8,
         "pyramid_stream": q_pyramid_stream,
         "crawl_plan": q_crawl_plan,
         "winnow": q_winnow,
@@ -2566,6 +2582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quadkey": q_quadkey,
         "pyramid_diff": q_pyramid_diff,
         "paragraph_dedup": q_paragraph_dedup,
+        "crawl_priority": q_crawl_priority,
         "snapshot_delta": q_snapshot_delta,
         "url_latest": q_url_latest,
         "trending": q_trending,
@@ -2980,6 +2997,26 @@ SELECT query_id, vec_id,
 FROM d QUALIFY rank <= 10"""
 
 
+_ANN_INT8_SQL = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+am AS (SELECT MAX(list_max(list_transform(v, x -> abs(x)))) AS amax FROM e),
+q AS (SELECT vec_id,
+             list_transform(v, x -> CAST(greatest(-127.0, least(127.0,
+                 floor(x * 127.0 / amax + 0.5))) AS BIGINT)) AS qv
+      FROM e, am),
+qq AS (SELECT vec_id AS query_id, qv AS q_vec FROM q WHERE vec_id < 5),
+d AS (SELECT qq.query_id, q.vec_id,
+             CAST(list_sum(list_transform(list_zip(q.qv, qq.q_vec),
+                 p -> p[1] * p[2])) AS BIGINT) AS qdot
+      FROM q CROSS JOIN qq WHERE q.vec_id <> qq.query_id)
+SELECT query_id, vec_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY qdot DESC, vec_id ASC) AS INT) AS rank,
+       qdot
+FROM d QUALIFY rank <= 10"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "pages_extract": f"{_P}\nSELECT doc_id, url, lang, lat, lon FROM pages",
@@ -2994,6 +3031,7 @@ FROM base""",
         # streaming==batch certified cross-engine: the drained stream's
         # store must hash-match the full-recompute pyramid
         "pyramid_stream": _pyramid_sql(),
+        "ann_int8": _ANN_INT8_SQL,
         "tiles_meta": _tiles_meta_sql(),
         "validate": _validate_sql(),
         "pip_join": f"""{_P}{_ADMIN_CTE}
