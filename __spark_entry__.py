@@ -2309,6 +2309,32 @@ def q_viewport(spark, sf_dir):
     )
 
 
+def q_tile_serve(spark, sf_dir):
+    """The full serving query: viewport LOD resolution over the SPARSE
+    pyramid (an empty z8 tile falls back to its deepest occupied
+    ancestor level) joined back to the band values the renderer draws.
+    The viewport side is screen-bounded and broadcasts onto the tile
+    table — the pyramid never shuffles."""
+    from rio_cogeo_spark.operators import focal
+
+    tiles, _ = _pyramid(spark, sf_dir)
+    vp = focal.assemble_viewport(
+        tiles, ZOOM, VIEWPORT_BBOX, min_zoom=ZOOM - LEVELS
+    )
+    return (
+        tiles.join(
+            F.broadcast(vp),
+            (F.col("zoom") == F.col("src_zoom"))
+            & (F.col("tile_x") == F.col("src_x"))
+            & (F.col("tile_y") == F.col("src_y")),
+        )
+        .select(
+            "req_x", "req_y", "src_zoom", "src_x", "src_y",
+            "page_count", "sum_chars",
+        )
+    )
+
+
 def q_pyramid_update(spark, sf_dir):
     """Incremental pyramid maintenance: pyramid(old 90%) merged with
     pyramid(delta 10%) must equal the full-recompute pyramid — the
@@ -2581,6 +2607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_focal": q_tile_focal,
         "quadkey": q_quadkey,
         "pyramid_diff": q_pyramid_diff,
+        "tile_serve": q_tile_serve,
         "paragraph_dedup": q_paragraph_dedup,
         "crawl_priority": q_crawl_priority,
         "snapshot_delta": q_snapshot_delta,
@@ -3541,6 +3568,7 @@ FROM documents QUALIFY rank <= 3""",
         "viewport": _viewport_oracle(),
         "quadkey": _quadkey_oracle(),
         "pyramid_diff": _pyramid_diff_oracle(),
+        "tile_serve": _tile_serve_oracle(),
         "tile_focal": _tile_focal_oracle(),
         "repeated_spans": _repeated_spans_oracle(),
         "passage_cut": _passage_cut_oracle(),
@@ -4118,6 +4146,46 @@ SELECT zoom, tile_x, tile_y,
        CAST(SUM(page_count) AS BIGINT) AS d_page_count,
        CAST(SUM(sum_chars) AS BIGINT) AS d_sum_chars
 FROM u GROUP BY 1, 2, 3"""
+
+
+def _tile_serve_oracle() -> str:
+    """Sparse-pyramid serving twin: the per-level pyramid union as the
+    available store, viewport ancestors joined, deepest hit ranked,
+    band values carried through."""
+    x0, y0, x1, y1 = VIEWPORT_BBOX
+    min_z = ZOOM - LEVELS
+    lv = []
+    for j in range(0, LEVELS + 1):
+        d = 2 ** j
+        lv.append(f"""
+SELECT CAST({ZOOM - j} AS INT) AS zoom,
+       CAST(floor(tile_x / CAST({d} AS DOUBLE)) AS BIGINT) AS tile_x,
+       CAST(floor(tile_y / CAST({d} AS DOUBLE)) AS BIGINT) AS tile_y,
+       CAST(SUM(page_count) AS BIGINT) AS page_count,
+       CAST(SUM(sum_chars) AS BIGINT) AS sum_chars
+FROM base GROUP BY 1, 2, 3""")
+    anc = " UNION ALL ".join(
+        f"SELECT req_x, req_y, CAST({z} AS INT) AS anc_zoom, "
+        f"req_x // {2 ** (ZOOM - z)} AS anc_x, "
+        f"req_y // {2 ** (ZOOM - z)} AS anc_y FROM vp"
+        for z in range(min_z, ZOOM + 1)
+    )
+    return f"""{_BASE_CTE}
+, pyr AS ({(chr(10) + "UNION ALL").join(lv)})
+, vp AS (SELECT CAST(gx.x AS BIGINT) AS req_x, CAST(gy.y AS BIGINT) AS req_y
+         FROM generate_series({x0}, {x1}) gx(x),
+              generate_series({y0}, {y1}) gy(y))
+, anc AS ({anc})
+, hit AS (SELECT a.req_x, a.req_y, p.zoom, p.tile_x, p.tile_y,
+                 p.page_count, p.sum_chars,
+                 row_number() OVER (PARTITION BY a.req_x, a.req_y
+                                    ORDER BY p.zoom DESC) AS rn
+          FROM anc a JOIN pyr p
+            ON p.zoom = a.anc_zoom AND p.tile_x = a.anc_x
+           AND p.tile_y = a.anc_y)
+SELECT req_x, req_y, zoom AS src_zoom, tile_x AS src_x, tile_y AS src_y,
+       page_count, sum_chars
+FROM hit WHERE rn = 1"""
 
 
 def _quadkey_oracle() -> str:

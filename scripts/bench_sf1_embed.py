@@ -120,9 +120,17 @@ def main() -> None:
                 n_probe=max(2, n_lists // 8), n_lists=n_lists,
             ).count()
 
+        def _int8():
+            # brute int8 scan: linear in n (5 broadcast queries), the
+            # quantize pass is a projection — per-vector cost constant
+            from rio_cogeo_spark.operators.quantize import ann_int8_topk
+
+            return ann_int8_topk(emb.drop("label"), k=10, n_queries=5).count()
+
         return {
             "semantic_dedup": _semantic,
             "ann_ivf_free": _ann,
+            "ann_int8": _int8,
         }
 
     results = {}
