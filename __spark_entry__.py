@@ -1090,6 +1090,45 @@ FROM r3 LEFT JOIN outd USING (host) LEFT JOIN ind USING (host)""",
     )
 
 
+def q_triangles(spark, sf_dir):
+    """Link-farm / tight-community detection: per-host triangle counts +
+    exact-ppm local clustering coefficient over the deterministic host
+    link graph, computed with the skew-safe degree-ordered orientation
+    (oriented out-degree bounded by O(sqrt(m)))."""
+    from rio_cogeo_spark.operators.graph import triangle_count
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    edges = spark.sql(_PR_EDGES)
+    return triangle_count(edges)
+
+
+def _triangles_oracle() -> str:
+    from rio_cogeo_spark.operators.graph import triangle_count_sql
+
+    return triangle_count_sql(_PR_EDGES)
+
+
+def q_kcore(spark, sf_dir):
+    """Fixed-round k-core peel (k=4, 3 rounds) over the deterministic
+    host link graph — the fourth ITERATIVE oracle-paired operator: the
+    DataFrame peel loop hash-compared against the chained-CTE unroll."""
+    from rio_cogeo_spark.operators.graph import k_core
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    edges = spark.sql(_PR_EDGES)
+    return k_core(edges, k=4, rounds=3)
+
+
+def _kcore_oracle() -> str:
+    from rio_cogeo_spark.operators.graph import k_core_sql
+
+    return k_core_sql(_PR_EDGES, k=4, rounds=3)
+
+
 def q_bitext(spark, sf_dir):
     """Margin-based bitext mining (Artetxe & Schwenk ACL'19): labels
     0-4 as the source 'language', 5-9 as the target; best target per
@@ -2673,6 +2712,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": q_normalize_text,
         "lang_mix": q_lang_mix,
         "host_cap": q_host_cap,
+        "triangles": q_triangles,
+        "kcore": q_kcore,
     }
 
 
@@ -3552,6 +3593,8 @@ FROM documents QUALIFY rank <= 3""",
         "lang_mix": _lang_mix_oracle(),
         "trending": _trending_oracle(),
         "pagerank": _pagerank_oracle(),
+        "triangles": _triangles_oracle(),
+        "kcore": _kcore_oracle(),
         "keywords": _keywords_oracle(),
         "readability": _readability_oracle(),
         "url_canonical": _url_canonical_oracle(),

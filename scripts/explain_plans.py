@@ -1019,6 +1019,34 @@ def main() -> None:
         must_not=[r"SortMergeJoin", r"ShuffledHashJoin", r"CartesianProduct"],
     )
 
+    # 66. triangle_count: the degree-ordered wedge join must be an
+    # equality join (never a cartesian), no window anywhere, and the
+    # per-host triangle fold partial-aggregates before its exchange
+    from rio_cogeo_spark.operators.graph import k_core, triangle_count
+
+    tri_edges = spark.range(400).select(
+        (F.col("id") % 97).alias("src"),
+        ((F.col("id") * 31 + 7) % 97).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    audit(
+        "triangle_count (equality wedge join, partial counts, no window)",
+        triangle_count(tri_edges),
+        must=[r"partial_count"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin", r"Window"],
+    )
+
+    # 67. k_core: the node-bounded alive set BROADCASTS for the induced
+    # subgraph semi-probes (edge table never shuffles for the filter);
+    # degree folds partial-aggregate; no sort-merge joins, no windows
+    audit(
+        "k_core (broadcast alive-set semi-probes, partial degree folds)",
+        # checkpoint_every=0 so the full unrolled lineage is visible to
+        # the audit (the default localCheckpoint cuts the plan text)
+        k_core(tri_edges, k=4, rounds=3, checkpoint_every=0),
+        must=[r"BroadcastHashJoin", r"LeftSemi", r"partial_count"],
+        must_not=[r"SortMergeJoin", r"CartesianProduct", r"Window"],
+    )
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:
