@@ -464,6 +464,27 @@ def q_ann_ivf_free(spark, sf_dir):
     return SIM.ann_ivf_topk(emb, queries, k=10, n_probe=8, n_lists=8)
 
 
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training: top-10 cosine
+    negatives per anchor from a top-15 pool, with the anchor's duplicate
+    COMPONENT excluded (its exact copy at +10000 sits at rank 1 / cos
+    1.0 in the raw pool and must vanish; other anchors' copies remain —
+    they are legitimate negatives)."""
+    emb = _embeddings(spark, sf_dir)
+    copies = emb.filter(F.col("vec_id") < 50).withColumn(
+        "vec_id", F.col("vec_id") + 10000
+    )
+    emb2 = emb.unionByName(copies)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    pool = SIM.ann_bruteforce_topk(emb2, queries, k=15)
+    pairs = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("doc_a"), (F.col("vec_id") + 10000).alias("doc_b")
+    )
+    return SIM.hard_negatives(pool, pairs, k=10)
+
+
 def q_asof_join(spark, sf_dir):
     """Each event joined to the user's most recent purchase at-or-before
     its timestamp (the as-of join operator, operators/asof.py)."""
@@ -2714,6 +2735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_cap": q_host_cap,
         "triangles": q_triangles,
         "kcore": q_kcore,
+        "hard_negatives": q_hard_negatives,
     }
 
 
@@ -3065,6 +3087,43 @@ SELECT query_id, vec_id,
 FROM d QUALIFY rank <= 10"""
 
 
+_HARD_NEGATIVES_SQL = f"""
+WITH RECURSIVE hn_e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+hn_e2 AS (SELECT vec_id, v FROM hn_e
+          UNION ALL
+          SELECT vec_id + 10000, v FROM hn_e WHERE vec_id < 50),
+hn_q AS (SELECT vec_id AS query_id, v FROM hn_e WHERE vec_id < 5),
+hn_d AS (SELECT q.query_id, a.vec_id,
+                {VEC.cosine_sql("a.v", "q.v")} AS cos
+         FROM hn_e2 a CROSS JOIN hn_q q WHERE a.vec_id <> q.query_id),
+hn_pool AS (SELECT query_id, vec_id, cos,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, vec_id ASC) AS prank
+            FROM hn_d QUALIFY prank <= 15),
+hn_pairs AS (SELECT vec_id AS doc_a, vec_id + 10000 AS doc_b
+             FROM hn_e WHERE vec_id < 50),
+hn_edges AS (SELECT doc_a AS a, doc_b AS b FROM hn_pairs
+             UNION SELECT doc_b, doc_a FROM hn_pairs),
+hn_nodes AS (SELECT DISTINCT a AS doc_id FROM hn_edges),
+hn_reach AS (SELECT doc_id AS a, doc_id AS b FROM hn_nodes
+             UNION
+             SELECT r.a, e.b FROM hn_reach r JOIN hn_edges e ON r.b = e.a),
+hn_comp AS (SELECT a AS doc_id, MIN(b) AS component FROM hn_reach GROUP BY a),
+hn_filt AS (SELECT p.query_id, p.vec_id, p.cos
+            FROM hn_pool p
+            LEFT JOIN hn_comp cq ON cq.doc_id = p.query_id
+            LEFT JOIN hn_comp cc ON cc.doc_id = p.vec_id
+            WHERE cq.component IS NULL OR cc.component IS NULL
+               OR cq.component <> cc.component)
+SELECT query_id, vec_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, vec_id ASC) AS INT) AS rank,
+       cos
+FROM hn_filt QUALIFY rank <= 10"""
+
+
 _ANN_INT8_SQL = """
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings),
@@ -3308,6 +3367,7 @@ FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE {_COS} >= CAST(0.4 AS DOUBLE)""",
         "semantic_dedup": _semantic_dedup_oracle(),
         "ann_topk": _ANN_TOPK_SQL,
+        "hard_negatives": _HARD_NEGATIVES_SQL,
         # IVF with n_probe = all lists scans the full corpus → exact,
         # so it shares the brute-force oracle
         "ann_ivf": _ANN_TOPK_SQL,

@@ -685,3 +685,66 @@ best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY {src_id}
                    ORDER BY margin_ppm DESC, {tgt_id}) AS b FROM m)
 SELECT {src_id}, {tgt_id}, cos_u, margin_ppm
 FROM best WHERE b = 1 AND margin_ppm >= {int(margin_threshold_ppm)}"""
+
+
+def hard_negatives(
+    candidates: DataFrame,
+    pairs: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    cand_col: str = "vec_id",
+    score_col: str = "cos",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    broadcast_components: bool = True,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (DPR, Karpukhin et
+    al. EMNLP'20; SimCSE): per anchor, the top-``k`` most-similar
+    candidates that are NOT the anchor itself and NOT in the anchor's
+    duplicate COMPONENT — a near-copy of the anchor is a false negative
+    that poisons the contrastive loss, and pair-level exclusion misses
+    transitive copies (A~B, B~C ⇒ C must not be A's negative), so the
+    exclusion is component-aware.
+
+    ``candidates`` is any mined similarity pool ``(query_col, cand_col,
+    score_col)`` — the output of :func:`ann_bruteforce_topk`,
+    :func:`ann_ivf_topk`, or :func:`ann_lsh_topk` with a pool size
+    comfortably above ``k`` (excluded dup-mates must not leave holes).
+    ``pairs`` is any mined duplicate pair set (minhash / simhash /
+    embedding near-dup). Output: ``(query_col, cand_col, rank,
+    score_col)`` re-ranked by (score DESC, cand ASC).
+
+    Scale design (100 TB): the component table is bounded by the
+    DUPLICATE population (never the corpus) and broadcasts twice onto
+    the candidate pool (``broadcast_components=True``); the pool itself
+    is n_queries x pool_k rows; the final rank window is per-query and
+    bounded by pool_k. The corpus never shuffles — mining happened
+    upstream in the ANN operator.
+    """
+    from rio_cogeo_spark.operators.dedup import connected_components
+
+    comp = connected_components(pairs, src, dst)
+    cq = comp.select(
+        F.col("doc_id").alias(query_col), F.col("component").alias("_q_comp")
+    )
+    cc = comp.select(
+        F.col("doc_id").alias(cand_col), F.col("component").alias("_c_comp")
+    )
+    if broadcast_components:
+        cq, cc = F.broadcast(cq), F.broadcast(cc)
+    w = Window.partitionBy(query_col).orderBy(
+        F.col(score_col).desc(), F.col(cand_col).asc()
+    )
+    return (
+        candidates.join(cq, query_col, "left")
+        .join(cc, cand_col, "left")
+        .filter(F.col(cand_col) != F.col(query_col))
+        .filter(
+            F.col("_q_comp").isNull()
+            | F.col("_c_comp").isNull()
+            | (F.col("_q_comp") != F.col("_c_comp"))
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_col, cand_col, "rank", score_col)
+    )

@@ -1047,6 +1047,26 @@ def main() -> None:
         must_not=[r"SortMergeJoin", r"CartesianProduct", r"Window"],
     )
 
+    # 68. hard_negatives: the dup-population-bounded component table
+    # BROADCASTS twice onto the candidate pool; exactly one rank window
+    # (per-query, pool-bounded); the pool never sort-merge-joins
+    from rio_cogeo_spark.operators.similarity import hard_negatives
+
+    hn_pool = spark.range(200).select(
+        (F.col("id") % 10).alias("query_id"),
+        (F.col("id") % 97 + 100).alias("vec_id"),
+        (F.col("id") % 13).cast("double").alias("cos"),
+    )
+    hn_pairs = spark.range(20).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 100).alias("doc_b")
+    )
+    audit(
+        "hard_negatives (broadcast components, one pool-bounded window)",
+        hard_negatives(hn_pool, hn_pairs, k=5),
+        must=[r"BroadcastHashJoin", r"Window"],
+        must_not=[r"SortMergeJoin", r"CartesianProduct"],
+    )
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:
