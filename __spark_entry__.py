@@ -169,6 +169,16 @@ def q_zonal_stats(spark, sf_dir):
     return J.zonal_stats(_pages(spark, sf_dir), J.build_admin_areas())
 
 
+def q_zonal_mode(spark, sf_dir):
+    """Zonal MAJORITY (GDAL zonal-majority / rasterstats 'majority'):
+    per admin polygon, the most frequent page language with exact count
+    + exact-ppm share; ties to the smallest class. The pick is a
+    combinable MIN(struct(-n, class)) — no per-zone window."""
+    from rio_cogeo_spark.operators.zonal import zonal_mode
+
+    return zonal_mode(_pages(spark, sf_dir), J.build_admin_areas())
+
+
 def q_dedup_exact(spark, sf_dir):
     return DD.exact_dedup_groups(_docs_with_dups(spark, sf_dir))
 
@@ -2736,6 +2746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles": q_triangles,
         "kcore": q_kcore,
         "hard_negatives": q_hard_negatives,
+        "zonal_mode": q_zonal_mode,
     }
 
 
@@ -3184,6 +3195,20 @@ SELECT a.admin_id, COUNT(*) AS page_count,
        COUNT(DISTINCT p.lang) AS lang_count
 FROM pages p JOIN admin a ON {_PIP_COND}
 GROUP BY 1""",
+        "zonal_mode": f"""{_P}{_ADMIN_CTE}
+, zm_c AS (SELECT a.admin_id, p.lang, COUNT(*) AS n
+           FROM pages p JOIN admin a ON {_PIP_COND}
+           GROUP BY 1, 2),
+zm_t AS (SELECT admin_id, SUM(n) AS zone_count FROM zm_c GROUP BY 1),
+zm_r AS (SELECT admin_id, lang, n,
+                row_number() OVER (PARTITION BY admin_id
+                                   ORDER BY n DESC, lang ASC) AS rk
+         FROM zm_c)
+SELECT r.admin_id, r.lang AS mode_class,
+       CAST(r.n AS BIGINT) AS mode_count,
+       CAST(t.zone_count AS BIGINT) AS zone_count,
+       CAST((r.n * 1000000) // t.zone_count AS BIGINT) AS mode_ppm
+FROM zm_r r JOIN zm_t t USING (admin_id) WHERE r.rk = 1""",
         "raster_tiles": _RASTER_TILES_SQL,
         "raster_overview": _RASTER_OVERVIEW_SQL,
         "media_frames": """

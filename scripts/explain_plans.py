@@ -1067,6 +1067,19 @@ def main() -> None:
         must_not=[r"SortMergeJoin", r"CartesianProduct"],
     )
 
+    # 69. zonal_mode: broadcast PIP join (polygons broadcast, pages
+    # never shuffle for the join); majority pick is a combinable
+    # MIN(struct) with map-side partials — no per-zone window
+    from rio_cogeo_spark.operators.join import build_admin_areas
+    from rio_cogeo_spark.operators.zonal import zonal_mode
+
+    audit(
+        "zonal_mode (broadcast PIP, combinable majority, no window)",
+        zonal_mode(pages, build_admin_areas()),
+        must=[r"BroadcastHashJoin", r"partial_min|partial_count"],
+        must_not=[r"Window", r"SortMergeJoin", r"CartesianProduct"],
+    )
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:
