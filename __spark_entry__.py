@@ -474,6 +474,17 @@ def q_ann_ivf_free(spark, sf_dir):
     return SIM.ann_ivf_topk(emb, queries, k=10, n_probe=8, n_lists=8)
 
 
+def q_ann_pq(spark, sf_dir):
+    """Product-quantized ANN (faiss-PQ analog), exact-integer end-to-end:
+    int8 absmax quantize -> per-(subquantizer, label) int8 centroids via
+    floor(sum/count+0.5) on exact BIGINTs -> exact squared-int code
+    assignment -> asymmetric-distance top-10 from a broadcast lookup
+    table. Raw BIGINT scores, no rounding crutch anywhere."""
+    from rio_cogeo_spark.operators.quantize import ann_pq_topk
+
+    return ann_pq_topk(_embeddings(spark, sf_dir), m=4, k=10, n_queries=5)
+
+
 def q_hard_negatives(spark, sf_dir):
     """Hard-negative mining for contrastive training: top-10 cosine
     negatives per anchor from a top-15 pool, with the anchor's duplicate
@@ -2747,6 +2758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": q_kcore,
         "hard_negatives": q_hard_negatives,
         "zonal_mode": q_zonal_mode,
+        "ann_pq": q_ann_pq,
     }
 
 
@@ -3135,6 +3147,12 @@ SELECT query_id, vec_id,
 FROM hn_filt QUALIFY rank <= 10"""
 
 
+def _ann_pq_oracle() -> str:
+    from rio_cogeo_spark.operators.quantize import ann_pq_sql
+
+    return ann_pq_sql(m=4, k=10, n_queries=5, dim=64)
+
+
 _ANN_INT8_SQL = """
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings),
@@ -3393,6 +3411,7 @@ WHERE {_COS} >= CAST(0.4 AS DOUBLE)""",
         "semantic_dedup": _semantic_dedup_oracle(),
         "ann_topk": _ANN_TOPK_SQL,
         "hard_negatives": _HARD_NEGATIVES_SQL,
+        "ann_pq": _ann_pq_oracle(),
         # IVF with n_probe = all lists scans the full corpus → exact,
         # so it shares the brute-force oracle
         "ann_ivf": _ANN_TOPK_SQL,

@@ -1080,6 +1080,21 @@ def main() -> None:
         must_not=[r"Window", r"SortMergeJoin", r"CartesianProduct"],
     )
 
+    # 70. ann_pq: the ADC lookup table (queries x m x codes dots)
+    # BROADCASTS onto the code store; the per-(query, vec) score sum
+    # partial-aggregates; no vector data moves at query time (the only
+    # nested-loop is the 1-row amax broadcast) — no cartesian, no SMJ
+    # on the scoring path
+    from rio_cogeo_spark.operators.quantize import ann_pq_topk
+
+    emb_pq = spark.read.parquet(f"{sf}/embeddings.parquet")
+    audit(
+        "ann_pq (broadcast ADC lookup table, partial score sums)",
+        ann_pq_topk(emb_pq, m=4, k=10, n_queries=5),
+        must=[r"BroadcastHashJoin", r"partial_sum"],
+        must_not=[r"CartesianProduct"],
+    )
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:

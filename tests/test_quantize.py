@@ -64,3 +64,69 @@ def test_ann_int8_recall_vs_float_dot(spark):
         recalls.append(len(truth & by_q[qid]) / k)
         assert len(by_q[qid]) == k
     assert float(np.mean(recalls)) >= 0.6  # int8 vs float32: high overlap
+
+
+# ---------------------------------------------------------------------------
+# Product quantization
+# ---------------------------------------------------------------------------
+
+def test_pq_m_must_divide_dim(spark):
+    import pytest as _pytest
+
+    from rio_cogeo_spark.operators.quantize import pq_codebooks
+
+    with _pytest.raises(ValueError):
+        pq_codebooks(_emb(spark), m=7)  # dim=64, 7 does not divide
+
+
+def test_pq_codebooks_repartition_invariant(spark):
+    from rio_cogeo_spark.operators.quantize import pq_codebooks
+
+    emb = _emb(spark)
+    cb1 = sorted((r.subv, r.code, tuple(r.centroid))
+                 for r in pq_codebooks(emb, m=4).collect())
+    cb2 = sorted((r.subv, r.code, tuple(r.centroid))
+                 for r in pq_codebooks(emb.repartition(13), m=4).collect())
+    assert cb1 == cb2
+    # int8 centroid bound: means of values in [-127, 127] stay inside
+    assert all(all(-127 <= c <= 127 for c in cent) for _, _, cent in cb1)
+
+
+def test_pq_exact_copy_gets_identical_codes(spark):
+    from rio_cogeo_spark.operators.quantize import pq_codebooks, pq_encode
+
+    emb = _emb(spark)
+    copies = emb.filter(F.col("vec_id") < 5).withColumn(
+        "vec_id", F.col("vec_id") + 90000
+    )
+    both = emb.unionByName(copies)
+    cb = pq_codebooks(both, m=4)
+    codes = {(r.vec_id, r.subv): r.code
+             for r in pq_encode(both, cb, m=4).collect()}
+    for v in range(5):
+        for j in range(4):
+            assert codes[(v, j)] == codes[(v + 90000, j)]
+
+
+def test_pq_recall_improves_with_m_and_beats_random(spark):
+    from rio_cogeo_spark.operators.quantize import ann_pq_topk
+    from rio_cogeo_spark.operators.similarity import ann_bruteforce_topk
+
+    # deterministic data + exact-integer math: recalls are exact numbers
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    gt = {(r.query_id, r.vec_id)
+          for r in ann_bruteforce_topk(emb, qs, k=10).collect()}
+
+    def recall(m):
+        got = {(r.query_id, r.vec_id)
+               for r in ann_pq_topk(emb, m=m, k=10, n_queries=5).collect()}
+        return len(got & gt) / len(gt)
+
+    r4, r16 = recall(4), recall(16)
+    assert r4 >= 0.08   # random top-10 over 500 vectors ≈ 0.02
+    assert r16 >= 0.30  # finer subquantizers recover more of the truth
+    assert r16 > r4
