@@ -366,3 +366,78 @@ def assemble_viewport(
         F.col("src.anc_x").alias("src_x"),
         F.col("src.anc_y").alias("src_y"),
     )
+
+
+def focal_mode(
+    tiles: DataFrame,
+    zoom: int,
+    class_col: str = "cls",
+    radius: int = 1,
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+) -> DataFrame:
+    """Focal MAJORITY filter — the categorical companion to
+    :func:`focal_stats` (GDAL/ArcGIS majority filter: smooth a
+    classified raster by assigning each cell the modal class of its
+    (2r+1)^2 neighborhood). Unlike the density operators, absent tiles
+    carry NO class and are ignored (categorical semantics, not
+    zero-fill), and output rows are emitted only for cells that are
+    themselves classified — the filter re-labels the input cells, it
+    does not grow the set.
+
+    Output ``(tile_x, tile_y, mode_class, mode_count, window_count)``;
+    ties break to the smallest class (total-ordered, hash-identical
+    cross-engine).
+
+    Scale design: one literal-offset explode (rows = tiles x (2r+1)^2,
+    grid-bounded) + TWO combinable aggregates — the majority pick is
+    ``MIN(struct(-n, class))``, never a per-cell window; occupancy of
+    the center cell rides the vote rows as a dx=dy=0 flag, so no join
+    back to the input.
+    """
+    if radius < 1:
+        raise ValueError(f"radius must be >= 1, got {radius}")
+    n = F.lit(2 ** zoom)
+    off = F.explode(
+        F.array(*[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in _offsets(radius)
+        ])
+    ).alias("off")
+    votes = tiles.select(
+        F.col(x_col).cast("long").alias("_sx"),
+        F.col(y_col).cast("long").alias("_sy"),
+        F.col(class_col).alias("_cls"),
+        off,
+    ).select(
+        (F.col("_sx") + F.col("off.dx")).alias("nx"),
+        (F.col("_sy") + F.col("off.dy")).alias("ny"),
+        F.col("_cls"),
+        ((F.col("off.dx") == 0) & (F.col("off.dy") == 0))
+        .cast("int").alias("_is_center"),
+    ).filter(
+        (F.col("nx") >= 0) & (F.col("nx") < n)
+        & (F.col("ny") >= 0) & (F.col("ny") < n)
+    )
+    counts = votes.groupBy("nx", "ny", "_cls").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.max("_is_center").alias("_ctr"),
+    )
+    return (
+        counts.groupBy("nx", "ny")
+        .agg(
+            F.min(
+                F.struct((-F.col("_n")).alias("neg_n"),
+                         F.col("_cls").alias("cls"))
+            ).alias("m"),
+            F.sum("_n").alias("window_count"),
+            F.max("_ctr").alias("_occ"),
+        )
+        .filter(F.col("_occ") == 1)
+        .select(
+            F.col("nx").alias("tile_x"), F.col("ny").alias("tile_y"),
+            F.col("m.cls").alias("mode_class"),
+            (-F.col("m.neg_n")).cast("long").alias("mode_count"),
+            F.col("window_count").cast("long").alias("window_count"),
+        )
+    )

@@ -1095,6 +1095,24 @@ def main() -> None:
         must_not=[r"CartesianProduct"],
     )
 
+    # 71. focal_mode: vote explode + TWO combinable aggregates; the
+    # majority pick is MIN(struct), occupancy rides the vote rows —
+    # no per-cell window, no join back to the input
+    from rio_cogeo_spark.operators.focal import focal_mode
+
+    # synthetic classified grid so the audited plan is the OPERATOR's
+    # (base_tiles' own upstream broadcast would false-flag the join rule)
+    fm_in = spark.range(500).selectExpr(
+        "id % 29 AS tile_x", "(id * 7) % 29 AS tile_y", "id % 4 AS cls"
+    )
+    audit(
+        "focal_mode (vote explode, combinable majority, no window/join)",
+        focal_mode(fm_in, 8),
+        must=[r"partial_min|partial_count"],
+        must_not=[r"Window", r"SortMergeJoin", r"BroadcastHashJoin",
+                  r"CartesianProduct"],
+    )
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:

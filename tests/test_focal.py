@@ -333,3 +333,62 @@ def test_quadkey_validation():
     with _pytest.raises(ValueError):
         quadkey_sql("a", "b", -1)
     assert quadkey_sql("a", "b", 0) == "''"
+
+
+# ---------------------------------------------------------------------------
+# Focal majority filter
+# ---------------------------------------------------------------------------
+
+def test_focal_mode_golden_and_tiebreak(spark):
+    from rio_cogeo_spark.operators.focal import focal_mode
+
+    # 3 classified tiles in a row at z4: (0,0)=A, (1,0)=B, (2,0)=B
+    tiles = spark.createDataFrame(
+        [(0, 0, "A"), (1, 0, "B"), (2, 0, "B")],
+        "tile_x long, tile_y long, cls string",
+    )
+    out = {(r.tile_x, r.tile_y): (r.mode_class, r.mode_count, r.window_count)
+           for r in focal_mode(tiles, 4).collect()}
+    # only the 3 input cells are emitted (no halo growth)
+    assert set(out) == {(0, 0), (1, 0), (2, 0)}
+    # cell (0,0): window sees A,B -> tie 1-1 -> smallest class A wins
+    assert out[(0, 0)] == ("A", 1, 2)
+    # cell (1,0): sees A,B,B -> B
+    assert out[(1, 0)] == ("B", 2, 3)
+    # cell (2,0): sees B,B -> B (A out of radius)
+    assert out[(2, 0)] == ("B", 2, 2)
+
+
+def test_focal_mode_ignores_absent_cells_and_validates(spark):
+    import pytest as _pytest
+
+    from rio_cogeo_spark.operators.focal import focal_mode
+
+    # an isolated tile: window_count = 1 (absent neighbors carry no
+    # class — categorical semantics, not zero-fill)
+    tiles = spark.createDataFrame(
+        [(5, 5, "X")], "tile_x long, tile_y long, cls string"
+    )
+    out = focal_mode(tiles, 4).collect()
+    assert [(r.mode_class, r.mode_count, r.window_count) for r in out] == [
+        ("X", 1, 1)
+    ]
+    with _pytest.raises(ValueError):
+        focal_mode(tiles, 4, radius=0)
+
+
+def test_focal_mode_no_window_no_join(spark):
+    import io
+    from contextlib import redirect_stdout
+
+    from rio_cogeo_spark.operators.focal import focal_mode
+
+    tiles = spark.createDataFrame(
+        [(0, 0, 1)], "tile_x long, tile_y long, cls long"
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        focal_mode(tiles, 4).explain("formatted")
+    plan = buf.getvalue()
+    assert "Window" not in plan
+    assert "Join" not in plan  # occupancy rides the vote rows
