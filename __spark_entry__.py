@@ -807,6 +807,25 @@ def q_sample_stratified(spark, sf_dir):
     )
 
 
+def q_curriculum(spark, sf_dir):
+    """Deterministic balanced training order: round-robin interleave
+    across languages by a single BIGINT curriculum_key (rank_in_group *
+    n_groups + dense group index), ranked quality-first within each
+    language (n_chars DESC, doc_id ASC)."""
+    from rio_cogeo_spark.operators.sampling import curriculum_interleave
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return curriculum_interleave(docs, group_col="lang", score_col="n_chars")
+
+
+def _curriculum_oracle() -> str:
+    from rio_cogeo_spark.operators.sampling import curriculum_interleave_sql
+
+    return curriculum_interleave_sql(
+        "documents", group_col="lang", score_expr="n_chars"
+    )
+
+
 def q_temperature_mix(spark, sf_dir):
     """Temperature-weighted domain sampling (alpha=0.5 multilingual-mix
     primitive): exact-integer ppm rates — domain counts (map-side
@@ -2789,6 +2808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_stats": q_vocab_stats,
         "passage_cut": q_passage_cut,
         "focal_mode": q_focal_mode,
+        "curriculum": q_curriculum,
     }
 
 
@@ -3748,6 +3768,7 @@ FROM documents QUALIFY rank <= 3""",
         "tile_serve": _tile_serve_oracle(),
         "tile_focal": _tile_focal_oracle(),
         "focal_mode": _focal_mode_oracle(),
+        "curriculum": _curriculum_oracle(),
         "repeated_spans": _repeated_spans_oracle(),
         "passage_cut": _passage_cut_oracle(),
         "pyramid_crs84": _pyramid_crs84_sql(),

@@ -468,3 +468,86 @@ SELECT {id_col},
        CAST(SUM(tf * lr_ppm) // SUM(tf) AS BIGINT) AS dsir_ppm
 FROM tf JOIN w USING (bigram)
 GROUP BY 1"""
+
+
+def curriculum_interleave(
+    docs: DataFrame,
+    group_col: str = "lang",
+    score_col=None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic balanced training order — round-robin interleave
+    across groups so no group clusters at one end of the training run
+    (the data-ordering half of multilingual curriculum / temperature
+    sampling: after :func:`temperature_mix` picks WHAT to train on,
+    this fixes the ORDER it is read in; language-clustered tails cause
+    the forgetting curves the interleave removes).
+
+    Each doc gets ``rank_in_group`` (1-based, by (score DESC, id ASC) —
+    ``score_col=None`` ranks by id alone) and a single BIGINT
+    ``curriculum_key`` = ``rank_in_group * n_groups + group_idx`` where
+    ``group_idx`` is the dense alphabetical group index: reading in
+    ``curriculum_key`` order yields round-robin position 1 of every
+    group (alphabetical), then position 2, ... Writing the shards in
+    this order is the existing COG-order discipline
+    (repartitionByRange + sortWithinPartitions on the key).
+
+    Scale design (100 TB): the per-group rank is ONE window whose
+    partitions are the groups (languages — bounded cardinality, each
+    partition a language's docs; a hot language saturating one task is
+    the documented exact-NTILE trade recorded in ccnet_buckets, with
+    the same sampled-threshold escape hatch); the group-index table is
+    a tiny broadcast; the key itself is a projection. No collects.
+    """
+    from pyspark.sql import Window as W
+
+    order = [F.col(id_col).asc()]
+    if score_col is not None:
+        order = [F.col(score_col).desc(), F.col(id_col).asc()]
+    w = W.partitionBy(group_col).orderBy(*order)
+    gidx = (
+        docs.select(group_col).distinct()
+        .withColumn(
+            "_gidx",
+            F.row_number().over(
+                W.partitionBy(F.lit(1)).orderBy(F.col(group_col).asc())
+            ).cast("long") - 1,
+        )
+    )
+    n_groups = gidx.count()
+    return (
+        docs.withColumn("rank_in_group", F.row_number().over(w).cast("long"))
+        .join(F.broadcast(gidx), group_col)
+        .select(
+            id_col, group_col, "rank_in_group",
+            (F.col("rank_in_group") * F.lit(n_groups) + F.col("_gidx"))
+            .alias("curriculum_key"),
+        )
+    )
+
+
+def curriculum_interleave_sql(
+    table: str = "documents",
+    group_col: str = "lang",
+    score_expr: str = None,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`curriculum_interleave`."""
+    order = f"{id_col} ASC"
+    if score_expr is not None:
+        order = f"{score_expr} DESC, {id_col} ASC"
+    return f"""
+WITH ci_r AS (SELECT {id_col}, {group_col},
+                     CAST(row_number() OVER (PARTITION BY {group_col}
+                                             ORDER BY {order}) AS BIGINT)
+                         AS rank_in_group
+              FROM {table}),
+ci_g AS (SELECT {group_col},
+                CAST(row_number() OVER (ORDER BY {group_col} ASC) AS BIGINT)
+                    - 1 AS gidx
+         FROM (SELECT DISTINCT {group_col} FROM {table})),
+ci_n AS (SELECT COUNT(*) AS n_groups FROM ci_g)
+SELECT r.{id_col}, r.{group_col}, r.rank_in_group,
+       CAST(r.rank_in_group * n.n_groups + g.gidx AS BIGINT)
+           AS curriculum_key
+FROM ci_r r JOIN ci_g g USING ({group_col}) CROSS JOIN ci_n n"""
