@@ -807,6 +807,28 @@ def q_sample_stratified(spark, sf_dir):
     )
 
 
+def q_jaccard_curve(spark, sf_dir):
+    """Dedup-threshold tuning curve: exact-ppm Jaccard histogram of all
+    candidate pairs + cumulative pairs-at-or-above each bucket, read
+    off one table (the Lee et al. ACL'22 threshold sweep). df_cap=None
+    for the oracle-exact pair set, as for ngram_jaccard."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dups = docs.filter(F.col("doc_id") < 50).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    return DD.jaccard_threshold_curve(
+        docs.unionByName(dups), n=3, step_ppm=10_000, df_cap=None
+    )
+
+
+def _jaccard_curve_oracle() -> str:
+    return f"""WITH docs2 AS (
+  SELECT * FROM documents UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
+  FROM documents WHERE doc_id < 50),
+{DD.jaccard_threshold_curve_sql('docs2', step_ppm=10_000).split('WITH ', 1)[1]}"""
+
+
 def q_curriculum(spark, sf_dir):
     """Deterministic balanced training order: round-robin interleave
     across languages by a single BIGINT curriculum_key (rank_in_group *
@@ -2809,6 +2831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "passage_cut": q_passage_cut,
         "focal_mode": q_focal_mode,
         "curriculum": q_curriculum,
+        "jaccard_curve": q_jaccard_curve,
     }
 
 
@@ -3769,6 +3792,7 @@ FROM documents QUALIFY rank <= 3""",
         "tile_focal": _tile_focal_oracle(),
         "focal_mode": _focal_mode_oracle(),
         "curriculum": _curriculum_oracle(),
+        "jaccard_curve": _jaccard_curve_oracle(),
         "repeated_spans": _repeated_spans_oracle(),
         "passage_cut": _passage_cut_oracle(),
         "pyramid_crs84": _pyramid_crs84_sql(),

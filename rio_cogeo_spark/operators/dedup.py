@@ -1886,3 +1886,89 @@ def winnow_match_index(
         # the on-disk index before consuming it
         out = out.localCheckpoint(eager=True)
     return out
+
+
+def jaccard_threshold_curve(
+    docs: DataFrame,
+    n: int = 3,
+    step_ppm: int = 100_000,
+    df_cap: "Optional[int | str]" = "auto",
+) -> DataFrame:
+    """Dedup-threshold tuning curve: the exact-ppm Jaccard HISTOGRAM of
+    every candidate pair (pairs sharing >= 1 surviving shingle), plus
+    the cumulative pair count at or above each bucket — "how many pairs
+    would a threshold of t collapse" read directly off one table, the
+    sweep behind choosing ngram_jaccard_pairs / minhash thresholds
+    without re-mining per candidate value (Lee et al. ACL'22 tune
+    exactly this curve).
+
+    Output ``(bucket_ppm, n_pairs, n_pairs_ge)`` where ``bucket_ppm`` =
+    ``(jaccard_ppm div step_ppm) * step_ppm`` (exact ints; a pair at
+    exactly 1.0 lands in the 1_000_000 bucket) and ``n_pairs_ge`` is
+    the count of pairs with jaccard_ppm >= bucket_ppm.
+
+    Scale design (100 TB): the pair mining is the shared single-sort
+    inverted-index core (df_cap guard as documented on
+    :func:`ngram_jaccard_pairs`); the histogram fold is map-side
+    combinable; the cumulative window runs over the BUCKET table
+    (<= 1e6/step_ppm rows), never the pair set.
+    """
+    if step_ppm < 1 or step_ppm > 1_000_000:
+        raise ValueError(f"step_ppm must be in [1, 1e6], got {step_ppm}")
+    common, sizes = _shingle_pair_counts(docs, n, df_cap)
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("size_b"))
+    jac_ppm = F.expr(
+        "(n_common * 1000000) div (size_a + size_b - n_common)"
+    )
+    hist = (
+        common.join(sa, "doc_a").join(sb, "doc_b")
+        .select(
+            ((jac_ppm / F.lit(step_ppm)).cast("long") * F.lit(step_ppm))
+            .alias("bucket_ppm")
+        )
+        .groupBy("bucket_ppm")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    w = (
+        Window.orderBy(F.col("bucket_ppm").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return hist.select(
+        "bucket_ppm", "n_pairs",
+        F.sum("n_pairs").over(w).alias("n_pairs_ge"),
+    )
+
+
+def jaccard_threshold_curve_sql(
+    table: str = "documents",
+    toks_sql: str = None,
+    step_ppm: int = 100_000,
+) -> str:
+    """DuckDB twin of :func:`jaccard_threshold_curve` at the default
+    n=3 shingles (df_cap=None — the oracle-exact configuration, as for
+    ngram_jaccard). ``toks_sql`` is the tokenizer expression over the
+    table's text column (functions.text.TOKENS_SQL)."""
+    if toks_sql is None:
+        from rio_cogeo_spark.functions.text import TOKENS_SQL
+
+        toks_sql = TOKENS_SQL
+    sh = SHINGLES_SQL.format(toks=toks_sql)
+    return f"""
+WITH jt_s AS (SELECT doc_id, {sh} AS sh FROM {table}),
+jt_s2 AS (SELECT doc_id, sh, len(sh) AS n_sh FROM jt_s WHERE len(sh) > 0),
+jt_j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                a.n_sh AS size_a, b.n_sh AS size_b,
+                len(list_intersect(a.sh, b.sh)) AS n_common
+         FROM jt_s2 a JOIN jt_s2 b ON a.doc_id < b.doc_id
+         WHERE len(list_intersect(a.sh, b.sh)) > 0),
+jt_h AS (SELECT ((n_common * 1000000) // (size_a + size_b - n_common))
+                // {step_ppm} * {step_ppm} AS bucket_ppm,
+                COUNT(*) AS n_pairs
+         FROM jt_j GROUP BY 1)
+SELECT CAST(bucket_ppm AS BIGINT) AS bucket_ppm,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(SUM(n_pairs) OVER (ORDER BY bucket_ppm DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS n_pairs_ge
+FROM jt_h"""

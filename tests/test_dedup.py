@@ -184,3 +184,47 @@ def test_scale_safe_defaults_and_auto_chunks(spark):
     par = spark.sparkContext.defaultParallelism
     tiny = DD._auto_n_chunks(corpus(2), target_chunk_bytes=1 << 30)
     assert tiny * (tiny + 1) // 2 >= par
+
+
+def test_jaccard_threshold_curve_golden(spark):
+    from rio_cogeo_spark.operators.dedup import jaccard_threshold_curve
+
+    # two exact copies (jaccard 1.0) + one disjoint doc -> one bucket at
+    # 1_000_000 with exactly one pair; cumulative equals the bucket count
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),
+            (3, "one two three four five six seven"),
+        ],
+        "doc_id long, text string",
+    )
+    out = jaccard_threshold_curve(docs, n=3, step_ppm=100_000, df_cap=None)
+    rows = [(r.bucket_ppm, r.n_pairs, r.n_pairs_ge) for r in out.collect()]
+    assert rows == [(1_000_000, 1, 1)]
+
+
+def test_jaccard_threshold_curve_cumulative_monotone(spark):
+    from rio_cogeo_spark.operators.dedup import jaccard_threshold_curve
+
+    # copies + half-overlap pairs: cumulative must be monotone
+    # nondecreasing as the bucket drops, and the lowest bucket's
+    # cumulative equals the total pair count
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f g h"),
+            (3, "a b c d x y z w"),
+        ],
+        "doc_id long, text string",
+    )
+    out = (
+        jaccard_threshold_curve(docs, n=3, step_ppm=10_000, df_cap=None)
+        .orderBy(F.col("bucket_ppm").desc())
+        .collect()
+    )
+    ge = [r.n_pairs_ge for r in out]
+    assert ge == sorted(ge)
+    assert ge[-1] == sum(r.n_pairs for r in out)
+    with __import__("pytest").raises(ValueError):
+        jaccard_threshold_curve(docs, step_ppm=0)
