@@ -127,10 +127,19 @@ def main() -> None:
 
             return ann_int8_topk(emb.drop("label"), k=10, n_queries=5).count()
 
+        def _pq():
+            # PQ ADC: codebook fold + encode projection + broadcast-LUT
+            # scoring — every stage linear in n (codes per subquantizer
+            # fixed at the 10 labels)
+            from rio_cogeo_spark.operators.quantize import ann_pq_topk
+
+            return ann_pq_topk(emb, m=4, k=10, n_queries=5).count()
+
         return {
             "semantic_dedup": _semantic,
             "ann_ivf_free": _ann,
             "ann_int8": _int8,
+            "ann_pq": _pq,
         }
 
     results = {}
