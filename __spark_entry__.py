@@ -829,6 +829,40 @@ def _jaccard_curve_oracle() -> str:
 {DD.jaccard_threshold_curve_sql('docs2', step_ppm=10_000).split('WITH ', 1)[1]}"""
 
 
+def q_continuation(spark, sf_dir):
+    """Pagination reassembly: for doc_id < 60, a synthetic page-2 doc
+    starts with the original's last 8 tokens — every (orig, orig+5e5)
+    pair must surface via the boundary-hash join; the hot-boundary
+    fanout guard is part of the contract."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    part2 = (
+        docs.filter((F.col("doc_id") < 60) & (F.size(toks) >= 9))
+        .select(
+            (F.col("doc_id") + 500000).alias("doc_id"),
+            F.concat(
+                F.array_join(F.slice(toks, -8, 8), " "),
+                F.lit(" and the story continues on the second page"),
+            ).alias("text"),
+        )
+    )
+    return DD.continuation_pairs(docs.unionByName(part2), k=8)
+
+
+def _continuation_oracle() -> str:
+    toks = r"string_split_regex(trim(text), '\s+')"
+    return f"""WITH cq_t AS (SELECT doc_id, text, {toks} AS t FROM documents),
+cq_p2 AS (SELECT doc_id + 500000 AS doc_id,
+                 array_to_string(t[len(t) - 7 : len(t)], ' ')
+                   || ' and the story continues on the second page' AS text
+          FROM cq_t WHERE doc_id < 60 AND len(t) >= 9),
+docs2 AS (SELECT doc_id, text FROM cq_t
+          UNION ALL SELECT doc_id, text FROM cq_p2),
+{DD.continuation_pairs_sql('docs2', k=8).split('WITH ', 1)[1]}"""
+
+
 def q_curriculum(spark, sf_dir):
     """Deterministic balanced training order: round-robin interleave
     across languages by a single BIGINT curriculum_key (rank_in_group *
@@ -2832,6 +2866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "focal_mode": q_focal_mode,
         "curriculum": q_curriculum,
         "jaccard_curve": q_jaccard_curve,
+        "continuation": q_continuation,
     }
 
 
@@ -3793,6 +3828,7 @@ FROM documents QUALIFY rank <= 3""",
         "focal_mode": _focal_mode_oracle(),
         "curriculum": _curriculum_oracle(),
         "jaccard_curve": _jaccard_curve_oracle(),
+        "continuation": _continuation_oracle(),
         "repeated_spans": _repeated_spans_oracle(),
         "passage_cut": _passage_cut_oracle(),
         "pyramid_crs84": _pyramid_crs84_sql(),

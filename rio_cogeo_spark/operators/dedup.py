@@ -1972,3 +1972,82 @@ SELECT CAST(bucket_ppm AS BIGINT) AS bucket_ppm,
                                ROWS BETWEEN UNBOUNDED PRECEDING
                                AND CURRENT ROW) AS BIGINT) AS n_pairs_ge
 FROM jt_h"""
+
+
+def continuation_pairs(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pagination / article-continuation detection: pairs where doc A's
+    LAST ``k`` tokens equal doc B's FIRST ``k`` tokens — the crawl
+    reassembly problem (one article served as /page-1, /page-2: whole-
+    doc dedup sees distinct texts, shingle Jaccard is low for long
+    pages, yet the texts CHAIN). Emits ``(doc_a, doc_b, boundary)``
+    where doc_a's tail == doc_b's head == ``boundary`` (the shared
+    k-token string), a != b, and BOTH docs have >= k+1 tokens (a doc
+    shorter than the boundary cannot be a page of a split article —
+    and k tokens of identical text would pair every short boilerplate
+    page with itself).
+
+    Directed by construction: A→B means "B continues A". An exact
+    whole-doc duplicate pair appears in BOTH directions iff the doc's
+    own head equals its tail (cyclic text), which the self-pair filter
+    does not hide — callers feed the usual dedup first.
+
+    Scale design (100 TB): two zero-shuffle projections (head-hash,
+    tail-hash over the token array slice) + ONE equi-join on the
+    16-byte boundary hash; hot boilerplate boundaries are bounded by
+    the same df-cap discipline as shingles — here a ``max_fanout``
+    guard drops boundary hashes whose head-side posting list exceeds
+    the cap (default 64: a boundary shared by more docs than that is
+    site furniture, not a split article).
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = docs.select(
+        F.col(id_col),
+        toks.alias("_t"),
+    ).filter(F.size("_t") >= k + 1)
+    heads = base.select(
+        F.col(id_col).alias("doc_b"),
+        F.array_join(F.slice("_t", 1, k), " ").alias("boundary"),
+    )
+    tails = base.select(
+        F.col(id_col).alias("doc_a"),
+        F.array_join(F.slice("_t", -k, k), " ").alias("boundary"),
+    )
+    max_fanout = 64
+    hot = (
+        heads.groupBy("boundary").count()
+        .filter(F.col("count") > max_fanout)
+        .select("boundary")
+    )
+    heads = heads.join(F.broadcast(hot), "boundary", "left_anti")
+    return (
+        tails.join(heads, "boundary")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b", "boundary")
+    )
+
+
+def continuation_pairs_sql(table: str = "documents", k: int = 8) -> str:
+    """DuckDB twin of :func:`continuation_pairs` (max_fanout guard
+    included — the contract covers the guard, not just the join)."""
+    toks = r"string_split_regex(trim(text), '\s+')"
+    return f"""
+WITH cp_t AS (SELECT doc_id, {toks} AS t FROM {table}),
+cp_b AS (SELECT doc_id, t, len(t) AS n FROM cp_t WHERE len(t) >= {k} + 1),
+cp_h AS (SELECT doc_id AS doc_b,
+                array_to_string(t[1:{k}], ' ') AS boundary FROM cp_b),
+cp_hot AS (SELECT boundary FROM cp_h GROUP BY 1 HAVING COUNT(*) > 64),
+cp_h2 AS (SELECT * FROM cp_h
+          WHERE boundary NOT IN (SELECT boundary FROM cp_hot)),
+cp_ta AS (SELECT doc_id AS doc_a,
+                 array_to_string(t[n - {k} + 1 : n], ' ') AS boundary
+          FROM cp_b)
+SELECT a.doc_a, h.doc_b, a.boundary
+FROM cp_ta a JOIN cp_h2 h USING (boundary)
+WHERE a.doc_a <> h.doc_b"""

@@ -228,3 +228,37 @@ def test_jaccard_threshold_curve_cumulative_monotone(spark):
     assert ge[-1] == sum(r.n_pairs for r in out)
     with __import__("pytest").raises(ValueError):
         jaccard_threshold_curve(docs, step_ppm=0)
+
+
+def test_continuation_pairs_golden_and_guards(spark):
+    from rio_cogeo_spark.operators.dedup import continuation_pairs
+
+    docs = spark.createDataFrame(
+        [
+            # page1 tail "f g h i j k l m" == page2 head -> pair 1->2
+            (1, "a b c d e f g h i j k l m"),
+            (2, "f g h i j k l m n o p q r"),
+            # too short to carry a k+1-token body: never pairs
+            (3, "f g h i j k l m"),
+            # unrelated
+            (4, "z y x w v u t s r q p o n"),
+        ],
+        "doc_id long, text string",
+    )
+    out = [(r.doc_a, r.doc_b) for r in continuation_pairs(docs, k=8).collect()]
+    assert out == [(1, 2)]
+    with __import__("pytest").raises(ValueError):
+        continuation_pairs(docs, k=1)
+
+
+def test_continuation_hot_boundary_fanout_guard(spark):
+    from rio_cogeo_spark.operators.dedup import continuation_pairs
+
+    # 70 docs all STARTING with the same 8 tokens (site furniture) plus
+    # one doc ENDING with them: the boundary's head-side posting list
+    # exceeds max_fanout=64 and is dropped — no pairs
+    furniture = "home about contact privacy terms login search help"
+    docs = [(i, f"{furniture} page body {i} extra words here") for i in range(70)]
+    docs.append((999, f"an article that happens to end with {furniture}"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    assert continuation_pairs(df, k=8).count() == 0
