@@ -2359,6 +2359,54 @@ def q_focal_mode(spark, sf_dir):
     return focal.focal_mode(classified, ZOOM)
 
 
+def q_crosstab(spark, sf_dir):
+    """Land-cover-style change matrix: density-bucket classification of
+    the even-doc half-corpus vs the full corpus at z8 — the (old, new)
+    class crosstab with exact-ppm shares; one-sided tiles cross with
+    '(absent)' so the margins are the coverage report."""
+    from rio_cogeo_spark.operators.focal import class_crosstab
+
+    pages = _pages(spark, sf_dir)
+    bucket = (
+        "CASE WHEN page_count >= 8 THEN 3 WHEN page_count >= 4 THEN 2 "
+        "WHEN page_count >= 2 THEN 1 ELSE 0 END"
+    )
+    old = base_tiles(pages.filter(F.col("doc_id") % 2 == 0), ZOOM).selectExpr(
+        "tile_x", "tile_y", f"{bucket} AS cls"
+    )
+    new = base_tiles(pages, ZOOM).selectExpr(
+        "tile_x", "tile_y", f"{bucket} AS cls"
+    )
+    return class_crosstab(old, new)
+
+
+def _crosstab_oracle() -> str:
+    bucket = (
+        "CASE WHEN page_count >= 8 THEN 3 WHEN page_count >= 4 THEN 2 "
+        "WHEN page_count >= 2 THEN 1 ELSE 0 END"
+    )
+    return f"""{_P}
+, ct_a0 AS (SELECT {_TX8} AS tile_x, {_TY8} AS tile_y,
+                   COUNT(*) AS page_count
+            FROM pages WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+ct_b0 AS (SELECT {_TX8} AS tile_x, {_TY8} AS tile_y,
+                 COUNT(*) AS page_count
+          FROM pages GROUP BY 1, 2),
+ct_a AS (SELECT tile_x, tile_y, CAST({bucket} AS VARCHAR) AS cls_a
+         FROM ct_a0),
+ct_b AS (SELECT tile_x, tile_y, CAST({bucket} AS VARCHAR) AS cls_b
+         FROM ct_b0),
+ct_j AS (SELECT COALESCE(a.cls_a, '(absent)') AS cls_a,
+                COALESCE(b.cls_b, '(absent)') AS cls_b
+         FROM ct_a a FULL OUTER JOIN ct_b b
+           ON a.tile_x = b.tile_x AND a.tile_y = b.tile_y),
+ct_c AS (SELECT cls_a, cls_b, COUNT(*) AS n_tiles FROM ct_j GROUP BY 1, 2),
+ct_t AS (SELECT SUM(n_tiles) AS total FROM ct_c)
+SELECT cls_a, cls_b, CAST(n_tiles AS BIGINT) AS n_tiles,
+       CAST((n_tiles * 1000000) // total AS BIGINT) AS share_ppm
+FROM ct_c, ct_t"""
+
+
 def q_hotspots(spark, sf_dir):
     """Getis-Ord Gi* hotspot z-scores over the FULL 4^zoom grid (empty
     cells count as 0 in the global moments). Exact-int moments feed a
@@ -2867,6 +2915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum": q_curriculum,
         "jaccard_curve": q_jaccard_curve,
         "continuation": q_continuation,
+        "crosstab": q_crosstab,
     }
 
 
@@ -3829,6 +3878,7 @@ FROM documents QUALIFY rank <= 3""",
         "curriculum": _curriculum_oracle(),
         "jaccard_curve": _jaccard_curve_oracle(),
         "continuation": _continuation_oracle(),
+        "crosstab": _crosstab_oracle(),
         "repeated_spans": _repeated_spans_oracle(),
         "passage_cut": _passage_cut_oracle(),
         "pyramid_crs84": _pyramid_crs84_sql(),

@@ -441,3 +441,48 @@ def focal_mode(
             F.col("window_count").cast("long").alias("window_count"),
         )
     )
+
+
+def class_crosstab(
+    a: DataFrame,
+    b: DataFrame,
+    class_col: str = "cls",
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+    absent: str = "(absent)",
+) -> DataFrame:
+    """Classification CONFUSION MATRIX between two tile classifications
+    of the same grid — the categorical change-detection companion to
+    the numeric ``incremental.pyramid_subtract`` (GDAL/remote-sensing
+    land-cover change matrix): for every (class-in-A, class-in-B)
+    combination, the tile count and its exact-ppm share of all tiles
+    classified by either side. Tiles present in only one side cross
+    with ``absent`` (coverage gained/lost rows), so the matrix margins
+    ARE the coverage report.
+
+    Output ``(cls_a, cls_b, n_tiles, share_ppm)`` — classes carried as
+    strings so heterogeneous class columns cross-tab cleanly and
+    hash-identically.
+
+    Scale design: ONE co-partitioned full-outer join on the tile key
+    (both sides grid-bounded, 4^zoom rows max) + a combinable count;
+    the share join is a 1-row broadcast total, never a window.
+    """
+    sa = a.select(
+        F.col(x_col).alias("_x"), F.col(y_col).alias("_y"),
+        F.col(class_col).cast("string").alias("cls_a"),
+    )
+    sb = b.select(
+        F.col(x_col).alias("_x"), F.col(y_col).alias("_y"),
+        F.col(class_col).cast("string").alias("cls_b"),
+    )
+    both = sa.join(sb, ["_x", "_y"], "full_outer").select(
+        F.coalesce("cls_a", F.lit(absent)).alias("cls_a"),
+        F.coalesce("cls_b", F.lit(absent)).alias("cls_b"),
+    )
+    ct = both.groupBy("cls_a", "cls_b").agg(F.count(F.lit(1)).alias("n_tiles"))
+    total = ct.agg(F.sum("n_tiles").alias("_total"))
+    return ct.crossJoin(F.broadcast(total)).select(
+        "cls_a", "cls_b", F.col("n_tiles").cast("long").alias("n_tiles"),
+        F.expr("(n_tiles * 1000000) div _total").alias("share_ppm"),
+    )

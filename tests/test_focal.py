@@ -392,3 +392,39 @@ def test_focal_mode_no_window_no_join(spark):
     plan = buf.getvalue()
     assert "Window" not in plan
     assert "Join" not in plan  # occupancy rides the vote rows
+
+
+def test_class_crosstab_golden_with_margins(spark):
+    from rio_cogeo_spark.operators.focal import class_crosstab
+
+    a = spark.createDataFrame(
+        [(0, 0, "w"), (1, 0, "w"), (2, 0, "f")],
+        "tile_x long, tile_y long, cls string",
+    )
+    b = spark.createDataFrame(
+        [(0, 0, "w"), (1, 0, "f"), (3, 0, "f")],
+        "tile_x long, tile_y long, cls string",
+    )
+    out = {(r.cls_a, r.cls_b): (r.n_tiles, r.share_ppm)
+           for r in class_crosstab(a, b).collect()}
+    # 4 distinct tiles total: stable w->w, change w->f, lost f->absent,
+    # gained absent->f — each 1 tile = 250000 ppm
+    assert out == {
+        ("w", "w"): (1, 250000),
+        ("w", "f"): (1, 250000),
+        ("f", "(absent)"): (1, 250000),
+        ("(absent)", "f"): (1, 250000),
+    }
+
+
+def test_class_crosstab_self_is_diagonal(spark):
+    from rio_cogeo_spark.operators.focal import class_crosstab
+
+    a = spark.createDataFrame(
+        [(x, y, (x + y) % 3) for x in range(5) for y in range(5)],
+        "tile_x long, tile_y long, cls long",
+    )
+    out = class_crosstab(a, a).collect()
+    assert all(r.cls_a == r.cls_b for r in out)
+    assert sum(r.n_tiles for r in out) == 25
+    assert sum(r.share_ppm for r in out) <= 1_000_000  # div truncation
