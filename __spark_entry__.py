@@ -485,6 +485,29 @@ def q_ann_pq(spark, sf_dir):
     return ann_pq_topk(_embeddings(spark, sf_dir), m=4, k=10, n_queries=5)
 
 
+def q_embed_drift(spark, sf_dir):
+    """Embedding-space drift dashboard: per label, the 6dp cosine
+    between the full-corpus centroid and the centroid after dropping
+    every 7th vector — built on pool_embeddings' BIT-exact sequential
+    folds, with the cosine itself folded in dim order (one fixed IEEE
+    sequence on both engines)."""
+    from rio_cogeo_spark.operators.similarity import centroid_drift
+
+    emb = _embeddings(spark, sf_dir)
+    return centroid_drift(emb, emb.filter(F.col("vec_id") % 7 != 0))
+
+
+def _embed_drift_oracle() -> str:
+    from rio_cogeo_spark.operators.similarity import centroid_drift_sql
+
+    base = (
+        "SELECT label, vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+        "FROM embeddings"
+    )
+    return centroid_drift_sql(base, f"{base} WHERE vec_id % 7 <> 0")
+
+
 def q_hard_negatives(spark, sf_dir):
     """Hard-negative mining for contrastive training: top-10 cosine
     negatives per anchor from a top-15 pool, with the anchor's duplicate
@@ -2916,6 +2939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_curve": q_jaccard_curve,
         "continuation": q_continuation,
         "crosstab": q_crosstab,
+        "embed_drift": q_embed_drift,
     }
 
 
@@ -3879,6 +3903,7 @@ FROM documents QUALIFY rank <= 3""",
         "jaccard_curve": _jaccard_curve_oracle(),
         "continuation": _continuation_oracle(),
         "crosstab": _crosstab_oracle(),
+        "embed_drift": _embed_drift_oracle(),
         "repeated_spans": _repeated_spans_oracle(),
         "passage_cut": _passage_cut_oracle(),
         "pyramid_crs84": _pyramid_crs84_sql(),

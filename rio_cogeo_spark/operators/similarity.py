@@ -748,3 +748,120 @@ def hard_negatives(
         .filter(F.col("rank") <= k)
         .select(query_col, cand_col, "rank", score_col)
     )
+
+
+def centroid_drift(
+    old: DataFrame,
+    new: DataFrame,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space drift monitoring between two snapshots: per
+    group, the cosine between the OLD and NEW mean centroids plus both
+    member counts — the dashboard behind "did the crawl's embedding
+    distribution move" (re-train triggers, encoder-version checks,
+    topic shift per language).
+
+    Built on :func:`pool_embeddings`' bit-exact sequential-fold means;
+    the cosine itself folds the (old, new) mean pairs in DIM ORDER —
+    one fixed IEEE op sequence on both engines — then rounds to 6dp,
+    so the contract hashes exactly. Groups missing from one side are
+    ABSENT (no centroid to compare); n_old/n_new come from the pooled
+    counts.
+
+    Scale design: both pooled tables are (groups x dim) rows — tiny;
+    the join is co-partitioned on (group, dim) and the fold's
+    collect_list is dim-bounded (the embedding width).
+    """
+    pa = pool_embeddings(old, group_col, id_col, vec_col).select(
+        group_col, "dim", F.col("n_vecs").alias("n_old"),
+        F.col("mean_val").alias("ma"),
+    )
+    pb = pool_embeddings(new, group_col, id_col, vec_col).select(
+        group_col, "dim", F.col("n_vecs").alias("n_new"),
+        F.col("mean_val").alias("mb"),
+    )
+    j = pa.join(pb, [group_col, "dim"])
+    folded = (
+        j.groupBy(group_col)
+        .agg(
+            F.max("n_old").alias("n_old"),
+            F.max("n_new").alias("n_new"),
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct("dim", "ma", "mb"))
+                ),
+                F.struct(
+                    F.lit(0.0).alias("dot"),
+                    F.lit(0.0).alias("a2"),
+                    F.lit(0.0).alias("b2"),
+                ),
+                lambda acc, x: F.struct(
+                    (acc["dot"] + x["ma"] * x["mb"]).alias("dot"),
+                    (acc["a2"] + x["ma"] * x["ma"]).alias("a2"),
+                    (acc["b2"] + x["mb"] * x["mb"]).alias("b2"),
+                ),
+            ).alias("s"),
+        )
+    )
+    return folded.select(
+        group_col,
+        F.col("n_old").cast("long").alias("n_old"),
+        F.col("n_new").cast("long").alias("n_new"),
+        F.round(
+            F.col("s.dot")
+            / (F.sqrt(F.col("s.a2")) * F.sqrt(F.col("s.b2"))),
+            6,
+        ).alias("centroid_cos"),
+    )
+
+
+def centroid_drift_sql(
+    old_cte: str,
+    new_cte: str,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> str:
+    """DuckDB twin of :func:`centroid_drift`. ``old_cte``/``new_cte``
+    expose ``(group_col, id_col, vec_col)`` with the vector already cast
+    to DOUBLE elements. The struct-accumulator list_reduce executes the
+    same dim-ordered IEEE sequence as the Spark fold."""
+
+    def pooled(cte, alias):
+        return f"""{alias}0 AS ({cte}),
+{alias}x AS (SELECT {group_col}, {id_col}, u.i AS dim,
+                    CAST(u.v AS DOUBLE) AS val
+             FROM {alias}0,
+                  unnest(list_transform({vec_col},
+                         (x, i) -> struct_pack(i := i, v := x))) AS t(u)),
+{alias} AS (SELECT {group_col}, dim, COUNT(*) AS n_vecs,
+                   list_reduce(list(val ORDER BY {id_col}),
+                               (a, b) -> a + b) / COUNT(*) AS mean_val
+            FROM {alias}x GROUP BY 1, 2)"""
+
+    return f"""
+WITH {pooled(old_cte, "cd_a")},
+{pooled(new_cte, "cd_b")},
+cd_j AS (SELECT a.{group_col}, a.dim, a.mean_val AS ma, b.mean_val AS mb,
+                a.n_vecs AS n_old, b.n_vecs AS n_new
+         FROM cd_a a JOIN cd_b b USING ({group_col}, dim)),
+cd_f AS (SELECT {group_col},
+                MAX(n_old) AS n_old, MAX(n_new) AS n_new,
+                list_reduce(
+                    list_prepend(struct_pack(dot := 0.0, a2 := 0.0,
+                                             b2 := 0.0),
+                                 list(struct_pack(dot := ma * mb,
+                                                  a2 := ma * ma,
+                                                  b2 := mb * mb)
+                                      ORDER BY dim)),
+                    (acc, x) -> struct_pack(dot := acc.dot + x.dot,
+                                            a2 := acc.a2 + x.a2,
+                                            b2 := acc.b2 + x.b2)) AS s
+         FROM cd_j GROUP BY 1)
+SELECT {group_col},
+       CAST(n_old AS BIGINT) AS n_old,
+       CAST(n_new AS BIGINT) AS n_new,
+       round(s.dot / (sqrt(s.a2) * sqrt(s.b2)), 6) AS centroid_cos
+FROM cd_f"""

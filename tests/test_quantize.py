@@ -130,3 +130,44 @@ def test_pq_recall_improves_with_m_and_beats_random(spark):
     assert r4 >= 0.08   # random top-10 over 500 vectors ≈ 0.02
     assert r16 >= 0.30  # finer subquantizers recover more of the truth
     assert r16 > r4
+
+
+# ---------------------------------------------------------------------------
+# Centroid drift
+# ---------------------------------------------------------------------------
+
+def test_centroid_drift_identity_and_orthogonal(spark):
+    from rio_cogeo_spark.operators.similarity import centroid_drift
+
+    rows = [
+        ("a", 1, [1.0, 0.0]), ("a", 2, [1.0, 0.0]),
+        ("b", 3, [0.0, 1.0]),
+    ]
+    old = spark.createDataFrame(
+        rows, "label string, vec_id long, embedding array<float>"
+    )
+    # identical snapshots: cosine exactly 1.0 for every group
+    out = {r.label: (r.centroid_cos, r.n_old, r.n_new)
+           for r in centroid_drift(old, old).collect()}
+    assert out == {"a": (1.0, 2, 2), "b": (1.0, 1, 1)}
+    # rotate group a's centroid 90 degrees: cosine 0
+    new = spark.createDataFrame(
+        [("a", 1, [0.0, 1.0]), ("b", 3, [0.0, 1.0])],
+        "label string, vec_id long, embedding array<float>",
+    )
+    out2 = {r.label: r.centroid_cos for r in centroid_drift(old, new).collect()}
+    assert out2["a"] == 0.0 and out2["b"] == 1.0
+
+
+def test_centroid_drift_one_sided_groups_absent(spark):
+    from rio_cogeo_spark.operators.similarity import centroid_drift
+
+    old = spark.createDataFrame(
+        [("a", 1, [1.0, 0.0])],
+        "label string, vec_id long, embedding array<float>",
+    )
+    new = spark.createDataFrame(
+        [("z", 2, [1.0, 0.0])],
+        "label string, vec_id long, embedding array<float>",
+    )
+    assert centroid_drift(old, new).count() == 0
