@@ -2940,6 +2940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "continuation": q_continuation,
         "crosstab": q_crosstab,
         "embed_drift": q_embed_drift,
+        "mirror_hosts": q_mirror_hosts,
     }
 
 
@@ -3904,6 +3905,7 @@ FROM documents QUALIFY rank <= 3""",
         "continuation": _continuation_oracle(),
         "crosstab": _crosstab_oracle(),
         "embed_drift": _embed_drift_oracle(),
+        "mirror_hosts": _mirror_hosts_oracle(),
         "repeated_spans": _repeated_spans_oracle(),
         "passage_cut": _passage_cut_oracle(),
         "pyramid_crs84": _pyramid_crs84_sql(),
@@ -3938,6 +3940,49 @@ SELECT t.doc_id, t.host, t.fp,
        CAST(bh.n_hosts AS BIGINT) AS n_hosts,
        CAST(cp.n_copies AS BIGINT) AS n_copies
 FROM tagged t JOIN bh USING (fp) JOIN cp USING (fp)"""
+
+
+def q_mirror_hosts(spark, sf_dir):
+    """Mirror-SITE discovery: the host-pair rollup of mirror_docs —
+    doc_id<80 re-hosted on mirror-a, doc_id<40 ALSO on mirror-b: the
+    (origin, mirror-a) pairs must dominate, (mirror-a, mirror-b) must
+    count exactly the overlap; template-farm fps capped."""
+    pages = _pages(spark, sf_dir)
+    m1 = pages.filter(F.col("doc_id") < 80).select(
+        (F.col("doc_id") + 950000).alias("doc_id"),
+        F.concat(
+            F.lit("https://mirror-a.example/copy/"), F.col("doc_id")
+        ).alias("url"),
+        "text",
+    )
+    m2 = pages.filter(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 970000).alias("doc_id"),
+        F.concat(
+            F.lit("https://mirror-b.example/c/"), F.col("doc_id")
+        ).alias("url"),
+        "text",
+    )
+    allp = pages.select("doc_id", "url", "text").unionByName(m1).unionByName(m2)
+    return DD.mirror_host_pairs(allp, min_shared=1)
+
+
+def _mirror_hosts_oracle() -> str:
+    from rio_cogeo_spark.operators.dedup import mirror_host_pairs_sql
+
+    inner = mirror_host_pairs_sql(
+        "SELECT url, text FROM mh_all", min_shared=1
+    ).split("WITH ", 1)[1]
+    return f"""{_P}
+, mh_all AS (SELECT url, text FROM pages
+             UNION ALL
+             SELECT 'https://mirror-a.example/copy/'
+                        || CAST(doc_id AS VARCHAR), text
+             FROM pages WHERE doc_id < 80
+             UNION ALL
+             SELECT 'https://mirror-b.example/c/'
+                        || CAST(doc_id AS VARCHAR), text
+             FROM pages WHERE doc_id < 40),
+{inner}"""
 
 
 def _snapshot_para_diff_oracle() -> str:

@@ -2051,3 +2051,83 @@ cp_ta AS (SELECT doc_id AS doc_a,
 SELECT a.doc_a, h.doc_b, a.boundary
 FROM cp_ta a JOIN cp_h2 h USING (boundary)
 WHERE a.doc_a <> h.doc_b"""
+
+
+def mirror_host_pairs(
+    pages: DataFrame,
+    min_shared: int = 2,
+    max_hosts_per_fp: int = 32,
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Mirror-SITE discovery — the host-pair rollup of
+    :func:`mirror_docs` (which flags mirrored DOCUMENTS): for every
+    pair of hosts sharing >= ``min_shared`` content fingerprints, the
+    shared-fingerprint count. This is the table a crawl operator reads
+    to blocklist whole mirror farms instead of deduping them page by
+    page.
+
+    Output ``(host_a, host_b, shared_fps)`` with host_a < host_b.
+    ``max_hosts_per_fp`` drops fingerprints on more hosts than that
+    (template farms: a blank-page fp on 10^5 hosts would contribute
+    O(10^10) pairs — same discipline as the shingle df_cap; a real
+    mirror pair shares many fps, each on few hosts).
+
+    Scale design (100 TB): one (fp, host) dropDuplicates, the cap
+    filter, then the single-sort posting-list pair expansion (sorted
+    host list per fp, pairs expanded in place — no self-join, no second
+    sort) and a combinable pair count.
+    """
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    from rio_cogeo_spark.functions.text import host_col
+
+    fh = pages.select(
+        host_col(F.col(url_col)).alias("host"),
+        fingerprint(F.col(text_col)).alias("fp"),
+    ).dropDuplicates(["fp", "host"])
+    grouped = (
+        fh.groupBy("fp")
+        .agg(F.sort_array(F.collect_list("host")).alias("hosts"))
+        .filter(
+            (F.size("hosts") >= 2) & (F.size("hosts") <= max_hosts_per_fp)
+        )
+    )
+    pairs = (
+        grouped.select(F.explode("hosts").alias("host_a"), "hosts")
+        .select("host_a", F.explode("hosts").alias("host_b"))
+        .filter(F.col("host_a") < F.col("host_b"))
+    )
+    return (
+        pairs.groupBy("host_a", "host_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+
+
+def mirror_host_pairs_sql(
+    pages_cte: str,
+    min_shared: int = 2,
+    max_hosts_per_fp: int = 32,
+    host_sql: str = None,
+    fp_sql: str = None,
+) -> str:
+    """DuckDB twin of :func:`mirror_host_pairs` (``pages_cte`` exposes
+    ``(url, text)``; host/fp expressions default to the shared
+    HOST_SQL / FINGERPRINT_SQL contracts)."""
+    from rio_cogeo_spark.functions.text import FINGERPRINT_SQL, HOST_SQL
+
+    host_sql = host_sql or HOST_SQL
+    fp_sql = fp_sql or FINGERPRINT_SQL
+    return f"""
+WITH mh_p AS ({pages_cte}),
+mh_f AS (SELECT DISTINCT {host_sql} AS host, {fp_sql} AS fp FROM mh_p),
+mh_g AS (SELECT fp, COUNT(*) AS nh FROM mh_f GROUP BY 1
+         HAVING COUNT(*) >= 2 AND COUNT(*) <= {max_hosts_per_fp}),
+mh_pairs AS (SELECT a.host AS host_a, b.host AS host_b
+             FROM mh_f a JOIN mh_f b
+               ON a.fp = b.fp AND a.host < b.host
+             WHERE a.fp IN (SELECT fp FROM mh_g))
+SELECT host_a, host_b, CAST(COUNT(*) AS BIGINT) AS shared_fps
+FROM mh_pairs GROUP BY 1, 2
+HAVING COUNT(*) >= {min_shared}"""

@@ -262,3 +262,47 @@ def test_continuation_hot_boundary_fanout_guard(spark):
     docs.append((999, f"an article that happens to end with {furniture}"))
     df = spark.createDataFrame(docs, "doc_id long, text string")
     assert continuation_pairs(df, k=8).count() == 0
+
+
+def test_mirror_host_pairs_golden_and_cap(spark):
+    from rio_cogeo_spark.operators.dedup import mirror_host_pairs
+
+    rows = [
+        # hosts a and b mirror two documents; c shares one with a
+        (1, "https://a.example/1", "first article body text"),
+        (2, "https://b.example/1", "first article body text"),
+        (3, "https://a.example/2", "second article body text"),
+        (4, "https://b.example/2", "second article body text"),
+        (5, "https://c.example/1", "first article body text"),
+        # same-host duplicate: never a host PAIR
+        (6, "https://a.example/dup", "first article body text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    out = {(r.host_a, r.host_b): r.shared_fps
+           for r in mirror_host_pairs(df, min_shared=1).collect()}
+    assert out == {
+        ("a.example", "b.example"): 2,
+        ("a.example", "c.example"): 1,
+        ("b.example", "c.example"): 1,
+    }
+    # min_shared=2 keeps only the true mirror pair
+    out2 = {(r.host_a, r.host_b): r.shared_fps
+            for r in mirror_host_pairs(df, min_shared=2).collect()}
+    assert out2 == {("a.example", "b.example"): 2}
+
+
+def test_mirror_host_pairs_template_farm_capped(spark):
+    from rio_cogeo_spark.operators.dedup import mirror_host_pairs
+
+    # one blank-template fp on 40 hosts: with the cap at 32 it must
+    # contribute ZERO pairs (O(n_hosts^2) guard)
+    rows = [
+        (i, f"https://farm{i}.example/", "welcome to our site")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    assert mirror_host_pairs(df, min_shared=1).count() == 0
+    # raising the cap exposes the farm
+    assert mirror_host_pairs(
+        df, min_shared=1, max_hosts_per_fp=64
+    ).count() == 40 * 39 // 2
