@@ -2382,6 +2382,27 @@ def q_focal_mode(spark, sf_dir):
     return focal.focal_mode(classified, ZOOM)
 
 
+def q_tile_density(spark, sf_dir):
+    """True-area density correction (mercator distortion fix): per z8
+    tile, its world-area share in exact pptr (floor(x+0.5) over a
+    textually identical exp pipeline — tanh via exp, since tanh itself
+    is not guaranteed across libm builds) and pages per ppm of world
+    area in exact BIGINT division."""
+    from rio_cogeo_spark.operators.focal import area_weighted_density
+
+    base = base_tiles(_pages(spark, sf_dir), ZOOM)
+    return area_weighted_density(base, ZOOM)
+
+
+def _tile_density_oracle() -> str:
+    from rio_cogeo_spark.operators.focal import area_weighted_density_sql
+
+    inner = area_weighted_density_sql(
+        "SELECT tile_x, tile_y, page_count FROM base", ZOOM
+    ).split("WITH ", 1)[1]
+    return f"{_BASE_CTE},\n{inner}"
+
+
 def q_crosstab(spark, sf_dir):
     """Land-cover-style change matrix: density-bucket classification of
     the even-doc half-corpus vs the full corpus at z8 — the (old, new)
@@ -2941,6 +2962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crosstab": q_crosstab,
         "embed_drift": q_embed_drift,
         "mirror_hosts": q_mirror_hosts,
+        "tile_density": q_tile_density,
     }
 
 
@@ -3906,6 +3928,7 @@ FROM documents QUALIFY rank <= 3""",
         "crosstab": _crosstab_oracle(),
         "embed_drift": _embed_drift_oracle(),
         "mirror_hosts": _mirror_hosts_oracle(),
+        "tile_density": _tile_density_oracle(),
         "repeated_spans": _repeated_spans_oracle(),
         "passage_cut": _passage_cut_oracle(),
         "pyramid_crs84": _pyramid_crs84_sql(),

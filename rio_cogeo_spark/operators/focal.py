@@ -486,3 +486,100 @@ def class_crosstab(
         "cls_a", "cls_b", F.col("n_tiles").cast("long").alias("n_tiles"),
         F.expr("(n_tiles * 1000000) div _total").alias("share_ppm"),
     )
+
+
+def _tanh_sqlish(u: str) -> str:
+    """tanh via exp, textually identical on Spark and DuckDB (tanh
+    itself is not guaranteed across libm builds; exp/ln already anchor
+    every certified mercator twin)."""
+    return f"((exp(2.0 * ({u})) - 1.0) / (exp(2.0 * ({u})) + 1.0))"
+
+
+def area_weighted_density(
+    tiles: DataFrame,
+    zoom: int,
+    value_col: str = "page_count",
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+) -> DataFrame:
+    """TRUE-AREA density correction for mercator tile grids — the
+    cartographic fix every tile-density choropleth needs: a z8 tile at
+    60°N covers ~1/4 the ground area of an equatorial one, so raw
+    per-tile counts overstate polar density 4x. Uses the closed form
+    ``sin(gd(y)) = tanh(y/R)``: the true-area share of mercator row y
+    is ``(tanh(y_top/R) - tanh(y_bot/R)) / 2`` (of the web-mercator
+    world band), and columns within a row split it equally.
+
+    Output ``(tile_x, tile_y, <value_col>, area_pptr, density_ppm)``:
+    ``area_pptr`` = the tile's world-area share in parts-per-trillion
+    (floor(x+0.5) — the engine-independent rounding over a textually
+    identical exp pipeline), ``density_ppm`` = value per ppm of world
+    area, exact BIGINT division on top of the pinned int.
+
+    Scale design: a pure projection — the row share is a per-row
+    closed-form expression, no lookup table, no join, no shuffle.
+    """
+    from rio_cogeo_spark import grid
+
+    n = 1 << zoom
+    origin = grid.ORIGIN_SHIFT
+    r = grid.EARTH_RADIUS
+    span = 2.0 * origin
+    y_top = (
+        f"(CAST({origin!r} AS DOUBLE) - CAST({y_col} AS DOUBLE) * "
+        f"CAST({span!r} AS DOUBLE) / CAST({n} AS DOUBLE))"
+    )
+    y_bot = (
+        f"(CAST({origin!r} AS DOUBLE) - (CAST({y_col} AS DOUBLE) + 1.0) * "
+        f"CAST({span!r} AS DOUBLE) / CAST({n} AS DOUBLE))"
+    )
+    share = (
+        f"(({_tanh_sqlish(f'{y_top} / CAST({r!r} AS DOUBLE)')}"
+        f" - {_tanh_sqlish(f'{y_bot} / CAST({r!r} AS DOUBLE)')})"
+        f" / 2.0 / CAST({n} AS DOUBLE))"
+    )
+    area = f"CAST(floor({share} * 1000000000000.0 + 0.5) AS BIGINT)"
+    return tiles.select(
+        F.col(x_col), F.col(y_col), F.col(value_col),
+        F.expr(area).alias("area_pptr"),
+        F.expr(
+            f"({value_col} * 1000000) div "
+            f"greatest({area} div 1000000, 1)"
+        ).alias("density_ppm"),
+    )
+
+
+def area_weighted_density_sql(
+    tiles_cte: str,
+    zoom: int,
+    value_col: str = "page_count",
+) -> str:
+    """DuckDB twin of :func:`area_weighted_density` — the identical
+    exp pipeline and floor(x+0.5) pin."""
+    from rio_cogeo_spark import grid
+
+    n = 1 << zoom
+    origin = grid.ORIGIN_SHIFT
+    r = grid.EARTH_RADIUS
+    span = 2.0 * origin
+    y_top = (
+        f"(CAST({origin!r} AS DOUBLE) - CAST(tile_y AS DOUBLE) * "
+        f"CAST({span!r} AS DOUBLE) / CAST({n} AS DOUBLE))"
+    )
+    y_bot = (
+        f"(CAST({origin!r} AS DOUBLE) - (CAST(tile_y AS DOUBLE) + 1.0) * "
+        f"CAST({span!r} AS DOUBLE) / CAST({n} AS DOUBLE))"
+    )
+    share = (
+        f"(({_tanh_sqlish(f'{y_top} / CAST({r!r} AS DOUBLE)')}"
+        f" - {_tanh_sqlish(f'{y_bot} / CAST({r!r} AS DOUBLE)')})"
+        f" / 2.0 / CAST({n} AS DOUBLE))"
+    )
+    area = f"CAST(floor({share} * 1000000000000.0 + 0.5) AS BIGINT)"
+    return f"""
+WITH awd AS ({tiles_cte})
+SELECT tile_x, tile_y, {value_col},
+       {area} AS area_pptr,
+       CAST(({value_col} * 1000000) //
+            greatest({area} // 1000000, 1) AS BIGINT) AS density_ppm
+FROM awd"""

@@ -428,3 +428,46 @@ def test_class_crosstab_self_is_diagonal(spark):
     assert all(r.cls_a == r.cls_b for r in out)
     assert sum(r.n_tiles for r in out) == 25
     assert sum(r.share_ppm for r in out) <= 1_000_000  # div truncation
+
+
+def test_area_weighted_density_distortion_and_total(spark):
+    import math
+
+    from rio_cogeo_spark.operators.focal import area_weighted_density
+
+    # full z4 grid with value 1 everywhere
+    n = 16
+    tiles = spark.createDataFrame(
+        [(x, y, 1) for x in range(n) for y in range(n)],
+        "tile_x long, tile_y long, page_count long",
+    )
+    out = area_weighted_density(tiles, 4).collect()
+    # total area share = tanh(pi): the band web mercator covers
+    total = sum(r.area_pptr for r in out) / 1e12
+    assert abs(total - math.tanh(math.pi)) < 1e-6
+    by_row = {}
+    for r in out:
+        by_row.setdefault(r.tile_y, r.area_pptr)
+    # equatorial rows (7, 8) are the largest; polar rows the smallest
+    assert by_row[7] == by_row[8] == max(by_row.values())
+    assert by_row[0] == by_row[15] == min(by_row.values())
+    assert by_row[7] > 3 * by_row[0]
+    # equal value -> density inversely ordered with area
+    dens = {r.tile_y: r.density_ppm for r in out}
+    assert dens[0] > dens[7]
+
+
+def test_area_weighted_density_is_pure_projection(spark):
+    import io
+    from contextlib import redirect_stdout
+
+    from rio_cogeo_spark.operators.focal import area_weighted_density
+
+    tiles = spark.createDataFrame(
+        [(0, 0, 5)], "tile_x long, tile_y long, page_count long"
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        area_weighted_density(tiles, 8).explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan and "Join" not in plan
