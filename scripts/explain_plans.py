@@ -1113,6 +1113,87 @@ def main() -> None:
                   r"CartesianProduct"],
     )
 
+    # 72. curriculum_interleave: one per-group rank window + a tiny
+    # broadcast group-index join — no sort-merge join, no cartesian
+    from rio_cogeo_spark.operators.sampling import curriculum_interleave
+
+    audit(
+        "curriculum_interleave (one window, broadcast group index)",
+        curriculum_interleave(docs, group_col="lang", score_col="n_chars"),
+        must=[r"Window", r"BroadcastHashJoin"],
+        must_not=[r"SortMergeJoin", r"CartesianProduct"],
+    )
+
+    # 73. jaccard_threshold_curve: the cumulative window runs over the
+    # BUCKET table (post-aggregation), never the pair set — the plan
+    # must show partial_count before the window, and no cartesian
+    from rio_cogeo_spark.operators.dedup import jaccard_threshold_curve
+
+    audit(
+        "jaccard_threshold_curve (bucket-table window, partial counts)",
+        jaccard_threshold_curve(docs.limit(200), df_cap=None),
+        must=[r"partial_count", r"Window"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    )
+
+    # 74. continuation_pairs: two zero-shuffle boundary projections +
+    # ONE equi-join on the boundary; the hot-set guard is a broadcast
+    # anti-join — no cartesian, no window
+    from rio_cogeo_spark.operators.dedup import continuation_pairs
+
+    audit(
+        "continuation_pairs (boundary equi-join, broadcast hot guard)",
+        continuation_pairs(docs.select("doc_id", "text")),
+        must=[r"BroadcastHashJoin .*", r"partial_count"],
+        must_not=[r"CartesianProduct", r"Window"],
+    )
+
+    # 75. class_crosstab: one co-partitioned full-outer join on the
+    # grid key + combinable counts + a 1-row broadcast total — no
+    # window, no cartesian (the 1-row total is a BroadcastNestedLoop
+    # by necessity, which is fine: one row)
+    from rio_cogeo_spark.operators.focal import (
+        area_weighted_density,
+        class_crosstab,
+    )
+
+    ct_a = spark.range(100).selectExpr(
+        "id % 10 AS tile_x", "id div 10 AS tile_y", "id % 3 AS cls"
+    )
+    ct_b = spark.range(90).selectExpr(
+        "id % 10 AS tile_x", "id div 10 AS tile_y", "(id + 1) % 3 AS cls"
+    )
+    audit(
+        "class_crosstab (full-outer grid join, combinable counts)",
+        class_crosstab(ct_a, ct_b),
+        must=[r"FullOuter", r"partial_count"],
+        must_not=[r"Window", r"CartesianProduct"],
+    )
+
+    # 76. area_weighted_density: a PURE projection — zero Exchange,
+    # zero joins (closed-form row share, no lookup table)
+    awd_in = spark.range(64).selectExpr(
+        "id % 8 AS tile_x", "id div 8 AS tile_y", "id AS page_count"
+    )
+    audit(
+        "area_weighted_density (pure projection, zero exchange)",
+        area_weighted_density(awd_in, 8),
+        must=[r"Project"],
+        must_not=[r"Exchange", r"Join", r"Window"],
+    )
+
+    # 77. mirror_host_pairs: single-sort posting-list expansion (no
+    # self-join of the (fp, host) table) + combinable pair counts
+    from rio_cogeo_spark.operators.dedup import mirror_host_pairs
+
+    mh_in = pages.select("doc_id", "url", "text").limit(500)
+    audit(
+        "mirror_host_pairs (single-sort pair expansion, no self-join)",
+        mirror_host_pairs(mh_in),
+        must=[r"partial_count"],
+        must_not=[r"SortMergeJoin", r"CartesianProduct", r"Window"],
+    )
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:
