@@ -38,6 +38,7 @@ def quantize_embeddings(
     col: str = "embedding",
     id_col: str = "vec_id",
     extra_cols: tuple = (),
+    amax: float = None,
 ) -> DataFrame:
     """→ ``(id_col, [extra_cols...], q_embedding array<long>, amax double)``.
 
@@ -48,9 +49,15 @@ def quantize_embeddings(
     by) through the projection unchanged.
     """
     v = as_double_array(F.col(col))
-    amax_df = emb.agg(
-        F.max(F.array_max(F.transform(v, F.abs))).alias("amax")
-    )
+    if amax is not None:
+        # fixed scale (index query path): pure projection, no aggregate
+        amax_df = emb.sparkSession.createDataFrame(
+            [(float(amax),)], "amax double"
+        )
+    else:
+        amax_df = emb.agg(
+            F.max(F.array_max(F.transform(v, F.abs))).alias("amax")
+        )
     qv = F.transform(
         v,
         lambda x: F.greatest(
@@ -329,3 +336,106 @@ SELECT query_id, vec_id,
            AS rank,
        CAST(score AS BIGINT) AS score
 FROM pq_s QUALIFY rank <= {k}"""
+
+
+def pq_save_index(
+    codebooks: DataFrame,
+    path: str,
+    m: int,
+    dim: int,
+    amax: float,
+) -> None:
+    """Persist a PQ index: the codebook table as parquet plus a
+    ``_pq_manifest.json`` recording ``(m, dim, amax)`` — the faiss
+    index-file analog (the ivf_save_index discipline). ``amax`` MUST
+    ride the index: ADC is only exact when queries quantize with the
+    SAME scale the codebooks were trained at; a query job that
+    recomputed amax over a different snapshot would silently skew every
+    score, so loading refuses an index without its manifest.
+
+    The corpus CODES need no bespoke artifact: ``pq_encode`` output is
+    a plain 3-column table — write it partitioned/bucketed like any
+    other store (8-32x smaller than the vectors)."""
+    import json
+    import os
+
+    codebooks.coalesce(1).write.mode("overwrite").parquet(path)
+    manifest = {"m": int(m), "dim": int(dim), "amax": float(amax)}
+    with open(os.path.join(path, "_pq_manifest.json"), "w") as f:
+        json.dump(manifest, f)
+
+
+def pq_load_index(spark, path: str):
+    """Load a PQ index saved by :func:`pq_save_index` →
+    ``(codebooks DataFrame, params dict)``. Raises if the manifest is
+    missing (an uncommitted / foreign directory is not an index)."""
+    import json
+    import os
+
+    mf = os.path.join(path, "_pq_manifest.json")
+    if not os.path.exists(mf):
+        raise ValueError(f"no _pq_manifest.json at {path}: not a PQ index")
+    with open(mf) as f:
+        params = json.load(f)
+    return spark.read.parquet(path), params
+
+
+def corpus_amax(emb: DataFrame, col: str = "embedding") -> float:
+    """The absmax scale of a corpus (one scalar aggregate) — computed
+    once at train time and persisted via :func:`pq_save_index`."""
+    row = emb.agg(
+        F.max(
+            F.array_max(
+                F.transform(
+                    as_double_array(F.col(col)), F.abs
+                )
+            )
+        ).alias("amax")
+    ).first()
+    return float(row["amax"])
+
+
+def ann_pq_query_with_index(
+    spark,
+    codes: DataFrame,
+    queries: DataFrame,
+    path: str,
+    k: int = 10,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Query a persisted PQ index: ``codes`` is the stored
+    ``(id_col, subv, code)`` table from :func:`pq_encode`, ``queries``
+    is ``(id_col, embedding)`` raw query vectors. Loads the codebooks +
+    the TRAINING amax from the manifest (queries quantize at the index
+    scale — a pure projection, no corpus aggregate), builds the ADC
+    lookup table, scores, ranks. Output matches :func:`ann_pq_topk`.
+    """
+    cb, params = pq_load_index(spark, path)
+    dim, m, amax = params["dim"], params["m"], params["amax"]
+    qdim = _emb_dim(queries, col)
+    if qdim != dim:
+        raise ValueError(
+            f"query dim {qdim} != index dim {dim} (param manifest mismatch)"
+        )
+    sd = dim // m
+    q = quantize_embeddings(queries, col, id_col, amax=amax)
+    qsubs = _subvectors(q, m, sd, id_col).select(
+        F.col(id_col).alias("query_id"), "subv", "qsub"
+    )
+    lut = qsubs.join(cb, "subv").select(
+        "query_id", "subv", "code",
+        int_dot(F.col("qsub"), F.col("centroid")).alias("dot"),
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["subv", "code"])
+        .filter(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", id_col)
+        .agg(F.sum("dot").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "rank", "score")
+    )

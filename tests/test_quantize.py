@@ -171,3 +171,72 @@ def test_centroid_drift_one_sided_groups_absent(spark):
         "label string, vec_id long, embedding array<float>",
     )
     assert centroid_drift(old, new).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# PQ index persistence
+# ---------------------------------------------------------------------------
+
+def test_pq_index_roundtrip_query_equals_inline(spark, tmp_path):
+    from rio_cogeo_spark.operators.quantize import (
+        ann_pq_query_with_index,
+        ann_pq_topk,
+        corpus_amax,
+        pq_codebooks,
+        pq_encode,
+        pq_load_index,
+        pq_save_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    amax = corpus_amax(emb)
+    cb = pq_codebooks(emb, m=4)
+    path = str(tmp_path / "pq_index")
+    pq_save_index(cb, path, m=4, dim=64, amax=amax)
+    # round-trip value-exact
+    cb2, params = pq_load_index(spark, path)
+    assert params == {"m": 4, "dim": 64, "amax": amax}
+    a = sorted((r.subv, r.code, tuple(r.centroid)) for r in cb.collect())
+    b = sorted((r.subv, r.code, tuple(r.centroid)) for r in cb2.collect())
+    assert a == b
+    # with-index query == inline end-to-end query
+    codes = pq_encode(emb, cb, m=4)
+    queries = emb.filter(F.col("vec_id") < 5).select("vec_id", "embedding")
+    got = sorted(
+        (r.query_id, r.vec_id, r.rank, r.score)
+        for r in ann_pq_query_with_index(spark, codes, queries, path).collect()
+    )
+    want = sorted(
+        (r.query_id, r.vec_id, r.rank, r.score)
+        for r in ann_pq_topk(emb, m=4, k=10, n_queries=5).collect()
+    )
+    assert got == want
+
+
+def test_pq_index_refuses_missing_manifest_and_dim_mismatch(spark, tmp_path):
+    import pytest as _pytest
+
+    from rio_cogeo_spark.operators.quantize import (
+        ann_pq_query_with_index,
+        corpus_amax,
+        pq_codebooks,
+        pq_encode,
+        pq_load_index,
+        pq_save_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb = pq_codebooks(emb, m=4)
+    bare = str(tmp_path / "bare")
+    cb.coalesce(1).write.mode("overwrite").parquet(bare)
+    with _pytest.raises(ValueError, match="manifest"):
+        pq_load_index(spark, bare)
+
+    path = str(tmp_path / "pq_index")
+    pq_save_index(cb, path, m=4, dim=64, amax=corpus_amax(emb))
+    codes = pq_encode(emb, cb, m=4)
+    bad_queries = emb.select(
+        "vec_id", F.slice("embedding", 1, 32).alias("embedding")
+    )
+    with _pytest.raises(ValueError, match="dim"):
+        ann_pq_query_with_index(spark, codes, bad_queries, path)
