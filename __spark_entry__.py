@@ -2382,6 +2382,27 @@ def q_focal_mode(spark, sf_dir):
     return focal.focal_mode(classified, ZOOM)
 
 
+def q_hillshade(spark, sf_dir):
+    """gdaldem-hillshade analog over the z8 page-density surface:
+    Horn '81 gradients folded as 9 conditional slot sums, Lambertian
+    normal-dot-light shading with DRIVER-side light constants (no trig
+    inside either engine), pinned to exact shade_mil ints by
+    floor(x+0.5)."""
+    from rio_cogeo_spark.operators.focal import hillshade
+
+    base = base_tiles(_pages(spark, sf_dir), ZOOM)
+    return hillshade(base, ZOOM, z_factor=0.05)
+
+
+def _hillshade_oracle() -> str:
+    from rio_cogeo_spark.operators.focal import hillshade_sql
+
+    inner = hillshade_sql(
+        "SELECT tile_x, tile_y, page_count FROM base", ZOOM, z_factor=0.05
+    ).split("WITH ", 1)[1]
+    return f"{_BASE_CTE},\n{inner}"
+
+
 def q_tile_density(spark, sf_dir):
     """True-area density correction (mercator distortion fix): per z8
     tile, its world-area share in exact pptr (floor(x+0.5) over a
@@ -2963,6 +2984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_drift": q_embed_drift,
         "mirror_hosts": q_mirror_hosts,
         "tile_density": q_tile_density,
+        "hillshade": q_hillshade,
     }
 
 
@@ -3929,6 +3951,7 @@ FROM documents QUALIFY rank <= 3""",
         "embed_drift": _embed_drift_oracle(),
         "mirror_hosts": _mirror_hosts_oracle(),
         "tile_density": _tile_density_oracle(),
+        "hillshade": _hillshade_oracle(),
         "repeated_spans": _repeated_spans_oracle(),
         "passage_cut": _passage_cut_oracle(),
         "pyramid_crs84": _pyramid_crs84_sql(),

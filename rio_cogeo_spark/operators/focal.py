@@ -583,3 +583,174 @@ SELECT tile_x, tile_y, {value_col},
        CAST(({value_col} * 1000000) //
             greatest({area} // 1000000, 1) AS BIGINT) AS density_ppm
 FROM awd"""
+
+
+def hillshade(
+    tiles: DataFrame,
+    zoom: int,
+    value_col: str = "page_count",
+    azimuth_deg: float = 315.0,
+    altitude_deg: float = 45.0,
+    z_factor: float = 1.0,
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+) -> DataFrame:
+    """Analytical hillshading of the density grid (GDAL ``gdaldem
+    hillshade`` semantics, Horn '81 gradients) — the cartographic
+    relief render of a page-density "elevation" surface; absent
+    neighbors are elevation 0 (density semantics, as
+    :func:`focal_stats`), output rows are the OCCUPIED cells.
+
+    Determinism: the light vector is computed DRIVER-side (its
+    trigonometry never crosses an engine boundary) and the per-cell
+    shade uses the Lambertian normal-dot-light closed form::
+
+        shade = 255 * max(0, (sinA - z*dzdx*Lx - z*dzdy*Ly)
+                              / sqrt(1 + z^2*(dzdx^2 + dzdy^2)))
+
+    — only +,*,/ and sqrt in-engine (IEEE-exact everywhere), pinned to
+    an exact int by ``floor(shade * 1000 + 0.5)`` (``shade_mil``,
+    0..255000). No atan/cos/sin evaluates inside either engine.
+
+    Scale design: one literal-offset vote explode + ONE combinable
+    aggregate (the 9 Horn slots are conditional sums — each slot has at
+    most one contributor per cell); then a pure projection. No window,
+    no join.
+    """
+    import math
+
+    n = F.lit(2 ** zoom)
+    az = math.radians(azimuth_deg)
+    alt = math.radians(altitude_deg)
+    # light vector (x east, y north, z up); repr() keeps full precision
+    lx = repr(math.cos(alt) * math.sin(az))
+    ly = repr(math.cos(alt) * math.cos(az))
+    sin_alt = repr(math.sin(alt))
+    zf = repr(float(z_factor))
+
+    off = F.explode(
+        F.array(*[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in _offsets(1)
+        ])
+    ).alias("off")
+    votes = tiles.select(
+        F.col(x_col).cast("long").alias("_sx"),
+        F.col(y_col).cast("long").alias("_sy"),
+        F.col(value_col).cast("double").alias("_v"),
+        off,
+    ).select(
+        (F.col("_sx") + F.col("off.dx")).alias("nx"),
+        (F.col("_sy") + F.col("off.dy")).alias("ny"),
+        # slot as seen FROM the receiving cell: the contributor sits at
+        # offset (-dx, -dy) relative to it
+        (-F.col("off.dx")).alias("rx"),
+        (-F.col("off.dy")).alias("ry"),
+        F.col("_v"),
+    ).filter(
+        (F.col("nx") >= 0) & (F.col("nx") < n)
+        & (F.col("ny") >= 0) & (F.col("ny") < n)
+    )
+
+    def slot(rx, ry):
+        return F.sum(
+            F.when((F.col("rx") == rx) & (F.col("ry") == ry), F.col("_v"))
+            .otherwise(F.lit(0.0))
+        )
+
+    # Horn letters over screen offsets (x east, y SOUTH in tile coords):
+    # a=(-1,-1) b=(0,-1) c=(1,-1) / d=(-1,0) e f=(1,0) / g=(-1,1) h=(0,1) i=(1,1)
+    g9 = votes.groupBy("nx", "ny").agg(
+        slot(-1, -1).alias("a"), slot(0, -1).alias("b"), slot(1, -1).alias("c"),
+        slot(-1, 0).alias("d"), slot(0, 0).alias("e"), slot(1, 0).alias("f"),
+        slot(-1, 1).alias("g"), slot(0, 1).alias("h"), slot(1, 1).alias("i"),
+        F.max(
+            F.when((F.col("rx") == 0) & (F.col("ry") == 0), F.lit(1))
+            .otherwise(F.lit(0))
+        ).alias("_occ"),
+    )
+    # tile_y grows SOUTH, so dzdy(north) = ((a+2b+c)-(g+2h+i))/8
+    expr = (
+        f"floor(greatest(CAST(0 AS DOUBLE), "
+        f"255.0 * (CAST({sin_alt} AS DOUBLE) "
+        f"- CAST({zf} AS DOUBLE) * (((c + 2*f + i) - (a + 2*d + g)) / 8.0)"
+        f" * CAST({lx} AS DOUBLE) "
+        f"- CAST({zf} AS DOUBLE) * (((a + 2*b + c) - (g + 2*h + i)) / 8.0)"
+        f" * CAST({ly} AS DOUBLE)) "
+        f"/ sqrt(1.0 + CAST({zf} AS DOUBLE) * CAST({zf} AS DOUBLE) * "
+        f"((((c + 2*f + i) - (a + 2*d + g)) / 8.0) * "
+        f"(((c + 2*f + i) - (a + 2*d + g)) / 8.0) + "
+        f"(((a + 2*b + c) - (g + 2*h + i)) / 8.0) * "
+        f"(((a + 2*b + c) - (g + 2*h + i)) / 8.0)))"
+        f") * 1000.0 + 0.5)"
+    )
+    return (
+        g9.filter(F.col("_occ") == 1)
+        .select(
+            F.col("nx").alias("tile_x"), F.col("ny").alias("tile_y"),
+            F.expr(expr).cast("long").alias("shade_mil"),
+        )
+    )
+
+
+def hillshade_sql(
+    tiles_cte: str,
+    zoom: int,
+    value_col: str = "page_count",
+    azimuth_deg: float = 315.0,
+    altitude_deg: float = 45.0,
+    z_factor: float = 1.0,
+) -> str:
+    """DuckDB twin of :func:`hillshade` — identical slot folds and the
+    textually identical shade expression (same driver-side light
+    constants)."""
+    import math
+
+    edge = 2 ** zoom - 1
+    az = math.radians(azimuth_deg)
+    alt = math.radians(altitude_deg)
+    lx = repr(math.cos(alt) * math.sin(az))
+    ly = repr(math.cos(alt) * math.cos(az))
+    sin_alt = repr(math.sin(alt))
+    zf = repr(float(z_factor))
+
+    slots = []
+    for name, rx, ry in (
+        ("a", -1, -1), ("b", 0, -1), ("c", 1, -1),
+        ("d", -1, 0), ("e", 0, 0), ("f", 1, 0),
+        ("g", -1, 1), ("h", 0, 1), ("i", 1, 1),
+    ):
+        slots.append(
+            f"SUM(CASE WHEN rx = {rx} AND ry = {ry} THEN v "
+            f"ELSE CAST(0 AS DOUBLE) END) AS {name}"
+        )
+    shade = (
+        f"floor(greatest(CAST(0 AS DOUBLE), "
+        f"255.0 * (CAST({sin_alt} AS DOUBLE) "
+        f"- CAST({zf} AS DOUBLE) * (((c + 2*f + i) - (a + 2*d + g)) / 8.0)"
+        f" * CAST({lx} AS DOUBLE) "
+        f"- CAST({zf} AS DOUBLE) * (((a + 2*b + c) - (g + 2*h + i)) / 8.0)"
+        f" * CAST({ly} AS DOUBLE)) "
+        f"/ sqrt(1.0 + CAST({zf} AS DOUBLE) * CAST({zf} AS DOUBLE) * "
+        f"((((c + 2*f + i) - (a + 2*d + g)) / 8.0) * "
+        f"(((c + 2*f + i) - (a + 2*d + g)) / 8.0) + "
+        f"(((a + 2*b + c) - (g + 2*h + i)) / 8.0) * "
+        f"(((a + 2*b + c) - (g + 2*h + i)) / 8.0)))"
+        f") * 1000.0 + 0.5)"
+    )
+    return f"""
+WITH hs_t AS ({tiles_cte}),
+hs_v AS (SELECT t.tile_x + o1.dx AS nx, t.tile_y + o2.dy AS ny,
+                -o1.dx AS rx, -o2.dy AS ry,
+                CAST({value_col} AS DOUBLE) AS v
+         FROM hs_t t,
+              (VALUES (-1), (0), (1)) o1(dx),
+              (VALUES (-1), (0), (1)) o2(dy)
+         WHERE t.tile_x + o1.dx BETWEEN 0 AND {edge}
+           AND t.tile_y + o2.dy BETWEEN 0 AND {edge}),
+hs_g AS (SELECT nx, ny, {', '.join(slots)},
+                MAX(CASE WHEN rx = 0 AND ry = 0 THEN 1 ELSE 0 END) AS occ
+         FROM hs_v GROUP BY 1, 2)
+SELECT nx AS tile_x, ny AS tile_y,
+       CAST({shade} AS BIGINT) AS shade_mil
+FROM hs_g WHERE occ = 1"""

@@ -471,3 +471,60 @@ def test_area_weighted_density_is_pure_projection(spark):
         area_weighted_density(tiles, 8).explain("formatted")
     plan = buf.getvalue()
     assert "Exchange" not in plan and "Join" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Hillshade
+# ---------------------------------------------------------------------------
+
+def test_hillshade_flat_surface_is_ambient(spark):
+    import math
+
+    from rio_cogeo_spark.operators.focal import hillshade
+
+    # a flat interior plateau: gradients 0 -> shade = 255*sin(alt)
+    n = 6
+    tiles = spark.createDataFrame(
+        [(x, y, 100) for x in range(n) for y in range(n)],
+        "tile_x long, tile_y long, page_count long",
+    )
+    out = {(r.tile_x, r.tile_y): r.shade_mil
+           for r in hillshade(tiles, 4, altitude_deg=45.0).collect()}
+    want = int(math.floor(255.0 * math.sin(math.radians(45.0)) * 1000 + 0.5))
+    # interior cells (all 8 neighbors at the same height) are exactly flat
+    assert out[(2, 2)] == want and out[(3, 3)] == want
+    # edge cells see the 0-elevation halo -> a slope -> different shade
+    assert out[(0, 0)] != want
+
+
+def test_hillshade_slope_facing_light_brighter(spark):
+    from rio_cogeo_spark.operators.focal import hillshade
+
+    # a west-to-east ramp lit from the WEST (az=270): west-facing slope
+    # (uphill to the east) must be brighter than lit from the EAST
+    tiles = spark.createDataFrame(
+        [(x, y, x * 50) for x in range(8) for y in range(8)],
+        "tile_x long, tile_y long, page_count long",
+    )
+    west = {(r.tile_x, r.tile_y): r.shade_mil
+            for r in hillshade(tiles, 4, azimuth_deg=270.0).collect()}
+    east = {(r.tile_x, r.tile_y): r.shade_mil
+            for r in hillshade(tiles, 4, azimuth_deg=90.0).collect()}
+    assert west[(4, 4)] > east[(4, 4)]
+
+
+def test_hillshade_no_window_no_join(spark):
+    import io
+    from contextlib import redirect_stdout
+
+    from rio_cogeo_spark.operators.focal import hillshade
+
+    tiles = spark.createDataFrame(
+        [(0, 0, 1)], "tile_x long, tile_y long, page_count long"
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        hillshade(tiles, 4).explain("formatted")
+    plan = buf.getvalue()
+    assert "Window" not in plan and "Join" not in plan
+    assert "partial_sum" in plan  # slot folds map-side-combine
