@@ -2833,6 +2833,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # simple-rollup ops whose families stay in-window via
     # repeated_spans, lm_score and rarity_score) — all five displaced
     # queries keep scripts/check_oracle.py coverage at the tail.
+    # Second continuation rotation: hillshade (trig-free Lambertian
+    # shading pinned to exact ints) and tile_density (exp-pinned
+    # true-area correction) displaced zorder (morton machinery stays
+    # in-window via morton_range, which exercises the same key
+    # functions) and rarity_score (the LM quality family stays
+    # in-window via lm_score) — both displaced queries r4-judge- and
+    # check_oracle-certified, still covered at the tail.
     return {
         "pagerank": q_pagerank,
         "keywords": q_keywords,
@@ -2867,11 +2874,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots": q_robots,
         "temperature_mix": q_temperature_mix,
         "triangles": q_triangles,
-        "zorder": q_zorder,
+        "hillshade": q_hillshade,
         "repeated_spans": q_repeated_spans,
         "hard_negatives": q_hard_negatives,
         "search_phrase": q_search_phrase,
-        "rarity_score": q_rarity_score,
+        "tile_density": q_tile_density,
         "redirects": q_redirects,
         "bpe_merges": q_bpe_merges,
         "lexical_pairs": q_lexical_pairs,
@@ -2983,8 +2990,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crosstab": q_crosstab,
         "embed_drift": q_embed_drift,
         "mirror_hosts": q_mirror_hosts,
-        "tile_density": q_tile_density,
-        "hillshade": q_hillshade,
+        "zorder": q_zorder,
+        "rarity_score": q_rarity_score,
     }
 
 
