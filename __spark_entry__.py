@@ -570,6 +570,30 @@ def q_lang_id(spark, sf_dir):
     return docs.select("doc_id", TX.lang_id(F.col("text")).alias("pred_lang"))
 
 
+def q_lang_eval(spark, sf_dir):
+    """Classifier evaluation harness applied to the lang-id heuristic
+    itself: stored lang = truth, lang_id(text) = prediction — per-class
+    confusion counts + precision/recall in exact ppm (0-denominator
+    classes get 0 by stated convention, not NULL)."""
+    from rio_cogeo_spark.operators.report import classifier_eval
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = docs.select(
+        "lang", TX.lang_id(F.col("text")).alias("pred_lang")
+    )
+    return classifier_eval(scored, "lang", "pred_lang")
+
+
+def _lang_eval_oracle() -> str:
+    from rio_cogeo_spark.functions.text import LANG_ID_SQL
+    from rio_cogeo_spark.operators.report import classifier_eval_sql
+
+    return classifier_eval_sql(
+        f"SELECT lang, {LANG_ID_SQL} AS pred_lang FROM documents",
+        "lang", "pred_lang",
+    )
+
+
 def q_fingerprint(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
@@ -2992,6 +3016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mirror_hosts": q_mirror_hosts,
         "zorder": q_zorder,
         "rarity_score": q_rarity_score,
+        "lang_eval": q_lang_eval,
     }
 
 
@@ -3959,6 +3984,7 @@ FROM documents QUALIFY rank <= 3""",
         "mirror_hosts": _mirror_hosts_oracle(),
         "tile_density": _tile_density_oracle(),
         "hillshade": _hillshade_oracle(),
+        "lang_eval": _lang_eval_oracle(),
         "repeated_spans": _repeated_spans_oracle(),
         "passage_cut": _passage_cut_oracle(),
         "pyramid_crs84": _pyramid_crs84_sql(),

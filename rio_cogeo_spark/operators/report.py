@@ -243,3 +243,81 @@ SELECT {group_col},
        CAST(MAX(n) AS BIGINT) AS n,
        {sels}
 FROM cum GROUP BY 1"""
+
+
+def classifier_eval(
+    scored: DataFrame,
+    truth_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Classifier evaluation harness — the per-class confusion report a
+    training pipeline needs for every heuristic classifier it gates on
+    (lang-id vs the stored label, quality gate vs human tags, ...):
+    for every class appearing as truth or prediction::
+
+        (cls, n_truth, n_pred, tp, precision_ppm, recall_ppm)
+
+    in exact integer ppm (``tp*1e6 div n_pred`` / ``div n_truth``; 0
+    when the denominator is 0 — a class never predicted has precision
+    0 by convention, stated rather than NULL so downstream thresholds
+    compare cleanly).
+
+    Scale design (100 TB): three combinable counts over the scored
+    corpus — per-truth, per-pred, per-(truth==pred) — merged on the
+    class-bounded key table; the corpus never shuffles more than once
+    per fold and nothing collects.
+    """
+    t = scored.groupBy(F.col(truth_col).alias("cls")).agg(
+        F.count(F.lit(1)).alias("n_truth")
+    )
+    p = scored.groupBy(F.col(pred_col).alias("cls")).agg(
+        F.count(F.lit(1)).alias("n_pred")
+    )
+    tp = (
+        scored.filter(F.col(truth_col) == F.col(pred_col))
+        .groupBy(F.col(truth_col).alias("cls"))
+        .agg(F.count(F.lit(1)).alias("tp"))
+    )
+    return (
+        t.join(p, "cls", "full_outer")
+        .join(tp, "cls", "left")
+        .select(
+            "cls",
+            F.coalesce("n_truth", F.lit(0)).cast("long").alias("n_truth"),
+            F.coalesce("n_pred", F.lit(0)).cast("long").alias("n_pred"),
+            F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+            F.expr(
+                "CASE WHEN coalesce(n_pred, 0) = 0 THEN CAST(0 AS BIGINT) "
+                "ELSE (coalesce(tp, 0) * 1000000) div n_pred END"
+            ).alias("precision_ppm"),
+            F.expr(
+                "CASE WHEN coalesce(n_truth, 0) = 0 THEN CAST(0 AS BIGINT) "
+                "ELSE (coalesce(tp, 0) * 1000000) div n_truth END"
+            ).alias("recall_ppm"),
+        )
+    )
+
+
+def classifier_eval_sql(
+    scored_cte: str, truth_col: str, pred_col: str
+) -> str:
+    """DuckDB twin of :func:`classifier_eval` (``scored_cte`` exposes
+    the truth and prediction columns)."""
+    return f"""
+WITH ce_s AS ({scored_cte}),
+ce_t AS (SELECT {truth_col} AS cls, COUNT(*) AS n_truth FROM ce_s GROUP BY 1),
+ce_p AS (SELECT {pred_col} AS cls, COUNT(*) AS n_pred FROM ce_s GROUP BY 1),
+ce_tp AS (SELECT {truth_col} AS cls, COUNT(*) AS tp FROM ce_s
+          WHERE {truth_col} = {pred_col} GROUP BY 1)
+SELECT cls,
+       CAST(COALESCE(n_truth, 0) AS BIGINT) AS n_truth,
+       CAST(COALESCE(n_pred, 0) AS BIGINT) AS n_pred,
+       CAST(COALESCE(tp, 0) AS BIGINT) AS tp,
+       CAST(CASE WHEN COALESCE(n_pred, 0) = 0 THEN 0
+                 ELSE (COALESCE(tp, 0) * 1000000) // n_pred END AS BIGINT)
+           AS precision_ppm,
+       CAST(CASE WHEN COALESCE(n_truth, 0) = 0 THEN 0
+                 ELSE (COALESCE(tp, 0) * 1000000) // n_truth END AS BIGINT)
+           AS recall_ppm
+FROM ce_t FULL OUTER JOIN ce_p USING (cls)
+LEFT JOIN ce_tp USING (cls)"""

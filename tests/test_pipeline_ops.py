@@ -529,3 +529,34 @@ def test_host_quality_trend_golden_and_twin(spark):
     )
     got_rows = sorted(tuple(r) for r in host_quality_trend(df).collect())
     assert got_rows == want
+
+
+def test_classifier_eval_golden(spark):
+    from rio_cogeo_spark.operators.report import classifier_eval
+
+    scored = spark.createDataFrame(
+        [
+            ("en", "en"), ("en", "en"), ("en", "de"),
+            ("de", "de"),
+            ("fr", "de"),  # fr never predicted; de over-predicted
+        ],
+        "truth string, pred string",
+    )
+    out = {r.cls: (r.n_truth, r.n_pred, r.tp, r.precision_ppm, r.recall_ppm)
+           for r in classifier_eval(scored, "truth", "pred").collect()}
+    assert out["en"] == (3, 2, 2, 1_000_000, 666_666)
+    assert out["de"] == (1, 3, 1, 333_333, 1_000_000)
+    # truth-only class: precision 0 by stated convention (never NULL)
+    assert out["fr"] == (1, 0, 0, 0, 0)
+
+
+def test_classifier_eval_pred_only_class(spark):
+    from rio_cogeo_spark.operators.report import classifier_eval
+
+    scored = spark.createDataFrame(
+        [("a", "b")], "truth string, pred string"
+    )
+    out = {r.cls: (r.n_truth, r.n_pred, r.recall_ppm)
+           for r in classifier_eval(scored, "truth", "pred").collect()}
+    assert out["b"] == (0, 1, 0)  # recall 0 when the class has no truth
+    assert out["a"] == (1, 0, 0)
