@@ -508,6 +508,18 @@ def _embed_drift_oracle() -> str:
     return centroid_drift_sql(base, f"{base} WHERE vec_id % 7 <> 0")
 
 
+def q_ann_ivfpq(spark, sf_dir):
+    """IVFPQ (faiss IndexIVFPQ analog): IVF coarse routing + PQ ADC
+    scoring over codes alone. Driver-certified EXACTLY the ann_ivf way:
+    probing all 10 lists makes the candidate set the full corpus, so
+    the output must equal ann_pq's oracle whatever the router did."""
+    from rio_cogeo_spark.operators.quantize import ann_ivfpq_topk
+
+    return ann_ivfpq_topk(
+        _embeddings(spark, sf_dir), m=4, k=10, n_queries=5, n_probe=10
+    )
+
+
 def q_hard_negatives(spark, sf_dir):
     """Hard-negative mining for contrastive training: top-10 cosine
     negatives per anchor from a top-15 pool, with the anchor's duplicate
@@ -3017,6 +3029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder": q_zorder,
         "rarity_score": q_rarity_score,
         "lang_eval": q_lang_eval,
+        "ann_ivfpq": q_ann_ivfpq,
     }
 
 
@@ -3985,6 +3998,7 @@ FROM documents QUALIFY rank <= 3""",
         "tile_density": _tile_density_oracle(),
         "hillshade": _hillshade_oracle(),
         "lang_eval": _lang_eval_oracle(),
+        "ann_ivfpq": _ann_pq_oracle(),
         "repeated_spans": _repeated_spans_oracle(),
         "passage_cut": _passage_cut_oracle(),
         "pyramid_crs84": _pyramid_crs84_sql(),

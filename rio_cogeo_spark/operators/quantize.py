@@ -27,6 +27,8 @@ nothing is not meaningful input and is not defended.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -430,6 +432,91 @@ def ann_pq_query_with_index(
     scored = (
         codes.join(F.broadcast(lut), ["subv", "code"])
         .filter(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", id_col)
+        .agg(F.sum("dot").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "rank", "score")
+    )
+
+
+def ann_ivfpq_topk(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 10,
+    n_queries: int = 5,
+    n_probe: int = 3,
+    list_col: str = "label",
+    lloyd_iters: int = 0,
+    n_lists: int = None,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVFPQ — the composition that IS the production 10^12-vector
+    index (faiss IndexIVFPQ): IVF coarse routing shrinks candidates to
+    ~n_probe/n_lists of the corpus, PQ ADC scores them from codes alone
+    (no vector data moves at query time). Routing quantizer options as
+    :func:`similarity.ann_ivf_topk`; PQ contract as
+    :func:`ann_pq_topk`. With ``n_probe >= n_lists`` the candidate set
+    is the full corpus and the output equals :func:`ann_pq_topk`
+    exactly — the certification trick the ``ann_ivf`` contract uses.
+
+    Scale shape: codes store is 8-32x smaller than vectors AND only the
+    probed lists' codes join the broadcast LUT; the per-(query, vec)
+    score sum map-side-combines its m rows.
+    """
+    from rio_cogeo_spark.operators.similarity import (
+        ivf_assign_lists,
+        ivf_build_centroids,
+    )
+
+    dim = _emb_dim(emb, col)
+    sd = dim // m
+    centroids = ivf_build_centroids(
+        emb, col, list_col, lloyd_iters=lloyd_iters, n_lists=n_lists
+    )
+    norm_c = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    indexed = ivf_assign_lists(emb, centroids)
+    np_ = int(min(n_probe, norm_c.shape[0]))
+
+    @F.pandas_udf("array<int>")
+    def _probe_lists(qv: pd.Series) -> pd.Series:
+        mtx = np.stack([np.asarray(v, dtype=np.float64) for v in qv])
+        mtx = mtx / np.linalg.norm(mtx, axis=1, keepdims=True)
+        order = np.argsort(-(mtx @ norm_c.T), axis=1, kind="stable")[:, :np_]
+        return pd.Series([row.astype(np.int32).tolist() for row in order])
+
+    cb = pq_codebooks(emb, m, list_col, col, id_col)
+    codes = pq_encode(emb, cb, m, col, id_col).join(
+        indexed.select(id_col, "ivf_list"), id_col
+    )
+
+    raw_q = emb.filter(F.col(id_col) < n_queries)
+    probes = raw_q.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(_probe_lists(F.col(col))).alias("ivf_list"),
+    )
+    # queries quantize at the CORPUS scale (the codebooks' training
+    # amax) — quantizing the filtered query set alone would rescale
+    # every LUT dot (the pq_save_index manifest rule)
+    q = quantize_embeddings(emb, col, id_col).filter(
+        F.col(id_col) < n_queries
+    )
+    qsubs = _subvectors(q, m, sd, id_col).select(
+        F.col(id_col).alias("query_id"), "subv", "qsub"
+    )
+    lut = qsubs.join(cb, "subv").select(
+        "query_id", "subv", "code",
+        int_dot(F.col("qsub"), F.col("centroid")).alias("dot"),
+    )
+    cands = codes.join(F.broadcast(probes), ["ivf_list"]).filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    scored = (
+        cands.join(F.broadcast(lut), ["query_id", "subv", "code"])
         .groupBy("query_id", id_col)
         .agg(F.sum("dot").alias("score"))
     )

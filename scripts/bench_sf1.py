@@ -172,6 +172,12 @@ def main() -> None:
                 shutil.rmtree(path, ignore_errors=True)
 
         return {
+            "continuation": lambda: DD.continuation_pairs(
+                docs.select("doc_id", "text"), k=8
+            ).count(),
+            "mirror_hosts": lambda: DD.mirror_host_pairs(
+                paged, min_shared=1
+            ).count(),
             "minhash_lsh": lambda: DD.minhash_lsh_pairs(
                 docs, threshold=0.5, num_hashes=128, bands=64
             ).count(),

@@ -240,3 +240,23 @@ def test_pq_index_refuses_missing_manifest_and_dim_mismatch(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="dim"):
         ann_pq_query_with_index(spark, codes, bad_queries, path)
+
+
+def test_ivfpq_partial_probe_recall_and_speedup_structure(spark):
+    from rio_cogeo_spark.operators.quantize import ann_ivfpq_topk, ann_pq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    full = {(r.query_id, r.vec_id)
+            for r in ann_pq_topk(emb, m=4, k=10, n_queries=5).collect()}
+    # all lists probed == exact PQ output
+    allp = {(r.query_id, r.vec_id)
+            for r in ann_ivfpq_topk(
+                emb, m=4, k=10, n_queries=5, n_probe=10).collect()}
+    assert allp == full
+    # partial probe: a SUBSET-quality result — k rows per query still
+    # returned, overlap with the full ranking is substantial
+    part = {(r.query_id, r.vec_id)
+            for r in ann_ivfpq_topk(
+                emb, m=4, k=10, n_queries=5, n_probe=4).collect()}
+    assert len(part) == 50
+    assert len(part & full) / len(full) >= 0.3
