@@ -1194,6 +1194,44 @@ def main() -> None:
         must_not=[r"SortMergeJoin", r"CartesianProduct", r"Window"],
     )
 
+    # 78. hillshade: one vote explode + ONE combinable aggregate (the
+    # 9 Horn slots are conditional partial_sums), then a projection —
+    # no window, no join
+    from rio_cogeo_spark.operators.focal import hillshade
+
+    hs_in = spark.range(200).selectExpr(
+        "id % 16 AS tile_x", "id div 16 AS tile_y", "id AS page_count"
+    )
+    audit(
+        "hillshade (slot folds partial_sum, no window/join)",
+        hillshade(hs_in, 8),
+        must=[r"partial_sum"],
+        must_not=[r"Window", r"Join"],
+    )
+
+    # 79. classifier_eval: three combinable counts merged on the
+    # class-bounded key — no window, no cartesian
+    from rio_cogeo_spark.operators.report import classifier_eval
+
+    ce_in = docs.selectExpr("lang AS truth", "source AS pred")
+    audit(
+        "classifier_eval (combinable counts, class-bounded merge)",
+        classifier_eval(ce_in, "truth", "pred"),
+        must=[r"partial_count"],
+        must_not=[r"Window", r"CartesianProduct"],
+    )
+
+    # 80. ann_ivfpq: probes and the ADC lookup table both BROADCAST
+    # onto the code store; score sums partial-aggregate; no cartesian
+    from rio_cogeo_spark.operators.quantize import ann_ivfpq_topk
+
+    audit(
+        "ann_ivfpq (broadcast probes + LUT onto codes, partial sums)",
+        ann_ivfpq_topk(emb_pq, m=4, k=10, n_queries=5, n_probe=4),
+        must=[r"BroadcastHashJoin", r"partial_sum"],
+        must_not=[r"CartesianProduct"],
+    )
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:
