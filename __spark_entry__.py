@@ -2787,6 +2787,44 @@ def q_media_frames(spark, sf_dir):
     return sample_frames(attach_media(docs), every_ms=1000, max_frames=8)
 
 
+def q_rle(spark, sf_dir):
+    """Per-block run-length encoding of the z6/px8 density raster — the
+    declarative block-compression step (COG deflate analog): run table
+    rows (tile, run_idx, value, run_len), exact ints; per-tile windows
+    bounded by the 64-pixel block, never grid/corpus size."""
+    from rio_cogeo_spark.operators.raster import (
+        rasterize_tiles,
+        rle_encode_tiles,
+    )
+
+    t = rasterize_tiles(_pages(spark, sf_dir), zoom=6, px=8)
+    return rle_encode_tiles(t)
+
+
+def _rle_oracle() -> str:
+    from rio_cogeo_spark.operators.raster import rle_encode_tiles_sql
+
+    inner = rle_encode_tiles_sql(
+        "SELECT tile_x, tile_y, pixels FROM rle_in"
+    ).split("WITH ", 1)[1]
+    return f"""{_P}
+, rq_a AS (SELECT {_TX9} AS tx9, {_TY9} AS ty9 FROM pages),
+rq_px AS (SELECT tx9 // 8 AS tile_x, ty9 // 8 AS tile_y,
+                 (ty9 % 8) * 8 + (tx9 % 8) AS pixel, COUNT(*) AS cnt
+          FROM rq_a GROUP BY 1, 2, 3),
+rq_grid AS (SELECT DISTINCT tile_x, tile_y FROM rq_px),
+rq_dense AS (SELECT g.tile_x, g.tile_y, s.p,
+                    COALESCE(px.cnt, 0) AS v
+             FROM rq_grid g
+             CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS p) s
+             LEFT JOIN rq_px px
+               ON px.tile_x = g.tile_x AND px.tile_y = g.tile_y
+              AND px.pixel = s.p),
+rle_in AS (SELECT tile_x, tile_y, list(v ORDER BY p) AS pixels
+           FROM rq_dense GROUP BY 1, 2),
+{inner}"""
+
+
 def q_raster_tiles(spark, sf_dir):
     # per-tile scalar digests of the pixel histogram (driver-canonicalizable,
     # unlike the raw array<long>): px=8 at zoom 6 makes each pixel exactly a
@@ -3030,6 +3068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rarity_score": q_rarity_score,
         "lang_eval": q_lang_eval,
         "ann_ivfpq": q_ann_ivfpq,
+        "rle": q_rle,
     }
 
 
@@ -3999,6 +4038,7 @@ FROM documents QUALIFY rank <= 3""",
         "hillshade": _hillshade_oracle(),
         "lang_eval": _lang_eval_oracle(),
         "ann_ivfpq": _ann_pq_oracle(),
+        "rle": _rle_oracle(),
         "repeated_spans": _repeated_spans_oracle(),
         "passage_cut": _passage_cut_oracle(),
         "pyramid_crs84": _pyramid_crs84_sql(),

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from rio_cogeo_spark import grid
@@ -301,3 +301,88 @@ def build_pixel_pyramid(
             level = level.persist()
         out = out.unionByName(level)
     return out
+
+
+def rle_encode_tiles(
+    tiles: DataFrame,
+    pixels_col: str = "pixels",
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+) -> DataFrame:
+    """Run-length encoding of per-tile pixel arrays — the declarative
+    form of the reference's block compression step (COG blocks deflate
+    per tile, cogeo.py profile ``compress=``; for the sparse integer
+    density rasters this engine builds, RLE is the textbook codec and
+    the run table IS the compressed store: ``run_len`` sums back to the
+    pixel count, ``value`` repeats reconstruct the block).
+
+    Output ``(tile_x, tile_y, run_idx, value, run_len)`` — ``run_idx``
+    0-based in raster order; exact ints end to end.
+
+    Scale design (100 TB): pixels explode with position, run boundaries
+    come from one LAG and run ids from one running SUM — BOTH windows
+    partition by the tile key and are bounded by the block's pixel
+    count (px², a constant — the same per-block bound the reference's
+    deflate has), never by corpus or grid size; the final fold is a
+    combinable count/min per (tile, run).
+    """
+    w = Window.partitionBy(x_col, y_col).orderBy("pos")
+    ex = tiles.select(
+        F.col(x_col), F.col(y_col),
+        F.posexplode(F.col(pixels_col)).alias("pos", "value"),
+    )
+    runs = (
+        ex.withColumn(
+            "_new_run",
+            F.when(
+                F.lag("value").over(w).isNull()
+                | (F.lag("value").over(w) != F.col("value")),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("_run_id", F.sum("_new_run").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ))
+    )
+    return (
+        runs.groupBy(x_col, y_col, "_run_id")
+        .agg(
+            F.min("pos").alias("_start"),
+            F.first("value").alias("value"),
+            F.count(F.lit(1)).alias("run_len"),
+        )
+        .select(
+            x_col, y_col,
+            (F.col("_run_id") - 1).cast("long").alias("run_idx"),
+            F.col("value").cast("long").alias("value"),
+            F.col("run_len").cast("long").alias("run_len"),
+        )
+    )
+
+
+def rle_encode_tiles_sql(tiles_cte: str, pixels_col: str = "pixels") -> str:
+    """DuckDB twin of :func:`rle_encode_tiles` (``tiles_cte`` exposes
+    ``(tile_x, tile_y, pixels)``)."""
+    return f"""
+WITH rle_t AS ({tiles_cte}),
+rle_e AS (SELECT tile_x, tile_y, u.i - 1 AS pos, u.v AS value
+          FROM rle_t,
+               unnest(list_transform({pixels_col},
+                      (x, i) -> struct_pack(i := i, v := x))) AS t(u)),
+rle_b AS (SELECT tile_x, tile_y, pos, value,
+                 CASE WHEN lag(value) OVER w IS NULL
+                        OR lag(value) OVER w <> value
+                      THEN 1 ELSE 0 END AS new_run
+          FROM rle_e
+          WINDOW w AS (PARTITION BY tile_x, tile_y ORDER BY pos)),
+rle_r AS (SELECT tile_x, tile_y, pos, value,
+                 SUM(new_run) OVER (PARTITION BY tile_x, tile_y
+                                    ORDER BY pos
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS run_id
+          FROM rle_b)
+SELECT tile_x, tile_y,
+       CAST(run_id - 1 AS BIGINT) AS run_idx,
+       CAST(MIN(value) AS BIGINT) AS value,
+       CAST(COUNT(*) AS BIGINT) AS run_len
+FROM rle_r GROUP BY tile_x, tile_y, run_id"""

@@ -185,3 +185,22 @@ def test_validate_striped_layout_flagged(pages):
     )
     ok_s, errs_s, _ = cog_validate(tiles, striped, {"format": "parquet"})
     assert not ok_s and any("not tiled" in e for e in errs_s)
+
+
+def test_rle_encode_roundtrip_and_golden(spark):
+    from rio_cogeo_spark.operators.raster import rle_encode_tiles
+
+    tiles = spark.createDataFrame(
+        [(0, 0, [0, 0, 3, 3, 3, 1, 0, 0]), (1, 0, [5, 5, 5, 5, 5, 5, 5, 5])],
+        "tile_x long, tile_y long, pixels array<long>",
+    )
+    out = rle_encode_tiles(tiles).collect()
+    by_tile = {}
+    for r in sorted(out, key=lambda r: (r.tile_x, r.tile_y, r.run_idx)):
+        by_tile.setdefault((r.tile_x, r.tile_y), []).append(
+            (r.run_idx, r.value, r.run_len)
+        )
+    assert by_tile[(0, 0)] == [(0, 0, 2), (1, 3, 3), (2, 1, 1), (3, 0, 2)]
+    assert by_tile[(1, 0)] == [(0, 5, 8)]  # constant block = one run
+    # lossless: run lengths reconstruct the pixel count per tile
+    assert all(sum(n for _, _, n in runs) == 8 for runs in by_tile.values())
