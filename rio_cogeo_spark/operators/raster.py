@@ -386,3 +386,44 @@ SELECT tile_x, tile_y,
        CAST(MIN(value) AS BIGINT) AS value,
        CAST(COUNT(*) AS BIGINT) AS run_len
 FROM rle_r GROUP BY tile_x, tile_y, run_id"""
+
+
+def rle_decode_tiles(
+    runs: DataFrame,
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+) -> DataFrame:
+    """Inverse of :func:`rle_encode_tiles`: rebuild ``(tile_x, tile_y,
+    pixels)`` from the run table. Each run explodes into its pixels via
+    a ``sequence`` (zero-shuffle projection) and the block reassembles
+    with one per-tile sorted fold (bounded by the block pixel count,
+    as the encoder's windows are)."""
+    w_runs = runs.select(
+        F.col(x_col), F.col(y_col), "run_idx", "value", "run_len"
+    )
+    # absolute start offset of each run = sum of earlier runs' lengths
+    w = Window.partitionBy(x_col, y_col).orderBy("run_idx").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ex = (
+        w_runs.withColumn(
+            "_start", F.coalesce(F.sum("run_len").over(w), F.lit(0))
+        )
+        .select(
+            x_col, y_col, "value",
+            F.explode(
+                F.sequence(
+                    F.col("_start"), F.col("_start") + F.col("run_len") - 1
+                )
+            ).alias("pos"),
+        )
+    )
+    return (
+        ex.groupBy(x_col, y_col)
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "value"))),
+                lambda st: st["value"],
+            ).alias("pixels")
+        )
+    )

@@ -204,3 +204,20 @@ def test_rle_encode_roundtrip_and_golden(spark):
     assert by_tile[(1, 0)] == [(0, 5, 8)]  # constant block = one run
     # lossless: run lengths reconstruct the pixel count per tile
     assert all(sum(n for _, _, n in runs) == 8 for runs in by_tile.values())
+
+
+def test_rle_decode_roundtrip_exact(spark):
+    from rio_cogeo_spark.operators.raster import (
+        rasterize_tiles,
+        rle_decode_tiles,
+        rle_encode_tiles,
+    )
+    from rio_cogeo_spark.synth import synth_pages
+
+    t = rasterize_tiles(
+        synth_pages(spark, "/root/testdata/sf0.001"), zoom=6, px=8
+    )
+    back = rle_decode_tiles(rle_encode_tiles(t))
+    orig = {(r.tile_x, r.tile_y): list(r.pixels) for r in t.collect()}
+    got = {(r.tile_x, r.tile_y): list(r.pixels) for r in back.collect()}
+    assert got == orig  # bit-exact lossless round-trip
