@@ -169,6 +169,38 @@ def q_zonal_stats(spark, sf_dir):
     return J.zonal_stats(_pages(spark, sf_dir), J.build_admin_areas())
 
 
+def q_nearest_zone(spark, sf_dir):
+    """Nearest-facility assignment: every page labeled with its nearest
+    admin center by squared lon/lat euclid (plan-literal struct array +
+    array_min — zero-shuffle, zero-join projection); ties to the
+    smallest admin_id."""
+    from rio_cogeo_spark.operators.zonal import nearest_zone
+
+    return nearest_zone(_pages(spark, sf_dir), J.build_admin_areas())
+
+
+def _nearest_zone_oracle() -> str:
+    # centroid recomputed with the SAME left-fold IEEE sequence the
+    # Spark literal uses: (((lo-h)+(lo+h))+(lo+h))+(lo-h) over the rect
+    # ring corners, h = 0.6 (build_admin_areas default)
+    clat = ("((((c_lat - 0.6) + (c_lat - 0.6)) + (c_lat + 0.6)) "
+            "+ (c_lat + 0.6)) / 4")
+    clon = ("((((c_lon - 0.6) + (c_lon + 0.6)) + (c_lon + 0.6)) "
+            "+ (c_lon - 0.6)) / 4")
+    return f"""{_P}{_ADMIN_CTE}
+, nz_c AS (SELECT admin_id, {clat} AS a_lat, {clon} AS a_lon FROM admin),
+nz_d AS (SELECT p.doc_id, c.admin_id,
+                (p.lat - c.a_lat) * (p.lat - c.a_lat)
+                + (p.lon - c.a_lon) * (p.lon - c.a_lon) AS d2,
+                row_number() OVER (PARTITION BY p.doc_id
+                                   ORDER BY (p.lat - c.a_lat) * (p.lat - c.a_lat)
+                                            + (p.lon - c.a_lon) * (p.lon - c.a_lon),
+                                            c.admin_id) AS rk
+         FROM pages p CROSS JOIN nz_c c)
+SELECT doc_id, admin_id, round(d2, 9) AS dist2
+FROM nz_d WHERE rk = 1"""
+
+
 def q_zonal_mode(spark, sf_dir):
     """Zonal MAJORITY (GDAL zonal-majority / rasterstats 'majority'):
     per admin polygon, the most frequent page language with exact count
@@ -3069,6 +3101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_eval": q_lang_eval,
         "ann_ivfpq": q_ann_ivfpq,
         "rle": q_rle,
+        "nearest_zone": q_nearest_zone,
     }
 
 
@@ -4039,6 +4072,7 @@ FROM documents QUALIFY rank <= 3""",
         "lang_eval": _lang_eval_oracle(),
         "ann_ivfpq": _ann_pq_oracle(),
         "rle": _rle_oracle(),
+        "nearest_zone": _nearest_zone_oracle(),
         "repeated_spans": _repeated_spans_oracle(),
         "passage_cut": _passage_cut_oracle(),
         "pyramid_crs84": _pyramid_crs84_sql(),

@@ -60,3 +60,46 @@ def zonal_mode(
         F.col("zone_count").cast("long").alias("zone_count"),
         F.expr("((-m.neg_n) * 1000000) div zone_count").alias("mode_ppm"),
     )
+
+
+def nearest_zone(
+    pages: DataFrame,
+    areas: List[AdminArea],
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Nearest-facility assignment — every page labeled with its nearest
+    zone CENTER by squared lon/lat euclid (the kNN distance contract,
+    pure arithmetic — oracle-exact), ties to the smallest admin_id: the
+    reverse of the kNN join (there, few queries find near pages; here,
+    every page finds its zone), the classification step behind
+    "attribute each crawl page to its metro".
+
+    Scale design (100 TB): the zone centers ship as a PLAN LITERAL
+    struct array and the argmin is ``array_min`` over a per-row
+    ``transform`` — a zero-shuffle, zero-join projection over the
+    corpus scan (the domain-blocklist literal-path discipline).
+
+    Output ``(id_col, admin_id, dist2)`` with dist2 rounded at 9dp.
+    """
+    if not areas:
+        raise ValueError("areas must be non-empty")
+    cands = F.array(*[
+        F.struct(
+            (
+                (F.col(lat_col) - F.lit(sum(a.ring_lat[:4]) / 4.0))
+                * (F.col(lat_col) - F.lit(sum(a.ring_lat[:4]) / 4.0))
+                + (F.col(lon_col) - F.lit(sum(a.ring_lon[:4]) / 4.0))
+                * (F.col(lon_col) - F.lit(sum(a.ring_lon[:4]) / 4.0))
+            ).alias("d2"),
+            F.lit(a.admin_id).alias("admin_id"),
+        )
+        for a in areas
+    ])
+    best = F.array_min(cands)
+    return pages.select(
+        F.col(id_col),
+        best["admin_id"].alias("admin_id"),
+        F.round(best["d2"], 9).alias("dist2"),
+    )

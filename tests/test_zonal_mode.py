@@ -69,3 +69,42 @@ def test_no_window_in_plan(spark):
     plan = buf.getvalue()
     assert "Window" not in plan
     assert "partial_min" in plan or "partial_count" in plan
+
+
+def test_nearest_zone_assignment_and_ties(spark):
+    import pytest as _pytest
+
+    from rio_cogeo_spark.operators.zonal import nearest_zone
+
+    a = _area("A", 0.0, 2.0, 0.0, 2.0)     # center (1, 1)
+    b = _area("B", 0.0, 2.0, 10.0, 12.0)   # center (1, 11)
+    pages = spark.createDataFrame(
+        [(1, 1.0, 1.5), (2, 1.0, 10.5), (3, 1.0, 6.0)],
+        "doc_id long, lat double, lon double",
+    )
+    out = {r.doc_id: (r.admin_id, r.dist2)
+           for r in nearest_zone(pages, [a, b]).collect()}
+    assert out[1][0] == "A" and out[2][0] == "B"
+    # doc 3 is equidistant (lon 6 between centers 1 and 11): tie breaks
+    # to the smallest admin_id
+    assert out[3][0] == "A"
+    assert out[1][1] == 0.25
+    with _pytest.raises(ValueError):
+        nearest_zone(pages, [])
+
+
+def test_nearest_zone_zero_shuffle(spark):
+    import io
+    from contextlib import redirect_stdout
+
+    from rio_cogeo_spark.operators.zonal import nearest_zone
+
+    a = _area("A", 0.0, 2.0, 0.0, 2.0)
+    pages = spark.createDataFrame(
+        [(1, 1.0, 1.0)], "doc_id long, lat double, lon double"
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        nearest_zone(pages, [a]).explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan and "Join" not in plan
