@@ -614,6 +614,23 @@ def q_lang_id(spark, sf_dir):
     return docs.select("doc_id", TX.lang_id(F.col("text")).alias("pred_lang"))
 
 
+def q_profile(spark, sf_dir):
+    """Per-column corpus datasheet (Deequ-style profiler): one row per
+    column with exact counts/nulls/distincts, min/max and the most
+    frequent value (combinable MIN(struct(-cnt, v)) pick, smallest-value
+    ties), strings carrying heterogeneous types."""
+    from rio_cogeo_spark.operators.report import column_profile
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return column_profile(docs, ["lang", "source", "n_chars"])
+
+
+def _profile_oracle() -> str:
+    from rio_cogeo_spark.operators.report import column_profile_sql
+
+    return column_profile_sql("documents", ["lang", "source", "n_chars"])
+
+
 def q_lang_eval(spark, sf_dir):
     """Classifier evaluation harness applied to the lang-id heuristic
     itself: stored lang = truth, lang_id(text) = prediction — per-class
@@ -3102,6 +3119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq": q_ann_ivfpq,
         "rle": q_rle,
         "nearest_zone": q_nearest_zone,
+        "profile": q_profile,
     }
 
 
@@ -4073,6 +4091,7 @@ FROM documents QUALIFY rank <= 3""",
         "ann_ivfpq": _ann_pq_oracle(),
         "rle": _rle_oracle(),
         "nearest_zone": _nearest_zone_oracle(),
+        "profile": _profile_oracle(),
         "repeated_spans": _repeated_spans_oracle(),
         "passage_cut": _passage_cut_oracle(),
         "pyramid_crs84": _pyramid_crs84_sql(),

@@ -321,3 +321,87 @@ SELECT cls,
            AS recall_ppm
 FROM ce_t FULL OUTER JOIN ce_p USING (cls)
 LEFT JOIN ce_tp USING (cls)"""
+
+
+def column_profile(df: DataFrame, cols: list) -> DataFrame:
+    """Per-column corpus datasheet (the Deequ / datasheets-for-datasets
+    profiling staple): for every requested column, one row::
+
+        (col_name, n, n_null, n_distinct, min_val, max_val,
+         top_value, top_count)
+
+    with min/max/top carried as STRINGS so heterogeneous columns stack
+    in one frame (BIGINT→string casts are engine-identical). The top
+    value is the most frequent non-null, ties to the smallest value —
+    a combinable ``MIN(struct(-count, value))`` over the per-column
+    value-count table (value-bounded), never a global sort.
+
+    Scale design (100 TB): one pass per column (the column list is
+    schema-bounded), each pass two combinable aggregates; nothing
+    collects; ``n_distinct`` is exact (count(DISTINCT) per single
+    column — one expand each, over ONE column's values only).
+    """
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    parts = []
+    for c in cols:
+        sc = F.col(c).cast("string")
+        base = df.select(sc.alias("v")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias("n_null"),
+            F.countDistinct("v").alias("n_distinct"),
+            F.min("v").alias("min_val"),
+            F.max("v").alias("max_val"),
+        )
+        top = (
+            df.select(sc.alias("v"))
+            .filter(F.col("v").isNotNull())
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .agg(
+                F.min(
+                    F.struct((-F.col("cnt")).alias("neg"), F.col("v").alias("tv"))
+                ).alias("m")
+            )
+            .select(
+                F.col("m.tv").alias("top_value"),
+                (-F.col("m.neg")).cast("long").alias("top_count"),
+            )
+        )
+        parts.append(
+            base.crossJoin(top).select(
+                F.lit(c).alias("col_name"),
+                F.col("n").cast("long").alias("n"),
+                F.col("n_null").cast("long").alias("n_null"),
+                F.col("n_distinct").cast("long").alias("n_distinct"),
+                "min_val", "max_val", "top_value", "top_count",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def column_profile_sql(table: str, cols: list) -> str:
+    """DuckDB twin of :func:`column_profile`."""
+    parts = []
+    for c in cols:
+        parts.append(f"""
+SELECT '{c}' AS col_name,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN CAST({c} AS VARCHAR) IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT CAST({c} AS VARCHAR)) AS BIGINT) AS n_distinct,
+       MIN(CAST({c} AS VARCHAR)) AS min_val,
+       MAX(CAST({c} AS VARCHAR)) AS max_val,
+       (SELECT v FROM (
+          SELECT CAST({c} AS VARCHAR) AS v, COUNT(*) AS cnt FROM {table}
+          WHERE CAST({c} AS VARCHAR) IS NOT NULL GROUP BY 1)
+        ORDER BY cnt DESC, v ASC LIMIT 1) AS top_value,
+       (SELECT cnt FROM (
+          SELECT CAST({c} AS VARCHAR) AS v, COUNT(*) AS cnt FROM {table}
+          WHERE CAST({c} AS VARCHAR) IS NOT NULL GROUP BY 1)
+        ORDER BY cnt DESC, v ASC LIMIT 1) AS top_count
+FROM {table}""")
+    return "\nUNION ALL\n".join(parts)

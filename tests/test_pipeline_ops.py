@@ -560,3 +560,23 @@ def test_classifier_eval_pred_only_class(spark):
            for r in classifier_eval(scored, "truth", "pred").collect()}
     assert out["b"] == (0, 1, 0)  # recall 0 when the class has no truth
     assert out["a"] == (1, 0, 0)
+
+
+def test_column_profile_golden_with_nulls(spark):
+    from rio_cogeo_spark.operators.report import column_profile
+
+    df = spark.createDataFrame(
+        [("en", 5), ("en", 3), ("de", None), (None, 7)],
+        "lang string, score int",
+    )
+    out = {r.col_name: r for r in column_profile(df, ["lang", "score"]).collect()}
+    l = out["lang"]
+    assert (l.n, l.n_null, l.n_distinct) == (4, 1, 2)
+    assert (l.min_val, l.max_val) == ("de", "en")
+    assert (l.top_value, l.top_count) == ("en", 2)
+    s = out["score"]
+    assert (s.n, s.n_null, s.n_distinct) == (4, 1, 3)
+    # top of all-distinct values ties to the SMALLEST string value
+    assert s.top_count == 1 and s.top_value == "3"
+    with __import__("pytest").raises(ValueError):
+        column_profile(df, [])
