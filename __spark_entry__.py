@@ -631,6 +631,35 @@ def _profile_oracle() -> str:
     return column_profile_sql("documents", ["lang", "source", "n_chars"])
 
 
+_DQ_RULES = [
+    {"rule": "lang_present", "col": "lang",
+     "check": "not_null_ppm_ge", "threshold": 1_000_000},
+    {"rule": "lang_cardinality", "col": "lang",
+     "check": "distinct_le", "threshold": 10},
+    {"rule": "chars_positive", "col": "n_chars",
+     "check": "min_ge", "threshold": 1},
+    {"rule": "chars_bounded", "col": "n_chars",
+     "check": "max_le", "threshold": 100_000},
+]
+
+
+def q_data_checks(spark, sf_dir):
+    """Declarative data-quality gate (Deequ VerificationSuite analog):
+    four rules over the documents table evaluated in ONE combinable
+    aggregation pass — per-rule measure (exact ints / ppm), threshold
+    and pass flag."""
+    from rio_cogeo_spark.operators.report import data_checks
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return data_checks(docs, _DQ_RULES)
+
+
+def _data_checks_oracle() -> str:
+    from rio_cogeo_spark.operators.report import data_checks_sql
+
+    return data_checks_sql("documents", _DQ_RULES)
+
+
 def q_lang_eval(spark, sf_dir):
     """Classifier evaluation harness applied to the lang-id heuristic
     itself: stored lang = truth, lang_id(text) = prediction — per-class
@@ -3120,6 +3149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rle": q_rle,
         "nearest_zone": q_nearest_zone,
         "profile": q_profile,
+        "data_checks": q_data_checks,
     }
 
 
@@ -4092,6 +4122,7 @@ FROM documents QUALIFY rank <= 3""",
         "rle": _rle_oracle(),
         "nearest_zone": _nearest_zone_oracle(),
         "profile": _profile_oracle(),
+        "data_checks": _data_checks_oracle(),
         "repeated_spans": _repeated_spans_oracle(),
         "passage_cut": _passage_cut_oracle(),
         "pyramid_crs84": _pyramid_crs84_sql(),

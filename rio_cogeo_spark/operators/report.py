@@ -405,3 +405,89 @@ SELECT '{c}' AS col_name,
         ORDER BY cnt DESC, v ASC LIMIT 1) AS top_count
 FROM {table}""")
     return "\nUNION ALL\n".join(parts)
+
+
+def data_checks(df: DataFrame, rules: list) -> DataFrame:
+    """Declarative data-quality gate (the Deequ VerificationSuite
+    analog): evaluate a list of rules in ONE pass and emit one row per
+    rule — ``(rule, col, measure, threshold, pass)`` with the measure
+    in exact integers (ppm for rates), so a pipeline can both FILTER
+    (all pass) and REPORT (which rule failed by how much).
+
+    Rules (dicts): ``{"check": "not_null_ppm_ge", "col": c,
+    "threshold": t}`` (non-null rate >= t ppm), ``{"check":
+    "distinct_le", ...}`` (exact distinct count <= t), ``{"check":
+    "min_ge"}`` / ``{"check": "max_le"}`` (numeric bound, measure cast
+    to BIGINT). Unknown checks raise.
+
+    Scale design (100 TB): every measure is a combinable aggregate and
+    ALL rules fold in one aggregation pass over one scan (Catalyst
+    collapses the agg list); the output is rule-bounded.
+    """
+    if not rules:
+        raise ValueError("rules must be non-empty")
+    aggs, metas = [], []
+    for i, r in enumerate(rules):
+        c, chk, thr = r["col"], r["check"], int(r["threshold"])
+        if chk == "not_null_ppm_ge":
+            # integer div on BOTH engines (double-cast casts differ:
+            # Spark truncates, DuckDB rounds)
+            aggs.append(
+                F.expr(
+                    f"(sum(CASE WHEN {c} IS NOT NULL THEN 1 ELSE 0 END)"
+                    f" * 1000000) div count(1)"
+                ).alias(f"m{i}")
+            )
+        elif chk == "distinct_le":
+            aggs.append(F.countDistinct(F.col(c)).alias(f"m{i}"))
+        elif chk == "min_ge":
+            aggs.append(F.min(F.col(c)).cast("long").alias(f"m{i}"))
+        elif chk == "max_le":
+            aggs.append(F.max(F.col(c)).cast("long").alias(f"m{i}"))
+        else:
+            raise ValueError(f"unknown check {chk!r}")
+        metas.append((r.get("rule", f"{chk}({c})"), c, chk, thr))
+    one = df.agg(*aggs)
+    rows = []
+    for i, (name, c, chk, thr) in enumerate(metas):
+        ge = chk in ("not_null_ppm_ge", "min_ge")
+        rows.append(
+            one.select(
+                F.lit(name).alias("rule"),
+                F.lit(c).alias("col"),
+                F.col(f"m{i}").cast("long").alias("measure"),
+                F.lit(thr).cast("long").alias("threshold"),
+                (F.col(f"m{i}") >= thr if ge else F.col(f"m{i}") <= thr)
+                .alias("pass"),
+            )
+        )
+    out = rows[0]
+    for p in rows[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def data_checks_sql(table: str, rules: list) -> str:
+    """DuckDB twin of :func:`data_checks`."""
+    parts = []
+    for r in rules:
+        c, chk, thr = r["col"], r["check"], int(r["threshold"])
+        name = r.get("rule", f"{chk}({c})")
+        if chk == "not_null_ppm_ge":
+            m = (f"CAST((SUM(CASE WHEN {c} IS NOT NULL THEN 1 ELSE 0 END)"
+                 f" * 1000000) // COUNT(*) AS BIGINT)")
+            op = ">="
+        elif chk == "distinct_le":
+            m, op = f"CAST(COUNT(DISTINCT {c}) AS BIGINT)", "<="
+        elif chk == "min_ge":
+            m, op = f"CAST(MIN({c}) AS BIGINT)", ">="
+        elif chk == "max_le":
+            m, op = f"CAST(MAX({c}) AS BIGINT)", "<="
+        else:
+            raise ValueError(f"unknown check {chk!r}")
+        parts.append(
+            f"SELECT '{name}' AS rule, '{c}' AS col, {m} AS measure, "
+            f"CAST({thr} AS BIGINT) AS threshold, "
+            f"{m} {op} {thr} AS pass FROM {table}"
+        )
+    return "\nUNION ALL\n".join(parts)

