@@ -643,6 +643,40 @@ _DQ_RULES = [
 ]
 
 
+def q_volume_anomaly(spark, sf_dir):
+    """Crawl-volume anomaly monitor: per day, page count + z-score vs
+    the trailing 7 observed days (current day excluded), every float
+    derived from exact integer day sums through one fixed expression
+    tree and pinned to mil ints; a dup-injected surge day must flag."""
+    from rio_cogeo_spark.operators.report import volume_anomaly
+
+    pages = _pages(spark, sf_dir).select("doc_id", "ts_sec")
+    # inject a surge: every doc_id < 300 re-crawled on one later day
+    surge = pages.filter(F.col("doc_id") < 300).select(
+        (F.col("doc_id") + 800000).alias("doc_id"),
+        (F.lit(1735689600) + F.lit(40) * 86400
+         + F.col("doc_id") % 3600).alias("ts_sec"),
+    )
+    return volume_anomaly(pages.unionByName(surge), window_days=7)
+
+
+def _volume_anomaly_oracle() -> str:
+    from rio_cogeo_spark.operators.report import volume_anomaly_sql
+
+    base = f"""SELECT doc_id, ts_sec FROM (
+  SELECT doc_id, ts_sec FROM pages
+  UNION ALL
+  SELECT doc_id + 800000,
+         1735689600 + 40 * 86400 + doc_id % 3600
+  FROM pages WHERE doc_id < 300) va_in"""
+    inner = volume_anomaly_sql(
+        "SELECT doc_id, ts_sec FROM va_all", window_days=7
+    ).split("WITH ", 1)[1]
+    return f"""{_P}
+, va_all AS ({base}),
+{inner}"""
+
+
 def q_data_checks(spark, sf_dir):
     """Declarative data-quality gate (Deequ VerificationSuite analog):
     four rules over the documents table evaluated in ONE combinable
@@ -3150,6 +3184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest_zone": q_nearest_zone,
         "profile": q_profile,
         "data_checks": q_data_checks,
+        "volume_anomaly": q_volume_anomaly,
     }
 
 
@@ -4123,6 +4158,7 @@ FROM documents QUALIFY rank <= 3""",
         "nearest_zone": _nearest_zone_oracle(),
         "profile": _profile_oracle(),
         "data_checks": _data_checks_oracle(),
+        "volume_anomaly": _volume_anomaly_oracle(),
         "repeated_spans": _repeated_spans_oracle(),
         "passage_cut": _passage_cut_oracle(),
         "pyramid_crs84": _pyramid_crs84_sql(),

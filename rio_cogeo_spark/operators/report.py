@@ -491,3 +491,86 @@ def data_checks_sql(table: str, rules: list) -> str:
             f"{m} {op} {thr} AS pass FROM {table}"
         )
     return "\nUNION ALL\n".join(parts)
+
+
+def volume_anomaly(
+    pages: DataFrame,
+    window_days: int = 7,
+    ts_col: str = "ts_sec",
+) -> DataFrame:
+    """Crawl-volume anomaly detection: per UTC day, the page count and
+    its z-score against the TRAILING ``window_days`` fully-observed
+    days (current day excluded — the alarm must not mask itself).
+    Emitted only for days with a full trailing window.
+
+    Output ``(day, n_pages, trail_mean_mil, z_mil)`` — the mean ×1000
+    and z ×1000 pinned to exact ints by floor(x+0.5) (the engine-
+    independent rounding): every float derives from exact integer
+    day-count sums through one fixed expression tree, so the pin is
+    deterministic cross-engine. ``z_mil`` is NULL when the trailing
+    window has zero variance (a constant baseline has no scale — the
+    consumer treats any deviation as alarm).
+
+    Scale design (100 TB): ONE map-side-combinable day-count fold over
+    the corpus; every window after that runs on the DAY table (rows =
+    distinct days — thousands, not pages).
+    """
+    if window_days < 2:
+        raise ValueError(f"window_days must be >= 2, got {window_days}")
+    days = pages.select(
+        F.expr(f"{ts_col} div 86400").alias("day")
+    ).groupBy("day").agg(F.count(F.lit(1)).alias("n_pages"))
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(-window_days, -1)
+    )
+    stats = days.select(
+        "day", "n_pages",
+        F.count(F.lit(1)).over(w).alias("_k"),
+        F.sum("n_pages").over(w).alias("_s"),
+        F.sum(F.col("n_pages") * F.col("n_pages")).over(w).alias("_s2"),
+    ).filter(F.col("_k") == window_days)
+    mean = F.col("_s").cast("double") / F.col("_k")
+    var = (
+        F.col("_s2").cast("double") / F.col("_k") - mean * mean
+    )
+    z = (F.col("n_pages").cast("double") - mean) / F.sqrt(var)
+    return stats.select(
+        "day", "n_pages",
+        F.floor(mean * F.lit(1000.0) + F.lit(0.5)).cast("long")
+        .alias("trail_mean_mil"),
+        F.when(var > 0, F.floor(z * F.lit(1000.0) + F.lit(0.5)).cast("long"))
+        .alias("z_mil"),
+    )
+
+
+def volume_anomaly_sql(
+    pages_cte: str, window_days: int = 7, ts_col: str = "ts_sec"
+) -> str:
+    """DuckDB twin of :func:`volume_anomaly` (``pages_cte`` exposes the
+    timestamp column)."""
+    return f"""
+WITH va_p AS ({pages_cte}),
+va_d AS (SELECT {ts_col} // 86400 AS day, COUNT(*) AS n_pages
+         FROM va_p GROUP BY 1),
+va_w AS (SELECT day, n_pages,
+                COUNT(*) OVER tw AS k,
+                SUM(n_pages) OVER tw AS s,
+                SUM(n_pages * n_pages) OVER tw AS s2
+         FROM va_d
+         WINDOW tw AS (ORDER BY day
+                       ROWS BETWEEN {window_days} PRECEDING
+                       AND 1 PRECEDING))
+SELECT day, CAST(n_pages AS BIGINT) AS n_pages,
+       CAST(floor((CAST(s AS DOUBLE) / k) * 1000.0 + 0.5) AS BIGINT)
+           AS trail_mean_mil,
+       CASE WHEN (CAST(s2 AS DOUBLE) / k
+                  - (CAST(s AS DOUBLE) / k) * (CAST(s AS DOUBLE) / k)) > 0
+            THEN CAST(floor(
+                 ((CAST(n_pages AS DOUBLE) - CAST(s AS DOUBLE) / k)
+                  / sqrt(CAST(s2 AS DOUBLE) / k
+                         - (CAST(s AS DOUBLE) / k)
+                           * (CAST(s AS DOUBLE) / k)))
+                 * 1000.0 + 0.5) AS BIGINT)
+            ELSE NULL END AS z_mil
+FROM va_w WHERE k = {window_days}"""

@@ -616,3 +616,45 @@ def test_data_checks_pass_fail_and_single_pass(spark):
         or plan.count("Union") >= 1
     with __import__("pytest").raises(ValueError):
         data_checks(df, [{"col": "lang", "check": "nope", "threshold": 1}])
+
+
+def test_volume_anomaly_flags_surge_day(spark):
+    import pytest as _pytest
+
+    from rio_cogeo_spark.operators.report import volume_anomaly
+
+    # 10 steady days of 100 pages, then a 500-page surge day
+    rows = []
+    did = 0
+    for d in range(10):
+        for _ in range(100):
+            rows.append((did, d * 86400 + 10)); did += 1
+    for _ in range(500):
+        rows.append((did, 10 * 86400 + 10)); did += 1
+    df = spark.createDataFrame(rows, "doc_id long, ts_sec long")
+    out = {r.day: r for r in volume_anomaly(df, window_days=7).collect()}
+    # warmup days (< 7 prior observed days) are absent
+    assert min(out) == 7
+    # steady days: zero variance in the trailing window -> z NULL,
+    # mean pinned exactly at 100.000
+    assert out[7].z_mil is None and out[7].trail_mean_mil == 100_000
+    # the surge day sits over the steady baseline: still zero variance
+    assert out[10].n_pages == 500 and out[10].z_mil is None
+    with _pytest.raises(ValueError):
+        volume_anomaly(df, window_days=1)
+
+
+def test_volume_anomaly_z_sign_and_magnitude(spark):
+    from rio_cogeo_spark.operators.report import volume_anomaly
+
+    # alternating 90/110 baseline (variance > 0), then a 200 surge
+    rows, did = [], 0
+    for d in range(8):
+        for _ in range(90 if d % 2 == 0 else 110):
+            rows.append((did, d * 86400 + 5)); did += 1
+    for _ in range(200):
+        rows.append((did, 8 * 86400 + 5)); did += 1
+    df = spark.createDataFrame(rows, "doc_id long, ts_sec long")
+    out = {r.day: r.z_mil for r in volume_anomaly(df, window_days=7).collect()}
+    assert out[8] is not None and out[8] > 3_000  # > 3 sigma
+    assert out[7] is not None and abs(out[7]) < 2_000
