@@ -1232,6 +1232,83 @@ def main() -> None:
         must_not=[r"CartesianProduct"],
     )
 
+    # 81. rle_encode_tiles: per-tile windows + a combinable run fold —
+    # no joins anywhere (the block bound is the scale story)
+    from rio_cogeo_spark.operators.raster import rle_encode_tiles
+
+    rle_in = spark.range(32).selectExpr(
+        "id % 8 AS tile_x", "id div 8 AS tile_y",
+        "array(id, id, 0, 0, 1) AS pixels",
+    )
+    audit(
+        "rle_encode_tiles (tile-bounded windows, no joins)",
+        rle_encode_tiles(rle_in),
+        must=[r"Window", r"partial_count"],
+        must_not=[r"Join", r"CartesianProduct"],
+    )
+
+    # 82. nearest_zone: plan-literal struct-array argmin — a pure
+    # projection, zero Exchange, zero joins
+    from rio_cogeo_spark.operators.zonal import nearest_zone
+
+    # synthetic pages so the audited plan is the OPERATOR's (synth's
+    # own city join would false-flag the zero-join rule)
+    nz_in = spark.range(500).selectExpr(
+        "id AS doc_id",
+        "CAST(id % 80 AS DOUBLE) - 40.0 AS lat",
+        "CAST(id % 300 AS DOUBLE) - 150.0 AS lon",
+    )
+    audit(
+        "nearest_zone (plan-literal argmin, zero exchange)",
+        nearest_zone(nz_in, build_admin_areas()),
+        must=[r"Project"],
+        must_not=[r"Exchange", r"Join", r"Window"],
+    )
+
+    # 83. data_checks: every rule folds in ONE aggregation pass —
+    # partial aggregates present, no window, no shuffled join
+    from rio_cogeo_spark.operators.report import data_checks, volume_anomaly
+
+    audit(
+        "data_checks (single combinable aggregation pass)",
+        data_checks(docs, [
+            {"col": "lang", "check": "not_null_ppm_ge", "threshold": 1},
+            {"col": "n_chars", "check": "max_le", "threshold": 10**9},
+        ]),
+        must=[r"partial_"],
+        must_not=[r"Window", r"SortMergeJoin", r"CartesianProduct"],
+    )
+
+    # 84. volume_anomaly: ONE map-side-combinable corpus fold
+    # (partial_count before the exchange), windows strictly on the
+    # post-aggregation day table
+    va_in = spark.range(5000).selectExpr(
+        "id AS doc_id", "id * 977 AS ts_sec"
+    )
+    va_plan = plan_of(volume_anomaly(va_in, window_days=7))
+    # node ids in formatted explain grow bottom-up: the partial day
+    # fold's node number must be LOWER (deeper) than the Window's
+    va_blocks = re.findall(r"\((\d+)\) (\w+)[\s\S]*?(?=\n\(\d+\) |$)",
+                           va_plan)
+    va_pnum = next((int(n) for n, _ in re.findall(
+        r"\((\d+)\) (HashAggregate)", va_plan)
+        if f"({n}) HashAggregate" in va_plan
+        and "partial_count" in va_plan.split(f"({n}) HashAggregate", 1)[1]
+            .split("\n\n", 1)[0]), None)
+    va_wnum = next((int(n) for n in re.findall(r"\((\d+)\) Window",
+                                               va_plan)), None)
+    va_ok = (
+        va_pnum is not None and va_wnum is not None
+        and va_pnum < va_wnum
+        and "Join" not in va_plan
+    )
+    checks.append(("volume_anomaly day-fold before windows, no joins", va_ok))
+    sections.append(
+        ("volume_anomaly", f"  {'PASS' if va_ok else 'FAIL'} "
+         "partial day fold precedes the day-table windows", va_plan)
+    )
+    print(f"[{'OK' if va_ok else 'BAD'}] volume_anomaly plan")
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:
