@@ -677,6 +677,27 @@ def _volume_anomaly_oracle() -> str:
 {inner}"""
 
 
+def q_kappa(spark, sf_dir):
+    """Cohen's kappa between the stored language label and the lang-id
+    heuristic — chance-corrected agreement in exact staged integer
+    arithmetic (negative-capable via an explicit double-floor identical
+    on both engines)."""
+    from rio_cogeo_spark.operators.report import cohen_kappa
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = docs.select("lang", TX.lang_id(F.col("text")).alias("pred"))
+    return cohen_kappa(scored, "lang", "pred")
+
+
+def _kappa_oracle() -> str:
+    from rio_cogeo_spark.functions.text import LANG_ID_SQL
+    from rio_cogeo_spark.operators.report import cohen_kappa_sql
+
+    return cohen_kappa_sql(
+        f"SELECT lang, {LANG_ID_SQL} AS pred FROM documents", "lang", "pred"
+    )
+
+
 def q_data_checks(spark, sf_dir):
     """Declarative data-quality gate (Deequ VerificationSuite analog):
     four rules over the documents table evaluated in ONE combinable
@@ -3185,6 +3206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile": q_profile,
         "data_checks": q_data_checks,
         "volume_anomaly": q_volume_anomaly,
+        "kappa": q_kappa,
     }
 
 
@@ -4159,6 +4181,7 @@ FROM documents QUALIFY rank <= 3""",
         "profile": _profile_oracle(),
         "data_checks": _data_checks_oracle(),
         "volume_anomaly": _volume_anomaly_oracle(),
+        "kappa": _kappa_oracle(),
         "repeated_spans": _repeated_spans_oracle(),
         "passage_cut": _passage_cut_oracle(),
         "pyramid_crs84": _pyramid_crs84_sql(),

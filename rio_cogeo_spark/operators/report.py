@@ -574,3 +574,92 @@ SELECT day, CAST(n_pages AS BIGINT) AS n_pages,
                  * 1000.0 + 0.5) AS BIGINT)
             ELSE NULL END AS z_mil
 FROM va_w WHERE k = {window_days}"""
+
+
+def cohen_kappa(
+    scored: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Cohen's kappa between two labelings — chance-corrected agreement
+    (the standard inter-annotator / classifier-vs-classifier metric;
+    raw accuracy rewards majority-class collusion, kappa does not).
+
+    One row: ``(n, agree, po_ppm, pe_ppm, kappa_ppm)`` in exact staged
+    integer arithmetic::
+
+        po_ppm   = agree * 1e6 div n
+        pe_ppm   = Σ_c (n_a(c) * n_b(c)) * 1e6 div (n * n)
+        kappa_pm = (po_ppm - pe_ppm) * 1e6 div (1e6 - pe_ppm)
+
+    (kappa_ppm is scaled by 1e6; pe < 1 whenever the labelings are not
+    single-class constants — the degenerate pe = 1e6 case yields NULL
+    by stated convention). Int64 envelope: ``Σ n_a*n_b <= n²``, so
+    ``n² * 1e6`` must fit int64 → n <= ~3e6 rows per scored shard at
+    ppm scale; beyond that, shard the evaluation or stage through
+    DECIMAL (documented, as for bm25's envelope).
+
+    Scale design: two class-bounded marginal folds + one agree count,
+    all combinable; the cross term joins the two marginal tables on
+    the class key (class-bounded).
+    """
+    n_df = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col(a_col) == F.col(b_col), 1).otherwise(0)
+        ).alias("agree"),
+    )
+    ma = scored.groupBy(F.col(a_col).alias("cls")).agg(
+        F.count(F.lit(1)).alias("n_a")
+    )
+    mb = scored.groupBy(F.col(b_col).alias("cls")).agg(
+        F.count(F.lit(1)).alias("n_b")
+    )
+    cross = (
+        ma.join(mb, "cls")
+        .agg(F.sum(F.col("n_a") * F.col("n_b")).alias("cross"))
+    )
+    return (
+        n_df.crossJoin(F.broadcast(cross))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.col("agree").cast("long").alias("agree"),
+            F.expr("(agree * 1000000) div n").alias("po_ppm"),
+            F.expr("(coalesce(cross, 0) * 1000000) div (n * n)").alias("pe_ppm"),
+        )
+        .select(
+            "n", "agree", "po_ppm", "pe_ppm",
+            # explicit double-floor: Spark's div truncates negatives
+            # toward zero while DuckDB's // floors — floor over the
+            # exact-double quotient (operands < 2^53) is identical on
+            # both engines for EITHER sign
+            F.expr(
+                "CASE WHEN pe_ppm >= 1000000 THEN CAST(NULL AS BIGINT) "
+                "ELSE CAST(floor(CAST((po_ppm - pe_ppm) * 1000000 AS DOUBLE)"
+                " / CAST(1000000 - pe_ppm AS DOUBLE)) AS BIGINT) END"
+            ).alias("kappa_ppm"),
+        )
+    )
+
+
+def cohen_kappa_sql(scored_cte: str, a_col: str, b_col: str) -> str:
+    """DuckDB twin of :func:`cohen_kappa`."""
+    return f"""
+WITH ck_s AS ({scored_cte}),
+ck_n AS (SELECT COUNT(*) AS n,
+                SUM(CASE WHEN {a_col} = {b_col} THEN 1 ELSE 0 END) AS agree
+         FROM ck_s),
+ck_a AS (SELECT {a_col} AS cls, COUNT(*) AS n_a FROM ck_s GROUP BY 1),
+ck_b AS (SELECT {b_col} AS cls, COUNT(*) AS n_b FROM ck_s GROUP BY 1),
+ck_x AS (SELECT SUM(n_a * n_b) AS crs FROM ck_a JOIN ck_b USING (cls)),
+ck_p AS (SELECT n, agree,
+                (agree * 1000000) // n AS po_ppm,
+                (COALESCE(crs, 0) * 1000000) // (n * n) AS pe_ppm
+         FROM ck_n, ck_x)
+SELECT CAST(n AS BIGINT) AS n, CAST(agree AS BIGINT) AS agree,
+       CAST(po_ppm AS BIGINT) AS po_ppm, CAST(pe_ppm AS BIGINT) AS pe_ppm,
+       CASE WHEN pe_ppm >= 1000000 THEN NULL
+            ELSE CAST(floor(CAST((po_ppm - pe_ppm) * 1000000 AS DOUBLE)
+                 / CAST(1000000 - pe_ppm AS DOUBLE)) AS BIGINT) END
+           AS kappa_ppm
+FROM ck_p"""

@@ -658,3 +658,37 @@ def test_volume_anomaly_z_sign_and_magnitude(spark):
     out = {r.day: r.z_mil for r in volume_anomaly(df, window_days=7).collect()}
     assert out[8] is not None and out[8] > 3_000  # > 3 sigma
     assert out[7] is not None and abs(out[7]) < 2_000
+
+
+def test_cohen_kappa_goldens(spark):
+    import duckdb
+
+    from rio_cogeo_spark.operators.report import cohen_kappa, cohen_kappa_sql
+
+    # perfect agreement -> kappa 1.0
+    perfect = spark.createDataFrame(
+        [("a", "a"), ("b", "b"), ("a", "a"), ("b", "b")],
+        "x string, y string",
+    )
+    r = cohen_kappa(perfect, "x", "y").collect()[0]
+    assert (r.po_ppm, r.kappa_ppm) == (1_000_000, 1_000_000)
+
+    # systematic DISagreement (labels swapped): kappa -1.0 exactly —
+    # the negative branch must match DuckDB's floor (the div/floor trap)
+    swapped = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "b"), ("b", "a")],
+        "x string, y string",
+    )
+    r2 = cohen_kappa(swapped, "x", "y").collect()[0]
+    assert r2.kappa_ppm == -1_000_000
+    rows = [("a", "b"), ("b", "a"), ("a", "b"), ("b", "a")]
+    vals = ", ".join(f"('{a}', '{b}')" for a, b in rows)
+    sql = cohen_kappa_sql(
+        f"SELECT x, y FROM (VALUES {vals}) AS v(x, y)", "x", "y"
+    )
+    want = duckdb.sql(sql).fetchone()
+    assert int(want[4]) == r2.kappa_ppm
+
+    # single-class constants: pe = 1e6 -> NULL by stated convention
+    const = spark.createDataFrame([("a", "a")], "x string, y string")
+    assert cohen_kappa(const, "x", "y").collect()[0].kappa_ppm is None
