@@ -517,6 +517,22 @@ def q_ann_pq(spark, sf_dir):
     return ann_pq_topk(_embeddings(spark, sf_dir), m=4, k=10, n_queries=5)
 
 
+def q_jl_project(spark, sf_dir):
+    """Johnson-Lindenstrauss 64->16 random projection: deterministic
+    plan-literal Gaussian matrix (seeded stdlib RNG, no engine RNG),
+    each component one fixed left-to-right multiply-add chain —
+    bit-identical doubles cross-engine, emitted long-form."""
+    from rio_cogeo_spark.operators.similarity import random_projection
+
+    return random_projection(_embeddings(spark, sf_dir), out_dim=16)
+
+
+def _jl_project_oracle() -> str:
+    from rio_cogeo_spark.operators.similarity import random_projection_sql
+
+    return random_projection_sql("embeddings", in_dim=64, out_dim=16)
+
+
 def q_embed_drift(spark, sf_dir):
     """Embedding-space drift dashboard: per label, the 6dp cosine
     between the full-corpus centroid and the centroid after dropping
@@ -3207,6 +3223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_checks": q_data_checks,
         "volume_anomaly": q_volume_anomaly,
         "kappa": q_kappa,
+        "jl_project": q_jl_project,
     }
 
 
@@ -4182,6 +4199,7 @@ FROM documents QUALIFY rank <= 3""",
         "data_checks": _data_checks_oracle(),
         "volume_anomaly": _volume_anomaly_oracle(),
         "kappa": _kappa_oracle(),
+        "jl_project": _jl_project_oracle(),
         "repeated_spans": _repeated_spans_oracle(),
         "passage_cut": _passage_cut_oracle(),
         "pyramid_crs84": _pyramid_crs84_sql(),

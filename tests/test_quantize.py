@@ -260,3 +260,43 @@ def test_ivfpq_partial_probe_recall_and_speedup_structure(spark):
                 emb, m=4, k=10, n_queries=5, n_probe=4).collect()}
     assert len(part) == 50
     assert len(part & full) / len(full) >= 0.3
+
+
+def test_jl_projection_preserves_norms(spark):
+    import numpy as np
+    from pyspark.sql import functions as FF
+
+    from rio_cogeo_spark.operators.similarity import random_projection
+
+    # The JL guarantee on this data (deterministic seed, exact values):
+    # E[||Px||^2] = ||x||^2 with the 1/sqrt(k) Gaussian scaling; the
+    # squared-norm ratio concentrates like chi^2_k / k
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    proj = random_projection(emb, out_dim=16)
+    pn = {r.vec_id: r.n2 for r in proj.groupBy("vec_id").agg(
+        FF.sum(FF.col("val") * FF.col("val")).alias("n2")).collect()}
+    on = {r.vec_id: r.n2 for r in emb.select(
+        "vec_id",
+        FF.aggregate(
+            FF.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            FF.lit(0.0), lambda a, x: a + x,
+        ).alias("n2")).collect()}
+    ratios = np.array([pn[k] / on[k] for k in on if on[k] > 0])
+    assert 0.85 <= float(ratios.mean()) <= 1.15
+    assert float((abs(ratios - 1.0) < 0.8).mean()) >= 0.8
+    # determinism: same seed -> identical values under repartition
+    a = sorted(map(tuple, random_projection(emb, 16).collect()))
+    b = sorted(map(tuple, random_projection(emb.repartition(7), 16).collect()))
+    assert a == b
+
+
+def test_jl_projection_validates(spark):
+    import pytest as _pytest
+
+    from rio_cogeo_spark.operators.similarity import random_projection
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with _pytest.raises(ValueError):
+        random_projection(emb, out_dim=0)
+    with _pytest.raises(ValueError):
+        random_projection(emb, out_dim=65)
