@@ -714,6 +714,45 @@ def _kappa_oracle() -> str:
     )
 
 
+def q_gini(spark, sf_dir):
+    """Crawl-concentration report: Gini coefficient, Herfindahl index
+    and top-host share of the pages-per-host distribution — ONE corpus
+    fold to the host-count table, every measure exact staged
+    DECIMAL(38,0) integers over that key-bounded table."""
+    from rio_cogeo_spark.operators.report import host_concentration
+
+    pages = _pages(spark, sf_dir)
+    hosts = pages.select(TX.host_col(F.col("url")).alias("host"))
+    return host_concentration(hosts, "host")
+
+
+def _gini_oracle() -> str:
+    from rio_cogeo_spark.operators.report import host_concentration_sql
+
+    inner = f"{pages_cte('VARCHAR')} SELECT {TX.HOST_SQL} AS host FROM pages"
+    return host_concentration_sql(inner, "host")
+
+
+def q_chi2(spark, sf_dir):
+    """Pearson chi-square independence test lang × source over the
+    documents table (is the language mix independent of the crawl
+    source?) — exact per-cell floor-then-sum contract in
+    DECIMAL(38,0)/HUGEINT, full marginal cross including zero-observed
+    cells."""
+    from rio_cogeo_spark.operators.report import chi_square
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chi_square(docs.select("lang", "source"), "lang", "source")
+
+
+def _chi2_oracle() -> str:
+    from rio_cogeo_spark.operators.report import chi_square_sql
+
+    return chi_square_sql(
+        "SELECT lang, source FROM documents", "lang", "source"
+    )
+
+
 def q_data_checks(spark, sf_dir):
     """Declarative data-quality gate (Deequ VerificationSuite analog):
     four rules over the documents table evaluated in ONE combinable
@@ -3223,6 +3262,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_checks": q_data_checks,
         "volume_anomaly": q_volume_anomaly,
         "kappa": q_kappa,
+        "gini": q_gini,
+        "chi2": q_chi2,
         "jl_project": q_jl_project,
     }
 
@@ -4199,6 +4240,8 @@ FROM documents QUALIFY rank <= 3""",
         "data_checks": _data_checks_oracle(),
         "volume_anomaly": _volume_anomaly_oracle(),
         "kappa": _kappa_oracle(),
+        "gini": _gini_oracle(),
+        "chi2": _chi2_oracle(),
         "jl_project": _jl_project_oracle(),
         "repeated_spans": _repeated_spans_oracle(),
         "passage_cut": _passage_cut_oracle(),

@@ -663,3 +663,439 @@ SELECT CAST(n AS BIGINT) AS n, CAST(agree AS BIGINT) AS agree,
                  / CAST(1000000 - pe_ppm AS DOUBLE)) AS BIGINT) END
            AS kappa_ppm
 FROM ck_p"""
+
+
+def host_concentration(
+    df: DataFrame,
+    key_col: str = "host",
+) -> DataFrame:
+    """Corpus concentration report over a grouping key (host, source,
+    lang): one row ``(n_keys, n_rows, top_share_ppm, hhi_ppm,
+    gini_ppm)``.
+
+    * ``top_share_ppm`` — the largest key's share (is one CDN/SEO farm
+      dominating the crawl?);
+    * ``hhi_ppm = Σ c_i² * 1e6 div (Σ c_i)²`` — Herfindahl-Hirschman
+      index, the antitrust-style concentration measure;
+    * ``gini_ppm = (2·Σ i·c_i − (k+1)·n) * 1e6 div (k·n)`` over counts
+      sorted ascending with rank ``i`` — the classic inequality
+      coefficient (rank ties between equal counts cannot change
+      ``Σ i·c_i``, so the value is order-deterministic). The numerator
+      is provably ≥ 0 for the ascending sort, so integer ``div``
+      truncation == floor on both engines.
+
+    All arithmetic stages through DECIMAL(38,0) (DuckDB: HUGEINT) —
+    ``c_i²`` and ``i·c_i`` overflow int64 at petabyte row counts.
+
+    Scale design: ONE corpus fold to the per-key count table (map-side
+    combinable); the rank window and all three measures run over that
+    key-bounded table (#hosts, never #rows). Nothing collects.
+    """
+    counts = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.orderBy(F.col("cnt").asc(), F.col("k").asc())
+    ranked = counts.select(
+        F.col("cnt"), F.row_number().over(w).alias("i")
+    )
+    return (
+        ranked.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("cnt").alias("n_rows"),
+            F.max("cnt").alias("max_cnt"),
+            F.sum(
+                F.col("cnt").cast("decimal(38,0)") * F.col("cnt")
+            ).alias("sq"),
+            F.sum(
+                F.col("i").cast("decimal(38,0)") * F.col("cnt")
+            ).alias("ic"),
+        )
+        .select(
+            F.col("n_keys").cast("long").alias("n_keys"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.expr("(max_cnt * 1000000) div n_rows").cast("long")
+            .alias("top_share_ppm"),
+            F.expr(
+                "(sq * 1000000) div (cast(n_rows as decimal(38,0)) * n_rows)"
+            ).cast("long").alias("hhi_ppm"),
+            F.expr(
+                "((2 * ic - cast(n_keys + 1 as decimal(38,0)) * n_rows)"
+                " * 1000000) div (cast(n_keys as decimal(38,0)) * n_rows)"
+            ).cast("long").alias("gini_ppm"),
+        )
+    )
+
+
+def host_concentration_sql(inner_cte: str, key_col: str = "host") -> str:
+    """DuckDB twin of :func:`host_concentration` (HUGEINT staging)."""
+    return f"""
+WITH hc_src AS ({inner_cte}),
+hc_c AS (SELECT {key_col} AS k, COUNT(*) AS cnt FROM hc_src GROUP BY 1),
+hc_r AS (SELECT cnt,
+                ROW_NUMBER() OVER (ORDER BY cnt ASC, k ASC) AS i
+         FROM hc_c),
+hc_a AS (SELECT COUNT(*) AS n_keys, SUM(cnt) AS n_rows,
+                MAX(cnt) AS max_cnt,
+                SUM(CAST(cnt AS HUGEINT) * cnt) AS sq,
+                SUM(CAST(i AS HUGEINT) * cnt) AS ic
+         FROM hc_r)
+SELECT CAST(n_keys AS BIGINT) AS n_keys,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST((max_cnt * 1000000) // n_rows AS BIGINT) AS top_share_ppm,
+       CAST((sq * 1000000) // (CAST(n_rows AS HUGEINT) * n_rows)
+            AS BIGINT) AS hhi_ppm,
+       CAST(((2 * ic - CAST(n_keys + 1 AS HUGEINT) * n_rows) * 1000000)
+            // (CAST(n_keys AS HUGEINT) * n_rows) AS BIGINT) AS gini_ppm
+FROM hc_a"""
+
+
+def chi_square(
+    scored: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns (lang × quality-bucket: is quality independent of
+    language?) — one row ``(n, n_a, n_b, dof, chi2_mil)``.
+
+    Exact staged-integer contract: with observed ``o``, row total
+    ``R``, column total ``C`` and grand total ``N``, the per-cell
+    contribution is::
+
+        term_mil(cell) = (o·N − R·C)² * 1000 div (N·R·C)
+
+    and ``chi2_mil = Σ_cells term_mil`` — the FULL marginal cross
+    (including zero-observed cells, whose term is ``R·C·1000 div N``
+    scaled — omitting them understates chi²), per-cell floored THEN
+    summed (the stated contract; floor-per-cell keeps every stage in
+    integer arithmetic with no double anywhere). ``dof =
+    (n_a−1)(n_b−1)``. DECIMAL(38,0)/HUGEINT staging — ``(o·N)²``
+    overflows int64 long before petabyte scale.
+
+    Scale design: two class-bounded marginal folds + one (a,b) cell
+    fold, all map-side combinable; the marginal cross join and the
+    observed-cell left join are class-bounded (|A|·|B| cells, never
+    corpus rows).
+    """
+    obs = scored.groupBy(
+        F.col(a_col).alias("ca"), F.col(b_col).alias("cb")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    ma = scored.groupBy(F.col(a_col).alias("ca")).agg(
+        F.count(F.lit(1)).alias("r_tot")
+    )
+    mb = scored.groupBy(F.col(b_col).alias("cb")).agg(
+        F.count(F.lit(1)).alias("c_tot")
+    )
+    n_df = scored.agg(F.count(F.lit(1)).alias("n"))
+    cells = (
+        ma.crossJoin(mb)
+        .join(obs, ["ca", "cb"], "left")
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            "n",
+            F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+            "r_tot", "c_tot",
+        )
+        .select(
+            "n",
+            F.expr(
+                "((cast(o as decimal(38,0)) * n"
+                " - cast(r_tot as decimal(38,0)) * c_tot)"
+                " * (cast(o as decimal(38,0)) * n"
+                " - cast(r_tot as decimal(38,0)) * c_tot) * 1000)"
+                " div (cast(n as decimal(38,0)) * r_tot * c_tot)"
+            ).alias("term_mil"),
+        )
+    )
+    dims = (
+        scored.agg(
+            F.countDistinct(a_col).alias("n_a"),
+            F.countDistinct(b_col).alias("n_b"),
+        )
+    )
+    return (
+        cells.agg(
+            F.max("n").alias("n"),
+            F.sum("term_mil").alias("chi2_mil"),
+        )
+        .crossJoin(F.broadcast(dims))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            ((F.col("n_a") - 1) * (F.col("n_b") - 1)).cast("long")
+            .alias("dof"),
+            F.col("chi2_mil").cast("long").alias("chi2_mil"),
+        )
+    )
+
+
+def chi_square_sql(scored_cte: str, a_col: str, b_col: str) -> str:
+    """DuckDB twin of :func:`chi_square` (HUGEINT staging, per-cell
+    floor-then-sum contract)."""
+    return f"""
+WITH x2_s AS ({scored_cte}),
+x2_o AS (SELECT {a_col} AS ca, {b_col} AS cb, COUNT(*) AS o
+         FROM x2_s GROUP BY 1, 2),
+x2_a AS (SELECT {a_col} AS ca, COUNT(*) AS r_tot FROM x2_s GROUP BY 1),
+x2_b AS (SELECT {b_col} AS cb, COUNT(*) AS c_tot FROM x2_s GROUP BY 1),
+x2_n AS (SELECT COUNT(*) AS n FROM x2_s),
+x2_c AS (SELECT n, COALESCE(o, 0) AS o, r_tot, c_tot
+         FROM x2_a CROSS JOIN x2_b
+         LEFT JOIN x2_o USING (ca, cb)
+         CROSS JOIN x2_n),
+x2_t AS (SELECT n,
+                ((CAST(o AS HUGEINT) * n - CAST(r_tot AS HUGEINT) * c_tot)
+                 * (CAST(o AS HUGEINT) * n - CAST(r_tot AS HUGEINT) * c_tot)
+                 * 1000)
+                // (CAST(n AS HUGEINT) * r_tot * c_tot) AS term_mil
+         FROM x2_c),
+x2_d AS (SELECT COUNT(DISTINCT {a_col}) AS n_a,
+                COUNT(DISTINCT {b_col}) AS n_b
+         FROM x2_s)
+SELECT CAST(MAX(n) AS BIGINT) AS n,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST((n_a - 1) * (n_b - 1) AS BIGINT) AS dof,
+       CAST(SUM(term_mil) AS BIGINT) AS chi2_mil
+FROM x2_t CROSS JOIN x2_d
+GROUP BY n_a, n_b"""
+
+
+def zipf_slope(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_k: int = 500,
+) -> DataFrame:
+    """Zipf's-law fit over the term-frequency distribution: OLS slope of
+    ``ln(freq)`` on ``ln(rank)`` for the top-``top_k`` terms — one row
+    ``(k, n_tokens, slope_mil, r2_mil)``. A healthy natural-language
+    corpus sits near slope −1; boilerplate/SEO-spam floods flatten it,
+    template dedup failures steepen it (the standard corpus-health
+    diagnostic, e.g. RefinedWeb app. C-style token-distribution audits).
+
+    Exactness contract: ``x = floor(ln(rank)·1e6)``, ``y =
+    floor(ln(cnt)·1e6)`` pinned to BIGINT (ln of a positive integer is
+    the same IEEE double on both engines' libm for 1-ulp-safe inputs;
+    the e6 floor makes the 1-ulp tail irrelevant except within 1e-10 of
+    a boundary — top_k·2 values of bounded exposure). Then::
+
+        num = k·Σxy − Σx·Σy        den = k·Σxx − (Σx)²
+        slope_mil = −((|num| · 1000) div den)  when num ≤ 0 (sign-split
+        trunc-toward-zero, stated contract — Spark ``div`` and DuckDB
+        ``//`` disagree on negative floors, so the magnitude divides)
+        r2_mil    = (num² · 1000) div (den · (k·Σyy − (Σy)²))
+
+    staged entirely in DECIMAL(38,0)/HUGEINT.
+
+    Scale design: ONE corpus explode→(term) fold (map-side combinable),
+    a distributed top-k (``TakeOrderedAndProject`` — never a global
+    vocab sort), then all sums over the k-row table.
+    """
+    from rio_cogeo_spark.functions.text import tokens_col
+
+    tf = (
+        docs.select(F.explode(tokens_col(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("term").asc())
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("term").asc())
+    xy = tf.select(
+        F.col("cnt"),
+        F.row_number().over(w).alias("rank"),
+    ).select(
+        F.expr("cast(floor(ln(cast(rank as double)) * 1000000) as bigint)")
+        .alias("x"),
+        F.expr("cast(floor(ln(cast(cnt as double)) * 1000000) as bigint)")
+        .alias("y"),
+        "cnt",
+    )
+    return (
+        xy.agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum("cnt").alias("n_tokens"),
+            F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+            F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+            F.sum(
+                F.col("x").cast("decimal(38,0)") * F.col("y")
+            ).alias("sxy"),
+            F.sum(
+                F.col("x").cast("decimal(38,0)") * F.col("x")
+            ).alias("sxx"),
+            F.sum(
+                F.col("y").cast("decimal(38,0)") * F.col("y")
+            ).alias("syy"),
+        )
+        .select(
+            F.col("k").cast("long").alias("k"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.expr("cast(k as decimal(38,0)) * sxy - sx * sy").alias("num"),
+            F.expr("cast(k as decimal(38,0)) * sxx - sx * sx").alias("den"),
+            F.expr("cast(k as decimal(38,0)) * syy - sy * sy").alias("dyy"),
+        )
+        .select(
+            "k", "n_tokens",
+            F.expr(
+                "case when den = 0 then cast(null as bigint) "
+                "when num <= 0 then cast(-((-num * 1000) div den) as bigint) "
+                "else cast((num * 1000) div den as bigint) end"
+            ).alias("slope_mil"),
+            F.expr(
+                "case when den = 0 or dyy = 0 then cast(null as bigint) "
+                "else cast((num * num * 1000) div (den * dyy) as bigint) end"
+            ).alias("r2_mil"),
+        )
+    )
+
+
+def zipf_slope_sql(
+    inner_cte: str,
+    tokens_sql: str,
+    top_k: int = 500,
+) -> str:
+    """DuckDB twin of :func:`zipf_slope` (``inner_cte`` exposes a
+    ``text`` column; ``tokens_sql`` is the shared tokenizer SQL)."""
+    return f"""
+WITH zf_src AS ({inner_cte}),
+zf_tf AS (SELECT term, COUNT(*) AS cnt
+          FROM (SELECT unnest({tokens_sql}) AS term FROM zf_src)
+          GROUP BY 1
+          ORDER BY cnt DESC, term ASC LIMIT {top_k}),
+zf_xy AS (SELECT CAST(floor(ln(CAST(ROW_NUMBER() OVER
+                    (ORDER BY cnt DESC, term ASC) AS DOUBLE)) * 1000000)
+                    AS BIGINT) AS x,
+                 CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000000)
+                    AS BIGINT) AS y,
+                 cnt
+          FROM zf_tf),
+zf_a AS (SELECT COUNT(*) AS k, SUM(cnt) AS n_tokens,
+                SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+                SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                SUM(CAST(y AS HUGEINT) * y) AS syy
+         FROM zf_xy),
+zf_f AS (SELECT k, n_tokens,
+                CAST(k AS HUGEINT) * sxy - sx * sy AS num,
+                CAST(k AS HUGEINT) * sxx - sx * sx AS den,
+                CAST(k AS HUGEINT) * syy - sy * sy AS dyy
+         FROM zf_a)
+SELECT CAST(k AS BIGINT) AS k, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CASE WHEN den = 0 THEN NULL
+            WHEN num <= 0 THEN CAST(-((-num * 1000) // den) AS BIGINT)
+            ELSE CAST((num * 1000) // den AS BIGINT) END AS slope_mil,
+       CASE WHEN den = 0 OR dyy = 0 THEN NULL
+            ELSE CAST((num * num * 1000) // (den * dyy) AS BIGINT) END
+           AS r2_mil
+FROM zf_f"""
+
+
+def ks_statistic(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the ``value_col``
+    distributions of ``group_col == group_a`` vs everything else — one
+    row ``(n_a, n_b, d_ppm, at_value)`` where ``d_ppm = max_v
+    |F_a(v)·1e6 − F_b(v)·1e6|`` exactly and ``at_value`` is the
+    smallest value achieving the max (the distribution-shift gate:
+    did this snapshot's length/quality distribution drift from the
+    last one?).
+
+    Exact integer contract: on the VALUE-frequency table (one row per
+    distinct value — bounded by the value range, never the corpus),
+    cumulative counts ``ca, cb`` by value order give ``diff(v) =
+    |ca·n_b − cb·n_a|`` in DECIMAL(38,0)/HUGEINT; ``d_ppm = max(diff)
+    · 1e6 div (n_a·n_b)`` (floor of the max == max of floors since
+    floor is monotone).
+
+    Scale design: ONE corpus fold to the per-(value) count pair, the
+    cumulative window + argmax on the value-bounded table, nothing
+    collects.
+    """
+    pair = (
+        df.groupBy(F.col(value_col).alias("v"))
+        .agg(
+            F.sum(
+                F.when(F.col(group_col) == group_a, 1).otherwise(0)
+            ).alias("fa"),
+            F.sum(
+                F.when(F.col(group_col) == group_a, 0).otherwise(1)
+            ).alias("fb"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = pair.select(
+        "v",
+        F.sum("fa").over(w).alias("ca"),
+        F.sum("fb").over(w).alias("cb"),
+    )
+    tot = pair.agg(
+        F.sum("fa").alias("n_a"), F.sum("fb").alias("n_b")
+    )
+    diffs = cum.crossJoin(F.broadcast(tot)).select(
+        "v", "n_a", "n_b",
+        F.abs(
+            F.col("ca").cast("decimal(38,0)") * F.col("n_b")
+            - F.col("cb").cast("decimal(38,0)") * F.col("n_a")
+        ).alias("diff"),
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        diffs.withColumn("dm", F.max("diff").over(w_all))
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.max("diff").alias("dmax"),
+            F.min(
+                F.when(F.col("diff") == F.col("dm"), F.col("v"))
+            ).alias("at_value"),
+        )
+        .select(
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.expr(
+                "cast((dmax * 1000000) div (cast(n_a as decimal(38,0)) * n_b)"
+                " as bigint)"
+            ).alias("d_ppm"),
+            F.col("at_value").cast("long").alias("at_value"),
+        )
+    )
+
+
+def ks_statistic_sql(
+    inner_cte: str,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+) -> str:
+    """DuckDB twin of :func:`ks_statistic`."""
+    return f"""
+WITH ks_src AS ({inner_cte}),
+ks_p AS (SELECT {value_col} AS v,
+                SUM(CASE WHEN {group_col} = '{group_a}' THEN 1 ELSE 0 END)
+                    AS fa,
+                SUM(CASE WHEN {group_col} = '{group_a}' THEN 0 ELSE 1 END)
+                    AS fb
+         FROM ks_src GROUP BY 1),
+ks_c AS (SELECT v,
+                SUM(fa) OVER (ORDER BY v
+                    ROWS UNBOUNDED PRECEDING) AS ca,
+                SUM(fb) OVER (ORDER BY v
+                    ROWS UNBOUNDED PRECEDING) AS cb
+         FROM ks_p),
+ks_t AS (SELECT SUM(fa) AS n_a, SUM(fb) AS n_b FROM ks_p),
+ks_d AS (SELECT v, n_a, n_b,
+                abs(CAST(ca AS HUGEINT) * n_b - CAST(cb AS HUGEINT) * n_a)
+                    AS diff
+         FROM ks_c CROSS JOIN ks_t)
+SELECT CAST(MAX(n_a) AS BIGINT) AS n_a, CAST(MAX(n_b) AS BIGINT) AS n_b,
+       CAST((MAX(diff) * 1000000)
+            // (CAST(MAX(n_a) AS HUGEINT) * MAX(n_b)) AS BIGINT) AS d_ppm,
+       CAST(MIN(CASE WHEN diff = (SELECT MAX(diff) FROM ks_d) THEN v END)
+            AS BIGINT) AS at_value
+FROM ks_d"""

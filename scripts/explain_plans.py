@@ -1309,6 +1309,54 @@ def main() -> None:
     )
     print(f"[{'OK' if va_ok else 'BAD'}] volume_anomaly plan")
 
+    # 85. host_concentration: ONE corpus fold (partial before its
+    # exchange), the rank window + Gini/HHI measures strictly on the
+    # key-bounded count table, ZERO joins of any kind
+    from rio_cogeo_spark.operators.report import chi_square, host_concentration
+
+    hc_in = spark.range(5000).selectExpr("cast(id % 97 as string) AS host")
+    hc_plan = plan_of(host_concentration(hc_in, "host"))
+    hc_pnum = next((int(n) for n in re.findall(
+        r"\((\d+)\) HashAggregate", hc_plan)
+        if "partial_count" in hc_plan.split(f"({n}) HashAggregate", 1)[1]
+            .split("\n\n", 1)[0]), None)
+    hc_wnum = next((int(n) for n in re.findall(r"\((\d+)\) Window",
+                                               hc_plan)), None)
+    hc_ok = (
+        "Join" not in hc_plan
+        and len(re.findall(r"\(\d+\) Window", hc_plan)) == 1
+        and hc_pnum is not None and hc_wnum is not None
+        and hc_pnum < hc_wnum
+    )
+    checks.append(("host_concentration corpus fold -> key-table window,"
+                   " zero joins", hc_ok))
+    sections.append(
+        ("host_concentration", f"  {'PASS' if hc_ok else 'FAIL'} "
+         "one corpus fold, rank window on the host-count table only",
+         hc_plan)
+    )
+    print(f"[{'OK' if hc_ok else 'BAD'}] host_concentration plan")
+
+    # 86. chi_square: every join broadcast (the marginal cross and the
+    # observed-cell join are class-bounded) — no SortMergeJoin, no
+    # ShuffledHashJoin; corpus folds partial-before-exchange
+    x2_in = spark.range(5000).selectExpr(
+        "cast(id % 7 as string) AS l", "cast(id % 3 as string) AS s"
+    )
+    x2_plan = plan_of(chi_square(x2_in, "l", "s"))
+    x2_ok = (
+        "SortMergeJoin" not in x2_plan
+        and "ShuffledHashJoin" not in x2_plan
+        and ("BroadcastHashJoin" in x2_plan
+             or "BroadcastNestedLoopJoin" in x2_plan)
+    )
+    checks.append(("chi_square class-bounded joins all broadcast", x2_ok))
+    sections.append(
+        ("chi_square", f"  {'PASS' if x2_ok else 'FAIL'} "
+         "marginal cross + observed-cell joins broadcast-only", x2_plan)
+    )
+    print(f"[{'OK' if x2_ok else 'BAD'}] chi_square plan")
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:

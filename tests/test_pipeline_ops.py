@@ -692,3 +692,73 @@ def test_cohen_kappa_goldens(spark):
     # single-class constants: pe = 1e6 -> NULL by stated convention
     const = spark.createDataFrame([("a", "a")], "x string, y string")
     assert cohen_kappa(const, "x", "y").collect()[0].kappa_ppm is None
+
+
+def test_host_concentration_goldens(spark):
+    from rio_cogeo_spark.operators.report import host_concentration
+
+    # perfectly equal distribution: gini 0, hhi = 1e6/k
+    eq = spark.createDataFrame(
+        [(h,) for h in ["a", "a", "b", "b", "c", "c", "d", "d"]],
+        "host string",
+    )
+    r = host_concentration(eq, "host").collect()[0]
+    assert (r.n_keys, r.n_rows) == (4, 8)
+    assert r.gini_ppm == 0
+    assert r.hhi_ppm == 250_000
+    assert r.top_share_ppm == 250_000
+
+    # total concentration in one key out of many rows: gini -> (k-1)/k
+    one = spark.createDataFrame(
+        [("a",)] * 9 + [("b",), ("c",), ("d",)], "host string"
+    )
+    r2 = host_concentration(one, "host").collect()[0]
+    # counts [1,1,1,9], k=4, n=12: Σ i·c_i = 1+2+3+36 = 42,
+    # gini = (2*42 - 5*12)/(4*12) = 24/48 = 0.5
+    assert r2.gini_ppm == ((2 * 42 - 60) * 1_000_000) // 48
+    assert r2.top_share_ppm == 750_000
+    # hhi = (81+1+1+1)*1e6 // 144
+    assert r2.hhi_ppm == (84 * 1_000_000) // 144
+
+
+def test_chi_square_goldens(spark):
+    import duckdb
+
+    from rio_cogeo_spark.operators.report import chi_square, chi_square_sql
+
+    # perfectly independent 2x2 (margins 50/50 each): chi2 = 0
+    ind = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")] * 3,
+        "l string, s string",
+    )
+    r = chi_square(ind, "l", "s").collect()[0]
+    assert (r.n, r.dof, r.chi2_mil) == (12, 1, 0)
+
+    # perfect association 2x2: chi2 = n (phi = 1)
+    assoc = spark.createDataFrame(
+        [("a", "x"), ("b", "y")] * 5, "l string, s string"
+    )
+    r2 = chi_square(assoc, "l", "s").collect()[0]
+    assert r2.dof == 1
+    # per-cell floor-then-sum: each cell term is exactly n/4 * 1000
+    assert r2.chi2_mil == 10_000
+    vals = ", ".join(["('a', 'x'), ('b', 'y')"] * 5)
+    sql = chi_square_sql(
+        f"SELECT l, s FROM (VALUES {vals}) AS v(l, s)", "l", "s"
+    )
+    want = duckdb.sql(sql).fetchone()
+    assert int(want[4]) == r2.chi2_mil
+
+    # zero-observed cells must contribute (the full-cross contract):
+    # 2x2 with an empty cell — omitting it would understate chi2
+    skew = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", "x")], "l string, s string"
+    )
+    r3 = chi_square(skew, "l", "s").collect()[0]
+    vals3 = "('a', 'x'), ('a', 'y'), ('b', 'x')"
+    want3 = duckdb.sql(
+        chi_square_sql(
+            f"SELECT l, s FROM (VALUES {vals3}) AS v(l, s)", "l", "s"
+        )
+    ).fetchone()
+    assert r3.chi2_mil == int(want3[4]) > 0
