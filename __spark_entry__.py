@@ -753,6 +753,45 @@ def _chi2_oracle() -> str:
     )
 
 
+def q_zipf(spark, sf_dir):
+    """Zipf's-law fit over the corpus term-frequency distribution —
+    OLS slope of ln(freq) on ln(rank) for the top-500 terms, pinned to
+    e6-int log coordinates and staged in DECIMAL(38,0) (sign-split
+    trunc-division contract for the negative slope)."""
+    from rio_cogeo_spark.operators.report import zipf_slope
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return zipf_slope(docs, "text", top_k=500)
+
+
+def _zipf_oracle() -> str:
+    from rio_cogeo_spark.functions.text import TOKENS_SQL
+    from rio_cogeo_spark.operators.report import zipf_slope_sql
+
+    return zipf_slope_sql(
+        "SELECT text FROM documents", TOKENS_SQL, top_k=500
+    )
+
+
+def q_ks(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov statistic: does the document
+    char-length distribution of lang='en' differ from the rest? Exact
+    cumulative-count contract on the value-frequency table (d_ppm +
+    the smallest value achieving the max)."""
+    from rio_cogeo_spark.operators.report import ks_statistic
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ks_statistic(docs, "n_chars", "lang", "en")
+
+
+def _ks_oracle() -> str:
+    from rio_cogeo_spark.operators.report import ks_statistic_sql
+
+    return ks_statistic_sql(
+        "SELECT n_chars, lang FROM documents", "n_chars", "lang", "en"
+    )
+
+
 def q_data_checks(spark, sf_dir):
     """Declarative data-quality gate (Deequ VerificationSuite analog):
     four rules over the documents table evaluated in ONE combinable
@@ -3264,6 +3303,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kappa": q_kappa,
         "gini": q_gini,
         "chi2": q_chi2,
+        "zipf": q_zipf,
+        "ks": q_ks,
         "jl_project": q_jl_project,
     }
 
@@ -4242,6 +4283,8 @@ FROM documents QUALIFY rank <= 3""",
         "kappa": _kappa_oracle(),
         "gini": _gini_oracle(),
         "chi2": _chi2_oracle(),
+        "zipf": _zipf_oracle(),
+        "ks": _ks_oracle(),
         "jl_project": _jl_project_oracle(),
         "repeated_spans": _repeated_spans_oracle(),
         "passage_cut": _passage_cut_oracle(),

@@ -1357,6 +1357,50 @@ def main() -> None:
     )
     print(f"[{'OK' if x2_ok else 'BAD'}] chi_square plan")
 
+    # 87. zipf_slope: distributed top-k (TakeOrderedAndProject — never a
+    # global vocab Sort), the rank window + OLS sums on the k-row table,
+    # zero joins
+    from rio_cogeo_spark.operators.report import ks_statistic, zipf_slope
+
+    zf_in = spark.range(300).selectExpr(
+        "concat('w', cast(id % 37 as string), ' x y') AS text"
+    )
+    zf_plan = plan_of(zipf_slope(zf_in, "text", top_k=20))
+    zf_ok = (
+        "TakeOrderedAndProject" in zf_plan
+        and "Join" not in zf_plan
+        and len(re.findall(r"\(\d+\) Window", zf_plan)) == 1
+    )
+    checks.append(("zipf_slope distributed top-k, k-row window, zero joins",
+                   zf_ok))
+    sections.append(
+        ("zipf_slope", f"  {'PASS' if zf_ok else 'FAIL'} "
+         "TakeOrderedAndProject top-k (no global vocab sort)", zf_plan)
+    )
+    print(f"[{'OK' if zf_ok else 'BAD'}] zipf_slope plan")
+
+    # 88. ks_statistic: one corpus fold to the value-frequency table,
+    # totals joined by BROADCAST only, cumulative + argmax windows on
+    # the value-bounded table (exactly 2 windows)
+    ks_in = spark.range(1000).selectExpr(
+        "id % 50 AS v", "cast(id % 3 as string) AS g"
+    )
+    ks_plan = plan_of(ks_statistic(ks_in, "v", "g", "1"))
+    ks_ok = (
+        "SortMergeJoin" not in ks_plan
+        and "ShuffledHashJoin" not in ks_plan
+        and "BroadcastNestedLoopJoin" in ks_plan
+        and len(re.findall(r"\(\d+\) Window", ks_plan)) == 2
+    )
+    checks.append(("ks_statistic broadcast totals, value-table windows",
+                   ks_ok))
+    sections.append(
+        ("ks_statistic", f"  {'PASS' if ks_ok else 'FAIL'} "
+         "cumulative/argmax windows on the value table, totals broadcast",
+         ks_plan)
+    )
+    print(f"[{'OK' if ks_ok else 'BAD'}] ks_statistic plan")
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:

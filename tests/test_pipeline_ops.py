@@ -762,3 +762,41 @@ def test_chi_square_goldens(spark):
         )
     ).fetchone()
     assert r3.chi2_mil == int(want3[4]) > 0
+
+
+def test_zipf_slope_perfect_power_law(spark):
+    # term counts 24/rank (24, 12, 8, 6): exact slope -1, r2 ~ 1
+    from rio_cogeo_spark.operators.report import zipf_slope
+
+    text = " ".join(["a"] * 24 + ["b"] * 12 + ["c"] * 8 + ["d"] * 6)
+    docs = spark.createDataFrame([(text,)], "text string")
+    r = zipf_slope(docs, "text", top_k=4).collect()[0]
+    assert r.k == 4 and r.n_tokens == 50
+    # e6-pinned log coordinates: slope lands within 1 mil of -1000
+    assert -1001 <= r.slope_mil <= -999
+    assert r.r2_mil >= 999
+
+
+def test_ks_statistic_goldens(spark):
+    from rio_cogeo_spark.operators.report import ks_statistic
+
+    # disjoint supports: D = 1 at the last value of group a
+    disj = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "b")], "v long, g string"
+    )
+    r = ks_statistic(disj, "v", "g", "a").collect()[0]
+    assert (r.n_a, r.n_b, r.d_ppm, r.at_value) == (2, 2, 1_000_000, 2)
+
+    # identical distributions: D = 0
+    same = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (1, "b"), (2, "b")], "v long, g string"
+    )
+    r2 = ks_statistic(same, "v", "g", "a").collect()[0]
+    assert r2.d_ppm == 0
+
+    # half-shifted: F_a jumps to 1 at v=1, F_b still 0 -> D = 1/2... at v=1
+    shift = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "b"), (2, "b")], "v long, g string"
+    )
+    r3 = ks_statistic(shift, "v", "g", "a").collect()[0]
+    assert (r3.d_ppm, r3.at_value) == (500_000, 1)
