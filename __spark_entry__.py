@@ -2747,6 +2747,23 @@ def q_hotspots(spark, sf_dir):
     )
 
 
+def q_moran(spark, sf_dir):
+    """Global Moran's I spatial autocorrelation of the page-density
+    grid (binary queen weights, absent cells = 0 over the FULL 4^zoom
+    grid) — the rational statistic reduced to pure staged integers,
+    i_mil via the sign-split trunc-division contract."""
+    from rio_cogeo_spark.operators import focal
+
+    base = base_tiles(_pages(spark, sf_dir), ZOOM)
+    return focal.morans_i(base, ZOOM)
+
+
+def _moran_oracle() -> str:
+    from rio_cogeo_spark.operators.focal import morans_i_sql
+
+    return morans_i_sql(_BASE_CTE, ZOOM)
+
+
 def q_morton_range(spark, sf_dir):
     """Z-order bbox query: filter the tile table by the exact quadtree
     range decomposition of MORTON_BBOX. The oracle twin filters by the
@@ -3305,6 +3322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2": q_chi2,
         "zipf": q_zipf,
         "ks": q_ks,
+        "moran": q_moran,
         "jl_project": q_jl_project,
     }
 
@@ -4285,6 +4303,7 @@ FROM documents QUALIFY rank <= 3""",
         "chi2": _chi2_oracle(),
         "zipf": _zipf_oracle(),
         "ks": _ks_oracle(),
+        "moran": _moran_oracle(),
         "jl_project": _jl_project_oracle(),
         "repeated_spans": _repeated_spans_oracle(),
         "passage_cut": _passage_cut_oracle(),

@@ -754,3 +754,133 @@ hs_g AS (SELECT nx, ny, {', '.join(slots)},
 SELECT nx AS tile_x, ny AS tile_y,
        CAST({shade} AS BIGINT) AS shade_mil
 FROM hs_g WHERE occ = 1"""
+
+
+def morans_i(
+    tiles: DataFrame,
+    zoom: int,
+    value_col: str = "page_count",
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+) -> DataFrame:
+    """Global Moran's I spatial autocorrelation over the FULL ``4^zoom``
+    grid with binary queen (8-neighbor, edge-clipped) weights — one row
+    ``(n_grid, w_total, s, q, c, b, i_mil)``. The companion global
+    statistic to :func:`hotspots` (Gi* localizes, Moran's I summarizes):
+    I → +1 for clustered density, ~0 for random scatter, < 0 for
+    dispersion.
+
+    Exact-integer contract: absent cells are value 0 and participate.
+    With ``N = 4^zoom``, ``S = Σx``, ``Q = Σx²``, ``C = Σ_i x_i ·
+    nbrsum_i``, ``B = Σ_i x_i · W_i`` (``W_i`` = in-bounds neighbor
+    count, ``nbrsum_i = focal_sum_i − x_i``) and the closed-form total
+    weight ``W = 4(n−1)(2n−1)``, ``n = 2^zoom`` (ordered queen pairs of
+    an n×n grid), the rational Moran's I reduces to pure integers::
+
+        I = (C·N² − 2·S·B·N + S²·W) / (W · (Q·N − S²))
+
+    emitted as ``i_mil`` via the sign-split trunc-division contract,
+    staged in DECIMAL(38,0)/HUGEINT (envelope: ``C·N²`` must fit 38
+    digits — holds through zoom ≤ 12 with per-cell counts ≤ 2^31;
+    beyond that, shard the grid or rescale counts, documented as for
+    bm25/kappa).
+
+    Scale design: one grid fold for (S, Q), one :func:`focal_stats`
+    pass (its single contribution shuffle), ONE grid-key join of the
+    present tiles to their focal row (both sides tile-bounded), then a
+    1-row combine. ``W_i`` is closed-form from coordinates — no second
+    neighbor pass. Nothing collects.
+    """
+    n_side = 2 ** zoom
+    n_grid = 4 ** zoom
+    w_total = 4 * (n_side - 1) * (2 * n_side - 1)
+    base = tiles.select(
+        F.col(x_col).alias("tile_x"), F.col(y_col).alias("tile_y"),
+        F.col(value_col).cast("long").alias("_x"),
+    )
+    foc = focal_stats(base, zoom, "_x", 1, "tile_x", "tile_y")
+    edge = F.lit(n_side - 1)
+    w_i = (
+        (F.lit(1) + F.least(F.col("tile_x"), F.lit(1))
+         + F.least(edge - F.col("tile_x"), F.lit(1)))
+        * (F.lit(1) + F.least(F.col("tile_y"), F.lit(1))
+           + F.least(edge - F.col("tile_y"), F.lit(1)))
+        - F.lit(1)
+    )
+    joined = base.join(foc, ["tile_x", "tile_y"]).select(
+        F.col("_x"),
+        (F.col("focal_sum") - F.col("_x")).alias("nbrsum"),
+        w_i.cast("long").alias("w_i"),
+    )
+    agg = joined.agg(
+        F.sum(F.col("_x").cast("decimal(38,0)")).alias("s"),
+        F.sum(F.col("_x").cast("decimal(38,0)") * F.col("_x")).alias("q"),
+        F.sum(F.col("_x").cast("decimal(38,0)") * F.col("nbrsum")).alias("c"),
+        F.sum(F.col("_x").cast("decimal(38,0)") * F.col("w_i")).alias("b"),
+    )
+    return agg.select(
+        F.lit(n_grid).cast("long").alias("n_grid"),
+        F.lit(w_total).cast("long").alias("w_total"),
+        F.col("s").cast("long").alias("s"),
+        F.col("q").cast("long").alias("q"),
+        F.col("c").cast("long").alias("c"),
+        F.col("b").cast("long").alias("b"),
+        F.expr(
+            f"cast(c * {n_grid} as decimal(38,0)) * {n_grid}"
+            f" - 2 * s * b * {n_grid} + s * s * {w_total}"
+        ).alias("_num"),
+        F.expr(
+            f"cast({w_total} as decimal(38,0)) * (q * {n_grid} - s * s)"
+        ).alias("_den"),
+    ).select(
+        "n_grid", "w_total", "s", "q", "c", "b",
+        F.expr(
+            "case when _den = 0 then cast(null as bigint) "
+            "when _num <= 0 then cast(-((-_num * 1000) div _den) as bigint) "
+            "else cast((_num * 1000) div _den as bigint) end"
+        ).alias("i_mil"),
+    )
+
+
+def morans_i_sql(base_cte: str, zoom: int) -> str:
+    """DuckDB twin of :func:`morans_i` — ``base_cte`` must expose
+    relation ``base(tile_x, tile_y, page_count)`` (WITH included)."""
+    n_side = 2 ** zoom
+    n_grid = 4 ** zoom
+    w_total = 4 * (n_side - 1) * (2 * n_side - 1)
+    edge = n_side - 1
+    return f"""{base_cte}
+, mi_contrib AS (SELECT b.tile_x + o1.dx AS nx, b.tile_y + o2.dy AS ny,
+                        b.page_count AS v
+                 FROM base b,
+                      (VALUES (-1), (0), (1)) o1(dx),
+                      (VALUES (-1), (0), (1)) o2(dy)
+                 WHERE b.tile_x + o1.dx BETWEEN 0 AND {edge}
+                   AND b.tile_y + o2.dy BETWEEN 0 AND {edge})
+, mi_foc AS (SELECT nx AS tile_x, ny AS tile_y,
+                    CAST(SUM(v) AS BIGINT) AS focal_sum
+             FROM mi_contrib GROUP BY 1, 2)
+, mi_j AS (SELECT b.page_count AS x,
+                  f.focal_sum - b.page_count AS nbrsum,
+                  (1 + least(b.tile_x, 1) + least({edge} - b.tile_x, 1))
+                * (1 + least(b.tile_y, 1) + least({edge} - b.tile_y, 1))
+                  - 1 AS w_i
+           FROM base b JOIN mi_foc f USING (tile_x, tile_y))
+, mi_a AS (SELECT SUM(CAST(x AS HUGEINT)) AS s,
+                  SUM(CAST(x AS HUGEINT) * x) AS q,
+                  SUM(CAST(x AS HUGEINT) * nbrsum) AS c,
+                  SUM(CAST(x AS HUGEINT) * w_i) AS b
+           FROM mi_j)
+, mi_f AS (SELECT s, q, c, b,
+                  CAST(c AS HUGEINT) * {n_grid} * {n_grid}
+                  - 2 * s * b * {n_grid} + s * s * {w_total} AS num,
+                  CAST({w_total} AS HUGEINT) * (q * {n_grid} - s * s) AS den
+           FROM mi_a)
+SELECT CAST({n_grid} AS BIGINT) AS n_grid,
+       CAST({w_total} AS BIGINT) AS w_total,
+       CAST(s AS BIGINT) AS s, CAST(q AS BIGINT) AS q,
+       CAST(c AS BIGINT) AS c, CAST(b AS BIGINT) AS b,
+       CASE WHEN den = 0 THEN NULL
+            WHEN num <= 0 THEN CAST(-((-num * 1000) // den) AS BIGINT)
+            ELSE CAST((num * 1000) // den AS BIGINT) END AS i_mil
+FROM mi_f"""

@@ -1401,6 +1401,31 @@ def main() -> None:
     )
     print(f"[{'OK' if ks_ok else 'BAD'}] ks_statistic plan")
 
+    # 89. morans_i: one contribution shuffle (focal) + ONE tile-bounded
+    # join of present tiles to their focal row — no cartesian, no
+    # per-row Python, closed-form W_i (no second neighbor pass)
+    from rio_cogeo_spark.operators.focal import morans_i
+
+    mi_in = spark.range(2000).selectExpr(
+        "id % 64 AS tile_x", "(id * 7) % 64 AS tile_y", "1 AS page_count"
+    ).groupBy("tile_x", "tile_y").agg(
+        F.sum("page_count").alias("page_count")
+    )
+    mi_plan = plan_of(morans_i(mi_in, 6))
+    mi_ok = (
+        "CartesianProduct" not in mi_plan
+        and "BatchEvalPython" not in mi_plan
+        and "ArrowEvalPython" not in mi_plan
+        and len(re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin|"
+                           r"BroadcastHashJoin)", mi_plan)) == 1
+    )
+    checks.append(("morans_i single tile-bounded join, no cartesian", mi_ok))
+    sections.append(
+        ("morans_i", f"  {'PASS' if mi_ok else 'FAIL'} "
+         "focal contribution shuffle + one grid-key join", mi_plan)
+    )
+    print(f"[{'OK' if mi_ok else 'BAD'}] morans_i plan")
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:

@@ -528,3 +528,46 @@ def test_hillshade_no_window_no_join(spark):
     plan = buf.getvalue()
     assert "Window" not in plan and "Join" not in plan
     assert "partial_sum" in plan  # slot folds map-side-combine
+
+
+def test_morans_i_checkerboard_vs_block(spark):
+    """Perfect dispersion (checkerboard) must give strongly negative I;
+    a solid block (clustered) strongly positive; both pinned against
+    the DuckDB twin."""
+    import duckdb
+
+    from rio_cogeo_spark.operators.focal import morans_i, morans_i_sql
+
+    zoom = 2  # 4x4 grid, small enough to reason about
+    checker = [
+        (x, y, 10) for x in range(4) for y in range(4) if (x + y) % 2 == 0
+    ]
+    block = [(x, y, 10) for x in range(2) for y in range(2)]
+
+    for name, cells in (("checker", checker), ("block", block)):
+        df = spark.createDataFrame(
+            cells, "tile_x long, tile_y long, page_count long"
+        )
+        got = morans_i(df, zoom).collect()[0]
+        vals = ", ".join(f"({x}, {y}, {v})" for x, y, v in cells)
+        sql = morans_i_sql(
+            f"WITH base AS (SELECT * FROM (VALUES {vals})"
+            " AS t(tile_x, tile_y, page_count))",
+            zoom,
+        )
+        want = duckdb.sql(sql).fetchone()
+        assert tuple(got) == tuple(
+            int(v) if v is not None else None for v in want
+        ), name
+        if name == "checker":
+            # queen weights soften checkerboard dispersion (diagonal
+            # neighbors are same-colored): mildly negative, not -1
+            assert got.i_mil < 0
+        else:
+            assert got.i_mil > 300    # clustered
+
+    # empty grid: den = 0 -> NULL by stated convention
+    empty = spark.createDataFrame(
+        [], "tile_x long, tile_y long, page_count long"
+    )
+    assert morans_i(empty, zoom).collect()[0].i_mil is None
