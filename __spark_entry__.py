@@ -792,6 +792,33 @@ def _ks_oracle() -> str:
     )
 
 
+def q_term_shift(spark, sf_dir):
+    """Term-distribution shift between the en slice and the rest of the
+    corpus: exact total-variation distance over the top-500 union
+    vocabulary plus add-1-smoothed KL divergences in per-term-pinned
+    nano-nats."""
+    from rio_cogeo_spark.operators.report import term_shift
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return term_shift(
+        docs.filter(F.col("lang") == "en").select("text"),
+        docs.filter(F.col("lang") != "en").select("text"),
+        top_k=500,
+    )
+
+
+def _term_shift_oracle() -> str:
+    from rio_cogeo_spark.functions.text import TOKENS_SQL
+    from rio_cogeo_spark.operators.report import term_shift_sql
+
+    return term_shift_sql(
+        "SELECT text FROM documents WHERE lang = 'en'",
+        "SELECT text FROM documents WHERE lang <> 'en'",
+        TOKENS_SQL,
+        top_k=500,
+    )
+
+
 def q_data_checks(spark, sf_dir):
     """Declarative data-quality gate (Deequ VerificationSuite analog):
     four rules over the documents table evaluated in ONE combinable
@@ -3323,6 +3350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf": q_zipf,
         "ks": q_ks,
         "moran": q_moran,
+        "term_shift": q_term_shift,
         "jl_project": q_jl_project,
     }
 
@@ -4304,6 +4332,7 @@ FROM documents QUALIFY rank <= 3""",
         "zipf": _zipf_oracle(),
         "ks": _ks_oracle(),
         "moran": _moran_oracle(),
+        "term_shift": _term_shift_oracle(),
         "jl_project": _jl_project_oracle(),
         "repeated_spans": _repeated_spans_oracle(),
         "passage_cut": _passage_cut_oracle(),

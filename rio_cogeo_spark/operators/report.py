@@ -1099,3 +1099,133 @@ SELECT CAST(MAX(n_a) AS BIGINT) AS n_a, CAST(MAX(n_b) AS BIGINT) AS n_b,
        CAST(MIN(CASE WHEN diff = (SELECT MAX(diff) FROM ks_d) THEN v END)
             AS BIGINT) AS at_value
 FROM ks_d"""
+
+
+def term_shift(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    text_col: str = "text",
+    top_k: int = 500,
+) -> DataFrame:
+    """Term-distribution shift between two corpus slices (yesterday's
+    snapshot vs today's, cc vs curated, en vs the rest): one row
+    ``(k, na, nb, tv_ppm, kl_ab_nano, kl_ba_nano)`` over the top-``k``
+    union vocabulary — the drift gate a training pipeline runs before
+    mixing a new crawl into an existing recipe.
+
+    * ``tv_ppm`` — total-variation distance ``½ Σ |p_i − q_i|``,
+      EXACT: with per-term counts ``a_i, b_i`` and slice masses
+      ``na = Σ a_i, nb = Σ b_i`` (over the selected vocabulary),
+      ``tv_ppm = (Σ |a_i·nb − b_i·na|) · 1e6 div (2·na·nb)`` — every
+      stage an integer (DECIMAL(38,0)/HUGEINT), one floor at the end.
+    * ``kl_ab_nano`` / ``kl_ba_nano`` — add-1-smoothed KL divergences
+      in nano-nats, per-term pinned: ``Σ floor(p_i·(ln p_i − ln q_i)
+      ·1e9)`` with ``p_i = (a_i+1)/(na+k)`` etc. The doubles derive
+      from exact integers through one fixed expression tree (IEEE
+      division/multiplication exactly rounded, ln within 1 ulp — the
+      e9 floor's flip window is ~1e-10 per term, the same pinned-log
+      exposure class as :func:`zipf_slope`).
+
+    Scale design: one explode→(term) fold per slice (map-side
+    combinable), a distributed top-k of the union counts
+    (TakeOrderedAndProject), then all arithmetic on the k-row table.
+    """
+    from rio_cogeo_spark.functions.text import tokens_col
+
+    def tf(docs: DataFrame, name: str) -> DataFrame:
+        return (
+            docs.select(F.explode(tokens_col(F.col(text_col))).alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    both = (
+        tf(docs_a, "a").join(tf(docs_b, "b"), "term", "full")
+        .select(
+            "term",
+            F.coalesce(F.col("a"), F.lit(0)).alias("a"),
+            F.coalesce(F.col("b"), F.lit(0)).alias("b"),
+        )
+        .orderBy((F.col("a") + F.col("b")).desc(), F.col("term").asc())
+        .limit(top_k)
+    )
+    tot = both.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("a").alias("na"),
+        F.sum("b").alias("nb"),
+    )
+    terms = both.crossJoin(F.broadcast(tot))
+    p = "(cast(a + 1 as double) / cast(na + k as double))"
+    q = "(cast(b + 1 as double) / cast(nb + k as double))"
+    return (
+        terms.select(
+            "k", "na", "nb",
+            F.abs(
+                F.col("a").cast("decimal(38,0)") * F.col("nb")
+                - F.col("b").cast("decimal(38,0)") * F.col("na")
+            ).alias("tv_term"),
+            F.expr(
+                f"cast(floor({p} * (ln({p}) - ln({q})) * 1e9) as bigint)"
+            ).alias("kl_ab_term"),
+            F.expr(
+                f"cast(floor({q} * (ln({q}) - ln({p})) * 1e9) as bigint)"
+            ).alias("kl_ba_term"),
+        )
+        .groupBy("k", "na", "nb")
+        .agg(
+            F.sum("tv_term").alias("tv_sum"),
+            F.sum("kl_ab_term").alias("kl_ab_nano"),
+            F.sum("kl_ba_term").alias("kl_ba_nano"),
+        )
+        .select(
+            F.col("k").cast("long").alias("k"),
+            F.col("na").cast("long").alias("na"),
+            F.col("nb").cast("long").alias("nb"),
+            F.expr(
+                "case when na = 0 or nb = 0 then cast(null as bigint) "
+                "else cast((tv_sum * 1000000)"
+                " div (2 * cast(na as decimal(38,0)) * nb) as bigint) end"
+            ).alias("tv_ppm"),
+            F.col("kl_ab_nano").cast("long").alias("kl_ab_nano"),
+            F.col("kl_ba_nano").cast("long").alias("kl_ba_nano"),
+        )
+    )
+
+
+def term_shift_sql(
+    cte_a: str,
+    cte_b: str,
+    tokens_sql: str,
+    top_k: int = 500,
+) -> str:
+    """DuckDB twin of :func:`term_shift` (``cte_a``/``cte_b`` each
+    expose a ``text`` column)."""
+    p = "(CAST(a + 1 AS DOUBLE) / CAST(na + k AS DOUBLE))"
+    q = "(CAST(b + 1 AS DOUBLE) / CAST(nb + k AS DOUBLE))"
+    return f"""
+WITH ts_a AS ({cte_a}),
+ts_b AS ({cte_b}),
+ts_fa AS (SELECT term, COUNT(*) AS a
+          FROM (SELECT unnest({tokens_sql}) AS term FROM ts_a) GROUP BY 1),
+ts_fb AS (SELECT term, COUNT(*) AS b
+          FROM (SELECT unnest({tokens_sql}) AS term FROM ts_b) GROUP BY 1),
+ts_u AS (SELECT term, COALESCE(a, 0) AS a, COALESCE(b, 0) AS b
+         FROM ts_fa FULL JOIN ts_fb USING (term)
+         ORDER BY a + b DESC, term ASC LIMIT {top_k}),
+ts_t AS (SELECT COUNT(*) AS k, SUM(a) AS na, SUM(b) AS nb FROM ts_u),
+ts_m AS (SELECT k, na, nb,
+                abs(CAST(a AS HUGEINT) * nb - CAST(b AS HUGEINT) * na)
+                    AS tv_term,
+                CAST(floor({p} * (ln({p}) - ln({q})) * 1e9) AS BIGINT)
+                    AS kl_ab_term,
+                CAST(floor({q} * (ln({q}) - ln({p})) * 1e9) AS BIGINT)
+                    AS kl_ba_term
+         FROM ts_u CROSS JOIN ts_t)
+SELECT CAST(k AS BIGINT) AS k, CAST(na AS BIGINT) AS na,
+       CAST(nb AS BIGINT) AS nb,
+       CASE WHEN na = 0 OR nb = 0 THEN NULL
+            ELSE CAST((SUM(tv_term) * 1000000)
+                 // (2 * CAST(na AS HUGEINT) * nb) AS BIGINT) END AS tv_ppm,
+       CAST(SUM(kl_ab_term) AS BIGINT) AS kl_ab_nano,
+       CAST(SUM(kl_ba_term) AS BIGINT) AS kl_ba_nano
+FROM ts_m GROUP BY k, na, nb"""

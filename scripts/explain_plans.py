@@ -1426,6 +1426,32 @@ def main() -> None:
     )
     print(f"[{'OK' if mi_ok else 'BAD'}] morans_i plan")
 
+    # 90. term_shift: two corpus folds, a distributed top-k of the
+    # union (TakeOrderedAndProject — no global vocab sort), totals
+    # broadcast back; all arithmetic on the k-row table
+    from rio_cogeo_spark.operators.report import term_shift
+
+    tsh_a = spark.range(200).selectExpr(
+        "concat('w', cast(id % 23 as string), ' x') AS text"
+    )
+    tsh_b = spark.range(200).selectExpr(
+        "concat('w', cast(id % 29 as string), ' y') AS text"
+    )
+    tsh_plan = plan_of(term_shift(tsh_a, tsh_b, top_k=20))
+    tsh_ok = (
+        "TakeOrderedAndProject" in tsh_plan
+        and "CartesianProduct" not in tsh_plan
+        and "BatchEvalPython" not in tsh_plan
+    )
+    checks.append(("term_shift distributed top-k union, no cartesian",
+                   tsh_ok))
+    sections.append(
+        ("term_shift", f"  {'PASS' if tsh_ok else 'FAIL'} "
+         "union top-k via TakeOrderedAndProject, k-row arithmetic",
+         tsh_plan)
+    )
+    print(f"[{'OK' if tsh_ok else 'BAD'}] term_shift plan")
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:

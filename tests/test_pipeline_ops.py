@@ -800,3 +800,32 @@ def test_ks_statistic_goldens(spark):
     )
     r3 = ks_statistic(shift, "v", "g", "a").collect()[0]
     assert (r3.d_ppm, r3.at_value) == (500_000, 1)
+
+
+def test_term_shift_goldens(spark):
+    import duckdb
+
+    from rio_cogeo_spark.functions.text import TOKENS_SQL
+    from rio_cogeo_spark.operators.report import term_shift, term_shift_sql
+
+    # identical slices: TV = 0 and the KLs = 0 exactly
+    a = spark.createDataFrame([("x y z",), ("x y",)], "text string")
+    r = term_shift(a, a, top_k=10).collect()[0]
+    assert (r.tv_ppm, r.kl_ab_nano, r.kl_ba_nano) == (0, 0, 0)
+
+    # disjoint vocabularies: TV = 1.0 exactly (ppm 1e6)
+    b = spark.createDataFrame([("p q r",), ("p q",)], "text string")
+    r2 = term_shift(a, b, top_k=10).collect()[0]
+    assert r2.tv_ppm == 1_000_000
+    assert r2.kl_ab_nano > 0 and r2.kl_ba_nano > 0
+
+    # pinned against the live DuckDB twin on an asymmetric pair
+    c = spark.createDataFrame([("x x y",)], "text string")
+    r3 = term_shift(a, c, top_k=10).collect()[0]
+    sql = term_shift_sql(
+        "SELECT text FROM (VALUES ('x y z'), ('x y')) AS t(text)",
+        "SELECT text FROM (VALUES ('x x y')) AS t(text)",
+        TOKENS_SQL, top_k=10,
+    )
+    want = duckdb.sql(sql).fetchone()
+    assert tuple(r3) == tuple(int(v) for v in want)
