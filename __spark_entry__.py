@@ -819,6 +819,41 @@ def _term_shift_oracle() -> str:
     )
 
 
+def q_heaps(spark, sf_dir):
+    """Heaps'-law vocabulary-growth fit over a geometric ladder of
+    doc_id prefixes — β (mil) + ln K (mil) from ONE corpus read (per-doc
+    token fold + per-term first-appearance fold, conditional sums per
+    ladder point), pinned-log e6 OLS like zipf."""
+    from rio_cogeo_spark.operators.report import heaps_fit
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return heaps_fit(docs, "doc_id", "text", n_points=8)
+
+
+def _heaps_oracle() -> str:
+    from rio_cogeo_spark.functions.text import TOKENS_SQL
+    from rio_cogeo_spark.operators.report import heaps_fit_sql
+
+    return heaps_fit_sql("documents", TOKENS_SQL, "doc_id", n_points=8)
+
+
+def q_entropy(spark, sf_dir):
+    """Per-language token-distribution Shannon entropy in per-term
+    pinned nano-nats, next to the ln(n_types) ceiling — the corpus
+    diversity gauge beside zipf/heaps."""
+    from rio_cogeo_spark.operators.report import lang_entropy
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lang_entropy(docs, "text", "lang")
+
+
+def _entropy_oracle() -> str:
+    from rio_cogeo_spark.functions.text import TOKENS_SQL
+    from rio_cogeo_spark.operators.report import lang_entropy_sql
+
+    return lang_entropy_sql("documents", TOKENS_SQL, "lang")
+
+
 def q_data_checks(spark, sf_dir):
     """Declarative data-quality gate (Deequ VerificationSuite analog):
     four rules over the documents table evaluated in ONE combinable
@@ -3351,6 +3386,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks": q_ks,
         "moran": q_moran,
         "term_shift": q_term_shift,
+        "heaps": q_heaps,
+        "entropy": q_entropy,
         "jl_project": q_jl_project,
     }
 
@@ -4333,6 +4370,8 @@ FROM documents QUALIFY rank <= 3""",
         "ks": _ks_oracle(),
         "moran": _moran_oracle(),
         "term_shift": _term_shift_oracle(),
+        "heaps": _heaps_oracle(),
+        "entropy": _entropy_oracle(),
         "jl_project": _jl_project_oracle(),
         "repeated_spans": _repeated_spans_oracle(),
         "passage_cut": _passage_cut_oracle(),

@@ -1229,3 +1229,272 @@ SELECT CAST(k AS BIGINT) AS k, CAST(na AS BIGINT) AS na,
        CAST(SUM(kl_ab_term) AS BIGINT) AS kl_ab_nano,
        CAST(SUM(kl_ba_term) AS BIGINT) AS kl_ba_nano
 FROM ts_m GROUP BY k, na, nb"""
+
+
+def heaps_fit(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_points: int = 8,
+) -> DataFrame:
+    """Heaps'-law fit: vocabulary growth ``V(n) ≈ K·n^β`` across a
+    geometric ladder of corpus prefixes — one row ``(n_points,
+    beta_mil, ln_k_mil)`` plus the per-point table folded in
+    (``points`` array of ``(n_docs, n_tokens, n_types)`` structs,
+    ordered). β far from the natural-text ~0.4-0.6 band flags template
+    floods (β→0: vocabulary saturates) or OCR/garbage floods (β→1:
+    every page mints new types).
+
+    Prefixes are ``doc_id`` ranges at geometric thresholds (corpus
+    order is the deterministic ingest key): point ``j`` covers
+    ``doc_id < max_id / 2^j``, ``j = n_points−1 … 0``. Each point's
+    (tokens, types) comes from ONE shared explode: a term occurrence at
+    doc ``d`` contributes to every prefix with threshold > d, so the
+    per-term fold keeps ``min(doc_id)`` (first appearance — types) and
+    a count per threshold via conditional sums — the corpus is read
+    ONCE, not once per point.
+
+    OLS on ``x = floor(ln(n_tokens)·1e6)``, ``y = floor(ln(n_types)
+    ·1e6)`` over the ladder (the same pinned-log e6 contract as
+    :func:`zipf_slope`; Heaps exponents are conventionally fit on
+    token counts, not doc counts), sign-split trunc division,
+    DECIMAL(38,0)/HUGEINT staging.
+    """
+    from rio_cogeo_spark.functions.text import tokens_col
+
+    max_df = docs.agg(F.max(F.col(id_col)).alias("mx"))
+    term_first = (
+        docs.select(
+            F.col(id_col).alias("d"),
+            F.explode(tokens_col(F.col(text_col))).alias("term"),
+        )
+        .groupBy("term")
+        .agg(F.min("d").alias("first_d"), F.count(F.lit(1)).alias("cnt_all"))
+    )
+    # re-fold per threshold: occurrences need per-threshold token counts,
+    # which the (term) fold can't carry exactly — use a second fold over
+    # (d) instead: per-doc token counts, then conditional sums per point.
+    doc_tok = docs.select(
+        F.col(id_col).alias("d"),
+        F.size(tokens_col(F.col(text_col))).alias("ntok"),
+    )
+    pts = []
+    for j in range(n_points):
+        div = 2 ** (n_points - 1 - j)
+        pts.append((j, div))
+    tok_aggs = [
+        F.sum(
+            F.when(F.expr(f"d * {div} <= mx"), F.col("ntok")).otherwise(0)
+        ).alias(f"tok_{j}")
+        for j, div in pts
+    ]
+    typ_aggs = [
+        F.sum(
+            F.when(F.expr(f"first_d * {div} <= mx"), 1).otherwise(0)
+        ).alias(f"typ_{j}")
+        for j, div in pts
+    ]
+    toks = doc_tok.crossJoin(F.broadcast(max_df)).agg(*tok_aggs)
+    typs = term_first.crossJoin(F.broadcast(max_df)).agg(*typ_aggs)
+    point_rows = ", ".join(
+        f"struct(cast(tok_{j} as bigint) as n_tokens,"
+        f" cast(typ_{j} as bigint) as n_types)"
+        for j, _ in pts
+    )
+    wide = toks.crossJoin(F.broadcast(typs)).select(
+        F.expr(f"array({point_rows})").alias("points")
+    )
+    xy = wide.select(
+        F.explode("points").alias("p")
+    ).select(
+        F.expr("cast(floor(ln(cast(p.n_tokens as double)) * 1000000)"
+               " as bigint)").alias("x"),
+        F.expr("cast(floor(ln(cast(p.n_types as double)) * 1000000)"
+               " as bigint)").alias("y"),
+    ).filter("x is not null and y is not null")
+    return (
+        xy.agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+            F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+            F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        )
+        .select(
+            F.col("k").cast("long").alias("n_points"),
+            F.expr("cast(k as decimal(38,0)) * sxy - sx * sy").alias("num"),
+            F.expr("cast(k as decimal(38,0)) * sxx - sx * sx").alias("den"),
+            F.col("sx"), F.col("sy"),
+        )
+        .select(
+            "n_points",
+            F.expr(
+                "case when den = 0 then cast(null as bigint) "
+                "when num <= 0 then cast(-((-num * 1000) div den) as bigint) "
+                "else cast((num * 1000) div den as bigint) end"
+            ).alias("beta_mil"),
+            # ln K in mil: (Σy − β·Σx) div k with β in mil — stated
+            # trunc-toward-zero composite (engine-identical by the same
+            # sign-split rule)
+            F.expr(
+                "case when den = 0 then cast(null as bigint) else "
+                "cast(case when (sy * den - num * sx) <= 0 "
+                "then -((-(sy * den - num * sx) * 1000)"
+                " div (cast(n_points as decimal(38,0)) * den)) "
+                "else ((sy * den - num * sx) * 1000)"
+                " div (cast(n_points as decimal(38,0)) * den) end"
+                " as bigint) end"
+            ).alias("ln_k_mil"),
+        )
+    )
+
+
+def heaps_fit_sql(
+    table: str,
+    tokens_sql: str,
+    id_col: str = "doc_id",
+    n_points: int = 8,
+) -> str:
+    """DuckDB twin of :func:`heaps_fit`."""
+    pts = [(j, 2 ** (n_points - 1 - j)) for j in range(n_points)]
+    tok_cols = ", ".join(
+        f"SUM(CASE WHEN d * {div} <= mx THEN ntok ELSE 0 END) AS tok_{j}"
+        for j, div in pts
+    )
+    typ_cols = ", ".join(
+        f"SUM(CASE WHEN first_d * {div} <= mx THEN 1 ELSE 0 END) AS typ_{j}"
+        for j, div in pts
+    )
+    point_structs = ", ".join(
+        f"(CAST(tok_{j} AS BIGINT), CAST(typ_{j} AS BIGINT))"
+        for j, _ in pts
+    )
+    return f"""
+WITH hp_mx AS (SELECT MAX({id_col}) AS mx FROM {table}),
+hp_dt AS (SELECT {id_col} AS d, len({tokens_sql}) AS ntok FROM {table}),
+hp_tf AS (SELECT term, MIN(d) AS first_d
+          FROM (SELECT {id_col} AS d, unnest({tokens_sql}) AS term
+                FROM {table}) GROUP BY 1),
+hp_tok AS (SELECT {tok_cols} FROM hp_dt CROSS JOIN hp_mx),
+hp_typ AS (SELECT {typ_cols} FROM hp_tf CROSS JOIN hp_mx),
+hp_pts AS (SELECT unnest([{point_structs}]) AS p
+           FROM hp_tok CROSS JOIN hp_typ),
+hp_xy AS (SELECT CAST(floor(ln(CAST(p[1] AS DOUBLE)) * 1000000) AS BIGINT)
+                     AS x,
+                 CAST(floor(ln(CAST(p[2] AS DOUBLE)) * 1000000) AS BIGINT)
+                     AS y
+          FROM hp_pts
+          WHERE p[1] > 0 AND p[2] > 0),
+hp_a AS (SELECT COUNT(*) AS k,
+                SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+                SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                SUM(CAST(x AS HUGEINT) * x) AS sxx
+         FROM hp_xy),
+hp_f AS (SELECT k,
+                CAST(k AS HUGEINT) * sxy - sx * sy AS num,
+                CAST(k AS HUGEINT) * sxx - sx * sx AS den,
+                sx, sy
+         FROM hp_a)
+SELECT CAST(k AS BIGINT) AS n_points,
+       CASE WHEN den = 0 THEN NULL
+            WHEN num <= 0 THEN CAST(-((-num * 1000) // den) AS BIGINT)
+            ELSE CAST((num * 1000) // den AS BIGINT) END AS beta_mil,
+       CASE WHEN den = 0 THEN NULL
+            WHEN (sy * den - num * sx) <= 0
+            THEN CAST(-((-(sy * den - num * sx) * 1000)
+                 // (CAST(k AS HUGEINT) * den)) AS BIGINT)
+            ELSE CAST(((sy * den - num * sx) * 1000)
+                 // (CAST(k AS HUGEINT) * den) AS BIGINT) END AS ln_k_mil
+FROM hp_f"""
+
+
+def lang_entropy(
+    docs: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-language token-distribution Shannon entropy — one row per
+    language ``(lang, n_tokens, n_types, h_nano, h_max_nano)`` with
+    ``H = −Σ p_t ln p_t`` in nano-nats. Low entropy relative to
+    ``ln(n_types)`` (= ``h_max_nano``) marks boilerplate-dominated or
+    keyword-stuffed slices; the gap is the standard corpus-diversity
+    gauge next to :func:`zipf_slope`.
+
+    Pinned contract: per (lang, term), ``contrib = floor((cnt/n) ·
+    ln(n/cnt) · 1e9)`` where the doubles derive from exact BIGINT
+    counts through one fixed IEEE tree (same exposure class as
+    :func:`zipf_slope`); ``h_nano = Σ contrib`` per language,
+    ``h_max_nano = floor(ln(n_types)·1e9)``.
+
+    Scale design: ONE explode→(lang, term) corpus fold (map-side
+    combinable); the per-language totals come from a window over that
+    vocabulary table (per-language-vocab bounded, never the corpus —
+    and no join, so the corpus is scanned exactly once, unlike a
+    re-aggregate-and-broadcast which would rescan it). The
+    contribution sum re-uses the (lang) partitioning.
+    """
+    from rio_cogeo_spark.functions.text import tokens_col
+
+    tf = (
+        docs.select(
+            F.col(lang_col).alias("lang"),
+            F.explode(tokens_col(F.col(text_col))).alias("term"),
+        )
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("lang")
+    return (
+        tf.select(
+            "lang", "cnt",
+            F.sum("cnt").over(w).alias("n_tokens"),
+            F.count(F.lit(1)).over(w).alias("n_types"),
+        )
+        .select(
+            "lang", "n_tokens", "n_types",
+            F.expr(
+                "cast(floor((cast(cnt as double) / cast(n_tokens as double))"
+                " * ln(cast(n_tokens as double) / cast(cnt as double))"
+                " * 1e9) as bigint)"
+            ).alias("contrib"),
+        )
+        .groupBy("lang", "n_tokens", "n_types")
+        .agg(F.sum("contrib").alias("h_nano"))
+        .select(
+            "lang",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_types").cast("long").alias("n_types"),
+            F.col("h_nano").cast("long").alias("h_nano"),
+            F.expr(
+                "cast(floor(ln(cast(n_types as double)) * 1e9) as bigint)"
+            ).alias("h_max_nano"),
+        )
+    )
+
+
+def lang_entropy_sql(
+    table: str,
+    tokens_sql: str,
+    lang_col: str = "lang",
+) -> str:
+    """DuckDB twin of :func:`lang_entropy`."""
+    return f"""
+WITH le_tf AS (SELECT lang, term, COUNT(*) AS cnt
+               FROM (SELECT {lang_col} AS lang,
+                            unnest({tokens_sql}) AS term FROM {table})
+               GROUP BY 1, 2),
+le_w AS (SELECT lang, cnt,
+                SUM(cnt) OVER (PARTITION BY lang) AS n_tokens,
+                COUNT(*) OVER (PARTITION BY lang) AS n_types
+         FROM le_tf),
+le_c AS (SELECT lang, n_tokens, n_types,
+                CAST(floor((CAST(cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+                     * ln(CAST(n_tokens AS DOUBLE) / CAST(cnt AS DOUBLE))
+                     * 1e9) AS BIGINT) AS contrib
+         FROM le_w)
+SELECT lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_types AS BIGINT) AS n_types,
+       CAST(SUM(contrib) AS BIGINT) AS h_nano,
+       CAST(floor(ln(CAST(n_types AS DOUBLE)) * 1e9) AS BIGINT)
+           AS h_max_nano
+FROM le_c GROUP BY lang, n_tokens, n_types"""

@@ -1452,6 +1452,54 @@ def main() -> None:
     )
     print(f"[{'OK' if tsh_ok else 'BAD'}] term_shift plan")
 
+    # 91. heaps_fit: the corpus is read ONCE per fold family (per-doc
+    # token fold + per-term first-appearance fold) — conditional sums
+    # give every ladder point, so the number of Generate (explode)
+    # nodes must be exactly 1 and there is no join other than the
+    # broadcast of the 1-row max / totals
+    from rio_cogeo_spark.operators.report import heaps_fit, lang_entropy
+
+    hp_in = spark.range(200).selectExpr(
+        "id AS doc_id", "concat('w', cast(id % 23 as string), ' x y') AS text"
+    )
+    hp_plan = plan_of(heaps_fit(hp_in, n_points=5))
+    # exactly 2 Generates: the corpus-side term explode + the 1-row
+    # ladder-array explode (n_points structs, not a corpus rescan)
+    hp_ok = (
+        len(re.findall(r"\(\d+\) Generate", hp_plan)) == 2
+        and "SortMergeJoin" not in hp_plan
+        and "CartesianProduct" not in hp_plan
+    )
+    checks.append(("heaps_fit one corpus explode, ladder via conditional"
+                   " sums", hp_ok))
+    sections.append(
+        ("heaps_fit", f"  {'PASS' if hp_ok else 'FAIL'} "
+         "corpus explode + 1-row ladder explode; points are conditional"
+         " sums, not rescans", hp_plan)
+    )
+    print(f"[{'OK' if hp_ok else 'BAD'}] heaps_fit plan")
+
+    # 92. lang_entropy: ONE corpus explode fold; per-lang totals via a
+    # window over the vocab table (no join, no second corpus scan)
+    le_in = spark.range(500).selectExpr(
+        "cast(id % 3 as string) AS lang",
+        "concat('w', cast(id % 31 as string), ' x') AS text",
+    )
+    le_plan = plan_of(lang_entropy(le_in))
+    le_ok = (
+        "Join" not in le_plan
+        and len(re.findall(r"\(\d+\) Generate", le_plan)) == 1
+        and len(re.findall(r"\(\d+\) Window", le_plan)) == 1
+    )
+    checks.append(("lang_entropy single corpus explode, vocab-table window,"
+                   " zero joins", le_ok))
+    sections.append(
+        ("lang_entropy", f"  {'PASS' if le_ok else 'FAIL'} "
+         "per-lang totals via a window on the vocab fold (one corpus"
+         " scan, no join)", le_plan)
+    )
+    print(f"[{'OK' if le_ok else 'BAD'}] lang_entropy plan")
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:

@@ -829,3 +829,48 @@ def test_term_shift_goldens(spark):
     )
     want = duckdb.sql(sql).fetchone()
     assert tuple(r3) == tuple(int(v) for v in want)
+
+
+def test_heaps_fit_saturating_vs_minting(spark):
+    """Template flood (one shared vocab) must fit beta ~ 0; a corpus
+    where every doc mints fresh types fits beta near 1."""
+    from rio_cogeo_spark.operators.report import heaps_fit
+
+    flood = spark.createDataFrame(
+        [(i, "the same ten words repeat here on every page again")
+         for i in range(64)],
+        "doc_id long, text string",
+    )
+    r = heaps_fit(flood, n_points=5).collect()[0]
+    assert r.n_points == 5
+    assert r.beta_mil < 100  # vocabulary saturates
+
+    mint = spark.createDataFrame(
+        [(i, f"u{i}a u{i}b u{i}c u{i}d") for i in range(64)],
+        "doc_id long, text string",
+    )
+    r2 = heaps_fit(mint, n_points=5).collect()[0]
+    assert r2.beta_mil > 900  # every doc mints new types
+
+
+def test_lang_entropy_goldens(spark):
+    import math
+
+    from rio_cogeo_spark.operators.report import lang_entropy
+
+    # uniform over 4 types: H = ln 4 exactly (modulo per-term floor)
+    uni = spark.createDataFrame(
+        [(0, "a b c d", "xx")], "doc_id long, text string, lang string"
+    )
+    r = lang_entropy(uni).collect()[0]
+    assert (r.n_tokens, r.n_types) == (4, 4)
+    want = math.log(4) * 1e9
+    assert want - 4 <= r.h_nano <= want  # 4 per-term floors
+    assert r.h_nano <= r.h_max_nano
+
+    # single repeated token: H = 0
+    const = spark.createDataFrame(
+        [(0, "w w w w w", "yy")], "doc_id long, text string, lang string"
+    )
+    r2 = lang_entropy(const).collect()[0]
+    assert (r2.n_types, r2.h_nano, r2.h_max_nano) == (1, 0, 0)
