@@ -2826,6 +2826,41 @@ def _moran_oracle() -> str:
     return morans_i_sql(_BASE_CTE, ZOOM)
 
 
+def q_aspect(spark, sf_dir):
+    """8-way aspect classification of the page-density surface
+    (gdaldem aspect analog): Horn gradients stay exact BIGINTs and the
+    compass octant is a pure comparison CASE — no trig in either
+    engine (octant case exhaustively verified against atan2 in
+    tests)."""
+    from rio_cogeo_spark.operators import focal
+
+    base = base_tiles(_pages(spark, sf_dir), ZOOM)
+    return focal.aspect8(base, ZOOM)
+
+
+def _aspect_oracle() -> str:
+    from rio_cogeo_spark.operators.focal import aspect8_sql
+
+    return aspect8_sql(_BASE_CTE, ZOOM)
+
+
+def q_contour(spark, sf_dir):
+    """Marching-squares contour extraction (gdal_contour analog) at
+    iso-level 2 over the density grid: every 2x2 corner block the
+    contour crosses, with its case index 1..14 — pure integers, one
+    4-slot vote explode."""
+    from rio_cogeo_spark.operators import focal
+
+    base = base_tiles(_pages(spark, sf_dir), ZOOM)
+    return focal.contour_cells(base, ZOOM, threshold=2)
+
+
+def _contour_oracle() -> str:
+    from rio_cogeo_spark.operators.focal import contour_cells_sql
+
+    return contour_cells_sql(_BASE_CTE, ZOOM, threshold=2)
+
+
 def q_morton_range(spark, sf_dir):
     """Z-order bbox query: filter the tile table by the exact quadtree
     range decomposition of MORTON_BBOX. The oracle twin filters by the
@@ -3388,6 +3423,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_shift": q_term_shift,
         "heaps": q_heaps,
         "entropy": q_entropy,
+        "aspect": q_aspect,
+        "contour": q_contour,
         "jl_project": q_jl_project,
     }
 
@@ -4372,6 +4409,8 @@ FROM documents QUALIFY rank <= 3""",
         "term_shift": _term_shift_oracle(),
         "heaps": _heaps_oracle(),
         "entropy": _entropy_oracle(),
+        "aspect": _aspect_oracle(),
+        "contour": _contour_oracle(),
         "jl_project": _jl_project_oracle(),
         "repeated_spans": _repeated_spans_oracle(),
         "passage_cut": _passage_cut_oracle(),

@@ -884,3 +884,233 @@ SELECT CAST({n_grid} AS BIGINT) AS n_grid,
             WHEN num <= 0 THEN CAST(-((-num * 1000) // den) AS BIGINT)
             ELSE CAST((num * 1000) // den AS BIGINT) END AS i_mil
 FROM mi_f"""
+
+
+def aspect8(
+    tiles: DataFrame,
+    zoom: int,
+    value_col: str = "page_count",
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+) -> DataFrame:
+    """8-way aspect classification of the density surface (the
+    ``gdaldem aspect`` sibling of :func:`hillshade`, reference CLI
+    surface rio_cogeo exposes via GDAL): per occupied cell, the compass
+    octant its slope FACES (downhill direction), plus the exact squared
+    gradient magnitude — ``(tile_x, tile_y, gx8, gy8, slope_sq,
+    octant)``.
+
+    Fully integer-exact (no trig in either engine): Horn '81 gradients
+    scaled by 8 stay BIGINT (``gx8`` east, ``gy8`` north — tile_y grows
+    south, so the north gradient negates the row difference), the
+    downslope vector is ``(vx, vy) = (−gx8, −gy8)``, and the octant is
+    a pure comparison CASE over half-open 45° wedges anchored on the
+    axes/diagonals::
+
+        0 = flat (vx = vy = 0)
+        1 = [E, NE)    vx > 0  and  0 <= vy < vx
+        2 = [NE, N)    vy > 0  and  0 <  vx <= vy
+        3 = [N, NW)    vy > 0  and  −vy < vx <= 0
+        4 = [NW, W)    vx < 0  and  0 < vy <= −vx
+        5 = [W, SW)    vx < 0  and  vx < vy <= 0
+        6 = [SW, S)    vy < 0  and  vy <= vx < 0
+        7 = [S, SE)    vy < 0  and  0 <= vx < −vy
+        8 = [SE, E)    vx > 0  and  −vx <= vy < 0
+
+    ``slope_sq = gx8² + gy8²`` (DECIMAL-safe at any count scale).
+
+    Scale design: identical to :func:`hillshade` — one literal-offset
+    vote explode + ONE combinable 9-slot aggregate, then a pure
+    projection. No window, no join, no trig.
+    """
+    n = F.lit(2 ** zoom)
+    off = F.explode(
+        F.array(*[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in _offsets(1)
+        ])
+    ).alias("off")
+    votes = tiles.select(
+        F.col(x_col).cast("long").alias("_sx"),
+        F.col(y_col).cast("long").alias("_sy"),
+        F.col(value_col).cast("long").alias("_v"),
+        off,
+    ).select(
+        (F.col("_sx") + F.col("off.dx")).alias("nx"),
+        (F.col("_sy") + F.col("off.dy")).alias("ny"),
+        (-F.col("off.dx")).alias("rx"),
+        (-F.col("off.dy")).alias("ry"),
+        F.col("_v"),
+    ).filter(
+        (F.col("nx") >= 0) & (F.col("nx") < n)
+        & (F.col("ny") >= 0) & (F.col("ny") < n)
+    )
+
+    def slot(rx, ry):
+        return F.sum(
+            F.when((F.col("rx") == rx) & (F.col("ry") == ry), F.col("_v"))
+            .otherwise(F.lit(0))
+        )
+
+    g9 = votes.groupBy("nx", "ny").agg(
+        slot(-1, -1).alias("a"), slot(0, -1).alias("b"), slot(1, -1).alias("c"),
+        slot(-1, 0).alias("d"), slot(1, 0).alias("f"),
+        slot(-1, 1).alias("g"), slot(0, 1).alias("h"), slot(1, 1).alias("i"),
+        F.max(
+            F.when((F.col("rx") == 0) & (F.col("ry") == 0), F.lit(1))
+            .otherwise(F.lit(0))
+        ).alias("_occ"),
+    )
+    return (
+        g9.filter(F.col("_occ") == 1)
+        .select(
+            F.col("nx").alias("tile_x"), F.col("ny").alias("tile_y"),
+            F.expr("(c + 2*f + i) - (a + 2*d + g)").alias("gx8"),
+            F.expr("(a + 2*b + c) - (g + 2*h + i)").alias("gy8"),
+        )
+        .select(
+            "tile_x", "tile_y", "gx8", "gy8",
+            F.expr(
+                "cast(cast(gx8 as decimal(38,0)) * gx8"
+                " + cast(gy8 as decimal(38,0)) * gy8 as decimal(38,0))"
+            ).cast("long").alias("slope_sq"),
+            F.expr(ASPECT_OCTANT_CASE).cast("int").alias("octant"),
+        )
+    )
+
+
+# the shared octant CASE over vx = -gx8, vy = -gy8 (identical text in
+# both engines: pure BIGINT comparisons)
+ASPECT_OCTANT_CASE = """CASE
+ WHEN gx8 = 0 AND gy8 = 0 THEN 0
+ WHEN -gx8 > 0 AND -gy8 >= 0 AND -gy8 < -gx8 THEN 1
+ WHEN -gy8 > 0 AND -gx8 > 0 AND -gy8 >= -gx8 THEN 2
+ WHEN -gy8 > 0 AND -gx8 <= 0 AND gx8 < -gy8 THEN 3
+ WHEN -gx8 < 0 AND -gy8 > 0 AND -gy8 <= gx8 THEN 4
+ WHEN -gx8 < 0 AND -gy8 <= 0 AND -gy8 > -gx8 THEN 5
+ WHEN -gy8 < 0 AND -gx8 < 0 AND -gy8 <= -gx8 THEN 6
+ WHEN -gy8 < 0 AND -gx8 >= 0 AND -gx8 < gy8 THEN 7
+ ELSE 8 END"""
+
+
+def aspect8_sql(
+    base_cte: str,
+    zoom: int,
+) -> str:
+    """DuckDB twin of :func:`aspect8` — ``base_cte`` exposes relation
+    ``base(tile_x, tile_y, page_count)`` (WITH included)."""
+    edge = 2 ** zoom - 1
+    return f"""{base_cte}
+, a8_votes AS (SELECT b.tile_x + o1.dx AS nx, b.tile_y + o2.dy AS ny,
+                      -o1.dx AS rx, -o2.dy AS ry, b.page_count AS v
+               FROM base b,
+                    (VALUES (-1), (0), (1)) o1(dx),
+                    (VALUES (-1), (0), (1)) o2(dy)
+               WHERE b.tile_x + o1.dx BETWEEN 0 AND {edge}
+                 AND b.tile_y + o2.dy BETWEEN 0 AND {edge})
+, a8_g AS (SELECT nx, ny,
+    SUM(CASE WHEN rx=-1 AND ry=-1 THEN v ELSE 0 END) AS a,
+    SUM(CASE WHEN rx= 0 AND ry=-1 THEN v ELSE 0 END) AS b,
+    SUM(CASE WHEN rx= 1 AND ry=-1 THEN v ELSE 0 END) AS c,
+    SUM(CASE WHEN rx=-1 AND ry= 0 THEN v ELSE 0 END) AS d,
+    SUM(CASE WHEN rx= 1 AND ry= 0 THEN v ELSE 0 END) AS f,
+    SUM(CASE WHEN rx=-1 AND ry= 1 THEN v ELSE 0 END) AS g,
+    SUM(CASE WHEN rx= 0 AND ry= 1 THEN v ELSE 0 END) AS h,
+    SUM(CASE WHEN rx= 1 AND ry= 1 THEN v ELSE 0 END) AS i,
+    MAX(CASE WHEN rx= 0 AND ry= 0 THEN 1 ELSE 0 END) AS occ
+    FROM a8_votes GROUP BY 1, 2)
+, a8_grad AS (SELECT nx AS tile_x, ny AS tile_y,
+                     (c + 2*f + i) - (a + 2*d + g) AS gx8,
+                     (a + 2*b + c) - (g + 2*h + i) AS gy8
+              FROM a8_g WHERE occ = 1)
+SELECT tile_x, tile_y, CAST(gx8 AS BIGINT) AS gx8,
+       CAST(gy8 AS BIGINT) AS gy8,
+       CAST(CAST(gx8 AS HUGEINT) * gx8 + CAST(gy8 AS HUGEINT) * gy8
+            AS BIGINT) AS slope_sq,
+       CAST({ASPECT_OCTANT_CASE} AS INT) AS octant
+FROM a8_grad"""
+
+
+def contour_cells(
+    tiles: DataFrame,
+    zoom: int,
+    threshold: int,
+    value_col: str = "page_count",
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+) -> DataFrame:
+    """Marching-squares contour extraction over the density grid (the
+    ``gdal_contour`` analog): for iso-level ``threshold``, every 2×2
+    corner block the contour passes through, with its marching-squares
+    case index — ``(bx, by, mcase)``, ``mcase ∈ 1..14`` (0 = all
+    below and 15 = all above are interior, not emitted).
+
+    Corner convention: block ``(bx, by)`` has corners TL=(bx,by),
+    TR=(bx+1,by), BR=(bx+1,by+1), BL=(bx,by+1); ``mcase = TL + 2·TR +
+    4·BR + 8·BL`` with corner bit = (value ≥ threshold). Absent cells
+    are value 0 (density semantics), so for ``threshold ≥ 1`` only
+    blocks touching an occupied tile can yield a nonzero case — the
+    vote explode enumerates exactly those. Saddle disambiguation
+    (cases 5/10) is left to the consumer, as gdal_contour does.
+
+    Pure integers end to end. Scale design: one 4-slot literal-offset
+    vote explode (each occupied tile contributes to its ≤4 containing
+    blocks) + ONE combinable aggregate; blocks fully below the level
+    never materialize. No join, no window.
+    """
+    if threshold < 1:
+        raise ValueError(f"threshold must be >= 1, got {threshold}")
+    n = F.lit(2 ** zoom)
+    # tile (x, y) is the TL of block (x, y), TR of (x-1, y),
+    # BL of (x, y-1), BR of (x-1, y-1)
+    off = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+                F.lit(bit).alias("bit"),
+            )
+            for dx, dy, bit in
+            ((0, 0, 1), (-1, 0, 2), (-1, -1, 4), (0, -1, 8))
+        ])
+    ).alias("off")
+    votes = tiles.select(
+        F.col(x_col).cast("long").alias("_sx"),
+        F.col(y_col).cast("long").alias("_sy"),
+        F.col(value_col).cast("long").alias("_v"),
+        off,
+    ).select(
+        (F.col("_sx") + F.col("off.dx")).alias("bx"),
+        (F.col("_sy") + F.col("off.dy")).alias("by"),
+        F.when(F.col("_v") >= threshold, F.col("off.bit"))
+        .otherwise(F.lit(0)).alias("bit"),
+    ).filter(
+        (F.col("bx") >= 0) & (F.col("bx") < n - 1)
+        & (F.col("by") >= 0) & (F.col("by") < n - 1)
+    )
+    return (
+        votes.groupBy("bx", "by")
+        .agg(F.sum("bit").alias("mcase"))
+        .filter((F.col("mcase") >= 1) & (F.col("mcase") <= 14))
+        .select("bx", "by", F.col("mcase").cast("int").alias("mcase"))
+    )
+
+
+def contour_cells_sql(
+    base_cte: str,
+    zoom: int,
+    threshold: int,
+) -> str:
+    """DuckDB twin of :func:`contour_cells`."""
+    edge = 2 ** zoom - 1
+    return f"""{base_cte}
+, mc_votes AS (SELECT b.tile_x + o.dx AS bx, b.tile_y + o.dy AS by,
+                      CASE WHEN b.page_count >= {threshold}
+                           THEN o.bit ELSE 0 END AS bit
+               FROM base b,
+                    (VALUES (0, 0, 1), (-1, 0, 2), (-1, -1, 4), (0, -1, 8))
+                        o(dx, dy, bit)
+               WHERE b.tile_x + o.dx BETWEEN 0 AND {edge} - 1
+                 AND b.tile_y + o.dy BETWEEN 0 AND {edge} - 1)
+SELECT bx, by, CAST(SUM(bit) AS INT) AS mcase
+FROM mc_votes GROUP BY 1, 2
+HAVING SUM(bit) BETWEEN 1 AND 14"""

@@ -1500,6 +1500,32 @@ def main() -> None:
     )
     print(f"[{'OK' if le_ok else 'BAD'}] lang_entropy plan")
 
+    # 93/94. aspect8 and contour_cells: hillshade-pattern vote explode
+    # + ONE combinable aggregate — no join, no window, no trig UDF
+    from rio_cogeo_spark.operators.focal import aspect8, contour_cells
+
+    a8_in = spark.range(300).selectExpr(
+        "id % 32 AS tile_x", "(id * 11) % 32 AS tile_y", "1 AS page_count"
+    ).groupBy("tile_x", "tile_y").agg(F.sum("page_count").alias("page_count"))
+    for nm, df93 in (
+        ("aspect8", aspect8(a8_in, 5)),
+        ("contour_cells", contour_cells(a8_in, 5, threshold=1)),
+    ):
+        p93 = plan_of(df93)
+        ok93 = (
+            "Join" not in p93
+            and "Window" not in p93
+            and len(re.findall(r"\(\d+\) Generate", p93)) == 1
+            and "BatchEvalPython" not in p93
+        )
+        checks.append((f"{nm} vote explode + one aggregate, no join/window",
+                       ok93))
+        sections.append(
+            (nm, f"  {'PASS' if ok93 else 'FAIL'} "
+             "single Generate + combinable slot aggregate", p93)
+        )
+        print(f"[{'OK' if ok93 else 'BAD'}] {nm} plan")
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:

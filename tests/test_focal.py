@@ -571,3 +571,81 @@ def test_morans_i_checkerboard_vs_block(spark):
         [], "tile_x long, tile_y long, page_count long"
     )
     assert morans_i(empty, zoom).collect()[0].i_mil is None
+
+
+def test_aspect8_octant_exhaustive_vs_atan2(spark):
+    """The pure-comparison octant CASE must equal int(atan2//45)+1 for
+    every integer gradient on a lattice (boundaries included) — run
+    through the ENGINE, not a python re-implementation."""
+    import math
+
+    from rio_cogeo_spark.operators.focal import ASPECT_OCTANT_CASE
+
+    grads = [
+        (gx, gy) for gx in range(-6, 7) for gy in range(-6, 7)
+    ]
+    df = spark.createDataFrame(grads, "gx8 long, gy8 long")
+    got = {
+        (r.gx8, r.gy8): r.oct
+        for r in df.selectExpr(
+            "gx8", "gy8", f"cast({ASPECT_OCTANT_CASE} as int) AS oct"
+        ).collect()
+    }
+    for gx, gy in grads:
+        if gx == 0 and gy == 0:
+            assert got[(gx, gy)] == 0
+            continue
+        theta = math.degrees(math.atan2(-gy, -gx)) % 360.0
+        assert got[(gx, gy)] == int(theta // 45) + 1, (gx, gy, theta)
+
+
+def test_aspect8_single_peak_faces_outward(spark):
+    """A single occupied tile is a peak: every surrounding cell's
+    downslope octant must point AWAY from it."""
+    from rio_cogeo_spark.operators.focal import aspect8
+
+    # a tall peak with a low occupied shoulder due east (only occupied
+    # cells are emitted, as hillshade)
+    peak = spark.createDataFrame(
+        [(4, 4, 100), (5, 4, 1)],
+        "tile_x long, tile_y long, page_count long",
+    )
+    rows = {(r.tile_x, r.tile_y): r for r in aspect8(peak, 4).collect()}
+    assert set(rows) == {(4, 4), (5, 4)}
+    # the shoulder slopes down AWAY from the peak: to the east, octant 1
+    # (gx8 at (5,4) = 0 - (a + 2d + g) = -200 -> vx = +200, vy = 0)
+    assert rows[(5, 4)].gx8 == -200 and rows[(5, 4)].octant == 1
+    # the peak itself slopes down toward the shoulder... its east slots
+    # hold the shoulder value, west slots empty: gx8 = (0+2*1+0) = 2 > 0
+    # -> downslope WEST (octant 5 boundary [W,SW) at vy=0)
+    assert rows[(4, 4)].gx8 == 2 and rows[(4, 4)].octant == 5
+
+
+def test_contour_cells_square_island(spark):
+    """A filled 2x2 island at threshold 1: the marching squares around
+    it must produce the full closed-ring case set (corners 1/2/4/8,
+    edges 3/6/9/12), and the interior block (all four corners >= T)
+    must NOT be emitted."""
+    from rio_cogeo_spark.operators.focal import contour_cells
+
+    island = spark.createDataFrame(
+        [(4, 4, 5), (5, 4, 5), (4, 5, 5), (5, 5, 5)],
+        "tile_x long, tile_y long, page_count long",
+    )
+    got = {(r.bx, r.by): r.mcase for r in
+           contour_cells(island, 4, threshold=1).collect()}
+    # interior block (4,4) has TL TR BR BL all set -> case 15, dropped
+    assert (4, 4) not in got
+    # TL corner block (3,3): only BR=(4,4) set -> case 4
+    assert got[(3, 3)] == 4
+    # top edge block (4,3): BR+BL set -> 4+8 = 12
+    assert got[(4, 3)] == 12
+    # left edge block (3,4): TR+BR -> 2+4 = 6
+    assert got[(3, 4)] == 6
+    # bottom edge block (4,5): TL+TR -> 3
+    assert got[(4, 5)] == 3
+    # 8 blocks ring the island (4 corners + 4 edges)
+    assert len(got) == 8
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        contour_cells(island, 4, threshold=0)
