@@ -2861,6 +2861,39 @@ def _contour_oracle() -> str:
     return contour_cells_sql(_BASE_CTE, ZOOM, threshold=2)
 
 
+def q_d8(spark, sf_dir):
+    """D8 steepest-descent flow direction over the density surface
+    (hydrology analog): exact integer steepest-descent via the
+    2·drop²-vs-drop² squared-distance trick — no irrationals, pits
+    flagged, receivers in closed form."""
+    from rio_cogeo_spark.operators import focal
+
+    base = base_tiles(_pages(spark, sf_dir), ZOOM)
+    return focal.d8_flow(base, ZOOM)
+
+
+def _d8_oracle() -> str:
+    from rio_cogeo_spark.operators.focal import d8_flow_sql
+
+    return d8_flow_sql(_BASE_CTE, ZOOM)
+
+
+def q_flow_acc(spark, sf_dir):
+    """4-round D8 flow accumulation (catchment size within 4 flow
+    steps) — the third oracle-paired ITERATIVE operator (after
+    PageRank and BFS): exact BIGINT rounds vs an unrolled CTE chain."""
+    from rio_cogeo_spark.operators import focal
+
+    base = base_tiles(_pages(spark, sf_dir), ZOOM)
+    return focal.flow_accumulation(base, ZOOM, rounds=4)
+
+
+def _flow_acc_oracle() -> str:
+    from rio_cogeo_spark.operators.focal import flow_accumulation_sql
+
+    return flow_accumulation_sql(_BASE_CTE, ZOOM, rounds=4)
+
+
 def q_morton_range(spark, sf_dir):
     """Z-order bbox query: filter the tile table by the exact quadtree
     range decomposition of MORTON_BBOX. The oracle twin filters by the
@@ -3425,6 +3458,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entropy": q_entropy,
         "aspect": q_aspect,
         "contour": q_contour,
+        "d8": q_d8,
+        "flow_acc": q_flow_acc,
         "jl_project": q_jl_project,
     }
 
@@ -4411,6 +4446,8 @@ FROM documents QUALIFY rank <= 3""",
         "entropy": _entropy_oracle(),
         "aspect": _aspect_oracle(),
         "contour": _contour_oracle(),
+        "d8": _d8_oracle(),
+        "flow_acc": _flow_acc_oracle(),
         "jl_project": _jl_project_oracle(),
         "repeated_spans": _repeated_spans_oracle(),
         "passage_cut": _passage_cut_oracle(),

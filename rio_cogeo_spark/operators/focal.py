@@ -1114,3 +1114,266 @@ def contour_cells_sql(
 SELECT bx, by, CAST(SUM(bit) AS INT) AS mcase
 FROM mc_votes GROUP BY 1, 2
 HAVING SUM(bit) BETWEEN 1 AND 14"""
+
+
+def d8_flow(
+    tiles: DataFrame,
+    zoom: int,
+    value_col: str = "page_count",
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+) -> DataFrame:
+    """D8 steepest-descent flow direction over the density surface (the
+    hydrology ``gdaldem``/TauDEM analog, density-as-elevation): per
+    occupied cell ``(tile_x, tile_y, d8, rcv_x, rcv_y)`` where ``d8 ∈
+    1..8`` indexes the receiving neighbor (E, NE, N, NW, W, SW, S, SE —
+    octant numbering shared with :func:`aspect8`) and ``d8 = 0`` marks
+    a pit (no strictly lower in-bounds neighbor; ``rcv_* = NULL``).
+    Absent neighbors are elevation 0 — lower than any occupied cell, so
+    boundary cells drain off the occupied mass, exactly like sparse
+    hydrology on a raised island.
+
+    Exact steepest-descent contract WITHOUT irrationals: the true
+    criterion maximizes ``drop/dist`` with ``dist ∈ {1, √2}``; for
+    positive drops ``drop_c/1 > drop_d/√2 ⟺ 2·drop_c² > drop_d²``, so
+    each eligible direction gets the integer score ``s = 2·drop²``
+    (cardinal) or ``drop²`` (diagonal) and the winner is the max
+    ``(s, −k)`` pair — encoded as the single BIGINT ``s·16 + (8−k)``
+    (ties break toward the smaller direction index; envelope: per-cell
+    counts ≤ 3·10⁸ keep ``2·drop²·16`` inside int64 — beyond that,
+    rescale the band, documented as for bm25/kappa).
+
+    Scale design: the :func:`aspect8` vote explode + ONE combinable
+    9-slot aggregate, then a pure projection (the argmax is a GREATEST
+    over 8 literal-offset codes). No join, no window.
+    """
+    n = F.lit(2 ** zoom)
+    off = F.explode(
+        F.array(*[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in _offsets(1)
+        ])
+    ).alias("off")
+    votes = tiles.select(
+        F.col(x_col).cast("long").alias("_sx"),
+        F.col(y_col).cast("long").alias("_sy"),
+        F.col(value_col).cast("long").alias("_v"),
+        off,
+    ).select(
+        (F.col("_sx") + F.col("off.dx")).alias("nx"),
+        (F.col("_sy") + F.col("off.dy")).alias("ny"),
+        (-F.col("off.dx")).alias("rx"),
+        (-F.col("off.dy")).alias("ry"),
+        F.col("_v"),
+    ).filter(
+        (F.col("nx") >= 0) & (F.col("nx") < n)
+        & (F.col("ny") >= 0) & (F.col("ny") < n)
+    )
+
+    def slot(rx, ry):
+        return F.sum(
+            F.when((F.col("rx") == rx) & (F.col("ry") == ry), F.col("_v"))
+            .otherwise(F.lit(0))
+        )
+
+    # slots indexed by direction k (octant convention, tile_y grows
+    # south): 1 E (1,0), 2 NE (1,-1), 3 N (0,-1), 4 NW (-1,-1),
+    # 5 W (-1,0), 6 SW (-1,1), 7 S (0,1), 8 SE (1,1)
+    g9 = votes.groupBy("nx", "ny").agg(
+        slot(1, 0).alias("n1"), slot(1, -1).alias("n2"),
+        slot(0, -1).alias("n3"), slot(-1, -1).alias("n4"),
+        slot(-1, 0).alias("n5"), slot(-1, 1).alias("n6"),
+        slot(0, 1).alias("n7"), slot(1, 1).alias("n8"),
+        F.max(
+            F.when((F.col("rx") == 0) & (F.col("ry") == 0), F.col("_v"))
+        ).alias("v0"),
+        F.max(
+            F.when((F.col("rx") == 0) & (F.col("ry") == 0), F.lit(1))
+            .otherwise(F.lit(0))
+        ).alias("_occ"),
+    )
+    # out-of-bounds neighbors of boundary cells never voted: their
+    # slots hold 0 already — but they must be INELIGIBLE, not
+    # elevation-0 receivers (water can't leave the grid). Re-mask them.
+    edge = 2 ** zoom - 1
+    dirvec = {1: (1, 0), 2: (1, -1), 3: (0, -1), 4: (-1, -1),
+              5: (-1, 0), 6: (-1, 1), 7: (0, 1), 8: (1, 1)}
+    codes = []
+    for k, (dx, dy) in dirvec.items():
+        mult = 2 if dx == 0 or dy == 0 else 1
+        in_b = (f"nx + {dx} between 0 and {edge} "
+                f"and ny + {dy} between 0 and {edge}")
+        drop = f"(v0 - n{k})"
+        codes.append(
+            f"case when {in_b} and {drop} > 0 "
+            f"then ({mult} * {drop} * {drop}) * 16 + (8 - {k}) "
+            f"else 0 end"
+        )
+    best = " , ".join(codes)
+    return (
+        g9.filter(F.col("_occ") == 1)
+        .select(
+            F.col("nx").alias("tile_x"), F.col("ny").alias("tile_y"),
+            F.expr(f"greatest({best})").alias("_code"),
+        )
+        .select(
+            "tile_x", "tile_y",
+            F.expr(
+                "case when _code = 0 then 0 "
+                "else 8 - (_code % 16) end"
+            ).cast("int").alias("d8"),
+        )
+        .select(
+            "tile_x", "tile_y", "d8",
+            F.expr(D8_RCV_X).cast("long").alias("rcv_x"),
+            F.expr(D8_RCV_Y).cast("long").alias("rcv_y"),
+        )
+    )
+
+
+# receiver offsets by direction code (shared text, both engines)
+D8_RCV_X = """CASE d8 WHEN 0 THEN NULL
+ WHEN 1 THEN tile_x + 1 WHEN 2 THEN tile_x + 1 WHEN 3 THEN tile_x
+ WHEN 4 THEN tile_x - 1 WHEN 5 THEN tile_x - 1 WHEN 6 THEN tile_x - 1
+ WHEN 7 THEN tile_x ELSE tile_x + 1 END"""
+D8_RCV_Y = """CASE d8 WHEN 0 THEN NULL
+ WHEN 1 THEN tile_y WHEN 2 THEN tile_y - 1 WHEN 3 THEN tile_y - 1
+ WHEN 4 THEN tile_y - 1 WHEN 5 THEN tile_y WHEN 6 THEN tile_y + 1
+ WHEN 7 THEN tile_y + 1 ELSE tile_y + 1 END"""
+
+
+def _d8_cte(base_cte: str, zoom: int) -> str:
+    """Shared SQL producing relation ``d8f(tile_x, tile_y, d8, rcv_x,
+    rcv_y)`` from ``base`` — the DuckDB body of :func:`d8_flow`."""
+    edge = 2 ** zoom - 1
+    dirvec = {1: (1, 0), 2: (1, -1), 3: (0, -1), 4: (-1, -1),
+              5: (-1, 0), 6: (-1, 1), 7: (0, 1), 8: (1, 1)}
+    slot_cols = ", ".join(
+        f"SUM(CASE WHEN rx = {dx} AND ry = {dy} THEN v ELSE 0 END) AS n{k}"
+        for k, (dx, dy) in dirvec.items()
+    )
+    codes = []
+    for k, (dx, dy) in dirvec.items():
+        mult = 2 if dx == 0 or dy == 0 else 1
+        codes.append(
+            f"CASE WHEN nx + {dx} BETWEEN 0 AND {edge} "
+            f"AND ny + {dy} BETWEEN 0 AND {edge} AND (v0 - n{k}) > 0 "
+            f"THEN ({mult} * (v0 - n{k}) * (v0 - n{k})) * 16 + (8 - {k}) "
+            f"ELSE 0 END"
+        )
+    best = ", ".join(codes)
+    return f"""{base_cte}
+, d8_votes AS (SELECT b.tile_x + o1.dx AS nx, b.tile_y + o2.dy AS ny,
+                      -o1.dx AS rx, -o2.dy AS ry, b.page_count AS v
+               FROM base b,
+                    (VALUES (-1), (0), (1)) o1(dx),
+                    (VALUES (-1), (0), (1)) o2(dy)
+               WHERE b.tile_x + o1.dx BETWEEN 0 AND {edge}
+                 AND b.tile_y + o2.dy BETWEEN 0 AND {edge})
+, d8_g AS (SELECT nx, ny, {slot_cols},
+                  MAX(CASE WHEN rx = 0 AND ry = 0 THEN v END) AS v0,
+                  MAX(CASE WHEN rx = 0 AND ry = 0 THEN 1 ELSE 0 END) AS occ
+           FROM d8_votes GROUP BY 1, 2)
+, d8_c AS (SELECT nx AS tile_x, ny AS tile_y,
+                  greatest({best}) AS code
+           FROM d8_g WHERE occ = 1)
+, d8_d AS (SELECT tile_x, tile_y,
+                  CAST(CASE WHEN code = 0 THEN 0
+                       ELSE 8 - (code % 16) END AS INT) AS d8
+           FROM d8_c)
+, d8f AS (SELECT tile_x, tile_y, d8,
+                 CAST({D8_RCV_X} AS BIGINT) AS rcv_x,
+                 CAST({D8_RCV_Y} AS BIGINT) AS rcv_y
+          FROM d8_d)"""
+
+
+def d8_flow_sql(base_cte: str, zoom: int) -> str:
+    """DuckDB twin of :func:`d8_flow`."""
+    return f"{_d8_cte(base_cte, zoom)}\nSELECT * FROM d8f"
+
+
+def flow_accumulation(
+    tiles: DataFrame,
+    zoom: int,
+    rounds: int = 4,
+    value_col: str = "page_count",
+) -> DataFrame:
+    """k-round D8 flow accumulation: ``(tile_x, tile_y, acc)`` where
+    ``acc`` counts the upstream cells within ``rounds`` flow steps
+    (self included) — the catchment-size statistic that ranks drainage
+    channels. Exact fixed-round contract (like the PageRank/BFS family:
+    a FIXED iteration count in exact BIGINTs, so the oracle unrolls to
+    chained CTEs and hashes identically): ``A_0 = 1``; ``A_{i+1}(v) =
+    1 + Σ_{rcv(u)=v} A_i(u)``. Strict-descent receivers make the flow
+    graph a DAG, so ``A_k`` converges to the true accumulation once
+    ``k`` reaches the longest flow path.
+
+    Scale design: one :func:`d8_flow` pass — materialized via an eager
+    ``localCheckpoint`` exactly like the n-gram auto-cap and PageRank
+    paths, because each subsequent round references the receiver table
+    twice (edges + the left-join frame): without the pin, round ``k``'s
+    lineage re-derives the explode+aggregate ~2^k times — then
+    ``rounds`` grid-key joins of the accumulation table to the
+    receiver edges, each key-bounded by the occupied set on the same
+    cell key (AQE reuses the partitioning).
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    d8 = (
+        d8_flow(tiles, zoom, value_col)
+        .select("tile_x", "tile_y", "rcv_x", "rcv_y")
+        .localCheckpoint(eager=True)
+    )
+    acc = d8.select("tile_x", "tile_y").withColumn("acc", F.lit(1))
+    edges = d8.filter(F.col("rcv_x").isNotNull())
+    for _ in range(rounds):
+        inflow = (
+            edges.join(
+                acc.withColumnRenamed("tile_x", "ux")
+                .withColumnRenamed("tile_y", "uy"),
+                (F.col("tile_x") == F.col("ux"))
+                & (F.col("tile_y") == F.col("uy")),
+            )
+            .groupBy(
+                F.col("rcv_x").alias("tile_x"),
+                F.col("rcv_y").alias("tile_y"),
+            )
+            .agg(F.sum("acc").alias("inflow"))
+        )
+        acc = (
+            d8.select("tile_x", "tile_y")
+            .join(inflow, ["tile_x", "tile_y"], "left")
+            .select(
+                "tile_x", "tile_y",
+                (F.lit(1) + F.coalesce(F.col("inflow"), F.lit(0)))
+                .alias("acc"),
+            )
+        )
+    return acc.select(
+        "tile_x", "tile_y", F.col("acc").cast("long").alias("acc")
+    )
+
+
+def flow_accumulation_sql(base_cte: str, zoom: int, rounds: int = 4) -> str:
+    """DuckDB twin of :func:`flow_accumulation` (unrolled CTE chain)."""
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    parts = [_d8_cte(base_cte, zoom)]
+    parts.append(
+        ", fa_0 AS (SELECT tile_x, tile_y, 1 AS acc FROM d8f)"
+    )
+    for i in range(rounds):
+        parts.append(f"""
+, fi_{i} AS (SELECT e.rcv_x AS tile_x, e.rcv_y AS tile_y,
+                    SUM(a.acc) AS inflow
+             FROM d8f e JOIN fa_{i} a USING (tile_x, tile_y)
+             WHERE e.rcv_x IS NOT NULL
+             GROUP BY 1, 2)
+, fa_{i + 1} AS (SELECT d.tile_x, d.tile_y,
+                        1 + COALESCE(f.inflow, 0) AS acc
+                 FROM d8f d LEFT JOIN fi_{i} f USING (tile_x, tile_y))""")
+    parts.append(
+        f"\nSELECT tile_x, tile_y, CAST(acc AS BIGINT) AS acc"
+        f" FROM fa_{rounds}"
+    )
+    return "".join(parts)

@@ -1526,6 +1526,27 @@ def main() -> None:
         )
         print(f"[{'OK' if ok93 else 'BAD'}] {nm} plan")
 
+    # 95. d8_flow: the aspect8 pattern — one vote explode + one
+    # combinable 9-slot aggregate, argmax as GREATEST over literal
+    # codes; no join, no window, no Python
+    from rio_cogeo_spark.operators.focal import d8_flow
+
+    d8_plan = plan_of(d8_flow(a8_in, 5))
+    d8_ok = (
+        "Join" not in d8_plan
+        and "Window" not in d8_plan
+        and len(re.findall(r"\(\d+\) Generate", d8_plan)) == 1
+        and "BatchEvalPython" not in d8_plan
+    )
+    checks.append(("d8_flow vote explode + greatest argmax, no join",
+                   d8_ok))
+    sections.append(
+        ("d8_flow", f"  {'PASS' if d8_ok else 'FAIL'} "
+         "single Generate + slot aggregate + GREATEST code argmax",
+         d8_plan)
+    )
+    print(f"[{'OK' if d8_ok else 'BAD'}] d8_flow plan")
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:

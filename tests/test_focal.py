@@ -649,3 +649,75 @@ def test_contour_cells_square_island(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         contour_cells(island, 4, threshold=0)
+
+
+def test_d8_flow_slope_and_pit(spark):
+    from rio_cogeo_spark.operators.focal import d8_flow
+
+    # an unwalled ridge cell drains OFF the ridge onto the 0-plain
+    # (absent = elevation 0), ties between the N and S plain resolve
+    # to the smaller direction index (N = 3)
+    ridge = spark.createDataFrame(
+        [(x, 4, 50 - 10 * x) for x in range(3)],
+        "tile_x long, tile_y long, page_count long",
+    )
+    rows = {(r.tile_x, r.tile_y): r for r in d8_flow(ridge, 4).collect()}
+    assert rows[(0, 4)].d8 == 3 and (rows[(0, 4)].rcv_x,
+                                     rows[(0, 4)].rcv_y) == (0, 3)
+
+    # a WALLED descending channel drains along itself: walls are
+    # higher (ineligible), so the only descent is east
+    chan = [(x, 4, 90 - 10 * (x - 3)) for x in range(3, 8)]
+    walls = [(x, y, 200) for x in range(2, 9) for y in (3, 5)]
+    walls += [(2, 4, 200)]
+    channel = spark.createDataFrame(
+        chan + walls, "tile_x long, tile_y long, page_count long"
+    )
+    rows1 = {(r.tile_x, r.tile_y): r for r in d8_flow(channel, 4).collect()}
+    for x in range(3, 7):
+        assert rows1[(x, 4)].d8 == 1 and rows1[(x, 4)].rcv_x == x + 1
+    # the mouth opens east onto the plain
+    assert rows1[(7, 4)].d8 == 1 and rows1[(7, 4)].rcv_x == 8
+
+    # a 1-cell basin walled by taller neighbors is a PIT (d8=0)...
+    # note: it must not see the zero plain, so wall in ALL 8 neighbors
+    cells = [(x, y, 90) for x in range(3, 6) for y in range(3, 6)
+             if (x, y) != (4, 4)] + [(4, 4, 5)]
+    basin = spark.createDataFrame(
+        cells, "tile_x long, tile_y long, page_count long"
+    )
+    rows2 = {(r.tile_x, r.tile_y): r for r in d8_flow(basin, 4).collect()}
+    assert rows2[(4, 4)].d8 == 0 and rows2[(4, 4)].rcv_x is None
+
+    # corner cell on a flat occupied grid: out-of-bounds neighbors are
+    # INELIGIBLE (water can't leave the grid), equal neighbors too ->
+    # pit, NOT an off-grid receiver
+    flat = spark.createDataFrame(
+        [(0, 0, 7), (1, 0, 7), (0, 1, 7), (1, 1, 7)],
+        "tile_x long, tile_y long, page_count long",
+    )
+    rows3 = {(r.tile_x, r.tile_y): r.d8 for r in d8_flow(flat, 1).collect()}
+    assert rows3 == {(0, 0): 0, (1, 0): 0, (0, 1): 0, (1, 1): 0}
+
+
+def test_flow_accumulation_chain(spark):
+    from rio_cogeo_spark.operators.focal import flow_accumulation
+
+    # walled descending channel of 5: accumulation at the mouth counts
+    # the whole channel once rounds >= length-1; wall cells drain onto
+    # the plain individually (acc 1 each)
+    chan = [(x, 4, 90 - 10 * (x - 3)) for x in range(3, 8)]
+    walls = [(x, y, 200) for x in range(2, 9) for y in (3, 5)]
+    walls += [(2, 4, 200)]
+    channel = spark.createDataFrame(
+        chan + walls, "tile_x long, tile_y long, page_count long"
+    )
+    acc = {(r.tile_x, r.tile_y): r.acc
+           for r in flow_accumulation(channel, 4, rounds=4).collect()}
+    assert [acc[(x, 4)] for x in range(3, 8)] == [1, 2, 3, 4, 5]
+    assert acc[(2, 3)] == 1  # walls drain straight to the plain
+
+    # truncated rounds: within-k upstream counts only
+    acc2 = {(r.tile_x, r.tile_y): r.acc
+            for r in flow_accumulation(channel, 4, rounds=2).collect()}
+    assert acc2[(7, 4)] == 3  # self + 2 steps upstream
