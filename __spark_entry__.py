@@ -2894,6 +2894,31 @@ def _flow_acc_oracle() -> str:
     return flow_accumulation_sql(_BASE_CTE, ZOOM, rounds=4)
 
 
+def q_geohash(spark, sf_dir):
+    """Geohash cell rollup (precision 5): the base-32 public-standard
+    key beside quadkey/morton — encode is pure bit/concat expressions
+    (byte-identical across engines; canonical Niemeyer vector pinned
+    in pytest), counts per cell."""
+    from rio_cogeo_spark.functions.geohash import geohash
+
+    pages = _pages(spark, sf_dir)
+    return (
+        pages.select(
+            geohash(F.col("lat"), F.col("lon"), 5).alias("gh")
+        )
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+    )
+
+
+def _geohash_oracle() -> str:
+    from rio_cogeo_spark.functions.geohash import geohash_sql
+
+    return f"""{pages_cte('VARCHAR')}
+SELECT {geohash_sql('lat', 'lon', 5)} AS gh, COUNT(*) AS n_pages
+FROM pages GROUP BY 1"""
+
+
 def q_morton_range(spark, sf_dir):
     """Z-order bbox query: filter the tile table by the exact quadtree
     range decomposition of MORTON_BBOX. The oracle twin filters by the
@@ -3460,6 +3485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contour": q_contour,
         "d8": q_d8,
         "flow_acc": q_flow_acc,
+        "geohash": q_geohash,
         "jl_project": q_jl_project,
     }
 
@@ -4448,6 +4474,7 @@ FROM documents QUALIFY rank <= 3""",
         "contour": _contour_oracle(),
         "d8": _d8_oracle(),
         "flow_acc": _flow_acc_oracle(),
+        "geohash": _geohash_oracle(),
         "jl_project": _jl_project_oracle(),
         "repeated_spans": _repeated_spans_oracle(),
         "passage_cut": _passage_cut_oracle(),

@@ -1547,6 +1547,34 @@ def main() -> None:
     )
     print(f"[{'OK' if d8_ok else 'BAD'}] d8_flow plan")
 
+    # 96. geohash rollup: encode is pure codegen expressions — no UDF,
+    # no Generate, no join; exactly the one (gh) fold exchange
+    from rio_cogeo_spark.functions.geohash import geohash as gh_fn
+
+    gh_in = spark.range(500).selectExpr(
+        "cast(id % 90 as double) - 45.0 AS lat",
+        "cast(id % 360 as double) - 180.0 AS lon",
+    )
+    gh_plan = plan_of(
+        gh_in.select(gh_fn(F.col("lat"), F.col("lon"), 5).alias("gh"))
+        .groupBy("gh").agg(F.count(F.lit(1)).alias("n"))
+    )
+    gh_ok = (
+        "BatchEvalPython" not in gh_plan
+        and "ArrowEvalPython" not in gh_plan
+        and "Generate" not in gh_plan
+        and "Join" not in gh_plan
+        and len(re.findall(r"\(\d+\) Exchange", gh_plan)) == 1
+    )
+    checks.append(("geohash rollup pure codegen, single fold exchange",
+                   gh_ok))
+    sections.append(
+        ("geohash", f"  {'PASS' if gh_ok else 'FAIL'} "
+         "bit/concat encode in whole-stage codegen, one (gh) fold",
+         gh_plan)
+    )
+    print(f"[{'OK' if gh_ok else 'BAD'}] geohash plan")
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:

@@ -162,3 +162,73 @@ def test_zoom_for_res_matches_overview_chain():
     assert max_level == 3
     minzoom = grid.zoom_for_res(res * 2**max_level)
     assert minzoom == 11 - 3
+
+
+# ---------------------------------------------------------------------------
+# geohash codec
+# ---------------------------------------------------------------------------
+
+
+def test_geohash_canonical_vector_and_twin(spark):
+    """Niemeyer's canonical vector (57.64911, 10.40744) -> u4pruyd,
+    byte-identical with the DuckDB twin across precisions and poles."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from rio_cogeo_spark.functions.geohash import geohash, geohash_sql
+
+    pts = [
+        (57.64911, 10.40744), (48.8566, 2.3522), (-33.8688, 151.2093),
+        (0.0, 0.0), (-90.0, -180.0), (89.999999, 179.999999),
+    ]
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    for prec in (1, 5, 7, 12):
+        got = [
+            r.gh for r in df.select(
+                geohash(F.col("lat"), F.col("lon"), prec).alias("gh")
+            ).collect()
+        ]
+        vals = ", ".join(f"({la!r}, {lo!r})" for la, lo in pts)
+        want = [
+            r[0] for r in duckdb.sql(
+                f"SELECT {geohash_sql('lat', 'lon', prec)} AS gh "
+                f"FROM (VALUES {vals}) t(lat, lon)"
+            ).fetchall()
+        ]
+        assert got == want, prec
+        assert all(len(g) == prec for g in got)
+    got7 = df.select(geohash(F.col("lat"), F.col("lon"), 7).alias("gh"))
+    assert [r.gh for r in got7.collect()][0] == "u4pruyd"
+
+
+def test_geohash_decode_bounds_roundtrip(spark):
+    """decode(encode(p)) must contain p; prefixes contain their
+    descendants' cells (the prefix-scan property)."""
+    from pyspark.sql import functions as F
+
+    from rio_cogeo_spark.functions.geohash import (
+        geohash,
+        geohash_decode_bounds,
+    )
+
+    pts = [(57.64911, 10.40744), (-33.8688, 151.2093), (12.34, -56.78)]
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    ghs = [
+        r.gh for r in df.select(
+            geohash(F.col("lat"), F.col("lon"), 8).alias("gh")
+        ).collect()
+    ]
+    for gh, (la, lo) in zip(ghs, pts):
+        lo0, la0, lo1, la1 = geohash_decode_bounds(gh)
+        assert lo0 <= lo <= lo1 and la0 <= la <= la1
+        # ancestor cell contains the child cell
+        plo0, pla0, plo1, pla1 = geohash_decode_bounds(gh[:4])
+        assert plo0 <= lo0 and plo1 >= lo1 and pla0 <= la0 and pla1 >= la1
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        geohash_decode_bounds("")
+    with _pt.raises(ValueError):
+        geohash_decode_bounds("ab!")
+    with _pt.raises(ValueError):
+        geohash(F.lit(0.0), F.lit(0.0), 13)
