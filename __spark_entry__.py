@@ -2919,6 +2919,40 @@ SELECT {geohash_sql('lat', 'lon', 5)} AS gh, COUNT(*) AS n_pages
 FROM pages GROUP BY 1"""
 
 
+def q_terrain(spark, sf_dir):
+    """Terrain-ruggedness report (gdaldem TRI/TPI/roughness trio) over
+    the density surface: per occupied cell, 8x-Wilson TRI, 8x TPI and
+    window roughness as exact BIGINTs — one 9-offset vote explode +
+    one combinable aggregate, no joins, no floats."""
+    from rio_cogeo_spark.operators import focal
+
+    base = base_tiles(_pages(spark, sf_dir), ZOOM)
+    return focal.terrain_rugged(base, ZOOM)
+
+
+def _terrain_oracle() -> str:
+    from rio_cogeo_spark.operators.focal import terrain_rugged_sql
+
+    return terrain_rugged_sql(_BASE_CTE, ZOOM)
+
+
+def q_viewshed(spark, sf_dir):
+    """Row-wise west-edge viewshed (gdal_viewshed 1-D core): a cell is
+    visible iff it strictly exceeds every cell west of it in its grid
+    row — one running-max window on the row key (bounded by 2^zoom),
+    exact BIGINTs throughout."""
+    from rio_cogeo_spark.operators import focal
+
+    base = base_tiles(_pages(spark, sf_dir), ZOOM)
+    return focal.viewshed_rows(base)
+
+
+def _viewshed_oracle() -> str:
+    from rio_cogeo_spark.operators.focal import viewshed_rows_sql
+
+    return viewshed_rows_sql(_BASE_CTE)
+
+
 def q_morton_range(spark, sf_dir):
     """Z-order bbox query: filter the tile table by the exact quadtree
     range decomposition of MORTON_BBOX. The oracle twin filters by the
@@ -3487,6 +3521,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flow_acc": q_flow_acc,
         "geohash": q_geohash,
         "jl_project": q_jl_project,
+        "terrain": q_terrain,
+        "viewshed": q_viewshed,
     }
 
 
@@ -4476,6 +4512,8 @@ FROM documents QUALIFY rank <= 3""",
         "flow_acc": _flow_acc_oracle(),
         "geohash": _geohash_oracle(),
         "jl_project": _jl_project_oracle(),
+        "terrain": _terrain_oracle(),
+        "viewshed": _viewshed_oracle(),
         "repeated_spans": _repeated_spans_oracle(),
         "passage_cut": _passage_cut_oracle(),
         "pyramid_crs84": _pyramid_crs84_sql(),

@@ -1377,3 +1377,185 @@ def flow_accumulation_sql(base_cte: str, zoom: int, rounds: int = 4) -> str:
         f" FROM fa_{rounds}"
     )
     return "".join(parts)
+
+
+def terrain_rugged(
+    tiles: DataFrame,
+    zoom: int,
+    value_col: str = "page_count",
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+) -> DataFrame:
+    """Terrain-ruggedness report over the density surface — the
+    ``gdaldem TRI`` / ``gdaldem TPI`` / ``gdaldem roughness`` trio the
+    reference's GDAL backend exposes beside hillshade/aspect (reference
+    CLI surface: rio_cogeo delegates all DEM derivatives to GDAL;
+    cf. cogeo.py:362-379 block-window processing). Per occupied cell,
+    over its 3x3 window with absent/off-grid neighbors reading as 0
+    density (the same convention :func:`hillshade` / :func:`aspect8`
+    use):
+
+    - ``tri8``  = sum over the 8 neighbor slots of |v_n - v_c|
+      (8x the Wilson mean-absolute-difference TRI — kept integer),
+    - ``tpi8``  = 8*v_c - sum(v_n)  (8x the topographic position
+      index: positive = local ridge, negative = local pit),
+    - ``rough`` = max - min over all 9 window slots (gdaldem
+      roughness, exact).
+
+    All three are exact BIGINTs — no floats anywhere, so the oracle
+    twin is hash-exact by construction.
+
+    Scale design: the :func:`aspect8` shape — one literal 9-offset
+    vote explode + ONE combinable 9-slot aggregate on the cell key,
+    then a pure projection. No join, no window; a 100 TB corpus folds
+    to the occupied-cell table (bounded by 4^zoom) before anything
+    per-cell happens.
+    """
+    n = F.lit(2 ** zoom)
+    off = F.explode(
+        F.array(*[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in _offsets(1)
+        ])
+    ).alias("off")
+    votes = tiles.select(
+        F.col(x_col).cast("long").alias("_sx"),
+        F.col(y_col).cast("long").alias("_sy"),
+        F.col(value_col).cast("long").alias("_v"),
+        off,
+    ).select(
+        (F.col("_sx") + F.col("off.dx")).alias("nx"),
+        (F.col("_sy") + F.col("off.dy")).alias("ny"),
+        (-F.col("off.dx")).alias("rx"),
+        (-F.col("off.dy")).alias("ry"),
+        F.col("_v"),
+    ).filter(
+        (F.col("nx") >= 0) & (F.col("nx") < n)
+        & (F.col("ny") >= 0) & (F.col("ny") < n)
+    )
+
+    def slot(rx, ry):
+        return F.sum(
+            F.when((F.col("rx") == rx) & (F.col("ry") == ry), F.col("_v"))
+            .otherwise(F.lit(0))
+        )
+
+    g9 = votes.groupBy("nx", "ny").agg(
+        slot(-1, -1).alias("a"), slot(0, -1).alias("b"), slot(1, -1).alias("c"),
+        slot(-1, 0).alias("d"), slot(0, 0).alias("e"), slot(1, 0).alias("f"),
+        slot(-1, 1).alias("g"), slot(0, 1).alias("h"), slot(1, 1).alias("i"),
+        F.max(
+            F.when((F.col("rx") == 0) & (F.col("ry") == 0), F.lit(1))
+            .otherwise(F.lit(0))
+        ).alias("_occ"),
+    )
+    nbrs = ["a", "b", "c", "d", "f", "g", "h", "i"]
+    tri = None
+    for s in nbrs:
+        term = F.abs(F.col(s) - F.col("e"))
+        tri = term if tri is None else tri + term
+    return (
+        g9.filter(F.col("_occ") == 1)
+        .select(
+            F.col("nx").alias("tile_x"), F.col("ny").alias("tile_y"),
+            tri.cast("long").alias("tri8"),
+            (F.lit(8) * F.col("e")
+             - sum((F.col(s) for s in nbrs[1:]), F.col(nbrs[0]))
+             ).cast("long").alias("tpi8"),
+            (F.greatest(*[F.col(s) for s in nbrs + ["e"]])
+             - F.least(*[F.col(s) for s in nbrs + ["e"]])
+             ).cast("long").alias("rough"),
+        )
+    )
+
+
+def terrain_rugged_sql(base_cte: str, zoom: int) -> str:
+    """DuckDB twin of :func:`terrain_rugged` — ``base_cte`` exposes
+    relation ``base(tile_x, tile_y, page_count)`` (WITH included)."""
+    edge = 2 ** zoom - 1
+    tri = " + ".join(f"abs({s} - e)" for s in "abcdfghi")
+    tpi = "8*e - (a + b + c + d + f + g + h + i)"
+    slots = ", ".join("abcdefghi")
+    return f"""{base_cte}
+, tr_votes AS (SELECT b.tile_x + o1.dx AS nx, b.tile_y + o2.dy AS ny,
+                      -o1.dx AS rx, -o2.dy AS ry, b.page_count AS v
+               FROM base b,
+                    (VALUES (-1), (0), (1)) o1(dx),
+                    (VALUES (-1), (0), (1)) o2(dy)
+               WHERE b.tile_x + o1.dx BETWEEN 0 AND {edge}
+                 AND b.tile_y + o2.dy BETWEEN 0 AND {edge})
+, tr_g AS (SELECT nx, ny,
+    SUM(CASE WHEN rx=-1 AND ry=-1 THEN v ELSE 0 END) AS a,
+    SUM(CASE WHEN rx= 0 AND ry=-1 THEN v ELSE 0 END) AS b,
+    SUM(CASE WHEN rx= 1 AND ry=-1 THEN v ELSE 0 END) AS c,
+    SUM(CASE WHEN rx=-1 AND ry= 0 THEN v ELSE 0 END) AS d,
+    SUM(CASE WHEN rx= 0 AND ry= 0 THEN v ELSE 0 END) AS e,
+    SUM(CASE WHEN rx= 1 AND ry= 0 THEN v ELSE 0 END) AS f,
+    SUM(CASE WHEN rx=-1 AND ry= 1 THEN v ELSE 0 END) AS g,
+    SUM(CASE WHEN rx= 0 AND ry= 1 THEN v ELSE 0 END) AS h,
+    SUM(CASE WHEN rx= 1 AND ry= 1 THEN v ELSE 0 END) AS i,
+    MAX(CASE WHEN rx= 0 AND ry= 0 THEN 1 ELSE 0 END) AS occ
+    FROM tr_votes GROUP BY 1, 2)
+SELECT nx AS tile_x, ny AS tile_y,
+       CAST({tri} AS BIGINT) AS tri8,
+       CAST({tpi} AS BIGINT) AS tpi8,
+       CAST(greatest({slots}) - least({slots}) AS BIGINT) AS rough
+FROM tr_g WHERE occ = 1"""
+
+
+def viewshed_rows(
+    tiles: DataFrame,
+    value_col: str = "page_count",
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+) -> DataFrame:
+    """Row-wise west-edge viewshed over the density surface — the
+    1-D line-of-sight core of ``gdal_viewshed`` (observer at each
+    row's west edge at height 0, density as elevation): a cell is
+    VISIBLE iff its value strictly exceeds every cell west of it in
+    the same row (absent cells are 0 density and never block).
+    Returns ``(tile_x, tile_y, page_count, west_max, visible)`` per
+    occupied cell, all exact BIGINTs (``west_max`` = running max of
+    values strictly west, 0 at the row's first occupied cell).
+
+    Scale design: ONE window — running max within each ``tile_y`` row
+    ordered by ``tile_x``. The partition key is a grid row (bounded by
+    2^zoom cells), so no partition can exceed the grid width no matter
+    the corpus size; the corpus folds to the occupied-cell table
+    before the window runs.
+    """
+    v = F.col(value_col).cast("long")
+    return tiles.select(
+        F.col(x_col).cast("long").alias("tile_x"),
+        F.col(y_col).cast("long").alias("tile_y"),
+        v.alias("page_count"),
+    ).select(
+        "tile_x", "tile_y", "page_count",
+        F.coalesce(
+            F.max("page_count").over(
+                Window.partitionBy("tile_y").orderBy("tile_x")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("west_max"),
+    ).withColumn(
+        "visible",
+        F.when(F.col("page_count") > F.col("west_max"), F.lit(1))
+        .otherwise(F.lit(0)).cast("int"),
+    )
+
+
+def viewshed_rows_sql(base_cte: str) -> str:
+    """DuckDB twin of :func:`viewshed_rows` — ``base_cte`` exposes
+    relation ``base(tile_x, tile_y, page_count)`` (WITH included)."""
+    return f"""{base_cte}
+, vs AS (SELECT tile_x, tile_y, CAST(page_count AS BIGINT) AS page_count,
+                COALESCE(MAX(CAST(page_count AS BIGINT)) OVER (
+                    PARTITION BY tile_y ORDER BY tile_x
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ), 0) AS west_max
+         FROM base)
+SELECT tile_x, tile_y, page_count, west_max,
+       CAST(CASE WHEN page_count > west_max THEN 1 ELSE 0 END AS INT)
+           AS visible
+FROM vs"""

@@ -1575,6 +1575,49 @@ def main() -> None:
     )
     print(f"[{'OK' if gh_ok else 'BAD'}] geohash plan")
 
+    # 97. terrain_rugged: the aspect8 shape — one vote explode + one
+    # combinable 9-slot aggregate, then a pure projection; no join,
+    # no window, no Python
+    from rio_cogeo_spark.operators.focal import terrain_rugged
+
+    tr_plan = plan_of(terrain_rugged(a8_in, 5))
+    tr_ok = (
+        "Join" not in tr_plan
+        and "Window" not in tr_plan
+        and "BatchEvalPython" not in tr_plan
+        and "ArrowEvalPython" not in tr_plan
+        and "HashAggregate" in tr_plan
+        and "Generate" in tr_plan
+    )
+    checks.append(("terrain_rugged vote explode + single 9-slot "
+                   "aggregate, no join/window", tr_ok))
+    sections.append(
+        ("terrain_rugged", f"  {'PASS' if tr_ok else 'FAIL'} "
+         "one explode + one combinable aggregate, pure projection",
+         tr_plan)
+    )
+    print(f"[{'OK' if tr_ok else 'BAD'}] terrain_rugged plan")
+
+    # 98. viewshed_rows: exactly ONE window (running max on the
+    # bounded row key), no join, no Python
+    from rio_cogeo_spark.operators.focal import viewshed_rows
+
+    vs_plan = plan_of(viewshed_rows(a8_in))
+    vs_ok = (
+        "Join" not in vs_plan
+        and "BatchEvalPython" not in vs_plan
+        and "ArrowEvalPython" not in vs_plan
+        and len(re.findall(r"\(\d+\) Window", vs_plan)) == 1
+    )
+    checks.append(("viewshed_rows single row-key window, no join",
+                   vs_ok))
+    sections.append(
+        ("viewshed_rows", f"  {'PASS' if vs_ok else 'FAIL'} "
+         "one running-max window on tile_y, zero joins",
+         vs_plan)
+    )
+    print(f"[{'OK' if vs_ok else 'BAD'}] viewshed_rows plan")
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:

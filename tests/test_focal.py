@@ -721,3 +721,75 @@ def test_flow_accumulation_chain(spark):
     acc2 = {(r.tile_x, r.tile_y): r.acc
             for r in flow_accumulation(channel, 4, rounds=2).collect()}
     assert acc2[(7, 4)] == 3  # self + 2 steps upstream
+
+
+def test_terrain_rugged_spike_and_flat(spark):
+    """A lone spike: TRI = 8v (every neighbor slot is 0), TPI = 8v,
+    rough = v. Interior of a flat block: all three are 0."""
+    from rio_cogeo_spark.operators.focal import terrain_rugged
+
+    spike = spark.createDataFrame(
+        [(4, 4, 7)], "tile_x long, tile_y long, page_count long",
+    )
+    rows = {(r.tile_x, r.tile_y): r for r in
+            terrain_rugged(spike, 4).collect()}
+    assert set(rows) == {(4, 4)}
+    r = rows[(4, 4)]
+    assert r.tri8 == 56 and r.tpi8 == 56 and r.rough == 7
+
+    # 3x3 flat block of value 5: the CENTER cell sees a uniform window
+    flat = spark.createDataFrame(
+        [(x, y, 5) for x in (3, 4, 5) for y in (3, 4, 5)],
+        "tile_x long, tile_y long, page_count long",
+    )
+    rows = {(r.tile_x, r.tile_y): r for r in
+            terrain_rugged(flat, 4).collect()}
+    c = rows[(4, 4)]
+    assert c.tri8 == 0 and c.tpi8 == 0 and c.rough == 0
+    # a corner of the block borders zeros: 3 neighbors set (5 absent)
+    k = rows[(3, 3)]
+    # neighbors of (3,3): (4,3)=5, (3,4)=5, (4,4)=5, rest 0
+    assert k.tri8 == 5 * 5        # five absent slots each |0-5|
+    assert k.tpi8 == 8 * 5 - 15   # 25
+    assert k.rough == 5
+
+
+def test_terrain_rugged_ridge_vs_pit_sign(spark):
+    """TPI is positive on a local ridge, negative in a local pit."""
+    from rio_cogeo_spark.operators.focal import terrain_rugged
+
+    # pit: low center surrounded by a high ring
+    cells = [(x, y, 9) for x in (3, 4, 5) for y in (3, 4, 5)
+             if (x, y) != (4, 4)] + [(4, 4, 1)]
+    pit = spark.createDataFrame(
+        cells, "tile_x long, tile_y long, page_count long",
+    )
+    rows = {(r.tile_x, r.tile_y): r for r in
+            terrain_rugged(pit, 4).collect()}
+    c = rows[(4, 4)]
+    assert c.tpi8 == 8 * 1 - 8 * 9      # -64
+    assert c.tri8 == 8 * 8              # |9-1| x 8
+    assert c.rough == 8
+
+
+def test_viewshed_rows_blocking(spark):
+    """West-edge line of sight: a cell is visible iff it strictly
+    exceeds the running max of the cells west of it in its row."""
+    from rio_cogeo_spark.operators.focal import viewshed_rows
+
+    row = spark.createDataFrame(
+        [(0, 2, 3), (2, 2, 3), (3, 2, 5), (6, 2, 4), (7, 2, 9),
+         (1, 5, 1)],
+        "tile_x long, tile_y long, page_count long",
+    )
+    got = {(r.tile_x, r.tile_y): r for r in viewshed_rows(row).collect()}
+    # first occupied cell in a row: west_max 0, always visible
+    assert got[(0, 2)].west_max == 0 and got[(0, 2)].visible == 1
+    # equal height does NOT clear the horizon (strict >)
+    assert got[(2, 2)].west_max == 3 and got[(2, 2)].visible == 0
+    assert got[(3, 2)].west_max == 3 and got[(3, 2)].visible == 1
+    # 4 < max(3,3,5): blocked
+    assert got[(6, 2)].west_max == 5 and got[(6, 2)].visible == 0
+    assert got[(7, 2)].west_max == 5 and got[(7, 2)].visible == 1
+    # rows are independent
+    assert got[(1, 5)].west_max == 0 and got[(1, 5)].visible == 1
