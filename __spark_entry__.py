@@ -2953,6 +2953,79 @@ def _viewshed_oracle() -> str:
     return viewshed_rows_sql(_BASE_CTE)
 
 
+def q_proximity(spark, sf_dir):
+    """Grid distance transform (gdal_proximity analog): exact Chebyshev
+    distance to the nearest occupied cell for every cell within 3
+    rounds of BFS dilation over the 8-neighborhood — the fourth
+    oracle-paired iterative operator, unrolled-CTE twin."""
+    from rio_cogeo_spark.operators import focal
+
+    base = base_tiles(_pages(spark, sf_dir), ZOOM)
+    return focal.proximity(base, ZOOM, rounds=3)
+
+
+def _proximity_oracle() -> str:
+    from rio_cogeo_spark.operators.focal import proximity_sql
+
+    return proximity_sql(_BASE_CTE, ZOOM, rounds=3)
+
+
+def q_sieve(spark, sf_dir):
+    """Grid connected-component sieve (gdal_sieve analog): rook
+    components via 4 rounds of min-label propagation (exact for
+    diameter <= 4), component cell count + page mass via one label-key
+    window, keep flag at min_size=3 — the fifth bounded-round
+    iterative operator."""
+    from rio_cogeo_spark.operators import focal
+
+    base = base_tiles(_pages(spark, sf_dir), ZOOM)
+    return focal.sieve_components(base, ZOOM, rounds=4, min_size=3)
+
+
+def _sieve_oracle() -> str:
+    from rio_cogeo_spark.operators.focal import sieve_components_sql
+
+    return sieve_components_sql(_BASE_CTE, ZOOM, rounds=4, min_size=3)
+
+
+def q_benford(spark, sf_dir):
+    """Benford first-digit audit of the pages-per-host distribution
+    (forensic test for bot-inflated crawl segments): observed vs
+    expected first-digit shares in exact ppm, the expectation table a
+    Python literal — no log evaluates in either engine."""
+    from rio_cogeo_spark.operators.report import benford
+
+    pages = _pages(spark, sf_dir)
+    hosts = pages.select(TX.host_col(F.col("url")).alias("host"))
+    return benford(hosts, "host")
+
+
+def _benford_oracle() -> str:
+    from rio_cogeo_spark.operators.report import benford_sql
+
+    inner = f"{pages_cte('VARCHAR')} SELECT {TX.HOST_SQL} AS host FROM pages"
+    return benford_sql(inner, "host")
+
+
+def q_mannwhitney(spark, sf_dir):
+    """Mann-Whitney U (rank-sum) test: are English documents longer
+    than the rest? 2U with the half-credit tie rule kept integer, plus
+    the rank-biserial effect size in ppm — all on the value-frequency
+    table, never a per-row rank."""
+    from rio_cogeo_spark.operators.report import mann_whitney
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return mann_whitney(docs, "lang", "en", "n_chars")
+
+
+def _mannwhitney_oracle() -> str:
+    from rio_cogeo_spark.operators.report import mann_whitney_sql
+
+    return mann_whitney_sql(
+        "SELECT lang, n_chars FROM documents", "lang", "en", "n_chars"
+    )
+
+
 def q_morton_range(spark, sf_dir):
     """Z-order bbox query: filter the tile table by the exact quadtree
     range decomposition of MORTON_BBOX. The oracle twin filters by the
@@ -3523,6 +3596,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jl_project": q_jl_project,
         "terrain": q_terrain,
         "viewshed": q_viewshed,
+        "proximity": q_proximity,
+        "sieve": q_sieve,
+        "benford": q_benford,
+        "mannwhitney": q_mannwhitney,
     }
 
 
@@ -4514,6 +4591,10 @@ FROM documents QUALIFY rank <= 3""",
         "jl_project": _jl_project_oracle(),
         "terrain": _terrain_oracle(),
         "viewshed": _viewshed_oracle(),
+        "proximity": _proximity_oracle(),
+        "sieve": _sieve_oracle(),
+        "benford": _benford_oracle(),
+        "mannwhitney": _mannwhitney_oracle(),
         "repeated_spans": _repeated_spans_oracle(),
         "passage_cut": _passage_cut_oracle(),
         "pyramid_crs84": _pyramid_crs84_sql(),

@@ -1559,3 +1559,203 @@ SELECT tile_x, tile_y, page_count, west_max,
        CAST(CASE WHEN page_count > west_max THEN 1 ELSE 0 END AS INT)
            AS visible
 FROM vs"""
+
+
+def proximity(
+    tiles: DataFrame,
+    zoom: int,
+    rounds: int = 3,
+    value_col: str = "page_count",
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+) -> DataFrame:
+    """Grid distance transform — the ``gdal_proximity.py`` analog
+    (reference delegates all raster utilities to GDAL): for every cell
+    within Chebyshev distance ``rounds`` of an occupied cell, the EXACT
+    Chebyshev distance to the nearest occupied cell (occupied cells get
+    0). The fourth oracle-paired ITERATIVE operator (after PageRank,
+    BFS host distance and flow accumulation): breadth-first dilation
+    over the 8-neighborhood — after k rounds every cell whose true
+    distance is <= k carries it exactly; farther cells are absent
+    (the documented bounded-round contract all the iterative ops
+    share). Returns ``(tile_x, tile_y, dist)``, all exact ints.
+
+    Scale design: ``rounds`` shuffles, each bounded by the DILATED
+    occupied-cell table (<= 9^1 growth per round, capped by 4^zoom) —
+    the corpus itself folds to the occupied-cell table before round 1.
+    BFS over the 8-neighbor graph IS the Chebyshev metric, so no
+    floats, no sqrt, and the twin unrolls to a CTE chain.
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    n = F.lit(2 ** zoom)
+    prox = tiles.select(
+        F.col(x_col).cast("long").alias("tile_x"),
+        F.col(y_col).cast("long").alias("tile_y"),
+        F.lit(0).cast("long").alias("dist"),
+    )
+    off = F.explode(
+        F.array(*[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in [(a, b) for a in (-1, 0, 1) for b in (-1, 0, 1)]
+        ])
+    ).alias("off")
+    for _ in range(rounds):
+        dilated = prox.select("tile_x", "tile_y", "dist", off).select(
+            (F.col("tile_x") + F.col("off.dx")).alias("tile_x"),
+            (F.col("tile_y") + F.col("off.dy")).alias("tile_y"),
+            (F.col("dist") + F.when(
+                (F.col("off.dx") == 0) & (F.col("off.dy") == 0),
+                F.lit(0)).otherwise(F.lit(1))).alias("dist"),
+        ).filter(
+            (F.col("tile_x") >= 0) & (F.col("tile_x") < n)
+            & (F.col("tile_y") >= 0) & (F.col("tile_y") < n)
+        )
+        prox = dilated.groupBy("tile_x", "tile_y").agg(
+            F.min("dist").alias("dist")
+        )
+    return prox.select(
+        "tile_x", "tile_y", F.col("dist").cast("long").alias("dist")
+    )
+
+
+def proximity_sql(base_cte: str, zoom: int, rounds: int = 3) -> str:
+    """DuckDB twin of :func:`proximity` (unrolled CTE chain)."""
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    edge = 2 ** zoom - 1
+    parts = [base_cte]
+    parts.append(
+        ", px_0 AS (SELECT tile_x, tile_y, CAST(0 AS BIGINT) AS dist"
+        " FROM base)"
+    )
+    for i in range(rounds):
+        parts.append(f"""
+, px_{i + 1} AS (
+    SELECT p.tile_x + o1.dx AS tile_x, p.tile_y + o2.dy AS tile_y,
+           MIN(p.dist + CASE WHEN o1.dx = 0 AND o2.dy = 0
+                             THEN 0 ELSE 1 END) AS dist
+    FROM px_{i} p,
+         (VALUES (-1), (0), (1)) o1(dx),
+         (VALUES (-1), (0), (1)) o2(dy)
+    WHERE p.tile_x + o1.dx BETWEEN 0 AND {edge}
+      AND p.tile_y + o2.dy BETWEEN 0 AND {edge}
+    GROUP BY 1, 2)""")
+    parts.append(
+        f"\nSELECT tile_x, tile_y, CAST(dist AS BIGINT) AS dist"
+        f" FROM px_{rounds}"
+    )
+    return "".join(parts)
+
+
+def sieve_components(
+    tiles: DataFrame,
+    zoom: int,
+    rounds: int = 4,
+    min_size: int = 3,
+    value_col: str = "page_count",
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+) -> DataFrame:
+    """Grid connected components + small-patch flag — the
+    ``gdal_sieve.py`` analog (flag patches below ``min_size`` cells;
+    the reference delegates sieving to GDAL). Components are rook
+    (4-neighbor) connectivity over OCCUPIED cells; each cell's label
+    is the minimum cell key ``tile_y * 2^zoom + tile_x`` reachable in
+    ``rounds`` min-label propagation steps (the fifth bounded-round
+    iterative operator: labels are exact for every component of
+    graph diameter <= rounds, the shared contract of the iterative
+    family). Returns ``(tile_x, tile_y, label, comp_cells, comp_mass,
+    keep)``, all exact ints; ``keep = 1`` iff the component has at
+    least ``min_size`` cells.
+
+    Scale design: ``rounds`` vote shuffles bounded by 5x the
+    occupied-cell table (4-neighborhood + self), zero joins — a
+    neighbor vote landing on an unoccupied cell is dropped by the
+    self-vote flag inside the same aggregate; the component stats are
+    ONE window on the label key (partitions bounded by component
+    size <= 4^zoom).
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    if min_size < 1:
+        raise ValueError(f"min_size must be >= 1, got {min_size}")
+    n = F.lit(2 ** zoom)
+    labels = tiles.select(
+        F.col(x_col).cast("long").alias("tile_x"),
+        F.col(y_col).cast("long").alias("tile_y"),
+        (F.col(y_col).cast("long") * F.lit(2 ** zoom)
+         + F.col(x_col).cast("long")).alias("label"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    off = F.explode(
+        F.array(*[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in [(0, 0), (-1, 0), (1, 0), (0, -1), (0, 1)]
+        ])
+    ).alias("off")
+    for _ in range(rounds):
+        votes = labels.select("tile_x", "tile_y", "label", "v", off).select(
+            (F.col("tile_x") + F.col("off.dx")).alias("tile_x"),
+            (F.col("tile_y") + F.col("off.dy")).alias("tile_y"),
+            F.col("label"),
+            F.when((F.col("off.dx") == 0) & (F.col("off.dy") == 0),
+                   F.col("v")).alias("self_v"),
+        ).filter(
+            (F.col("tile_x") >= 0) & (F.col("tile_x") < n)
+            & (F.col("tile_y") >= 0) & (F.col("tile_y") < n)
+        )
+        labels = (
+            votes.groupBy("tile_x", "tile_y")
+            .agg(F.min("label").alias("label"),
+                 F.max("self_v").alias("v"))
+            .filter(F.col("v").isNotNull())
+        )
+    w = Window.partitionBy("label")
+    return labels.select(
+        "tile_x", "tile_y", "label",
+        F.count(F.lit(1)).over(w).cast("long").alias("comp_cells"),
+        F.sum("v").over(w).cast("long").alias("comp_mass"),
+    ).withColumn(
+        "keep",
+        F.when(F.col("comp_cells") >= F.lit(min_size), F.lit(1))
+        .otherwise(F.lit(0)).cast("int"),
+    )
+
+
+def sieve_components_sql(
+    base_cte: str, zoom: int, rounds: int = 4, min_size: int = 3,
+) -> str:
+    """DuckDB twin of :func:`sieve_components` (unrolled CTE chain)."""
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    if min_size < 1:
+        raise ValueError(f"min_size must be >= 1, got {min_size}")
+    edge = 2 ** zoom - 1
+    parts = [base_cte]
+    parts.append(f"""
+, sv_0 AS (SELECT tile_x, tile_y,
+                  CAST(tile_y AS BIGINT) * {2 ** zoom} + tile_x AS label,
+                  CAST(page_count AS BIGINT) AS v
+           FROM base)""")
+    for i in range(rounds):
+        parts.append(f"""
+, sv_{i + 1} AS (
+    SELECT p.tile_x + o.dx AS tile_x, p.tile_y + o.dy AS tile_y,
+           MIN(p.label) AS label,
+           MAX(CASE WHEN o.dx = 0 AND o.dy = 0 THEN p.v END) AS v
+    FROM sv_{i} p,
+         (VALUES (0, 0), (-1, 0), (1, 0), (0, -1), (0, 1)) o(dx, dy)
+    WHERE p.tile_x + o.dx BETWEEN 0 AND {edge}
+      AND p.tile_y + o.dy BETWEEN 0 AND {edge}
+    GROUP BY 1, 2
+    HAVING MAX(CASE WHEN o.dx = 0 AND o.dy = 0 THEN p.v END)
+           IS NOT NULL)""")
+    parts.append(f"""
+SELECT tile_x, tile_y, label,
+       CAST(COUNT(*) OVER (PARTITION BY label) AS BIGINT) AS comp_cells,
+       CAST(SUM(v) OVER (PARTITION BY label) AS BIGINT) AS comp_mass,
+       CAST(CASE WHEN COUNT(*) OVER (PARTITION BY label) >= {min_size}
+                 THEN 1 ELSE 0 END AS INT) AS keep
+FROM sv_{rounds}""")
+    return "".join(parts)

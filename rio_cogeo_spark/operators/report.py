@@ -1498,3 +1498,184 @@ SELECT lang, CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(floor(ln(CAST(n_types AS DOUBLE)) * 1e9) AS BIGINT)
            AS h_max_nano
 FROM le_c GROUP BY lang, n_tokens, n_types"""
+
+
+# first-digit Benford expectations, floor(log10(1 + 1/d) * 1e6) —
+# driver-side Python literals embedded identically in both plans (no
+# runtime log evaluates in either engine)
+BENFORD_PPM = (301029, 176091, 124938, 96910, 79181,
+               66946, 57991, 51152, 45757)
+
+
+def benford(
+    df: DataFrame,
+    key_col: str = "host",
+) -> DataFrame:
+    """Benford's-law first-digit audit over a per-key count
+    distribution (pages per host): the classic forensic test for
+    synthetic/bot-inflated crawl segments — organic host sizes follow
+    Benford closely; a farm emitting fixed-size batches does not.
+    Returns 9 rows ``(digit, n_obs, obs_ppm, exp_ppm, dev_ppm)`` —
+    observed first-digit share vs the Benford expectation, zero-observed
+    digits included (the chi_square full-marginal convention).
+
+    Exactness: the expectation table is PYTHON literals
+    (:data:`BENFORD_PPM` — no log evaluates in either engine); the
+    first digit is ``substr(cast(cnt), 1, 1)`` (counts are >= 1, no
+    sign/zero cases); shares are integer-div ppm; ``dev_ppm`` is a
+    plain integer subtraction. Hash-exact by construction.
+
+    Scale design: ONE corpus fold to the per-key count table, one
+    9-group fold over it, broadcast of the 9-row literal digit table.
+    """
+    spark = df.sparkSession
+    counts = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    obs = counts.select(
+        F.substring(F.col("cnt").cast("string"), 1, 1).cast("int")
+        .alias("digit")
+    ).groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    digits = spark.range(1, 10).select(
+        F.col("id").cast("int").alias("digit"),
+        F.element_at(
+            F.array(*[F.lit(p) for p in BENFORD_PPM]), F.col("id").cast("int")
+        ).cast("long").alias("exp_ppm"),
+    )
+    total = counts.agg(F.count(F.lit(1)).alias("n_keys"))
+    return (
+        digits.join(F.broadcast(obs), "digit", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            F.coalesce(F.col("n_obs"), F.lit(0)).cast("long").alias("n_obs"),
+            F.expr(
+                "(coalesce(n_obs, 0) * 1000000) div n_keys"
+            ).cast("long").alias("obs_ppm"),
+            "exp_ppm",
+        )
+        .withColumn(
+            "dev_ppm",
+            (F.col("obs_ppm") - F.col("exp_ppm")).cast("long"),
+        )
+    )
+
+
+def benford_sql(inner_cte: str, key_col: str = "host") -> str:
+    """DuckDB twin of :func:`benford`."""
+    exp_rows = ", ".join(
+        f"({d + 1}, {p})" for d, p in enumerate(BENFORD_PPM)
+    )
+    return f"""
+WITH bf_src AS ({inner_cte}),
+bf_c AS (SELECT {key_col} AS k, COUNT(*) AS cnt FROM bf_src GROUP BY 1),
+bf_o AS (SELECT CAST(substr(CAST(cnt AS VARCHAR), 1, 1) AS INT) AS digit,
+                COUNT(*) AS n_obs
+         FROM bf_c GROUP BY 1),
+bf_e (digit, exp_ppm) AS (VALUES {exp_rows}),
+bf_n AS (SELECT COUNT(*) AS n_keys FROM bf_c)
+SELECT e.digit AS digit,
+       CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n_obs,
+       CAST((COALESCE(o.n_obs, 0) * 1000000) // n.n_keys AS BIGINT)
+           AS obs_ppm,
+       CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+       CAST((COALESCE(o.n_obs, 0) * 1000000) // n.n_keys - e.exp_ppm
+            AS BIGINT) AS dev_ppm
+FROM bf_e e LEFT JOIN bf_o o ON e.digit = o.digit CROSS JOIN bf_n n"""
+
+
+def mann_whitney(
+    df: DataFrame,
+    group_col: str,
+    group_a: str,
+    value_col: str,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) between group A
+    (``group_col == group_a``) and the rest over an integer value
+    column — the nonparametric "are English documents longer?" test.
+    One row ``(n_a, n_b, u2, u2_max, rb_ppm)`` where ``u2 = 2·U`` with
+    the standard half-credit tie rule kept integer by doubling
+    (``2U = Σ_v a(v)·(2·Σ_{w<v} b(w) + b(v))``), ``u2_max = 2·n_a·n_b``
+    and ``rb_ppm`` is the rank-biserial effect size
+    ``(2U − n_a·n_b)·1e6 / (n_a·n_b)`` floored over the exact double
+    quotient (the cohen_kappa sign convention — identical on both
+    engines for either sign).
+
+    Exactness: everything up to ``rb_ppm`` is exact integer arithmetic
+    on the value-frequency table (the ks_statistic pattern); no rank
+    window ever touches per-row data.
+
+    Scale design: ONE corpus fold to the value-frequency table
+    (bounded by #distinct values, not #rows); the cumulative window
+    and the final fold run on that table only.
+    """
+    a_flag = (F.col(group_col) == F.lit(group_a))
+    vf = df.groupBy(F.col(value_col).cast("long").alias("v")).agg(
+        F.sum(F.when(a_flag, 1).otherwise(0)).alias("a"),
+        F.sum(F.when(a_flag, 0).otherwise(1)).alias("b"),
+    )
+    w = (
+        Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    terms = vf.select(
+        "a", "b",
+        F.coalesce(F.sum("b").over(w), F.lit(0)).alias("b_below"),
+    )
+    return (
+        terms.agg(
+            F.sum("a").alias("n_a"),
+            F.sum("b").alias("n_b"),
+            F.sum(
+                F.col("a").cast("decimal(38,0)")
+                * (F.lit(2) * F.col("b_below") + F.col("b"))
+            ).alias("u2"),
+        )
+        .select(
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("u2").cast("long").alias("u2"),
+            F.expr(
+                "cast(2 * cast(n_a as decimal(38,0)) * n_b as long)"
+            ).alias("u2_max"),
+            F.expr(
+                "CASE WHEN n_a = 0 OR n_b = 0 THEN CAST(NULL AS BIGINT) "
+                "ELSE CAST(floor("
+                "CAST((u2 - cast(n_a as decimal(38,0)) * n_b) * 1000000"
+                " AS DOUBLE)"
+                " / CAST(cast(n_a as decimal(38,0)) * n_b AS DOUBLE))"
+                " AS BIGINT) END"
+            ).alias("rb_ppm"),
+        )
+    )
+
+
+def mann_whitney_sql(
+    inner_cte: str, group_col: str, group_a: str, value_col: str,
+) -> str:
+    """DuckDB twin of :func:`mann_whitney` (HUGEINT staging)."""
+    return f"""
+WITH mw_src AS ({inner_cte}),
+mw_v AS (SELECT CAST({value_col} AS BIGINT) AS v,
+                SUM(CASE WHEN {group_col} = '{group_a}' THEN 1 ELSE 0 END)
+                    AS a,
+                SUM(CASE WHEN {group_col} = '{group_a}' THEN 0 ELSE 1 END)
+                    AS b
+         FROM mw_src GROUP BY 1),
+mw_t AS (SELECT a, b,
+                COALESCE(SUM(b) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS b_below
+         FROM mw_v),
+mw_a AS (SELECT SUM(a) AS n_a, SUM(b) AS n_b,
+                SUM(CAST(a AS HUGEINT) * (2 * b_below + b)) AS u2
+         FROM mw_t)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(u2 AS BIGINT) AS u2,
+       CAST(2 * CAST(n_a AS HUGEINT) * n_b AS BIGINT) AS u2_max,
+       CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+            ELSE CAST(floor(CAST((u2 - CAST(n_a AS HUGEINT) * n_b)
+                     * 1000000 AS DOUBLE)
+                 / CAST(CAST(n_a AS HUGEINT) * n_b AS DOUBLE)) AS BIGINT)
+       END AS rb_ppm
+FROM mw_a"""

@@ -1618,6 +1618,96 @@ def main() -> None:
     )
     print(f"[{'OK' if vs_ok else 'BAD'}] viewshed_rows plan")
 
+    # 99. proximity: k BFS dilation rounds — Generate + aggregate per
+    # round, zero joins, zero windows, zero Python
+    from rio_cogeo_spark.operators.focal import proximity
+
+    px_plan = plan_of(proximity(a8_in, 5, rounds=3))
+    px_ok = (
+        "Join" not in px_plan
+        and "Window" not in px_plan
+        and "BatchEvalPython" not in px_plan
+        and "ArrowEvalPython" not in px_plan
+        and "Generate" in px_plan
+    )
+    checks.append(("proximity BFS rounds: explode+fold only, "
+                   "no join/window", px_ok))
+    sections.append(
+        ("proximity", f"  {'PASS' if px_ok else 'FAIL'} "
+         "3 dilation rounds, each a Generate + min fold",
+         px_plan)
+    )
+    print(f"[{'OK' if px_ok else 'BAD'}] proximity plan")
+
+    # 100. sieve_components: min-label rounds are joins-free (the
+    # self-vote trick), component stats exactly ONE window on label
+    from rio_cogeo_spark.operators.focal import sieve_components
+
+    sv_plan = plan_of(sieve_components(a8_in, 5, rounds=3, min_size=2))
+    sv_ok = (
+        "Join" not in sv_plan
+        and "BatchEvalPython" not in sv_plan
+        and "ArrowEvalPython" not in sv_plan
+        and len(re.findall(r"\(\d+\) Window", sv_plan)) == 1
+        and "Generate" in sv_plan
+    )
+    checks.append(("sieve_components label rounds join-free, one "
+                   "label window", sv_ok))
+    sections.append(
+        ("sieve_components", f"  {'PASS' if sv_ok else 'FAIL'} "
+         "self-vote label propagation, single component-stats window",
+         sv_plan)
+    )
+    print(f"[{'OK' if sv_ok else 'BAD'}] sieve_components plan")
+
+    # 101. benford: one corpus fold to host counts; the digit join and
+    # the total join are BOTH broadcast (9-row / 1-row sides)
+    from rio_cogeo_spark.operators.report import benford as bf_op
+
+    bf_in = spark.range(2000).selectExpr(
+        "concat('h', cast(id % 97 as string)) AS host"
+    )
+    bf_plan = plan_of(bf_op(bf_in, "host"))
+    bf_ok = (
+        "BatchEvalPython" not in bf_plan
+        and "ArrowEvalPython" not in bf_plan
+        and "SortMergeJoin" not in bf_plan
+        and "ShuffledHashJoin" not in bf_plan
+        and "Broadcast" in bf_plan
+    )
+    checks.append(("benford broadcast-only joins over the host-count "
+                   "fold", bf_ok))
+    sections.append(
+        ("benford", f"  {'PASS' if bf_ok else 'FAIL'} "
+         "digit/total joins broadcast, corpus folds once",
+         bf_plan)
+    )
+    print(f"[{'OK' if bf_ok else 'BAD'}] benford plan")
+
+    # 102. mann_whitney: value-frequency fold + ONE cumulative window
+    # on the value table, no joins
+    from rio_cogeo_spark.operators.report import mann_whitney as mw_op
+
+    mw_in = spark.range(2000).selectExpr(
+        "CASE WHEN id % 3 = 0 THEN 'en' ELSE 'de' END AS lang",
+        "(id * 7) % 200 AS n",
+    )
+    mw_plan = plan_of(mw_op(mw_in, "lang", "en", "n"))
+    mw_ok = (
+        "Join" not in mw_plan
+        and "BatchEvalPython" not in mw_plan
+        and "ArrowEvalPython" not in mw_plan
+        and len(re.findall(r"\(\d+\) Window", mw_plan)) == 1
+    )
+    checks.append(("mann_whitney value-table window only, no joins",
+                   mw_ok))
+    sections.append(
+        ("mann_whitney", f"  {'PASS' if mw_ok else 'FAIL'} "
+         "one cumulative window on the value-frequency table",
+         mw_plan)
+    )
+    print(f"[{'OK' if mw_ok else 'BAD'}] mann_whitney plan")
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:

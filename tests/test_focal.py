@@ -793,3 +793,84 @@ def test_viewshed_rows_blocking(spark):
     assert got[(7, 2)].west_max == 5 and got[(7, 2)].visible == 1
     # rows are independent
     assert got[(1, 5)].west_max == 0 and got[(1, 5)].visible == 1
+
+
+def test_proximity_chebyshev_exact(spark):
+    """BFS over the 8-neighborhood IS the Chebyshev metric: a single
+    source at (4,4) with 2 rounds yields dist = max(|dx|,|dy|) on the
+    full 5x5 block and nothing beyond."""
+    from rio_cogeo_spark.operators.focal import proximity
+
+    src = spark.createDataFrame(
+        [(4, 4, 9)], "tile_x long, tile_y long, page_count long",
+    )
+    got = {(r.tile_x, r.tile_y): r.dist for r in
+           proximity(src, 4, rounds=2).collect()}
+    assert len(got) == 25
+    for (x, y), d in got.items():
+        assert d == max(abs(x - 4), abs(y - 4))
+
+    # two sources: every cell takes the NEARER one
+    two = spark.createDataFrame(
+        [(2, 2, 1), (6, 2, 1)], "tile_x long, tile_y long, page_count long",
+    )
+    got2 = {(r.tile_x, r.tile_y): r.dist for r in
+            proximity(two, 4, rounds=2).collect()}
+    assert got2[(4, 2)] == 2            # equidistant middle
+    assert got2[(3, 2)] == 1 and got2[(5, 2)] == 1
+
+    # grid clipping: a corner source never dilates off-grid
+    corner = spark.createDataFrame(
+        [(0, 0, 1)], "tile_x long, tile_y long, page_count long",
+    )
+    got3 = {(r.tile_x, r.tile_y): r.dist for r in
+            proximity(corner, 4, rounds=1).collect()}
+    assert set(got3) == {(0, 0), (1, 0), (0, 1), (1, 1)}
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        proximity(src, 4, rounds=0)
+
+
+def test_sieve_components_labels_and_keep(spark):
+    """An L-tromino (3 cells, rook-connected) and a diagonal singleton:
+    the tromino keeps (min_size=3) under the min-cell-key label, the
+    singleton is flagged for removal; diagonal contact does NOT merge
+    (rook connectivity)."""
+    from rio_cogeo_spark.operators.focal import sieve_components
+
+    cells = spark.createDataFrame(
+        [(2, 2, 5), (3, 2, 7), (3, 3, 1),   # L-tromino
+         (5, 5, 9)],                         # singleton
+        "tile_x long, tile_y long, page_count long",
+    )
+    got = {(r.tile_x, r.tile_y): r for r in
+           sieve_components(cells, 4, rounds=4, min_size=3).collect()}
+    assert len(got) == 4
+    lbl = 2 * 16 + 2  # min key of the tromino: (x=2, y=2) at zoom 4
+    for c in [(2, 2), (3, 2), (3, 3)]:
+        assert got[c].label == lbl
+        assert got[c].comp_cells == 3 and got[c].comp_mass == 13
+        assert got[c].keep == 1
+    s = got[(5, 5)]
+    assert s.label == 5 * 16 + 5 and s.comp_cells == 1
+    assert s.comp_mass == 9 and s.keep == 0
+
+    # (4,4) touches (3,3) and (5,5) only diagonally: three components
+    diag = spark.createDataFrame(
+        [(3, 3, 1), (4, 4, 1), (5, 5, 1)],
+        "tile_x long, tile_y long, page_count long",
+    )
+    labels = {r.label for r in
+              sieve_components(diag, 4, rounds=4, min_size=1).collect()}
+    assert len(labels) == 3
+
+    # a path of length 3 needs >= 3 rounds to converge; at rounds=4 the
+    # far end carries the min key
+    path = spark.createDataFrame(
+        [(1, 1, 1), (2, 1, 1), (3, 1, 1), (4, 1, 1)],
+        "tile_x long, tile_y long, page_count long",
+    )
+    got4 = {(r.tile_x, r.tile_y): r.label for r in
+            sieve_components(path, 4, rounds=4, min_size=1).collect()}
+    assert set(got4.values()) == {1 * 16 + 1}

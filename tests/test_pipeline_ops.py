@@ -874,3 +874,73 @@ def test_lang_entropy_goldens(spark):
     )
     r2 = lang_entropy(const).collect()[0]
     assert (r2.n_types, r2.h_nano, r2.h_max_nano) == (1, 0, 0)
+
+
+def test_benford_goldens(spark):
+    import duckdb
+
+    from rio_cogeo_spark.operators.report import (
+        BENFORD_PPM, benford, benford_sql,
+    )
+
+    # hosts with per-key counts 1, 12, 25, 9 -> first digits 1,1,2,9
+    rows = ([("a",)] * 1 + [("b",)] * 12 + [("c",)] * 25 + [("d",)] * 9)
+    df = spark.createDataFrame(rows, "host string")
+    got = {r.digit: r for r in benford(df, "host").collect()}
+    assert set(got) == set(range(1, 10))  # zero-observed digits present
+    assert got[1].n_obs == 2 and got[1].obs_ppm == 500_000
+    assert got[2].n_obs == 1 and got[2].obs_ppm == 250_000
+    assert got[9].n_obs == 1
+    assert got[3].n_obs == 0 and got[3].obs_ppm == 0
+    assert got[1].dev_ppm == 500_000 - BENFORD_PPM[0]
+    assert got[3].dev_ppm == -BENFORD_PPM[2]
+    # expectation literals are exact floor(log10(1+1/d)*1e6)
+    import math
+    for d in range(1, 10):
+        assert BENFORD_PPM[d - 1] == math.floor(
+            math.log10(1 + 1 / d) * 1_000_000
+        )
+    # live SQL twin agrees
+    vals = ", ".join(f"('{h}')" for (h,) in rows)
+    sql = benford_sql(f"SELECT host FROM (VALUES {vals}) AS v(host)", "host")
+    want = {int(r[0]): r for r in duckdb.sql(sql).fetchall()}
+    for d in range(1, 10):
+        assert (want[d][1], want[d][2], want[d][4]) == (
+            got[d].n_obs, got[d].obs_ppm, got[d].dev_ppm)
+
+
+def test_mann_whitney_goldens(spark):
+    import duckdb
+
+    from rio_cogeo_spark.operators.report import mann_whitney, mann_whitney_sql
+
+    # A = {1, 2}, B = {2, 3}: U = 0.5 (one half-credit tie) -> u2 = 1
+    df = spark.createDataFrame(
+        [("en", 1), ("en", 2), ("de", 2), ("fr", 3)],
+        "lang string, n long",
+    )
+    r = mann_whitney(df, "lang", "en", "n").collect()[0]
+    assert (r.n_a, r.n_b, r.u2, r.u2_max) == (2, 2, 1, 8)
+    # rank-biserial: (u2 - n_a*n_b)*1e6 / (n_a*n_b) = -3e6/4 = -750000
+    assert r.rb_ppm == -750_000
+    sql = mann_whitney_sql(
+        "SELECT lang, n FROM (VALUES ('en', 1), ('en', 2), ('de', 2),"
+        " ('fr', 3)) AS v(lang, n)", "lang", "en", "n",
+    )
+    want = duckdb.sql(sql).fetchone()
+    assert (int(want[2]), int(want[4])) == (1, -750_000)
+
+    # complete separation: every A below every B -> u2 = 0, rb = -1e6;
+    # reversed -> u2 = u2_max, rb = +1e6
+    lo = spark.createDataFrame(
+        [("en", 1), ("en", 2), ("de", 5), ("de", 6)],
+        "lang string, n long",
+    )
+    r2 = mann_whitney(lo, "lang", "en", "n").collect()[0]
+    assert r2.u2 == 0 and r2.rb_ppm == -1_000_000
+    hi = mann_whitney(lo, "lang", "de", "n").collect()[0]
+    assert hi.u2 == hi.u2_max and hi.rb_ppm == 1_000_000
+
+    # empty group A -> NULL effect size by stated convention
+    nb = spark.createDataFrame([("de", 1)], "lang string, n long")
+    assert mann_whitney(nb, "lang", "en", "n").collect()[0].rb_ppm is None
