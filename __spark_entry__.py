@@ -3026,6 +3026,129 @@ def _mannwhitney_oracle() -> str:
     )
 
 
+def q_geary(spark, sf_dir):
+    """Global Geary's C spatial autocorrelation of the page-density
+    grid (binary queen weights, absent cells = 0 over the full 4^zoom
+    grid) — the local-contrast companion to Moran's I, same rational-
+    to-pure-integer reduction, c_mil via the sign-split contract."""
+    from rio_cogeo_spark.operators import focal
+
+    base = base_tiles(_pages(spark, sf_dir), ZOOM)
+    return focal.geary_c(base, ZOOM)
+
+
+def _geary_oracle() -> str:
+    from rio_cogeo_spark.operators.focal import geary_c_sql
+
+    return geary_c_sql(_BASE_CTE, ZOOM)
+
+
+def q_lisa(spark, sf_dir):
+    """Local Moran's I (Anselin LISA) per occupied cell: the per-cell
+    decomposition of the global Moran statistic with HH/LL/HL/LH
+    quadrant labels from exact deviation signs."""
+    from rio_cogeo_spark.operators import focal
+
+    base = base_tiles(_pages(spark, sf_dir), ZOOM)
+    return focal.local_moran(base, ZOOM)
+
+
+def _lisa_oracle() -> str:
+    from rio_cogeo_spark.operators.focal import local_moran_sql
+
+    return local_moran_sql(_BASE_CTE, ZOOM)
+
+
+def q_fillnodata(spark, sf_dir):
+    """Nodata fill (gdal_fillnodata analog): cells within 3 BFS rounds
+    take the value of the NEAREST occupied cell, ties to the smallest
+    source cell key — the packed-BIGINT min fold carries (distance,
+    tie rule, value) through one aggregate per round."""
+    from rio_cogeo_spark.operators import focal
+
+    base = base_tiles(_pages(spark, sf_dir), ZOOM)
+    return focal.fillnodata(base, ZOOM, rounds=3)
+
+
+def _fillnodata_oracle() -> str:
+    from rio_cogeo_spark.operators.focal import fillnodata_sql
+
+    return fillnodata_sql(_BASE_CTE, ZOOM, rounds=3)
+
+
+def q_polygonize(spark, sf_dir):
+    """Equal-value region extraction (gdal_polygonize analog): rook
+    components among same-valued cells via min-label propagation with
+    the value riding the group key (join-free)."""
+    from rio_cogeo_spark.operators import focal
+
+    base = base_tiles(_pages(spark, sf_dir), ZOOM)
+    return focal.polygonize(base, ZOOM, rounds=4)
+
+
+def _polygonize_oracle() -> str:
+    from rio_cogeo_spark.operators.focal import polygonize_sql
+
+    return polygonize_sql(_BASE_CTE, ZOOM, rounds=4)
+
+
+def q_spearman(spark, sf_dir):
+    """Spearman rank correlation (tie-correct: Pearson over doubled
+    average ranks, all exact ints to the one pinned sqrt) between the
+    whitespace token count and the stored n_chars — the quality-signal
+    consistency check."""
+    from rio_cogeo_spark.operators.report import spearman
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pair = docs.select(
+        TX.token_count(F.col("text")).alias("a"),
+        F.col("n_chars").alias("b"),
+    )
+    return spearman(pair, "a", "b")
+
+
+def _spearman_oracle() -> str:
+    from rio_cogeo_spark.operators.report import spearman_sql
+
+    return spearman_sql(
+        f"SELECT {TX.TOKEN_COUNT_SQL} AS a, n_chars AS b FROM documents",
+        "a", "b",
+    )
+
+
+def q_acf(spark, sf_dir):
+    """Daily crawl-volume autocorrelation at lags 1-7 over a
+    week-periodic surge injection (doc_id < 400 re-crawled on six
+    spike days a week apart): lag-7 must read high, lag 1-6 low —
+    exact staged-integer ACF, sign-split mil contract."""
+    from rio_cogeo_spark.operators.report import volume_acf
+
+    pages = _pages(spark, sf_dir).select("doc_id", "ts_sec")
+    surge = pages.filter(F.col("doc_id") < 400).select(
+        (F.col("doc_id") + 900000).alias("doc_id"),
+        (F.lit(1735689600) + (F.col("doc_id") % 6) * F.lit(7 * 86400)
+         + F.col("doc_id") % 1800).alias("ts_sec"),
+    )
+    return volume_acf(pages.unionByName(surge), max_lag=7)
+
+
+def _acf_oracle() -> str:
+    from rio_cogeo_spark.operators.report import volume_acf_sql
+
+    base = """SELECT doc_id, ts_sec FROM (
+  SELECT doc_id, ts_sec FROM pages
+  UNION ALL
+  SELECT doc_id + 900000,
+         1735689600 + (doc_id % 6) * (7 * 86400) + doc_id % 1800
+  FROM pages WHERE doc_id < 400) ac_in"""
+    inner = volume_acf_sql(
+        "SELECT doc_id, ts_sec FROM ac_all", max_lag=7
+    ).split("WITH ", 1)[1]
+    return f"""{_P}
+, ac_all AS ({base}),
+{inner}"""
+
+
 def q_morton_range(spark, sf_dir):
     """Z-order bbox query: filter the tile table by the exact quadtree
     range decomposition of MORTON_BBOX. The oracle twin filters by the
@@ -3600,6 +3723,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sieve": q_sieve,
         "benford": q_benford,
         "mannwhitney": q_mannwhitney,
+        "geary": q_geary,
+        "lisa": q_lisa,
+        "fillnodata": q_fillnodata,
+        "polygonize": q_polygonize,
+        "spearman": q_spearman,
+        "acf": q_acf,
     }
 
 
@@ -4595,6 +4724,12 @@ FROM documents QUALIFY rank <= 3""",
         "sieve": _sieve_oracle(),
         "benford": _benford_oracle(),
         "mannwhitney": _mannwhitney_oracle(),
+        "geary": _geary_oracle(),
+        "lisa": _lisa_oracle(),
+        "fillnodata": _fillnodata_oracle(),
+        "polygonize": _polygonize_oracle(),
+        "spearman": _spearman_oracle(),
+        "acf": _acf_oracle(),
         "repeated_spans": _repeated_spans_oracle(),
         "passage_cut": _passage_cut_oracle(),
         "pyramid_crs84": _pyramid_crs84_sql(),

@@ -1759,3 +1759,457 @@ SELECT tile_x, tile_y, label,
                  THEN 1 ELSE 0 END AS INT) AS keep
 FROM sv_{rounds}""")
     return "".join(parts)
+
+
+def geary_c(
+    tiles: DataFrame,
+    zoom: int,
+    value_col: str = "page_count",
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+) -> DataFrame:
+    """Global Geary's C spatial autocorrelation over the FULL ``4^zoom``
+    grid with binary queen weights — the local-contrast companion to
+    :func:`morans_i` (Moran correlates deviations, Geary squares the
+    neighbor DIFFERENCES, so it is more sensitive to local edges):
+    C → 0 for clustered, 1 for random, → 2 for dispersed.
+
+    Exact-integer contract (the morans_i staging): with ``D = Σ_ij
+    w_ij (x_i − x_j)² = 2(E − C)`` where ``E = Σ_i W_i x_i²`` and
+    ``C = Σ_i x_i · nbrsum_i``::
+
+        C_geary = (N−1) · N · (E − C) / (W · (Q·N − S²))
+
+    emitted as ``c_mil`` via the sign-split trunc-division contract in
+    DECIMAL(38,0)/HUGEINT (same zoom ≤ 12 envelope as morans_i).
+    Absent cells are value 0 and participate exactly.
+
+    Scale design: identical to morans_i — one grid fold, one
+    :func:`focal_stats` pass, ONE tile-bounded grid-key join, a 1-row
+    combine; ``W_i`` is closed-form from coordinates. Nothing collects.
+    """
+    n_side = 2 ** zoom
+    n_grid = 4 ** zoom
+    w_total = 4 * (n_side - 1) * (2 * n_side - 1)
+    base = tiles.select(
+        F.col(x_col).alias("tile_x"), F.col(y_col).alias("tile_y"),
+        F.col(value_col).cast("long").alias("_x"),
+    )
+    foc = focal_stats(base, zoom, "_x", 1, "tile_x", "tile_y")
+    edge = F.lit(n_side - 1)
+    w_i = (
+        (F.lit(1) + F.least(F.col("tile_x"), F.lit(1))
+         + F.least(edge - F.col("tile_x"), F.lit(1)))
+        * (F.lit(1) + F.least(F.col("tile_y"), F.lit(1))
+           + F.least(edge - F.col("tile_y"), F.lit(1)))
+        - F.lit(1)
+    )
+    joined = base.join(foc, ["tile_x", "tile_y"]).select(
+        F.col("_x"),
+        (F.col("focal_sum") - F.col("_x")).alias("nbrsum"),
+        w_i.cast("long").alias("w_i"),
+    )
+    agg = joined.agg(
+        F.sum(F.col("_x").cast("decimal(38,0)")).alias("s"),
+        F.sum(F.col("_x").cast("decimal(38,0)") * F.col("_x")).alias("q"),
+        F.sum(F.col("_x").cast("decimal(38,0)") * F.col("nbrsum")).alias("c"),
+        F.sum(
+            F.col("_x").cast("decimal(38,0)") * F.col("_x") * F.col("w_i")
+        ).alias("e"),
+    )
+    return agg.select(
+        F.lit(n_grid).cast("long").alias("n_grid"),
+        F.lit(w_total).cast("long").alias("w_total"),
+        F.col("s").cast("long").alias("s"),
+        F.col("q").cast("long").alias("q"),
+        F.col("c").cast("long").alias("c"),
+        F.col("e").cast("long").alias("e"),
+        F.expr(
+            f"cast({n_grid - 1} as decimal(38,0)) * {n_grid} * (e - c)"
+        ).alias("_num"),
+        F.expr(
+            f"cast({w_total} as decimal(38,0)) * (q * {n_grid} - s * s)"
+        ).alias("_den"),
+    ).select(
+        "n_grid", "w_total", "s", "q", "c", "e",
+        F.expr(
+            "case when _den = 0 then cast(null as bigint) "
+            "when _num <= 0 then cast(-((-_num * 1000) div _den) as bigint) "
+            "else cast((_num * 1000) div _den as bigint) end"
+        ).alias("c_mil"),
+    )
+
+
+def geary_c_sql(base_cte: str, zoom: int) -> str:
+    """DuckDB twin of :func:`geary_c` — ``base_cte`` must expose
+    relation ``base(tile_x, tile_y, page_count)`` (WITH included)."""
+    n_side = 2 ** zoom
+    n_grid = 4 ** zoom
+    w_total = 4 * (n_side - 1) * (2 * n_side - 1)
+    edge = n_side - 1
+    return f"""{base_cte}
+, gc_contrib AS (SELECT b.tile_x + o1.dx AS nx, b.tile_y + o2.dy AS ny,
+                        b.page_count AS v
+                 FROM base b,
+                      (VALUES (-1), (0), (1)) o1(dx),
+                      (VALUES (-1), (0), (1)) o2(dy)
+                 WHERE b.tile_x + o1.dx BETWEEN 0 AND {edge}
+                   AND b.tile_y + o2.dy BETWEEN 0 AND {edge})
+, gc_foc AS (SELECT nx AS tile_x, ny AS tile_y,
+                    CAST(SUM(v) AS BIGINT) AS focal_sum
+             FROM gc_contrib GROUP BY 1, 2)
+, gc_j AS (SELECT b.page_count AS x,
+                  f.focal_sum - b.page_count AS nbrsum,
+                  (1 + least(b.tile_x, 1) + least({edge} - b.tile_x, 1))
+                * (1 + least(b.tile_y, 1) + least({edge} - b.tile_y, 1))
+                  - 1 AS w_i
+           FROM base b JOIN gc_foc f USING (tile_x, tile_y))
+, gc_a AS (SELECT SUM(CAST(x AS HUGEINT)) AS s,
+                  SUM(CAST(x AS HUGEINT) * x) AS q,
+                  SUM(CAST(x AS HUGEINT) * nbrsum) AS c,
+                  SUM(CAST(x AS HUGEINT) * x * w_i) AS e
+           FROM gc_j)
+, gc_f AS (SELECT s, q, c, e,
+                  CAST({n_grid - 1} AS HUGEINT) * {n_grid} * (e - c) AS num,
+                  CAST({w_total} AS HUGEINT) * (q * {n_grid} - s * s) AS den
+           FROM gc_a)
+SELECT CAST({n_grid} AS BIGINT) AS n_grid,
+       CAST({w_total} AS BIGINT) AS w_total,
+       CAST(s AS BIGINT) AS s, CAST(q AS BIGINT) AS q,
+       CAST(c AS BIGINT) AS c, CAST(e AS BIGINT) AS e,
+       CASE WHEN den = 0 THEN NULL
+            WHEN num <= 0 THEN CAST(-((-num * 1000) // den) AS BIGINT)
+            ELSE CAST((num * 1000) // den AS BIGINT) END AS c_mil
+FROM gc_f"""
+
+
+def local_moran(
+    tiles: DataFrame,
+    zoom: int,
+    value_col: str = "page_count",
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+) -> DataFrame:
+    """Local Moran's I (Anselin's LISA, 1995) per PRESENT cell over the
+    FULL-grid mean (absent cells are value 0 and shape the mean,
+    variance and neighbor sums exactly; only occupied cells are
+    emitted — an absent cell's own LISA row is derivable but its
+    emission would materialize the 4^zoom grid). The per-cell
+    decomposition of :func:`morans_i`: which cells drive the global
+    clustering, and in which quadrant.
+
+    Exact-integer contract: with ``N = 4^zoom``, ``S = Σx``,
+    ``Q = Σx²`` and the binary queen weights of morans_i::
+
+        I_i = (N·x_i − S) · (N·nbrsum_i − W_i·S) / (Q·N − S²)
+
+    (both sides scaled by N², cancelling) — emitted as ``li_mil`` via
+    the sign-split trunc-division contract. ``quad`` classifies by the
+    exact signs of the two deviation factors: ``HH``/``LL``
+    (clustering), ``HL``/``LH`` (outliers), ``EQ`` when either factor
+    is exactly 0.
+
+    Scale design: one broadcast 1-row (S, Q) aggregate, one
+    :func:`focal_stats` pass, ONE tile-bounded grid-key join; the
+    output is a projection over it. Nothing collects.
+    """
+    n_side = 2 ** zoom
+    n_grid = 4 ** zoom
+    base = tiles.select(
+        F.col(x_col).alias("tile_x"), F.col(y_col).alias("tile_y"),
+        F.col(value_col).cast("long").alias("_x"),
+    )
+    foc = focal_stats(base, zoom, "_x", 1, "tile_x", "tile_y")
+    totals = base.agg(
+        F.sum(F.col("_x").cast("decimal(38,0)")).alias("_s"),
+        F.sum(F.col("_x").cast("decimal(38,0)") * F.col("_x")).alias("_q"),
+    )
+    edge = F.lit(n_side - 1)
+    w_i = (
+        (F.lit(1) + F.least(F.col("tile_x"), F.lit(1))
+         + F.least(edge - F.col("tile_x"), F.lit(1)))
+        * (F.lit(1) + F.least(F.col("tile_y"), F.lit(1))
+           + F.least(edge - F.col("tile_y"), F.lit(1)))
+        - F.lit(1)
+    )
+    joined = (
+        base.join(foc, ["tile_x", "tile_y"])
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "tile_x", "tile_y", F.col("_x").alias("x"),
+            (F.col("focal_sum") - F.col("_x")).cast("long").alias("nbrsum"),
+            w_i.cast("long").alias("w_i"),
+            F.expr(f"cast({n_grid} as decimal(38,0)) * _x - _s")
+            .alias("_dx"),
+            F.expr(
+                f"cast({n_grid} as decimal(38,0)) * (focal_sum - _x)"
+                f" - ((1 + least(tile_x, 1)"
+                f" + least({n_side - 1} - tile_x, 1))"
+                f" * (1 + least(tile_y, 1)"
+                f" + least({n_side - 1} - tile_y, 1)) - 1) * _s"
+            ).alias("_dn"),
+            F.expr(f"_q * {n_grid} - _s * _s").alias("_den"),
+        )
+    )
+    return joined.select(
+        "tile_x", "tile_y", "x", "nbrsum", "w_i",
+        F.expr(
+            "case when _den = 0 then cast(null as bigint) "
+            "when _dx * _dn <= 0 then"
+            " cast(-((-(_dx * _dn) * 1000) div _den) as bigint) "
+            "else cast(((_dx * _dn) * 1000) div _den as bigint) end"
+        ).alias("li_mil"),
+        F.expr(
+            "case when _dx = 0 or _dn = 0 then 'EQ' "
+            "when _dx > 0 and _dn > 0 then 'HH' "
+            "when _dx < 0 and _dn < 0 then 'LL' "
+            "when _dx > 0 then 'HL' else 'LH' end"
+        ).alias("quad"),
+    )
+
+
+def local_moran_sql(base_cte: str, zoom: int) -> str:
+    """DuckDB twin of :func:`local_moran`."""
+    n_side = 2 ** zoom
+    n_grid = 4 ** zoom
+    edge = n_side - 1
+    return f"""{base_cte}
+, lm_contrib AS (SELECT b.tile_x + o1.dx AS nx, b.tile_y + o2.dy AS ny,
+                        b.page_count AS v
+                 FROM base b,
+                      (VALUES (-1), (0), (1)) o1(dx),
+                      (VALUES (-1), (0), (1)) o2(dy)
+                 WHERE b.tile_x + o1.dx BETWEEN 0 AND {edge}
+                   AND b.tile_y + o2.dy BETWEEN 0 AND {edge})
+, lm_foc AS (SELECT nx AS tile_x, ny AS tile_y,
+                    CAST(SUM(v) AS BIGINT) AS focal_sum
+             FROM lm_contrib GROUP BY 1, 2)
+, lm_t AS (SELECT SUM(CAST(page_count AS HUGEINT)) AS s,
+                  SUM(CAST(page_count AS HUGEINT) * page_count) AS q
+           FROM base)
+, lm_j AS (SELECT b.tile_x, b.tile_y, b.page_count AS x,
+                  CAST(f.focal_sum - b.page_count AS BIGINT) AS nbrsum,
+                  CAST((1 + least(b.tile_x, 1)
+                        + least({edge} - b.tile_x, 1))
+                     * (1 + least(b.tile_y, 1)
+                        + least({edge} - b.tile_y, 1)) - 1 AS BIGINT)
+                      AS w_i,
+                  CAST({n_grid} AS HUGEINT) * b.page_count - t.s AS dx,
+                  CAST({n_grid} AS HUGEINT) * (f.focal_sum - b.page_count)
+                  - ((1 + least(b.tile_x, 1) + least({edge} - b.tile_x, 1))
+                   * (1 + least(b.tile_y, 1) + least({edge} - b.tile_y, 1))
+                     - 1) * t.s AS dn,
+                  t.q * {n_grid} - t.s * t.s AS den
+           FROM base b JOIN lm_foc f USING (tile_x, tile_y) CROSS JOIN lm_t t)
+SELECT tile_x, tile_y, x, nbrsum, w_i,
+       CASE WHEN den = 0 THEN NULL
+            WHEN dx * dn <= 0
+                THEN CAST(-((-(dx * dn) * 1000) // den) AS BIGINT)
+            ELSE CAST(((dx * dn) * 1000) // den AS BIGINT) END AS li_mil,
+       CASE WHEN dx = 0 OR dn = 0 THEN 'EQ'
+            WHEN dx > 0 AND dn > 0 THEN 'HH'
+            WHEN dx < 0 AND dn < 0 THEN 'LL'
+            WHEN dx > 0 THEN 'HL' ELSE 'LH' END AS quad
+FROM lm_j"""
+
+
+def fillnodata(
+    tiles: DataFrame,
+    zoom: int,
+    rounds: int = 3,
+    value_col: str = "page_count",
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+) -> DataFrame:
+    """Nodata fill — the ``gdal_fillnodata.py`` analog (the reference
+    delegates raster utilities to GDAL): every cell within Chebyshev
+    distance ``rounds`` of an occupied cell takes the value of its
+    NEAREST occupied cell; ties at equal distance break to the
+    smallest source cell key ``tile_y·2^zoom + tile_x`` (a stated,
+    engine-independent rule — NOT smallest value, so the fill is a
+    function of geometry alone). Occupied cells keep their own value at
+    ``dist = 0``. The sixth bounded-round iterative operator; returns
+    ``(tile_x, tile_y, dist, src, fill_v)``, all exact ints.
+
+    The BFS carries ONE packed BIGINT ``pack = dist·4^zoom + src_key``
+    — the min fold over packs IS the (distance, tie-rule) order, and a
+    ``min_by(v, pack)`` rides the same aggregate, so no join back to
+    the source table is ever needed (packs are collision-free: equal
+    pack ⟹ equal source ⟹ equal value).
+
+    Scale design: ``rounds`` shuffles bounded by the dilated
+    occupied-cell table (the :func:`proximity` bound); zero joins,
+    zero windows.
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    n = F.lit(2 ** zoom)
+    n_grid = 4 ** zoom
+    st = tiles.select(
+        F.col(x_col).cast("long").alias("tile_x"),
+        F.col(y_col).cast("long").alias("tile_y"),
+        (F.col(y_col).cast("long") * F.lit(2 ** zoom)
+         + F.col(x_col).cast("long")).alias("pack"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    off = F.explode(
+        F.array(*[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in [(a, b) for a in (-1, 0, 1) for b in (-1, 0, 1)]
+        ])
+    ).alias("off")
+    for _ in range(rounds):
+        moved = st.select("tile_x", "tile_y", "pack", "v", off).select(
+            (F.col("tile_x") + F.col("off.dx")).alias("tile_x"),
+            (F.col("tile_y") + F.col("off.dy")).alias("tile_y"),
+            (F.col("pack") + F.when(
+                (F.col("off.dx") == 0) & (F.col("off.dy") == 0),
+                F.lit(0)).otherwise(F.lit(n_grid))).alias("pack"),
+            F.col("v"),
+        ).filter(
+            (F.col("tile_x") >= 0) & (F.col("tile_x") < n)
+            & (F.col("tile_y") >= 0) & (F.col("tile_y") < n)
+        )
+        st = moved.groupBy("tile_x", "tile_y").agg(
+            F.min("pack").alias("pack"),
+            F.min_by("v", "pack").alias("v"),
+        )
+    return st.select(
+        "tile_x", "tile_y",
+        F.expr(f"pack div {n_grid}").cast("long").alias("dist"),
+        F.expr(f"pack % {n_grid}").cast("long").alias("src"),
+        F.col("v").cast("long").alias("fill_v"),
+    )
+
+
+def fillnodata_sql(base_cte: str, zoom: int, rounds: int = 3) -> str:
+    """DuckDB twin of :func:`fillnodata` (unrolled CTE chain)."""
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    edge = 2 ** zoom - 1
+    n_grid = 4 ** zoom
+    parts = [base_cte]
+    parts.append(f"""
+, fn_0 AS (SELECT tile_x, tile_y,
+                  CAST(tile_y AS BIGINT) * {2 ** zoom} + tile_x AS pack,
+                  CAST(page_count AS BIGINT) AS v
+           FROM base)""")
+    for i in range(rounds):
+        parts.append(f"""
+, fn_{i + 1} AS (
+    SELECT p.tile_x + o1.dx AS tile_x, p.tile_y + o2.dy AS tile_y,
+           MIN(p.pack + CASE WHEN o1.dx = 0 AND o2.dy = 0
+                             THEN 0 ELSE {n_grid} END) AS pack,
+           MIN_BY(p.v, p.pack + CASE WHEN o1.dx = 0 AND o2.dy = 0
+                                     THEN 0 ELSE {n_grid} END) AS v
+    FROM fn_{i} p,
+         (VALUES (-1), (0), (1)) o1(dx),
+         (VALUES (-1), (0), (1)) o2(dy)
+    WHERE p.tile_x + o1.dx BETWEEN 0 AND {edge}
+      AND p.tile_y + o2.dy BETWEEN 0 AND {edge}
+    GROUP BY 1, 2)""")
+    parts.append(f"""
+SELECT tile_x, tile_y, CAST(pack // {n_grid} AS BIGINT) AS dist,
+       CAST(pack % {n_grid} AS BIGINT) AS src,
+       CAST(v AS BIGINT) AS fill_v
+FROM fn_{rounds}""")
+    return "".join(parts)
+
+
+def polygonize(
+    tiles: DataFrame,
+    zoom: int,
+    rounds: int = 4,
+    value_col: str = "page_count",
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+) -> DataFrame:
+    """Equal-value connected components — the ``gdal_polygonize.py``
+    analog: rook-adjacent cells with the SAME value merge into one
+    region (the raster→vector region extraction); regions are labeled
+    by their minimum cell key after ``rounds`` min-label propagation
+    steps (exact for region diameter ≤ rounds — the shared
+    bounded-round contract). Returns ``(tile_x, tile_y, v, label,
+    region_cells)``, all exact ints.
+
+    The value-equality constraint rides the GROUP KEY: each cell votes
+    ``(label, v)`` to its rook neighbors and itself, and votes
+    aggregate per ``(tile_x, tile_y, v)`` — a neighbor with a
+    different value lands in a different group and can never merge;
+    the receiving cell's group is the one holding its self-vote
+    (``MAX(self-flag)`` filter, the :func:`sieve_components` trick).
+    Zero joins; region labels are globally unique because each cell
+    belongs to exactly one region.
+
+    Scale design: ``rounds`` vote shuffles bounded by 5× the occupied
+    cells; region stats are ONE window on the label key (partitions
+    bounded by region size).
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    n = F.lit(2 ** zoom)
+    labels = tiles.select(
+        F.col(x_col).cast("long").alias("tile_x"),
+        F.col(y_col).cast("long").alias("tile_y"),
+        F.col(value_col).cast("long").alias("v"),
+        (F.col(y_col).cast("long") * F.lit(2 ** zoom)
+         + F.col(x_col).cast("long")).alias("label"),
+    )
+    off = F.explode(
+        F.array(*[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in [(0, 0), (-1, 0), (1, 0), (0, -1), (0, 1)]
+        ])
+    ).alias("off")
+    for _ in range(rounds):
+        votes = labels.select("tile_x", "tile_y", "v", "label", off).select(
+            (F.col("tile_x") + F.col("off.dx")).alias("tile_x"),
+            (F.col("tile_y") + F.col("off.dy")).alias("tile_y"),
+            F.col("v"),
+            F.col("label"),
+            F.when((F.col("off.dx") == 0) & (F.col("off.dy") == 0),
+                   F.lit(1)).otherwise(F.lit(0)).alias("is_self"),
+        ).filter(
+            (F.col("tile_x") >= 0) & (F.col("tile_x") < n)
+            & (F.col("tile_y") >= 0) & (F.col("tile_y") < n)
+        )
+        labels = (
+            votes.groupBy("tile_x", "tile_y", "v")
+            .agg(F.min("label").alias("label"),
+                 F.max("is_self").alias("_self"))
+            .filter(F.col("_self") == 1)
+            .drop("_self")
+        )
+    w = Window.partitionBy("label")
+    return labels.select(
+        "tile_x", "tile_y", "v", "label",
+        F.count(F.lit(1)).over(w).cast("long").alias("region_cells"),
+    )
+
+
+def polygonize_sql(base_cte: str, zoom: int, rounds: int = 4) -> str:
+    """DuckDB twin of :func:`polygonize` (unrolled CTE chain)."""
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    edge = 2 ** zoom - 1
+    parts = [base_cte]
+    parts.append(f"""
+, pg_0 AS (SELECT tile_x, tile_y, CAST(page_count AS BIGINT) AS v,
+                  CAST(tile_y AS BIGINT) * {2 ** zoom} + tile_x AS label
+           FROM base)""")
+    for i in range(rounds):
+        parts.append(f"""
+, pg_{i + 1} AS (
+    SELECT p.tile_x + o.dx AS tile_x, p.tile_y + o.dy AS tile_y, p.v AS v,
+           MIN(p.label) AS label
+    FROM pg_{i} p,
+         (VALUES (0, 0), (-1, 0), (1, 0), (0, -1), (0, 1)) o(dx, dy)
+    WHERE p.tile_x + o.dx BETWEEN 0 AND {edge}
+      AND p.tile_y + o.dy BETWEEN 0 AND {edge}
+    GROUP BY 1, 2, 3
+    HAVING MAX(CASE WHEN o.dx = 0 AND o.dy = 0 THEN 1 ELSE 0 END) = 1)""")
+    parts.append(f"""
+SELECT tile_x, tile_y, v, label,
+       CAST(COUNT(*) OVER (PARTITION BY label) AS BIGINT) AS region_cells
+FROM pg_{rounds}""")
+    return "".join(parts)

@@ -1510,6 +1510,7 @@ BENFORD_PPM = (301029, 176091, 124938, 96910, 79181,
 def benford(
     df: DataFrame,
     key_col: str = "host",
+    reuse_counts: bool = True,
 ) -> DataFrame:
     """Benford's-law first-digit audit over a per-key count
     distribution (pages per host): the classic forensic test for
@@ -1532,6 +1533,10 @@ def benford(
     counts = df.groupBy(F.col(key_col).alias("k")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
+    if reuse_counts:
+        # the digit fold and the key total both read this fold; pin it
+        # so the corpus folds ONCE
+        counts = counts.localCheckpoint(eager=False)
     obs = counts.select(
         F.substring(F.col("cnt").cast("string"), 1, 1).cast("int")
         .alias("digit")
@@ -1679,3 +1684,236 @@ SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
                  / CAST(CAST(n_a AS HUGEINT) * n_b AS DOUBLE)) AS BIGINT)
        END AS rb_ppm
 FROM mw_a"""
+
+
+def spearman(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    reuse_joint: bool = True,
+) -> DataFrame:
+    """Spearman rank correlation between two integer columns (the
+    quality-signal sanity check: "does token count actually track
+    document length?") — the tie-correct form, i.e. Pearson over
+    AVERAGE ranks, never the no-ties 6Σd² shortcut (corpus columns are
+    heavily tied). One row ``(n, su, sv, rho_mil)``.
+
+    Exactness: average ranks stay integer by DOUBLING — the f-way tie
+    occupying positions ``cum+1 … cum+f`` has ``2·rank = 2·cum + f +
+    1``; every Pearson term is then exact DECIMAL(38,0)/HUGEINT, and
+    only the final ``rho`` routes through doubles via one fixed tree:
+    ``floor(num·1e6 / sqrt(double(d1)·double(d2)))``, identical on both
+    engines (the zipf/kappa pin discipline). ``Σ(2·rank) = n(n+1)``
+    for each side by construction (emitted as ``su``/``sv`` — a
+    self-check the oracle hashes too). NULL rho when either side is
+    constant.
+
+    Scale design: ONE corpus fold to the JOINT (a, b) frequency table
+    (bounded by distinct value pairs); the marginal rank tables derive
+    from it and broadcast back; windows touch only the tiny marginal
+    tables. The corpus never shuffles twice and nothing collects.
+    """
+    joint = df.groupBy(
+        F.col(a_col).cast("long").alias("av"),
+        F.col(b_col).cast("long").alias("bv"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    if reuse_joint:
+        # three subtrees (joint terms + two marginal rank tables) read
+        # this fold; localCheckpoint pins it so the corpus folds ONCE
+        # (the dedup.py df_cap discipline)
+        joint = joint.localCheckpoint(eager=False)
+    wa = Window.orderBy("av").rowsBetween(Window.unboundedPreceding, -1)
+    ranks_a = (
+        joint.groupBy("av").agg(F.sum("cnt").alias("f"))
+        .select(
+            "av",
+            (F.lit(2) * F.coalesce(F.sum("f").over(wa), F.lit(0))
+             + F.col("f") + F.lit(1)).alias("r2a"),
+        )
+    )
+    wb = Window.orderBy("bv").rowsBetween(Window.unboundedPreceding, -1)
+    ranks_b = (
+        joint.groupBy("bv").agg(F.sum("cnt").alias("f"))
+        .select(
+            "bv",
+            (F.lit(2) * F.coalesce(F.sum("f").over(wb), F.lit(0))
+             + F.col("f") + F.lit(1)).alias("r2b"),
+        )
+    )
+    terms = (
+        joint.join(F.broadcast(ranks_a), "av")
+        .join(F.broadcast(ranks_b), "bv")
+    )
+    agg = terms.agg(
+        F.sum(F.col("cnt").cast("decimal(38,0)")).alias("n"),
+        F.sum(F.col("cnt").cast("decimal(38,0)") * F.col("r2a")).alias("su"),
+        F.sum(F.col("cnt").cast("decimal(38,0)") * F.col("r2b")).alias("sv"),
+        F.sum(F.col("cnt").cast("decimal(38,0)") * F.col("r2a")
+              * F.col("r2a")).alias("suu"),
+        F.sum(F.col("cnt").cast("decimal(38,0)") * F.col("r2b")
+              * F.col("r2b")).alias("svv"),
+        F.sum(F.col("cnt").cast("decimal(38,0)") * F.col("r2a")
+              * F.col("r2b")).alias("suv"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("su").cast("long").alias("su"),
+        F.col("sv").cast("long").alias("sv"),
+        F.expr(
+            "case when n * suu - su * su = 0 or n * svv - sv * sv = 0 "
+            "then cast(null as bigint) else cast(floor("
+            "cast(n * suv - su * sv as double) * 1000000.0"
+            " / sqrt(cast(n * suu - su * su as double)"
+            "        * cast(n * svv - sv * sv as double))"
+            ") as bigint) end"
+        ).alias("rho_mil"),
+    )
+
+
+def spearman_sql(inner_cte: str, a_col: str, b_col: str) -> str:
+    """DuckDB twin of :func:`spearman` (HUGEINT staging)."""
+    return f"""
+WITH sp_src AS ({inner_cte}),
+sp_j AS (SELECT CAST({a_col} AS BIGINT) AS av, CAST({b_col} AS BIGINT) AS bv,
+                COUNT(*) AS cnt
+         FROM sp_src GROUP BY 1, 2),
+sp_ra AS (SELECT av, 2 * COALESCE(SUM(f) OVER (ORDER BY av
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     + f + 1 AS r2a
+          FROM (SELECT av, SUM(cnt) AS f FROM sp_j GROUP BY 1)),
+sp_rb AS (SELECT bv, 2 * COALESCE(SUM(f) OVER (ORDER BY bv
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     + f + 1 AS r2b
+          FROM (SELECT bv, SUM(cnt) AS f FROM sp_j GROUP BY 1)),
+sp_a AS (SELECT SUM(CAST(cnt AS HUGEINT)) AS n,
+                SUM(CAST(cnt AS HUGEINT) * r2a) AS su,
+                SUM(CAST(cnt AS HUGEINT) * r2b) AS sv,
+                SUM(CAST(cnt AS HUGEINT) * r2a * r2a) AS suu,
+                SUM(CAST(cnt AS HUGEINT) * r2b * r2b) AS svv,
+                SUM(CAST(cnt AS HUGEINT) * r2a * r2b) AS suv
+         FROM sp_j JOIN sp_ra USING (av) JOIN sp_rb USING (bv))
+SELECT CAST(n AS BIGINT) AS n, CAST(su AS BIGINT) AS su,
+       CAST(sv AS BIGINT) AS sv,
+       CASE WHEN n * suu - su * su = 0 OR n * svv - sv * sv = 0 THEN NULL
+            ELSE CAST(floor(
+                 CAST(n * suv - su * sv AS DOUBLE) * 1000000.0
+                 / sqrt(CAST(n * suu - su * su AS DOUBLE)
+                        * CAST(n * svv - sv * sv AS DOUBLE))) AS BIGINT)
+       END AS rho_mil
+FROM sp_a"""
+
+
+def volume_acf(
+    pages: DataFrame,
+    max_lag: int = 7,
+    ts_col: str = "ts_sec",
+    reuse_days: bool = True,
+) -> DataFrame:
+    """Autocorrelation of the daily crawl volume at lags ``1…max_lag``
+    — the seasonality read behind :func:`volume_anomaly` (a weekly
+    crawl shows a spike at lag 7; a bot flood shows none). Lags are
+    over the OBSERVED-day series in day order (gaps documented-skipped:
+    a crawl's day series is contiguous in practice, and the observed
+    series is the one the anomaly monitor sees). One row per lag:
+    ``(lag, n_pairs, acf_mil)``.
+
+    Exact-integer contract: with ``N`` days, ``S = Σy``, deviations
+    scale by N — ``acf_k = Σ_t (N·y_t − S)(N·y_{t−k} − S) / Σ_t (N·y_t
+    − S)²`` — numerator over the lag-k pairs, denominator over ALL
+    days (the standard biased ACF normalization), emitted via the
+    sign-split trunc-division contract in DECIMAL(38,0)/HUGEINT.
+    NULL when the series is constant.
+
+    Scale design: ONE map-side-combinable day-count fold over the
+    corpus; the lag windows, the 1-row (N, S) broadcast, and the
+    per-lag folds all run on the DAY table (rows = distinct days).
+    """
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    days = pages.select(
+        F.expr(f"{ts_col} div 86400").alias("day")
+    ).groupBy("day").agg(F.count(F.lit(1)).alias("y"))
+    if reuse_days:
+        # the (N, S) totals and the lag table both read the day fold;
+        # pin it so the corpus folds ONCE
+        days = days.localCheckpoint(eager=False)
+    totals = days.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("_s"),
+    )
+    w = Window.orderBy("day")
+    lag_cols = [
+        F.lag("y", k).over(w).alias(f"_lag{k}") for k in range(1, max_lag + 1)
+    ]
+    lagged = days.select("day", "y", *lag_cols).crossJoin(F.broadcast(totals))
+    dev = F.expr("_n * y - _s")
+    per_lag = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(k).cast("int").alias("lag"),
+                F.expr(
+                    f"case when _lag{k} is null then null "
+                    f"else (_n * y - _s) * (_n * _lag{k} - _s) end"
+                ).alias("prod"),
+            )
+            for k in range(1, max_lag + 1)
+        ])
+    ).alias("t")
+    terms = lagged.select(dev.alias("_dev"), per_lag).select(
+        F.col("t.lag").alias("lag"), F.col("t.prod").alias("prod"),
+        (F.col("_dev") * F.col("_dev")).alias("dev2"),
+    )
+    agg = terms.groupBy("lag").agg(
+        F.sum(F.when(F.col("prod").isNotNull(), 1).otherwise(0))
+        .alias("n_pairs"),
+        F.sum("prod").alias("_num"),
+        F.sum("dev2").alias("_den"),
+    )
+    return agg.select(
+        "lag",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.expr(
+            "case when _den = 0 or _num is null then cast(null as bigint) "
+            "when _num <= 0 then cast(-((-_num * 1000) div _den) as bigint) "
+            "else cast((_num * 1000) div _den as bigint) end"
+        ).alias("acf_mil"),
+    ).orderBy("lag")
+
+
+def volume_acf_sql(
+    pages_cte: str, max_lag: int = 7, ts_col: str = "ts_sec"
+) -> str:
+    """DuckDB twin of :func:`volume_acf`."""
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    lag_sel = ", ".join(
+        f"LAG(y, {k}) OVER (ORDER BY day) AS lag{k}"
+        for k in range(1, max_lag + 1)
+    )
+    prod_rows = ", ".join(
+        f"({k}, CASE WHEN lag{k} IS NULL THEN NULL"
+        f" ELSE (t.n * d.y - t.s) * (t.n * lag{k} - t.s) END)"
+        for k in range(1, max_lag + 1)
+    )
+    return f"""
+WITH ac_p AS ({pages_cte}),
+ac_d AS (SELECT {ts_col} // 86400 AS day, COUNT(*) AS y
+         FROM ac_p GROUP BY 1),
+ac_t AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                CAST(SUM(y) AS HUGEINT) AS s
+         FROM ac_d),
+ac_l AS (SELECT day, y, {lag_sel} FROM ac_d),
+ac_x AS (SELECT (t.n * d.y - t.s) * (t.n * d.y - t.s) AS dev2,
+                u.lag AS lag, u.prod AS prod
+         FROM ac_l d CROSS JOIN ac_t t
+         CROSS JOIN LATERAL (SELECT * FROM (VALUES {prod_rows})
+                             v(lag, prod)) u),
+ac_a AS (SELECT lag,
+                SUM(CASE WHEN prod IS NOT NULL THEN 1 ELSE 0 END) AS n_pairs,
+                SUM(prod) AS num, SUM(dev2) AS den
+         FROM ac_x GROUP BY 1)
+SELECT CAST(lag AS INT) AS lag, CAST(n_pairs AS BIGINT) AS n_pairs,
+       CASE WHEN den = 0 OR num IS NULL THEN NULL
+            WHEN num <= 0 THEN CAST(-((-num * 1000) // den) AS BIGINT)
+            ELSE CAST((num * 1000) // den AS BIGINT) END AS acf_mil
+FROM ac_a ORDER BY lag"""

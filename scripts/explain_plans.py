@@ -1708,6 +1708,137 @@ def main() -> None:
     )
     print(f"[{'OK' if mw_ok else 'BAD'}] mann_whitney plan")
 
+    # 103. geary_c: same contract as morans_i — one focal pass, one
+    # tile-bounded grid-key join, no Window, no Python
+    from rio_cogeo_spark.operators.focal import geary_c
+
+    gc_plan = plan_of(geary_c(a8_in, 5))
+    gc_ok = (
+        "Window" not in gc_plan
+        and "BatchEvalPython" not in gc_plan
+        and "ArrowEvalPython" not in gc_plan
+        and "CartesianProduct" not in gc_plan
+        and "Generate" in gc_plan
+    )
+    checks.append(("geary_c one focal pass + grid-key join, no window",
+                   gc_ok))
+    sections.append(
+        ("geary_c", f"  {'PASS' if gc_ok else 'FAIL'} "
+         "morans_i staging with the E term riding the same fold",
+         gc_plan)
+    )
+    print(f"[{'OK' if gc_ok else 'BAD'}] geary_c plan")
+
+    # 104. local_moran: focal pass + broadcast 1-row totals, no window
+    from rio_cogeo_spark.operators.focal import local_moran
+
+    lm2_plan = plan_of(local_moran(a8_in, 5))
+    lm2_ok = (
+        "Window" not in lm2_plan
+        and "BatchEvalPython" not in lm2_plan
+        and "ArrowEvalPython" not in lm2_plan
+        and "BroadcastNestedLoopJoin" in lm2_plan
+        and "SortMergeJoin" not in lm2_plan.split("BroadcastNestedLoopJoin")[0]
+    )
+    checks.append(("local_moran broadcast totals + focal join, no window",
+                   lm2_ok))
+    sections.append(
+        ("local_moran", f"  {'PASS' if lm2_ok else 'FAIL'} "
+         "1-row (S,Q) broadcast onto the tile-bounded focal join",
+         lm2_plan)
+    )
+    print(f"[{'OK' if lm2_ok else 'BAD'}] local_moran plan")
+
+    # 105. fillnodata: k BFS rounds, zero joins (min_by rides the same
+    # aggregate as the pack fold), zero windows
+    from rio_cogeo_spark.operators.focal import fillnodata
+
+    fn_plan = plan_of(fillnodata(a8_in, 5, rounds=3))
+    fn_ok = (
+        "Join" not in fn_plan
+        and "Window" not in fn_plan
+        and "BatchEvalPython" not in fn_plan
+        and "ArrowEvalPython" not in fn_plan
+        and "Generate" in fn_plan
+    )
+    checks.append(("fillnodata packed min fold per round, no join/window",
+                   fn_ok))
+    sections.append(
+        ("fillnodata", f"  {'PASS' if fn_ok else 'FAIL'} "
+         "value rides min_by in the SAME aggregate as the pack fold",
+         fn_plan)
+    )
+    print(f"[{'OK' if fn_ok else 'BAD'}] fillnodata plan")
+
+    # 106. polygonize: value-equality rides the GROUP KEY — zero joins;
+    # region stats exactly one label window
+    from rio_cogeo_spark.operators.focal import polygonize
+
+    pg_plan = plan_of(polygonize(a8_in, 5, rounds=3))
+    pg_ok = (
+        "Join" not in pg_plan
+        and "BatchEvalPython" not in pg_plan
+        and "ArrowEvalPython" not in pg_plan
+        and len(re.findall(r"\(\d+\) Window", pg_plan)) == 1
+    )
+    checks.append(("polygonize equal-value group-key rounds join-free, "
+                   "one label window", pg_ok))
+    sections.append(
+        ("polygonize", f"  {'PASS' if pg_ok else 'FAIL'} "
+         "(x, y, v) vote groups, single region-stats window",
+         pg_plan)
+    )
+    print(f"[{'OK' if pg_ok else 'BAD'}] polygonize plan")
+
+    # 107. spearman: ONE corpus fold (joint table localCheckpoint-pinned
+    # so the marginal rank tables read it, not the corpus), rank joins
+    # broadcast-only, windows on the marginal tables only
+    from rio_cogeo_spark.operators.report import spearman as sp_op
+
+    sp_in = spark.range(5000).selectExpr(
+        "id % 37 AS a", "(id * 13) % 23 AS b"
+    )
+    sp_plan = plan_of(sp_op(sp_in, "a", "b"))
+    sp_ok = (
+        "BatchEvalPython" not in sp_plan
+        and "ArrowEvalPython" not in sp_plan
+        and "SortMergeJoin" not in sp_plan
+        and "ShuffledHashJoin" not in sp_plan
+        and "BroadcastHashJoin" in sp_plan
+        and "Scan ExistingRDD" in sp_plan
+    )
+    checks.append(("spearman pinned joint fold + broadcast rank joins",
+                   sp_ok))
+    sections.append(
+        ("spearman", f"  {'PASS' if sp_ok else 'FAIL'} "
+         "corpus folds once; rank windows on the marginal tables",
+         sp_plan)
+    )
+    print(f"[{'OK' if sp_ok else 'BAD'}] spearman plan")
+
+    # 108. volume_acf: day fold pinned; lag window + per-lag folds run
+    # on the day table; totals broadcast
+    from rio_cogeo_spark.operators.report import volume_acf as acf_op
+
+    acf_in = spark.range(50000).selectExpr("id * 37 AS ts_sec")
+    acf_plan = plan_of(acf_op(acf_in, max_lag=3))
+    acf_ok = (
+        "BatchEvalPython" not in acf_plan
+        and "ArrowEvalPython" not in acf_plan
+        and "SortMergeJoin" not in acf_plan
+        and "BroadcastNestedLoopJoin" in acf_plan
+        and "Scan ExistingRDD" in acf_plan
+        and len(re.findall(r"\(\d+\) Window", acf_plan)) == 1
+    )
+    checks.append(("volume_acf pinned day fold, one lag window, "
+                   "broadcast totals", acf_ok))
+    sections.append(
+        ("volume_acf", f"  {'PASS' if acf_ok else 'FAIL'} "
+         "windows and folds on the day table only",
+         acf_plan)
+    )
+    print(f"[{'OK' if acf_ok else 'BAD'}] volume_acf plan")
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:

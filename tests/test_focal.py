@@ -874,3 +874,166 @@ def test_sieve_components_labels_and_keep(spark):
     got4 = {(r.tile_x, r.tile_y): r.label for r in
             sieve_components(path, 4, rounds=4, min_size=1).collect()}
     assert set(got4.values()) == {1 * 16 + 1}
+
+
+# ---------------------------------------------------------------------------
+# Geary's C
+# ---------------------------------------------------------------------------
+
+
+def test_geary_c_checkerboard_vs_block(spark):
+    """Checkerboard (max local contrast) must read dispersed
+    (c_mil > 1000); a solid block (low contrast) clustered
+    (c_mil < 1000) — the mirror image of the Moran's I golden."""
+    z = 2  # 4x4 grid
+    checker = [(x, y) for x in range(4) for y in range(4) if (x + y) % 2 == 0]
+    block = [(x, y) for x in range(2) for y in range(2)]
+    c_chk = focal.geary_c(_tiles(spark, checker), z).collect()[0]
+    c_blk = focal.geary_c(_tiles(spark, block), z).collect()[0]
+    assert c_chk.c_mil > 1000, c_chk
+    assert c_blk.c_mil < 1000, c_blk
+    # closed-form queen weight total of a 4x4 grid
+    assert c_chk.w_total == 4 * 3 * 7
+
+
+def test_geary_c_identity_e_minus_c(spark):
+    """E − C = half the queen-pair squared-difference sum: verify on a
+    hand grid. Cells (0,0)=3, (1,0)=1 on a 2x2 grid: pairs (both
+    directions) between the two cells differ by 2 -> D = 2·(2²)·... —
+    compute brute force and compare."""
+    z = 1
+    cells, vals = [(0, 0), (1, 0)], [3, 1]
+    row = focal.geary_c(_tiles(spark, cells, value=vals), z).collect()[0]
+    # brute force over the full 2x2 grid with queen adjacency
+    grid = {(0, 0): 3, (1, 0): 1, (0, 1): 0, (1, 1): 0}
+    d = 0
+    for (x1, y1), v1 in grid.items():
+        for (x2, y2), v2 in grid.items():
+            if (x1, y1) != (x2, y2) and abs(x1 - x2) <= 1 and abs(y1 - y2) <= 1:
+                d += (v1 - v2) ** 2
+    assert 2 * (row.e - row.c) == d
+
+
+# ---------------------------------------------------------------------------
+# local Moran (LISA)
+# ---------------------------------------------------------------------------
+
+
+def test_local_moran_quadrants(spark):
+    """A dense 2x2 block in an empty corner: interior block cells see
+    high neighbors (HH, positive LISA); use zoom 3 so the global mean
+    is far below the block values."""
+    z = 3
+    block = [(0, 0), (1, 0), (0, 1), (1, 1)]
+    out = {(r.tile_x, r.tile_y): r
+           for r in focal.local_moran(
+               _tiles(spark, block, value=[100, 100, 100, 100]), z
+           ).collect()}
+    assert len(out) == 4
+    for r in out.values():
+        assert r.quad == "HH" and r.li_mil > 0, r
+
+
+def test_local_moran_outlier_is_hl(spark):
+    """One hot cell whose neighbors are all far below the mean set by a
+    large remote mass: the hot cell's neighbor deviation is negative ->
+    HL with negative LISA."""
+    z = 3
+    cells = [(0, 0), (7, 7)]
+    vals = [50, 1000]  # (0,0) hot-ish but neighbors empty
+    out = {(r.tile_x, r.tile_y): r
+           for r in focal.local_moran(_tiles(spark, cells, value=vals), z).collect()}
+    r = out[(0, 0)]
+    assert r.quad == "HL" and r.li_mil < 0, r
+
+
+def test_local_moran_sums_match_global(spark):
+    """Σ_i I_i over ALL grid cells = N·I_global (Anselin's identity).
+    Present-cell LISA emits only occupied cells, so verify the exact
+    rational identity via the integer pieces instead: Σ over present
+    cells of dx·dn must equal C·N² − 2·S·B·N + S²·W ... restricted
+    form — here just assert agreement of the shared denominator with
+    morans_i's q/s staging."""
+    z = 2
+    cells = [(0, 0), (1, 2), (3, 3)]
+    vals = [5, 2, 9]
+    g = focal.morans_i(_tiles(spark, cells, value=vals), z).collect()[0]
+    li = focal.local_moran(_tiles(spark, cells, value=vals), z).collect()
+    n_grid = 4 ** z
+    den = g.q * n_grid - g.s * g.s
+    for r in li:
+        # reconstruct: li_mil = trunc(dx*dn*1000 / den) with
+        # dx = N·x − S, dn = N·nbrsum − W_i·S
+        dx = n_grid * r.x - g.s
+        dn = n_grid * r.nbrsum - r.w_i * g.s
+        num = dx * dn * 1000
+        want = -((-num) // den) if num <= 0 else num // den
+        assert r.li_mil == want, (r, want)
+
+
+# ---------------------------------------------------------------------------
+# fillnodata
+# ---------------------------------------------------------------------------
+
+
+def test_fillnodata_nearest_and_tie_rule(spark):
+    """A gap cell equidistant from two sources takes the SMALLER source
+    cell key (tile_y·2^z + tile_x), not the smaller value."""
+    z = 3
+    # sources at (0,0) v=9 (key 0) and (2,0) v=1 (key 2); gap (1,0) is
+    # distance 1 from both -> key 0 wins -> fill_v = 9
+    df = _tiles(spark, [(0, 0), (2, 0)], value=[9, 1])
+    out = {(r.tile_x, r.tile_y): r for r in focal.fillnodata(df, z, rounds=1).collect()}
+    gap = out[(1, 0)]
+    assert gap.dist == 1 and gap.src == 0 and gap.fill_v == 9, gap
+    # occupied cells keep their own value at dist 0
+    assert out[(0, 0)].dist == 0 and out[(0, 0)].fill_v == 9
+    assert out[(2, 0)].dist == 0 and out[(2, 0)].fill_v == 1
+
+
+def test_fillnodata_distance_is_chebyshev(spark):
+    """fill distance equals the proximity operator's Chebyshev
+    distance for every emitted cell."""
+    z = 4
+    cells = [(2, 2), (9, 9), (9, 2)]
+    df = _tiles(spark, cells, value=[7, 8, 9])
+    fill = {(r.tile_x, r.tile_y): r.dist
+            for r in focal.fillnodata(df, z, rounds=3).collect()}
+    prox = {(r.tile_x, r.tile_y): r.dist
+            for r in focal.proximity(df, z, rounds=3).collect()}
+    assert fill == prox
+
+
+# ---------------------------------------------------------------------------
+# polygonize
+# ---------------------------------------------------------------------------
+
+
+def test_polygonize_equal_value_rook_regions(spark):
+    """Same-value rook neighbors merge; different values never do;
+    diagonal same-value cells stay separate (rook, not queen)."""
+    z = 3
+    cells = [(0, 0), (1, 0), (2, 0), (4, 0), (5, 1)]
+    vals = [5, 5, 7, 5, 5]
+    out = {(r.tile_x, r.tile_y): r
+           for r in focal.polygonize(
+               _tiles(spark, cells, value=vals), z, rounds=4
+           ).collect()}
+    # (0,0)+(1,0) merge (same v, adjacent); (2,0) v=7 separate even
+    # though adjacent; (4,0) isolated; (5,1) diagonal from (4,0) -> own
+    assert out[(0, 0)].label == out[(1, 0)].label
+    assert out[(0, 0)].region_cells == 2
+    assert out[(2, 0)].label != out[(0, 0)].label
+    assert out[(2, 0)].region_cells == 1
+    assert out[(4, 0)].region_cells == 1
+    assert out[(5, 1)].region_cells == 1
+    assert out[(4, 0)].label != out[(5, 1)].label
+
+
+def test_polygonize_labels_are_min_cell_key(spark):
+    z = 3
+    cells = [(3, 2), (3, 3), (4, 3)]  # L-shaped region, all v=1
+    out = focal.polygonize(_tiles(spark, cells), z, rounds=4).collect()
+    labels = {r.label for r in out}
+    assert labels == {2 * 8 + 3}  # min key: (3,2) -> y*8+x = 19
+    assert all(r.region_cells == 3 for r in out)

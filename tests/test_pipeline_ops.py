@@ -944,3 +944,98 @@ def test_mann_whitney_goldens(spark):
     # empty group A -> NULL effect size by stated convention
     nb = spark.createDataFrame([("de", 1)], "lang string, n long")
     assert mann_whitney(nb, "lang", "en", "n").collect()[0].rb_ppm is None
+
+
+def test_spearman_goldens(spark):
+    from rio_cogeo_spark.operators.report import spearman
+
+    # perfectly monotone -> rho = +1.0 exactly (1000000 after the pin)
+    up = spark.createDataFrame([(i, i * 3 + 1) for i in range(20)], "a long, b long")
+    assert spearman(up, "a", "b").collect()[0].rho_mil == 1000000
+    # reversed -> -1.0
+    dn = spark.createDataFrame([(i, 100 - i) for i in range(20)], "a long, b long")
+    assert dn.count() == 20
+    from rio_cogeo_spark.operators.report import spearman as sp
+    assert sp(dn, "a", "b").collect()[0].rho_mil == -1000000
+    # constant side -> NULL by stated convention
+    const = spark.createDataFrame([(i, 7) for i in range(10)], "a long, b long")
+    assert sp(const, "a", "b").collect()[0].rho_mil is None
+
+
+def test_spearman_tie_ranks_exact(spark):
+    """Average-rank doubling: Σ(2·rank) = n(n+1) on each side even
+    under heavy ties (the in-query self-check the oracle hashes)."""
+    from rio_cogeo_spark.operators.report import spearman
+
+    rows = [(1, 5), (1, 5), (1, 9), (2, 9), (2, 5), (3, 9)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    r = spearman(df, "a", "b").collect()[0]
+    n = len(rows)
+    assert r.n == n and r.su == n * (n + 1) and r.sv == n * (n + 1)
+
+
+def test_spearman_matches_scipy_formula(spark):
+    """Cross-check the tie-correct rho against a direct Pearson-on-
+    average-ranks computation in Python."""
+    from rio_cogeo_spark.operators.report import spearman
+
+    rows = [(i % 4, (i * 7) % 5) for i in range(40)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = spearman(df, "a", "b").collect()[0].rho_mil
+
+    import math
+    from collections import Counter
+
+    def avg_ranks(vals):
+        cnt = Counter(vals)
+        cum, r2 = 0, {}
+        for v in sorted(cnt):
+            r2[v] = 2 * cum + cnt[v] + 1
+            cum += cnt[v]
+        return [r2[v] for v in vals]
+
+    u = avg_ranks([a for a, _ in rows])
+    v = avg_ranks([b for _, b in rows])
+    n = len(rows)
+    num = n * sum(x * y for x, y in zip(u, v)) - sum(u) * sum(v)
+    d1 = n * sum(x * x for x in u) - sum(u) ** 2
+    d2 = n * sum(y * y for y in v) - sum(v) ** 2
+    want = math.floor(float(num) * 1000000.0 / math.sqrt(float(d1) * float(d2)))
+    assert got == want
+
+
+def test_volume_acf_periodic_signal(spark):
+    """A period-3 day series must read strongly positive at lag 3 and
+    negative at lags 1-2; a constant series reads NULL everywhere."""
+    from rio_cogeo_spark.operators.report import volume_acf
+
+    rows = []
+    for day in range(18):
+        n = 50 if day % 3 == 0 else 5
+        rows += [(day * 86400 + i,) for i in range(n)]
+    df = spark.createDataFrame(rows, "ts_sec long")
+    out = {r.lag: r for r in volume_acf(df, max_lag=4).collect()}
+    assert out[3].acf_mil > 500, out[3]
+    assert out[1].acf_mil < 0 and out[2].acf_mil < 0
+    assert out[3].n_pairs == 15  # 18 days, lag 3
+
+    const = spark.createDataFrame(
+        [(d * 86400 + i,) for d in range(6) for i in range(4)], "ts_sec long"
+    )
+    got = volume_acf(const, max_lag=2).collect()
+    assert all(r.acf_mil is None for r in got)
+
+
+def test_volume_acf_lag_exact_hand_series(spark):
+    """Hand-verify lag-1 on a 3-day series y=(1,2,3): N=3, S=6,
+    dev=(−3,0,3); num_1 = 0·(−3) + 3·0 = 0 -> acf_mil = 0."""
+    from rio_cogeo_spark.operators.report import volume_acf
+
+    rows = []
+    for day, n in enumerate((1, 2, 3)):
+        rows += [(day * 86400 + i,) for i in range(n)]
+    df = spark.createDataFrame(rows, "ts_sec long")
+    out = {r.lag: r for r in volume_acf(df, max_lag=2).collect()}
+    assert out[1].acf_mil == 0 and out[1].n_pairs == 2
+    # lag 2: num = (3)·(−3) = −9, den = 18 -> −0.5 -> −500
+    assert out[2].acf_mil == -500 and out[2].n_pairs == 1
