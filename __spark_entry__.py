@@ -3149,6 +3149,133 @@ def _acf_oracle() -> str:
 {inner}"""
 
 
+def q_raster_hist(spark, sf_dir):
+    """Tile-value histogram (gdalinfo -hist analog): 16 equal-width
+    integer buckets over the observed [min, max], zero-count buckets
+    included, all pure BIGINT binning."""
+    from rio_cogeo_spark.operators.gdalutil import raster_hist
+
+    base = base_tiles(_pages(spark, sf_dir), ZOOM)
+    return raster_hist(base, n_buckets=16)
+
+
+def _raster_hist_oracle() -> str:
+    from rio_cogeo_spark.operators.gdalutil import raster_hist_sql
+
+    return raster_hist_sql(_BASE_CTE, n_buckets=16)
+
+
+def q_scale_bytes(spark, sf_dir):
+    """Linear byte rescale (gdal_translate -scale analog): observed
+    [min, max] mapped onto [0, 255] in exact integer arithmetic,
+    constant input degenerating to lo."""
+    from rio_cogeo_spark.operators.gdalutil import scale_bytes
+
+    base = base_tiles(_pages(spark, sf_dir), ZOOM)
+    return scale_bytes(base)
+
+
+def _scale_bytes_oracle() -> str:
+    from rio_cogeo_spark.operators.gdalutil import scale_bytes_sql
+
+    return scale_bytes_sql(_BASE_CTE)
+
+
+def q_locationinfo(spark, sf_dir):
+    """Point query (gdallocationinfo analog): megacity coordinates +
+    one open-ocean miss against the z8 density grid — point set
+    broadcasts as the build side of one inner scan join; the miss
+    reads NULL."""
+    from rio_cogeo_spark.operators.gdalutil import locationinfo
+
+    base = base_tiles(_pages(spark, sf_dir), ZOOM)
+    rows = [
+        (f"P{cid:02d}", float(lon), float(lat))
+        for cid, _, lat, lon in MEGACITIES[:8]
+    ] + [("P_miss", -160.0, -44.5)]
+    pts = spark.createDataFrame(rows, "name string, lon double, lat double")
+    return locationinfo(base, pts, ZOOM)
+
+
+def _locationinfo_oracle() -> str:
+    from rio_cogeo_spark.functions.tile import tile_xy_sql
+    from rio_cogeo_spark.operators.gdalutil import locationinfo_sql
+
+    vals = ", ".join(
+        f"('P{cid:02d}', CAST({lon!r} AS DOUBLE), CAST({lat!r} AS DOUBLE))"
+        for cid, _, lat, lon in MEGACITIES[:8]
+    ) + ", ('P_miss', CAST(-160.0 AS DOUBLE), CAST(-44.5 AS DOUBLE))"
+    tx, ty = tile_xy_sql("lon", "lat", ZOOM)
+    return locationinfo_sql(_BASE_CTE, vals, tx, ty)
+
+
+def q_mosaic(spark, sf_dir):
+    """Priority mosaic (gdal_merge analog): the z8 grid mosaicked over
+    an x-shifted doubled copy of itself — grid a wins on overlap, the
+    shifted ring survives from b; one co-partitioned full-outer tile
+    join."""
+    from rio_cogeo_spark.operators.gdalutil import mosaic
+
+    base = base_tiles(_pages(spark, sf_dir), ZOOM).localCheckpoint(
+        eager=False
+    )  # a and b both derive from this fold
+    edge = 2 ** ZOOM - 1
+    b = base.filter(F.col("tile_x") < edge).select(
+        (F.col("tile_x") + 1).alias("tile_x"), "tile_y",
+        (F.col("page_count") * 2).alias("page_count"),
+    )
+    return mosaic(base, b)
+
+
+def _mosaic_oracle() -> str:
+    from rio_cogeo_spark.operators.gdalutil import mosaic_sql
+
+    edge = 2 ** ZOOM - 1
+    inner = mosaic_sql(
+        "SELECT tile_x, tile_y, page_count FROM base",
+        f"SELECT tile_x + 1 AS tile_x, tile_y, page_count * 2 AS page_count"
+        f" FROM base WHERE tile_x < {edge}",
+    ).split("WITH ", 1)[1]
+    return f"""{_BASE_CTE}
+, {inner}"""
+
+
+def q_color_relief(spark, sf_dir):
+    """Density class map (gdaldem color-relief, exact-entry form): the
+    plan-literal ramp assigns each tile the largest break <= value —
+    one projection, zero joins."""
+    from rio_cogeo_spark.operators.gdalutil import color_relief
+
+    base = base_tiles(_pages(spark, sf_dir), ZOOM)
+    return color_relief(
+        base, [(1, "sparse"), (10, "low"), (100, "mid"), (1000, "high")]
+    )
+
+
+def _color_relief_oracle() -> str:
+    from rio_cogeo_spark.operators.gdalutil import color_relief_sql
+
+    return color_relief_sql(
+        _BASE_CTE, [(1, "sparse"), (10, "low"), (100, "mid"), (1000, "high")]
+    )
+
+
+def q_boxplot(spark, sf_dir):
+    """Per-language Tukey box-plot of document length: exact quartile
+    probes + doubled-integer 1.5-IQR fences + outlier counts, all on
+    the pinned value-frequency table."""
+    from rio_cogeo_spark.operators.report import group_boxplot
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return group_boxplot(docs, "n_chars", "lang")
+
+
+def _boxplot_oracle() -> str:
+    from rio_cogeo_spark.operators.report import group_boxplot_sql
+
+    return group_boxplot_sql("documents", "n_chars", "lang")
+
+
 def q_morton_range(spark, sf_dir):
     """Z-order bbox query: filter the tile table by the exact quadtree
     range decomposition of MORTON_BBOX. The oracle twin filters by the
@@ -3729,6 +3856,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygonize": q_polygonize,
         "spearman": q_spearman,
         "acf": q_acf,
+        "raster_hist": q_raster_hist,
+        "scale_bytes": q_scale_bytes,
+        "locationinfo": q_locationinfo,
+        "mosaic": q_mosaic,
+        "color_relief": q_color_relief,
+        "boxplot": q_boxplot,
     }
 
 
@@ -4730,6 +4863,12 @@ FROM documents QUALIFY rank <= 3""",
         "polygonize": _polygonize_oracle(),
         "spearman": _spearman_oracle(),
         "acf": _acf_oracle(),
+        "raster_hist": _raster_hist_oracle(),
+        "scale_bytes": _scale_bytes_oracle(),
+        "locationinfo": _locationinfo_oracle(),
+        "mosaic": _mosaic_oracle(),
+        "color_relief": _color_relief_oracle(),
+        "boxplot": _boxplot_oracle(),
         "repeated_spans": _repeated_spans_oracle(),
         "passage_cut": _passage_cut_oracle(),
         "pyramid_crs84": _pyramid_crs84_sql(),

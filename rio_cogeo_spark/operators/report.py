@@ -1917,3 +1917,103 @@ SELECT CAST(lag AS INT) AS lag, CAST(n_pairs AS BIGINT) AS n_pairs,
             WHEN num <= 0 THEN CAST(-((-num * 1000) // den) AS BIGINT)
             ELSE CAST((num * 1000) // den AS BIGINT) END AS acf_mil
 FROM ac_a ORDER BY lag"""
+
+
+def group_boxplot(
+    docs: DataFrame,
+    value_col: str = "n_chars",
+    group_col: str = "lang",
+    reuse: bool = True,
+) -> DataFrame:
+    """Per-group Tukey box-plot summary with EXACT integer fences —
+    the outlier dashboard over :func:`group_quantiles`: quartiles, the
+    1.5·IQR fences, and how many rows fall outside each. Returns
+    ``(group, n, q1, med, q3, lo_fence2, hi_fence2, n_low, n_high)``.
+
+    Exactness: the 1.5·IQR fences are half-integers, so they ship
+    DOUBLED — ``lo_fence2 = 5·q1 − 3·q3`` and ``hi_fence2 = 5·q3 −
+    3·q1`` (``2·(q1 − 1.5(q3−q1))`` expanded) — and the outlier test is
+    ``2v < lo_fence2`` / ``2v > hi_fence2``, pure BIGINT (the spearman
+    rank-doubling discipline). Quartiles are the exact
+    ``cum·den ≥ n·num`` probes of :func:`group_quantiles`.
+
+    Scale design: ONE corpus fold to the per-group value-frequency
+    table (localCheckpoint-pinned — the quantile pass and the outlier
+    count both read it); the fence table is group-bounded and
+    broadcasts back. No corpus sort, no per-row window.
+    """
+    freq = docs.groupBy(
+        F.col(group_col).alias("grp"), F.col(value_col).cast("long").alias("v")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    if reuse:
+        # quantile probe and outlier count both read this fold
+        freq = freq.localCheckpoint(eager=False)
+    w = (
+        Window.partitionBy("grp").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("grp")
+    cum = freq.select(
+        "grp", "v", "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wn).alias("n"),
+    )
+    qs = cum.groupBy("grp").agg(
+        F.max("n").cast("long").alias("n"),
+        F.min(F.when(F.expr("cum * 4 >= n * 1"), F.col("v"))).alias("q1"),
+        F.min(F.when(F.expr("cum * 2 >= n * 1"), F.col("v"))).alias("med"),
+        F.min(F.when(F.expr("cum * 4 >= n * 3"), F.col("v"))).alias("q3"),
+    ).select(
+        "grp", "n", "q1", "med", "q3",
+        (F.lit(5) * F.col("q1") - F.lit(3) * F.col("q3")).alias("lo_fence2"),
+        (F.lit(5) * F.col("q3") - F.lit(3) * F.col("q1")).alias("hi_fence2"),
+    )
+    out = freq.join(F.broadcast(qs), "grp").groupBy("grp").agg(
+        F.sum(F.when(F.expr("2 * v < lo_fence2"), F.col("cnt"))
+              .otherwise(F.lit(0))).cast("long").alias("n_low"),
+        F.sum(F.when(F.expr("2 * v > hi_fence2"), F.col("cnt"))
+              .otherwise(F.lit(0))).cast("long").alias("n_high"),
+    )
+    return qs.join(F.broadcast(out), "grp").select(
+        F.col("grp").alias(group_col), "n", "q1", "med", "q3",
+        F.col("lo_fence2").cast("long").alias("lo_fence2"),
+        F.col("hi_fence2").cast("long").alias("hi_fence2"),
+        "n_low", "n_high",
+    )
+
+
+def group_boxplot_sql(
+    table: str = "documents",
+    value_col: str = "n_chars",
+    group_col: str = "lang",
+) -> str:
+    """DuckDB twin of :func:`group_boxplot`."""
+    return f"""
+WITH bx_f AS (SELECT {group_col} AS grp, CAST({value_col} AS BIGINT) AS v,
+                     COUNT(*) AS cnt
+              FROM {table} GROUP BY 1, 2),
+bx_c AS (SELECT grp, v, cnt,
+                SUM(cnt) OVER (PARTITION BY grp ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                SUM(cnt) OVER (PARTITION BY grp) AS n
+         FROM bx_f),
+bx_q AS (SELECT grp, CAST(MAX(n) AS BIGINT) AS n,
+                MIN(CASE WHEN cum * 4 >= n * 1 THEN v END) AS q1,
+                MIN(CASE WHEN cum * 2 >= n * 1 THEN v END) AS med,
+                MIN(CASE WHEN cum * 4 >= n * 3 THEN v END) AS q3
+         FROM bx_c GROUP BY 1),
+bx_qf AS (SELECT grp, n, q1, med, q3,
+                 5 * q1 - 3 * q3 AS lo_fence2,
+                 5 * q3 - 3 * q1 AS hi_fence2
+          FROM bx_q),
+bx_o AS (SELECT f.grp,
+                SUM(CASE WHEN 2 * f.v < q.lo_fence2 THEN f.cnt
+                         ELSE 0 END) AS n_low,
+                SUM(CASE WHEN 2 * f.v > q.hi_fence2 THEN f.cnt
+                         ELSE 0 END) AS n_high
+         FROM bx_f f JOIN bx_qf q USING (grp) GROUP BY 1)
+SELECT q.grp AS {group_col}, q.n, q.q1, q.med, q.q3,
+       CAST(q.lo_fence2 AS BIGINT) AS lo_fence2,
+       CAST(q.hi_fence2 AS BIGINT) AS hi_fence2,
+       CAST(o.n_low AS BIGINT) AS n_low, CAST(o.n_high AS BIGINT) AS n_high
+FROM bx_qf q JOIN bx_o o USING (grp)"""

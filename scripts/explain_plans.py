@@ -1839,6 +1839,148 @@ def main() -> None:
     )
     print(f"[{'OK' if acf_ok else 'BAD'}] volume_acf plan")
 
+    # 109. raster_hist: pinned tile fold (bounds + bucket fold share
+    # it), broadcast-only joins
+    from rio_cogeo_spark.operators.gdalutil import (
+        color_relief,
+        locationinfo,
+        mosaic,
+        raster_hist,
+        scale_bytes,
+    )
+
+    rh_plan = plan_of(raster_hist(a8_in, n_buckets=8))
+    rh_ok = (
+        "SortMergeJoin" not in rh_plan
+        and "ShuffledHashJoin" not in rh_plan
+        and "BatchEvalPython" not in rh_plan
+        and "ArrowEvalPython" not in rh_plan
+        and "Scan ExistingRDD" in rh_plan
+        and "Broadcast" in rh_plan
+    )
+    checks.append(("raster_hist pinned fold + broadcast bounds/spine",
+                   rh_ok))
+    sections.append(
+        ("raster_hist", f"  {'PASS' if rh_ok else 'FAIL'} "
+         "bounds and bucket fold share one pinned tile fold",
+         rh_plan)
+    )
+    print(f"[{'OK' if rh_ok else 'BAD'}] raster_hist plan")
+
+    # 110. scale_bytes: pinned fold + 1-row broadcast, no shuffle join
+    sb2_plan = plan_of(scale_bytes(a8_in))
+    sb2_ok = (
+        "SortMergeJoin" not in sb2_plan
+        and "ShuffledHashJoin" not in sb2_plan
+        and "BatchEvalPython" not in sb2_plan
+        and "ArrowEvalPython" not in sb2_plan
+        and "Scan ExistingRDD" in sb2_plan
+        and "BroadcastNestedLoopJoin" in sb2_plan
+    )
+    checks.append(("scale_bytes 1-row broadcast bounds onto pinned fold",
+                   sb2_ok))
+    sections.append(
+        ("scale_bytes", f"  {'PASS' if sb2_ok else 'FAIL'} "
+         "min/max broadcast back, rescale is one projection",
+         sb2_plan)
+    )
+    print(f"[{'OK' if sb2_ok else 'BAD'}] scale_bytes plan")
+
+    # 111. locationinfo: the point set is the BROADCAST build side of
+    # the scan join — the tile table never shuffles
+    li_pts = spark.createDataFrame(
+        [("p1", 10.0, 50.0), ("p2", -150.0, -40.0)],
+        "name string, lon double, lat double",
+    )
+    li_plan = plan_of(locationinfo(a8_in, li_pts, 5))
+    li_ok = (
+        "SortMergeJoin" not in li_plan
+        and "ShuffledHashJoin" not in li_plan
+        and "CartesianProduct" not in li_plan
+        and "BroadcastHashJoin" in li_plan
+    )
+    checks.append(("locationinfo broadcast point set, tiles never "
+                   "shuffle", li_ok))
+    sections.append(
+        ("locationinfo", f"  {'PASS' if li_ok else 'FAIL'} "
+         "points build-side broadcast; outer join on the point spine only",
+         li_plan)
+    )
+    print(f"[{'OK' if li_ok else 'BAD'}] locationinfo plan")
+
+    # 112. mosaic: ONE co-partitioned full-outer tile-key join, no
+    # cartesian / nested-loop
+    mo_b = a8_in.selectExpr(
+        "tile_x + 1 AS tile_x", "tile_y", "page_count * 2 AS page_count"
+    )
+    mo_plan = plan_of(mosaic(a8_in, mo_b))
+    mo_ok = (
+        "FullOuter" in mo_plan
+        and "CartesianProduct" not in mo_plan
+        and "BroadcastNestedLoopJoin" not in mo_plan
+        and "BatchEvalPython" not in mo_plan
+        and "ArrowEvalPython" not in mo_plan
+    )
+    checks.append(("mosaic single co-partitioned full-outer tile join",
+                   mo_ok))
+    sections.append(
+        ("mosaic", f"  {'PASS' if mo_ok else 'FAIL'} "
+         "tile-bounded full outer, coalesce is a projection",
+         mo_plan)
+    )
+    print(f"[{'OK' if mo_ok else 'BAD'}] mosaic plan")
+
+    # 113. color_relief: plan-literal ramp — zero Exchange BEYOND the
+    # input's own fold (use a flat tile table so the assert is strict),
+    # zero joins
+    cr_in = spark.range(300).selectExpr(
+        "id % 32 AS tile_x", "(id * 11) % 32 AS tile_y",
+        "id % 500 AS page_count"
+    )
+    cr_plan = plan_of(
+        color_relief(cr_in, [(1, "lo"), (10, "mid"), (100, "hi")])
+    )
+    cr_ok = (
+        "Exchange" not in cr_plan
+        and "Join" not in cr_plan
+        and "BatchEvalPython" not in cr_plan
+        and "ArrowEvalPython" not in cr_plan
+    )
+    checks.append(("color_relief zero-Exchange literal-ramp projection",
+                   cr_ok))
+    sections.append(
+        ("color_relief", f"  {'PASS' if cr_ok else 'FAIL'} "
+         "CASE chain over the scan, nothing else",
+         cr_plan)
+    )
+    print(f"[{'OK' if cr_ok else 'BAD'}] color_relief plan")
+
+    # 114. group_boxplot: pinned value-frequency fold (quantile probe +
+    # outlier count share it), group-bounded fence table broadcast back
+    from rio_cogeo_spark.operators.report import group_boxplot
+
+    bx_in = spark.range(5000).selectExpr(
+        "CASE WHEN id % 3 = 0 THEN 'en' ELSE 'de' END AS lang",
+        "(id * 7) % 400 AS n_chars",
+    )
+    bx_plan = plan_of(group_boxplot(bx_in, "n_chars", "lang"))
+    bx_ok = (
+        "SortMergeJoin" not in bx_plan
+        and "ShuffledHashJoin" not in bx_plan
+        and "BatchEvalPython" not in bx_plan
+        and "ArrowEvalPython" not in bx_plan
+        and "Scan ExistingRDD" in bx_plan
+        and "BroadcastHashJoin" in bx_plan
+    )
+    checks.append(("group_boxplot pinned freq fold + broadcast fences",
+                   bx_ok))
+    sections.append(
+        ("group_boxplot", f"  {'PASS' if bx_ok else 'FAIL'} "
+         "quantile probe and outlier count share one corpus fold",
+         bx_plan)
+    )
+    print(f"[{'OK' if bx_ok else 'BAD'}] group_boxplot plan")
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:

@@ -1039,3 +1039,36 @@ def test_volume_acf_lag_exact_hand_series(spark):
     assert out[1].acf_mil == 0 and out[1].n_pairs == 2
     # lag 2: num = (3)·(−3) = −9, den = 18 -> −0.5 -> −500
     assert out[2].acf_mil == -500 and out[2].n_pairs == 1
+
+
+def test_group_boxplot_goldens(spark):
+    """Hand series per group: values 1..8 plus an outlier 100 —
+    quartiles by the exact cum*den>=n*num probe, fences doubled ints,
+    the 100 must count high-side."""
+    from rio_cogeo_spark.operators.report import group_boxplot
+
+    rows = [("a", v) for v in [1, 2, 3, 4, 5, 6, 7, 8, 100]]
+    rows += [("b", v) for v in [10, 10, 10]]
+    df = spark.createDataFrame(rows, "lang string, n_chars long")
+    out = {r.lang: r for r in group_boxplot(df, "n_chars", "lang").collect()}
+    a = out["a"]
+    # n=9: q1 at cum>=ceil(9/4)=3 -> 3; med cum>=ceil(4.5)=5 -> 5;
+    # q3 at cum>=ceil(27/4)=7 -> 7
+    assert (a.n, a.q1, a.med, a.q3) == (9, 3, 5, 7)
+    assert a.lo_fence2 == 5 * 3 - 3 * 7  # -6 -> fence -3
+    assert a.hi_fence2 == 5 * 7 - 3 * 3  # 26 -> fence 13
+    assert a.n_low == 0 and a.n_high == 1  # only the 100
+    b = out["b"]
+    assert (b.q1, b.med, b.q3) == (10, 10, 10)
+    assert b.n_low == 0 and b.n_high == 0  # zero IQR, all on the fence
+
+
+def test_group_boxplot_p50_matches_group_median(spark):
+    from rio_cogeo_spark.operators.report import group_boxplot, group_median
+
+    rows = [("x", (i * 7) % 23) for i in range(40)]
+    rows += [("y", (i * 3) % 11) for i in range(25)]
+    df = spark.createDataFrame(rows, "lang string, n_chars long")
+    med = {r.lang: r.median for r in group_median(df, "n_chars", "lang").collect()}
+    box = {r.lang: r.med for r in group_boxplot(df, "n_chars", "lang").collect()}
+    assert med == box
