@@ -3276,6 +3276,133 @@ def _boxplot_oracle() -> str:
     return group_boxplot_sql("documents", "n_chars", "lang")
 
 
+def q_equalize(spark, sf_dir):
+    """Histogram equalization (CDF contrast remap): corpus folds once
+    into the pinned value-frequency table, ONE cumulative window on it,
+    remap broadcasts back — exact floor form, 64 output levels."""
+    from rio_cogeo_spark.operators.gdalutil import equalize
+
+    base = base_tiles(_pages(spark, sf_dir), ZOOM)
+    return equalize(base, levels=64)
+
+
+def _equalize_oracle() -> str:
+    from rio_cogeo_spark.operators.gdalutil import equalize_sql
+
+    return equalize_sql(_BASE_CTE, levels=64)
+
+
+CLIP_BBOX = (-10.0, 35.0, 30.0, 60.0)  # Europe window
+
+
+def q_clip(spark, sf_dir):
+    """Geographic crop (gdalwarp -te analog): bbox resolved to an
+    inclusive tile range on the driver, pure plan-literal range filter
+    + window re-origin (col_off/row_off)."""
+    from rio_cogeo_spark.operators.gdalutil import clip
+
+    base = base_tiles(_pages(spark, sf_dir), ZOOM)
+    return clip(base, ZOOM, CLIP_BBOX)
+
+
+def _clip_oracle() -> str:
+    from rio_cogeo_spark.operators.gdalutil import clip_sql, clip_window
+
+    return clip_sql(_BASE_CTE, clip_window(ZOOM, CLIP_BBOX))
+
+
+def q_upsample(spark, sf_dir):
+    """Nearest-neighbor 2x upsample (gdal_translate -outsize 200%):
+    each z8 tile explodes into its 4 z9 children with the value copied
+    — pure projection, zero shuffles."""
+    from rio_cogeo_spark.operators.gdalutil import upsample
+
+    base = base_tiles(_pages(spark, sf_dir), ZOOM)
+    return upsample(base, factor=2)
+
+
+def _upsample_oracle() -> str:
+    from rio_cogeo_spark.operators.gdalutil import upsample_sql
+
+    return upsample_sql(_BASE_CTE, factor=2)
+
+
+def q_raster_calc(spark, sf_dir):
+    """Cell-wise grid algebra (gdal_calc analog): the z8 grid minus its
+    x-shifted copy — the discrete x-gradient of the density surface;
+    absent cells contribute 0, one co-partitioned full-outer join."""
+    from rio_cogeo_spark.operators.gdalutil import raster_calc
+
+    base = base_tiles(_pages(spark, sf_dir), ZOOM).localCheckpoint(
+        eager=False
+    )  # a and b both derive from this fold
+    edge = 2 ** ZOOM - 1
+    b = base.filter(F.col("tile_x") < edge).select(
+        (F.col("tile_x") + 1).alias("tile_x"), "tile_y", "page_count",
+    )
+    return raster_calc(base, b, op="sub")
+
+
+def _raster_calc_oracle() -> str:
+    from rio_cogeo_spark.operators.gdalutil import raster_calc_sql
+
+    edge = 2 ** ZOOM - 1
+    inner = raster_calc_sql(
+        "SELECT tile_x, tile_y, page_count FROM base",
+        f"SELECT tile_x + 1 AS tile_x, tile_y, page_count"
+        f" FROM base WHERE tile_x < {edge}",
+        op="sub",
+    ).split("WITH ", 1)[1]
+    return f"""{_BASE_CTE}
+, {inner}"""
+
+
+def q_raster_compare(spark, sf_dir):
+    """Grid regression diff (gdalcompare analog): the z8 grid vs a copy
+    with every even-column value doubled and one column dropped — ONE
+    full-outer tile join folded straight into a 1-row summary."""
+    from rio_cogeo_spark.operators.gdalutil import raster_compare
+
+    base = base_tiles(_pages(spark, sf_dir), ZOOM).localCheckpoint(
+        eager=False
+    )  # a and b both derive from this fold
+    b = base.filter(F.col("tile_x") != 128).select(
+        "tile_x", "tile_y",
+        F.when(F.col("tile_x") % 2 == 0, F.col("page_count") * 2)
+        .otherwise(F.col("page_count")).alias("page_count"),
+    )
+    return raster_compare(base, b)
+
+
+def _raster_compare_oracle() -> str:
+    from rio_cogeo_spark.operators.gdalutil import raster_compare_sql
+
+    inner = raster_compare_sql(
+        "SELECT tile_x, tile_y, page_count FROM base",
+        "SELECT tile_x, tile_y, CASE WHEN tile_x % 2 = 0"
+        " THEN page_count * 2 ELSE page_count END AS page_count"
+        " FROM base WHERE tile_x <> 128",
+    ).split("WITH ", 1)[1]
+    return f"""{_BASE_CTE}
+, {inner}"""
+
+
+def q_slope(spark, sf_dir):
+    """Percent slope (gdaldem slope -p analog): Horn gradients on the
+    exact aspect8 fold, ONE pinned IEEE sqrt shared verbatim with the
+    oracle, floored to mil."""
+    from rio_cogeo_spark.operators.gdalutil import slope_pct
+
+    base = base_tiles(_pages(spark, sf_dir), ZOOM)
+    return slope_pct(base, ZOOM)
+
+
+def _slope_oracle() -> str:
+    from rio_cogeo_spark.operators.gdalutil import slope_pct_sql
+
+    return slope_pct_sql(_BASE_CTE, ZOOM)
+
+
 def q_morton_range(spark, sf_dir):
     """Z-order bbox query: filter the tile table by the exact quadtree
     range decomposition of MORTON_BBOX. The oracle twin filters by the
@@ -3862,6 +3989,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mosaic": q_mosaic,
         "color_relief": q_color_relief,
         "boxplot": q_boxplot,
+        "equalize": q_equalize,
+        "clip": q_clip,
+        "upsample": q_upsample,
+        "raster_calc": q_raster_calc,
+        "raster_compare": q_raster_compare,
+        "slope": q_slope,
     }
 
 
@@ -4869,6 +5002,12 @@ FROM documents QUALIFY rank <= 3""",
         "mosaic": _mosaic_oracle(),
         "color_relief": _color_relief_oracle(),
         "boxplot": _boxplot_oracle(),
+        "equalize": _equalize_oracle(),
+        "clip": _clip_oracle(),
+        "upsample": _upsample_oracle(),
+        "raster_calc": _raster_calc_oracle(),
+        "raster_compare": _raster_compare_oracle(),
+        "slope": _slope_oracle(),
         "repeated_spans": _repeated_spans_oracle(),
         "passage_cut": _passage_cut_oracle(),
         "pyramid_crs84": _pyramid_crs84_sql(),

@@ -297,3 +297,391 @@ def color_relief_sql(
 SELECT tile_x, tile_y, CAST({value_col} AS BIGINT) AS v,
        CASE {cases} ELSE 'below' END AS cls
 FROM base"""
+
+
+def equalize(
+    tiles: DataFrame,
+    levels: int = 256,
+    value_col: str = "page_count",
+    reuse: bool = True,
+) -> DataFrame:
+    """Histogram equalization of the tile values — the classic CDF
+    remap GDAL users reach via ``gdal_translate -scale`` pipelines and
+    QGIS's "equalize" contrast enhancement: ``eq = ((cdf(v) − cdf_min)
+    · (L − 1)) div max(1, N − cdf_min)`` — the exact-integer floor form
+    of the textbook formula, so equal values share a level, the lowest
+    observed value maps to 0, the highest to ``L − 1``, and a constant
+    grid degenerates to 0 (the ``scale_bytes`` convention). Returns
+    ``(tile_x, tile_y, v, eq)``.
+
+    Scale design: the corpus folds ONCE into the value-frequency table
+    (localCheckpoint-pinned base feeds that fold AND the final remap
+    join); the CDF is ONE cumulative window on the value table (bounded
+    by the distinct-value count, never corpus-sized); the (cdf_min, N)
+    1-row aggregate and the finished remap table both BROADCAST back.
+    """
+    if levels < 2:
+        raise ValueError(f"levels must be >= 2, got {levels}")
+    base = tiles.select(
+        F.col("tile_x").cast("long").alias("tile_x"),
+        F.col("tile_y").cast("long").alias("tile_y"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    if reuse:
+        # the frequency fold and the remap join both read this
+        base = base.localCheckpoint(eager=False)
+    freq = base.groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cdf = freq.select("v", F.sum("cnt").over(w).alias("cum"))
+    bounds = cdf.agg(
+        F.min("cum").alias("cmin"), F.max("cum").alias("n")
+    )
+    remap = cdf.crossJoin(F.broadcast(bounds)).select(
+        "v",
+        F.expr(
+            f"((cum - cmin) * {levels - 1}) div greatest(1, n - cmin)"
+        ).cast("long").alias("eq"),
+    )
+    return base.join(F.broadcast(remap), "v").select(
+        "tile_x", "tile_y", "v", "eq"
+    )
+
+
+def equalize_sql(
+    base_cte: str, levels: int = 256, value_col: str = "page_count"
+) -> str:
+    """DuckDB twin of :func:`equalize`."""
+    return f"""{base_cte}
+, eq_v AS (SELECT tile_x, tile_y, CAST({value_col} AS BIGINT) AS v
+           FROM base)
+, eq_f AS (SELECT v, COUNT(*) AS cnt FROM eq_v GROUP BY v)
+, eq_c AS (SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum FROM eq_f)
+, eq_b AS (SELECT MIN(cum) AS cmin, MAX(cum) AS n FROM eq_c)
+, eq_m AS (SELECT v,
+                  ((cum - cmin) * {levels - 1})
+                    // greatest(1, n - cmin) AS eq
+           FROM eq_c CROSS JOIN eq_b)
+SELECT t.tile_x, t.tile_y, t.v, CAST(m.eq AS BIGINT) AS eq
+FROM eq_v t JOIN eq_m m USING (v)"""
+
+
+def clip(
+    tiles: DataFrame,
+    zoom: int,
+    bbox: "tuple[float, float, float, float]",
+    value_col: str = "page_count",
+) -> DataFrame:
+    """Crop the tile grid to a geographic window — the ``gdalwarp -te
+    west south east north`` analog (reference cog_translate crops via
+    rasterio windows, cogeo.py dst_kwargs bounds). The lon/lat box is
+    resolved to an inclusive tile range at ``zoom`` ON THE DRIVER
+    (:func:`rio_cogeo_spark.grid.tile_index` — the same math every tile
+    in the grid was assigned with), so the operator is a pure
+    plan-literal range filter plus the window re-origin: ``col_off =
+    tile_x − tx0``, ``row_off = tile_y − ty0`` (GDAL's dst window
+    addressing). Zero joins, zero shuffles; the range predicate is
+    min/max-pruneable at the parquet scan. Returns
+    ``(tile_x, tile_y, col_off, row_off, value)``.
+    """
+    from ..grid import tile_index
+
+    west, south, east, north = bbox
+    if not (west < east and south < north):
+        raise ValueError(f"invalid bbox: {bbox}")
+    # NW corner -> (tx0, ty0), SE corner -> (tx1, ty1); ty grows south
+    tx0, ty0 = tile_index(west, north, zoom)
+    tx1, ty1 = tile_index(east, south, zoom)
+    tx0, ty0, tx1, ty1 = int(tx0), int(ty0), int(tx1), int(ty1)
+    return tiles.select(
+        F.col("tile_x").cast("long").alias("tile_x"),
+        F.col("tile_y").cast("long").alias("tile_y"),
+        F.col(value_col).cast("long").alias("value"),
+    ).filter(
+        (F.col("tile_x") >= tx0) & (F.col("tile_x") <= tx1)
+        & (F.col("tile_y") >= ty0) & (F.col("tile_y") <= ty1)
+    ).select(
+        "tile_x", "tile_y",
+        (F.col("tile_x") - F.lit(tx0)).cast("long").alias("col_off"),
+        (F.col("tile_y") - F.lit(ty0)).cast("long").alias("row_off"),
+        "value",
+    )
+
+
+def clip_window(
+    zoom: int, bbox: "tuple[float, float, float, float]"
+) -> "tuple[int, int, int, int]":
+    """The inclusive (tx0, ty0, tx1, ty1) tile window :func:`clip`
+    resolves ``bbox`` to — exposed so the SQL twin can inline the SAME
+    driver-computed constants."""
+    from ..grid import tile_index
+
+    west, south, east, north = bbox
+    tx0, ty0 = tile_index(west, north, zoom)
+    tx1, ty1 = tile_index(east, south, zoom)
+    return int(tx0), int(ty0), int(tx1), int(ty1)
+
+
+def clip_sql(
+    base_cte: str,
+    window: "tuple[int, int, int, int]",
+    value_col: str = "page_count",
+) -> str:
+    """DuckDB twin of :func:`clip` — ``window`` from
+    :func:`clip_window`."""
+    tx0, ty0, tx1, ty1 = window
+    return f"""{base_cte}
+SELECT tile_x, tile_y,
+       CAST(tile_x - {tx0} AS BIGINT) AS col_off,
+       CAST(tile_y - {ty0} AS BIGINT) AS row_off,
+       CAST({value_col} AS BIGINT) AS value
+FROM base
+WHERE tile_x BETWEEN {tx0} AND {tx1}
+  AND tile_y BETWEEN {ty0} AND {ty1}"""
+
+
+def upsample(
+    tiles: DataFrame,
+    factor: int = 2,
+    value_col: str = "page_count",
+) -> DataFrame:
+    """Nearest-neighbor upsample of the tile grid by an integer factor
+    — the ``gdal_translate -outsize 200% 200%`` analog (and the inverse
+    of one overview decimation step): every tile becomes its
+    ``factor²`` children at the finer grid with the value copied.
+    Pure explode projection — the child-offset array is a plan literal;
+    zero joins, zero shuffles. Returns ``(tile_x, tile_y, value)`` in
+    child-grid coordinates (``child_x = tile_x·factor + i``).
+    """
+    if factor < 1:
+        raise ValueError(f"factor must be >= 1, got {factor}")
+    off = F.explode(
+        F.array(*[
+            F.struct(F.lit(i).alias("i"), F.lit(j).alias("j"))
+            for i in range(factor) for j in range(factor)
+        ])
+    ).alias("off")
+    return tiles.select(
+        F.col("tile_x").cast("long").alias("_tx"),
+        F.col("tile_y").cast("long").alias("_ty"),
+        F.col(value_col).cast("long").alias("value"),
+        off,
+    ).select(
+        (F.col("_tx") * factor + F.col("off.i")).cast("long")
+        .alias("tile_x"),
+        (F.col("_ty") * factor + F.col("off.j")).cast("long")
+        .alias("tile_y"),
+        "value",
+    )
+
+
+def upsample_sql(
+    base_cte: str, factor: int = 2, value_col: str = "page_count"
+) -> str:
+    """DuckDB twin of :func:`upsample`."""
+    return f"""{base_cte}
+SELECT CAST(b.tile_x * {factor} + o1.range AS BIGINT) AS tile_x,
+       CAST(b.tile_y * {factor} + o2.range AS BIGINT) AS tile_y,
+       CAST(b.{value_col} AS BIGINT) AS value
+FROM base b CROSS JOIN range({factor}) o1 CROSS JOIN range({factor}) o2"""
+
+
+_CALC_OPS = {
+    "add": "va + vb",
+    "sub": "va - vb",
+    "mul": "va * vb",
+    "min": "least(va, vb)",
+    "max": "greatest(va, vb)",
+}
+
+
+def raster_calc(
+    a: DataFrame,
+    b: DataFrame,
+    op: str = "sub",
+    value_col: str = "page_count",
+) -> DataFrame:
+    """Cell-wise algebra between two aligned tile grids — the
+    ``gdal_calc.py -A .. -B .. --calc`` analog. A cell absent from one
+    grid contributes 0 (the density-grid convention: an unmaterialized
+    tile has zero pages — NOT GDAL's nodata-propagates default, which
+    :func:`mosaic` covers; documented divergence). ``op`` is one of
+    ``add | sub | mul | min | max``. Returns
+    ``(tile_x, tile_y, va, vb, res)``.
+
+    Scale design: ONE co-partitioned full-outer shuffle join on the
+    tile key (both sides tile-bounded); the algebra is a projection.
+    """
+    if op not in _CALC_OPS:
+        raise ValueError(f"op must be one of {sorted(_CALC_OPS)}, got {op!r}")
+    pa = a.select(
+        F.col("tile_x").cast("long").alias("tile_x"),
+        F.col("tile_y").cast("long").alias("tile_y"),
+        F.col(value_col).cast("long").alias("_va"),
+    )
+    pb = b.select(
+        F.col("tile_x").cast("long").alias("tile_x"),
+        F.col("tile_y").cast("long").alias("tile_y"),
+        F.col(value_col).cast("long").alias("_vb"),
+    )
+    return (
+        pa.join(pb, ["tile_x", "tile_y"], "full_outer")
+        .select(
+            "tile_x", "tile_y",
+            F.coalesce(F.col("_va"), F.lit(0)).cast("long").alias("va"),
+            F.coalesce(F.col("_vb"), F.lit(0)).cast("long").alias("vb"),
+        )
+        .withColumn("res", F.expr(_CALC_OPS[op]).cast("long"))
+    )
+
+
+def raster_calc_sql(
+    a_cte: str, b_cte: str, op: str = "sub", value_col: str = "page_count"
+) -> str:
+    """DuckDB twin of :func:`raster_calc`. ``a_cte``/``b_cte`` are
+    SELECTs exposing ``(tile_x, tile_y, value_col)``."""
+    if op not in _CALC_OPS:
+        raise ValueError(f"op must be one of {sorted(_CALC_OPS)}, got {op!r}")
+    return f"""
+WITH rc_a AS ({a_cte}), rc_b AS ({b_cte})
+, rc_j AS (SELECT COALESCE(a.tile_x, b.tile_x) AS tile_x,
+                  COALESCE(a.tile_y, b.tile_y) AS tile_y,
+                  CAST(COALESCE(a.{value_col}, 0) AS BIGINT) AS va,
+                  CAST(COALESCE(b.{value_col}, 0) AS BIGINT) AS vb
+           FROM rc_a a FULL OUTER JOIN rc_b b
+             ON a.tile_x = b.tile_x AND a.tile_y = b.tile_y)
+SELECT tile_x, tile_y, va, vb, CAST({_CALC_OPS[op]} AS BIGINT) AS res
+FROM rc_j"""
+
+
+def raster_compare(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str = "page_count",
+) -> DataFrame:
+    """Structural diff of two tile grids — the ``gdalcompare.py``
+    analog (GDAL reports band checksum/pixel differences; this is the
+    grid-shaped summary a regression harness wants). ONE row:
+    ``(n_only_a, n_only_b, n_both, n_same, n_diff, max_abs_diff,
+    sum_abs_diff)`` — ``n_same``/``n_diff`` partition ``n_both``, the
+    diff stats cover only co-present cells.
+
+    Scale design: one co-partitioned full-outer tile join straight
+    into ONE combinable aggregate — nothing corpus-sized survives.
+    """
+    pa = a.select(
+        F.col("tile_x").cast("long").alias("tile_x"),
+        F.col("tile_y").cast("long").alias("tile_y"),
+        F.col(value_col).cast("long").alias("_va"),
+    )
+    pb = b.select(
+        F.col("tile_x").cast("long").alias("tile_x"),
+        F.col("tile_y").cast("long").alias("tile_y"),
+        F.col(value_col).cast("long").alias("_vb"),
+    )
+    j = pa.join(pb, ["tile_x", "tile_y"], "full_outer")
+    both = F.col("_va").isNotNull() & F.col("_vb").isNotNull()
+    diff = F.abs(F.col("_va") - F.col("_vb"))
+    return j.agg(
+        F.sum(
+            (F.col("_va").isNotNull() & F.col("_vb").isNull()).cast("long")
+        ).alias("n_only_a"),
+        F.sum(
+            (F.col("_va").isNull() & F.col("_vb").isNotNull()).cast("long")
+        ).alias("n_only_b"),
+        F.sum(both.cast("long")).alias("n_both"),
+        F.sum(
+            (both & (F.col("_va") == F.col("_vb"))).cast("long")
+        ).alias("n_same"),
+        F.sum(
+            (both & (F.col("_va") != F.col("_vb"))).cast("long")
+        ).alias("n_diff"),
+        F.coalesce(
+            F.max(F.when(both, diff)), F.lit(0)
+        ).cast("long").alias("max_abs_diff"),
+        F.coalesce(
+            F.sum(F.when(both, diff)), F.lit(0)
+        ).cast("long").alias("sum_abs_diff"),
+    )
+
+
+def raster_compare_sql(
+    a_cte: str, b_cte: str, value_col: str = "page_count"
+) -> str:
+    """DuckDB twin of :func:`raster_compare`."""
+    return f"""
+WITH cp_a AS ({a_cte}), cp_b AS ({b_cte})
+, cp_j AS (SELECT CAST(a.{value_col} AS BIGINT) AS va,
+                  CAST(b.{value_col} AS BIGINT) AS vb
+           FROM cp_a a FULL OUTER JOIN cp_b b
+             ON a.tile_x = b.tile_x AND a.tile_y = b.tile_y)
+SELECT CAST(COALESCE(SUM(CASE WHEN va IS NOT NULL AND vb IS NULL
+                              THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_only_a,
+       CAST(COALESCE(SUM(CASE WHEN va IS NULL AND vb IS NOT NULL
+                              THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_only_b,
+       CAST(COALESCE(SUM(CASE WHEN va IS NOT NULL AND vb IS NOT NULL
+                              THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_both,
+       CAST(COALESCE(SUM(CASE WHEN va = vb THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_same,
+       CAST(COALESCE(SUM(CASE WHEN va IS NOT NULL AND vb IS NOT NULL
+                              AND va <> vb THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_diff,
+       CAST(COALESCE(MAX(CASE WHEN va IS NOT NULL AND vb IS NOT NULL
+                              THEN abs(va - vb) END), 0) AS BIGINT)
+         AS max_abs_diff,
+       CAST(COALESCE(SUM(CASE WHEN va IS NOT NULL AND vb IS NOT NULL
+                              THEN abs(va - vb) END), 0) AS BIGINT)
+         AS sum_abs_diff
+FROM cp_j"""
+
+
+# slope expression shared by both engines: percent slope in mil —
+# gdaldem slope -p with cellsize 1 is 100·sqrt(gx²+gy²) with
+# (gx, gy) = (gx8, gy8)/8, so pct_mil = 100000·sqrt(slope_sq)/8.
+# ONE pinned IEEE sqrt (the spearman discipline: both engines evaluate
+# the identical double expression tree, so the floor is deterministic).
+SLOPE_PCT_MIL = (
+    "CAST(FLOOR(sqrt(CAST(slope_sq AS DOUBLE)) * 100000.0 / 8.0)"
+    " AS BIGINT)"
+)
+
+
+def slope_pct(
+    tiles: DataFrame,
+    zoom: int,
+    value_col: str = "page_count",
+) -> DataFrame:
+    """Percent slope of the density surface — the ``gdaldem slope -p``
+    analog completing the gdaldem family (hillshade / aspect / TRI /
+    TPI / roughness / color-relief are siblings). Horn '81 gradients
+    ride :func:`rio_cogeo_spark.operators.focal.aspect8`'s exact
+    integer fold (``slope_sq = gx8² + gy8²`` BIGINT); the only
+    non-integer step is ONE pinned IEEE sqrt shared verbatim with the
+    oracle (``SLOPE_PCT_MIL``), floored to mil. Returns
+    ``(tile_x, tile_y, gx8, gy8, slope_sq, slope_pct_mil)``.
+
+    Scale design: inherits aspect8's shape — one literal-offset vote
+    explode + ONE combinable 9-slot aggregate + projections; no join,
+    no window, no trig.
+    """
+    from .focal import aspect8
+
+    return aspect8(tiles, zoom, value_col=value_col).select(
+        "tile_x", "tile_y", "gx8", "gy8", "slope_sq",
+        F.expr(SLOPE_PCT_MIL).alias("slope_pct_mil"),
+    )
+
+
+def slope_pct_sql(base_cte: str, zoom: int) -> str:
+    """DuckDB twin of :func:`slope_pct` — wraps
+    :func:`rio_cogeo_spark.operators.focal.aspect8_sql`."""
+    from .focal import aspect8_sql
+
+    inner = aspect8_sql(base_cte, zoom)
+    return f"""WITH sp_a AS ({inner})
+SELECT tile_x, tile_y, gx8, gy8, slope_sq,
+       {SLOPE_PCT_MIL} AS slope_pct_mil
+FROM sp_a"""

@@ -1981,6 +1981,133 @@ def main() -> None:
     )
     print(f"[{'OK' if bx_ok else 'BAD'}] group_boxplot plan")
 
+    # 115. equalize: pinned corpus fold (frequency fold + remap join
+    # share it), CDF window on the VALUE table only, remap broadcasts
+    from rio_cogeo_spark.operators.gdalutil import (
+        clip,
+        equalize,
+        raster_calc,
+        raster_compare,
+        slope_pct,
+        upsample,
+    )
+
+    eq_plan = plan_of(equalize(a8_in, levels=64))
+    eq_ok = (
+        "SortMergeJoin" not in eq_plan
+        and "ShuffledHashJoin" not in eq_plan
+        and "BatchEvalPython" not in eq_plan
+        and "ArrowEvalPython" not in eq_plan
+        and "Scan ExistingRDD" in eq_plan
+        and "BroadcastHashJoin" in eq_plan
+    )
+    checks.append(("equalize pinned fold + value-table CDF + broadcast remap",
+                   eq_ok))
+    sections.append(
+        ("equalize", f"  {'PASS' if eq_ok else 'FAIL'} "
+         "frequency fold and remap join share one corpus pass",
+         eq_plan)
+    )
+    print(f"[{'OK' if eq_ok else 'BAD'}] equalize plan")
+
+    # 116. clip: plan-literal range filter + projection — zero
+    # Exchange, zero joins (flat input so the assert is strict)
+    cl_plan = plan_of(clip(cr_in, 5, (-10.0, 35.0, 30.0, 60.0)))
+    cl_ok = (
+        "Exchange" not in cl_plan
+        and "Join" not in cl_plan
+        and "BatchEvalPython" not in cl_plan
+        and "ArrowEvalPython" not in cl_plan
+        and "Filter" in cl_plan
+    )
+    checks.append(("clip zero-Exchange literal range filter", cl_ok))
+    sections.append(
+        ("clip", f"  {'PASS' if cl_ok else 'FAIL'} "
+         "driver-resolved tile window, min/max-pruneable predicate",
+         cl_plan)
+    )
+    print(f"[{'OK' if cl_ok else 'BAD'}] clip plan")
+
+    # 117. upsample: literal child-offset explode — zero Exchange,
+    # zero joins
+    up_plan = plan_of(upsample(cr_in, factor=2))
+    up_ok = (
+        "Exchange" not in up_plan
+        and "Join" not in up_plan
+        and "BatchEvalPython" not in up_plan
+        and "ArrowEvalPython" not in up_plan
+        and len(re.findall(r"\(\d+\) Generate", up_plan)) == 1
+    )
+    checks.append(("upsample zero-Exchange literal child explode", up_ok))
+    sections.append(
+        ("upsample", f"  {'PASS' if up_ok else 'FAIL'} "
+         "4-child explode over the scan, nothing else",
+         up_plan)
+    )
+    print(f"[{'OK' if up_ok else 'BAD'}] upsample plan")
+
+    # 118. raster_calc: ONE co-partitioned full-outer tile join, no
+    # cartesian/nested-loop (the mosaic contract)
+    rc_b = a8_in.selectExpr(
+        "tile_x + 1 AS tile_x", "tile_y", "page_count"
+    )
+    rc_plan = plan_of(raster_calc(a8_in, rc_b, op="sub"))
+    rc_ok = (
+        "FullOuter" in rc_plan
+        and "CartesianProduct" not in rc_plan
+        and "BroadcastNestedLoopJoin" not in rc_plan
+        and "BatchEvalPython" not in rc_plan
+        and "ArrowEvalPython" not in rc_plan
+    )
+    checks.append(("raster_calc single co-partitioned full-outer join",
+                   rc_ok))
+    sections.append(
+        ("raster_calc", f"  {'PASS' if rc_ok else 'FAIL'} "
+         "tile-bounded full outer, algebra is a projection",
+         rc_plan)
+    )
+    print(f"[{'OK' if rc_ok else 'BAD'}] raster_calc plan")
+
+    # 119. raster_compare: full-outer join folded straight into ONE
+    # 1-row combinable aggregate — partial HashAggregate present
+    cp_plan = plan_of(raster_compare(a8_in, rc_b))
+    cp_ok = (
+        "FullOuter" in cp_plan
+        and "CartesianProduct" not in cp_plan
+        and "HashAggregate" in cp_plan
+        and "BatchEvalPython" not in cp_plan
+        and "ArrowEvalPython" not in cp_plan
+        and "Window" not in cp_plan
+    )
+    checks.append(("raster_compare join folded into one summary aggregate",
+                   cp_ok))
+    sections.append(
+        ("raster_compare", f"  {'PASS' if cp_ok else 'FAIL'} "
+         "nothing corpus-sized survives the join",
+         cp_plan)
+    )
+    print(f"[{'OK' if cp_ok else 'BAD'}] raster_compare plan")
+
+    # 120. slope_pct: inherits aspect8's vote-explode shape — no join,
+    # no window, the one sqrt is a JVM expression (no Python)
+    sp_plan = plan_of(slope_pct(a8_in, 5))
+    sp_ok = (
+        "Join" not in sp_plan
+        and "Window" not in sp_plan
+        and "BatchEvalPython" not in sp_plan
+        and "ArrowEvalPython" not in sp_plan
+        and len(re.findall(r"\(\d+\) Generate", sp_plan)) == 1
+        and "HashAggregate" in sp_plan
+    )
+    checks.append(("slope_pct aspect8-fold shape, JVM-side pinned sqrt",
+                   sp_ok))
+    sections.append(
+        ("slope_pct", f"  {'PASS' if sp_ok else 'FAIL'} "
+         "vote explode + ONE combinable aggregate + sqrt projection",
+         sp_plan)
+    )
+    print(f"[{'OK' if sp_ok else 'BAD'}] slope_pct plan")
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:

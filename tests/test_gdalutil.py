@@ -132,3 +132,168 @@ def test_color_relief_rejects_unsorted_breaks(spark):
         gdalutil.color_relief(df, [(10, "a"), (1, "b")])
     with pytest.raises(ValueError):
         gdalutil.color_relief(df, [])
+
+
+# ---------------------------------------------------------------------------
+# equalize
+# ---------------------------------------------------------------------------
+
+
+def test_equalize_textbook_golden(spark):
+    """4 cells of value 1, 2 of value 5, 2 of value 9; L=8:
+    cdf = {1: 4, 5: 6, 9: 8}, cmin=4, N=8 -> eq = (cum-4)*7 div 4."""
+    df = _tiles(
+        spark, [(i, 0) for i in range(8)],
+        value=[1, 1, 1, 1, 5, 5, 9, 9],
+    )
+    out = {r.v: r.eq for r in gdalutil.equalize(df, levels=8).collect()}
+    assert out == {1: 0, 5: (6 - 4) * 7 // 4, 9: 7}
+
+
+def test_equalize_constant_and_extremes(spark):
+    """Constant grid -> all 0; min value always 0, max always L-1."""
+    const = gdalutil.equalize(
+        _tiles(spark, [(i, 0) for i in range(5)], value=[7] * 5), levels=256
+    )
+    assert {r.eq for r in const.collect()} == {0}
+    ramp = gdalutil.equalize(
+        _tiles(spark, [(i, 0) for i in range(10)], value=list(range(10))),
+        levels=256,
+    ).collect()
+    m = {r.v: r.eq for r in ramp}
+    assert m[0] == 0 and m[9] == 255
+    assert all(m[i] <= m[i + 1] for i in range(9))  # monotone
+
+
+def test_equalize_rejects_levels(spark):
+    with pytest.raises(ValueError):
+        gdalutil.equalize(_tiles(spark, [(0, 0)]), levels=1)
+
+
+# ---------------------------------------------------------------------------
+# clip
+# ---------------------------------------------------------------------------
+
+
+def test_clip_window_matches_tile_math(spark):
+    """The clip filter keeps exactly the tiles whose index falls in the
+    driver-resolved window, and re-origins offsets at (0, 0)."""
+    from rio_cogeo_spark.grid import tile_index
+
+    bbox = (-10.0, 35.0, 30.0, 60.0)
+    zoom = 6
+    tx0, ty0 = (int(v) for v in tile_index(-10.0, 60.0, zoom))
+    tx1, ty1 = (int(v) for v in tile_index(30.0, 35.0, zoom))
+    cells = [(tx0 - 1, ty0), (tx0, ty0), (tx1, ty1), (tx1 + 1, ty1),
+             (tx0, ty0 - 1), (tx1, ty1 + 1)]
+    out = gdalutil.clip(_tiles(spark, cells), zoom, bbox).collect()
+    kept = {(r.tile_x, r.tile_y) for r in out}
+    assert kept == {(tx0, ty0), (tx1, ty1)}
+    offs = {(r.tile_x, r.tile_y): (r.col_off, r.row_off) for r in out}
+    assert offs[(tx0, ty0)] == (0, 0)
+    assert offs[(tx1, ty1)] == (tx1 - tx0, ty1 - ty0)
+
+
+def test_clip_rejects_bad_bbox(spark):
+    with pytest.raises(ValueError):
+        gdalutil.clip(_tiles(spark, [(0, 0)]), 5, (10.0, 0.0, -10.0, 20.0))
+
+
+# ---------------------------------------------------------------------------
+# upsample
+# ---------------------------------------------------------------------------
+
+
+def test_upsample_children_exact(spark):
+    """One tile at (2, 3) -> 4 children at (4..5, 6..7), value copied;
+    mass quadruples (nearest), cell count x4."""
+    out = gdalutil.upsample(
+        _tiles(spark, [(2, 3)], value=[9]), factor=2
+    ).collect()
+    assert {(r.tile_x, r.tile_y) for r in out} == {
+        (4, 6), (4, 7), (5, 6), (5, 7)
+    }
+    assert all(r.value == 9 for r in out)
+
+
+def test_upsample_roundtrip_with_overview(spark):
+    """Upsample then decimate back (sum/4 = value for nearest): every
+    parent's 4 children sum to 4x the parent."""
+    df = _tiles(spark, [(0, 0), (1, 0), (3, 2)], value=[5, 7, 11])
+    up = gdalutil.upsample(df, factor=2)
+    back = (
+        up.groupBy(
+            (F.col("tile_x") / 2).cast("long").alias("tile_x"),
+            (F.col("tile_y") / 2).cast("long").alias("tile_y"),
+        ).agg((F.sum("value") / 4).cast("long").alias("value"))
+    )
+    got = {(r.tile_x, r.tile_y): r.value for r in back.collect()}
+    assert got == {(0, 0): 5, (1, 0): 7, (3, 2): 11}
+
+
+# ---------------------------------------------------------------------------
+# raster_calc / raster_compare
+# ---------------------------------------------------------------------------
+
+
+def test_raster_calc_ops_and_absent_as_zero(spark):
+    a = _tiles(spark, [(0, 0), (1, 0)], value=[10, 4])
+    b = _tiles(spark, [(1, 0), (2, 0)], value=[3, 5])
+    sub = {(r.tile_x, r.tile_y): (r.va, r.vb, r.res)
+           for r in gdalutil.raster_calc(a, b, "sub").collect()}
+    assert sub == {(0, 0): (10, 0, 10), (1, 0): (4, 3, 1),
+                   (2, 0): (0, 5, -5)}
+    mx = {(r.tile_x, r.tile_y): r.res
+          for r in gdalutil.raster_calc(a, b, "max").collect()}
+    assert mx == {(0, 0): 10, (1, 0): 4, (2, 0): 5}
+    with pytest.raises(ValueError):
+        gdalutil.raster_calc(a, b, "div")
+
+
+def test_raster_compare_summary(spark):
+    a = _tiles(spark, [(0, 0), (1, 0), (2, 0)], value=[1, 2, 3])
+    b = _tiles(spark, [(1, 0), (2, 0), (3, 0)], value=[2, 7, 9])
+    r = gdalutil.raster_compare(a, b).collect()[0]
+    assert (r.n_only_a, r.n_only_b, r.n_both) == (1, 1, 2)
+    assert (r.n_same, r.n_diff) == (1, 1)
+    assert r.max_abs_diff == 4 and r.sum_abs_diff == 4
+
+
+def test_raster_compare_identical_grids(spark):
+    a = _tiles(spark, [(0, 0), (5, 5)], value=[3, 8])
+    r = gdalutil.raster_compare(a, a).collect()[0]
+    assert (r.n_only_a, r.n_only_b, r.n_diff) == (0, 0, 0)
+    assert r.n_same == 2 and r.max_abs_diff == 0
+
+
+# ---------------------------------------------------------------------------
+# slope_pct
+# ---------------------------------------------------------------------------
+
+
+def test_slope_flat_is_zero(spark):
+    """A constant plateau has zero gradient at its interior cell."""
+    cells = [(x, y) for x in range(3) for y in range(3)]
+    out = gdalutil.slope_pct(
+        _tiles(spark, cells, value=[4] * 9), 5
+    ).collect()
+    m = {(r.tile_x, r.tile_y): r for r in out}
+    c = m[(1, 1)]
+    assert c.slope_sq == 0 and c.slope_pct_mil == 0
+
+
+def test_slope_matches_hand_formula(spark):
+    """East-ramp v = x on a 3x3: interior gx8 = 8, gy8 = 0 ->
+    slope_sq = 64, pct_mil = floor(100000*8/8) = 100000 (100% slope)."""
+    import math
+
+    cells = [(x, y) for x in range(3) for y in range(3)]
+    vals = [x for x in range(3) for _ in range(3)]
+    out = gdalutil.slope_pct(_tiles(spark, cells, value=vals), 5).collect()
+    c = {(r.tile_x, r.tile_y): r for r in out}[(1, 1)]
+    assert (c.gx8, c.gy8, c.slope_sq) == (8, 0, 64)
+    assert c.slope_pct_mil == 100000
+    for r in out:  # pinned-sqrt formula holds everywhere
+        assert r.slope_pct_mil == math.floor(
+            math.sqrt(r.slope_sq) * 100000.0 / 8.0
+        )
