@@ -3403,6 +3403,97 @@ def _slope_oracle() -> str:
     return slope_pct_sql(_BASE_CTE, ZOOM)
 
 
+def q_footprint(spark, sf_dir):
+    """Data-footprint regions (gdal_footprint analog): rook components
+    of the occupancy mask via polygonize, per-region bbox + exact
+    fill_ppm."""
+    from rio_cogeo_spark.operators.gdalutil import footprint
+
+    base = base_tiles(_pages(spark, sf_dir), ZOOM)
+    return footprint(base, ZOOM, rounds=4)
+
+
+def _footprint_oracle() -> str:
+    from rio_cogeo_spark.operators.gdalutil import footprint_sql
+
+    return footprint_sql(_BASE_CTE, ZOOM, rounds=4)
+
+
+def q_idw(spark, sf_dir):
+    """IDW interpolation (gdal_grid invdist analog): exact lcm-scaled
+    1/d² Chebyshev weights within radius 2 — occupied nodes exact,
+    empty nodes floor(1000·Σwv/Σw); one vote explode + one
+    aggregate."""
+    from rio_cogeo_spark.operators.gdalutil import idw
+
+    base = base_tiles(_pages(spark, sf_dir), ZOOM)
+    return idw(base, ZOOM, radius=2)
+
+
+def _idw_oracle() -> str:
+    from rio_cogeo_spark.operators.gdalutil import idw_sql
+
+    return idw_sql(_BASE_CTE, ZOOM, radius=2)
+
+
+def q_tindex(spark, sf_dir):
+    """Tile-bounds index (gdaltindex analog): per-tile EPSG:3857
+    bounds as pinned-double millimeter BIGINTs — the same
+    driver-computed span/shift literals in both engines."""
+    from rio_cogeo_spark.operators.gdalutil import tindex
+
+    base = base_tiles(_pages(spark, sf_dir), ZOOM)
+    return tindex(base, ZOOM)
+
+
+def _tindex_oracle() -> str:
+    from rio_cogeo_spark.operators.gdalutil import tindex_sql
+
+    return tindex_sql(_BASE_CTE, ZOOM)
+
+
+# mojibake suffix injected for doc_id % 7 == 0 — identical literal in
+# the Spark query and the oracle so the counts are non-trivial
+_MOJI_SUFFIX = " Ã© said â€œcafÃ©â€ ï¿½"
+
+
+def q_mojibake(spark, sf_dir):
+    """Encoding-corruption gate: mojibake-signature and U+FFFD counts
+    per document over a corpus with deterministic corruption injected
+    (doc_id % 7) — pure codegen regexp, no UDF."""
+    from rio_cogeo_spark.functions.text import mojibake_cols
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(_MOJI_SUFFIX)),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    cols = mojibake_cols(F.col("text"))
+    return docs.select(
+        "doc_id",
+        cols["n_moji"].alias("n_moji"),
+        cols["n_repl"].alias("n_repl"),
+        cols["clean"].alias("clean"),
+    )
+
+
+def _mojibake_oracle() -> str:
+    from rio_cogeo_spark.functions.text import mojibake_sql
+
+    # single-quote SQL string literal; the suffix contains none
+    sfx = _MOJI_SUFFIX.replace("'", "''")
+    t = f"(CASE WHEN doc_id % 7 = 0 THEN text || '{sfx}' ELSE text END)"
+    cols = mojibake_sql(t)
+    return f"""SELECT doc_id,
+       {cols['n_moji']} AS n_moji,
+       {cols['n_repl']} AS n_repl,
+       {cols['clean']} AS clean
+FROM documents"""
+
+
 def q_morton_range(spark, sf_dir):
     """Z-order bbox query: filter the tile table by the exact quadtree
     range decomposition of MORTON_BBOX. The oracle twin filters by the
@@ -3995,6 +4086,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_calc": q_raster_calc,
         "raster_compare": q_raster_compare,
         "slope": q_slope,
+        "footprint": q_footprint,
+        "idw": q_idw,
+        "tindex": q_tindex,
+        "mojibake": q_mojibake,
     }
 
 
@@ -5008,6 +5103,10 @@ FROM documents QUALIFY rank <= 3""",
         "raster_calc": _raster_calc_oracle(),
         "raster_compare": _raster_compare_oracle(),
         "slope": _slope_oracle(),
+        "footprint": _footprint_oracle(),
+        "idw": _idw_oracle(),
+        "tindex": _tindex_oracle(),
+        "mojibake": _mojibake_oracle(),
         "repeated_spans": _repeated_spans_oracle(),
         "passage_cut": _passage_cut_oracle(),
         "pyramid_crs84": _pyramid_crs84_sql(),

@@ -848,3 +848,46 @@ def script_mix_sql(text_expr: str = "text") -> "dict[str, str]":
             f" // greatest({total}, 1) AS BIGINT)"
         ),
     }
+
+
+# Mojibake signatures: UTF-8 bytes of common non-ASCII chars decoded as
+# Latin-1/cp1252 — the classic double-encoding corruption a crawl
+# pipeline must gate on (é->Ã©, ’->â€™, “->â€œ, U+FFFD replacement).
+# Plain literal alternation: identical semantics in Java regex (Spark)
+# and RE2 (DuckDB).
+MOJIBAKE_PATTERN = (
+    "Ã©|Ã¨|Ã¤|Ã¶|Ã¼|Ã±|Ã³|Ã§|â€™|â€œ|â€˜|â€”|â€“|Â»|Â«|ï¿½|�"
+)
+
+
+def mojibake_cols(text: Column) -> "dict[str, Column]":
+    """Encoding-corruption signals per document: ``n_moji`` (total
+    mojibake-signature hits), ``n_repl`` (U+FFFD replacement chars —
+    already-lossy decode), ``clean`` (1 when neither appears). Pure
+    JVM regexp expressions in whole-stage codegen — the pii_scrub
+    discipline; no UDF, no shuffle."""
+    n_moji = F.regexp_count(text, F.lit(MOJIBAKE_PATTERN)).cast("long")
+    n_repl = F.regexp_count(text, F.lit("ï¿½|�")).cast("long")
+    return {
+        "n_moji": n_moji,
+        "n_repl": n_repl,
+        "clean": (n_moji == 0).cast("int"),
+    }
+
+
+def mojibake_sql(text_expr: str = "text") -> "dict[str, str]":
+    """DuckDB twin of :func:`mojibake_cols`."""
+    return {
+        "n_moji": (
+            f"CAST(len(regexp_extract_all({text_expr},"
+            f" '{MOJIBAKE_PATTERN}')) AS BIGINT)"
+        ),
+        "n_repl": (
+            f"CAST(len(regexp_extract_all({text_expr},"
+            f" 'ï¿½|�')) AS BIGINT)"
+        ),
+        "clean": (
+            f"CAST(CASE WHEN len(regexp_extract_all({text_expr},"
+            f" '{MOJIBAKE_PATTERN}')) = 0 THEN 1 ELSE 0 END AS INT)"
+        ),
+    }

@@ -685,3 +685,253 @@ def slope_pct_sql(base_cte: str, zoom: int) -> str:
 SELECT tile_x, tile_y, gx8, gy8, slope_sq,
        {SLOPE_PCT_MIL} AS slope_pct_mil
 FROM sp_a"""
+
+
+def footprint(
+    tiles: DataFrame,
+    zoom: int,
+    rounds: int = 4,
+) -> DataFrame:
+    """Data-footprint extraction — the ``gdal_footprint`` analog
+    (GDAL 3.8's footprint utility vectorizes the valid-data mask; here
+    each rook-connected region of OCCUPIED tiles reports its bounding
+    box and fill ratio). Rides :func:`
+    rio_cogeo_spark.operators.focal.polygonize` on the occupancy mask
+    (value projected to 1 so ONLY adjacency merges regions; exact for
+    region diameter ≤ ``rounds`` — the shared bounded-round contract).
+    Returns ``(label, n_cells, min_x, min_y, max_x, max_y, fill_ppm)``
+    where ``fill_ppm = n_cells·10⁶ div (bbox_w·bbox_h)`` — exact
+    BIGINT.
+
+    Scale design: polygonize's ``rounds`` bounded vote shuffles + ONE
+    label-key aggregate (bounded by occupied cells).
+    """
+    from .focal import polygonize
+
+    occ = tiles.select(
+        F.col("tile_x").cast("long").alias("tile_x"),
+        F.col("tile_y").cast("long").alias("tile_y"),
+        F.lit(1).cast("long").alias("page_count"),
+    )
+    regions = polygonize(occ, zoom, rounds=rounds)
+    return (
+        regions.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.min("tile_x").cast("long").alias("min_x"),
+            F.min("tile_y").cast("long").alias("min_y"),
+            F.max("tile_x").cast("long").alias("max_x"),
+            F.max("tile_y").cast("long").alias("max_y"),
+        )
+        .select(
+            "label", "n_cells", "min_x", "min_y", "max_x", "max_y",
+            F.expr(
+                "(n_cells * 1000000) div"
+                " ((max_x - min_x + 1) * (max_y - min_y + 1))"
+            ).cast("long").alias("fill_ppm"),
+        )
+    )
+
+
+def footprint_sql(base_cte: str, zoom: int, rounds: int = 4) -> str:
+    """DuckDB twin of :func:`footprint` — wraps
+    :func:`rio_cogeo_spark.operators.focal.polygonize_sql` on the
+    occupancy projection."""
+    from .focal import polygonize_sql
+
+    occ_cte = f"""WITH fp_base AS ({base_cte}
+SELECT tile_x, tile_y, 1 AS page_count FROM base),
+base AS (SELECT * FROM fp_base)"""
+    inner = polygonize_sql(occ_cte, zoom, rounds=rounds)
+    return f"""WITH fp_r AS ({inner})
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(MIN(tile_x) AS BIGINT) AS min_x,
+       CAST(MIN(tile_y) AS BIGINT) AS min_y,
+       CAST(MAX(tile_x) AS BIGINT) AS max_x,
+       CAST(MAX(tile_y) AS BIGINT) AS max_y,
+       CAST((COUNT(*) * 1000000)
+            // ((MAX(tile_x) - MIN(tile_x) + 1)
+                * (MAX(tile_y) - MIN(tile_y) + 1)) AS BIGINT) AS fill_ppm
+FROM fp_r GROUP BY label"""
+
+
+def _idw_weights(radius: int) -> "dict[int, int]":
+    """Integer inverse-square weights: scale 1/d² by lcm{d²} so every
+    weight is exact BIGINT — w(d) = lcm(1..R²)/d²."""
+    import math
+
+    lcm = math.lcm(*[d * d for d in range(1, radius + 1)])
+    return {d: lcm // (d * d) for d in range(1, radius + 1)}
+
+
+def idw(
+    tiles: DataFrame,
+    zoom: int,
+    radius: int = 2,
+    value_col: str = "page_count",
+) -> DataFrame:
+    """Inverse-distance-weighted interpolation — the ``gdal_grid
+    invdist`` analog with the EXACT-integer kernel: weights are
+    ``lcm{d²}/d²`` over Chebyshev distance ``d ≤ radius`` (the scaled
+    1/d² — identical ordering to GDAL's invdist power-2, but every
+    weight is BIGINT so the quotient is deterministic). An OCCUPIED
+    node reports its own value exactly (GDAL's behavior when a sample
+    sits on the node); an empty node within range reports
+    ``floor(1000·Σw·v / Σw)``. Returns ``(tile_x, tile_y, value_mil,
+    n_votes, src)`` with ``src ∈ {'data', 'interp'}``.
+
+    Scale design: the aspect8 shape — one literal-offset vote explode
+    ((2R+1)² slots) + ONE combinable aggregate + a projection; no
+    join, no window.
+    """
+    if radius < 1:
+        raise ValueError(f"radius must be >= 1, got {radius}")
+    w = _idw_weights(radius)
+    n = F.lit(2 ** zoom)
+    offs = [
+        (dx, dy, 0 if (dx == 0 and dy == 0) else w[max(abs(dx), abs(dy))])
+        for dx in range(-radius, radius + 1)
+        for dy in range(-radius, radius + 1)
+    ]
+    off = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+                F.lit(wt).alias("wt"),
+            )
+            for dx, dy, wt in offs
+        ])
+    ).alias("off")
+    votes = tiles.select(
+        F.col("tile_x").cast("long").alias("_sx"),
+        F.col("tile_y").cast("long").alias("_sy"),
+        F.col(value_col).cast("long").alias("_v"),
+        off,
+    ).select(
+        (F.col("_sx") + F.col("off.dx")).alias("nx"),
+        (F.col("_sy") + F.col("off.dy")).alias("ny"),
+        F.col("off.wt").alias("wt"),
+        F.col("_v"),
+    ).filter(
+        (F.col("nx") >= 0) & (F.col("nx") < n)
+        & (F.col("ny") >= 0) & (F.col("ny") < n)
+    )
+    agg = votes.groupBy("nx", "ny").agg(
+        F.max((F.col("wt") == 0).cast("int")).alias("_occ"),
+        F.max(F.when(F.col("wt") == 0, F.col("_v"))).alias("_self_v"),
+        F.sum(
+            F.when(
+                F.col("wt") > 0,
+                F.col("wt").cast("decimal(38,0)") * F.col("_v"),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("_num"),
+        F.sum(F.when(F.col("wt") > 0, F.col("wt")).otherwise(F.lit(0)))
+        .alias("_den"),
+        F.sum((F.col("wt") > 0).cast("long")).alias("n_votes"),
+    )
+    return agg.select(
+        F.col("nx").alias("tile_x"), F.col("ny").alias("tile_y"),
+        F.when(F.col("_occ") == 1, F.col("_self_v") * 1000)
+        .otherwise(
+            F.expr("cast((_num * 1000) div _den as bigint)")
+        ).cast("long").alias("value_mil"),
+        F.col("n_votes").cast("long").alias("n_votes"),
+        F.when(F.col("_occ") == 1, F.lit("data")).otherwise(F.lit("interp"))
+        .alias("src"),
+    )
+
+
+def idw_sql(
+    base_cte: str, zoom: int, radius: int = 2,
+    value_col: str = "page_count",
+) -> str:
+    """DuckDB twin of :func:`idw`."""
+    w = _idw_weights(radius)
+    edge = 2 ** zoom - 1
+    rows = ", ".join(
+        f"({dx}, {dy}, "
+        f"{0 if (dx == 0 and dy == 0) else w[max(abs(dx), abs(dy))]})"
+        for dx in range(-radius, radius + 1)
+        for dy in range(-radius, radius + 1)
+    )
+    return f"""{base_cte}
+, iw_v AS (SELECT b.tile_x + o.dx AS nx, b.tile_y + o.dy AS ny,
+                  o.wt, CAST(b.{value_col} AS BIGINT) AS v
+           FROM base b, (VALUES {rows}) o(dx, dy, wt)
+           WHERE b.tile_x + o.dx BETWEEN 0 AND {edge}
+             AND b.tile_y + o.dy BETWEEN 0 AND {edge})
+, iw_a AS (SELECT nx, ny,
+                  MAX(CASE WHEN wt = 0 THEN 1 ELSE 0 END) AS occ,
+                  MAX(CASE WHEN wt = 0 THEN v END) AS self_v,
+                  SUM(CASE WHEN wt > 0
+                           THEN CAST(wt AS HUGEINT) * v
+                           ELSE 0 END) AS num,
+                  SUM(CASE WHEN wt > 0 THEN wt ELSE 0 END) AS den,
+                  SUM(CASE WHEN wt > 0 THEN 1 ELSE 0 END) AS n_votes
+           FROM iw_v GROUP BY nx, ny)
+SELECT CAST(nx AS BIGINT) AS tile_x, CAST(ny AS BIGINT) AS tile_y,
+       CAST(CASE WHEN occ = 1 THEN self_v * 1000
+                 ELSE (num * 1000) // den END AS BIGINT) AS value_mil,
+       CAST(n_votes AS BIGINT) AS n_votes,
+       CASE WHEN occ = 1 THEN 'data' ELSE 'interp' END AS src
+FROM iw_a"""
+
+
+def tindex(
+    tiles: DataFrame,
+    zoom: int,
+    value_col: str = "page_count",
+) -> DataFrame:
+    """Tile-bounds index — the ``gdaltindex`` analog (GDAL emits a
+    vector layer with one bbox feature per raster; here one row per
+    tile with its EPSG:3857 bounds). Bounds are pinned doubles floored
+    to millimeter BIGINTs: ``west_mm = floor((tx·span − OS)·1000)``
+    with ``span = 2·OS/2^z`` computed ON THE DRIVER and inlined as the
+    SAME literal in both engines (the spearman pinned-float
+    discipline: identical IEEE expression tree ⇒ identical floor).
+    Pure projection — zero joins, zero shuffles. Returns ``(tile_x,
+    tile_y, west_mm, south_mm, east_mm, north_mm, value)``.
+    """
+    from ..grid import ORIGIN_SHIFT
+
+    span = 2.0 * ORIGIN_SHIFT / (2 ** zoom)
+    os_l = F.lit(float(ORIGIN_SHIFT))
+    sp_l = F.lit(float(span))
+    tx = F.col("tile_x").cast("double")
+    ty = F.col("tile_y").cast("double")
+    return tiles.select(
+        F.col("tile_x").cast("long").alias("tile_x"),
+        F.col("tile_y").cast("long").alias("tile_y"),
+        F.floor((tx * sp_l - os_l) * F.lit(1000.0)).cast("long")
+        .alias("west_mm"),
+        F.floor((os_l - (ty + F.lit(1.0)) * sp_l) * F.lit(1000.0))
+        .cast("long").alias("south_mm"),
+        F.floor(((tx + F.lit(1.0)) * sp_l - os_l) * F.lit(1000.0))
+        .cast("long").alias("east_mm"),
+        F.floor((os_l - ty * sp_l) * F.lit(1000.0)).cast("long")
+        .alias("north_mm"),
+        F.col(value_col).cast("long").alias("value"),
+    )
+
+
+def tindex_sql(
+    base_cte: str, zoom: int, value_col: str = "page_count"
+) -> str:
+    """DuckDB twin of :func:`tindex` — the same driver-computed
+    literals, the same IEEE expression tree."""
+    from ..grid import ORIGIN_SHIFT
+
+    span = 2.0 * ORIGIN_SHIFT / (2 ** zoom)
+    os_r, sp_r = repr(float(ORIGIN_SHIFT)), repr(float(span))
+    return f"""{base_cte}
+SELECT tile_x, tile_y,
+       CAST(FLOOR((CAST(tile_x AS DOUBLE) * {sp_r} - {os_r}) * 1000.0)
+            AS BIGINT) AS west_mm,
+       CAST(FLOOR(({os_r} - (CAST(tile_y AS DOUBLE) + 1.0) * {sp_r})
+                  * 1000.0) AS BIGINT) AS south_mm,
+       CAST(FLOOR(((CAST(tile_x AS DOUBLE) + 1.0) * {sp_r} - {os_r})
+                  * 1000.0) AS BIGINT) AS east_mm,
+       CAST(FLOOR(({os_r} - CAST(tile_y AS DOUBLE) * {sp_r}) * 1000.0)
+            AS BIGINT) AS north_mm,
+       CAST({value_col} AS BIGINT) AS value
+FROM base"""

@@ -2108,6 +2108,94 @@ def main() -> None:
     )
     print(f"[{'OK' if sp_ok else 'BAD'}] slope_pct plan")
 
+    # 121. idw: the aspect8 vote-explode shape — one Generate, one
+    # combinable aggregate, no join/window/Python
+    from rio_cogeo_spark.operators.gdalutil import footprint, idw, tindex
+
+    iw_plan = plan_of(idw(a8_in, 5, radius=2))
+    iw_ok = (
+        "Join" not in iw_plan
+        and "Window" not in iw_plan
+        and "BatchEvalPython" not in iw_plan
+        and "ArrowEvalPython" not in iw_plan
+        and len(re.findall(r"\(\d+\) Generate", iw_plan)) == 1
+        and "HashAggregate" in iw_plan
+    )
+    checks.append(("idw single vote explode + combinable aggregate", iw_ok))
+    sections.append(
+        ("idw", f"  {'PASS' if iw_ok else 'FAIL'} "
+         "lcm-scaled integer weights ride the offset literals",
+         iw_plan)
+    )
+    print(f"[{'OK' if iw_ok else 'BAD'}] idw plan")
+
+    # 122. tindex: pinned-double bounds — pure projection, zero
+    # Exchange, zero joins (flat input so the assert is strict)
+    ti_plan = plan_of(tindex(cr_in, 5))
+    ti_ok = (
+        "Exchange" not in ti_plan
+        and "Join" not in ti_plan
+        and "BatchEvalPython" not in ti_plan
+        and "ArrowEvalPython" not in ti_plan
+    )
+    checks.append(("tindex zero-Exchange pinned-double projection", ti_ok))
+    sections.append(
+        ("tindex", f"  {'PASS' if ti_ok else 'FAIL'} "
+         "driver literals, FLOOR x4, nothing else",
+         ti_plan)
+    )
+    print(f"[{'OK' if ti_ok else 'BAD'}] tindex plan")
+
+    # 123. footprint: polygonize's bounded vote rounds + ONE label-key
+    # aggregate — no window beyond polygonize's own, no Python
+    fpr_plan = plan_of(footprint(a8_in, 5, rounds=2))
+    fpr_ok = (
+        "BatchEvalPython" not in fpr_plan
+        and "ArrowEvalPython" not in fpr_plan
+        and "CartesianProduct" not in fpr_plan
+        and "SortMergeJoin" not in fpr_plan
+        and "HashAggregate" in fpr_plan
+    )
+    checks.append(("footprint polygonize rounds + one label aggregate",
+                   fpr_ok))
+    sections.append(
+        ("footprint", f"  {'PASS' if fpr_ok else 'FAIL'} "
+         "region bbox folds on the label key, join-free",
+         fpr_plan)
+    )
+    print(f"[{'OK' if fpr_ok else 'BAD'}] footprint plan")
+
+    # 124. mojibake: pure codegen regexp projection — zero Exchange,
+    # zero Python
+    from rio_cogeo_spark.functions.text import mojibake_cols
+
+    mj_in = spark.range(100).selectExpr(
+        "id AS doc_id", "concat('text Ã© ', id) AS text"
+    )
+    mj_cols = mojibake_cols(F.col("text"))
+    mj_plan = plan_of(
+        mj_in.select(
+            "doc_id",
+            mj_cols["n_moji"].alias("n_moji"),
+            mj_cols["n_repl"].alias("n_repl"),
+            mj_cols["clean"].alias("clean"),
+        )
+    )
+    mj_ok = (
+        "Exchange" not in mj_plan
+        and "Join" not in mj_plan
+        and "BatchEvalPython" not in mj_plan
+        and "ArrowEvalPython" not in mj_plan
+    )
+    checks.append(("mojibake zero-Exchange codegen regexp projection",
+                   mj_ok))
+    sections.append(
+        ("mojibake", f"  {'PASS' if mj_ok else 'FAIL'} "
+         "regexp_count over the scan, nothing else",
+         mj_plan)
+    )
+    print(f"[{'OK' if mj_ok else 'BAD'}] mojibake plan")
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:

@@ -297,3 +297,77 @@ def test_slope_matches_hand_formula(spark):
         assert r.slope_pct_mil == math.floor(
             math.sqrt(r.slope_sq) * 100000.0 / 8.0
         )
+
+
+# ---------------------------------------------------------------------------
+# footprint / idw / tindex
+# ---------------------------------------------------------------------------
+
+
+def test_footprint_two_regions(spark):
+    """An L-shaped region (3 cells) and an isolated cell: bboxes and
+    exact fill ratios."""
+    out = {r.label: r for r in gdalutil.footprint(
+        _tiles(spark, [(0, 0), (1, 0), (1, 1), (5, 5)]), 5, rounds=4
+    ).collect()}
+    assert len(out) == 2
+    big = next(r for r in out.values() if r.n_cells == 3)
+    assert (big.min_x, big.min_y, big.max_x, big.max_y) == (0, 0, 1, 1)
+    assert big.fill_ppm == 3 * 1_000_000 // 4
+    lone = next(r for r in out.values() if r.n_cells == 1)
+    assert (lone.min_x, lone.min_y) == (5, 5) and lone.fill_ppm == 1_000_000
+
+
+def test_footprint_value_agnostic(spark):
+    """Footprint merges on ADJACENCY only — differing values in the
+    same rook component still form one region."""
+    out = gdalutil.footprint(
+        _tiles(spark, [(0, 0), (1, 0)], value=[3, 99]), 5
+    ).collect()
+    assert len(out) == 1 and out[0].n_cells == 2
+
+
+def test_idw_weights_and_values(spark):
+    """Radius 2: w(1)=4, w(2)=1. One sample v=8 at (2,2): node (3,2)
+    gets 8000 (d=1), node (4,2) gets 8000 (d=2, single vote), the
+    sample itself reports exactly 8000 as 'data'."""
+    out = {(r.tile_x, r.tile_y): r for r in gdalutil.idw(
+        _tiles(spark, [(2, 2)], value=[8]), 5, radius=2
+    ).collect()}
+    assert len(out) == 25  # full 5x5 neighborhood in-bounds
+    assert out[(2, 2)].src == "data" and out[(2, 2)].value_mil == 8000
+    assert out[(3, 2)].src == "interp" and out[(3, 2)].value_mil == 8000
+    assert out[(4, 4)].value_mil == 8000  # any single-donor node
+
+
+def test_idw_two_donors_weighted_mean(spark):
+    """Node (1,0) between v=10 at d=1 (w=4) and v=40 at d=2 (w=1):
+    floor(1000·(4·10 + 1·40)/5) = 16000."""
+    out = {(r.tile_x, r.tile_y): r for r in gdalutil.idw(
+        _tiles(spark, [(0, 0), (3, 0)], value=[10, 40]), 5, radius=2
+    ).collect()}
+    n = out[(1, 0)]
+    assert n.src == "interp" and n.n_votes == 2
+    assert n.value_mil == (4 * 10 + 1 * 40) * 1000 // 5
+
+
+def test_tindex_golden_bounds(spark):
+    """z1 tile (0,0) spans the NW mercator quadrant: west = -OS,
+    east = 0, north = OS, south = 0 (in mm, floored)."""
+    import math
+
+    from rio_cogeo_spark.grid import ORIGIN_SHIFT
+
+    out = gdalutil.tindex(_tiles(spark, [(0, 0)]), 1).collect()[0]
+    assert out.west_mm == math.floor(-ORIGIN_SHIFT * 1000)
+    assert out.east_mm == 0
+    assert out.north_mm == math.floor(ORIGIN_SHIFT * 1000)
+    assert out.south_mm == 0
+
+
+def test_tindex_tiles_abut(spark):
+    """Adjacent tiles share an edge: east of (0,0) == west of (1,0)."""
+    out = {(r.tile_x, r.tile_y): r for r in gdalutil.tindex(
+        _tiles(spark, [(0, 0), (1, 0)]), 8
+    ).collect()}
+    assert out[(0, 0)].east_mm == out[(1, 0)].west_mm

@@ -1072,3 +1072,22 @@ def test_group_boxplot_p50_matches_group_median(spark):
     med = {r.lang: r.median for r in group_median(df, "n_chars", "lang").collect()}
     box = {r.lang: r.med for r in group_boxplot(df, "n_chars", "lang").collect()}
     assert med == box
+
+
+def test_mojibake_counts(spark):
+    from rio_cogeo_spark.functions.text import mojibake_cols
+
+    df = spark.createDataFrame(
+        [(1, "clean text"), (2, "bad Ã© text â€™ here"),
+         (3, "lossy ï¿½ decode"), (4, "café fine")],
+        "doc_id long, text string",
+    )
+    cols = mojibake_cols(F.col("text"))
+    out = {r.doc_id: r for r in df.select(
+        "doc_id", cols["n_moji"].alias("n_moji"),
+        cols["n_repl"].alias("n_repl"), cols["clean"].alias("clean"),
+    ).collect()}
+    assert out[1].n_moji == 0 and out[1].clean == 1
+    assert out[2].n_moji == 2 and out[2].clean == 0
+    assert out[3].n_repl == 1 and out[3].n_moji == 1
+    assert out[4].n_moji == 0 and out[4].clean == 1  # real é is NOT mojibake
