@@ -3494,6 +3494,60 @@ def _mojibake_oracle() -> str:
 FROM documents"""
 
 
+def q_kruskal(spark, sf_dir):
+    """Kruskal-Wallis H across languages: doubled integer ranks on the
+    value-frequency table, one pinned double combination floored to
+    mil — the k-group mann_whitney."""
+    from rio_cogeo_spark.operators.report import kruskal_wallis
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return kruskal_wallis(docs, "n_chars", "lang")
+
+
+def _kruskal_oracle() -> str:
+    from rio_cogeo_spark.operators.report import kruskal_wallis_sql
+
+    return kruskal_wallis_sql("documents", "n_chars", "lang")
+
+
+def q_cusum(spark, sf_dir):
+    """CUSUM changepoint trace of daily volume with a deterministic
+    +100% level shift injected from day 5 (identical in both engines):
+    s_up must accumulate after the shift — exact prefix-extremum form,
+    no mean division."""
+    from rio_cogeo_spark.operators.report import cusum_days
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = docs.select((F.col("doc_id") * 1728).alias("ts2"))
+    shifted = t.unionAll(t.filter(F.expr("ts2 div 86400 >= 5")))
+    return cusum_days(shifted, "ts2")
+
+
+def _cusum_oracle() -> str:
+    from rio_cogeo_spark.operators.report import cusum_days_sql
+
+    pages_cte = """WITH cu_t0 AS (SELECT doc_id * 1728 AS ts2 FROM documents),
+pages AS (SELECT ts2 FROM cu_t0
+          UNION ALL SELECT ts2 FROM cu_t0 WHERE ts2 // 86400 >= 5)"""
+    return cusum_days_sql(pages_cte, "ts2")
+
+
+def q_curvature(spark, sf_dir):
+    """Discrete Laplacian curvature of the z8 density surface: rook
+    votes (weight 1) + self (−4), one combinable aggregate —
+    convex/concave/flat class per occupied cell."""
+    from rio_cogeo_spark.operators.focal import curvature
+
+    base = base_tiles(_pages(spark, sf_dir), ZOOM)
+    return curvature(base, ZOOM)
+
+
+def _curvature_oracle() -> str:
+    from rio_cogeo_spark.operators.focal import curvature_sql
+
+    return curvature_sql(_BASE_CTE, ZOOM)
+
+
 def q_morton_range(spark, sf_dir):
     """Z-order bbox query: filter the tile table by the exact quadtree
     range decomposition of MORTON_BBOX. The oracle twin filters by the
@@ -4090,6 +4144,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idw": q_idw,
         "tindex": q_tindex,
         "mojibake": q_mojibake,
+        "kruskal": q_kruskal,
+        "cusum": q_cusum,
+        "curvature": q_curvature,
     }
 
 
@@ -5107,6 +5164,9 @@ FROM documents QUALIFY rank <= 3""",
         "idw": _idw_oracle(),
         "tindex": _tindex_oracle(),
         "mojibake": _mojibake_oracle(),
+        "kruskal": _kruskal_oracle(),
+        "cusum": _cusum_oracle(),
+        "curvature": _curvature_oracle(),
         "repeated_spans": _repeated_spans_oracle(),
         "passage_cut": _passage_cut_oracle(),
         "pyramid_crs84": _pyramid_crs84_sql(),

@@ -2213,3 +2213,89 @@ SELECT tile_x, tile_y, v, label,
        CAST(COUNT(*) OVER (PARTITION BY label) AS BIGINT) AS region_cells
 FROM pg_{rounds}""")
     return "".join(parts)
+
+
+def curvature(
+    tiles: DataFrame,
+    zoom: int,
+    value_col: str = "page_count",
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+) -> DataFrame:
+    """Discrete Laplacian curvature of the density surface — the
+    second-derivative sibling of :func:`aspect8`/:func:`hillshade`
+    (gdaldem's curvature analog; GDAL exposes it through the TPI
+    family): per occupied cell, ``lap = N + S + E + W − 4·center``
+    with a missing rook neighbor contributing 0 (the density-grid
+    convention: an unmaterialized tile holds zero pages). ``cls`` is
+    ``'concave'`` (lap > 0, a local pit/valley of the density),
+    ``'convex'`` (lap < 0, a peak/ridge — every isolated hotspot),
+    ``'flat'`` (0). Exact BIGINT throughout. Returns
+    ``(tile_x, tile_y, v, lap, cls)``.
+
+    Scale design: the aspect8 shape — each cell votes its value to its
+    rook neighbors (weight 1) and itself (weight −4, which also marks
+    occupancy); ONE combinable weighted-sum aggregate, a projection.
+    No join, no window.
+    """
+    n = F.lit(2 ** zoom)
+    off = F.explode(
+        F.array(*[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+                     F.lit(wt).alias("wt"))
+            for dx, dy, wt in [
+                (0, 0, -4), (-1, 0, 1), (1, 0, 1), (0, -1, 1), (0, 1, 1),
+            ]
+        ])
+    ).alias("off")
+    votes = tiles.select(
+        F.col(x_col).cast("long").alias("_sx"),
+        F.col(y_col).cast("long").alias("_sy"),
+        F.col(value_col).cast("long").alias("_v"),
+        off,
+    ).select(
+        (F.col("_sx") + F.col("off.dx")).alias("nx"),
+        (F.col("_sy") + F.col("off.dy")).alias("ny"),
+        F.col("off.wt").alias("wt"),
+        F.col("_v"),
+    ).filter(
+        (F.col("nx") >= 0) & (F.col("nx") < n)
+        & (F.col("ny") >= 0) & (F.col("ny") < n)
+    )
+    agg = votes.groupBy("nx", "ny").agg(
+        F.max((F.col("wt") == -4).cast("int")).alias("_occ"),
+        F.max(F.when(F.col("wt") == -4, F.col("_v"))).alias("_self_v"),
+        F.sum(F.col("wt").cast("long") * F.col("_v")).alias("lap"),
+    )
+    return agg.filter(F.col("_occ") == 1).select(
+        F.col("nx").alias("tile_x"), F.col("ny").alias("tile_y"),
+        F.col("_self_v").cast("long").alias("v"),
+        F.col("lap").cast("long").alias("lap"),
+        F.when(F.col("lap") > 0, F.lit("concave"))
+        .when(F.col("lap") < 0, F.lit("convex"))
+        .otherwise(F.lit("flat")).alias("cls"),
+    )
+
+
+def curvature_sql(base_cte: str, zoom: int) -> str:
+    """DuckDB twin of :func:`curvature` — ``base_cte`` exposes
+    ``base(tile_x, tile_y, page_count)`` (WITH included)."""
+    edge = 2 ** zoom - 1
+    return f"""{base_cte}
+, cv_v AS (SELECT b.tile_x + o.dx AS nx, b.tile_y + o.dy AS ny,
+                  o.wt, CAST(b.page_count AS BIGINT) AS v
+           FROM base b,
+                (VALUES (0, 0, -4), (-1, 0, 1), (1, 0, 1),
+                        (0, -1, 1), (0, 1, 1)) o(dx, dy, wt)
+           WHERE b.tile_x + o.dx BETWEEN 0 AND {edge}
+             AND b.tile_y + o.dy BETWEEN 0 AND {edge})
+, cv_a AS (SELECT nx, ny,
+                  MAX(CASE WHEN wt = -4 THEN 1 ELSE 0 END) AS occ,
+                  MAX(CASE WHEN wt = -4 THEN v END) AS self_v,
+                  SUM(CAST(wt AS BIGINT) * v) AS lap
+           FROM cv_v GROUP BY nx, ny)
+SELECT CAST(nx AS BIGINT) AS tile_x, CAST(ny AS BIGINT) AS tile_y,
+       CAST(self_v AS BIGINT) AS v, CAST(lap AS BIGINT) AS lap,
+       CASE WHEN lap > 0 THEN 'concave' WHEN lap < 0 THEN 'convex'
+            ELSE 'flat' END AS cls
+FROM cv_a WHERE occ = 1"""

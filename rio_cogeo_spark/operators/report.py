@@ -2017,3 +2017,225 @@ SELECT q.grp AS {group_col}, q.n, q.q1, q.med, q.q3,
        CAST(q.hi_fence2 AS BIGINT) AS hi_fence2,
        CAST(o.n_low AS BIGINT) AS n_low, CAST(o.n_high AS BIGINT) AS n_high
 FROM bx_qf q JOIN bx_o o USING (grp)"""
+
+
+def kruskal_wallis(
+    docs: DataFrame,
+    value_col: str = "n_chars",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Kruskal-Wallis H — the k-group extension of
+    :func:`mann_whitney` ("do document lengths differ across
+    languages?"). ONE row ``(k, n, t_ties, h_mil, hc_mil)``:
+    ``h_mil`` is the raw H statistic in floored mil, ``hc_mil`` the
+    tie-corrected ``H / (1 − Σ(t³−t)/(N³−N))``, ``t_ties = Σ(t³−t)``.
+
+    Exactness: doubled average ranks stay integer — ``2r(v) = 2·cum_<v
+    + f(v) + 1`` (the spearman rank-doubling discipline) — so each
+    group's doubled rank-sum ``R2_i = Σ f_i(v)·2r(v)`` and the tie term
+    are exact DECIMAL(38,0); the only non-integer step is the PINNED
+    final combination ``H = (3·Σ R2_i²/n_i − 3N(N+1)²) / (N(N+1))``
+    evaluated as the identical double expression tree in both engines
+    and floored to mil (the SLOPE_PCT_MIL discipline). Precision
+    envelope: ``R2_i² ≲ 4N⁴`` must fit DECIMAL(38,0)/HUGEINT doubles —
+    fine to ~10⁸ rows per test, the same envelope as spearman.
+
+    Scale design: ONE corpus fold to the (group, value)-frequency
+    table; the rank window runs on the VALUE table (bounded by distinct
+    values), joins back to the group-value table by value (broadcast —
+    both tables are frequency-bounded), then two tiny folds.
+    """
+    gv = docs.groupBy(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("long").alias("v"),
+    ).agg(F.count(F.lit(1)).alias("f"))
+    gv = gv.localCheckpoint(eager=False)  # value fold + group fold read it
+    vf = gv.groupBy("v").agg(F.sum("f").alias("fv"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranks = vf.select(
+        "v", "fv",
+        (
+            F.lit(2) * F.coalesce(F.sum("fv").over(w), F.lit(0))
+            + F.col("fv") + F.lit(1)
+        ).alias("r2"),
+    )
+    grp = (
+        gv.join(F.broadcast(ranks.select("v", "r2")), "v")
+        .groupBy("grp")
+        .agg(
+            F.sum("f").alias("n_i"),
+            F.sum(
+                F.col("f").cast("decimal(38,0)") * F.col("r2")
+            ).alias("r2_sum"),
+        )
+    )
+    ties = ranks.agg(
+        F.sum(
+            F.col("fv").cast("decimal(38,0)") * F.col("fv") * F.col("fv")
+            - F.col("fv")
+        ).alias("t_ties")
+    )
+    return (
+        grp.agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum("n_i").alias("n"),
+            F.sum(
+                F.col("r2_sum") * F.col("r2_sum")
+                / F.col("n_i").cast("double")
+            ).alias("_sr"),
+        )
+        .crossJoin(F.broadcast(ties))
+        .select(
+            F.col("k").cast("long").alias("k"),
+            F.col("n").cast("long").alias("n"),
+            F.col("t_ties").cast("long").alias("t_ties"),
+            F.expr(
+                "CASE WHEN n < 2 THEN CAST(NULL AS BIGINT) ELSE CAST(FLOOR("
+                "(3.0 * CAST(_sr AS DOUBLE)"
+                " - 3.0 * CAST(n AS DOUBLE)"
+                "   * (CAST(n AS DOUBLE) + 1.0) * (CAST(n AS DOUBLE) + 1.0))"
+                " / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))"
+                " * 1000.0) AS BIGINT) END"
+            ).alias("h_mil"),
+            F.expr(
+                "CASE WHEN n < 2 OR CAST(n AS DECIMAL(38,0)) * n * n - n"
+                "   - t_ties = 0 THEN CAST(NULL AS BIGINT)"
+                " ELSE CAST(FLOOR("
+                "((3.0 * CAST(_sr AS DOUBLE)"
+                " - 3.0 * CAST(n AS DOUBLE)"
+                "   * (CAST(n AS DOUBLE) + 1.0) * (CAST(n AS DOUBLE) + 1.0))"
+                " / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)))"
+                " / (1.0 - CAST(t_ties AS DOUBLE)"
+                "     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+                "        * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)))"
+                " * 1000.0) AS BIGINT) END"
+            ).alias("hc_mil"),
+        )
+    )
+
+
+def kruskal_wallis_sql(
+    table: str = "documents",
+    value_col: str = "n_chars",
+    group_col: str = "lang",
+) -> str:
+    """DuckDB twin of :func:`kruskal_wallis` — the identical pinned
+    double expression tree."""
+    return f"""
+WITH kw_gv AS (SELECT {group_col} AS grp, CAST({value_col} AS BIGINT) AS v,
+                      COUNT(*) AS f
+               FROM {table} GROUP BY 1, 2),
+kw_vf AS (SELECT v, SUM(f) AS fv FROM kw_gv GROUP BY v),
+kw_r AS (SELECT v, fv,
+                2 * COALESCE(SUM(fv) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + fv + 1 AS r2
+         FROM kw_vf),
+kw_g AS (SELECT g.grp, SUM(g.f) AS n_i,
+                SUM(CAST(g.f AS HUGEINT) * r.r2) AS r2_sum
+         FROM kw_gv g JOIN kw_r r USING (v) GROUP BY g.grp),
+kw_t AS (SELECT SUM(CAST(fv AS HUGEINT) * fv * fv - fv) AS t_ties
+         FROM kw_r),
+kw_s AS (SELECT COUNT(*) AS k, SUM(n_i) AS n,
+                SUM(CAST(r2_sum AS DOUBLE) * CAST(r2_sum AS DOUBLE)
+                    / CAST(n_i AS DOUBLE)) AS sr
+         FROM kw_g)
+SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+       CAST(t_ties AS BIGINT) AS t_ties,
+       CASE WHEN n < 2 THEN CAST(NULL AS BIGINT) ELSE CAST(FLOOR(
+         (3.0 * CAST(sr AS DOUBLE)
+          - 3.0 * CAST(n AS DOUBLE)
+            * (CAST(n AS DOUBLE) + 1.0) * (CAST(n AS DOUBLE) + 1.0))
+         / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+         * 1000.0) AS BIGINT) END AS h_mil,
+       CASE WHEN n < 2 OR CAST(n AS HUGEINT) * n * n - n - t_ties = 0
+            THEN CAST(NULL AS BIGINT)
+       ELSE CAST(FLOOR(
+         ((3.0 * CAST(sr AS DOUBLE)
+           - 3.0 * CAST(n AS DOUBLE)
+             * (CAST(n AS DOUBLE) + 1.0) * (CAST(n AS DOUBLE) + 1.0))
+          / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)))
+         / (1.0 - CAST(t_ties AS DOUBLE)
+              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                 * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)))
+         * 1000.0) AS BIGINT) END AS hc_mil
+FROM kw_s CROSS JOIN kw_t"""
+
+
+def cusum_days(
+    pages: DataFrame,
+    ts_col: str = "ts_sec",
+) -> DataFrame:
+    """CUSUM changepoint trace of the daily crawl volume — the
+    sequential level-shift detector beside :func:`volume_anomaly`
+    (z-scores flag single outlier days; CUSUM accumulates small
+    sustained shifts — a crawler quietly doubling its rate). Per
+    observed day: ``(day, y, s_up, s_dn)`` where with ``D`` days and
+    ``S = Σy`` the D-scaled deviation is ``d_t = D·y_t − S`` (exact,
+    zero-mean by construction), ``P_t`` its prefix sum, and::
+
+        s_up = P_t − min_{j ≤ t} P_j   (upward level shift)
+        s_dn = max_{j ≤ t} P_j − P_t   (downward level shift)
+
+    — the closed prefix-extremum form of the recursive CUSUM
+    ``S_t = max(0, S_{t−1} + d_t)``, all exact BIGINT (no mean
+    division ever happens). The changepoint is the argmax day.
+
+    Scale design: ONE map-side-combinable day fold over the corpus;
+    the (D, S) 1-row broadcast and the three windows (prefix sum,
+    running min, running max) run on the DAY table only.
+    """
+    days = pages.select(
+        F.expr(f"{ts_col} div 86400").alias("day")
+    ).groupBy("day").agg(F.count(F.lit(1)).alias("y"))
+    days = days.localCheckpoint(eager=False)  # totals + trace read it
+    tot = days.agg(
+        F.count(F.lit(1)).alias("dd"), F.sum("y").alias("s")
+    )
+    wp = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    trace = (
+        days.crossJoin(F.broadcast(tot))
+        .select(
+            "day", "y",
+            F.sum(
+                F.col("dd").cast("decimal(38,0)") * F.col("y") - F.col("s")
+            ).over(wp).alias("p"),
+        )
+        .select(
+            "day", "y", "p",
+            F.min("p").over(wp).alias("pmin"),
+            F.max("p").over(wp).alias("pmax"),
+        )
+    )
+    return trace.select(
+        F.col("day").cast("long").alias("day"),
+        F.col("y").cast("long").alias("y"),
+        (F.col("p") - F.col("pmin")).cast("long").alias("s_up"),
+        (F.col("pmax") - F.col("p")).cast("long").alias("s_dn"),
+    )
+
+
+def cusum_days_sql(pages_cte: str, ts_col: str = "ts_sec") -> str:
+    """DuckDB twin of :func:`cusum_days` — ``pages_cte`` exposes
+    ``pages`` (WITH included)."""
+    return f"""{pages_cte}
+, cu_d AS (SELECT {ts_col} // 86400 AS day, COUNT(*) AS y
+           FROM pages GROUP BY 1)
+, cu_t AS (SELECT COUNT(*) AS dd, SUM(y) AS s FROM cu_d)
+, cu_p AS (SELECT day, y,
+                  SUM(CAST(dd AS HUGEINT) * y - s)
+                    OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS p
+           FROM cu_d CROSS JOIN cu_t)
+, cu_m AS (SELECT day, y, p,
+                  MIN(p) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                               PRECEDING AND CURRENT ROW) AS pmin,
+                  MAX(p) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                               PRECEDING AND CURRENT ROW) AS pmax
+           FROM cu_p)
+SELECT CAST(day AS BIGINT) AS day, CAST(y AS BIGINT) AS y,
+       CAST(p - pmin AS BIGINT) AS s_up,
+       CAST(pmax - p AS BIGINT) AS s_dn
+FROM cu_m"""

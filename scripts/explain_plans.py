@@ -2196,6 +2196,69 @@ def main() -> None:
     )
     print(f"[{'OK' if mj_ok else 'BAD'}] mojibake plan")
 
+    # 125. kruskal_wallis: ONE corpus fold (pinned gv feeds value fold
+    # + group fold), rank join broadcast-only, no corpus window
+    from rio_cogeo_spark.operators.report import cusum_days, kruskal_wallis
+
+    kw_plan = plan_of(kruskal_wallis(bx_in, "n_chars", "lang"))
+    kw_ok = (
+        "SortMergeJoin" not in kw_plan
+        and "ShuffledHashJoin" not in kw_plan
+        and "BatchEvalPython" not in kw_plan
+        and "ArrowEvalPython" not in kw_plan
+        and "Scan ExistingRDD" in kw_plan
+        and "BroadcastHashJoin" in kw_plan
+    )
+    checks.append(("kruskal pinned gv fold + broadcast rank join", kw_ok))
+    sections.append(
+        ("kruskal_wallis", f"  {'PASS' if kw_ok else 'FAIL'} "
+         "rank window on the value table only",
+         kw_plan)
+    )
+    print(f"[{'OK' if kw_ok else 'BAD'}] kruskal_wallis plan")
+
+    # 126. cusum_days: ONE corpus day fold (pinned), 1-row totals
+    # broadcast, windows on the day table only
+    cu_in = spark.range(5000).selectExpr("id * 1728 AS ts_sec")
+    cu_plan = plan_of(cusum_days(cu_in))
+    cu_ok = (
+        "SortMergeJoin" not in cu_plan
+        and "ShuffledHashJoin" not in cu_plan
+        and "BatchEvalPython" not in cu_plan
+        and "ArrowEvalPython" not in cu_plan
+        and "Scan ExistingRDD" in cu_plan
+        and "BroadcastNestedLoopJoin" in cu_plan
+    )
+    checks.append(("cusum pinned day fold + 1-row totals broadcast", cu_ok))
+    sections.append(
+        ("cusum_days", f"  {'PASS' if cu_ok else 'FAIL'} "
+         "prefix/extremum windows run on the day table",
+         cu_plan)
+    )
+    print(f"[{'OK' if cu_ok else 'BAD'}] cusum_days plan")
+
+    # 127. curvature: the aspect8 shape — one vote explode + ONE
+    # combinable weighted-sum aggregate; no join, no window
+    from rio_cogeo_spark.operators.focal import curvature
+
+    cv_plan = plan_of(curvature(a8_in, 5))
+    cv_ok = (
+        "Join" not in cv_plan
+        and "Window" not in cv_plan
+        and "BatchEvalPython" not in cv_plan
+        and "ArrowEvalPython" not in cv_plan
+        and len(re.findall(r"\(\d+\) Generate", cv_plan)) == 1
+        and "HashAggregate" in cv_plan
+    )
+    checks.append(("curvature single vote explode + weighted-sum aggregate",
+                   cv_ok))
+    sections.append(
+        ("curvature", f"  {'PASS' if cv_ok else 'FAIL'} "
+         "rook Laplacian rides the offset literals",
+         cv_plan)
+    )
+    print(f"[{'OK' if cv_ok else 'BAD'}] curvature plan")
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:

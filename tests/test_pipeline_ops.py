@@ -1091,3 +1091,61 @@ def test_mojibake_counts(spark):
     assert out[2].n_moji == 2 and out[2].clean == 0
     assert out[3].n_repl == 1 and out[3].n_moji == 1
     assert out[4].n_moji == 0 and out[4].clean == 1  # real é is NOT mojibake
+
+
+def test_kruskal_two_group_matches_scipy_formula(spark):
+    """Hand series: a=[1,2,3], b=[4,5,6] — no ties, perfect
+    separation. R_a = 6, R_b = 15; H = 12/(6·7)·(36/3 + 225/3) − 3·7
+    = 12/42·87 − 21 = 3.857142... -> h_mil 3857; no ties -> hc = h."""
+    from rio_cogeo_spark.operators.report import kruskal_wallis
+
+    rows = [("a", v) for v in [1, 2, 3]] + [("b", v) for v in [4, 5, 6]]
+    df = spark.createDataFrame(rows, "lang string, n_chars long")
+    r = kruskal_wallis(df, "n_chars", "lang").collect()[0]
+    assert (r.k, r.n, r.t_ties) == (2, 6, 0)
+    assert r.h_mil == 3857
+    assert r.hc_mil == 3857
+
+
+def test_kruskal_identical_groups_h_zero(spark):
+    """Same distribution in every group -> ranks split evenly, H ~ 0
+    (floored mil of a tiny negative fp residue is allowed: -1..0)."""
+    from rio_cogeo_spark.operators.report import kruskal_wallis
+
+    rows = [(g, v) for g in ("a", "b", "c") for v in (10, 20, 30)]
+    df = spark.createDataFrame(rows, "lang string, n_chars long")
+    r = kruskal_wallis(df, "n_chars", "lang").collect()[0]
+    assert r.k == 3 and r.n == 9
+    assert r.t_ties == 3 * (27 - 3)  # three triple-ties
+    assert -1 <= r.h_mil <= 0
+
+
+def test_cusum_level_shift_peaks_at_changepoint(spark):
+    """10 days at y=10 then 10 days at y=20: s_up grows after day 10
+    and peaks at the last day; the pre-shift trace stays below."""
+    from rio_cogeo_spark.operators.report import cusum_days
+
+    rows = []
+    ts = 0
+    for day in range(20):
+        y = 10 if day < 10 else 20
+        for i in range(y):
+            rows.append((day * 86400 + i,))
+    df = spark.createDataFrame(rows, "ts_sec long")
+    out = {r.day: r for r in cusum_days(df).collect()}
+    assert len(out) == 20
+    assert all(out[d].y == (10 if d < 10 else 20) for d in range(20))
+    # D=20, S=300 -> d_t = 20y - 300 = -100 pre, +100 post
+    assert out[9].s_up == 0           # monotone decreasing prefix so far
+    assert out[19].s_up == 10 * 100   # full post-shift accumulation
+    assert out[9].s_dn == 9 * 100     # downward trace peaks pre-shift
+    assert out[19].s_dn == 0
+
+
+def test_cusum_constant_series_flat(spark):
+    from rio_cogeo_spark.operators.report import cusum_days
+
+    rows = [(d * 86400 + i,) for d in range(5) for i in range(7)]
+    df = spark.createDataFrame(rows, "ts_sec long")
+    out = cusum_days(df).collect()
+    assert all(r.s_up == 0 and r.s_dn == 0 for r in out)
