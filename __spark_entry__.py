@@ -3548,6 +3548,30 @@ def _curvature_oracle() -> str:
     return curvature_sql(_BASE_CTE, ZOOM)
 
 
+def q_hilbert(spark, sf_dir):
+    """Hilbert-curve layout key per z8 tile (the locality-superior
+    Z-order alternative: consecutive keys are always rook-adjacent):
+    zoom staged integer projections, one codegen stage, zero
+    shuffles."""
+    from rio_cogeo_spark.functions.hilbert import with_hilbert
+
+    base = base_tiles(_pages(spark, sf_dir), ZOOM)
+    return with_hilbert(base, ZOOM).select(
+        "tile_x", "tile_y",
+        F.col("page_count").cast("long").alias("page_count"), "hilbert",
+    )
+
+
+def _hilbert_oracle() -> str:
+    from rio_cogeo_spark.functions.hilbert import hilbert_cte_sql
+
+    # CAST-aliased carry is idempotent across the round CTEs
+    return hilbert_cte_sql(
+        _BASE_CTE, ZOOM,
+        carry_cols="tile_x, tile_y, CAST(page_count AS BIGINT) AS page_count",
+    )
+
+
 def q_morton_range(spark, sf_dir):
     """Z-order bbox query: filter the tile table by the exact quadtree
     range decomposition of MORTON_BBOX. The oracle twin filters by the
@@ -4147,6 +4171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kruskal": q_kruskal,
         "cusum": q_cusum,
         "curvature": q_curvature,
+        "hilbert": q_hilbert,
     }
 
 
@@ -5167,6 +5192,7 @@ FROM documents QUALIFY rank <= 3""",
         "kruskal": _kruskal_oracle(),
         "cusum": _cusum_oracle(),
         "curvature": _curvature_oracle(),
+        "hilbert": _hilbert_oracle(),
         "repeated_spans": _repeated_spans_oracle(),
         "passage_cut": _passage_cut_oracle(),
         "pyramid_crs84": _pyramid_crs84_sql(),

@@ -2259,6 +2259,26 @@ def main() -> None:
     )
     print(f"[{'OK' if cv_ok else 'BAD'}] curvature plan")
 
+    # 128. with_hilbert: zoom staged projections collapse into ONE
+    # codegen stage — zero Exchange, zero joins, no Python
+    from rio_cogeo_spark.functions.hilbert import with_hilbert
+
+    hb_plan = plan_of(with_hilbert(cr_in, 8))
+    hb_ok = (
+        "Exchange" not in hb_plan
+        and "Join" not in hb_plan
+        and "BatchEvalPython" not in hb_plan
+        and "ArrowEvalPython" not in hb_plan
+        and "codegen id" in hb_plan
+    )
+    checks.append(("hilbert zero-Exchange staged-projection chain", hb_ok))
+    sections.append(
+        ("with_hilbert", f"  {'PASS' if hb_ok else 'FAIL'} "
+         "8 rotation rounds fused into one codegen stage",
+         hb_plan)
+    )
+    print(f"[{'OK' if hb_ok else 'BAD'}] with_hilbert plan")
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:

@@ -1149,3 +1149,59 @@ def test_cusum_constant_series_flat(spark):
     df = spark.createDataFrame(rows, "ts_sec long")
     out = cusum_days(df).collect()
     assert all(r.s_up == 0 and r.s_dn == 0 for r in out)
+
+
+def test_hilbert_consecutive_keys_are_adjacent(spark):
+    """THE Hilbert property (which Morton lacks): consecutive d values
+    are rook-adjacent cells — exhaustively over the full z=3 grid,
+    engine vs scalar twin."""
+    from rio_cogeo_spark.functions.hilbert import _hilbert_scalar, with_hilbert
+
+    z, n = 3, 8
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(n) for y in range(n)],
+        "tile_x long, tile_y long",
+    )
+    rows = with_hilbert(grid, z).collect()
+    pos = {r.hilbert: (r.tile_x, r.tile_y) for r in rows}
+    assert sorted(pos) == list(range(n * n))  # bijection onto [0, 4^z)
+    for d in range(n * n - 1):
+        (x1, y1), (x2, y2) = pos[d], pos[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
+    for r in rows:  # engine == scalar twin
+        assert r.hilbert == _hilbert_scalar(r.tile_x, r.tile_y, z)
+
+
+def test_hilbert_locality_beats_morton_on_windows(spark):
+    """Range-read quality, the Moon et al. clustering metric: the
+    number of CONTIGUOUS key runs needed to cover a 4x4 window (=
+    seeks a range reader pays). Hilbert needs fewer runs than Morton
+    in total and in the worst case over every window of the z=4 grid.
+    (Raw key-span is the wrong metric — Morton wins that one while
+    paying more seeks.)"""
+    from rio_cogeo_spark.functions.hilbert import _hilbert_scalar
+    from rio_cogeo_spark.functions.tile import _morton_scalar
+
+    def runs(keys):
+        ks = sorted(keys)
+        return 1 + sum(1 for a, b in zip(ks, ks[1:]) if b != a + 1)
+
+    z, n, w = 4, 16, 4
+    h_runs, m_runs = [], []
+    for x0 in range(0, n - w + 1):
+        for y0 in range(0, n - w + 1):
+            cells = [(x, y) for x in range(x0, x0 + w)
+                     for y in range(y0, y0 + w)]
+            h_runs.append(runs(_hilbert_scalar(x, y, z) for x, y in cells))
+            m_runs.append(runs(_morton_scalar(x, y) for x, y in cells))
+    assert sum(h_runs) < sum(m_runs)       # 628 vs 1000 on this grid
+    assert max(h_runs) < max(m_runs)       # 6 vs 10
+
+
+def test_hilbert_rejects_bad_zoom(spark):
+    from rio_cogeo_spark.functions.hilbert import with_hilbert
+
+    df = spark.createDataFrame([(0, 0)], "tile_x long, tile_y long")
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        with_hilbert(df, 32)
