@@ -3896,6 +3896,40 @@ def q_raster_tiles(spark, sf_dir):
     )
 
 
+def q_variogram(spark, sf_dir):
+    """Experimental semivariogram of the z8 density surface (rook
+    directions, lags 1-4): exact pair counts + Σd² BIGINT, one pinned
+    gamma_mil quotient — the spatial-continuity profile a kriging fit
+    consumes, built with the curvature vote shape (no join)."""
+    from rio_cogeo_spark.operators.focal import semivariogram
+
+    base = base_tiles(_pages(spark, sf_dir), ZOOM)
+    return semivariogram(base, ZOOM, max_lag=4)
+
+
+def _variogram_oracle() -> str:
+    from rio_cogeo_spark.operators.focal import semivariogram_sql
+
+    return semivariogram_sql(_BASE_CTE, ZOOM, max_lag=4)
+
+
+def q_join_counts(spark, sf_dir):
+    """Cliff-Ord join-count statistics of the binarized z8 density
+    grid (black = count ≥ 2, absent = white, rook adjacency over the
+    FULL grid): BB/BW/WW exact BIGINT with both-absent pairs closed
+    form, plus the CSR-expected BB in pinned mil."""
+    from rio_cogeo_spark.operators.focal import join_counts
+
+    base = base_tiles(_pages(spark, sf_dir), ZOOM)
+    return join_counts(base, ZOOM, threshold=2)
+
+
+def _join_counts_oracle() -> str:
+    from rio_cogeo_spark.operators.focal import join_counts_sql
+
+    return join_counts_sql(_BASE_CTE, ZOOM, threshold=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FINAL fifth-continuation rotation (ROUND5.md §113): the 12 most
     # twin-intricate new ops (footprint's nested polygonize unroll, idw,
@@ -4181,6 +4215,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_safe": q_split_safe,
         "mirror_docs": q_mirror_docs,
         "keywords": q_keywords,
+        "variogram": q_variogram,
+        "join_counts": q_join_counts,
     }
 
 
@@ -5213,6 +5249,8 @@ SELECT CAST({ZOOM} AS INT) AS zoom, tile_x, tile_y,
        MAX(doc_id) AS max_doc_id
 FROM assigned GROUP BY 1, 2, 3""",
         "chunks_sliding": _chunks_sliding_oracle(),
+        "variogram": _variogram_oracle(),
+        "join_counts": _join_counts_oracle(),
     }
 
 

@@ -2299,3 +2299,240 @@ SELECT CAST(nx AS BIGINT) AS tile_x, CAST(ny AS BIGINT) AS tile_y,
        CASE WHEN lap > 0 THEN 'concave' WHEN lap < 0 THEN 'convex'
             ELSE 'flat' END AS cls
 FROM cv_a WHERE occ = 1"""
+
+
+def semivariogram(
+    tiles: DataFrame,
+    zoom: int,
+    max_lag: int = 4,
+    value_col: str = "page_count",
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+) -> DataFrame:
+    """Experimental (Matheron) semivariogram of the density surface
+    over axis-aligned rook directions, lags ``1..max_lag`` — the
+    spatial-continuity profile geostatistics fits a kriging model to
+    (the distance-decay companion of :func:`morans_i`, which is a
+    single-lag global index).  Pairs are OCCUPIED-cell pairs at offset
+    ``(h, 0)`` or ``(0, h)`` (both axes pooled — isotropic over the
+    rook directions); per lag the output row is
+    ``(lag, n_pairs, sum_d2, gamma_mil)`` with
+    ``sum_d2 = Σ (z_i − z_j)²`` exact BIGINT and
+    ``gamma_mil = floor(1e6 · sum_d2 / (2 · n_pairs))`` — the ONLY
+    float step, one pinned double quotient identical on both engines.
+
+    Scale design: the aspect8/curvature vote shape — each occupied
+    cell emits ``4·max_lag`` literal-offset votes (left anchor at its
+    own coords + right member keyed at the left cell's coords, per
+    axis per lag); ONE pair-key hash aggregate (both-present pairs
+    survive) then ONE ``max_lag``-row fold.  No join, no window, no
+    per-row Python; the pair table is bounded by ``2·max_lag·4^zoom``
+    regardless of corpus size.
+    """
+    offs = []
+    for h in range(1, max_lag + 1):
+        for axis in ("x", "y"):
+            # left anchor: pair key = own coords
+            offs.append((0, 0, h, axis, "L"))
+            # right member: pair key = left cell's coords
+            offs.append((-h if axis == "x" else 0,
+                         -h if axis == "y" else 0, h, axis, "R"))
+    off = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(kdx).alias("kdx"), F.lit(kdy).alias("kdy"),
+                F.lit(h).alias("h"), F.lit(axis).alias("axis"),
+                F.lit(role).alias("role"),
+            )
+            for kdx, kdy, h, axis, role in offs
+        ])
+    ).alias("off")
+    votes = tiles.select(
+        F.col(x_col).cast("long").alias("_sx"),
+        F.col(y_col).cast("long").alias("_sy"),
+        F.col(value_col).cast("long").alias("_v"),
+        off,
+    ).select(
+        (F.col("_sx") + F.col("off.kdx")).alias("px"),
+        (F.col("_sy") + F.col("off.kdy")).alias("py"),
+        F.col("off.h").alias("h"),
+        F.col("off.axis").alias("axis"),
+        F.col("off.role").alias("role"),
+        F.col("_v"),
+    ).filter((F.col("px") >= 0) & (F.col("py") >= 0))
+    pairs = votes.groupBy("px", "py", "h", "axis").agg(
+        F.max(F.when(F.col("role") == "L", F.col("_v"))).alias("vl"),
+        F.max(F.when(F.col("role") == "R", F.col("_v"))).alias("vr"),
+    ).filter(F.col("vl").isNotNull() & F.col("vr").isNotNull())
+    d = F.col("vl") - F.col("vr")
+    return (
+        pairs.groupBy(F.col("h").cast("long").alias("lag"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum((d * d).cast("decimal(38,0)")).alias("_sd2"),
+        )
+        .select(
+            "lag",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("_sd2").cast("long").alias("sum_d2"),
+            F.expr(
+                "CAST(floor(CAST(_sd2 * 1000000 AS DOUBLE)"
+                " / CAST(2 * n_pairs AS DOUBLE)) AS BIGINT)"
+            ).alias("gamma_mil"),
+        )
+    )
+
+
+def semivariogram_sql(base_cte: str, zoom: int, max_lag: int = 4) -> str:
+    """DuckDB twin of :func:`semivariogram` — ``base_cte`` exposes
+    ``base(tile_x, tile_y, page_count)`` (WITH included)."""
+    rows = []
+    for h in range(1, max_lag + 1):
+        for axis in ("x", "y"):
+            rows.append(f"(0, 0, {h}, '{axis}', 'L')")
+            kdx = -h if axis == "x" else 0
+            kdy = -h if axis == "y" else 0
+            rows.append(f"({kdx}, {kdy}, {h}, '{axis}', 'R')")
+    vals = ", ".join(rows)
+    return f"""{base_cte}
+, sv_v AS (SELECT b.tile_x + o.kdx AS px, b.tile_y + o.kdy AS py,
+                  o.h, o.axis, o.role,
+                  CAST(b.page_count AS BIGINT) AS v
+           FROM base b,
+                (VALUES {vals}) o(kdx, kdy, h, axis, role)
+           WHERE b.tile_x + o.kdx >= 0 AND b.tile_y + o.kdy >= 0)
+, sv_p AS (SELECT px, py, h, axis,
+                  MAX(CASE WHEN role = 'L' THEN v END) AS vl,
+                  MAX(CASE WHEN role = 'R' THEN v END) AS vr
+           FROM sv_v GROUP BY px, py, h, axis)
+, sv_a AS (SELECT CAST(h AS BIGINT) AS lag, COUNT(*) AS n_pairs,
+                  SUM(CAST((vl - vr) * (vl - vr) AS HUGEINT)) AS sd2
+           FROM sv_p WHERE vl IS NOT NULL AND vr IS NOT NULL
+           GROUP BY h)
+SELECT lag, CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(sd2 AS BIGINT) AS sum_d2,
+       CAST(floor(CAST(sd2 * 1000000 AS DOUBLE)
+            / CAST(2 * n_pairs AS DOUBLE)) AS BIGINT) AS gamma_mil
+FROM sv_a"""
+
+
+def join_counts(
+    tiles: DataFrame,
+    zoom: int,
+    threshold: int = 2,
+    value_col: str = "page_count",
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+) -> DataFrame:
+    """Join-count statistics (Cliff-Ord BB/BW/WW) of the binarized
+    density grid under rook adjacency over the FULL ``2^zoom`` grid —
+    the categorical sibling of :func:`morans_i`/:func:`geary_c`: a
+    cell is *black* iff ``value ≥ threshold``, absent cells are white
+    (zero-density convention).  One row
+    ``(n_black, n_white, j_bb, j_bw, j_ww, j_total, exp_bb_mil)``:
+    all counts exact BIGINT; ``j_total = 2·n·(n−1)`` closed-form;
+    both-absent pairs are WW by ``j_total − pairs_seen`` (never
+    materialized); ``exp_bb_mil`` is the CSR expectation
+    ``1e6 · J · nb(nb−1) / (N(N−1))`` with an exact DECIMAL(38)
+    numerator and ONE pinned double quotient.
+
+    Scale design: each occupied cell votes to ≤ 4 canonical pair keys
+    (pair = its lower cell + axis) — one explode, ONE pair-key hash
+    aggregate, two single-row folds combined by a trivial 1×1 cross
+    join.  No window, no per-row Python; bounded by the grid, not the
+    corpus.
+    """
+    n = 2 ** zoom
+    j_total = 2 * n * (n - 1)
+    b = (F.col(value_col).cast("long") >= F.lit(threshold)).cast("long")
+    off = F.explode(
+        F.array(*[
+            F.struct(F.lit(kdx).alias("kdx"), F.lit(kdy).alias("kdy"),
+                     F.lit(axis).alias("axis"))
+            for kdx, kdy, axis in [
+                (0, 0, "x"), (-1, 0, "x"), (0, 0, "y"), (0, -1, "y"),
+            ]
+        ])
+    ).alias("off")
+    votes = tiles.select(
+        F.col(x_col).cast("long").alias("_sx"),
+        F.col(y_col).cast("long").alias("_sy"),
+        b.alias("_b"),
+        off,
+    ).select(
+        (F.col("_sx") + F.col("off.kdx")).alias("px"),
+        (F.col("_sy") + F.col("off.kdy")).alias("py"),
+        F.col("off.axis").alias("axis"),
+        F.col("_b"),
+    ).filter(
+        (F.col("px") >= 0) & (F.col("py") >= 0)
+        # a pair key (px, py, axis) is valid only if its RIGHT cell
+        # (px+1, py) / (px, py+1) is still on the grid
+        & (
+            ((F.col("axis") == "x") & (F.col("px") < n - 1))
+            | ((F.col("axis") == "y") & (F.col("py") < n - 1))
+        )
+    )
+    pair_cls = votes.groupBy("px", "py", "axis").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.sum("_b").alias("blk"),
+    )
+    pair_row = pair_cls.agg(
+        F.count(F.lit(1)).alias("pairs_seen"),
+        F.sum(((F.col("n_occ") == 2) & (F.col("blk") == 2)).cast("long"))
+        .alias("j_bb"),
+        F.sum((F.col("blk") == 1).cast("long")).alias("j_bw"),
+        F.sum((F.col("blk") == 0).cast("long")).alias("_j_ww_occ"),
+    )
+    cell_row = tiles.agg(F.sum(b).alias("n_black"))
+    return pair_row.crossJoin(cell_row).select(
+        F.col("n_black").cast("long").alias("n_black"),
+        (F.lit(n * n) - F.col("n_black")).cast("long").alias("n_white"),
+        F.col("j_bb").cast("long").alias("j_bb"),
+        F.col("j_bw").cast("long").alias("j_bw"),
+        (F.col("_j_ww_occ") + F.lit(j_total) - F.col("pairs_seen"))
+        .cast("long").alias("j_ww"),
+        F.lit(j_total).cast("long").alias("j_total"),
+        F.expr(
+            f"CAST(floor(CAST(CAST({j_total} AS DECIMAL(38,0))"
+            " * n_black * (n_black - 1) * 1000000 AS DOUBLE)"
+            f" / CAST(CAST({n * n} AS DECIMAL(38,0))"
+            f" * {n * n - 1} AS DOUBLE)) AS BIGINT)"
+        ).alias("exp_bb_mil"),
+    )
+
+
+def join_counts_sql(base_cte: str, zoom: int, threshold: int = 2) -> str:
+    """DuckDB twin of :func:`join_counts`."""
+    n = 2 ** zoom
+    j_total = 2 * n * (n - 1)
+    return f"""{base_cte}
+, jc_v AS (SELECT b.tile_x + o.kdx AS px, b.tile_y + o.kdy AS py, o.axis,
+                  CASE WHEN CAST(b.page_count AS BIGINT) >= {threshold}
+                       THEN 1 ELSE 0 END AS bb
+           FROM base b,
+                (VALUES (0, 0, 'x'), (-1, 0, 'x'),
+                        (0, 0, 'y'), (0, -1, 'y')) o(kdx, kdy, axis)
+           WHERE b.tile_x + o.kdx >= 0 AND b.tile_y + o.kdy >= 0
+             AND ((o.axis = 'x' AND b.tile_x + o.kdx < {n - 1})
+               OR (o.axis = 'y' AND b.tile_y + o.kdy < {n - 1})))
+, jc_p AS (SELECT px, py, axis, COUNT(*) AS n_occ, SUM(bb) AS blk
+           FROM jc_v GROUP BY px, py, axis)
+, jc_pr AS (SELECT COUNT(*) AS pairs_seen,
+                   SUM(CASE WHEN n_occ = 2 AND blk = 2 THEN 1 ELSE 0 END)
+                       AS j_bb,
+                   SUM(CASE WHEN blk = 1 THEN 1 ELSE 0 END) AS j_bw,
+                   SUM(CASE WHEN blk = 0 THEN 1 ELSE 0 END) AS j_ww_occ
+            FROM jc_p)
+, jc_c AS (SELECT SUM(CASE WHEN CAST(page_count AS BIGINT) >= {threshold}
+                           THEN 1 ELSE 0 END) AS n_black FROM base)
+SELECT CAST(n_black AS BIGINT) AS n_black,
+       CAST({n * n} - n_black AS BIGINT) AS n_white,
+       CAST(j_bb AS BIGINT) AS j_bb, CAST(j_bw AS BIGINT) AS j_bw,
+       CAST(j_ww_occ + {j_total} - pairs_seen AS BIGINT) AS j_ww,
+       CAST({j_total} AS BIGINT) AS j_total,
+       CAST(floor(CAST(CAST({j_total} AS HUGEINT)
+            * n_black * (n_black - 1) * 1000000 AS DOUBLE)
+            / CAST(CAST({n * n} AS HUGEINT)
+            * {n * n - 1} AS DOUBLE)) AS BIGINT) AS exp_bb_mil
+FROM jc_pr, jc_c"""

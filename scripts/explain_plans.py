@@ -2279,6 +2279,51 @@ def main() -> None:
     )
     print(f"[{'OK' if hb_ok else 'BAD'}] with_hilbert plan")
 
+    # 129. semivariogram: the curvature vote shape over 4*max_lag literal
+    # offsets — one Generate, hash aggregates only, no join/window/Python
+    from rio_cogeo_spark.operators.focal import semivariogram
+
+    sv2_plan = plan_of(semivariogram(a8_in, 5, max_lag=4))
+    sv2_ok = (
+        "Join" not in sv2_plan
+        and "Window" not in sv2_plan
+        and "BatchEvalPython" not in sv2_plan
+        and "ArrowEvalPython" not in sv2_plan
+        and len(re.findall(r"\(\d+\) Generate", sv2_plan)) == 1
+        and "HashAggregate" in sv2_plan
+    )
+    checks.append(("semivariogram single vote explode + pair aggregate",
+                   sv2_ok))
+    sections.append(
+        ("semivariogram", f"  {'PASS' if sv2_ok else 'FAIL'} "
+         "pair formation rides the offset literals, no self-join",
+         sv2_plan)
+    )
+    print(f"[{'OK' if sv2_ok else 'BAD'}] semivariogram plan")
+
+    # 130. join_counts: one Generate + pair aggregate, the only join is
+    # the trivial 1x1 cross of the two single-row folds (BroadcastNested
+    # over one row) — no window, no Python, no shuffle join
+    from rio_cogeo_spark.operators.focal import join_counts
+
+    jc_plan = plan_of(join_counts(a8_in, 5, threshold=2))
+    jc_ok = (
+        "Window" not in jc_plan
+        and "BatchEvalPython" not in jc_plan
+        and "ArrowEvalPython" not in jc_plan
+        and len(re.findall(r"\(\d+\) Generate", jc_plan)) == 1
+        and "SortMergeJoin" not in jc_plan
+        and len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", jc_plan)) == 1
+        and "HashAggregate" in jc_plan
+    )
+    checks.append(("join_counts pair aggregate + 1x1 cross only", jc_ok))
+    sections.append(
+        ("join_counts", f"  {'PASS' if jc_ok else 'FAIL'} "
+         "pair classification aggregates; single-row folds cross 1x1",
+         jc_plan)
+    )
+    print(f"[{'OK' if jc_ok else 'BAD'}] join_counts plan")
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:
