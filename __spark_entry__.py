@@ -3930,6 +3930,63 @@ def _join_counts_oracle() -> str:
     return join_counts_sql(_BASE_CTE, ZOOM, threshold=2)
 
 
+def q_kendall(spark, sf_dir):
+    """Kendall tau-b between the n_chars-bucket and token-count-bucket
+    of every document: concordant/discordant exact frequency products
+    on the joint value-frequency table (O(V²) on distinct cells, never
+    O(n²) on rows), doubled tie terms integer, one pinned tau_mil."""
+    from rio_cogeo_spark.operators.report import kendall_tau
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src = docs.select(
+        F.expr("n_chars div 100").alias("cb"),
+        TX.token_count(F.col("text")).alias("tc"),
+    ).selectExpr("cb", "tc div 10 AS tb")
+    return kendall_tau(src, "cb", "tb")
+
+
+def _kendall_oracle() -> str:
+    from rio_cogeo_spark.functions.text import TOKEN_COUNT_SQL
+    from rio_cogeo_spark.operators.report import kendall_tau_sql
+
+    inner = (
+        f"SELECT n_chars // 100 AS cb, ({TOKEN_COUNT_SQL}) // 10 AS tb"
+        " FROM documents"
+    )
+    return kendall_tau_sql(inner, "cb", "tb")
+
+
+def q_theilsen(spark, sf_dir):
+    """Theil-Sen robust slope of daily crawl volume over a triangular
+    ramp injection (day d gains d+1 extra crawls — a linear upward
+    trend): the median pairwise day-slope, FULLY exact integers via
+    the 10^10 floordiv slope key; slope_mil must read ≈ +1 doc/day."""
+    from rio_cogeo_spark.operators.report import theil_sen_days
+
+    pages = _pages(spark, sf_dir).select("ts_sec")
+    ramp = spark.range(600).select(
+        (
+            F.lit(1735689600)
+            + F.expr("CAST(floor((sqrt(8 * id + 1) - 1) / 2) AS BIGINT)")
+            * 86400
+            + F.col("id") % 1800
+        ).alias("ts_sec")
+    )
+    return theil_sen_days(pages.unionByName(ramp), "ts_sec")
+
+
+def _theilsen_oracle() -> str:
+    from rio_cogeo_spark.operators.report import theil_sen_days_sql
+
+    cte = f"""{_P}
+, ts_ramp AS (SELECT 1735689600
+    + CAST(floor((sqrt(8 * id + 1) - 1) / 2) AS BIGINT) * 86400
+    + id % 1800 AS ts_sec FROM range(600) t(id))
+, ts_all AS (SELECT ts_sec FROM pages
+             UNION ALL SELECT ts_sec FROM ts_ramp)"""
+    return theil_sen_days_sql(cte, "ts_sec", table="ts_all")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FINAL fifth-continuation rotation (ROUND5.md §113): the 12 most
     # twin-intricate new ops (footprint's nested polygonize unroll, idw,
@@ -4217,6 +4274,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keywords": q_keywords,
         "variogram": q_variogram,
         "join_counts": q_join_counts,
+        "kendall": q_kendall,
+        "theilsen": q_theilsen,
     }
 
 
@@ -5251,6 +5310,8 @@ FROM assigned GROUP BY 1, 2, 3""",
         "chunks_sliding": _chunks_sliding_oracle(),
         "variogram": _variogram_oracle(),
         "join_counts": _join_counts_oracle(),
+        "kendall": _kendall_oracle(),
+        "theilsen": _theilsen_oracle(),
     }
 
 

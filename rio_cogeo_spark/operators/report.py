@@ -2239,3 +2239,257 @@ SELECT CAST(day AS BIGINT) AS day, CAST(y AS BIGINT) AS y,
        CAST(p - pmin AS BIGINT) AS s_up,
        CAST(pmax - p AS BIGINT) AS s_dn
 FROM cu_m"""
+
+
+def kendall_tau(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Kendall's tau-b rank correlation between two integer columns —
+    the concordance-based companion of ``spearman_rho`` (robust to the
+    value scale, exact under heavy ties). One row
+    ``(n, conc, disc, tie_x2, tie_y2, tie_xy2, tau_mil)``:
+
+    * ``conc`` / ``disc`` — concordant / discordant unordered pairs,
+      counted as exact frequency products on the JOINT value-frequency
+      table (never per-row pairs);
+    * ``tie_x2 = Σ_x f_x(f_x−1)`` — DOUBLED pairs tied on x (both-tied
+      included), likewise ``tie_y2``; ``tie_xy2 = Σ f(f−1)`` doubled
+      both-tied pairs (the spearman doubled-count discipline keeps
+      every tie term integer);
+    * ``tau_mil = floor(1e6 · 2(C−D) / sqrt((n(n−1) − tie_x2) ·
+      (n(n−1) − tie_y2)))`` — the ONLY float step, one pinned double
+      expression identical on both engines (cohen_kappa sign
+      convention for either sign).
+
+    Callers bucket high-cardinality values first (e.g. ``n_chars div
+    100``) so the joint table stays small — the pair stage is
+    O(V²) on DISTINCT joint cells, not O(n²) on rows.
+
+    Scale design: ONE corpus fold to the joint value-frequency table
+    (localCheckpointed — it feeds the pair join twice and the tie
+    fold); the strict-upper-triangle pair classification is a
+    broadcast nested-loop self-join on that bounded table; two
+    single-row folds close with 1×1 crosses. No window, no per-row
+    Python, nothing O(corpus²).
+    """
+    vf = (
+        df.groupBy(
+            F.col(x_col).cast("long").alias("x"),
+            F.col(y_col).cast("long").alias("y"),
+        )
+        .agg(F.count(F.lit(1)).alias("f"))
+        .localCheckpoint(eager=True)
+    )
+    a = vf.select(
+        F.col("x").alias("xa"), F.col("y").alias("ya"),
+        F.col("f").alias("fa"),
+    )
+    b = vf.select(
+        F.col("x").alias("xb"), F.col("y").alias("yb"),
+        F.col("f").alias("fb"),
+    )
+    # canonical strict-upper-triangle enumeration of distinct-cell pairs
+    upper = (F.col("xb") > F.col("xa")) | (
+        (F.col("xb") == F.col("xa")) & (F.col("yb") > F.col("ya"))
+    )
+    ff = F.col("fa").cast("decimal(38,0)") * F.col("fb")
+    pair_row = (
+        a.join(F.broadcast(b), upper, "inner")
+        .agg(
+            F.sum(
+                F.when((F.col("xb") > F.col("xa"))
+                       & (F.col("yb") > F.col("ya")), ff)
+            ).alias("conc"),
+            F.sum(
+                F.when((F.col("xb") > F.col("xa"))
+                       & (F.col("yb") < F.col("ya")), ff)
+            ).alias("disc"),
+            F.sum(
+                F.when((F.col("xb") == F.col("xa")), ff)
+            ).alias("_tx_only"),
+            F.sum(
+                F.when((F.col("xb") > F.col("xa"))
+                       & (F.col("yb") == F.col("ya")), ff)
+            ).alias("_ty_only"),
+        )
+    )
+    cell_row = vf.agg(
+        F.sum("f").alias("n"),
+        F.sum(F.col("f").cast("decimal(38,0)")
+              * (F.col("f") - 1)).alias("tie_xy2"),
+    )
+    return (
+        pair_row.crossJoin(cell_row)
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.coalesce("conc", F.lit(0)).cast("long").alias("conc"),
+            F.coalesce("disc", F.lit(0)).cast("long").alias("disc"),
+            (F.lit(2) * F.coalesce("_tx_only", F.lit(0))
+             + F.col("tie_xy2")).cast("long").alias("tie_x2"),
+            (F.lit(2) * F.coalesce("_ty_only", F.lit(0))
+             + F.col("tie_xy2")).cast("long").alias("tie_y2"),
+            F.col("tie_xy2").cast("long").alias("tie_xy2"),
+        )
+        .selectExpr(
+            "n", "conc", "disc", "tie_x2", "tie_y2", "tie_xy2",
+            "CASE WHEN n < 2 OR cast(n as decimal(38,0)) * (n-1) = tie_x2"
+            " OR cast(n as decimal(38,0)) * (n-1) = tie_y2"
+            " THEN CAST(NULL AS BIGINT)"
+            " ELSE CAST(floor("
+            "CAST(2 * (conc - disc) * 1000000 AS DOUBLE)"
+            " / sqrt(CAST((cast(n as decimal(38,0)) * (n-1) - tie_x2)"
+            " * (cast(n as decimal(38,0)) * (n-1) - tie_y2) AS DOUBLE))"
+            ") AS BIGINT) END AS tau_mil",
+        )
+    )
+
+
+def kendall_tau_sql(inner_cte: str, x_col: str, y_col: str) -> str:
+    """DuckDB twin of :func:`kendall_tau` (HUGEINT staging) —
+    ``inner_cte`` is a SELECT exposing ``{x_col}, {y_col}``."""
+    return f"""
+WITH kt_src AS ({inner_cte}),
+kt_vf AS (SELECT CAST({x_col} AS BIGINT) AS x, CAST({y_col} AS BIGINT) AS y,
+                 COUNT(*) AS f
+          FROM kt_src GROUP BY 1, 2),
+kt_p AS (SELECT
+           SUM(CASE WHEN b.x > a.x AND b.y > a.y
+                    THEN CAST(a.f AS HUGEINT) * b.f END) AS conc,
+           SUM(CASE WHEN b.x > a.x AND b.y < a.y
+                    THEN CAST(a.f AS HUGEINT) * b.f END) AS disc,
+           SUM(CASE WHEN b.x = a.x
+                    THEN CAST(a.f AS HUGEINT) * b.f END) AS tx_only,
+           SUM(CASE WHEN b.x > a.x AND b.y = a.y
+                    THEN CAST(a.f AS HUGEINT) * b.f END) AS ty_only
+         FROM kt_vf a JOIN kt_vf b
+           ON (b.x > a.x OR (b.x = a.x AND b.y > a.y))),
+kt_c AS (SELECT SUM(f) AS n,
+                SUM(CAST(f AS HUGEINT) * (f - 1)) AS tie_xy2
+         FROM kt_vf),
+kt_f AS (SELECT CAST(n AS BIGINT) AS n,
+                CAST(COALESCE(conc, 0) AS BIGINT) AS conc,
+                CAST(COALESCE(disc, 0) AS BIGINT) AS disc,
+                CAST(2 * COALESCE(tx_only, 0) + tie_xy2 AS BIGINT)
+                    AS tie_x2,
+                CAST(2 * COALESCE(ty_only, 0) + tie_xy2 AS BIGINT)
+                    AS tie_y2,
+                CAST(tie_xy2 AS BIGINT) AS tie_xy2
+         FROM kt_p, kt_c)
+SELECT n, conc, disc, tie_x2, tie_y2, tie_xy2,
+       CASE WHEN n < 2 OR CAST(n AS HUGEINT) * (n-1) = tie_x2
+                 OR CAST(n AS HUGEINT) * (n-1) = tie_y2
+            THEN NULL
+            ELSE CAST(floor(
+              CAST(2 * (conc - disc) * 1000000 AS DOUBLE)
+              / sqrt(CAST((CAST(n AS HUGEINT) * (n-1) - tie_x2)
+                     * (CAST(n AS HUGEINT) * (n-1) - tie_y2) AS DOUBLE))
+            ) AS BIGINT) END AS tau_mil
+FROM kt_f"""
+
+
+def theil_sen_days(
+    pages: DataFrame,
+    ts_col: str = "ts_sec",
+) -> DataFrame:
+    """Theil-Sen robust trend of the daily crawl volume — the median
+    of all pairwise day-slopes (breakdown point 29%: immune to the
+    surge days that drag an OLS fit; the robust companion of
+    ``cusum_days``/``volume_anomaly``). One row
+    ``(n_days, n_pairs, key_lo, key_hi, slope_mil)``.
+
+    FULLY EXACT — no float ever: each pair's slope ``(y_j−y_i)/(d_j−d_i)``
+    is keyed by ``key = floordiv((y_j−y_i)·10^10, d_j−d_i)``, an
+    order-preserving integer encoding that is injective up to true
+    slope equality while day spans stay < 10^5 (two distinct rationals
+    a/b ≠ c/d differ by ≥ 1/(bd) > 10^-10); the median is the key at
+    ranks ``⌊(P+1)/2⌋`` / ``⌈(P+1)/2⌉`` and
+    ``slope_mil = floordiv(key_lo + key_hi, 2·10^4)``. Floor division
+    is spelled as the explicit truncate-and-adjust CASE so Spark's
+    toward-zero ``div`` and DuckDB agree at negative slopes.
+
+    Scale design: ONE map-side-combinable day fold over the corpus;
+    pair formation is a broadcast nested-loop self-join on the DAY
+    table (bounded by the calendar, not the corpus — P = D(D−1)/2);
+    one ranking window over that bounded pair table. No per-row
+    Python, nothing touches corpus rows twice.
+    """
+    days = (
+        pages.select(F.expr(f"{ts_col} div 86400").alias("d"))
+        .groupBy("d").agg(F.count(F.lit(1)).alias("y"))
+        .localCheckpoint(eager=True)
+    )
+    a = days.select(F.col("d").alias("da"), F.col("y").alias("ya"))
+    b = days.select(F.col("d").alias("db"), F.col("y").alias("yb"))
+    pairs = a.join(F.broadcast(b), F.col("db") > F.col("da"), "inner").select(
+        ((F.col("yb") - F.col("ya")).cast("decimal(38,0)")
+         * F.lit(10_000_000_000)).alias("num"),
+        (F.col("db") - F.col("da")).cast("decimal(38,0)").alias("den"),
+    ).selectExpr(
+        "CAST(CASE WHEN num % den != 0 AND num < 0"
+        " THEN num div den - 1 ELSE num div den END AS BIGINT) AS skey",
+    )
+    w = Window.orderBy("skey")
+    ranked = pairs.select(
+        "skey", F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)
+        ).alias("p"),
+    )
+    picked = ranked.filter(
+        (F.col("rk") == F.expr("(p + 1) div 2"))
+        | (F.col("rk") == F.expr("(p + 2) div 2"))
+    ).agg(
+        F.max("p").alias("n_pairs"),
+        F.min("skey").alias("key_lo"),
+        F.max("skey").alias("key_hi"),
+    )
+    nd = days.agg(F.count(F.lit(1)).alias("n_days"))
+    return picked.crossJoin(nd).selectExpr(
+        "CAST(n_days AS BIGINT) AS n_days",
+        "CAST(n_pairs AS BIGINT) AS n_pairs",
+        "CAST(key_lo AS BIGINT) AS key_lo",
+        "CAST(key_hi AS BIGINT) AS key_hi",
+        "CAST(CASE WHEN (key_lo + key_hi) % 20000 != 0"
+        " AND key_lo + key_hi < 0"
+        " THEN (key_lo + key_hi) div 20000 - 1"
+        " ELSE (key_lo + key_hi) div 20000 END AS BIGINT) AS slope_mil",
+    )
+
+
+def theil_sen_days_sql(
+    pages_cte: str, ts_col: str = "ts_sec", table: str = "pages",
+) -> str:
+    """DuckDB twin of :func:`theil_sen_days` — ``pages_cte`` exposes
+    ``{table}`` (WITH included). DuckDB's ``//`` on integers truncates
+    like Spark's ``div``, so the same adjust-CASE applies."""
+    return f"""{pages_cte}
+, ts_d AS (SELECT {ts_col} // 86400 AS d, COUNT(*) AS y
+           FROM {table} GROUP BY 1)
+, ts_p AS (SELECT CAST((b.y - a.y) AS HUGEINT) * 10000000000 AS num,
+                  CAST(b.d - a.d AS HUGEINT) AS den
+           FROM ts_d a JOIN ts_d b ON b.d > a.d)
+, ts_k AS (SELECT CAST(CASE WHEN num % den != 0 AND num < 0
+                       THEN num // den - 1 ELSE num // den END
+                       AS BIGINT) AS skey
+           FROM ts_p)
+, ts_r AS (SELECT skey, ROW_NUMBER() OVER (ORDER BY skey) AS rk,
+                  COUNT(*) OVER () AS p
+           FROM ts_k)
+, ts_m AS (SELECT MAX(p) AS n_pairs, MIN(skey) AS key_lo,
+                  MAX(skey) AS key_hi
+           FROM ts_r
+           WHERE rk = (p + 1) // 2 OR rk = (p + 2) // 2)
+, ts_n AS (SELECT COUNT(*) AS n_days FROM ts_d)
+SELECT CAST(n_days AS BIGINT) AS n_days,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(key_lo AS BIGINT) AS key_lo,
+       CAST(key_hi AS BIGINT) AS key_hi,
+       CAST(CASE WHEN (key_lo + key_hi) % 20000 != 0
+                  AND key_lo + key_hi < 0
+            THEN (CAST(key_lo AS HUGEINT) + key_hi) // 20000 - 1
+            ELSE (CAST(key_lo AS HUGEINT) + key_hi) // 20000
+            END AS BIGINT) AS slope_mil
+FROM ts_m, ts_n"""

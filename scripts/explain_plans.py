@@ -2324,6 +2324,55 @@ def main() -> None:
     )
     print(f"[{'OK' if jc_ok else 'BAD'}] join_counts plan")
 
+    # 131. kendall_tau: pair classification is a BroadcastNestedLoop
+    # self-join on the checkpointed value-frequency table (plus the two
+    # 1x1 closing crosses) — no SortMergeJoin, no Window, no Python
+    from rio_cogeo_spark.operators.report import kendall_tau
+
+    kt_in = spark.range(500).selectExpr(
+        "id % 37 AS xv", "(id * 7) % 23 AS yv"
+    )
+    kt_plan = plan_of(kendall_tau(kt_in, "xv", "yv"))
+    kt_ok = (
+        "SortMergeJoin" not in kt_plan
+        and "Window" not in kt_plan
+        and "BatchEvalPython" not in kt_plan
+        and "ArrowEvalPython" not in kt_plan
+        and len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", kt_plan)) >= 1
+        and "Scan ExistingRDD" in kt_plan  # the checkpointed vf, not a re-fold
+    )
+    checks.append(("kendall_tau broadcast pair join on checkpointed vf",
+                   kt_ok))
+    sections.append(
+        ("kendall_tau", f"  {'PASS' if kt_ok else 'FAIL'} "
+         "O(V²) on distinct cells; corpus folded once",
+         kt_plan)
+    )
+    print(f"[{'OK' if kt_ok else 'BAD'}] kendall_tau plan")
+
+    # 132. theil_sen_days: pair formation broadcast-NL on the
+    # checkpointed DAY table; the only Window ranks the bounded pair
+    # table — never corpus rows
+    from rio_cogeo_spark.operators.report import theil_sen_days
+
+    ts_in = spark.range(2000).selectExpr("(id % 40) * 86400 + id AS ts_sec")
+    ts_plan = plan_of(theil_sen_days(ts_in))
+    ts_ok = (
+        "SortMergeJoin" not in ts_plan
+        and "BatchEvalPython" not in ts_plan
+        and "ArrowEvalPython" not in ts_plan
+        and len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", ts_plan)) >= 1
+        and "Scan ExistingRDD" in ts_plan
+        and len(re.findall(r"\(\d+\) Window", ts_plan)) <= 2
+    )
+    checks.append(("theil_sen pair join + window on day table only", ts_ok))
+    sections.append(
+        ("theil_sen_days", f"  {'PASS' if ts_ok else 'FAIL'} "
+         "P = D(D−1)/2 pairs bounded by the calendar",
+         ts_plan)
+    )
+    print(f"[{'OK' if ts_ok else 'BAD'}] theil_sen_days plan")
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:

@@ -1205,3 +1205,88 @@ def test_hilbert_rejects_bad_zoom(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         with_hilbert(df, 32)
+
+
+def test_kendall_perfect_and_ties(spark):
+    """tau-b goldens: perfect concordance → +1.0 exactly; perfect
+    discordance → −1.0; the 2×2 tie textbook case → tau 0 with
+    tie_x2 = tie_y2 = 4; degenerate single-x → NULL."""
+    from rio_cogeo_spark.operators.report import kendall_tau
+
+    mk = lambda rows: spark.createDataFrame(rows, "x long, y long")
+    r = kendall_tau(mk([(1, 1), (2, 2), (3, 3), (4, 4)]), "x", "y").collect()[0]
+    assert (r.n, r.conc, r.disc, r.tau_mil) == (4, 6, 0, 1_000_000)
+
+    r = kendall_tau(mk([(1, 3), (2, 2), (3, 1)]), "x", "y").collect()[0]
+    assert (r.conc, r.disc, r.tau_mil) == (0, 3, -1_000_000)
+
+    r = kendall_tau(mk([(1, 1), (1, 2), (2, 1), (2, 2)]), "x", "y").collect()[0]
+    assert (r.conc, r.disc) == (1, 1)
+    assert (r.tie_x2, r.tie_y2, r.tie_xy2) == (4, 4, 0)
+    assert r.tau_mil == 0
+
+    r = kendall_tau(mk([(5, 1), (5, 2), (5, 3)]), "x", "y").collect()[0]
+    assert r.tau_mil is None
+
+
+def test_kendall_frequency_products(spark):
+    """Duplicated rows weight pairs by frequency products: three
+    copies of (1,1) against one (2,2) → conc = 3, tie_xy2 = 6."""
+    from rio_cogeo_spark.operators.report import kendall_tau
+
+    df = spark.createDataFrame(
+        [(1, 1)] * 3 + [(2, 2)], "x long, y long"
+    )
+    r = kendall_tau(df, "x", "y").collect()[0]
+    assert r.n == 4
+    assert r.conc == 3 and r.disc == 0
+    assert r.tie_xy2 == 6 and r.tie_x2 == 6 and r.tie_y2 == 6
+    # tau_b = 2*3*1e6 / sqrt((12-6)*(12-6)) = 1e6 exactly
+    assert r.tau_mil == 1_000_000
+
+
+def _days_frame(spark, counts):
+    """Day d gets counts[d] rows with distinct in-day timestamps."""
+    rows = [
+        (d * 86400 + i,) for d, c in enumerate(counts) for i in range(c)
+    ]
+    return spark.createDataFrame(rows, "ts_sec long")
+
+
+def test_theil_sen_perfect_line(spark):
+    """y = 5 + 3d: every pairwise slope is exactly 3 → key 3e10 at
+    both median ranks, slope_mil = 3,000,000."""
+    from rio_cogeo_spark.operators.report import theil_sen_days
+
+    df = _days_frame(spark, [5 + 3 * d for d in range(5)])
+    r = theil_sen_days(df).collect()[0]
+    assert (r.n_days, r.n_pairs) == (5, 10)
+    assert r.key_lo == r.key_hi == 3 * 10_000_000_000
+    assert r.slope_mil == 3_000_000
+
+
+def test_theil_sen_outlier_robust(spark):
+    """Constant volume with one 100× surge day: 15 of 21 pairwise
+    slopes are exactly 0 → the median ignores the outlier (an OLS fit
+    would not)."""
+    from rio_cogeo_spark.operators.report import theil_sen_days
+
+    counts = [10, 10, 10, 1000, 10, 10, 10]
+    r = theil_sen_days(_days_frame(spark, counts)).collect()[0]
+    assert r.n_pairs == 21
+    assert r.slope_mil == 0
+
+
+def test_theil_sen_negative_fractional_floor(spark):
+    """Two days spanning 3 days with Δy = −1: slope −1/3, exercising
+    the negative floor-division adjust on BOTH the key and the mil
+    reduction: key = floor(−1e10/3) = −3333333334,
+    slope_mil = floor(−1e6/3) = −333334."""
+    from rio_cogeo_spark.operators.report import theil_sen_days
+
+    rows = [(0 + i,) for i in range(10)] + [(3 * 86400 + i,) for i in range(9)]
+    df = spark.createDataFrame(rows, "ts_sec long")
+    r = theil_sen_days(df).collect()[0]
+    assert (r.n_days, r.n_pairs) == (2, 1)
+    assert r.key_lo == r.key_hi == -3333333334
+    assert r.slope_mil == -333334
