@@ -3987,6 +3987,81 @@ def _theilsen_oracle() -> str:
     return theil_sen_days_sql(cte, "ts_sec", table="ts_all")
 
 
+def q_mann_kendall(spark, sf_dir):
+    """Mann-Kendall trend significance on daily crawl volume over the
+    same triangular ramp injection as `theilsen` (the estimator /
+    test pair on one input): S exact BIGINT over calendar-bounded day
+    pairs, tie-corrected var18 exact, one pinned continuity-corrected
+    z_mil — must read strongly positive (|z| > 1.96e6 rejects
+    no-trend at 5%)."""
+    from rio_cogeo_spark.operators.report import mann_kendall_days
+
+    pages = _pages(spark, sf_dir).select("ts_sec")
+    ramp = spark.range(600).select(
+        (
+            F.lit(1735689600)
+            + F.expr("CAST(floor((sqrt(8 * id + 1) - 1) / 2) AS BIGINT)")
+            * 86400
+            + F.col("id") % 1800
+        ).alias("ts_sec")
+    )
+    return mann_kendall_days(pages.unionByName(ramp), "ts_sec")
+
+
+def _mann_kendall_oracle() -> str:
+    from rio_cogeo_spark.operators.report import mann_kendall_days_sql
+
+    cte = f"""{_P}
+, ts_ramp AS (SELECT 1735689600
+    + CAST(floor((sqrt(8 * id + 1) - 1) / 2) AS BIGINT) * 86400
+    + id % 1800 AS ts_sec FROM range(600) t(id))
+, ts_all AS (SELECT ts_sec FROM pages
+             UNION ALL SELECT ts_sec FROM ts_ramp)"""
+    return mann_kendall_days_sql(cte, "ts_sec", table="ts_all")
+
+
+def q_transitions(spark, sf_dir):
+    """First-order Markov transition table of per-user event types:
+    exact counts over lag pairs (ts + event_id tie-break), row-
+    stochastic p_ppm by integer division — NO float anywhere."""
+    from rio_cogeo_spark.streaming.events import event_transitions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return event_transitions(ev)
+
+
+def q_assortativity(spark, sf_dir):
+    """Directed out-in degree assortativity of the doc-derived host
+    digraph (the same 97-host graph as `pagerank`/`host_distance`):
+    six exact BIGINT moments over edges + one pinned Pearson r_mil."""
+    from rio_cogeo_spark.operators.graph import degree_assortativity
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    edges = (
+        docs.selectExpr(
+            "doc_id % 97 AS src", "(doc_id * 31 + 7) % 97 AS dst"
+        )
+        .filter("src <> dst")
+        .distinct()
+    )
+    return degree_assortativity(edges)
+
+
+def _transitions_oracle() -> str:
+    from rio_cogeo_spark.streaming.events import event_transitions_sql
+
+    return event_transitions_sql("events")
+
+
+def _assortativity_oracle() -> str:
+    from rio_cogeo_spark.operators.graph import degree_assortativity_sql
+
+    return degree_assortativity_sql(
+        "SELECT DISTINCT doc_id % 97 AS src, (doc_id * 31 + 7) % 97 AS dst"
+        " FROM documents WHERE doc_id % 97 <> (doc_id * 31 + 7) % 97"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FINAL fifth-continuation rotation (ROUND5.md §113): the 12 most
     # twin-intricate new ops (footprint's nested polygonize unroll, idw,
@@ -4276,6 +4351,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_counts": q_join_counts,
         "kendall": q_kendall,
         "theilsen": q_theilsen,
+        "mann_kendall": q_mann_kendall,
+        "transitions": q_transitions,
+        "assortativity": q_assortativity,
     }
 
 
@@ -5312,6 +5390,9 @@ FROM assigned GROUP BY 1, 2, 3""",
         "join_counts": _join_counts_oracle(),
         "kendall": _kendall_oracle(),
         "theilsen": _theilsen_oracle(),
+        "mann_kendall": _mann_kendall_oracle(),
+        "transitions": _transitions_oracle(),
+        "assortativity": _assortativity_oracle(),
     }
 
 

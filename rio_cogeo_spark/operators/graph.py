@@ -1028,3 +1028,109 @@ def k_core_sql(edges_cte: str, k: int, rounds: int = 3) -> str:
         f"{body}\nSELECT host, CAST(deg AS BIGINT) AS deg"
         f" FROM a{rounds - 1}"
     )
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    broadcast_degrees: bool = True,
+) -> DataFrame:
+    """Directed out-in degree assortativity of the host graph — do
+    high-fanout hosts link to high-fanin hosts? (Newman 2002: the
+    Pearson correlation, over EDGES, of the source's out-degree with
+    the target's in-degree; positive on mirror farms / link rings,
+    negative on hub-and-spoke crawl frontiers.) One row
+    ``(m_edges, sx, sy, sxy, sx2, sy2, r_mil)``:
+
+    * the six sums are exact BIGINT moments of (x, y) = (out_deg(src),
+      in_deg(dst)) over the distinct edge list;
+    * ``r_mil = floor(1e6 · (m·sxy − sx·sy) / sqrt((m·sx2 − sx²) ·
+      (m·sy2 − sy²)))`` — the ONLY float step, one pinned double
+      expression identical on both engines; NULL when either variance
+      term is 0 (degenerate regular graph).
+
+    Every edge's endpoints appear in the degree table by construction
+    (src always has out_deg ≥ 1, dst in_deg ≥ 1), so the inner joins
+    lose nothing.
+
+    Scale design: two node-bounded degree folds (map-side combinable,
+    computed independently — no full-outer degree union is needed
+    because x only ever keys on src and y on dst); the edge list — the
+    big table — is joined against them broadcast when
+    ``broadcast_degrees`` (the 10^8-host table is ~1.6 GB; flip to
+    False for a co-partitioned shuffle join beyond that), then ONE
+    combinable moment fold. Nothing collects, no window, no Python.
+    """
+    out_d = edges.groupBy(F.col(src_col).alias("__s")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    in_d = edges.groupBy(F.col(dst_col).alias("__t")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    if broadcast_degrees:
+        out_d, in_d = F.broadcast(out_d), F.broadcast(in_d)
+    xy = (
+        edges.join(out_d, F.col(src_col) == F.col("__s"), "inner")
+        .join(in_d, F.col(dst_col) == F.col("__t"), "inner")
+        .select("x", "y")
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    sums = xy.agg(
+        F.count(F.lit(1)).alias("m_edges"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(dec("x") * F.col("y")).alias("sxy"),
+        F.sum(dec("x") * F.col("x")).alias("sx2"),
+        F.sum(dec("y") * F.col("y")).alias("sy2"),
+    )
+    return sums.selectExpr(
+        "CAST(m_edges AS BIGINT) AS m_edges",
+        "CAST(sx AS BIGINT) AS sx",
+        "CAST(sy AS BIGINT) AS sy",
+        "CAST(sxy AS BIGINT) AS sxy",
+        "CAST(sx2 AS BIGINT) AS sx2",
+        "CAST(sy2 AS BIGINT) AS sy2",
+        "CASE WHEN m_edges * CAST(sx2 AS decimal(38,0)) - CAST(sx AS decimal(38,0)) * sx <= 0"
+        " OR m_edges * CAST(sy2 AS decimal(38,0)) - CAST(sy AS decimal(38,0)) * sy <= 0"
+        " THEN CAST(NULL AS BIGINT)"
+        " ELSE CAST(floor("
+        "CAST((m_edges * CAST(sxy AS decimal(38,0)) - CAST(sx AS decimal(38,0)) * sy) * 1000000 AS DOUBLE)"
+        " / sqrt(CAST(m_edges * CAST(sx2 AS decimal(38,0)) - CAST(sx AS decimal(38,0)) * sx AS DOUBLE)"
+        " * CAST(m_edges * CAST(sy2 AS decimal(38,0)) - CAST(sy AS decimal(38,0)) * sy AS DOUBLE))"
+        ") AS BIGINT) END AS r_mil",
+    )
+
+
+def degree_assortativity_sql(edges_cte: str) -> str:
+    """DuckDB twin of :func:`degree_assortativity` — ``edges_cte`` is a
+    SELECT exposing ``src, dst`` (the same distinct edge list)."""
+    return f"""
+WITH da_e AS ({edges_cte}),
+da_o AS (SELECT src AS host, COUNT(*) AS out_deg FROM da_e GROUP BY 1),
+da_i AS (SELECT dst AS host, COUNT(*) AS in_deg FROM da_e GROUP BY 1),
+da_xy AS (SELECT o.out_deg AS x, i.in_deg AS y
+          FROM da_e e
+          JOIN da_o o ON e.src = o.host
+          JOIN da_i i ON e.dst = i.host),
+da_s AS (SELECT COUNT(*) AS m_edges,
+                SUM(x) AS sx, SUM(y) AS sy,
+                SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                SUM(CAST(x AS HUGEINT) * x) AS sx2,
+                SUM(CAST(y AS HUGEINT) * y) AS sy2
+         FROM da_xy)
+SELECT CAST(m_edges AS BIGINT) AS m_edges,
+       CAST(sx AS BIGINT) AS sx,
+       CAST(sy AS BIGINT) AS sy,
+       CAST(sxy AS BIGINT) AS sxy,
+       CAST(sx2 AS BIGINT) AS sx2,
+       CAST(sy2 AS BIGINT) AS sy2,
+       CASE WHEN m_edges * CAST(sx2 AS HUGEINT) - CAST(sx AS HUGEINT) * sx <= 0
+              OR m_edges * CAST(sy2 AS HUGEINT) - CAST(sy AS HUGEINT) * sy <= 0
+            THEN NULL
+            ELSE CAST(floor(
+              CAST((m_edges * CAST(sxy AS HUGEINT) - CAST(sx AS HUGEINT) * sy) * 1000000 AS DOUBLE)
+              / sqrt(CAST(m_edges * CAST(sx2 AS HUGEINT) - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                     * CAST(m_edges * CAST(sy2 AS HUGEINT) - CAST(sy AS HUGEINT) * sy AS DOUBLE))
+            ) AS BIGINT) END AS r_mil
+FROM da_s"""

@@ -2493,3 +2493,120 @@ SELECT CAST(n_days AS BIGINT) AS n_days,
             ELSE (CAST(key_lo AS HUGEINT) + key_hi) // 20000
             END AS BIGINT) AS slope_mil
 FROM ts_m, ts_n"""
+
+
+def mann_kendall_days(
+    pages: DataFrame,
+    ts_col: str = "ts_sec",
+) -> DataFrame:
+    """Mann-Kendall trend SIGNIFICANCE test on daily crawl volume —
+    the hypothesis-test companion of :func:`theil_sen_days` (which
+    estimates the slope; this one asks whether a monotone trend exists
+    at all). One row ``(n_days, s_stat, tie_term, var18, z_mil)``:
+
+    * ``s_stat = Σ_{i<j} sgn(y_j − y_i)`` over day pairs in day order —
+      exact BIGINT (the classic MK S statistic);
+    * ``tie_term = Σ_groups t(t−1)(2t+5)`` over groups of days tied on
+      volume, ``var18 = n(n−1)(2n+5) − tie_term`` — 18·Var(S), exact
+      (the standard tie-corrected variance, Kendall 1975);
+    * ``z_mil = floor(1e6 · (S − sgn(S)) / sqrt(var18/18))`` — the
+      continuity-corrected normal score, the ONLY float step, one
+      pinned double expression identical on both engines; NULL when
+      ``var18 = 0`` (fewer than 2 days, or all days tied).
+
+    |z| > 1.96e6 rejects "no trend" at 5% — the crawl-ops alarm for
+    "volume is drifting", robust to distribution shape.
+
+    Scale design: ONE map-side-combinable day fold over the corpus
+    (localCheckpointed — it feeds the pair join, the tie fold, and the
+    n fold); pair classification is a broadcast nested-loop self-join
+    on the DAY table (P = D(D−1)/2, bounded by the calendar, not the
+    corpus); three single-row folds close with 1×1 crosses. No window,
+    no per-row Python, nothing O(corpus²).
+    """
+    days = (
+        pages.select(F.expr(f"{ts_col} div 86400").alias("d"))
+        .groupBy("d").agg(F.count(F.lit(1)).alias("y"))
+        .localCheckpoint(eager=True)
+    )
+    a = days.select(F.col("d").alias("da"), F.col("y").alias("ya"))
+    b = days.select(F.col("d").alias("db"), F.col("y").alias("yb"))
+    s_row = (
+        a.join(F.broadcast(b), F.col("db") > F.col("da"), "inner")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("yb") > F.col("ya"), 1)
+                    .when(F.col("yb") < F.col("ya"), -1)
+                    .otherwise(0)
+                ),
+                F.lit(0),
+            ).cast("long").alias("s_stat")
+        )
+    )
+    tie_row = (
+        days.groupBy("y").agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t").cast("decimal(38,0)")
+                    * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            ).cast("long").alias("tie_term")
+        )
+    )
+    n_row = days.agg(F.count(F.lit(1)).alias("n_days"))
+    return (
+        s_row.crossJoin(tie_row).crossJoin(n_row)
+        .selectExpr(
+            "CAST(n_days AS BIGINT) AS n_days",
+            "s_stat",
+            "tie_term",
+            "CAST(cast(n_days as decimal(38,0)) * (n_days - 1)"
+            " * (2 * n_days + 5) - tie_term AS BIGINT) AS var18",
+        )
+        .selectExpr(
+            "n_days", "s_stat", "tie_term", "var18",
+            "CASE WHEN var18 <= 0 THEN CAST(NULL AS BIGINT)"
+            " ELSE CAST(floor("
+            "CAST((s_stat - (CASE WHEN s_stat > 0 THEN 1"
+            " WHEN s_stat < 0 THEN -1 ELSE 0 END)) * 1000000 AS DOUBLE)"
+            " / sqrt(CAST(var18 AS DOUBLE) / 18.0)"
+            ") AS BIGINT) END AS z_mil",
+        )
+    )
+
+
+def mann_kendall_days_sql(
+    pages_cte: str, ts_col: str = "ts_sec", table: str = "pages",
+) -> str:
+    """DuckDB twin of :func:`mann_kendall_days` — ``pages_cte`` exposes
+    ``{table}`` (WITH included). HUGEINT staging; the z expression is
+    the byte-identical pinned double."""
+    return f"""{pages_cte}
+, mk_d AS (SELECT {ts_col} // 86400 AS d, COUNT(*) AS y
+           FROM {table} GROUP BY 1)
+, mk_s AS (SELECT CAST(COALESCE(SUM(CASE WHEN b.y > a.y THEN 1
+                                         WHEN b.y < a.y THEN -1
+                                         ELSE 0 END), 0) AS BIGINT)
+                  AS s_stat
+           FROM mk_d a JOIN mk_d b ON b.d > a.d)
+, mk_t AS (SELECT CAST(COALESCE(SUM(CAST(t AS HUGEINT) * (t - 1)
+                                    * (2 * t + 5)), 0) AS BIGINT)
+                  AS tie_term
+           FROM (SELECT COUNT(*) AS t FROM mk_d GROUP BY y))
+, mk_n AS (SELECT COUNT(*) AS n_days FROM mk_d)
+, mk_v AS (SELECT CAST(n_days AS BIGINT) AS n_days, s_stat, tie_term,
+                  CAST(CAST(n_days AS HUGEINT) * (n_days - 1)
+                       * (2 * n_days + 5) - tie_term AS BIGINT) AS var18
+           FROM mk_s, mk_t, mk_n)
+SELECT n_days, s_stat, tie_term, var18,
+       CASE WHEN var18 <= 0 THEN NULL
+            ELSE CAST(floor(
+              CAST((s_stat - (CASE WHEN s_stat > 0 THEN 1
+                              WHEN s_stat < 0 THEN -1 ELSE 0 END))
+                   * 1000000 AS DOUBLE)
+              / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+            ) AS BIGINT) END AS z_mil
+FROM mk_v"""

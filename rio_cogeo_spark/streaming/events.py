@@ -138,3 +138,66 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         )
         .select("user_id", "session_id", "n_events", "t_start_sec", "t_end_sec")
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition table of per-user event types —
+    which event follows which (the navigation-model input for crawl
+    scheduling and session analysis). One row per observed
+    ``(prev_type, curr_type)`` pair:
+
+    * ``cnt`` — exact transition count over consecutive per-user events
+      (ordered by ``ts_col`` with ``id_col`` tie-break, so the sequence
+      is deterministic under equal timestamps);
+    * ``p_ppm = (cnt · 10^6) div row_total`` — the row-stochastic
+      transition probability in exact ppm (integer division: NO float
+      anywhere, the table hashes identically cross-engine).
+
+    Scale design: ONE exchange of the event log by ``user_col`` (the
+    lag window's partitioning — the irreducible movement for any
+    per-user sequence op), then a map-side-combinable pair fold; the
+    row-normalizing window runs on the TYPE×TYPE table (bounded by the
+    event vocabulary, never the log). No per-row Python.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = (
+        events.select(
+            F.lag(type_col).over(w).alias("prev_type"),
+            F.col(type_col).alias("curr_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+    )
+    counts = pairs.groupBy("prev_type", "curr_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wt = Window.partitionBy("prev_type")
+    return (
+        counts.withColumn("row_total", F.sum("cnt").over(wt))
+        .selectExpr(
+            "prev_type", "curr_type", "cnt",
+            "CAST((cnt * 1000000) div row_total AS BIGINT) AS p_ppm",
+        )
+    )
+
+
+def event_transitions_sql(table: str = "events") -> str:
+    """DuckDB twin of :func:`event_transitions` over ``{table}`` with
+    the standard events schema (user_id, event_type, ts, event_id)."""
+    return f"""
+WITH tr_p AS (SELECT LAG(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id)
+                     AS prev_type,
+                     event_type AS curr_type
+              FROM {table}),
+tr_c AS (SELECT prev_type, curr_type, COUNT(*) AS cnt
+         FROM tr_p WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+SELECT prev_type, curr_type, cnt,
+       CAST((cnt * 1000000) // SUM(cnt) OVER (PARTITION BY prev_type)
+            AS BIGINT) AS p_ppm
+FROM tr_c"""

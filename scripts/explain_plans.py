@@ -2373,6 +2373,81 @@ def main() -> None:
     )
     print(f"[{'OK' if ts_ok else 'BAD'}] theil_sen_days plan")
 
+    # 133. mann_kendall_days: pair classification broadcast-NL on the
+    # checkpointed DAY table; no SortMergeJoin, no Window, no Python
+    from rio_cogeo_spark.operators.report import mann_kendall_days
+
+    mk_in = spark.range(3000).selectExpr("(id % 50) * 86400 + id AS ts_sec")
+    mk_plan = plan_of(mann_kendall_days(mk_in))
+    mk_ok = (
+        "SortMergeJoin" not in mk_plan
+        and "Window" not in mk_plan
+        and "BatchEvalPython" not in mk_plan
+        and "ArrowEvalPython" not in mk_plan
+        and len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", mk_plan)) >= 1
+        and "Scan ExistingRDD" in mk_plan  # the checkpointed day table
+    )
+    checks.append(("mann_kendall broadcast pair join on checkpointed days",
+                   mk_ok))
+    sections.append(
+        ("mann_kendall_days", f"  {'PASS' if mk_ok else 'FAIL'} "
+         "S over calendar-bounded day pairs; corpus folded once",
+         mk_plan)
+    )
+    print(f"[{'OK' if mk_ok else 'BAD'}] mann_kendall_days plan")
+
+    # 134. event_transitions: exactly two Windows — the lag on the
+    # user-partitioned log (the irreducible exchange) and the
+    # row-normalizer on the TYPE×TYPE table; no joins, no Python
+    from rio_cogeo_spark.streaming.events import event_transitions
+
+    tr_in = spark.range(5000).selectExpr(
+        "CAST(id % 97 AS STRING) AS user_id",
+        "CAST(id % 7 AS STRING) AS event_type",
+        "id * 13 % 10000 AS ts",
+        "id AS event_id",
+    )
+    tr_plan = plan_of(event_transitions(tr_in))
+    tr_ok = (
+        "BatchEvalPython" not in tr_plan
+        and "ArrowEvalPython" not in tr_plan
+        and "Join" not in tr_plan
+        and len(re.findall(r"\(\d+\) Window", tr_plan)) == 2
+        and len(re.findall(r"\(\d+\) Exchange", tr_plan)) <= 3
+    )
+    checks.append(("event_transitions two windows, <=3 exchanges, no join",
+                   tr_ok))
+    sections.append(
+        ("event_transitions", f"  {'PASS' if tr_ok else 'FAIL'} "
+         "one user-keyed exchange; normalizer window on vocab² table",
+         tr_plan)
+    )
+    print(f"[{'OK' if tr_ok else 'BAD'}] event_transitions plan")
+
+    # 135. degree_assortativity: both degree tables broadcast onto the
+    # edge list (two BroadcastHashJoins), single-row moment fold — no
+    # SortMergeJoin, no Window, no Python
+    from rio_cogeo_spark.operators.graph import degree_assortativity
+
+    da_in = spark.range(4000).selectExpr(
+        "id % 211 AS src", "(id * 31 + 7) % 211 AS dst"
+    ).filter("src <> dst").distinct()
+    da_plan = plan_of(degree_assortativity(da_in))
+    da_ok = (
+        "SortMergeJoin" not in da_plan
+        and "Window" not in da_plan
+        and "BatchEvalPython" not in da_plan
+        and "ArrowEvalPython" not in da_plan
+        and len(re.findall(r"\(\d+\) BroadcastHashJoin", da_plan)) >= 2
+    )
+    checks.append(("assortativity degrees broadcast onto edges", da_ok))
+    sections.append(
+        ("degree_assortativity", f"  {'PASS' if da_ok else 'FAIL'} "
+         "edge list never shuffles; two node-bounded degree folds",
+         da_plan)
+    )
+    print(f"[{'OK' if da_ok else 'BAD'}] degree_assortativity plan")
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:

@@ -2968,3 +2968,116 @@ def test_robots_filter_semantics_and_twin(spark):
         ).fetchall()
     )
     assert kept == want
+
+
+def test_mann_kendall_monotone_no_ties(spark):
+    import math
+
+    from rio_cogeo_spark.operators.report import mann_kendall_days
+
+    # 5 days with volumes 1,2,3,4,5 — all C(5,2)=10 pairs concordant
+    rows = [(d * 86400 + i,) for d in range(5) for i in range(d + 1)]
+    got = mann_kendall_days(
+        spark.createDataFrame(rows, "ts_sec long")
+    ).collect()[0]
+    assert (got["n_days"], got["s_stat"], got["tie_term"]) == (5, 10, 0)
+    assert got["var18"] == 5 * 4 * 15  # n(n-1)(2n+5), no ties
+    assert got["z_mil"] == math.floor(9e6 / math.sqrt(300 / 18.0))
+    assert got["z_mil"] > 1_960_000  # significant at 5%
+
+
+def test_mann_kendall_decreasing_is_antisymmetric(spark):
+    from rio_cogeo_spark.operators.report import mann_kendall_days
+
+    up = [(d * 86400 + i,) for d in range(5) for i in range(d + 1)]
+    down = [(d * 86400 + i,) for d in range(5) for i in range(5 - d)]
+    g_up = mann_kendall_days(
+        spark.createDataFrame(up, "ts_sec long")
+    ).collect()[0]
+    g_dn = mann_kendall_days(
+        spark.createDataFrame(down, "ts_sec long")
+    ).collect()[0]
+    assert g_dn["s_stat"] == -g_up["s_stat"]
+    assert g_dn["var18"] == g_up["var18"]
+    # continuity correction is sign-symmetric -> exact negation
+    assert g_dn["z_mil"] == -g_up["z_mil"] or (
+        g_dn["z_mil"] + g_up["z_mil"] in (-1, 0)
+    )  # floor() of x vs -x may differ by 1 off-integer
+
+
+def test_mann_kendall_all_tied_and_single_day_null(spark):
+    from rio_cogeo_spark.operators.report import mann_kendall_days
+
+    # 4 days, 2 events each: one tie group t=4 -> var18 = 0 -> NULL z
+    tied = [(d * 86400 + i,) for d in range(4) for i in range(2)]
+    got = mann_kendall_days(
+        spark.createDataFrame(tied, "ts_sec long")
+    ).collect()[0]
+    assert got["s_stat"] == 0 and got["var18"] == 0
+    assert got["z_mil"] is None
+    one = mann_kendall_days(
+        spark.createDataFrame([(10,), (20,)], "ts_sec long")
+    ).collect()[0]
+    assert (got := one)["n_days"] == 1 and got["z_mil"] is None
+
+
+def test_event_transitions_hand_computed(spark):
+    from rio_cogeo_spark.streaming.events import event_transitions
+
+    rows = [
+        # user A: x -> y -> x
+        ("A", "x", 100, 1), ("A", "y", 200, 2), ("A", "x", 300, 3),
+        # user B: x -> x
+        ("B", "x", 100, 4), ("B", "x", 200, 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, event_type string, ts long, event_id long"
+    )
+    got = {
+        (r["prev_type"], r["curr_type"]): (r["cnt"], r["p_ppm"])
+        for r in event_transitions(df).collect()
+    }
+    assert got == {
+        ("x", "y"): (1, 500_000),
+        ("x", "x"): (1, 500_000),
+        ("y", "x"): (1, 1_000_000),
+    }
+
+
+def test_event_transitions_tie_break_deterministic(spark):
+    from rio_cogeo_spark.streaming.events import event_transitions
+
+    # equal timestamps: order fixed by event_id -> a,b,c exactly
+    rows = [("U", "b", 100, 2), ("U", "c", 100, 3), ("U", "a", 100, 1)]
+    df = spark.createDataFrame(
+        rows, "user_id string, event_type string, ts long, event_id long"
+    )
+    got = {
+        (r["prev_type"], r["curr_type"]) for r in event_transitions(df).collect()
+    }
+    assert got == {("a", "b"), ("b", "c")}
+
+
+def test_degree_assortativity_hand_computed(spark):
+    from rio_cogeo_spark.operators.graph import degree_assortativity
+
+    # edges: a->b, a->c, d->b
+    # (x,y) per edge: (2,2), (2,1), (1,2) -> r = -0.5 exactly
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("d", "b")], "src string, dst string"
+    )
+    got = degree_assortativity(edges).collect()[0]
+    assert (got["m_edges"], got["sx"], got["sy"]) == (3, 5, 5)
+    assert (got["sxy"], got["sx2"], got["sy2"]) == (8, 9, 9)
+    assert got["r_mil"] == -500_000
+
+
+def test_degree_assortativity_degenerate_null(spark):
+    from rio_cogeo_spark.operators.graph import degree_assortativity
+
+    # star: x constant (out_deg 3 on every edge) -> zero variance -> NULL
+    edges = spark.createDataFrame(
+        [("h", "a"), ("h", "b"), ("h", "c")], "src string, dst string"
+    )
+    got = degree_assortativity(edges).collect()[0]
+    assert got["r_mil"] is None and got["m_edges"] == 3
