@@ -4062,6 +4062,31 @@ def _assortativity_oracle() -> str:
     )
 
 
+def q_terrain_idx(spark, sf_dir):
+    """gdaldem TRI/TPI/roughness edge-aware variant over the z8 density
+    surface — unlike `terrain` (terrain_rugged: 8x-scaled whole-window
+    sums), this computes the per-cell MEAN-based Wilson TRI in exact
+    mil with the clipped-window in-bounds neighbor count n_nb (GDAL
+    -compute_edges semantics): tri_mil = (Σ|z_nb−z|·10^6) div n_nb
+    (exact int division on non-negative operands), TPI numerator
+    z·n_nb − Σz_nb exact BIGINT with the ONE pinned double floor for
+    its (possibly negative) mil, roughness max−min exact. Same
+    vote-explode + 9-slot fold plan as hillshade."""
+    from rio_cogeo_spark.operators.focal import terrain_indices
+
+    base = base_tiles(_pages(spark, sf_dir), ZOOM)
+    return terrain_indices(base, ZOOM)
+
+
+def _terrain_idx_oracle() -> str:
+    from rio_cogeo_spark.operators.focal import terrain_indices_sql
+
+    inner = terrain_indices_sql(
+        "SELECT tile_x, tile_y, page_count FROM base", ZOOM
+    ).split("WITH ", 1)[1]
+    return f"{_BASE_CTE},\n{inner}"
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FINAL fifth-continuation rotation (ROUND5.md §113): the 12 most
     # twin-intricate new ops (footprint's nested polygonize unroll, idw,
@@ -4354,6 +4379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_kendall": q_mann_kendall,
         "transitions": q_transitions,
         "assortativity": q_assortativity,
+        "terrain_idx": q_terrain_idx,
     }
 
 
@@ -5393,6 +5419,7 @@ FROM assigned GROUP BY 1, 2, 3""",
         "mann_kendall": _mann_kendall_oracle(),
         "transitions": _transitions_oracle(),
         "assortativity": _assortativity_oracle(),
+        "terrain_idx": _terrain_idx_oracle(),
     }
 
 

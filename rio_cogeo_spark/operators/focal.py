@@ -2536,3 +2536,175 @@ SELECT CAST(n_black AS BIGINT) AS n_black,
             / CAST(CAST({n * n} AS HUGEINT)
             * {n * n - 1} AS DOUBLE)) AS BIGINT) AS exp_bb_mil
 FROM jc_pr, jc_c"""
+
+
+# gdaldem terrain-index slots (screen offsets, x east / y south) — the
+# same Horn window letters as :func:`hillshade`.
+_TERRAIN_SLOTS = (
+    ("a", -1, -1), ("b", 0, -1), ("c", 1, -1),
+    ("d", -1, 0), ("e", 0, 0), ("f", 1, 0),
+    ("g", -1, 1), ("h", 0, 1), ("i", 1, 1),
+)
+
+
+def _terrain_stage1(edge: int) -> list[str]:
+    """The shared (textually identical on both engines) neighbor-window
+    reductions over the nine slot columns ``a..i`` and the cell coords
+    ``nx, ny`` — per-slot in-bounds CASEs exclude edge-clipped window
+    positions (GDAL computes edge cells over the clipped window too;
+    density semantics keep absent IN-BOUNDS neighbors at elevation 0)."""
+    nb = [s for s in _TERRAIN_SLOTS if s[0] != "e"]
+
+    def inb(dx: int, dy: int) -> str:
+        return (f"nx + {dx} BETWEEN 0 AND {edge}"
+                f" AND ny + {dy} BETWEEN 0 AND {edge}").replace("+ -", "- ")
+
+    n_nb = " + ".join(
+        f"(CASE WHEN {inb(dx, dy)} THEN 1 ELSE 0 END)" for _, dx, dy in nb
+    )
+    tri_sum = " + ".join(
+        f"(CASE WHEN {inb(dx, dy)} THEN abs({s} - e) ELSE 0 END)"
+        for s, dx, dy in nb
+    )
+    sum_nb = " + ".join(
+        f"(CASE WHEN {inb(dx, dy)} THEN {s} ELSE 0 END)" for s, dx, dy in nb
+    )
+    # excluded slots substitute e — neutral for both extremes since the
+    # center cell always participates in the roughness window
+    vmax = ", ".join(
+        f"(CASE WHEN {inb(dx, dy)} THEN {s} ELSE e END)" for s, dx, dy in nb
+    )
+    return [
+        "nx AS tile_x", "ny AS tile_y",
+        "CAST(e AS BIGINT) AS z",
+        f"CAST({n_nb} AS BIGINT) AS n_nb",
+        f"CAST({tri_sum} AS BIGINT) AS tri_sum",
+        f"CAST({sum_nb} AS BIGINT) AS sum_nb",
+        f"CAST(greatest(e, {vmax}) AS BIGINT) AS vmax",
+        f"CAST(least(e, {vmax}) AS BIGINT) AS vmin",
+    ]
+
+
+def _terrain_stage2(intdiv: str) -> list[str]:
+    """Final projections; ``intdiv`` is the engine's integer-division
+    token (Spark ``div`` / DuckDB ``//`` — only applied to NON-NEGATIVE
+    operands, where truncation and floor agree). ``tpi_num`` can be
+    negative, so its mil quotient is the ONE pinned double floor."""
+    return [
+        "tile_x", "tile_y", "z", "n_nb", "tri_sum",
+        f"CAST((tri_sum * 1000000) {intdiv} n_nb AS BIGINT) AS tri_mil",
+        "CAST(z * n_nb - sum_nb AS BIGINT) AS tpi_num",
+        "CAST(floor(CAST(z * n_nb - sum_nb AS DOUBLE) * 1000000"
+        " / n_nb) AS BIGINT) AS tpi_mil",
+        "CAST(vmax - vmin AS BIGINT) AS rough",
+    ]
+
+
+def terrain_indices(
+    tiles: DataFrame,
+    zoom: int,
+    value_col: str = "page_count",
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+) -> DataFrame:
+    """gdaldem TRI / TPI / roughness over the density grid — the three
+    remaining ``gdaldem`` modes beside :func:`hillshade`,
+    :func:`aspect8` and the slope/color-relief ops (GDAL
+    ``gdaldem tri|tpi|roughness``; reference's raster model is the same
+    block grid, utils.py:125-140). One row per OCCUPIED cell:
+
+    * ``tri_sum`` — Σ|z_nb − z| over in-bounds neighbors, exact BIGINT
+      (Wilson TRI numerator); ``tri_mil = (tri_sum·10^6) div n_nb`` —
+      the Wilson mean-absolute-difference TRI in exact mil (integer
+      division on non-negative operands: floor == truncate on both
+      engines, NO float);
+    * ``tpi_num = z·n_nb − Σ z_nb`` — exact BIGINT topographic-position
+      numerator; ``tpi_mil = floor(1e6·tpi_num/n_nb)`` — the ONLY
+      pinned double step (tpi can be negative, where int-div semantics
+      diverge across engines);
+    * ``rough = max − min`` over the in-bounds window INCLUDING the
+      center — exact BIGINT (GDAL roughness).
+
+    Absent in-bounds neighbors are elevation 0 (density semantics, as
+    :func:`focal_stats`); edge-clipped positions are EXCLUDED from
+    every reduction (``n_nb`` ∈ 3..8), matching GDAL's
+    ``-compute_edges`` clipped-window behavior.
+
+    Scale design: identical to :func:`hillshade` — one literal-offset
+    vote explode + ONE combinable 9-slot conditional-sum aggregate on
+    the neighbor key, then two pure projections. Grid-bounded
+    (≤ 4^zoom rows), no window, no join, no Python.
+    """
+    n = F.lit(2 ** zoom)
+    off = F.explode(
+        F.array(*[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in _offsets(1)
+        ])
+    ).alias("off")
+    votes = tiles.select(
+        F.col(x_col).cast("long").alias("_sx"),
+        F.col(y_col).cast("long").alias("_sy"),
+        F.col(value_col).cast("long").alias("_v"),
+        off,
+    ).select(
+        (F.col("_sx") + F.col("off.dx")).alias("nx"),
+        (F.col("_sy") + F.col("off.dy")).alias("ny"),
+        (-F.col("off.dx")).alias("rx"),
+        (-F.col("off.dy")).alias("ry"),
+        F.col("_v"),
+    ).filter(
+        (F.col("nx") >= 0) & (F.col("nx") < n)
+        & (F.col("ny") >= 0) & (F.col("ny") < n)
+    )
+
+    def slot(rx, ry):
+        return F.sum(
+            F.when((F.col("rx") == rx) & (F.col("ry") == ry), F.col("_v"))
+            .otherwise(F.lit(0))
+        )
+
+    g9 = votes.groupBy("nx", "ny").agg(
+        *[slot(dx, dy).alias(s) for s, dx, dy in _TERRAIN_SLOTS],
+        F.max(
+            F.when((F.col("rx") == 0) & (F.col("ry") == 0), F.lit(1))
+            .otherwise(F.lit(0))
+        ).alias("_occ"),
+    )
+    return (
+        g9.filter(F.col("_occ") == 1)
+        .selectExpr(*_terrain_stage1(2 ** zoom - 1))
+        .selectExpr(*_terrain_stage2("div"))
+    )
+
+
+def terrain_indices_sql(
+    tiles_cte: str, zoom: int, value_col: str = "page_count",
+) -> str:
+    """DuckDB twin of :func:`terrain_indices` — identical slot folds and
+    textually identical stage-1/stage-2 reductions (int-div token ``//``
+    on the non-negative TRI quotient only)."""
+    edge = 2 ** zoom - 1
+    slots = ", ".join(
+        f"SUM(CASE WHEN rx = {dx} AND ry = {dy} THEN v ELSE 0 END) AS {s}"
+        for s, dx, dy in _TERRAIN_SLOTS
+    )
+    s1 = ",\n                ".join(_terrain_stage1(edge))
+    s2 = ",\n       ".join(_terrain_stage2("//"))
+    return f"""
+WITH ti_t AS ({tiles_cte}),
+ti_v AS (SELECT t.tile_x + o1.dx AS nx, t.tile_y + o2.dy AS ny,
+                -o1.dx AS rx, -o2.dy AS ry,
+                CAST({value_col} AS BIGINT) AS v
+         FROM ti_t t,
+              (VALUES (-1), (0), (1)) o1(dx),
+              (VALUES (-1), (0), (1)) o2(dy)
+         WHERE t.tile_x + o1.dx BETWEEN 0 AND {edge}
+           AND t.tile_y + o2.dy BETWEEN 0 AND {edge}),
+ti_g AS (SELECT nx, ny, {slots},
+                MAX(CASE WHEN rx = 0 AND ry = 0 THEN 1 ELSE 0 END) AS occ
+         FROM ti_v GROUP BY 1, 2),
+ti_1 AS (SELECT {s1}
+         FROM ti_g WHERE occ = 1)
+SELECT {s2}
+FROM ti_1"""

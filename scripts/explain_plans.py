@@ -2448,6 +2448,35 @@ def main() -> None:
     )
     print(f"[{'OK' if da_ok else 'BAD'}] degree_assortativity plan")
 
+    # 136. terrain_indices: same shape as terrain_rugged — one vote
+    # explode + ONE combinable 9-slot aggregate, then two pure
+    # projections; no join, no window, no Python, exactly one Exchange
+    # (the neighbor-key partial->final agg)
+    from rio_cogeo_spark.operators.focal import terrain_indices
+
+    ti_in = spark.range(3000).selectExpr(
+        "id % 32 AS tile_x", "(id * 7) % 32 AS tile_y",
+        "id % 17 + 1 AS page_count",
+    )
+    ti_plan = plan_of(terrain_indices(ti_in, 5))
+    ti_ok = (
+        "Join" not in ti_plan
+        and "Window" not in ti_plan
+        and "BatchEvalPython" not in ti_plan
+        and "ArrowEvalPython" not in ti_plan
+        and "HashAggregate" in ti_plan
+        and "Generate" in ti_plan
+        and len(re.findall(r"\(\d+\) Exchange", ti_plan)) == 1
+    )
+    checks.append(("terrain_indices vote explode + single 9-slot "
+                   "aggregate, one exchange, no join/window", ti_ok))
+    sections.append(
+        ("terrain_indices", f"  {'PASS' if ti_ok else 'FAIL'} "
+         "one explode + one combinable aggregate, two pure projections",
+         ti_plan)
+    )
+    print(f"[{'OK' if ti_ok else 'BAD'}] terrain_indices plan")
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:

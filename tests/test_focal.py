@@ -1037,3 +1037,70 @@ def test_polygonize_labels_are_min_cell_key(spark):
     labels = {r.label for r in out}
     assert labels == {2 * 8 + 3}  # min key: (3,2) -> y*8+x = 19
     assert all(r.region_cells == 3 for r in out)
+
+
+def test_terrain_indices_interior_and_corner(spark):
+    """terrain_indices (clipped-window gdaldem variant): an interior
+    lone spike has n_nb=8 and mean-TRI == v; a lone CORNER cell has
+    n_nb=3 (edge-clipped positions excluded from every reduction)."""
+    from rio_cogeo_spark.operators.focal import terrain_indices
+
+    spike = spark.createDataFrame(
+        [(4, 4, 7)], "tile_x long, tile_y long, page_count long",
+    )
+    rows = {(r.tile_x, r.tile_y): r for r in
+            terrain_indices(spike, 4).collect()}
+    assert set(rows) == {(4, 4)}
+    r = rows[(4, 4)]
+    assert r.n_nb == 8 and r.tri_sum == 56 and r.tri_mil == 7_000_000
+    assert r.tpi_num == 56 and r.tpi_mil == 7_000_000 and r.rough == 7
+
+    corner = spark.createDataFrame(
+        [(0, 0, 5)], "tile_x long, tile_y long, page_count long",
+    )
+    rows = {(r.tile_x, r.tile_y): r for r in
+            terrain_indices(corner, 4).collect()}
+    c = rows[(0, 0)]
+    assert c.n_nb == 3 and c.tri_sum == 15 and c.tri_mil == 5_000_000
+    assert c.tpi_num == 15 and c.tpi_mil == 5_000_000 and c.rough == 5
+
+
+def test_terrain_indices_negative_tpi_floor(spark):
+    """TPI mil uses a true FLOOR (not truncate-toward-zero) on the one
+    negative-capable quotient: corner z=1 with in-bounds neighbor sum
+    10 gives tpi_num=-7, tpi_mil=floor(-7e6/3)=-2333334."""
+    from rio_cogeo_spark.operators.focal import terrain_indices
+
+    cells = [(0, 0, 1), (1, 0, 9), (0, 1, 1)]
+    df = spark.createDataFrame(
+        cells, "tile_x long, tile_y long, page_count long",
+    )
+    rows = {(r.tile_x, r.tile_y): r for r in
+            terrain_indices(df, 4).collect()}
+    c = rows[(0, 0)]
+    assert c.n_nb == 3
+    assert c.tpi_num == -7  # 1*3 - (9 + 1 + 0)
+    assert c.tpi_mil == -2_333_334
+    # pit: TPI negative, divisible case stays exact
+    ring = [(x, y, 9) for x in (3, 4, 5) for y in (3, 4, 5)
+            if (x, y) != (4, 4)] + [(4, 4, 1)]
+    pit = spark.createDataFrame(
+        ring, "tile_x long, tile_y long, page_count long",
+    )
+    rows = {(r.tile_x, r.tile_y): r for r in
+            terrain_indices(pit, 4).collect()}
+    p = rows[(4, 4)]
+    assert p.tpi_num == -64 and p.tpi_mil == -8_000_000
+    assert p.tri_sum == 64 and p.tri_mil == 8_000_000 and p.rough == 8
+
+
+def test_terrain_indices_only_occupied_cells(spark):
+    """Cells that receive neighbor votes but have no own row are NOT
+    emitted (occupied-cell contract, same as terrain_rugged)."""
+    from rio_cogeo_spark.operators.focal import terrain_indices
+
+    df = spark.createDataFrame(
+        [(4, 4, 7)], "tile_x long, tile_y long, page_count long",
+    )
+    out = terrain_indices(df, 4).collect()
+    assert {(r.tile_x, r.tile_y) for r in out} == {(4, 4)}
