@@ -4087,6 +4087,34 @@ def _terrain_idx_oracle() -> str:
     return f"{_BASE_CTE},\n{inner}"
 
 
+def q_knox(spark, sf_dir):
+    """Knox space-time interaction over the crawl: pages on the z8 cell
+    grid × 600-second warc_ts buckets — exact close-pair counts (space /
+    time / both, Chebyshev-radius-1) via three dual-role vote explodes
+    (27/9/3 offsets, ONE pair-key aggregate each, no self-join) and the
+    knox ratio X·P/(S·T) in mil as the ONE pinned double."""
+    from rio_cogeo_spark.operators.focal import knox_stat
+    from rio_cogeo_spark.synth import WARC_EPOCH
+
+    pts = assign_tiles(_pages(spark, sf_dir), ZOOM).select(
+        "tile_x", "tile_y",
+        F.expr(f"(ts_sec - {WARC_EPOCH}) div 600").alias("t_bucket"),
+    )
+    return knox_stat(pts)
+
+
+def _knox_oracle() -> str:
+    from rio_cogeo_spark.operators.focal import knox_stat_sql
+    from rio_cogeo_spark.synth import WARC_EPOCH
+
+    pts = (
+        f"SELECT {_TX8} AS tile_x, {_TY8} AS tile_y, "
+        f"(ts_sec - {WARC_EPOCH}) // 600 AS t_bucket FROM pages"
+    )
+    inner = knox_stat_sql(pts).split("WITH ", 1)[1]
+    return f"{_P},\n{inner}"
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FINAL fifth-continuation rotation (ROUND5.md §113): the 12 most
     # twin-intricate new ops (footprint's nested polygonize unroll, idw,
@@ -4380,6 +4408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transitions": q_transitions,
         "assortativity": q_assortativity,
         "terrain_idx": q_terrain_idx,
+        "knox": q_knox,
     }
 
 
@@ -5420,6 +5449,7 @@ FROM assigned GROUP BY 1, 2, 3""",
         "transitions": _transitions_oracle(),
         "assortativity": _assortativity_oracle(),
         "terrain_idx": _terrain_idx_oracle(),
+        "knox": _knox_oracle(),
     }
 
 

@@ -2708,3 +2708,166 @@ ti_1 AS (SELECT {s1}
          FROM ti_g WHERE occ = 1)
 SELECT {s2}
 FROM ti_1"""
+
+
+def _knox_offsets(dims: int):
+    """All (3^dims) unit-cube offsets (Chebyshev radius 1) over ``dims``
+    integer keys."""
+    offs = [()]
+    for _ in range(dims):
+        offs = [o + (d,) for o in offs for d in (-1, 0, 1)]
+    return offs
+
+
+def _knox_ordered_pairs(counts: DataFrame, key_cols, out: str) -> DataFrame:
+    """Ordered close-pair total ``O = Σ_k anchor_n(k) · vote_sum(k)``
+    over an integer lattice of ``key_cols`` with Chebyshev-radius-1
+    closeness — the dual-role vote explode (anchor at own key + one
+    vote per unit-cube offset), ONE pair-key hash aggregate, NO
+    self-join.  ``counts`` has ``key_cols + [n]``; returns a 1-row
+    DataFrame ``(out DECIMAL(38,0))``.  ``O`` counts ordered point
+    pairs INCLUDING i=j (subtract N and halve for unordered distinct
+    pairs)."""
+    dims = len(key_cols)
+    entries = [
+        F.struct(
+            F.lit(0).alias("r"),
+            *[F.lit(0).alias(f"d{i}") for i in range(dims)],
+        )
+    ] + [
+        F.struct(
+            F.lit(1).alias("r"),
+            *[F.lit(off[i]).alias(f"d{i}") for i in range(dims)],
+        )
+        for off in _knox_offsets(dims)
+    ]
+    votes = counts.select(
+        *[F.col(c).cast("long").alias(f"_k{i}") for i, c in enumerate(key_cols)],
+        F.col("n").cast("long").alias("_v"),
+        F.explode(F.array(*entries)).alias("off"),
+    ).select(
+        *[
+            (F.col(f"_k{i}") + F.col(f"off.d{i}")).alias(f"k{i}")
+            for i in range(dims)
+        ],
+        F.col("off.r").alias("r"),
+        F.col("_v"),
+    )
+    g = votes.groupBy(*[f"k{i}" for i in range(dims)]).agg(
+        F.max(F.when(F.col("r") == 0, F.col("_v"))).alias("a"),
+        F.sum(F.when(F.col("r") == 1, F.col("_v")).otherwise(F.lit(0))).alias("vs"),
+    )
+    return g.filter(F.col("a").isNotNull()).agg(
+        F.sum(
+            F.col("a").cast("decimal(38,0)") * F.col("vs").cast("decimal(38,0)")
+        ).alias(out)
+    )
+
+
+_KNOX_FINAL = [
+    "CAST(n_pages AS BIGINT) AS n_pages",
+    "CAST((o_s - n_pages) / 2 AS BIGINT) AS pairs_space",
+    "CAST((o_t - n_pages) / 2 AS BIGINT) AS pairs_time",
+    "CAST((o_x - n_pages) / 2 AS BIGINT) AS pairs_st",
+    # the ONE pinned double: knox ratio X·P/(S·T) in mil, P = N(N−1)/2
+    "CAST(CASE WHEN o_s - n_pages = 0 OR o_t - n_pages = 0 THEN NULL"
+    " ELSE floor(CAST((o_x - n_pages) / 2 AS DOUBLE)"
+    " * (CAST(n_pages AS DOUBLE) * CAST(n_pages - 1 AS DOUBLE)"
+    " / CAST(2 AS DOUBLE)) * CAST(1000000 AS DOUBLE)"
+    " / (CAST((o_s - n_pages) / 2 AS DOUBLE)"
+    " * CAST((o_t - n_pages) / 2 AS DOUBLE))) END AS BIGINT) AS knox_mil",
+]
+
+
+def knox_stat(
+    points: DataFrame,
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+    t_col: str = "t_bucket",
+) -> DataFrame:
+    """Knox space-time interaction statistic over point features on an
+    integer (cell, time-bucket) lattice — the classic epidemiology /
+    crawl-burst test: do events cluster in space AND time together
+    more than their marginals predict?  *Close* = Chebyshev distance
+    ≤ 1 on the cell grid (k-ring 1, 8-neighborhood + same cell) and
+    |Δbucket| ≤ 1.  One row:
+
+    * ``n_pages`` — N;
+    * ``pairs_space`` / ``pairs_time`` / ``pairs_st`` — exact unordered
+      distinct-point pair counts close in space (any time), in time
+      (any cell), and in both, via ``(O − N)/2`` with the ordered
+      totals ``O`` staged in DECIMAL(38,0) (output envelope: close-pair
+      counts must fit BIGINT — per-neighborhood multiplicities up to
+      ~3·10^9, the morans_i-style envelope);
+    * ``knox_mil`` — ``floor(1e6 · X·P / (S·T))`` with
+      ``P = N(N−1)/2``, the ONE pinned double step (> 1e6 ⇒ space-time
+      interaction; NULL when a marginal has no close pairs).
+
+    Scale design: three independent dual-role vote explodes (27 / 9 / 3
+    offsets) + ONE pair-key hash aggregate each, one single-row fold
+    apiece, combined by trivial 1×1 cross joins.  No window, no
+    self-join, no Python; the space-time table is bounded by
+    occupied (cell, bucket) groups, the marginals by the grid and the
+    calendar.  Reference's raster model is the same block grid
+    (utils.py:125-140); time buckets play the band role.
+    """
+    ctd = points.groupBy(
+        F.col(x_col).alias("cx"), F.col(y_col).alias("cy"),
+        F.col(t_col).alias("ct"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    cells = ctd.groupBy("cx", "cy").agg(F.sum("n").alias("n"))
+    buckets = ctd.groupBy("ct").agg(F.sum("n").alias("n"))
+    n_row = ctd.agg(F.sum("n").cast("decimal(38,0)").alias("n_pages"))
+    o_x = _knox_ordered_pairs(ctd, ["cx", "cy", "ct"], "o_x")
+    o_s = _knox_ordered_pairs(cells, ["cx", "cy"], "o_s")
+    o_t = _knox_ordered_pairs(buckets, ["ct"], "o_t")
+    return (
+        n_row.crossJoin(o_s).crossJoin(o_t).crossJoin(o_x)
+        .selectExpr(*_KNOX_FINAL)
+    )
+
+
+def knox_stat_sql(
+    points_cte: str,
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+    t_col: str = "t_bucket",
+) -> str:
+    """DuckDB twin of :func:`knox_stat` — ``points_cte`` is a SELECT
+    exposing one row per point with ``x_col, y_col, t_col``; the final
+    projection is textually identical to the Spark side."""
+
+    def block(src: str, keys, tag: str, out: str) -> str:
+        dims = len(keys)
+        offs = _knox_offsets(dims)
+        vals = ", ".join(
+            ["(0, " + ", ".join("0" for _ in range(dims)) + ")"]
+            + ["(1, " + ", ".join(str(d) for d in off) + ")" for off in offs]
+        )
+        ocols = ", ".join(f"d{i}" for i in range(dims))
+        kexpr = ", ".join(
+            f"c.{k} + o.d{i} AS k{i}" for i, k in enumerate(keys)
+        )
+        kname = ", ".join(f"k{i}" for i in range(dims))
+        return f"""{tag}_v AS (SELECT {kexpr}, o.r, c.n
+       FROM {tag}_c c, (VALUES {vals}) o(r, {ocols})),
+{tag}_g AS (SELECT {kname},
+                   MAX(CASE WHEN r = 0 THEN n END) AS a,
+                   SUM(CASE WHEN r = 1 THEN n ELSE 0 END) AS vs
+            FROM {tag}_v GROUP BY {kname}),
+{tag}_o AS (SELECT SUM(CAST(a AS HUGEINT) * vs) AS {out}
+            FROM {tag}_g WHERE a IS NOT NULL)"""
+
+    final = ",\n       ".join(_KNOX_FINAL)
+    return f"""WITH kx_pts AS ({points_cte}),
+kx_c AS (SELECT {x_col} AS cx, {y_col} AS cy, {t_col} AS ct,
+                COUNT(*) AS n
+         FROM kx_pts GROUP BY 1, 2, 3),
+ks_c AS (SELECT cx, cy, SUM(n) AS n FROM kx_c GROUP BY 1, 2),
+kt_c AS (SELECT ct, SUM(n) AS n FROM kx_c GROUP BY 1),
+kn AS (SELECT CAST(SUM(n) AS HUGEINT) AS n_pages FROM kx_c),
+{block(points_cte, ["cx", "cy", "ct"], "kx", "o_x")},
+{block(points_cte, ["cx", "cy"], "ks", "o_s")},
+{block(points_cte, ["ct"], "kt", "o_t")}
+SELECT {final}
+FROM kn, ks_o, kt_o, kx_o"""

@@ -2477,6 +2477,34 @@ def main() -> None:
     )
     print(f"[{'OK' if ti_ok else 'BAD'}] terrain_indices plan")
 
+    # 137. knox_stat: three dual-role vote explodes + ONE pair-key hash
+    # aggregate each, single-row folds combined by trivial 1x1 crosses
+    # (BroadcastNestedLoop on one-row sides) — no SortMergeJoin, no
+    # Window, no Python
+    from rio_cogeo_spark.operators.focal import knox_stat
+
+    kx_in = spark.range(5000).selectExpr(
+        "id % 64 AS tile_x", "(id * 11) % 64 AS tile_y",
+        "(id * 3) % 96 AS t_bucket",
+    )
+    kx_plan = plan_of(knox_stat(kx_in))
+    kx_ok = (
+        "SortMergeJoin" not in kx_plan
+        and "Window" not in kx_plan
+        and "BatchEvalPython" not in kx_plan
+        and "ArrowEvalPython" not in kx_plan
+        and len(re.findall(r"\(\d+\) Generate", kx_plan)) == 3
+        and "CartesianProduct" not in kx_plan
+    )
+    checks.append(("knox three vote explodes, 1-row folds, "
+                   "no SMJ/window/cartesian", kx_ok))
+    sections.append(
+        ("knox_stat", f"  {'PASS' if kx_ok else 'FAIL'} "
+         "27/9/3-offset dual-role explodes; pair-key aggregates; "
+         "single-row crosses", kx_plan)
+    )
+    print(f"[{'OK' if kx_ok else 'BAD'}] knox_stat plan")
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:

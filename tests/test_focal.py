@@ -1104,3 +1104,54 @@ def test_terrain_indices_only_occupied_cells(spark):
     )
     out = terrain_indices(df, 4).collect()
     assert {(r.tile_x, r.tile_y) for r in out} == {(4, 4)}
+
+
+def test_knox_stat_brute_force(spark):
+    """Knox space-time interaction vs an exhaustive O(n²) pair count —
+    exact S/T/X and the pinned-double mil ratio."""
+    import itertools
+    import math
+
+    from rio_cogeo_spark.operators.focal import knox_stat
+
+    pts = [(i % 7, (i * 3) % 7, (i * 5) % 9) for i in range(40)]
+    pts += [(2, 3, 4)] * 10  # hot space-time cluster
+
+    N = len(pts)
+    S = T = X = 0
+    for a, b in itertools.combinations(pts, 2):
+        sc = max(abs(a[0] - b[0]), abs(a[1] - b[1])) <= 1
+        tc = abs(a[2] - b[2]) <= 1
+        S += sc
+        T += tc
+        X += sc and tc
+    km = math.floor(
+        X * (float(N) * float(N - 1) / 2.0) * 1e6 / (float(S) * float(T))
+    )
+
+    df = spark.createDataFrame(pts, "tile_x long, tile_y long, t_bucket long")
+    r = knox_stat(df).collect()[0]
+    assert (r.n_pages, r.pairs_space, r.pairs_time, r.pairs_st) == (N, S, T, X)
+    assert r.knox_mil == km
+    assert r.knox_mil > 1_000_000  # the injected cluster IS interaction
+
+
+def test_knox_stat_degenerate_and_null(spark):
+    """Single time bucket ⇒ T = P and X = S ⇒ ratio exactly 1e6; a
+    lone point has no pairs ⇒ knox_mil NULL with zero counts."""
+    from rio_cogeo_spark.operators.focal import knox_stat
+
+    pts = [(i % 5, (i * 3) % 5, 0) for i in range(20)]
+    r = knox_stat(
+        spark.createDataFrame(pts, "tile_x long, tile_y long, t_bucket long")
+    ).collect()[0]
+    assert r.pairs_time == 20 * 19 // 2
+    assert r.pairs_st == r.pairs_space
+    assert r.knox_mil == 1_000_000
+
+    lone = spark.createDataFrame(
+        [(3, 3, 7)], "tile_x long, tile_y long, t_bucket long"
+    )
+    r = knox_stat(lone).collect()[0]
+    assert (r.pairs_space, r.pairs_time, r.pairs_st) == (0, 0, 0)
+    assert r.knox_mil is None
