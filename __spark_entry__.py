@@ -4115,6 +4115,91 @@ def _knox_oracle() -> str:
     return f"{_P},\n{inner}"
 
 
+def q_centrography(spark, sf_dir):
+    """Centrographic first moments of the z8 density surface: weighted
+    mean center (exact mil floordiv) + RMS standard distance (the ONE
+    pinned double sqrt) from one map-side-combinable corpus fold."""
+    from rio_cogeo_spark.operators.focal import centrography
+
+    return centrography(base_tiles(_pages(spark, sf_dir), ZOOM))
+
+
+def _centrography_oracle() -> str:
+    from rio_cogeo_spark.operators.focal import centrography_sql
+
+    inner = centrography_sql(
+        "SELECT tile_x, tile_y, page_count FROM base"
+    ).split("WITH ", 1)[1]
+    return f"{_BASE_CTE},\n{inner}"
+
+
+def q_nn_idx(spark, sf_dir):
+    """Grid-adapted Clark-Evans nearest-neighbor index of the occupied
+    z8 cells: exact Chebyshev NN distances out to ring 3 via one
+    48-offset ring-vote explode + ONE min-ring aggregate; ce_mil the
+    ONE pinned double (observed mean over the CSR 0.5/sqrt(λ))."""
+    from rio_cogeo_spark.operators.focal import nn_index
+
+    return nn_index(base_tiles(_pages(spark, sf_dir), ZOOM), ZOOM)
+
+
+def _nn_idx_oracle() -> str:
+    from rio_cogeo_spark.operators.focal import nn_index_sql
+
+    inner = nn_index_sql(
+        "SELECT tile_x, tile_y FROM base", ZOOM
+    ).split("WITH ", 1)[1]
+    return f"{_BASE_CTE},\n{inner}"
+
+
+def q_burstiness(spark, sf_dir):
+    """Temporal burstiness (variance-to-mean dispersion index) of the
+    top-50 crawl terms over 600-second warc_ts buckets — FULLY exact
+    integer VMR in mil ((D·Q − S²)·1e6 div D·S, non-negative by
+    Cauchy-Schwarz), one corpus explode-fold + vocab-bounded top-K."""
+    from rio_cogeo_spark.operators.report import term_burstiness
+    from rio_cogeo_spark.synth import WARC_EPOCH
+
+    pages = _pages(spark, sf_dir).select(
+        "text",
+        F.expr(f"(ts_sec - {WARC_EPOCH}) div 600").alias("t_bucket"),
+    )
+    return term_burstiness(pages, top_k=50)
+
+
+def _burstiness_oracle() -> str:
+    from rio_cogeo_spark.functions.text import TOKENS_SQL
+    from rio_cogeo_spark.operators.report import term_burstiness_sql
+    from rio_cogeo_spark.synth import WARC_EPOCH
+
+    inner = term_burstiness_sql(
+        f"SELECT text, (ts_sec - {WARC_EPOCH}) // 600 AS t_bucket"
+        " FROM pages",
+        TOKENS_SQL, top_k=50,
+    ).split("WITH ", 1)[1]
+    return f"{_P},\n{inner}"
+
+
+def q_vocab_overlap(spark, sf_dir):
+    """Cross-language vocabulary Jaccard for every unordered language
+    pair — corpus folds once to the distinct (term, lang) vocabulary,
+    terms fold to language bitmasks, pair counting runs on langs² ×
+    distinct masks; jaccard_mil exact."""
+    from rio_cogeo_spark.operators.report import lang_vocab_overlap
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lang_vocab_overlap(docs)
+
+
+def _vocab_overlap_oracle() -> str:
+    from rio_cogeo_spark.functions.text import TOKENS_SQL
+    from rio_cogeo_spark.operators.report import lang_vocab_overlap_sql
+
+    return lang_vocab_overlap_sql(
+        "SELECT text, lang FROM documents", TOKENS_SQL
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FINAL fifth-continuation rotation (ROUND5.md §113): the 12 most
     # twin-intricate new ops (footprint's nested polygonize unroll, idw,
@@ -4409,6 +4494,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assortativity": q_assortativity,
         "terrain_idx": q_terrain_idx,
         "knox": q_knox,
+        "centrography": q_centrography,
+        "nn_idx": q_nn_idx,
+        "burstiness": q_burstiness,
+        "vocab_overlap": q_vocab_overlap,
     }
 
 
@@ -5450,6 +5539,10 @@ FROM assigned GROUP BY 1, 2, 3""",
         "assortativity": _assortativity_oracle(),
         "terrain_idx": _terrain_idx_oracle(),
         "knox": _knox_oracle(),
+        "centrography": _centrography_oracle(),
+        "nn_idx": _nn_idx_oracle(),
+        "burstiness": _burstiness_oracle(),
+        "vocab_overlap": _vocab_overlap_oracle(),
     }
 
 

@@ -2871,3 +2871,188 @@ kn AS (SELECT CAST(SUM(n) AS HUGEINT) AS n_pages FROM kx_c),
 {block(points_cte, ["ct"], "kt", "o_t")}
 SELECT {final}
 FROM kn, ks_o, kt_o, kx_o"""
+
+
+def _centro_final(intdiv: str) -> list[str]:
+    """Shared final projection for :func:`centrography`; ``intdiv`` is
+    the engine's integer-division token (operands non-negative, where
+    floor == truncate on both engines)."""
+    return [
+        "CAST(n_cells AS BIGINT) AS n_cells",
+        "CAST(w_total AS BIGINT) AS w_total",
+        f"CAST((swx * 1000000) {intdiv} w_total AS BIGINT) AS mean_x_mil",
+        f"CAST((swy * 1000000) {intdiv} w_total AS BIGINT) AS mean_y_mil",
+        # the ONE pinned double: weighted standard distance in mil
+        "CAST(floor(sqrt((CAST(sxx AS DOUBLE) + CAST(syy AS DOUBLE))"
+        " / CAST(w_total AS DOUBLE)"
+        " - (CAST(swx AS DOUBLE) / CAST(w_total AS DOUBLE))"
+        " * (CAST(swx AS DOUBLE) / CAST(w_total AS DOUBLE))"
+        " - (CAST(swy AS DOUBLE) / CAST(w_total AS DOUBLE))"
+        " * (CAST(swy AS DOUBLE) / CAST(w_total AS DOUBLE)))"
+        " * CAST(1000000 AS DOUBLE)) AS BIGINT) AS std_dist_mil",
+    ]
+
+
+def centrography(
+    tiles: DataFrame,
+    value_col: str = "page_count",
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+) -> DataFrame:
+    """Centrographic summary of the density surface — the classic
+    point-pattern first moments (mean center + standard distance,
+    weighted by cell density): one row ``(n_cells, w_total,
+    mean_x_mil, mean_y_mil, std_dist_mil)``.  Mean center coordinates
+    are EXACT mil floor-divisions of the DECIMAL(38,0)-staged weighted
+    coordinate sums; ``std_dist_mil`` (the RMS distance from the mean
+    center, the dispersion radius) is the ONE pinned double —
+    ``floor(1e6·sqrt(Σw(x²+y²)/W − x̄² − ȳ²))`` computed through one
+    fixed IEEE tree from exact integer sums.
+
+    Scale design: ONE map-side-combinable corpus fold (six sums), one
+    single-row projection.  No shuffle beyond the one global aggregate,
+    no window, no join, no Python.  Second-moment staging is
+    DECIMAL(38,0)/HUGEINT (envelope: ``W·x²`` must fit 38 digits —
+    zooms ≤ 20 at 10^12 pages).
+    """
+    d = "decimal(38,0)"
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    w = F.col(value_col).cast("long")
+    agg = tiles.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(w).cast(d).alias("w_total"),
+        F.sum((w * x).cast(d)).alias("swx"),
+        F.sum((w * y).cast(d)).alias("swy"),
+        F.sum((w.cast(d) * x * x)).alias("sxx"),
+        F.sum((w.cast(d) * y * y)).alias("syy"),
+    )
+    return agg.selectExpr(*_centro_final("div"))
+
+
+def centrography_sql(tiles_cte: str, value_col: str = "page_count") -> str:
+    """DuckDB twin of :func:`centrography` — ``tiles_cte`` is a SELECT
+    exposing ``tile_x, tile_y, {value_col}``; final projection
+    textually identical (int-div token ``//``)."""
+    final = ",\n       ".join(_centro_final("//"))
+    return f"""WITH cg_t AS ({tiles_cte}),
+cg_a AS (SELECT COUNT(*) AS n_cells,
+                CAST(SUM({value_col}) AS HUGEINT) AS w_total,
+                SUM(CAST({value_col} AS HUGEINT) * tile_x) AS swx,
+                SUM(CAST({value_col} AS HUGEINT) * tile_y) AS swy,
+                SUM(CAST({value_col} AS HUGEINT) * tile_x * tile_x) AS sxx,
+                SUM(CAST({value_col} AS HUGEINT) * tile_y * tile_y) AS syy
+         FROM cg_t)
+SELECT {final}
+FROM cg_a"""
+
+
+def _ring_offsets(k: int):
+    """The 8k offsets at exactly Chebyshev distance ``k``."""
+    return [
+        (dx, dy)
+        for dx in range(-k, k + 1)
+        for dy in range(-k, k + 1)
+        if max(abs(dx), abs(dy)) == k
+    ]
+
+
+def _nn_final(intdiv: str) -> list[str]:
+    """``intdiv`` is the engine's integer-division token (operands
+    non-negative, floor == truncate on both engines)."""
+    return [
+        "CAST(n_cells AS BIGINT) AS n_cells",
+        "CAST(n_within AS BIGINT) AS n_within",
+        "CAST(sum_nn AS BIGINT) AS sum_nn",
+        "CAST(CASE WHEN n_within = 0 THEN NULL"
+        f" ELSE (sum_nn * 1000000) {intdiv} n_within END AS BIGINT)"
+        " AS mean_nn_mil",
+        # the ONE pinned double: grid-adapted Clark-Evans ratio
+        # observed-mean / CSR-expected 0.5/sqrt(lambda) = 2·mean·sqrt(n)/G
+        "CAST(CASE WHEN n_within = 0 THEN NULL"
+        " ELSE floor(CAST(sum_nn AS DOUBLE) / CAST(n_within AS DOUBLE)"
+        " * CAST(2 AS DOUBLE) * sqrt(CAST(n_cells AS DOUBLE))"
+        " / grid_n * CAST(1000000 AS DOUBLE)) END AS BIGINT) AS ce_mil",
+    ]
+
+
+def nn_index(
+    tiles: DataFrame,
+    zoom: int,
+    max_ring: int = 3,
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+) -> DataFrame:
+    """Grid-adapted Clark-Evans nearest-neighbor index of the occupied
+    cells: per occupied cell, the EXACT Chebyshev distance to the
+    nearest OTHER occupied cell, searched out to ``max_ring`` (cells
+    whose NN is farther are counted in ``n_cells`` but excluded from
+    the mean — the bounded-round contract shared by proximity/BFS).
+    One row ``(n_cells, n_within, sum_nn, mean_nn_mil, ce_mil)``:
+    counts and ``sum_nn`` exact BIGINT, ``mean_nn_mil`` an exact mil
+    quotient, ``ce_mil`` the ONE pinned double — observed mean NN over
+    the CSR expectation ``0.5/sqrt(λ)`` with ``λ = n_cells/4^zoom``
+    (< 1e6 ⇒ clustered, > 1e6 ⇒ dispersed; Chebyshev metric, so the
+    calibration is grid-adapted, not planar-Euclidean).
+
+    Scale design: one vote explode over the ``4·R(R+1)`` ring offsets
+    (48 at R=3) carrying the ring number + one anchor row, ONE
+    pair-key hash aggregate taking ``min(ring)``, one single-row fold.
+    Grid-bounded, no self-join, no window, no Python.
+    """
+    if max_ring < 1:
+        raise ValueError(f"max_ring must be >= 1, got {max_ring}")
+    entries = [F.struct(F.lit(0).alias("r"), F.lit(0).alias("dx"),
+                        F.lit(0).alias("dy"))]
+    for k in range(1, max_ring + 1):
+        entries += [
+            F.struct(F.lit(k).alias("r"), F.lit(dx).alias("dx"),
+                     F.lit(dy).alias("dy"))
+            for dx, dy in _ring_offsets(k)
+        ]
+    votes = tiles.select(
+        F.col(x_col).cast("long").alias("_sx"),
+        F.col(y_col).cast("long").alias("_sy"),
+        F.explode(F.array(*entries)).alias("off"),
+    ).select(
+        (F.col("_sx") + F.col("off.dx")).alias("kx"),
+        (F.col("_sy") + F.col("off.dy")).alias("ky"),
+        F.col("off.r").alias("r"),
+    )
+    g = votes.groupBy("kx", "ky").agg(
+        F.max(F.when(F.col("r") == 0, F.lit(1)).otherwise(F.lit(0)))
+        .alias("occ"),
+        F.min(F.when(F.col("r") > 0, F.col("r"))).alias("nn"),
+    )
+    fold = g.filter(F.col("occ") == 1).agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(F.when(F.col("nn").isNotNull(), F.lit(1)).otherwise(F.lit(0)))
+        .alias("n_within"),
+        F.sum(F.coalesce(F.col("nn"), F.lit(0))).alias("sum_nn"),
+    )
+    return fold.selectExpr(f"CAST({2 ** zoom} AS DOUBLE) AS grid_n", "*") \
+               .selectExpr(*_nn_final("div"))
+
+
+def nn_index_sql(tiles_cte: str, zoom: int, max_ring: int = 3) -> str:
+    """DuckDB twin of :func:`nn_index` — identical offsets and final
+    projection."""
+    if max_ring < 1:
+        raise ValueError(f"max_ring must be >= 1, got {max_ring}")
+    vals = ["(0, 0, 0)"]
+    for k in range(1, max_ring + 1):
+        vals += [f"({k}, {dx}, {dy})" for dx, dy in _ring_offsets(k)]
+    final = ",\n       ".join(_nn_final("//"))
+    return f"""WITH nn_t AS ({tiles_cte}),
+nn_v AS (SELECT t.tile_x + o.dx AS kx, t.tile_y + o.dy AS ky, o.r
+         FROM nn_t t, (VALUES {", ".join(vals)}) o(r, dx, dy)),
+nn_g AS (SELECT kx, ky,
+                MAX(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS occ,
+                MIN(CASE WHEN r > 0 THEN r END) AS nn
+         FROM nn_v GROUP BY 1, 2),
+nn_f AS (SELECT COUNT(*) AS n_cells,
+                SUM(CASE WHEN nn IS NOT NULL THEN 1 ELSE 0 END) AS n_within,
+                SUM(COALESCE(nn, 0)) AS sum_nn
+         FROM nn_g WHERE occ = 1)
+SELECT {final}
+FROM (SELECT CAST({2 ** zoom} AS DOUBLE) AS grid_n, * FROM nn_f)"""

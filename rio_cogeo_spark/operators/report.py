@@ -2610,3 +2610,210 @@ SELECT n_days, s_stat, tie_term, var18,
               / sqrt(CAST(var18 AS DOUBLE) / 18.0)
             ) AS BIGINT) END AS z_mil
 FROM mk_v"""
+
+
+def term_burstiness(
+    docs: DataFrame,
+    text_col: str = "text",
+    bucket_col: str = "t_bucket",
+    top_k: int = 50,
+) -> DataFrame:
+    """Temporal burstiness of the ``top_k`` corpus terms — the
+    variance-to-mean ratio (index of dispersion) of each term's count
+    series over the FULL observed bucket calendar (absent buckets are
+    zero), FULLY exact: with ``D`` = calendar span (max − min bucket
+    + 1, global), ``S = Σx`` and ``Q = Σx²`` per term over observed
+    buckets only (zeros contribute nothing to either),
+
+        ``vmr_mil = ((D·Q − S²) · 10^6) div (D·S)``
+
+    — numerator non-negative by Cauchy-Schwarz, so integer division is
+    a true floor on both engines; NO float anywhere.  ``vmr_mil >
+    1e6`` ⇒ bursty (clumped in time, the retraining-trigger signal),
+    ``< 1e6`` ⇒ steadier than Poisson.  One row per top-K term
+    ``(term, n_total, n_buckets, vmr_mil)``, top-K by total count with
+    lexicographic tie-break.
+
+    Scale design: ONE explode→(term, bucket) corpus fold (map-side
+    combinable), one vocab-bounded per-term re-aggregate, a single-row
+    calendar fold crossed 1×1, and one top-K window over the
+    vocab-bounded term table.  Second moments staged DECIMAL(38,0).
+    """
+    from rio_cogeo_spark.functions.text import tokens_col
+
+    tb = (
+        docs.select(
+            F.col(bucket_col).cast("long").alias("b"),
+            F.explode(tokens_col(F.col(text_col))).alias("term"),
+        )
+        .groupBy("term", "b")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    cal = docs.agg(
+        (F.max(F.col(bucket_col).cast("long"))
+         - F.min(F.col(bucket_col).cast("long")) + F.lit(1)).alias("d_span")
+    )
+    d = "decimal(38,0)"
+    per = tb.groupBy("term").agg(
+        F.sum("x").cast(d).alias("s"),
+        F.sum(F.col("x").cast(d) * F.col("x")).alias("q"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+    ranked = per.crossJoin(F.broadcast(cal)).withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.orderBy(F.col("s").desc(), F.col("term").asc())
+        ),
+    ).filter(F.col("_rk") <= top_k)
+    return ranked.selectExpr(
+        "term",
+        "CAST(s AS BIGINT) AS n_total",
+        "CAST(n_buckets AS BIGINT) AS n_buckets",
+        "CAST(((d_span * q - s * s) * 1000000) div (d_span * s)"
+        " AS BIGINT) AS vmr_mil",
+    )
+
+
+def term_burstiness_sql(
+    docs_select: str,
+    tokens_sql: str,
+    bucket_col: str = "t_bucket",
+    top_k: int = 50,
+) -> str:
+    """DuckDB twin of :func:`term_burstiness` — ``docs_select`` exposes
+    ``(text, {bucket_col})``; identical fold shapes, int-div ``//``."""
+    return f"""WITH tb_docs AS ({docs_select}),
+tb_tb AS (SELECT term, b, COUNT(*) AS x
+          FROM (SELECT CAST({bucket_col} AS BIGINT) AS b,
+                       unnest({tokens_sql}) AS term FROM tb_docs)
+          GROUP BY 1, 2),
+tb_cal AS (SELECT MAX(CAST({bucket_col} AS BIGINT))
+                  - MIN(CAST({bucket_col} AS BIGINT)) + 1 AS d_span
+           FROM tb_docs),
+tb_per AS (SELECT term, CAST(SUM(x) AS HUGEINT) AS s,
+                  SUM(CAST(x AS HUGEINT) * x) AS q,
+                  COUNT(*) AS n_buckets
+           FROM tb_tb GROUP BY 1),
+tb_rk AS (SELECT term, s, q, n_buckets, d_span,
+                 ROW_NUMBER() OVER (ORDER BY s DESC, term ASC) AS _rk
+          FROM tb_per, tb_cal)
+SELECT term,
+       CAST(s AS BIGINT) AS n_total,
+       CAST(n_buckets AS BIGINT) AS n_buckets,
+       CAST(((d_span * q - s * s) * 1000000) // (d_span * s)
+            AS BIGINT) AS vmr_mil
+FROM tb_rk WHERE _rk <= {int(top_k)}"""
+
+
+def lang_vocab_overlap(
+    docs: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Cross-language vocabulary overlap — exact Jaccard between every
+    unordered language pair's token vocabularies, the cross-lingual
+    contamination / loanword gauge: one row per pair ``(lang_a,
+    lang_b, inter, n_a, n_b, jaccard_mil)`` with ``lang_a < lang_b``;
+    ``jaccard_mil = (inter·10^6) div (n_a + n_b − inter)`` exact.
+
+    Scale design: the corpus folds ONCE to the distinct (term, lang)
+    vocabulary, each term then folds to a language BITMASK
+    (``bit_or(1 << lang_id)``, lang ids dense-ranked over the
+    language-bounded table) and the mask table folds to mask
+    frequencies — so the pair counting runs on ``(#languages² ×
+    #distinct masks)``, both bounded far below the vocabulary, never
+    on the corpus.  No self-join on the vocabulary; one broadcast of
+    the tiny lang-id table.
+    """
+    from rio_cogeo_spark.functions.text import tokens_col
+
+    vocab = docs.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(tokens_col(F.col(text_col))).alias("term"),
+    ).distinct()
+    langs = vocab.select("lang").distinct().withColumn(
+        "lid",
+        F.dense_rank().over(Window.orderBy(F.col("lang").asc())) - F.lit(1),
+    )
+    masks = (
+        vocab.join(F.broadcast(langs), "lang")
+        .groupBy("term")
+        .agg(F.expr("bit_or(CAST(1 AS BIGINT) << lid)").alias("mask"))
+        .groupBy("mask")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = (
+        langs.alias("a")
+        .crossJoin(langs.alias("b"))
+        .filter(F.col("a.lang") < F.col("b.lang"))
+        .select(
+            F.col("a.lang").alias("lang_a"), F.col("b.lang").alias("lang_b"),
+            F.col("a.lid").alias("la"), F.col("b.lid").alias("lb"),
+        )
+    )
+    hits = pairs.join(F.broadcast(masks)).groupBy("lang_a", "lang_b").agg(
+        F.sum(
+            F.when(
+                (F.expr("(mask >> la) & 1") == 1)
+                & (F.expr("(mask >> lb) & 1") == 1),
+                F.col("freq"),
+            ).otherwise(F.lit(0))
+        ).alias("inter"),
+        F.sum(
+            F.when(F.expr("(mask >> la) & 1") == 1, F.col("freq"))
+            .otherwise(F.lit(0))
+        ).alias("n_a"),
+        F.sum(
+            F.when(F.expr("(mask >> lb) & 1") == 1, F.col("freq"))
+            .otherwise(F.lit(0))
+        ).alias("n_b"),
+    )
+    return hits.selectExpr(
+        "lang_a", "lang_b",
+        "CAST(inter AS BIGINT) AS inter",
+        "CAST(n_a AS BIGINT) AS n_a",
+        "CAST(n_b AS BIGINT) AS n_b",
+        "CAST((inter * 1000000) div (n_a + n_b - inter) AS BIGINT)"
+        " AS jaccard_mil",
+    )
+
+
+def lang_vocab_overlap_sql(
+    docs_select: str,
+    tokens_sql: str,
+    lang_col: str = "lang",
+) -> str:
+    """DuckDB twin of :func:`lang_vocab_overlap` — identical bitmask
+    folds (int-div ``//``)."""
+    return f"""WITH lv_docs AS ({docs_select}),
+lv_vocab AS (SELECT DISTINCT lang, term
+             FROM (SELECT {lang_col} AS lang,
+                          unnest({tokens_sql}) AS term FROM lv_docs)),
+lv_langs AS (SELECT lang,
+                    DENSE_RANK() OVER (ORDER BY lang ASC) - 1 AS lid
+             FROM (SELECT DISTINCT lang FROM lv_vocab)),
+lv_masks AS (SELECT mask, COUNT(*) AS freq
+             FROM (SELECT v.term,
+                          bit_or(CAST(1 AS BIGINT) << l.lid) AS mask
+                   FROM lv_vocab v JOIN lv_langs l USING (lang)
+                   GROUP BY v.term)
+             GROUP BY 1),
+lv_pairs AS (SELECT a.lang AS lang_a, b.lang AS lang_b,
+                    a.lid AS la, b.lid AS lb
+             FROM lv_langs a, lv_langs b WHERE a.lang < b.lang),
+lv_hits AS (SELECT lang_a, lang_b,
+                   SUM(CASE WHEN ((mask >> la) & 1) = 1
+                             AND ((mask >> lb) & 1) = 1
+                            THEN freq ELSE 0 END) AS inter,
+                   SUM(CASE WHEN ((mask >> la) & 1) = 1
+                            THEN freq ELSE 0 END) AS n_a,
+                   SUM(CASE WHEN ((mask >> lb) & 1) = 1
+                            THEN freq ELSE 0 END) AS n_b
+            FROM lv_pairs, lv_masks GROUP BY 1, 2)
+SELECT lang_a, lang_b,
+       CAST(inter AS BIGINT) AS inter,
+       CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       CAST((inter * 1000000) // (n_a + n_b - inter) AS BIGINT)
+       AS jaccard_mil
+FROM lv_hits"""

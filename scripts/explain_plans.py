@@ -2505,6 +2505,99 @@ def main() -> None:
     )
     print(f"[{'OK' if kx_ok else 'BAD'}] knox_stat plan")
 
+    # 138. centrography: ONE corpus fold (partial->final aggregate),
+    # single-row projection — no join, no window, no explode, no Python
+    from rio_cogeo_spark.operators.focal import centrography
+
+    cg_plan = plan_of(centrography(kx_in.select("tile_x", "tile_y")
+                                   .withColumn("page_count", F.lit(3))))
+    cg_ok = (
+        "Join" not in cg_plan
+        and "Window" not in cg_plan
+        and "Generate" not in cg_plan
+        and "BatchEvalPython" not in cg_plan
+        and "ArrowEvalPython" not in cg_plan
+        and len(re.findall(r"\(\d+\) HashAggregate", cg_plan)) == 2
+    )
+    checks.append(("centrography one partial+final fold, nothing else",
+                   cg_ok))
+    sections.append(
+        ("centrography", f"  {'PASS' if cg_ok else 'FAIL'} "
+         "six combinable sums, single-row projection", cg_plan)
+    )
+    print(f"[{'OK' if cg_ok else 'BAD'}] centrography plan")
+
+    # 139. nn_index: one 49-entry ring-vote explode + ONE pair-key
+    # aggregate + one single-row fold — no join, no window, no Python
+    from rio_cogeo_spark.operators.focal import nn_index
+
+    nn_plan = plan_of(nn_index(kx_in.select("tile_x", "tile_y"), 6))
+    nn_ok = (
+        "Join" not in nn_plan
+        and "Window" not in nn_plan
+        and "BatchEvalPython" not in nn_plan
+        and "ArrowEvalPython" not in nn_plan
+        and len(re.findall(r"\(\d+\) Generate", nn_plan)) == 1
+    )
+    checks.append(("nn_index one ring explode + min-ring aggregate",
+                   nn_ok))
+    sections.append(
+        ("nn_index", f"  {'PASS' if nn_ok else 'FAIL'} "
+         "48 ring offsets + anchor; grid-bounded", nn_plan)
+    )
+    print(f"[{'OK' if nn_ok else 'BAD'}] nn_index plan")
+
+    # 140. term_burstiness: one corpus explode-fold, vocab-bounded
+    # per-term re-aggregate, broadcast 1-row calendar, ONE top-K window
+    # on the vocab table — no SortMergeJoin, no Python
+    from rio_cogeo_spark.operators.report import term_burstiness
+
+    tb_in = spark.range(2000).selectExpr(
+        "id % 40 AS t_bucket",
+        "concat('w', id % 97, ' w', id % 31, ' w', id % 7) AS text",
+    )
+    tbp = plan_of(term_burstiness(tb_in))
+    tb_ok = (
+        "SortMergeJoin" not in tbp
+        and "BatchEvalPython" not in tbp
+        and "ArrowEvalPython" not in tbp
+        and len(re.findall(r"\(\d+\) Window", tbp)) == 1
+        and "BroadcastNestedLoopJoin" in tbp
+    )
+    checks.append(("term_burstiness corpus fold + vocab-bounded "
+                   "window, broadcast calendar", tb_ok))
+    sections.append(
+        ("term_burstiness", f"  {'PASS' if tb_ok else 'FAIL'} "
+         "exact integer VMR; single top-K window", tbp)
+    )
+    print(f"[{'OK' if tb_ok else 'BAD'}] term_burstiness plan")
+
+    # 141. lang_vocab_overlap: corpus folds to distinct (term, lang)
+    # then bitmasks; lang table and mask table broadcast — no
+    # SortMergeJoin on the corpus, no Python
+    from rio_cogeo_spark.operators.report import lang_vocab_overlap
+
+    lv_in = spark.range(2000).selectExpr(
+        "concat('w', id % 97, ' w', id % 31) AS text",
+        "CASE WHEN id % 3 = 0 THEN 'en' WHEN id % 3 = 1 THEN 'fr' "
+        "ELSE 'de' END AS lang",
+    )
+    lvp = plan_of(lang_vocab_overlap(lv_in))
+    lv_ok = (
+        "BatchEvalPython" not in lvp
+        and "ArrowEvalPython" not in lvp
+        and "CartesianProduct" not in lvp
+        and len(re.findall(r"\(\d+\) Broadcast(Hash|NestedLoop)Join",
+                           lvp)) >= 2
+    )
+    checks.append(("lang_vocab_overlap bitmask folds, broadcast-only "
+                   "joins", lv_ok))
+    sections.append(
+        ("lang_vocab_overlap", f"  {'PASS' if lv_ok else 'FAIL'} "
+         "pair counting on langs² × masks, never the corpus", lvp)
+    )
+    print(f"[{'OK' if lv_ok else 'BAD'}] lang_vocab_overlap plan")
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:

@@ -1155,3 +1155,78 @@ def test_knox_stat_degenerate_and_null(spark):
     r = knox_stat(lone).collect()[0]
     assert (r.pairs_space, r.pairs_time, r.pairs_st) == (0, 0, 0)
     assert r.knox_mil is None
+
+
+def test_centrography_exact_moments(spark):
+    """Weighted mean center exact in mil; standard distance matches
+    the closed-form float computation."""
+    import math
+
+    from rio_cogeo_spark.operators.focal import centrography
+
+    cells = [(x, (x * 7) % 13, (x % 5) + 1) for x in range(13)]
+    cells.append((200, 200, 50))
+    W = sum(c for _, _, c in cells)
+    SX = sum(c * a for a, _, c in cells)
+    SY = sum(c * b for _, b, c in cells)
+    SXX = sum(c * a * a for a, _, c in cells)
+    SYY = sum(c * b * b for _, b, c in cells)
+    std = math.floor(
+        math.sqrt(
+            (float(SXX) + float(SYY)) / float(W)
+            - (float(SX) / float(W)) ** 2
+            - (float(SY) / float(W)) ** 2
+        ) * 1e6
+    )
+    df = spark.createDataFrame(
+        cells, "tile_x long, tile_y long, page_count long"
+    )
+    r = centrography(df).collect()[0]
+    assert (r.n_cells, r.w_total) == (len(cells), W)
+    assert r.mean_x_mil == SX * 1_000_000 // W
+    assert r.mean_y_mil == SY * 1_000_000 // W
+    assert r.std_dist_mil == std
+
+    # single cell: zero dispersion, mean center == the cell
+    one = spark.createDataFrame(
+        [(5, 9, 3)], "tile_x long, tile_y long, page_count long"
+    )
+    r = centrography(one).collect()[0]
+    assert (r.mean_x_mil, r.mean_y_mil, r.std_dist_mil) == (
+        5_000_000, 9_000_000, 0,
+    )
+
+
+def test_nn_index_brute_force_and_isolated(spark):
+    """Chebyshev NN distances vs exhaustive pairwise search; isolated
+    points beyond the ring bound are excluded with NULL summary."""
+    import math
+
+    from rio_cogeo_spark.operators.focal import nn_index
+
+    cells = [(x, (x * 7) % 13) for x in range(13)] + [(200, 200)]
+    nns = [
+        min(
+            max(abs(p[0] - q[0]), abs(p[1] - q[1]))
+            for q in cells if q != p
+        )
+        for p in cells
+    ]
+    within = [d for d in nns if d <= 3]
+    df = spark.createDataFrame(cells, "tile_x long, tile_y long")
+    r = nn_index(df, 8).collect()[0]
+    assert (r.n_cells, r.n_within, r.sum_nn) == (
+        len(cells), len(within), sum(within),
+    )
+    assert r.mean_nn_mil == sum(within) * 1_000_000 // len(within)
+    assert r.ce_mil == math.floor(
+        float(sum(within)) / float(len(within)) * 2.0
+        * math.sqrt(float(len(cells))) / 256.0 * 1e6
+    )
+
+    iso = spark.createDataFrame(
+        [(0, 0), (100, 100), (200, 0)], "tile_x long, tile_y long"
+    )
+    r = nn_index(iso, 8).collect()[0]
+    assert (r.n_cells, r.n_within, r.sum_nn) == (3, 0, 0)
+    assert r.mean_nn_mil is None and r.ce_mil is None

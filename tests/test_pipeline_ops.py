@@ -1290,3 +1290,73 @@ def test_theil_sen_negative_fractional_floor(spark):
     assert (r.n_days, r.n_pairs) == (2, 1)
     assert r.key_lo == r.key_hi == -3333333334
     assert r.slope_mil == -333334
+
+
+def test_term_burstiness_exact_vmr(spark):
+    """VMR over the full bucket calendar (absent buckets zero) matches
+    the closed-form integer computation; top-K by total count."""
+    from collections import Counter, defaultdict
+
+    from rio_cogeo_spark.operators.report import term_burstiness
+
+    docs = [
+        (0, "the cat sat on the mat"),
+        (1, "the dog ran"),
+        (3, "cat cat cat burst"),
+        (9, "the end"),
+    ]
+    tb = Counter()
+    for b, t in docs:
+        for w in t.split():
+            tb[(w, b)] += 1
+    D = 10  # buckets 0..9
+    per = defaultdict(lambda: [0, 0, 0])
+    for (w, b), x in tb.items():
+        per[w][0] += x
+        per[w][1] += x * x
+        per[w][2] += 1
+    df = spark.createDataFrame(docs, "t_bucket long, text string")
+    got = {
+        r.term: (r.n_total, r.n_buckets, r.vmr_mil)
+        for r in term_burstiness(df, top_k=100).collect()
+    }
+    for w, (S, Q, nb) in per.items():
+        assert got[w] == (S, nb, ((D * Q - S * S) * 1_000_000) // (D * S))
+    # 'cat' (bursty: 4 mentions, 2 buckets) disperses worse than 'the'
+    assert got["cat"][2] > got["the"][2] > 0
+    # a steady 1-per-bucket term has VMR (D-1)/D < 1e6
+    assert got["the"][2] < 1_000_000 or got["cat"][2] > 1_000_000
+    # top-1: 'cat' and 'the' tie at 4 total; lexicographic tie-break
+    top1 = term_burstiness(df, top_k=1).collect()
+    assert top1[0].term == "cat"
+
+
+def test_lang_vocab_overlap_exact_jaccard(spark):
+    """Pairwise vocabulary Jaccard matches set arithmetic; languages
+    with empty intersections report 0."""
+    import itertools
+    from collections import defaultdict
+
+    from rio_cogeo_spark.operators.report import lang_vocab_overlap
+
+    docs = [
+        ("the cat sat on the mat", "en"),
+        ("the dog ran", "en"),
+        ("le chat et le chien", "fr"),
+        ("chat cat hybrid", "fr"),
+        ("der hund und die katze", "de"),
+    ]
+    vocab = defaultdict(set)
+    for t, l in docs:
+        vocab[l].update(t.split())
+    df = spark.createDataFrame(docs, "text string, lang string")
+    got = {
+        (r.lang_a, r.lang_b): (r.inter, r.n_a, r.n_b, r.jaccard_mil)
+        for r in lang_vocab_overlap(df).collect()
+    }
+    for a, b in itertools.combinations(sorted(vocab), 2):
+        i = len(vocab[a] & vocab[b])
+        na, nb = len(vocab[a]), len(vocab[b])
+        assert got[(a, b)] == (i, na, nb, i * 1_000_000 // (na + nb - i))
+    assert got[("en", "fr")][0] == 1  # only 'cat' is shared
+    assert got[("de", "en")][3] == 0
