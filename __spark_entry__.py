@@ -4200,6 +4200,74 @@ def _vocab_overlap_oracle() -> str:
     )
 
 
+def q_ripley(spark, sf_dir):
+    """Grid-adapted Ripley's K of the crawl point pattern at Chebyshev
+    radii 1–4 over the z8 grid: exact pair counts within each radius
+    (dual-role disc-vote explode + per-ring conditional sums, ONE
+    pair-key aggregate) and the observed/CSR k-ratio in mil per radius
+    (the pinned double) — the multi-scale clustering profile beside
+    nn_idx/knox."""
+    from rio_cogeo_spark.operators.focal import ripley_k
+
+    pts = assign_tiles(_pages(spark, sf_dir), ZOOM).select(
+        "tile_x", "tile_y"
+    )
+    return ripley_k(pts, ZOOM, max_r=4)
+
+
+def _ripley_oracle() -> str:
+    from rio_cogeo_spark.operators.focal import ripley_k_sql
+
+    inner = ripley_k_sql(
+        f"SELECT {_TX8} AS tile_x, {_TY8} AS tile_y FROM pages",
+        ZOOM, max_r=4,
+    ).split("WITH ", 1)[1]
+    return f"{_P},\n{inner}"
+
+
+def q_cocitation(spark, sf_dir):
+    """Related-host discovery by co-citation: unordered pairs of hosts
+    cited together by a common citer over the deterministic host link
+    graph — one co-partitioned self-join on the citer, exact common-
+    citer counts."""
+    from rio_cogeo_spark.operators.graph import cocitation
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    return cocitation(spark.sql(_PR_EDGES), min_common=1)
+
+
+def _cocitation_oracle() -> str:
+    from rio_cogeo_spark.operators.graph import cocitation_sql
+
+    return cocitation_sql(_PR_EDGES, min_common=1)
+
+
+def q_term_geo(spark, sf_dir):
+    """Geographic localization of the top-50 crawl terms: per-term
+    centrography over the z8 cells of the mentioning pages — exact mil
+    mean centers + the per-term pinned-double RMS dispersion radius;
+    low radius ⇒ geographically local term."""
+    from rio_cogeo_spark.operators.report import term_localization
+
+    pages = assign_tiles(_pages(spark, sf_dir), ZOOM).select(
+        "text", "tile_x", "tile_y"
+    )
+    return term_localization(pages, top_k=50)
+
+
+def _term_geo_oracle() -> str:
+    from rio_cogeo_spark.functions.text import TOKENS_SQL
+    from rio_cogeo_spark.operators.report import term_localization_sql
+
+    inner = term_localization_sql(
+        f"SELECT text, {_TX8} AS tile_x, {_TY8} AS tile_y FROM pages",
+        TOKENS_SQL, top_k=50,
+    ).split("WITH ", 1)[1]
+    return f"{_P},\n{inner}"
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FINAL fifth-continuation rotation (ROUND5.md §113): the 12 most
     # twin-intricate new ops (footprint's nested polygonize unroll, idw,
@@ -4498,6 +4566,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nn_idx": q_nn_idx,
         "burstiness": q_burstiness,
         "vocab_overlap": q_vocab_overlap,
+        "ripley": q_ripley,
+        "cocitation": q_cocitation,
+        "term_geo": q_term_geo,
     }
 
 
@@ -5543,6 +5614,9 @@ FROM assigned GROUP BY 1, 2, 3""",
         "nn_idx": _nn_idx_oracle(),
         "burstiness": _burstiness_oracle(),
         "vocab_overlap": _vocab_overlap_oracle(),
+        "ripley": _ripley_oracle(),
+        "cocitation": _cocitation_oracle(),
+        "term_geo": _term_geo_oracle(),
     }
 
 

@@ -3056,3 +3056,138 @@ nn_f AS (SELECT COUNT(*) AS n_cells,
          FROM nn_g WHERE occ = 1)
 SELECT {final}
 FROM (SELECT CAST({2 ** zoom} AS DOUBLE) AS grid_n, * FROM nn_f)"""
+
+
+def _ripley_final(max_r: int, grid_n: int) -> list[str]:
+    """Shared final projection for :func:`ripley_k` — one output row per
+    radius (built by a bounded UNION of per-radius projections upstream);
+    ``k_ratio_mil`` is the ONE pinned double per radius."""
+    area = grid_n * grid_n
+    return [
+        "CAST(radius AS BIGINT) AS radius",
+        "CAST(n_pts AS BIGINT) AS n_pts",
+        "CAST((o_r - n_pts) / 2 AS BIGINT) AS pairs_within",
+        # observed/CSR: pairs_within / (P · ((2r+1)²−1)/G²)
+        "CAST(CASE WHEN n_pts < 2 THEN NULL"
+        " ELSE floor(CAST((o_r - n_pts) / 2 AS DOUBLE)"
+        f" * CAST({area} AS DOUBLE)"
+        " / (CAST(n_pts AS DOUBLE) * CAST(n_pts - 1 AS DOUBLE)"
+        " / CAST(2 AS DOUBLE))"
+        " / CAST((2 * radius + 1) * (2 * radius + 1) - 1 AS DOUBLE)"
+        " * CAST(1000000 AS DOUBLE)) END AS BIGINT) AS k_ratio_mil",
+    ]
+
+
+def ripley_k(
+    points: DataFrame,
+    zoom: int,
+    max_r: int = 4,
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+) -> DataFrame:
+    """Grid-adapted Ripley's K of the point pattern (one row per cell
+    per point is fine — multiplicities count) at Chebyshev radii
+    ``1..max_r``: per radius, the EXACT number of unordered distinct
+    point pairs within distance r, plus ``k_ratio_mil`` — observed
+    over the CSR expectation ``P·((2r+1)²−1)/G²`` (no edge
+    correction; > 1e6 ⇒ clustered at that scale, the multi-scale
+    sibling of :func:`nn_index`).  ``(O_r − N)/2`` with ordered
+    totals staged DECIMAL(38,0) exactly as :func:`knox_stat`.
+
+    Scale design: points fold to cell counts first, then ONE dual-role
+    vote explode over the ``(2·max_r+1)²`` disc offsets carrying the
+    ring number, ONE pair-key hash aggregate with per-ring conditional
+    vote sums, one single-row fold, and a ``max_r``-way bounded UNION
+    for the per-radius rows.  No self-join, no window, no Python.
+    """
+    if max_r < 1:
+        raise ValueError(f"max_r must be >= 1, got {max_r}")
+    counts = points.groupBy(
+        F.col(x_col).cast("long").alias("cx"),
+        F.col(y_col).cast("long").alias("cy"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    entries = [F.struct(F.lit(0).alias("r"), F.lit(0).alias("dx"),
+                        F.lit(0).alias("dy"))]
+    for dx in range(-max_r, max_r + 1):
+        for dy in range(-max_r, max_r + 1):
+            entries.append(
+                F.struct(F.lit(max(abs(dx), abs(dy)) + 1).alias("r"),
+                         F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            )
+    # vote ring label is Chebyshev distance + 1 (0 marks the anchor);
+    # the r=1 vote (offset 0,0) is the same-cell pair contribution
+    votes = counts.select(
+        "cx", "cy", "n", F.explode(F.array(*entries)).alias("off")
+    ).select(
+        (F.col("cx") + F.col("off.dx")).alias("kx"),
+        (F.col("cy") + F.col("off.dy")).alias("ky"),
+        F.col("off.r").alias("r"),
+        F.col("n"),
+    )
+    d = "decimal(38,0)"
+    g = votes.groupBy("kx", "ky").agg(
+        F.max(F.when(F.col("r") == 0, F.col("n"))).alias("a"),
+        *[
+            F.sum(F.when((F.col("r") > 0) & (F.col("r") <= k + 1),
+                         F.col("n"))
+                  .otherwise(F.lit(0))).alias(f"vs{k}")
+            for k in range(1, max_r + 1)
+        ],
+    )
+    fold = g.filter(F.col("a").isNotNull()).agg(
+        F.sum(F.col("a").cast(d)).alias("n_pts"),
+        *[
+            F.sum(F.col("a").cast(d) * F.col(f"vs{k}")).alias(f"o{k}")
+            for k in range(1, max_r + 1)
+        ],
+    )
+    per_r = fold.selectExpr(
+        "n_pts",
+        "stack(" + str(max_r) + ", "
+        + ", ".join(f"CAST({k} AS BIGINT), o{k}" for k in range(1, max_r + 1))
+        + ") AS (radius, o_r)",
+    )
+    return per_r.selectExpr(*_ripley_final(max_r, 2 ** zoom))
+
+
+def ripley_k_sql(
+    points_cte: str, zoom: int, max_r: int = 4,
+    x_col: str = "tile_x", y_col: str = "tile_y",
+) -> str:
+    """DuckDB twin of :func:`ripley_k` — identical disc offsets,
+    conditional ring sums and final projection (the per-radius rows
+    come from the same bounded UNION via UNPIVOT-free UNION ALL)."""
+    if max_r < 1:
+        raise ValueError(f"max_r must be >= 1, got {max_r}")
+    vals = ["(0, 0, 0)"]
+    for dx in range(-max_r, max_r + 1):
+        for dy in range(-max_r, max_r + 1):
+            vals.append(f"({max(abs(dx), abs(dy)) + 1}, {dx}, {dy})")
+    ring_sums = ",\n                ".join(
+        f"SUM(CASE WHEN r <= {k + 1} AND r > 0 THEN n ELSE 0 END) AS vs{k}"
+        for k in range(1, max_r + 1)
+    )
+    o_sums = ",\n                ".join(
+        f"SUM(CAST(a AS HUGEINT) * vs{k}) AS o{k}"
+        for k in range(1, max_r + 1)
+    )
+    union = "\nUNION ALL\n".join(
+        f"SELECT n_pts, CAST({k} AS BIGINT) AS radius, o{k} AS o_r FROM rk_f"
+        for k in range(1, max_r + 1)
+    )
+    final = ",\n       ".join(_ripley_final(max_r, 2 ** zoom))
+    return f"""WITH rk_pts AS ({points_cte}),
+rk_c AS (SELECT {x_col} AS cx, {y_col} AS cy, COUNT(*) AS n
+         FROM rk_pts GROUP BY 1, 2),
+rk_v AS (SELECT c.cx + o.dx AS kx, c.cy + o.dy AS ky, o.r, c.n
+         FROM rk_c c, (VALUES {", ".join(vals)}) o(r, dx, dy)),
+rk_g AS (SELECT kx, ky,
+                MAX(CASE WHEN r = 0 THEN n END) AS a,
+                {ring_sums}
+         FROM rk_v GROUP BY 1, 2),
+rk_f AS (SELECT CAST(SUM(CAST(a AS HUGEINT)) AS HUGEINT) AS n_pts,
+                {o_sums}
+         FROM rk_g WHERE a IS NOT NULL),
+rk_u AS ({union})
+SELECT {final}
+FROM rk_u"""

@@ -1134,3 +1134,77 @@ SELECT CAST(m_edges AS BIGINT) AS m_edges,
                      * CAST(m_edges * CAST(sy2 AS HUGEINT) - CAST(sy AS HUGEINT) * sy AS DOUBLE))
             ) AS BIGINT) END AS r_mil
 FROM da_s"""
+
+
+def cocitation(
+    edges: DataFrame,
+    mode: str = "cocitation",
+    min_common: int = 1,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Co-citation / bibliographic-coupling pair counts over the host
+    link graph — the classic related-host signal: ``cocitation`` pairs
+    two hosts by the number of COMMON CITERS (shared in-neighbors),
+    ``coupling`` by common CITED hosts (shared out-neighbors).  One
+    row per unordered pair ``(host_a, host_b, n_common)`` with
+    ``host_a < host_b`` and ``n_common >= min_common``, all exact
+    BIGINTs.
+
+    Scale design: one self-join of the (deduped) edge list
+    co-partitioned on the pivot endpoint — a single shuffle; per-pivot
+    fan-out is the pivot's degree squared, so ``max_degree`` (when
+    set) drops super-spreader pivots first via one degree fold +
+    broadcast semi-filter (the documented hot-key cap, same contract
+    as repeated_spans' ``broadcast_hot``).  No window, no Python.
+    """
+    if mode not in ("cocitation", "coupling"):
+        raise ValueError(f"mode must be cocitation|coupling, got {mode!r}")
+    pivot, leaf = ("dst", "src") if mode == "coupling" else ("src", "dst")
+    e = edges.select(
+        F.col(pivot).alias("p"), F.col(leaf).alias("l")
+    ).distinct()
+    if max_degree is not None:
+        deg = e.groupBy("p").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") <= max_degree).select("p")
+        e = e.join(F.broadcast(keep), "p", "left_semi")
+    pairs = (
+        e.alias("a")
+        .join(e.alias("b"), "p")
+        .filter(F.col("a.l") < F.col("b.l"))
+        .groupBy(
+            F.col("a.l").alias("host_a"), F.col("b.l").alias("host_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return pairs.filter(F.col("n_common") >= min_common).select(
+        "host_a", "host_b",
+        F.col("n_common").cast("long").alias("n_common"),
+    )
+
+
+def cocitation_sql(
+    edges_select: str,
+    mode: str = "cocitation",
+    min_common: int = 1,
+    max_degree: int | None = None,
+) -> str:
+    """DuckDB twin of :func:`cocitation` — ``edges_select`` exposes
+    ``(src, dst)``."""
+    if mode not in ("cocitation", "coupling"):
+        raise ValueError(f"mode must be cocitation|coupling, got {mode!r}")
+    pivot, leaf = ("dst", "src") if mode == "coupling" else ("src", "dst")
+    cap = (
+        f""",
+cc_deg AS (SELECT p FROM (SELECT p, COUNT(*) AS d FROM cc_e GROUP BY 1)
+           WHERE d <= {int(max_degree)}),
+cc_k AS (SELECT e.* FROM cc_e e JOIN cc_deg USING (p))"""
+        if max_degree is not None
+        else ",\ncc_k AS (SELECT * FROM cc_e)"
+    )
+    return f"""WITH cc_raw AS ({edges_select}),
+cc_e AS (SELECT DISTINCT {pivot} AS p, {leaf} AS l FROM cc_raw){cap}
+SELECT a.l AS host_a, b.l AS host_b,
+       CAST(COUNT(*) AS BIGINT) AS n_common
+FROM cc_k a JOIN cc_k b ON a.p = b.p AND a.l < b.l
+GROUP BY 1, 2
+HAVING COUNT(*) >= {int(min_common)}"""

@@ -2817,3 +2817,102 @@ SELECT lang_a, lang_b,
        CAST((inter * 1000000) // (n_a + n_b - inter) AS BIGINT)
        AS jaccard_mil
 FROM lv_hits"""
+
+
+def _term_geo_final(intdiv: str) -> list[str]:
+    """Shared per-term projection for :func:`term_localization` —
+    the grouped sibling of focal.centrography's moments (``intdiv`` =
+    engine integer-division token, operands non-negative)."""
+    return [
+        "term",
+        "CAST(w_total AS BIGINT) AS n_mentions",
+        f"CAST((swx * 1000000) {intdiv} w_total AS BIGINT) AS mean_x_mil",
+        f"CAST((swy * 1000000) {intdiv} w_total AS BIGINT) AS mean_y_mil",
+        # the ONE pinned double per term: RMS dispersion radius in mil
+        "CAST(floor(sqrt((CAST(sxx AS DOUBLE) + CAST(syy AS DOUBLE))"
+        " / CAST(w_total AS DOUBLE)"
+        " - (CAST(swx AS DOUBLE) / CAST(w_total AS DOUBLE))"
+        " * (CAST(swx AS DOUBLE) / CAST(w_total AS DOUBLE))"
+        " - (CAST(swy AS DOUBLE) / CAST(w_total AS DOUBLE))"
+        " * (CAST(swy AS DOUBLE) / CAST(w_total AS DOUBLE)))"
+        " * CAST(1000000 AS DOUBLE)) AS BIGINT) AS std_dist_mil",
+    ]
+
+
+def term_localization(
+    pages: DataFrame,
+    text_col: str = "text",
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+    top_k: int = 50,
+) -> DataFrame:
+    """Geographic localization of the ``top_k`` corpus terms — per-term
+    centrography over the cells of the pages that mention it (each
+    mention one unit-weight point): one row per term ``(term,
+    n_mentions, mean_x_mil, mean_y_mil, std_dist_mil)``.  A LOW
+    ``std_dist_mil`` marks a geographically local term (a place name,
+    a regional topic), a high one a global term — the webtext ×
+    spatial graft signal.  Mean center coordinates are EXACT mil
+    floordivs of DECIMAL(38,0)-staged sums; the RMS dispersion radius
+    is the ONE pinned double per term (same fixed IEEE tree as
+    focal.centrography).  Top-K by mention count, lexicographic
+    tie-break.
+
+    Scale design: ONE explode→(term, cell-moment) corpus fold
+    (map-side combinable, six sums per term), one vocab-bounded top-K
+    window.  No join, no Python.
+    """
+    from rio_cogeo_spark.functions.text import tokens_col
+
+    d = "decimal(38,0)"
+    x = F.col("x")
+    y = F.col("y")
+    per = (
+        pages.select(
+            F.col(x_col).cast("long").alias("x"),
+            F.col(y_col).cast("long").alias("y"),
+            F.explode(tokens_col(F.col(text_col))).alias("term"),
+        )
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast(d).alias("w_total"),
+            F.sum(x.cast(d)).alias("swx"),
+            F.sum(y.cast(d)).alias("swy"),
+            F.sum(x.cast(d) * x).alias("sxx"),
+            F.sum(y.cast(d) * y).alias("syy"),
+        )
+    )
+    ranked = per.withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.orderBy(F.col("w_total").desc(), F.col("term").asc())
+        ),
+    ).filter(F.col("_rk") <= top_k)
+    return ranked.selectExpr(*_term_geo_final("div"))
+
+
+def term_localization_sql(
+    pages_select: str,
+    tokens_sql: str,
+    top_k: int = 50,
+) -> str:
+    """DuckDB twin of :func:`term_localization` — ``pages_select``
+    exposes ``(text, tile_x, tile_y)``; identical moments and final
+    projection (int-div ``//``)."""
+    final = ",\n       ".join(_term_geo_final("//"))
+    return f"""WITH tg_pages AS ({pages_select}),
+tg_m AS (SELECT term,
+                CAST(COUNT(*) AS HUGEINT) AS w_total,
+                SUM(CAST(x AS HUGEINT)) AS swx,
+                SUM(CAST(y AS HUGEINT)) AS swy,
+                SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                SUM(CAST(y AS HUGEINT) * y) AS syy
+         FROM (SELECT CAST(tile_x AS BIGINT) AS x,
+                      CAST(tile_y AS BIGINT) AS y,
+                      unnest({tokens_sql}) AS term FROM tg_pages)
+         GROUP BY 1),
+tg_rk AS (SELECT *, ROW_NUMBER() OVER
+              (ORDER BY w_total DESC, term ASC) AS _rk
+          FROM tg_m)
+SELECT {final}
+FROM tg_rk WHERE _rk <= {int(top_k)}"""

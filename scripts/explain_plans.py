@@ -2598,6 +2598,75 @@ def main() -> None:
     )
     print(f"[{'OK' if lv_ok else 'BAD'}] lang_vocab_overlap plan")
 
+    # 142. ripley_k: cell fold -> ONE disc-vote explode + ONE pair-key
+    # aggregate with per-ring conditional sums -> single-row fold ->
+    # bounded stack — no join except the trivial plan, no window
+    from rio_cogeo_spark.operators.focal import ripley_k
+
+    rk_plan = plan_of(ripley_k(kx_in.select("tile_x", "tile_y"), 6))
+    rk_ok = (
+        "Join" not in rk_plan
+        and "Window" not in rk_plan
+        and "BatchEvalPython" not in rk_plan
+        and "ArrowEvalPython" not in rk_plan
+        and len(re.findall(r"\(\d+\) Generate", rk_plan)) >= 1
+    )
+    checks.append(("ripley_k disc-vote explode, ring sums, no join",
+                   rk_ok))
+    sections.append(
+        ("ripley_k", f"  {'PASS' if rk_ok else 'FAIL'} "
+         "81 disc offsets + anchor; cumulative ring sums", rk_plan)
+    )
+    print(f"[{'OK' if rk_ok else 'BAD'}] ripley_k plan")
+
+    # 143. cocitation: ONE co-partitioned self-join on the pivot (no
+    # broadcast needed, no cartesian), pair-key aggregate — no window,
+    # no Python
+    from rio_cogeo_spark.operators.graph import cocitation as _cocit
+
+    cc_in = spark.range(4000).selectExpr(
+        "id % 211 AS src", "(id * 31 + 7) % 211 AS dst"
+    ).filter("src <> dst")
+    cc_plan = plan_of(_cocit(cc_in))
+    cc_ok = (
+        "Window" not in cc_plan
+        and "BatchEvalPython" not in cc_plan
+        and "ArrowEvalPython" not in cc_plan
+        and "CartesianProduct" not in cc_plan
+        and len(re.findall(r"\(\d+\) \w*Join", cc_plan)) == 1
+    )
+    checks.append(("cocitation single pivot self-join, no cartesian",
+                   cc_ok))
+    sections.append(
+        ("cocitation", f"  {'PASS' if cc_ok else 'FAIL'} "
+         "one shuffle on the pivot endpoint; degree-capped fan-out",
+         cc_plan)
+    )
+    print(f"[{'OK' if cc_ok else 'BAD'}] cocitation plan")
+
+    # 144. term_localization: one corpus explode-fold (six sums per
+    # term) + ONE vocab-bounded top-K window — no join, no Python
+    from rio_cogeo_spark.operators.report import term_localization
+
+    tg_in = spark.range(2000).selectExpr(
+        "id % 32 AS tile_x", "(id * 7) % 32 AS tile_y",
+        "concat('w', id % 97, ' w', id % 31) AS text",
+    )
+    tg_plan = plan_of(term_localization(tg_in))
+    tg_ok = (
+        "Join" not in tg_plan
+        and "BatchEvalPython" not in tg_plan
+        and "ArrowEvalPython" not in tg_plan
+        and len(re.findall(r"\(\d+\) Window", tg_plan)) == 1
+    )
+    checks.append(("term_localization corpus fold + one vocab window",
+                   tg_ok))
+    sections.append(
+        ("term_localization", f"  {'PASS' if tg_ok else 'FAIL'} "
+         "per-term moments map-side combinable", tg_plan)
+    )
+    print(f"[{'OK' if tg_ok else 'BAD'}] term_localization plan")
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:

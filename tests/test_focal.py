@@ -1230,3 +1230,35 @@ def test_nn_index_brute_force_and_isolated(spark):
     r = nn_index(iso, 8).collect()[0]
     assert (r.n_cells, r.n_within, r.sum_nn) == (3, 0, 0)
     assert r.mean_nn_mil is None and r.ce_mil is None
+
+
+def test_ripley_k_brute_force(spark):
+    """Ripley pair counts within each Chebyshev radius vs exhaustive
+    pairwise search; injected hot cell clusters at every radius."""
+    import itertools
+    import math
+
+    from rio_cogeo_spark.operators.focal import ripley_k
+
+    pts = [(i % 9, (i * 5) % 11) for i in range(30)] + [(4, 4)] * 6
+    N = len(pts)
+    G = 16
+    df = spark.createDataFrame(pts, "tile_x long, tile_y long")
+    got = {
+        r.radius: (r.n_pts, r.pairs_within, r.k_ratio_mil)
+        for r in ripley_k(df, 4).collect()
+    }
+    for r in range(1, 5):
+        X = sum(
+            1 for a, b in itertools.combinations(pts, 2)
+            if max(abs(a[0] - b[0]), abs(a[1] - b[1])) <= r
+        )
+        km = math.floor(
+            X * float(G * G) / (N * (N - 1) / 2.0)
+            / float((2 * r + 1) ** 2 - 1) * 1e6
+        )
+        assert got[r] == (N, X, km)
+    # pair counts are cumulative in radius; the clustered pattern is
+    # super-CSR at radius 1
+    assert got[1][1] <= got[2][1] <= got[3][1] <= got[4][1]
+    assert got[1][2] > 1_000_000

@@ -1360,3 +1360,89 @@ def test_lang_vocab_overlap_exact_jaccard(spark):
         assert got[(a, b)] == (i, na, nb, i * 1_000_000 // (na + nb - i))
     assert got[("en", "fr")][0] == 1  # only 'cat' is shared
     assert got[("de", "en")][3] == 0
+
+
+def test_cocitation_and_coupling(spark):
+    """Co-citation (shared citers of a cited pair) and bibliographic
+    coupling (shared citeds of a citer pair) vs set arithmetic; the
+    degree cap drops super-spreader pivots."""
+    import itertools
+    from collections import Counter, defaultdict
+
+    from rio_cogeo_spark.operators.graph import cocitation
+
+    edges = [(i % 13, (i * 7 + 1) % 13) for i in range(60)]
+    edges += [(1, 5), (2, 5), (1, 8), (2, 8)]
+    edges = sorted({(s, d) for s, d in edges if s != d})
+    outn, inn = defaultdict(set), defaultdict(set)
+    for s, d in edges:
+        outn[s].add(d)
+        inn[d].add(s)
+
+    def pairs(nbrs):
+        c = Counter()
+        for vs in nbrs.values():
+            for a, b in itertools.combinations(sorted(vs), 2):
+                c[(a, b)] += 1
+        return dict(c)
+
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r.host_a, r.host_b): r.n_common for r in cocitation(edf).collect()
+    }
+    assert got == pairs(outn)
+    # hosts 5 and 8 are co-cited by BOTH 1 and 2
+    assert got[(5, 8)] >= 2
+    gotc = {
+        (r.host_a, r.host_b): r.n_common
+        for r in cocitation(edf, mode="coupling").collect()
+    }
+    assert gotc == pairs(inn)
+    capped = {
+        (r.host_a, r.host_b): r.n_common
+        for r in cocitation(edf, max_degree=2).collect()
+    }
+    assert capped == pairs(
+        {s: ds for s, ds in outn.items() if len(ds) <= 2}
+    )
+    import pytest
+
+    with pytest.raises(ValueError):
+        cocitation(edf, mode="nope")
+
+
+def test_term_localization_moments(spark):
+    """Per-term mean center + dispersion radius match closed-form; a
+    spatially-clustered term is more localized than a scattered one."""
+    import math
+    from collections import defaultdict
+
+    from rio_cogeo_spark.operators.report import term_localization
+
+    rows = [
+        (1, 2, "paris tower paris"), (1, 3, "paris cafe"),
+        (9, 9, "global web"), (0, 0, "global net"), (5, 5, "global hub"),
+    ]
+    mom = defaultdict(lambda: [0, 0, 0, 0, 0])
+    for x, y, t in rows:
+        for w in t.split():
+            m = mom[w]
+            m[0] += 1
+            m[1] += x
+            m[2] += y
+            m[3] += x * x
+            m[4] += y * y
+    df = spark.createDataFrame(rows, "tile_x long, tile_y long, text string")
+    got = {
+        r.term: (r.n_mentions, r.mean_x_mil, r.mean_y_mil, r.std_dist_mil)
+        for r in term_localization(df, top_k=100).collect()
+    }
+    for w, (n, sx, sy, sxx, syy) in mom.items():
+        std = math.floor(
+            math.sqrt(
+                (float(sxx) + float(syy)) / n
+                - (float(sx) / n) ** 2 - (float(sy) / n) ** 2
+            ) * 1e6
+        )
+        assert got[w] == (n, sx * 1_000_000 // n, sy * 1_000_000 // n, std)
+    assert got["paris"][3] < got["global"][3]
