@@ -4268,6 +4268,62 @@ def _term_geo_oracle() -> str:
     return f"{_P},\n{inner}"
 
 
+def q_quadrat(spark, sf_dir):
+    """Quadrat-count dispersion test over the full z8 grid: exact
+    integer variance-to-mean ratio of per-cell counts vs CSR-Poisson
+    ((C·Q − S²)·1e6 div (C·S), absent cells zero quadrats) — ONE
+    corpus fold, NO float anywhere."""
+    from rio_cogeo_spark.operators.focal import quadrat_test
+
+    return quadrat_test(base_tiles(_pages(spark, sf_dir), ZOOM), ZOOM)
+
+
+def _quadrat_oracle() -> str:
+    from rio_cogeo_spark.operators.focal import quadrat_test_sql
+
+    inner = quadrat_test_sql(
+        "SELECT tile_x, tile_y, page_count FROM base", ZOOM
+    ).split("WITH ", 1)[1]
+    return f"{_BASE_CTE},\n{inner}"
+
+
+def q_general_g(spark, sf_dir):
+    """Getis-Ord General G of the z8 density surface — the global
+    hot-spot statistic: queen-adjacent Σx_i·x_j over all-pairs
+    Σ_{i≠j}x_i·x_j (= S² − Q closed form), FULLY exact integer mil
+    via one dual-role vote explode + pair-key aggregate."""
+    from rio_cogeo_spark.operators.focal import general_g
+
+    return general_g(base_tiles(_pages(spark, sf_dir), ZOOM), ZOOM)
+
+
+def _general_g_oracle() -> str:
+    from rio_cogeo_spark.operators.focal import general_g_sql
+
+    inner = general_g_sql(
+        "SELECT tile_x, tile_y, page_count FROM base", ZOOM
+    ).split("WITH ", 1)[1]
+    return f"{_BASE_CTE},\n{inner}"
+
+
+def q_gini(spark, sf_dir):
+    """Gini coefficient of crawl concentration over the occupied z8
+    cells — exact integer Lorenz arithmetic ((2Σi·x_(i) − (n+1)S)·1e6
+    div (n·S)) on the grid-bounded ranked cell table, NO float."""
+    from rio_cogeo_spark.operators.focal import gini_concentration
+
+    return gini_concentration(base_tiles(_pages(spark, sf_dir), ZOOM))
+
+
+def _gini_oracle() -> str:
+    from rio_cogeo_spark.operators.focal import gini_concentration_sql
+
+    inner = gini_concentration_sql(
+        "SELECT page_count AS v FROM base"
+    ).split("WITH ", 1)[1]
+    return f"{_BASE_CTE},\n{inner}"
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FINAL fifth-continuation rotation (ROUND5.md §113): the 12 most
     # twin-intricate new ops (footprint's nested polygonize unroll, idw,
@@ -4569,6 +4625,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ripley": q_ripley,
         "cocitation": q_cocitation,
         "term_geo": q_term_geo,
+        "quadrat": q_quadrat,
+        "general_g": q_general_g,
+        "gini": q_gini,
     }
 
 
@@ -5617,6 +5676,9 @@ FROM assigned GROUP BY 1, 2, 3""",
         "ripley": _ripley_oracle(),
         "cocitation": _cocitation_oracle(),
         "term_geo": _term_geo_oracle(),
+        "quadrat": _quadrat_oracle(),
+        "general_g": _general_g_oracle(),
+        "gini": _gini_oracle(),
     }
 
 

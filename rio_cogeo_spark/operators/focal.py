@@ -3191,3 +3191,221 @@ rk_f AS (SELECT CAST(SUM(CAST(a AS HUGEINT)) AS HUGEINT) AS n_pts,
 rk_u AS ({union})
 SELECT {final}
 FROM rk_u"""
+
+
+def quadrat_test(
+    tiles: DataFrame,
+    zoom: int,
+    value_col: str = "page_count",
+) -> DataFrame:
+    """Quadrat-count dispersion test of the point pattern — the
+    variance-to-mean ratio of per-cell counts over the FULL ``4^zoom``
+    grid (absent cells are zero-count quadrats), FULLY exact integer:
+    with ``C = 4^zoom``, ``S = Σn`` and ``Q = Σn²``,
+
+        ``vmr_mil = ((C·Q − S²) · 10^6) div (C·S)``
+
+    (non-negative by Cauchy-Schwarz; > 1e6 ⇒ clustered / over-
+    dispersed vs CSR-Poisson, the quadrat sibling of
+    :func:`nn_index`/:func:`ripley_k`).  One row ``(n_quadrats,
+    n_occupied, n_points, sum_sq, vmr_mil)`` — NO float anywhere.
+
+    Scale design: ONE map-side-combinable corpus fold; second moment
+    staged DECIMAL(38,0)/HUGEINT.  Zero shuffles beyond the global
+    aggregate.
+    """
+    c = 4 ** zoom
+    d = "decimal(38,0)"
+    v = F.col(value_col).cast("long")
+    agg = tiles.agg(
+        F.count(F.lit(1)).alias("n_occupied"),
+        F.sum(v).cast(d).alias("s"),
+        F.sum(v.cast(d) * v).alias("q"),
+    )
+    return agg.selectExpr(
+        f"CAST({c} AS BIGINT) AS n_quadrats",
+        "CAST(n_occupied AS BIGINT) AS n_occupied",
+        "CAST(s AS BIGINT) AS n_points",
+        "CAST(q AS BIGINT) AS sum_sq",
+        f"CAST((({c} * q - s * s) * 1000000) div ({c} * s) AS BIGINT)"
+        " AS vmr_mil",
+    )
+
+
+def quadrat_test_sql(
+    tiles_cte: str, zoom: int, value_col: str = "page_count"
+) -> str:
+    """DuckDB twin of :func:`quadrat_test` (int-div ``//``)."""
+    c = 4 ** zoom
+    return f"""WITH qt_t AS ({tiles_cte}),
+qt_a AS (SELECT COUNT(*) AS n_occupied,
+                CAST(SUM({value_col}) AS HUGEINT) AS s,
+                SUM(CAST({value_col} AS HUGEINT) * {value_col}) AS q
+         FROM qt_t)
+SELECT CAST({c} AS BIGINT) AS n_quadrats,
+       CAST(n_occupied AS BIGINT) AS n_occupied,
+       CAST(s AS BIGINT) AS n_points,
+       CAST(q AS BIGINT) AS sum_sq,
+       CAST((({c} * q - s * s) * 1000000) // ({c} * s) AS BIGINT)
+       AS vmr_mil
+FROM qt_a"""
+
+
+def general_g(
+    tiles: DataFrame,
+    zoom: int,
+    value_col: str = "page_count",
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+) -> DataFrame:
+    """Getis-Ord General G — the GLOBAL hot-spot statistic (the global
+    sibling of :func:`hotspots`' Gi*): with queen radius-1 weights over
+    the occupied cells (absent cells are zero and contribute nothing
+    to either sum),
+
+        ``G = Σ_{i≠j, j∈N(i)} x_i·x_j / Σ_{i≠j} x_i·x_j``
+
+    FULLY exact: numerator from the dual-role neighbor-vote machinery
+    (8 offsets, no self-pair), denominator ``S² − Q`` closed-form,
+    ``g_mil = (num·10^6) div (S² − Q)`` an exact integer division —
+    NO float.  High G ⇒ high values cluster next to high values.
+    One row ``(n_cells, w_pairs, num, den, g_mil)``; ``w_pairs`` is
+    the ordered adjacent-pair count (bounded by 8·cells).
+
+    Scale design: ONE dual-role vote explode (anchor + 8 neighbor
+    votes) + ONE pair-key hash aggregate + a single-row fold, plus one
+    three-sum corpus fold, combined 1×1 — no join on the cell table.
+    DECIMAL(38,0)/HUGEINT staging (morans_i envelope).
+    """
+    d = "decimal(38,0)"
+    entries = [F.struct(F.lit(0).alias("r"), F.lit(0).alias("dx"),
+                        F.lit(0).alias("dy"))] + [
+        F.struct(F.lit(1).alias("r"), F.lit(dx).alias("dx"),
+                 F.lit(dy).alias("dy"))
+        for dx, dy in _offsets(1) if (dx, dy) != (0, 0)
+    ]
+    base = tiles.select(
+        F.col(x_col).cast("long").alias("cx"),
+        F.col(y_col).cast("long").alias("cy"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    g = base.select(
+        "cx", "cy", "v", F.explode(F.array(*entries)).alias("off")
+    ).select(
+        (F.col("cx") + F.col("off.dx")).alias("kx"),
+        (F.col("cy") + F.col("off.dy")).alias("ky"),
+        F.col("off.r").alias("r"),
+        F.col("v"),
+    ).groupBy("kx", "ky").agg(
+        F.max(F.when(F.col("r") == 0, F.col("v"))).alias("a"),
+        F.sum(F.when(F.col("r") == 1, F.col("v")).otherwise(F.lit(0)))
+        .alias("nbrsum"),
+        F.sum(F.when(F.col("r") == 1, F.lit(1)).otherwise(F.lit(0)))
+        .alias("nbrn"),
+    )
+    num = g.filter(F.col("a").isNotNull()).agg(
+        F.sum(F.col("a").cast(d) * F.col("nbrsum")).alias("num"),
+        F.sum(F.col("nbrn")).alias("w_pairs"),
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("v").cast(d).alias("s"),
+        F.sum(F.col("v").cast(d) * F.col("v")).alias("q"),
+    )
+    return tot.crossJoin(num).selectExpr(
+        "CAST(n_cells AS BIGINT) AS n_cells",
+        "CAST(COALESCE(w_pairs, 0) AS BIGINT) AS w_pairs",
+        "CAST(COALESCE(num, 0) AS BIGINT) AS num",
+        "CAST(s * s - q AS BIGINT) AS den",
+        "CAST(CASE WHEN s * s - q = 0 THEN NULL"
+        " ELSE (COALESCE(num, 0) * 1000000) div (s * s - q) END AS BIGINT)"
+        " AS g_mil",
+    )
+
+
+def general_g_sql(
+    tiles_cte: str, zoom: int, value_col: str = "page_count"
+) -> str:
+    """DuckDB twin of :func:`general_g` (int-div ``//``; identical
+    8-offset votes)."""
+    nb = [o for o in _offsets(1) if o != (0, 0)]
+    vals = ", ".join(["(0, 0, 0)"]
+                     + [f"(1, {dx}, {dy})" for dx, dy in nb])
+    return f"""WITH gg_t AS (SELECT tile_x AS cx, tile_y AS cy,
+                     CAST({value_col} AS BIGINT) AS v
+              FROM ({tiles_cte})),
+gg_v AS (SELECT t.cx + o.dx AS kx, t.cy + o.dy AS ky, o.r, t.v
+         FROM gg_t t, (VALUES {vals}) o(r, dx, dy)),
+gg_g AS (SELECT kx, ky,
+                MAX(CASE WHEN r = 0 THEN v END) AS a,
+                SUM(CASE WHEN r = 1 THEN v ELSE 0 END) AS nbrsum,
+                SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS nbrn
+         FROM gg_v GROUP BY 1, 2),
+gg_n AS (SELECT SUM(CAST(a AS HUGEINT) * nbrsum) AS num,
+                SUM(nbrn) AS w_pairs
+         FROM gg_g WHERE a IS NOT NULL),
+gg_a AS (SELECT COUNT(*) AS n_cells, CAST(SUM(v) AS HUGEINT) AS s,
+                SUM(CAST(v AS HUGEINT) * v) AS q
+         FROM gg_t)
+SELECT CAST(n_cells AS BIGINT) AS n_cells,
+       CAST(COALESCE(w_pairs, 0) AS BIGINT) AS w_pairs,
+       CAST(COALESCE(num, 0) AS BIGINT) AS num,
+       CAST(s * s - q AS BIGINT) AS den,
+       CAST(CASE WHEN s * s - q = 0 THEN NULL
+            ELSE (COALESCE(num, 0) * 1000000) // (s * s - q) END AS BIGINT)
+       AS g_mil
+FROM gg_a, gg_n"""
+
+
+def gini_concentration(
+    tiles: DataFrame,
+    value_col: str = "page_count",
+) -> DataFrame:
+    """Gini coefficient of crawl concentration over the OCCUPIED units
+    (cells, hosts, …) — the inequality gauge of the density surface,
+    FULLY exact integer: with values ranked ascending (any order among
+    tied values gives the same Σi·x_(i) since the tied x are equal),
+
+        ``gini_mil = ((2·Σ i·x_(i) − (n+1)·S) · 10^6) div (n·S)``
+
+    One row ``(n_units, total, gini_mil)`` — NO float.  0 ⇒ perfectly
+    even, → 1e6 ⇒ all mass in one unit.
+
+    Scale design: one global ascending rank (a single range-partitioned
+    sort over the unit-bounded table — cells are grid-bounded, hosts
+    host-bounded, never the corpus) + one fold.
+    """
+    d = "decimal(38,0)"
+    ranked = tiles.select(F.col(value_col).cast("long").alias("v")).withColumn(
+        "i", F.row_number().over(Window.orderBy(F.col("v").asc()))
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").cast(d)).alias("s"),
+        F.sum(F.col("i").cast(d) * F.col("v")).alias("ws"),
+    )
+    return agg.selectExpr(
+        "CAST(n AS BIGINT) AS n_units",
+        "CAST(s AS BIGINT) AS total",
+        "CAST(CASE WHEN s = 0 THEN NULL"
+        " ELSE ((2 * ws - (n + 1) * s) * 1000000) div (n * s) END"
+        " AS BIGINT) AS gini_mil",
+    )
+
+
+def gini_concentration_sql(units_cte: str, value_col: str = "v") -> str:
+    """DuckDB twin of :func:`gini_concentration` — ``units_cte``
+    exposes one row per unit with ``{value_col}``."""
+    return f"""WITH gi_u AS ({units_cte}),
+gi_r AS (SELECT CAST({value_col} AS BIGINT) AS v,
+                ROW_NUMBER() OVER (ORDER BY {value_col} ASC) AS i
+         FROM gi_u),
+gi_a AS (SELECT COUNT(*) AS n, CAST(SUM(v) AS HUGEINT) AS s,
+                SUM(CAST(i AS HUGEINT) * v) AS ws
+         FROM gi_r)
+SELECT CAST(n AS BIGINT) AS n_units,
+       CAST(s AS BIGINT) AS total,
+       CAST(CASE WHEN s = 0 THEN NULL
+            ELSE ((2 * ws - (n + 1) * s) * 1000000) // (n * s) END
+            AS BIGINT) AS gini_mil
+FROM gi_a"""

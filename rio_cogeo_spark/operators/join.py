@@ -148,6 +148,45 @@ def ray_cast(lon: np.ndarray, lat: np.ndarray,
     return inside
 
 
+# Memoized PIP dim side: the admin-boundary broadcast inputs are STATIC
+# across queries of a job (the reference opens its dataset/config once
+# per translate, cogeo.py:86) — re-deriving the covering-cell table,
+# the ring broadcast and the id map on every call re-runs ~1 s of
+# driver-serial Python per query, a pure Amdahl term a long-running
+# cluster job amortizes to zero.  Keyed on the full ring content (not
+# object identity), so mutated/replaced area lists never hit stale
+# entries; keyed on the JVM context so a restarted session rebuilds.
+_PIP_DIM_CACHE: dict = {}
+
+
+def _pip_dim_side(spark: SparkSession, areas: List[AdminArea], zoom: int):
+    key = (
+        id(spark.sparkContext._jsc),
+        zoom,
+        tuple(
+            (a.admin_id, a.name,
+             np.asarray(a.ring_lon, dtype=np.float64).tobytes(),
+             np.asarray(a.ring_lat, dtype=np.float64).tobytes())
+            for a in areas
+        ),
+    )
+    hit = _PIP_DIM_CACHE.get(key)
+    if hit is not None:
+        return hit
+    cells = admin_cells_df(spark, areas, zoom)
+    # integer admin index for the refine UDF: int-array group masks are
+    # ~10x faster than string equality over object dtype
+    idx_of = {a.admin_id: i for i, a in enumerate(areas)}
+    rings = [(np.asarray(a.ring_lon), np.asarray(a.ring_lat)) for a in areas]
+    bc = spark.sparkContext.broadcast(rings)
+    idx_map = F.create_map(
+        *[x for a in areas for x in (F.lit(a.admin_id), F.lit(idx_of[a.admin_id]))]
+    )
+    _PIP_DIM_CACHE.clear()  # one live dim side per process is plenty
+    _PIP_DIM_CACHE[key] = (cells, bc, idx_map)
+    return cells, bc, idx_map
+
+
 def point_in_polygon(
     pages: DataFrame,
     areas: List[AdminArea],
@@ -160,15 +199,7 @@ def point_in_polygon(
     Returns pages columns + ``admin_id``/``name`` for inner.
     """
     spark = pages.sparkSession
-    cells = admin_cells_df(spark, areas, zoom)
-    # integer admin index for the refine UDF: int-array group masks are
-    # ~10x faster than string equality over object dtype
-    idx_of = {a.admin_id: i for i, a in enumerate(areas)}
-    rings = [(np.asarray(a.ring_lon), np.asarray(a.ring_lat)) for a in areas]
-    bc = spark.sparkContext.broadcast(rings)
-    idx_map = F.create_map(
-        *[x for a in areas for x in (F.lit(a.admin_id), F.lit(idx_of[a.admin_id]))]
-    )
+    cells, bc, idx_map = _pip_dim_side(spark, areas, zoom)
 
     with_cell = pages.withColumn("cell", cell_id(F.col("lon"), F.col("lat"), zoom))
     candidates = with_cell.join(F.broadcast(cells), "cell", "inner").withColumn(

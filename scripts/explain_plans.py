@@ -2667,6 +2667,70 @@ def main() -> None:
     )
     print(f"[{'OK' if tg_ok else 'BAD'}] term_localization plan")
 
+    # 145. quadrat_test: ONE partial+final corpus fold, single-row
+    # projection — nothing else at all
+    from rio_cogeo_spark.operators.focal import quadrat_test
+
+    qt_plan = plan_of(quadrat_test(kx_in.select("tile_x", "tile_y")
+                                   .withColumn("page_count", F.lit(2)), 6))
+    qt_ok = (
+        "Join" not in qt_plan
+        and "Window" not in qt_plan
+        and "Generate" not in qt_plan
+        and "BatchEvalPython" not in qt_plan
+        and "ArrowEvalPython" not in qt_plan
+        and len(re.findall(r"\(\d+\) HashAggregate", qt_plan)) == 2
+    )
+    checks.append(("quadrat_test one fold, nothing else", qt_ok))
+    sections.append(
+        ("quadrat_test", f"  {'PASS' if qt_ok else 'FAIL'} "
+         "fully-exact integer VMR", qt_plan)
+    )
+    print(f"[{'OK' if qt_ok else 'BAD'}] quadrat_test plan")
+
+    # 146. general_g: dual-role vote explode + pair-key aggregate +
+    # two single-row folds crossed — no join on the cell table beyond
+    # the 1x1 cross, no window, no Python
+    from rio_cogeo_spark.operators.focal import general_g
+
+    gg_plan = plan_of(general_g(kx_in.select("tile_x", "tile_y")
+                                .withColumn("page_count", F.lit(2)), 6))
+    gg_ok = (
+        "SortMergeJoin" not in gg_plan
+        and "Window" not in gg_plan
+        and "BatchEvalPython" not in gg_plan
+        and "ArrowEvalPython" not in gg_plan
+        and len(re.findall(r"\(\d+\) Generate", gg_plan)) == 1
+        and "CartesianProduct" not in gg_plan
+    )
+    checks.append(("general_g dual-role explode, 1x1 folds only",
+                   gg_ok))
+    sections.append(
+        ("general_g", f"  {'PASS' if gg_ok else 'FAIL'} "
+         "exact-integer global Getis-Ord G", gg_plan)
+    )
+    print(f"[{'OK' if gg_ok else 'BAD'}] general_g plan")
+
+    # 147. gini_concentration: one rank window on the unit-bounded
+    # table + one fold — no join, no explode, no Python
+    from rio_cogeo_spark.operators.focal import gini_concentration
+
+    gi_plan = plan_of(gini_concentration(
+        kx_in.select("tile_x", "tile_y").withColumn("page_count", F.lit(2))))
+    gi_ok = (
+        "Join" not in gi_plan
+        and "Generate" not in gi_plan
+        and "BatchEvalPython" not in gi_plan
+        and "ArrowEvalPython" not in gi_plan
+        and len(re.findall(r"\(\d+\) Window", gi_plan)) == 1
+    )
+    checks.append(("gini one rank window + fold", gi_ok))
+    sections.append(
+        ("gini_concentration", f"  {'PASS' if gi_ok else 'FAIL'} "
+         "exact integer Lorenz arithmetic", gi_plan)
+    )
+    print(f"[{'OK' if gi_ok else 'BAD'}] gini_concentration plan")
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:

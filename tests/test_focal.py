@@ -1262,3 +1262,85 @@ def test_ripley_k_brute_force(spark):
     # super-CSR at radius 1
     assert got[1][1] <= got[2][1] <= got[3][1] <= got[4][1]
     assert got[1][2] > 1_000_000
+
+
+def test_quadrat_test_exact_vmr(spark):
+    """Quadrat VMR over the full grid (absent quadrats zero) matches
+    closed-form integers; a uniform full grid is exactly Poisson-flat
+    ... i.e. zero variance -> vmr 0."""
+    from rio_cogeo_spark.operators.focal import quadrat_test
+
+    cells = [(0, 0, 8), (1, 1, 4), (5, 5, 4)]
+    C = 4 ** 3
+    S = 16
+    Q = 64 + 16 + 16
+    df = spark.createDataFrame(
+        cells, "tile_x long, tile_y long, page_count long"
+    )
+    r = quadrat_test(df, 3).collect()[0]
+    assert (r.n_quadrats, r.n_occupied, r.n_points, r.sum_sq) == (
+        C, 3, S, Q,
+    )
+    assert r.vmr_mil == ((C * Q - S * S) * 1_000_000) // (C * S)
+    assert r.vmr_mil > 1_000_000  # 3 occupied cells of 64: clustered
+
+    full = spark.createDataFrame(
+        [(x, y, 7) for x in range(4) for y in range(4)],
+        "tile_x long, tile_y long, page_count long",
+    )
+    r = quadrat_test(full, 2).collect()[0]
+    assert r.vmr_mil == 0  # constant counts: zero variance
+
+
+def test_general_g_brute_force(spark):
+    """General G numerator vs exhaustive queen-adjacent pair sum; the
+    closed-form denominator S²−Q; clustered highs raise G."""
+    from rio_cogeo_spark.operators.focal import general_g
+
+    cells = {(2, 2): 9, (2, 3): 8, (3, 2): 7, (6, 6): 1, (0, 6): 2}
+    num = 0
+    w = 0
+    for (ax, ay), av in cells.items():
+        for (bx, by), bv in cells.items():
+            if (ax, ay) != (bx, by) and max(abs(ax - bx), abs(ay - by)) <= 1:
+                num += av * bv
+                w += 1
+    S = sum(cells.values())
+    Q = sum(v * v for v in cells.values())
+    df = spark.createDataFrame(
+        [(x, y, v) for (x, y), v in cells.items()],
+        "tile_x long, tile_y long, page_count long",
+    )
+    r = general_g(df, 3).collect()[0]
+    assert (r.n_cells, r.w_pairs, r.num, r.den) == (
+        len(cells), w, num, S * S - Q,
+    )
+    assert r.g_mil == num * 1_000_000 // (S * S - Q)
+    # isolated single cell: no pairs at all, den 0 -> NULL
+    one = spark.createDataFrame(
+        [(1, 1, 5)], "tile_x long, tile_y long, page_count long"
+    )
+    r = general_g(one, 3).collect()[0]
+    assert (r.w_pairs, r.num, r.den) == (0, 0, 0)
+    assert r.g_mil is None
+
+
+def test_gini_concentration_closed_form(spark):
+    """Gini over known vectors: constant -> 0, two-point 1/9 split,
+    single unit -> 0."""
+    from rio_cogeo_spark.operators.focal import gini_concentration
+
+    def gini(vals):
+        df = spark.createDataFrame(
+            [(i, 0, v) for i, v in enumerate(vals)],
+            "tile_x long, tile_y long, page_count long",
+        )
+        return gini_concentration(df).collect()[0]
+
+    r = gini([7, 7, 7, 7])
+    assert (r.n_units, r.total, r.gini_mil) == (4, 28, 0)
+    r = gini([1, 9])
+    # ranks asc: 1*1 + 2*9 = 19; (2*19 - 3*10)*1e6 // (2*10) = 400000
+    assert r.gini_mil == 400_000
+    r = gini([5])
+    assert r.gini_mil == 0
