@@ -4306,22 +4306,62 @@ def _general_g_oracle() -> str:
     return f"{_BASE_CTE},\n{inner}"
 
 
-def q_gini(spark, sf_dir):
+def q_gini_cells(spark, sf_dir):
     """Gini coefficient of crawl concentration over the occupied z8
-    cells — exact integer Lorenz arithmetic ((2Σi·x_(i) − (n+1)S)·1e6
-    div (n·S)) on the grid-bounded ranked cell table, NO float."""
+    cells (the SPATIAL sibling of the host-level `gini` query) — exact
+    integer Lorenz arithmetic ((2Σi·x_(i) − (n+1)S)·1e6 div (n·S)) on
+    the grid-bounded ranked cell table, NO float."""
     from rio_cogeo_spark.operators.focal import gini_concentration
 
     return gini_concentration(base_tiles(_pages(spark, sf_dir), ZOOM))
 
 
-def _gini_oracle() -> str:
+def _gini_cells_oracle() -> str:
     from rio_cogeo_spark.operators.focal import gini_concentration_sql
 
     inner = gini_concentration_sql(
         "SELECT page_count AS v FROM base"
     ).split("WITH ", 1)[1]
     return f"{_BASE_CTE},\n{inner}"
+
+
+def q_cell_diversity(spark, sf_dir):
+    """Spatial language-diversity map: per occupied z8 cell, the
+    Shannon entropy of its page-language mix in per-term-pinned
+    nano-nats (the cell-keyed lang_entropy sibling) — ONE (cell, lang)
+    corpus fold + a window reusing its partitioning, no join."""
+    from rio_cogeo_spark.operators.report import cell_diversity
+
+    pts = assign_tiles(_pages(spark, sf_dir), ZOOM).select(
+        "tile_x", "tile_y", "lang"
+    )
+    return cell_diversity(pts)
+
+
+def _cell_diversity_oracle() -> str:
+    from rio_cogeo_spark.operators.report import cell_diversity_sql
+
+    inner = cell_diversity_sql(
+        f"SELECT {_TX8} AS tile_x, {_TY8} AS tile_y, lang FROM pages"
+    ).split("WITH ", 1)[1]
+    return f"{_P},\n{inner}"
+
+
+def q_hapax(spark, sf_dir):
+    """Hapax/dis-legomena vocabulary profile per language — exact
+    frequency-1/2 type counts + hapax_mil exact floordiv over the
+    vocab-bounded per-language fold; the productivity gauge beside
+    heaps/zipf."""
+    from rio_cogeo_spark.operators.report import hapax_ratio
+
+    return hapax_ratio(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _hapax_oracle() -> str:
+    from rio_cogeo_spark.functions.text import TOKENS_SQL
+    from rio_cogeo_spark.operators.report import hapax_ratio_sql
+
+    return hapax_ratio_sql("documents", TOKENS_SQL)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4627,7 +4667,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_geo": q_term_geo,
         "quadrat": q_quadrat,
         "general_g": q_general_g,
-        "gini": q_gini,
+        "gini_cells": q_gini_cells,
+        "cell_diversity": q_cell_diversity,
+        "hapax": q_hapax,
     }
 
 
@@ -5678,7 +5720,9 @@ FROM assigned GROUP BY 1, 2, 3""",
         "term_geo": _term_geo_oracle(),
         "quadrat": _quadrat_oracle(),
         "general_g": _general_g_oracle(),
-        "gini": _gini_oracle(),
+        "gini_cells": _gini_cells_oracle(),
+        "cell_diversity": _cell_diversity_oracle(),
+        "hapax": _hapax_oracle(),
     }
 
 

@@ -2916,3 +2916,152 @@ tg_rk AS (SELECT *, ROW_NUMBER() OVER
           FROM tg_m)
 SELECT {final}
 FROM tg_rk WHERE _rk <= {int(top_k)}"""
+
+
+def cell_diversity(
+    pages: DataFrame,
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Spatial language-diversity map — per grid cell, the Shannon
+    entropy of its page-language distribution in per-term-pinned
+    nano-nats (the cell-keyed sibling of :func:`lang_entropy`, the
+    webtext × spatial graft gauge: multilingual hubs vs monolingual
+    regions): one row per occupied cell ``(tile_x, tile_y, n_pages,
+    n_langs, h_nano, h_max_nano)``.
+
+    Pinned contract (identical to lang_entropy): per (cell, lang),
+    ``contrib = floor((cnt/n)·ln(n/cnt)·1e9)`` through one fixed IEEE
+    tree from exact BIGINT counts; ``h_nano = Σ contrib`` per cell,
+    ``h_max_nano = floor(ln(n_langs)·1e9)`` the uniform ceiling.
+
+    Scale design: ONE (cell, lang)-keyed corpus fold (map-side
+    combinable), then a window over that language-bounded table
+    re-using its (cell) partitioning — the corpus is scanned exactly
+    once, no join.
+    """
+    cl = (
+        pages.select(
+            F.col(x_col).cast("long").alias("tile_x"),
+            F.col(y_col).cast("long").alias("tile_y"),
+            F.col(lang_col).alias("lang"),
+        )
+        .groupBy("tile_x", "tile_y", "lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("tile_x", "tile_y")
+    return (
+        cl.select(
+            "tile_x", "tile_y", "cnt",
+            F.sum("cnt").over(w).alias("n_pages"),
+            F.count(F.lit(1)).over(w).alias("n_langs"),
+        )
+        .select(
+            "tile_x", "tile_y", "n_pages", "n_langs",
+            F.expr(
+                "cast(floor((cast(cnt as double) / cast(n_pages as double))"
+                " * ln(cast(n_pages as double) / cast(cnt as double))"
+                " * 1e9) as bigint)"
+            ).alias("contrib"),
+        )
+        .groupBy("tile_x", "tile_y", "n_pages", "n_langs")
+        .agg(F.sum("contrib").cast("long").alias("h_nano"))
+        .selectExpr(
+            "tile_x", "tile_y",
+            "CAST(n_pages AS BIGINT) AS n_pages",
+            "CAST(n_langs AS BIGINT) AS n_langs",
+            "h_nano",
+            "CAST(floor(ln(CAST(n_langs AS DOUBLE)) * 1e9) AS BIGINT)"
+            " AS h_max_nano",
+        )
+    )
+
+
+def cell_diversity_sql(pages_select: str, lang_col: str = "lang") -> str:
+    """DuckDB twin of :func:`cell_diversity` — ``pages_select`` exposes
+    ``(tile_x, tile_y, {lang_col})``."""
+    return f"""WITH cd_p AS ({pages_select}),
+cd_cl AS (SELECT tile_x, tile_y, {lang_col} AS lang, COUNT(*) AS cnt
+          FROM cd_p GROUP BY 1, 2, 3),
+cd_w AS (SELECT tile_x, tile_y, cnt,
+                SUM(cnt) OVER (PARTITION BY tile_x, tile_y) AS n_pages,
+                COUNT(*) OVER (PARTITION BY tile_x, tile_y) AS n_langs
+         FROM cd_cl),
+cd_c AS (SELECT tile_x, tile_y, n_pages, n_langs,
+                CAST(floor((CAST(cnt AS DOUBLE) / CAST(n_pages AS DOUBLE))
+                     * ln(CAST(n_pages AS DOUBLE) / CAST(cnt AS DOUBLE))
+                     * 1e9) AS BIGINT) AS contrib
+         FROM cd_w)
+SELECT tile_x, tile_y,
+       CAST(n_pages AS BIGINT) AS n_pages,
+       CAST(n_langs AS BIGINT) AS n_langs,
+       CAST(SUM(contrib) AS BIGINT) AS h_nano,
+       CAST(floor(ln(CAST(n_langs AS DOUBLE)) * 1e9) AS BIGINT)
+           AS h_max_nano
+FROM cd_c GROUP BY tile_x, tile_y, n_pages, n_langs"""
+
+
+def hapax_ratio(
+    docs: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Hapax-legomena profile per language — the fraction of the
+    vocabulary appearing EXACTLY once (the classic productivity /
+    OCR-noise gauge next to heaps/zipf; a high ratio flags noisy or
+    fast-growing vocabularies): one row per language ``(lang,
+    n_tokens, n_types, n_hapax, n_dis, hapax_mil)`` with ``n_dis``
+    the dis-legomena (frequency-2) count and ``hapax_mil =
+    (n_hapax·10^6) div n_types`` — FULLY exact, NO float.
+
+    Scale design: ONE explode→(lang, term) corpus fold, one
+    vocab-bounded per-language re-aggregate.  No window, no join.
+    """
+    from rio_cogeo_spark.functions.text import tokens_col
+
+    tf = (
+        docs.select(
+            F.col(lang_col).alias("lang"),
+            F.explode(tokens_col(F.col(text_col))).alias("term"),
+        )
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    per = tf.groupBy("lang").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.when(F.col("cnt") == 1, F.lit(1)).otherwise(F.lit(0)))
+        .alias("n_hapax"),
+        F.sum(F.when(F.col("cnt") == 2, F.lit(1)).otherwise(F.lit(0)))
+        .alias("n_dis"),
+    )
+    return per.selectExpr(
+        "lang",
+        "CAST(n_tokens AS BIGINT) AS n_tokens",
+        "CAST(n_types AS BIGINT) AS n_types",
+        "CAST(n_hapax AS BIGINT) AS n_hapax",
+        "CAST(n_dis AS BIGINT) AS n_dis",
+        "CAST((n_hapax * 1000000) div n_types AS BIGINT) AS hapax_mil",
+    )
+
+
+def hapax_ratio_sql(
+    table: str, tokens_sql: str, lang_col: str = "lang"
+) -> str:
+    """DuckDB twin of :func:`hapax_ratio` (int-div ``//``)."""
+    return f"""WITH hx_tf AS (SELECT lang, term, COUNT(*) AS cnt
+               FROM (SELECT {lang_col} AS lang,
+                            unnest({tokens_sql}) AS term FROM {table})
+               GROUP BY 1, 2),
+hx_p AS (SELECT lang, SUM(cnt) AS n_tokens, COUNT(*) AS n_types,
+                SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS n_hapax,
+                SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS n_dis
+         FROM hx_tf GROUP BY 1)
+SELECT lang,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_types AS BIGINT) AS n_types,
+       CAST(n_hapax AS BIGINT) AS n_hapax,
+       CAST(n_dis AS BIGINT) AS n_dis,
+       CAST((n_hapax * 1000000) // n_types AS BIGINT) AS hapax_mil
+FROM hx_p"""

@@ -2731,6 +2731,53 @@ def main() -> None:
     )
     print(f"[{'OK' if gi_ok else 'BAD'}] gini_concentration plan")
 
+    # 148. cell_diversity: ONE (cell, lang) corpus fold + a window
+    # reusing its cell partitioning + one final fold — no join, no
+    # Python, at most 2 Exchanges (fold + window may share)
+    from rio_cogeo_spark.operators.report import cell_diversity
+
+    cd_in = spark.range(3000).selectExpr(
+        "id % 32 AS tile_x", "(id * 7) % 32 AS tile_y",
+        "CASE WHEN id % 3 = 0 THEN 'en' WHEN id % 3 = 1 THEN 'fr' "
+        "ELSE 'de' END AS lang",
+    )
+    cd_plan = plan_of(cell_diversity(cd_in))
+    cd_ok = (
+        "Join" not in cd_plan
+        and "BatchEvalPython" not in cd_plan
+        and "ArrowEvalPython" not in cd_plan
+        and len(re.findall(r"\(\d+\) Window", cd_plan)) == 1
+        and len(re.findall(r"\(\d+\) Exchange", cd_plan)) <= 2
+    )
+    checks.append(("cell_diversity one fold + partition-reusing window",
+                   cd_ok))
+    sections.append(
+        ("cell_diversity", f"  {'PASS' if cd_ok else 'FAIL'} "
+         "corpus scanned once; entropy on the (cell,lang) table",
+         cd_plan)
+    )
+    print(f"[{'OK' if cd_ok else 'BAD'}] cell_diversity plan")
+
+    # 149. hapax_ratio: explode -> (lang, term) fold -> per-lang
+    # re-aggregate — no window, no join, no Python
+    from rio_cogeo_spark.operators.report import hapax_ratio
+
+    hx_plan = plan_of(hapax_ratio(lv_in))
+    hx_ok = (
+        "Join" not in hx_plan
+        and "Window" not in hx_plan
+        and "BatchEvalPython" not in hx_plan
+        and "ArrowEvalPython" not in hx_plan
+        and len(re.findall(r"\(\d+\) Generate", hx_plan)) == 1
+    )
+    checks.append(("hapax_ratio explode fold + per-lang re-aggregate",
+                   hx_ok))
+    sections.append(
+        ("hapax_ratio", f"  {'PASS' if hx_ok else 'FAIL'} "
+         "vocab-bounded frequency-spectrum fold", hx_plan)
+    )
+    print(f"[{'OK' if hx_ok else 'BAD'}] hapax_ratio plan")
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:

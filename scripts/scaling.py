@@ -38,8 +38,14 @@ WORKER = textwrap.dedent(
     trials = int(os.environ["SPARK_GRAFT_TRIALS"])
 
     from pyspark.sql import SparkSession, functions as F
+    # shuffle partitions = 4 tasks per core at BOTH levels: with exactly
+    # N partitions the megacity-skewed tile agg stragglers an N-core run
+    # (idle cores behind the hottest partition) while local[1] is immune
+    # by construction — under-sizing biased the measured N->4N efficiency
+    # DOWN. 4 waves of smaller tasks is the standard skew sizing (AQE can
+    # coalesce but never split); identical rule at both levels.
     spark = (SparkSession.builder.master(f"local[{N}]")
-             .config("spark.sql.shuffle.partitions", str(N))
+             .config("spark.sql.shuffle.partitions", str(4 * N))
              .config("spark.sql.adaptive.enabled", "true")
              .config("spark.sql.execution.arrow.pyspark.enabled", "true")
              .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")

@@ -1446,3 +1446,56 @@ def test_term_localization_moments(spark):
         )
         assert got[w] == (n, sx * 1_000_000 // n, sy * 1_000_000 // n, std)
     assert got["paris"][3] < got["global"][3]
+
+
+def test_cell_diversity_entropy(spark):
+    """Per-cell language entropy: monolingual cell -> 0; balanced
+    bilingual cell -> contributions matching the pinned closed form."""
+    import math
+
+    from rio_cogeo_spark.operators.report import cell_diversity
+
+    rows = (
+        [(0, 0, "en")] * 4
+        + [(1, 1, "en")] * 2 + [(1, 1, "fr")] * 2
+        + [(2, 2, "en"), (2, 2, "fr"), (2, 2, "de"), (2, 2, "de")]
+    )
+    df = spark.createDataFrame(rows, "tile_x long, tile_y long, lang string")
+    got = {
+        (r.tile_x, r.tile_y): r for r in cell_diversity(df).collect()
+    }
+    assert (got[(0, 0)].n_pages, got[(0, 0)].n_langs) == (4, 1)
+    assert got[(0, 0)].h_nano == 0
+    assert got[(0, 0)].h_max_nano == 0
+
+    def contrib(cnt, n):
+        return math.floor(cnt / n * math.log(n / cnt) * 1e9)
+
+    assert got[(1, 1)].h_nano == 2 * contrib(2, 4)  # ln 2 (floored x2)
+    assert got[(1, 1)].h_max_nano == math.floor(math.log(2) * 1e9)
+    assert got[(2, 2)].h_nano == (
+        contrib(1, 4) + contrib(1, 4) + contrib(2, 4)
+    )
+    assert got[(2, 2)].n_langs == 3
+    # bilingual balanced cell is MORE diverse than the monolingual one
+    assert got[(1, 1)].h_nano > got[(0, 0)].h_nano
+
+
+def test_hapax_ratio_frequency_spectrum(spark):
+    """Hapax/dis counts match the frequency spectrum exactly."""
+    from rio_cogeo_spark.operators.report import hapax_ratio
+
+    docs = [
+        ("a b c a", "en"),      # a:2, b:1, c:1
+        ("b d", "en"),          # b:2 total, d:1
+        ("x x y", "fr"),        # x:2, y:1
+    ]
+    df = spark.createDataFrame(docs, "text string, lang string")
+    got = {r.lang: r for r in hapax_ratio(df).collect()}
+    en = got["en"]
+    # en counts: a=2, b=2, c=1, d=1 -> types 4, hapax 2, dis 2
+    assert (en.n_tokens, en.n_types, en.n_hapax, en.n_dis) == (6, 4, 2, 2)
+    assert en.hapax_mil == 500_000
+    fr = got["fr"]
+    assert (fr.n_tokens, fr.n_types, fr.n_hapax, fr.n_dis) == (3, 2, 1, 1)
+    assert fr.hapax_mil == 500_000
