@@ -4364,6 +4364,81 @@ def _hapax_oracle() -> str:
     return hapax_ratio_sql("documents", TOKENS_SQL)
 
 
+def q_scan(spark, sf_dir):
+    """Kulldorff-style spatial scan shortlist: top-20 window centers by
+    EXACT integer relative risk of the 3×3 edge-clipped window vs the
+    global rate over the z8 grid — focal vote fold + broadcast 1-row
+    total + integer-ranked top-K."""
+    from rio_cogeo_spark.operators.focal import scan_stat
+
+    return scan_stat(base_tiles(_pages(spark, sf_dir), ZOOM), ZOOM)
+
+
+def _scan_oracle() -> str:
+    from rio_cogeo_spark.operators.focal import scan_stat_sql
+
+    inner = scan_stat_sql(
+        "SELECT tile_x, tile_y, page_count FROM base", ZOOM
+    ).split("WITH ", 1)[1]
+    return f"{_BASE_CTE},\n{inner}"
+
+
+def q_lang_mixing(spark, sf_dir):
+    """Language assortativity of the host link graph — Newman mixing
+    coefficient over the lang×lang edge matrix (majority language per
+    host, deterministic ties): exact DECIMAL marginals, r_mil the ONE
+    pinned double (negative ⇒ disassortative)."""
+    from rio_cogeo_spark.operators.graph import host_majority_lang, lang_mixing
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.createOrReplaceTempView("documents")
+    return lang_mixing(spark.sql(_PR_EDGES), host_majority_lang(docs))
+
+
+def _lang_mixing_oracle() -> str:
+    from rio_cogeo_spark.operators.graph import (
+        host_majority_lang_sql,
+        lang_mixing_sql,
+    )
+
+    return lang_mixing_sql(
+        _PR_EDGES, host_majority_lang_sql("SELECT * FROM documents")
+    )
+
+
+def _cities_df(spark):
+    return spark.createDataFrame(
+        [(name, float(lat), float(lon)) for _, name, lat, lon in MEGACITIES],
+        "city string, c_lat double, c_lon double",
+    )
+
+
+_CITIES_SQL = "SELECT * FROM (VALUES " + ", ".join(
+    f"('{name}', CAST({lat} AS DOUBLE), CAST({lon} AS DOUBLE))"
+    for _, name, lat, lon in MEGACITIES
+) + ") v(city, c_lat, c_lon)"
+
+
+def q_regional_terms(spark, sf_dir):
+    """Regionally distinctive vocabulary: per megacity box, the top-5
+    terms by EXACT in/out odds ratio (region-exclusive terms first) —
+    broadcast range tag, map-side term folds, city-bounded top-K."""
+    from rio_cogeo_spark.operators.report import regional_terms
+
+    pages = _pages(spark, sf_dir).select("text", "lat", "lon")
+    return regional_terms(pages, _cities_df(spark))
+
+
+def _regional_terms_oracle() -> str:
+    from rio_cogeo_spark.functions.text import TOKENS_SQL
+    from rio_cogeo_spark.operators.report import regional_terms_sql
+
+    inner = regional_terms_sql(
+        "SELECT text, lat, lon FROM pages", _CITIES_SQL, TOKENS_SQL
+    ).split("WITH ", 1)[1]
+    return f"{_P},\n{inner}"
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FINAL fifth-continuation rotation (ROUND5.md §113): the 12 most
     # twin-intricate new ops (footprint's nested polygonize unroll, idw,
@@ -4670,6 +4745,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini_cells": q_gini_cells,
         "cell_diversity": q_cell_diversity,
         "hapax": q_hapax,
+        "scan": q_scan,
+        "lang_mixing": q_lang_mixing,
+        "regional_terms": q_regional_terms,
     }
 
 
@@ -5723,6 +5801,9 @@ FROM assigned GROUP BY 1, 2, 3""",
         "gini_cells": _gini_cells_oracle(),
         "cell_diversity": _cell_diversity_oracle(),
         "hapax": _hapax_oracle(),
+        "scan": _scan_oracle(),
+        "lang_mixing": _lang_mixing_oracle(),
+        "regional_terms": _regional_terms_oracle(),
     }
 
 

@@ -3409,3 +3409,98 @@ SELECT CAST(n AS BIGINT) AS n_units,
             ELSE ((2 * ws - (n + 1) * s) * 1000000) // (n * s) END
             AS BIGINT) AS gini_mil
 FROM gi_a"""
+
+
+def _scan_final(intdiv: str, top_k: int) -> list[str]:
+    """Shared final projection of :func:`scan_stat` (``intdiv`` =
+    engine integer-division token, operands non-negative)."""
+    return [
+        "tile_x", "tile_y",
+        "CAST(focal_sum AS BIGINT) AS focal_sum",
+        "CAST(win_area AS BIGINT) AS win_area",
+        f"CAST((focal_sum * n_quadrats * 1000000) {intdiv}"
+        " (win_area * total) AS BIGINT) AS rr_mil",
+    ]
+
+
+def scan_stat(
+    tiles: DataFrame,
+    zoom: int,
+    value_col: str = "page_count",
+    radius: int = 1,
+    top_k: int = 20,
+) -> DataFrame:
+    """Simplified spatial scan statistic — the Kulldorff-style hotspot
+    shortlist: for every window center, the EXACT relative risk of its
+    edge-clipped ``(2r+1)²`` window against the global rate,
+
+        ``rr_mil = (focal_sum · 4^z · 10^6) div (win_area · total)``
+
+    (> 1e6 ⇒ the window's density exceeds the global mean — the top-K
+    shortlist a full likelihood scan would re-rank), top-K ranked by
+    the EXACT integer rr_mil (identical on both engines) with
+    (focal_sum, tile) tie-breaks.  All integer, NO float.
+
+    Scale design: :func:`focal_stats`' dilated vote fold (one explode,
+    ONE window-key aggregate), one single-row total fold broadcast
+    onto it, one top-K window over the grid-bounded candidate table.
+    """
+    d = "decimal(38,0)"
+    fs = focal_stats(tiles, zoom, value_col, radius).select(
+        "tile_x", "tile_y",
+        F.col("focal_sum").cast(d).alias("focal_sum"),
+        F.col("n_cells").cast(d).alias("win_area"),
+    )
+    tot = tiles.agg(
+        F.sum(F.col(value_col).cast("long")).cast(d).alias("total"),
+        F.lit(4 ** zoom).cast(d).alias("n_quadrats"),
+    )
+    ranked = fs.crossJoin(F.broadcast(tot)).withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.orderBy(
+                F.expr("(focal_sum * n_quadrats * 1000000)"
+                       " div (win_area * total)").desc(),
+                F.col("focal_sum").desc(),
+                F.col("tile_x").asc(), F.col("tile_y").asc(),
+            )
+        ),
+    ).filter(F.col("_rk") <= top_k)
+    return ranked.selectExpr(*_scan_final("div", top_k))
+
+
+def scan_stat_sql(
+    tiles_cte: str,
+    zoom: int,
+    value_col: str = "page_count",
+    radius: int = 1,
+    top_k: int = 20,
+) -> str:
+    """DuckDB twin of :func:`scan_stat` — identical window fold
+    (offsets + closed-form in-bounds area) and final projection."""
+    edge = 2 ** zoom - 1
+    offs = ", ".join(f"({dx}, {dy})" for dx, dy in _offsets(radius))
+    r = radius
+    return f"""WITH sc_t AS ({tiles_cte}),
+sc_v AS (SELECT t.tile_x + o.dx AS nx, t.tile_y + o.dy AS ny,
+                CAST(t.{value_col} AS BIGINT) AS v
+         FROM sc_t t, (VALUES {offs}) o(dx, dy)
+         WHERE t.tile_x + o.dx BETWEEN 0 AND {edge}
+           AND t.tile_y + o.dy BETWEEN 0 AND {edge}),
+sc_f AS (SELECT nx AS tile_x, ny AS tile_y,
+                CAST(SUM(v) AS HUGEINT) AS focal_sum,
+                CAST((1 + LEAST(nx, {r}) + LEAST({edge} - nx, {r}))
+                   * (1 + LEAST(ny, {r}) + LEAST({edge} - ny, {r}))
+                   AS HUGEINT) AS win_area
+         FROM sc_v GROUP BY 1, 2),
+sc_g AS (SELECT CAST(SUM({value_col}) AS HUGEINT) AS total,
+                CAST({4 ** zoom} AS HUGEINT) AS n_quadrats
+         FROM sc_t),
+sc_r AS (SELECT f.*, g.total, g.n_quadrats,
+                ROW_NUMBER() OVER (ORDER BY
+                    (f.focal_sum * g.n_quadrats * 1000000)
+                    // (f.win_area * g.total) DESC,
+                    f.focal_sum DESC, f.tile_x ASC, f.tile_y ASC) AS _rk
+         FROM sc_f f, sc_g g)
+SELECT {", ".join(_scan_final("//", top_k))}
+FROM sc_r WHERE _rk <= {int(top_k)}"""

@@ -1208,3 +1208,120 @@ SELECT a.l AS host_a, b.l AS host_b,
 FROM cc_k a JOIN cc_k b ON a.p = b.p AND a.l < b.l
 GROUP BY 1, 2
 HAVING COUNT(*) >= {int(min_common)}"""
+
+
+def host_majority_lang(
+    docs: DataFrame, n_hosts: int = 97, id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Majority language per host over the deterministic ``id % n``
+    host space — deterministic ties (count DESC, lang ASC).  One
+    corpus fold + one window over the host-bounded count table."""
+    from pyspark.sql import Window
+
+    hl = docs.selectExpr(
+        f"{id_col} % {int(n_hosts)} AS host", f"{lang_col} AS lang"
+    ).groupBy("host", "lang").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("host").orderBy(
+        F.col("cnt").desc(), F.col("lang").asc()
+    )
+    return (
+        hl.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("host", "lang")
+    )
+
+
+def host_majority_lang_sql(
+    docs_select: str, n_hosts: int = 97, id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> str:
+    """DuckDB twin of :func:`host_majority_lang` (standalone SELECT)."""
+    return f"""SELECT host, lang FROM (
+  SELECT host, lang, ROW_NUMBER() OVER
+         (PARTITION BY host ORDER BY cnt DESC, lang ASC) AS _rk
+  FROM (SELECT {id_col} % {int(n_hosts)} AS host, {lang_col} AS lang,
+               COUNT(*) AS cnt
+        FROM ({docs_select}) GROUP BY 1, 2))
+WHERE _rk = 1"""
+
+
+_MIX_FINAL = [
+    "CAST(n_edges AS BIGINT) AS n_edges",
+    "CAST(same_lang AS BIGINT) AS same_lang",
+    "CAST(sum_ab AS BIGINT) AS sum_ab",
+    # the ONE pinned double: attribute assortativity in mil — the
+    # numerator can be negative (disassortative mixing)
+    "CAST(CASE WHEN n_edges * n_edges - sum_ab = 0 THEN NULL"
+    " ELSE floor((CAST(n_edges AS DOUBLE) * CAST(same_lang AS DOUBLE)"
+    " - CAST(sum_ab AS DOUBLE)) * CAST(1000000 AS DOUBLE)"
+    " / (CAST(n_edges AS DOUBLE) * CAST(n_edges AS DOUBLE)"
+    " - CAST(sum_ab AS DOUBLE))) END AS BIGINT) AS r_mil",
+]
+
+
+def lang_mixing(edges: DataFrame, host_lang: DataFrame) -> DataFrame:
+    """Attribute (language) assortativity of the host link graph — the
+    Newman mixing coefficient over the language × language edge-mixing
+    matrix: do hosts link within their language community?
+
+        ``r = (E·Σe_kk − Σ_k a_k·b_k) / (E² − Σ_k a_k·b_k)``
+
+    with ``e_kl`` the directed lang→lang edge counts, ``a_k``/``b_k``
+    the out/in marginals (all exact, staged DECIMAL(38,0)), and
+    ``r_mil`` the ONE pinned double floor (negative ⇒ disassortative;
+    NULL for a single-language graph).  One row ``(n_edges,
+    same_lang, sum_ab, r_mil)``.
+
+    Scale design: two broadcasts of the host-bounded language table
+    onto the edge list (the degree_assortativity shape), one mixing
+    fold on the language-bounded key, marginal folds on that tiny
+    table, 1×1 crosses.  No window on the edge list, no Python.
+    """
+    d = "decimal(38,0)"
+    hl = F.broadcast(host_lang)
+    mix = (
+        edges.join(hl.withColumnRenamed("host", "src")
+                     .withColumnRenamed("lang", "lang_s"), "src")
+        .join(hl.withColumnRenamed("host", "dst")
+                .withColumnRenamed("lang", "lang_d"), "dst")
+        .groupBy("lang_s", "lang_d")
+        .agg(F.count(F.lit(1)).alias("e"))
+    )
+    tot = mix.agg(
+        F.sum("e").cast(d).alias("n_edges"),
+        F.sum(F.when(F.col("lang_s") == F.col("lang_d"), F.col("e"))
+              .otherwise(F.lit(0))).cast(d).alias("same_lang"),
+    )
+    a = mix.groupBy("lang_s").agg(F.sum("e").cast(d).alias("ak"))
+    b = mix.groupBy("lang_d").agg(F.sum("e").cast(d).alias("bk"))
+    ab = (
+        a.join(b, a["lang_s"] == b["lang_d"], "inner")
+        .agg(F.sum(F.col("ak") * F.col("bk")).alias("sum_ab"))
+    )
+    return tot.crossJoin(ab).selectExpr(*_MIX_FINAL)
+
+
+def lang_mixing_sql(edges_select: str, host_lang_select: str) -> str:
+    """DuckDB twin of :func:`lang_mixing` — identical mixing folds and
+    final projection."""
+    final = ",\n       ".join(_MIX_FINAL)
+    return f"""WITH mx_e AS ({edges_select}),
+mx_hl AS ({host_lang_select}),
+mx_m AS (SELECT s.lang AS lang_s, t.lang AS lang_d, COUNT(*) AS e
+         FROM mx_e e
+         JOIN mx_hl s ON e.src = s.host
+         JOIN mx_hl t ON e.dst = t.host
+         GROUP BY 1, 2),
+mx_t AS (SELECT CAST(SUM(e) AS HUGEINT) AS n_edges,
+                CAST(SUM(CASE WHEN lang_s = lang_d THEN e ELSE 0 END)
+                     AS HUGEINT) AS same_lang
+         FROM mx_m),
+mx_a AS (SELECT lang_s AS lang, CAST(SUM(e) AS HUGEINT) AS ak
+         FROM mx_m GROUP BY 1),
+mx_b AS (SELECT lang_d AS lang, CAST(SUM(e) AS HUGEINT) AS bk
+         FROM mx_m GROUP BY 1),
+mx_ab AS (SELECT SUM(a.ak * b.bk) AS sum_ab
+          FROM mx_a a JOIN mx_b b USING (lang))
+SELECT {final}
+FROM mx_t, mx_ab"""

@@ -3065,3 +3065,159 @@ SELECT lang,
        CAST(n_dis AS BIGINT) AS n_dis,
        CAST((n_hapax * 1000000) // n_types AS BIGINT) AS hapax_mil
 FROM hx_p"""
+
+
+_REGIONAL_FINAL = [
+    "city",
+    "term",
+    "CAST(n_in AS BIGINT) AS n_in",
+    "CAST(n_out AS BIGINT) AS n_out",
+    "odds_mil",
+]
+
+
+def regional_terms(
+    pages: DataFrame,
+    cities: DataFrame,
+    half: float = 0.6,
+    top_k: int = 5,
+    min_in: int = 3,
+) -> DataFrame:
+    """Regionally distinctive vocabulary — per city bounding box, the
+    ``top_k`` terms by EXACT odds ratio of in-region vs out-of-region
+    usage (the webtext × spatial graft flagship beside term_geo:
+    which words belong to which place):
+
+        ``odds_mil = (a·(B−b) · 10^6) div ((A−a)·b)``
+
+    with ``a``/``A`` the term/total token counts inside the box,
+    ``b``/``B`` the OUTSIDE remainders of the global counts — all
+    exact BIGINTs, NULL when the term saturates a side; candidates
+    need ``a ≥ min_in``.  Ranked by the exact integer (odds_mil,
+    n_in, term) key — identical on both engines.  ``cities`` exposes
+    ``(city, c_lat, c_lon)``; boxes are ±``half`` degrees (disjoint
+    for the megacity fixture).
+
+    Scale design: region tagging is ONE broadcast range join of the
+    city table onto the pages (20 rows — never a shuffle of the
+    corpus); per-(city, term) and global folds are map-side
+    combinable explodes; the odds join runs on the REGION vocabulary
+    (city-bounded), broadcast against per-city totals; top-K windows
+    the city-bounded candidate table.
+    """
+    from rio_cogeo_spark.functions.text import tokens_col
+
+    d = "decimal(38,0)"
+    c = F.broadcast(cities.select(
+        "city",
+        F.col("c_lat").cast("double").alias("c_lat"),
+        F.col("c_lon").cast("double").alias("c_lon"),
+    ))
+    tagged = pages.join(
+        c,
+        (F.col("lat") >= F.col("c_lat") - half)
+        & (F.col("lat") <= F.col("c_lat") + half)
+        & (F.col("lon") >= F.col("c_lon") - half)
+        & (F.col("lon") <= F.col("c_lon") + half),
+        "inner",
+    )
+    a = (
+        tagged.select("city", F.explode(tokens_col(F.col("text"))).alias("term"))
+        .groupBy("city", "term")
+        .agg(F.count(F.lit(1)).alias("a"))
+        .filter(F.col("a") >= min_in)
+    )
+    at = (
+        tagged.select("city", F.explode(tokens_col(F.col("text"))).alias("term"))
+        .groupBy("city")
+        .agg(F.count(F.lit(1)).cast(d).alias("at"))
+    )
+    g = (
+        pages.select(F.explode(tokens_col(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("g"))
+    )
+    gt = pages.select(
+        F.explode(tokens_col(F.col("text"))).alias("term")
+    ).agg(F.count(F.lit(1)).cast(d).alias("gt"))
+    cand = (
+        a.join(g, "term")
+        .join(F.broadcast(at), "city")
+        .crossJoin(F.broadcast(gt))
+        .selectExpr(
+            "city", "term",
+            "CAST(a AS DECIMAL(38,0)) AS n_in",
+            "CAST(g - a AS DECIMAL(38,0)) AS n_out",
+            "at - a AS a_rest",
+            "gt - at - (g - a) AS b_rest",
+        )
+        .selectExpr(
+            "city", "term", "n_in", "n_out",
+            "CAST(CASE WHEN a_rest = 0 OR n_out = 0 THEN NULL"
+            " ELSE (n_in * b_rest * 1000000) div (a_rest * n_out) END"
+            " AS BIGINT) AS odds_mil",
+        )
+    )
+    w = Window.partitionBy("city").orderBy(
+        # region-exclusive terms (n_out = 0, odds undefined) are
+        # MAXIMALLY distinctive — they rank ahead of any finite odds
+        F.when(F.col("n_out") == 0, F.lit(1)).otherwise(F.lit(0)).desc(),
+        F.col("odds_mil").desc_nulls_last(),
+        F.col("n_in").desc(), F.col("term").asc(),
+    )
+    return (
+        cand.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= top_k)
+        .selectExpr(*_REGIONAL_FINAL)
+    )
+
+
+def regional_terms_sql(
+    pages_select: str,
+    cities_select: str,
+    tokens_sql: str,
+    half: float = 0.6,
+    top_k: int = 5,
+    min_in: int = 3,
+) -> str:
+    """DuckDB twin of :func:`regional_terms` — identical folds, odds
+    arithmetic (int-div ``//``) and rank key.  NULL odds sort last on
+    both engines (Spark ``desc_nulls_last`` ↔ DuckDB ``DESC NULLS
+    LAST``)."""
+    return f"""WITH rt_p AS ({pages_select}),
+rt_c AS ({cities_select}),
+rt_tag AS (SELECT c.city, p.text
+           FROM rt_p p JOIN rt_c c
+             ON p.lat BETWEEN c.c_lat - CAST({half} AS DOUBLE)
+                          AND c.c_lat + CAST({half} AS DOUBLE)
+            AND p.lon BETWEEN c.c_lon - CAST({half} AS DOUBLE)
+                          AND c.c_lon + CAST({half} AS DOUBLE)),
+rt_a AS (SELECT city, term, COUNT(*) AS a
+         FROM (SELECT city, unnest({tokens_sql}) AS term FROM rt_tag)
+         GROUP BY 1, 2 HAVING COUNT(*) >= {int(min_in)}),
+rt_at AS (SELECT city, CAST(COUNT(*) AS HUGEINT) AS at
+          FROM (SELECT city, unnest({tokens_sql}) AS term FROM rt_tag)
+          GROUP BY 1),
+rt_g AS (SELECT term, COUNT(*) AS g
+         FROM (SELECT unnest({tokens_sql}) AS term FROM rt_p)
+         GROUP BY 1),
+rt_gt AS (SELECT CAST(COUNT(*) AS HUGEINT) AS gt
+          FROM (SELECT unnest({tokens_sql}) AS term FROM rt_p)),
+rt_cand AS (SELECT a.city, a.term,
+                   CAST(a.a AS HUGEINT) AS n_in,
+                   CAST(g.g - a.a AS HUGEINT) AS n_out,
+                   t.at - a.a AS a_rest,
+                   x.gt - t.at - (g.g - a.a) AS b_rest
+            FROM rt_a a JOIN rt_g g USING (term)
+            JOIN rt_at t USING (city), rt_gt x),
+rt_o AS (SELECT city, term, n_in, n_out,
+                CAST(CASE WHEN a_rest = 0 OR n_out = 0 THEN NULL
+                     ELSE (n_in * b_rest * 1000000) // (a_rest * n_out)
+                     END AS BIGINT) AS odds_mil
+         FROM rt_cand),
+rt_rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY city ORDER BY
+              CASE WHEN n_out = 0 THEN 1 ELSE 0 END DESC,
+              odds_mil DESC NULLS LAST, n_in DESC, term ASC) AS _rk
+          FROM rt_o)
+SELECT {", ".join(_REGIONAL_FINAL)}
+FROM rt_rk WHERE _rk <= {int(top_k)}"""

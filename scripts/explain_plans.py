@@ -2778,6 +2778,81 @@ def main() -> None:
     )
     print(f"[{'OK' if hx_ok else 'BAD'}] hapax_ratio plan")
 
+    # 150. scan_stat: focal vote fold + broadcast 1-row total + ONE
+    # integer-ranked top-K window — no SortMergeJoin, no Python
+    from rio_cogeo_spark.operators.focal import scan_stat
+
+    sc_plan = plan_of(scan_stat(kx_in.select("tile_x", "tile_y")
+                                .withColumn("page_count", F.lit(2)), 6))
+    sc_ok = (
+        "SortMergeJoin" not in sc_plan
+        and "BatchEvalPython" not in sc_plan
+        and "ArrowEvalPython" not in sc_plan
+        and "BroadcastNestedLoopJoin" in sc_plan
+        and len(re.findall(r"\(\d+\) Window", sc_plan)) == 1
+    )
+    checks.append(("scan_stat focal fold + broadcast total + one "
+                   "window", sc_ok))
+    sections.append(
+        ("scan_stat", f"  {'PASS' if sc_ok else 'FAIL'} "
+         "exact-integer relative-risk shortlist", sc_plan)
+    )
+    print(f"[{'OK' if sc_ok else 'BAD'}] scan_stat plan")
+
+    # 151. lang_mixing: host-lang table broadcast onto the edge list
+    # twice, mixing fold on the lang-bounded key — no SortMergeJoin on
+    # edges, no Python
+    from rio_cogeo_spark.operators.graph import (
+        host_majority_lang, lang_mixing)
+
+    lm_hl = host_majority_lang(spark.range(2000).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id % 3 = 0 THEN 'en' ELSE 'fr' END AS lang"))
+    lm_plan = plan_of(lang_mixing(cc_in, lm_hl))
+    lm_ok = (
+        "BatchEvalPython" not in lm_plan
+        and "ArrowEvalPython" not in lm_plan
+        and len(re.findall(r"\(\d+\) BroadcastHashJoin", lm_plan)) >= 2
+        and "CartesianProduct" not in lm_plan
+    )
+    checks.append(("lang_mixing broadcast lang joins, lang-bounded "
+                   "folds", lm_ok))
+    sections.append(
+        ("lang_mixing", f"  {'PASS' if lm_ok else 'FAIL'} "
+         "edge list never shuffles on a lang key", lm_plan)
+    )
+    print(f"[{'OK' if lm_ok else 'BAD'}] lang_mixing plan")
+
+    # 152. regional_terms: city table broadcast range-tagged onto
+    # pages (BroadcastNestedLoop, 20 rows), term folds map-side, ONE
+    # city-partitioned top-K window — no cartesian, no Python
+    from rio_cogeo_spark.operators.report import regional_terms
+
+    rt_in = spark.range(2000).selectExpr(
+        "concat('w', id % 97, ' w', id % 31) AS text",
+        "CAST(id % 60 - 30 AS DOUBLE) AS lat",
+        "CAST((id * 7) % 300 - 150 AS DOUBLE) AS lon",
+    )
+    rt_c = spark.createDataFrame(
+        [("a", 10.0, 10.0), ("b", -20.0, -100.0)],
+        "city string, c_lat double, c_lon double",
+    )
+    rt_plan = plan_of(regional_terms(rt_in, rt_c))
+    rt_ok = (
+        "BatchEvalPython" not in rt_plan
+        and "ArrowEvalPython" not in rt_plan
+        and "CartesianProduct" not in rt_plan
+        and "BroadcastNestedLoopJoin" in rt_plan
+        and len(re.findall(r"\(\d+\) Window", rt_plan)) == 1
+    )
+    checks.append(("regional_terms broadcast range tag + city-bounded "
+                   "window", rt_ok))
+    sections.append(
+        ("regional_terms", f"  {'PASS' if rt_ok else 'FAIL'} "
+         "exact odds ratios; exclusive terms rank first", rt_plan)
+    )
+    print(f"[{'OK' if rt_ok else 'BAD'}] regional_terms plan")
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:

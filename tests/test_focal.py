@@ -1344,3 +1344,27 @@ def test_gini_concentration_closed_form(spark):
     assert r.gini_mil == 400_000
     r = gini([5])
     assert r.gini_mil == 0
+
+
+def test_scan_stat_relative_risk(spark):
+    """Exact relative risk of each 3x3 window vs the global rate; the
+    hot cluster tops the shortlist; edge windows use clipped areas."""
+    from rio_cogeo_spark.operators.focal import scan_stat
+
+    cells = [(4, 4, 80), (4, 5, 40), (0, 0, 8), (7, 7, 8)]
+    C = 4 ** 3
+    S = 136
+    df = spark.createDataFrame(
+        cells, "tile_x long, tile_y long, page_count long"
+    )
+    out = scan_stat(df, 3, top_k=5).collect()
+    assert out[0].tile_x == 4 and out[0].tile_y in (4, 5)
+    got = {(r.tile_x, r.tile_y): r for r in out}
+    r = got[(4, 4)]
+    assert r.focal_sum == 120 and r.win_area == 9
+    assert r.rr_mil == (120 * C * 1_000_000) // (9 * S)
+    # corner window area is 4, not 9
+    if (0, 0) in got:
+        k = got[(0, 0)]
+        assert k.win_area == 4
+        assert k.rr_mil == (8 * C * 1_000_000) // (4 * S)

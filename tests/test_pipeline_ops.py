@@ -1499,3 +1499,75 @@ def test_hapax_ratio_frequency_spectrum(spark):
     fr = got["fr"]
     assert (fr.n_tokens, fr.n_types, fr.n_hapax, fr.n_dis) == (3, 2, 1, 1)
     assert fr.hapax_mil == 500_000
+
+
+def test_lang_mixing_assortative_and_mixed(spark):
+    """Perfectly assortative two-community graph -> r_mil 1e6; a
+    single-language graph -> NULL; mixed graph matches closed form."""
+    import math
+
+    from rio_cogeo_spark.operators.graph import lang_mixing
+
+    hl = spark.createDataFrame(
+        [(0, "en"), (1, "en"), (2, "fr"), (3, "fr")], "host long, lang string"
+    )
+    perfect = spark.createDataFrame(
+        [(0, 1), (1, 0), (2, 3), (3, 2)], "src long, dst long"
+    )
+    r = lang_mixing(perfect, hl).collect()[0]
+    assert (r.n_edges, r.same_lang) == (4, 4)
+    assert r.r_mil == 1_000_000
+
+    mono = spark.createDataFrame(
+        [(0, 1), (1, 0)], "src long, dst long"
+    )
+    r = lang_mixing(mono, hl).collect()[0]
+    assert r.r_mil is None  # E² == sum_ab for a single language
+
+    mixed = spark.createDataFrame(
+        [(0, 1), (2, 3), (0, 2), (3, 1)], "src long, dst long"
+    )
+    r = lang_mixing(mixed, hl).collect()[0]
+    E, same = 4, 2
+    # marginals: out en=3(0,0,3->en? no: src langs: 0=en,2=fr,0=en,3=fr -> en2 fr2
+    a = {"en": 2, "fr": 2}
+    b = {"en": 2, "fr": 2}  # dst langs: 1=en,3=fr,2=fr,1=en
+    sum_ab = sum(a[k] * b[k] for k in a)
+    want = math.floor((E * same - sum_ab) * 1e6 / (E * E - sum_ab))
+    assert (r.n_edges, r.same_lang, r.sum_ab) == (E, same, sum_ab)
+    assert r.r_mil == want
+
+
+def test_regional_terms_odds_and_exclusives(spark):
+    """Exact odds ratios; region-exclusive terms rank first; terms
+    below min_in are dropped."""
+    from rio_cogeo_spark.operators.report import regional_terms
+
+    cities = spark.createDataFrame(
+        [("alpha", 10.0, 10.0), ("beta", -40.0, -40.0)],
+        "city string, c_lat double, c_lon double",
+    )
+    rows = (
+        # inside alpha: 'fjord' exclusive (4x), 'web' shared
+        [("fjord fjord web", 10.1, 10.1), ("fjord fjord web", 9.9, 9.9)]
+        # inside beta: 'tango' 3x + web
+        + [("tango tango tango web", -40.2, -39.9)]
+        # outside everything: web-heavy background
+        + [("web web web web", 50.0, 50.0)]
+    )
+    pages = spark.createDataFrame(rows, "text string, lat double, lon double")
+    out = regional_terms(pages, cities, top_k=3, min_in=2).collect()
+    by_city = {}
+    for r in out:
+        by_city.setdefault(r.city, []).append(r)
+    alpha = by_city["alpha"]
+    assert alpha[0].term == "fjord" and alpha[0].n_out == 0
+    assert alpha[0].odds_mil is None  # exclusive: undefined odds, rank 1
+    beta = by_city["beta"]
+    assert beta[0].term == "tango" and beta[0].n_out == 0
+    # 'web' in alpha: a=2, A=6, g=9... appears with finite odds below
+    webs = [r for r in alpha if r.term == "web"]
+    if webs:
+        w = webs[0]
+        # a=2, A=6, B=8, b=7: odds = (2*(8-7))/((6-2)*7)
+        assert w.odds_mil == (2 * 1 * 1_000_000) // (4 * 7)
