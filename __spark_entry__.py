@@ -4439,6 +4439,69 @@ def _regional_terms_oracle() -> str:
     return f"{_P},\n{inner}"
 
 
+def q_g_function(spark, sf_dir):
+    """Diggle's G function of the occupied z8 cells — the NN-distance
+    CDF (exact counts per Chebyshev distance 1–3 + cumulative mil,
+    bounded-ring contract), the distributional refinement of
+    nn_idx."""
+    from rio_cogeo_spark.operators.focal import g_function
+
+    return g_function(base_tiles(_pages(spark, sf_dir), ZOOM), ZOOM)
+
+
+def _g_function_oracle() -> str:
+    from rio_cogeo_spark.operators.focal import g_function_sql
+
+    inner = g_function_sql(
+        "SELECT tile_x, tile_y FROM base", ZOOM
+    ).split("WITH ", 1)[1]
+    return f"{_BASE_CTE},\n{inner}"
+
+
+_CELL_LANG_SQL = """SELECT tile_x, tile_y, lang FROM (
+  SELECT tile_x, tile_y, lang, ROW_NUMBER() OVER
+         (PARTITION BY tile_x, tile_y ORDER BY cnt DESC, lang ASC) AS _rk
+  FROM (SELECT tile_x, tile_y, lang, COUNT(*) AS cnt
+        FROM assigned GROUP BY 1, 2, 3))
+WHERE _rk = 1"""
+
+
+def q_lang_adjacency(spark, sf_dir):
+    """Spatial language segregation: queen-adjacent occupied-cell pair
+    counts per unordered majority-language pair over the z8 grid —
+    canonical-direction pair votes, ONE pair-key aggregate, exact."""
+    from pyspark.sql import Window as W
+
+    from rio_cogeo_spark.operators.focal import lang_adjacency
+
+    pts = assign_tiles(_pages(spark, sf_dir), ZOOM).select(
+        "tile_x", "tile_y", "lang"
+    )
+    counts = pts.groupBy("tile_x", "tile_y", "lang").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = W.partitionBy("tile_x", "tile_y").orderBy(
+        F.col("cnt").desc(), F.col("lang").asc()
+    )
+    cells = (
+        counts.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("tile_x", "tile_y", "lang")
+    )
+    return lang_adjacency(cells)
+
+
+def _lang_adjacency_oracle() -> str:
+    from rio_cogeo_spark.operators.focal import lang_adjacency_sql
+
+    inner = lang_adjacency_sql(_CELL_LANG_SQL).split("WITH ", 1)[1]
+    assigned = (
+        f"{_P}\n, assigned AS (SELECT {_TX8} AS tile_x, {_TY8} AS tile_y,"
+        " lang FROM pages)"
+    )
+    return f"{assigned},\n{inner}"
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FINAL fifth-continuation rotation (ROUND5.md §113): the 12 most
     # twin-intricate new ops (footprint's nested polygonize unroll, idw,
@@ -4748,6 +4811,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan": q_scan,
         "lang_mixing": q_lang_mixing,
         "regional_terms": q_regional_terms,
+        "g_function": q_g_function,
+        "lang_adjacency": q_lang_adjacency,
     }
 
 
@@ -5804,6 +5869,8 @@ FROM assigned GROUP BY 1, 2, 3""",
         "scan": _scan_oracle(),
         "lang_mixing": _lang_mixing_oracle(),
         "regional_terms": _regional_terms_oracle(),
+        "g_function": _g_function_oracle(),
+        "lang_adjacency": _lang_adjacency_oracle(),
     }
 
 

@@ -3504,3 +3504,173 @@ sc_r AS (SELECT f.*, g.total, g.n_quadrats,
          FROM sc_f f, sc_g g)
 SELECT {", ".join(_scan_final("//", top_k))}
 FROM sc_r WHERE _rk <= {int(top_k)}"""
+
+
+def g_function(
+    tiles: DataFrame,
+    zoom: int,
+    max_ring: int = 3,
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+) -> DataFrame:
+    """Diggle's G function — the nearest-neighbor distance CDF of the
+    occupied cells (the distributional refinement of
+    :func:`nn_index`'s mean): one row per Chebyshev distance ``k =
+    1..max_ring`` with the exact count of cells whose nearest OTHER
+    occupied cell sits at exactly ``k`` and the cumulative CDF in mil
+    (``g_mil = cum·10^6 div n_cells`` — cells with NN beyond the
+    bound stay in the denominator, the bounded-round contract).
+    FULLY exact, NO float.
+
+    Scale design: the :func:`nn_index` ring-vote explode + min-ring
+    aggregate, then a ``max_ring``-bounded group + running sum over
+    that ≤ ``max_ring``-row table.
+    """
+    if max_ring < 1:
+        raise ValueError(f"max_ring must be >= 1, got {max_ring}")
+    entries = [F.struct(F.lit(0).alias("r"), F.lit(0).alias("dx"),
+                        F.lit(0).alias("dy"))]
+    for k in range(1, max_ring + 1):
+        entries += [
+            F.struct(F.lit(k).alias("r"), F.lit(dx).alias("dx"),
+                     F.lit(dy).alias("dy"))
+            for dx, dy in _ring_offsets(k)
+        ]
+    votes = tiles.select(
+        F.col(x_col).cast("long").alias("_sx"),
+        F.col(y_col).cast("long").alias("_sy"),
+        F.explode(F.array(*entries)).alias("off"),
+    ).select(
+        (F.col("_sx") + F.col("off.dx")).alias("kx"),
+        (F.col("_sy") + F.col("off.dy")).alias("ky"),
+        F.col("off.r").alias("r"),
+    )
+    g = votes.groupBy("kx", "ky").agg(
+        F.max(F.when(F.col("r") == 0, F.lit(1)).otherwise(F.lit(0)))
+        .alias("occ"),
+        F.min(F.when(F.col("r") > 0, F.col("r"))).alias("nn"),
+    ).filter(F.col("occ") == 1)
+    n_row = g.agg(F.count(F.lit(1)).alias("n_cells"))
+    hist = (
+        g.filter(F.col("nn").isNotNull())
+        .groupBy(F.col("nn").alias("k"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        hist.withColumn("cum", F.sum("cnt").over(w))
+        .crossJoin(F.broadcast(n_row))
+        .selectExpr(
+            "CAST(k AS BIGINT) AS k",
+            "CAST(cnt AS BIGINT) AS n_at_k",
+            "CAST(cum AS BIGINT) AS n_within_k",
+            "CAST((cum * 1000000) div n_cells AS BIGINT) AS g_mil",
+        )
+    )
+
+
+def g_function_sql(tiles_cte: str, zoom: int, max_ring: int = 3) -> str:
+    """DuckDB twin of :func:`g_function` (int-div ``//``)."""
+    if max_ring < 1:
+        raise ValueError(f"max_ring must be >= 1, got {max_ring}")
+    vals = ["(0, 0, 0)"]
+    for k in range(1, max_ring + 1):
+        vals += [f"({k}, {dx}, {dy})" for dx, dy in _ring_offsets(k)]
+    return f"""WITH gf_t AS ({tiles_cte}),
+gf_v AS (SELECT t.tile_x + o.dx AS kx, t.tile_y + o.dy AS ky, o.r
+         FROM gf_t t, (VALUES {", ".join(vals)}) o(r, dx, dy)),
+gf_g AS (SELECT kx, ky,
+                MAX(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS occ,
+                MIN(CASE WHEN r > 0 THEN r END) AS nn
+         FROM gf_v GROUP BY 1, 2),
+gf_o AS (SELECT * FROM gf_g WHERE occ = 1),
+gf_n AS (SELECT COUNT(*) AS n_cells FROM gf_o),
+gf_h AS (SELECT nn AS k, COUNT(*) AS cnt
+         FROM gf_o WHERE nn IS NOT NULL GROUP BY 1),
+gf_c AS (SELECT k, cnt,
+                SUM(cnt) OVER (ORDER BY k
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS cum
+         FROM gf_h)
+SELECT CAST(k AS BIGINT) AS k,
+       CAST(cnt AS BIGINT) AS n_at_k,
+       CAST(cum AS BIGINT) AS n_within_k,
+       CAST((cum * 1000000) // n_cells AS BIGINT) AS g_mil
+FROM gf_c, gf_n"""
+
+
+def lang_adjacency(
+    cells: DataFrame,
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+    label_col: str = "lang",
+) -> DataFrame:
+    """Spatial label adjacency — the segregation gauge of a labeled
+    grid (cells labeled by majority language): one row per unordered
+    label pair ``(lang_a ≤ lang_b, n_pairs)`` counting queen-adjacent
+    OCCUPIED cell pairs, all exact (same-label rows are the
+    within-community contacts; compare the same-label share against
+    the label marginals for a segregation read).
+
+    Scale design: semivariogram-style canonical pair formation — each
+    cell anchors at its own coords and votes its label at the
+    CANONICAL four queen directions ((1,0),(0,1),(1,1),(1,−1)), ONE
+    pair-key aggregate joins the two members without a self-join;
+    label pairs fold on the label-bounded key.
+    """
+    dirs = [(1, 0), (0, 1), (1, 1), (1, -1)]
+    entries = [
+        F.struct(F.lit(i).alias("d"), F.lit("L").alias("role"),
+                 F.lit(0).alias("dx"), F.lit(0).alias("dy"))
+        for i in range(len(dirs))
+    ] + [
+        F.struct(F.lit(i).alias("d"), F.lit("R").alias("role"),
+                 F.lit(-dx).alias("dx"), F.lit(-dy).alias("dy"))
+        for i, (dx, dy) in enumerate(dirs)
+    ]
+    votes = cells.select(
+        F.col(x_col).cast("long").alias("_sx"),
+        F.col(y_col).cast("long").alias("_sy"),
+        F.col(label_col).alias("_l"),
+        F.explode(F.array(*entries)).alias("off"),
+    ).select(
+        (F.col("_sx") + F.col("off.dx")).alias("px"),
+        (F.col("_sy") + F.col("off.dy")).alias("py"),
+        F.col("off.d").alias("d"),
+        F.col("off.role").alias("role"),
+        F.col("_l"),
+    )
+    pairs = votes.groupBy("px", "py", "d").agg(
+        F.max(F.when(F.col("role") == "L", F.col("_l"))).alias("la"),
+        F.max(F.when(F.col("role") == "R", F.col("_l"))).alias("lb"),
+    ).filter(F.col("la").isNotNull() & F.col("lb").isNotNull())
+    return (
+        pairs.select(
+            F.least("la", "lb").alias("lang_a"),
+            F.greatest("la", "lb").alias("lang_b"),
+        )
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
+
+def lang_adjacency_sql(cells_cte: str, label_col: str = "lang") -> str:
+    """DuckDB twin of :func:`lang_adjacency` — identical canonical
+    directions and pair fold."""
+    dirs = [(1, 0), (0, 1), (1, 1), (1, -1)]
+    vals = ", ".join(
+        [f"({i}, 'L', 0, 0)" for i in range(len(dirs))]
+        + [f"({i}, 'R', {-dx}, {-dy})" for i, (dx, dy) in enumerate(dirs)]
+    )
+    return f"""WITH la_t AS ({cells_cte}),
+la_v AS (SELECT t.tile_x + o.dx AS px, t.tile_y + o.dy AS py,
+                o.d, o.role, t.{label_col} AS l
+         FROM la_t t, (VALUES {vals}) o(d, role, dx, dy)),
+la_p AS (SELECT px, py, d,
+                MAX(CASE WHEN role = 'L' THEN l END) AS la,
+                MAX(CASE WHEN role = 'R' THEN l END) AS lb
+         FROM la_v GROUP BY 1, 2, 3)
+SELECT LEAST(la, lb) AS lang_a, GREATEST(la, lb) AS lang_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM la_p WHERE la IS NOT NULL AND lb IS NOT NULL
+GROUP BY 1, 2"""

@@ -2853,6 +2853,48 @@ def main() -> None:
     )
     print(f"[{'OK' if rt_ok else 'BAD'}] regional_terms plan")
 
+    # 153. g_function: ring-vote explode + min-ring aggregate + bounded
+    # histogram + running sum over the <= max_ring-row table — no
+    # SortMergeJoin, no Python
+    from rio_cogeo_spark.operators.focal import g_function
+
+    gf_plan = plan_of(g_function(kx_in.select("tile_x", "tile_y"), 6))
+    gf_ok = (
+        "SortMergeJoin" not in gf_plan
+        and "BatchEvalPython" not in gf_plan
+        and "ArrowEvalPython" not in gf_plan
+        and len(re.findall(r"\(\d+\) Generate", gf_plan)) == 1
+        and len(re.findall(r"\(\d+\) Window", gf_plan)) == 1
+    )
+    checks.append(("g_function ring explode + bounded CDF window",
+                   gf_ok))
+    sections.append(
+        ("g_function", f"  {'PASS' if gf_ok else 'FAIL'} "
+         "NN-distance CDF, bounded-ring contract", gf_plan)
+    )
+    print(f"[{'OK' if gf_ok else 'BAD'}] g_function plan")
+
+    # 154. lang_adjacency: canonical-direction pair votes, ONE pair-key
+    # aggregate, label-bounded fold — no join, no Python
+    from rio_cogeo_spark.operators.focal import lang_adjacency
+
+    la_in = cd_in
+    la_plan = plan_of(lang_adjacency(la_in))
+    la_ok = (
+        "Join" not in la_plan
+        and "Window" not in la_plan
+        and "BatchEvalPython" not in la_plan
+        and "ArrowEvalPython" not in la_plan
+        and len(re.findall(r"\(\d+\) Generate", la_plan)) == 1
+    )
+    checks.append(("lang_adjacency canonical pair votes, no self-join",
+                   la_ok))
+    sections.append(
+        ("lang_adjacency", f"  {'PASS' if la_ok else 'FAIL'} "
+         "queen adjacency without double counting", la_plan)
+    )
+    print(f"[{'OK' if la_ok else 'BAD'}] lang_adjacency plan")
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:

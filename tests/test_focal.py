@@ -1368,3 +1368,59 @@ def test_scan_stat_relative_risk(spark):
         k = got[(0, 0)]
         assert k.win_area == 4
         assert k.rr_mil == (8 * C * 1_000_000) // (4 * S)
+
+
+def test_g_function_cdf(spark):
+    """NN-distance histogram + CDF vs exhaustive search; beyond-bound
+    cells stay in the denominator."""
+    from collections import Counter
+
+    from rio_cogeo_spark.operators.focal import g_function
+
+    cells = [(0, 0), (0, 1), (5, 5), (5, 7), (40, 40)]
+    nn = Counter()
+    for p in cells:
+        d = min(
+            max(abs(p[0] - q[0]), abs(p[1] - q[1]))
+            for q in cells if q != p
+        )
+        if d <= 3:
+            nn[d] += 1
+    df = spark.createDataFrame(cells, "tile_x long, tile_y long")
+    rows = {r.k: r for r in g_function(df, 8).collect()}
+    assert set(rows) == set(nn)
+    cum = 0
+    for k in sorted(nn):
+        cum += nn[k]
+        assert rows[k].n_at_k == nn[k]
+        assert rows[k].n_within_k == cum
+        assert rows[k].g_mil == cum * 1_000_000 // len(cells)
+    # the isolated (40,40) cell never reaches g_mil's numerator
+    assert max(r.n_within_k for r in rows.values()) == 4
+
+
+def test_lang_adjacency_pairs(spark):
+    """Queen-adjacent label pairs vs exhaustive enumeration; unordered
+    keys; no double counting."""
+    import itertools
+
+    from rio_cogeo_spark.operators.focal import lang_adjacency
+
+    cells = [
+        (0, 0, "en"), (0, 1, "en"), (1, 0, "fr"), (1, 1, "fr"),
+        (5, 5, "de"),
+    ]
+    want = {}
+    for (ax, ay, al), (bx, by, bl) in itertools.combinations(cells, 2):
+        if max(abs(ax - bx), abs(ay - by)) == 1:
+            k = tuple(sorted((al, bl)))
+            want[k] = want.get(k, 0) + 1
+    df = spark.createDataFrame(
+        cells, "tile_x long, tile_y long, lang string"
+    )
+    got = {
+        (r.lang_a, r.lang_b): r.n_pairs for r in lang_adjacency(df).collect()
+    }
+    assert got == want
+    # the 2x2 block: en-en 1, fr-fr 1, en-fr 4 (two rook + two diagonal)
+    assert got[("en", "fr")] == 4
