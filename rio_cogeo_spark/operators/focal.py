@@ -3550,7 +3550,10 @@ def g_function(
         .alias("occ"),
         F.min(F.when(F.col("r") > 0, F.col("r"))).alias("nn"),
     ).filter(F.col("occ") == 1)
-    n_row = g.agg(F.count(F.lit(1)).alias("n_cells"))
+    # n_cells = input rows (one row per occupied cell by contract) —
+    # counting the INPUT avoids re-running the explode subtree for a
+    # 1-row fold
+    n_row = tiles.agg(F.count(F.lit(1)).alias("n_cells"))
     hist = (
         g.filter(F.col("nn").isNotNull())
         .groupBy(F.col("nn").alias("k"))

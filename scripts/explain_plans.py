@@ -2561,7 +2561,7 @@ def main() -> None:
         "SortMergeJoin" not in tbp
         and "BatchEvalPython" not in tbp
         and "ArrowEvalPython" not in tbp
-        and len(re.findall(r"\(\d+\) Window", tbp)) == 1
+        and len(re.findall(r"\(\d+\) Window\b", tbp)) == 1
         and "BroadcastNestedLoopJoin" in tbp
     )
     checks.append(("term_burstiness corpus fold + vocab-bounded "
@@ -2657,7 +2657,7 @@ def main() -> None:
         "Join" not in tg_plan
         and "BatchEvalPython" not in tg_plan
         and "ArrowEvalPython" not in tg_plan
-        and len(re.findall(r"\(\d+\) Window", tg_plan)) == 1
+        and len(re.findall(r"\(\d+\) Window\b", tg_plan)) == 1
     )
     checks.append(("term_localization corpus fold + one vocab window",
                    tg_ok))
@@ -2746,7 +2746,7 @@ def main() -> None:
         "Join" not in cd_plan
         and "BatchEvalPython" not in cd_plan
         and "ArrowEvalPython" not in cd_plan
-        and len(re.findall(r"\(\d+\) Window", cd_plan)) == 1
+        and len(re.findall(r"\(\d+\) Window\b", cd_plan)) == 1
         and len(re.findall(r"\(\d+\) Exchange", cd_plan)) <= 2
     )
     checks.append(("cell_diversity one fold + partition-reusing window",
@@ -2789,7 +2789,7 @@ def main() -> None:
         and "BatchEvalPython" not in sc_plan
         and "ArrowEvalPython" not in sc_plan
         and "BroadcastNestedLoopJoin" in sc_plan
-        and len(re.findall(r"\(\d+\) Window", sc_plan)) == 1
+        and len(re.findall(r"\(\d+\) Window\b", sc_plan)) == 1
     )
     checks.append(("scan_stat focal fold + broadcast total + one "
                    "window", sc_ok))
@@ -2843,7 +2843,7 @@ def main() -> None:
         and "ArrowEvalPython" not in rt_plan
         and "CartesianProduct" not in rt_plan
         and "BroadcastNestedLoopJoin" in rt_plan
-        and len(re.findall(r"\(\d+\) Window", rt_plan)) == 1
+        and len(re.findall(r"\(\d+\) Window\b", rt_plan)) == 1
     )
     checks.append(("regional_terms broadcast range tag + city-bounded "
                    "window", rt_ok))
@@ -2864,7 +2864,7 @@ def main() -> None:
         and "BatchEvalPython" not in gf_plan
         and "ArrowEvalPython" not in gf_plan
         and len(re.findall(r"\(\d+\) Generate", gf_plan)) == 1
-        and len(re.findall(r"\(\d+\) Window", gf_plan)) == 1
+        and len(re.findall(r"\(\d+\) Window\b", gf_plan)) == 1
     )
     checks.append(("g_function ring explode + bounded CDF window",
                    gf_ok))

@@ -1565,9 +1565,8 @@ def test_regional_terms_odds_and_exclusives(spark):
     assert alpha[0].odds_mil is None  # exclusive: undefined odds, rank 1
     beta = by_city["beta"]
     assert beta[0].term == "tango" and beta[0].n_out == 0
-    # 'web' in alpha: a=2, A=6, g=9... appears with finite odds below
+    # 'web' in alpha: a=2, A=6, g=7, b=5, G=14, B=8, B-b=3:
+    # odds = (2*3)/((6-2)*5) = 0.3 exactly
     webs = [r for r in alpha if r.term == "web"]
-    if webs:
-        w = webs[0]
-        # a=2, A=6, B=8, b=7: odds = (2*(8-7))/((6-2)*7)
-        assert w.odds_mil == (2 * 1 * 1_000_000) // (4 * 7)
+    assert webs and webs[0].odds_mil == 300_000
+    assert webs[0].n_out == 5
