@@ -4502,6 +4502,71 @@ def _lang_adjacency_oracle() -> str:
     return f"{assigned},\n{inner}"
 
 
+def q_sd_ellipse(spark, sf_dir):
+    """Standard deviational ellipse of the z8 density surface — exact
+    integer central-moment numerators (DECIMAL 38), eigen axes +
+    tan(2θ) as pinned doubles through one fixed IEEE tree; the
+    directional refinement of centrography (one corpus fold)."""
+    from rio_cogeo_spark.operators.focal import sd_ellipse
+
+    return sd_ellipse(base_tiles(_pages(spark, sf_dir), ZOOM))
+
+
+def _sd_ellipse_oracle() -> str:
+    from rio_cogeo_spark.operators.focal import sd_ellipse_sql
+
+    inner = sd_ellipse_sql(
+        "SELECT tile_x, tile_y, page_count FROM base"
+    ).split("WITH ", 1)[1]
+    return f"{_BASE_CTE},\n{inner}"
+
+
+def q_f_function(spark, sf_dir):
+    """Diggle's F (empty-space) function of the z8 occupied grid — the
+    CDF of empty-cell → nearest-occupied Chebyshev distance, closed-form
+    n_empty = 4^zoom − occupied; with G this completes the J-function
+    diagnostics. FULLY exact."""
+    from rio_cogeo_spark.operators.focal import f_function
+
+    return f_function(base_tiles(_pages(spark, sf_dir), ZOOM), ZOOM)
+
+
+def _f_function_oracle() -> str:
+    from rio_cogeo_spark.operators.focal import f_function_sql
+
+    inner = f_function_sql(
+        "SELECT tile_x, tile_y FROM base", ZOOM
+    ).split("WITH ", 1)[1]
+    return f"{_BASE_CTE},\n{inner}"
+
+
+def q_dissimilarity(spark, sf_dir):
+    """Duncan & Duncan dissimilarity index between every unordered
+    language pair over the z8 grid — the classic spatial-segregation
+    evenness measure, FULLY exact common-denominator form
+    Σ|aᵢ·B − bᵢ·A|·10^6 div (2AB); one corpus fold, pair expansion
+    bounded by n_langs−1."""
+    from rio_cogeo_spark.operators.report import dissimilarity_index
+
+    pts = assign_tiles(_pages(spark, sf_dir), ZOOM).select(
+        "tile_x", "tile_y", "lang"
+    )
+    return dissimilarity_index(pts)
+
+
+def _dissimilarity_oracle() -> str:
+    from rio_cogeo_spark.operators.report import dissimilarity_index_sql
+
+    inner = dissimilarity_index_sql(
+        "SELECT tile_x, tile_y, lang FROM assigned"
+    ).split("WITH ", 1)[1]
+    assigned = (
+        f"{_P}\n, assigned AS (SELECT {_TX8} AS tile_x, {_TY8} AS tile_y,"
+        " lang FROM pages)"
+    )
+    return f"{assigned},\n{inner}"
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FINAL fifth-continuation rotation (ROUND5.md §113): the 12 most
     # twin-intricate new ops (footprint's nested polygonize unroll, idw,
@@ -4813,6 +4878,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regional_terms": q_regional_terms,
         "g_function": q_g_function,
         "lang_adjacency": q_lang_adjacency,
+        "sd_ellipse": q_sd_ellipse,
+        "f_function": q_f_function,
+        "dissimilarity": q_dissimilarity,
     }
 
 
@@ -5871,6 +5939,9 @@ FROM assigned GROUP BY 1, 2, 3""",
         "regional_terms": _regional_terms_oracle(),
         "g_function": _g_function_oracle(),
         "lang_adjacency": _lang_adjacency_oracle(),
+        "sd_ellipse": _sd_ellipse_oracle(),
+        "f_function": _f_function_oracle(),
+        "dissimilarity": _dissimilarity_oracle(),
     }
 
 

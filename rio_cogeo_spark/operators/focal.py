@@ -3677,3 +3677,211 @@ SELECT LEAST(la, lb) AS lang_a, GREATEST(la, lb) AS lang_b,
        CAST(COUNT(*) AS BIGINT) AS n_pairs
 FROM la_p WHERE la IS NOT NULL AND lb IS NOT NULL
 GROUP BY 1, 2"""
+
+
+def _ellipse_final(intdiv: str) -> list[str]:
+    """Shared final projection for :func:`sd_ellipse`.
+
+    Mean center is exact; the central second-moment NUMERATORS
+    ``vxx = W·Σwx² − (Σwx)²`` (etc., denominator ``W²``) are exact
+    DECIMAL(38,0)/HUGEINT.  The axis lengths and orientation are the
+    pinned doubles: every step (int→double cast, +, −, ×, ÷, sqrt) is
+    IEEE-754 correctly rounded on both engines, so the identical
+    expression tree yields bit-identical doubles before the one floor.
+    """
+    vxx = "(w_total * sxx - swx * swx)"
+    vyy = "(w_total * syy - swy * swy)"
+    vxy = "(w_total * sxy - swx * swy)"
+    d1 = f"CAST({vxx} - {vyy} AS DOUBLE)"
+    d2 = f"CAST({vxy} AS DOUBLE)"
+    tr = f"CAST({vxx} + {vyy} AS DOUBLE)"
+    w2 = "(CAST(w_total AS DOUBLE) * CAST(w_total AS DOUBLE))"
+    disc = f"sqrt({d1} * {d1} + CAST(4 AS DOUBLE) * {d2} * {d2})"
+    lam_hi = f"(({tr} + {disc}) / CAST(2 AS DOUBLE))"
+    lam_lo = f"(({tr} - {disc}) / CAST(2 AS DOUBLE))"
+    return [
+        "CAST(n_cells AS BIGINT) AS n_cells",
+        "CAST(w_total AS BIGINT) AS w_total",
+        f"CAST((swx * 1000000) {intdiv} w_total AS BIGINT) AS mean_x_mil",
+        f"CAST((swy * 1000000) {intdiv} w_total AS BIGINT) AS mean_y_mil",
+        # orientation: tan(2θ) = 2·vxy / (vxx − vyy), pinned-double
+        # floor (numerator/denominator possibly negative); NULL when the
+        # pattern is isotropic in x/y (vxx = vyy — θ undefined)
+        f"CAST(CASE WHEN {vxx} = {vyy} THEN NULL ELSE "
+        f"floor(CAST(2 AS DOUBLE) * {d2} * CAST(1000000 AS DOUBLE)"
+        f" / {d1}) END AS BIGINT) AS tan2theta_mil",
+        f"CAST(floor(sqrt({lam_hi} / {w2}) * CAST(1000000 AS DOUBLE))"
+        " AS BIGINT) AS sigma_major_mil",
+        f"CAST(floor(sqrt({lam_lo} / {w2}) * CAST(1000000 AS DOUBLE))"
+        " AS BIGINT) AS sigma_minor_mil",
+    ]
+
+
+def sd_ellipse(
+    tiles: DataFrame,
+    value_col: str = "page_count",
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+) -> DataFrame:
+    """Standard deviational ellipse of the density surface — the
+    directional refinement of :func:`centrography`'s standard distance
+    (Lefever 1926; the classic point-pattern dispersion ellipse): one
+    row ``(n_cells, w_total, mean_x_mil, mean_y_mil, tan2theta_mil,
+    sigma_major_mil, sigma_minor_mil)``.
+
+    Mean center is the exact mil floordiv; the eigen pair of the
+    weighted covariance comes from the EXACT integer central-moment
+    numerators ``vxx/vyy/vxy`` (DECIMAL(38,0)-staged), with the
+    orientation ``tan(2θ)`` and the two semi-axis lengths as pinned
+    doubles through one fixed IEEE tree (sqrt/÷/× are correctly
+    rounded on both engines).  ``tan2theta_mil`` is NULL when
+    ``vxx = vyy`` (isotropic — orientation undefined).
+
+    Scale design: ONE map-side-combinable corpus fold (seven sums), one
+    single-row projection; no window, no join, no Python.  Envelope:
+    ``W·Σw·x²`` must fit 38 digits — zooms ≤ 20 at 10^12 pages (the
+    :func:`centrography` envelope squared once, documented there).
+    """
+    d = "decimal(38,0)"
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    w = F.col(value_col).cast("long")
+    agg = tiles.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(w).cast(d).alias("w_total"),
+        F.sum((w * x).cast(d)).alias("swx"),
+        F.sum((w * y).cast(d)).alias("swy"),
+        F.sum((w.cast(d) * x * x)).alias("sxx"),
+        F.sum((w.cast(d) * y * y)).alias("syy"),
+        F.sum((w.cast(d) * x * y)).alias("sxy"),
+    )
+    return agg.selectExpr(*_ellipse_final("div"))
+
+
+def sd_ellipse_sql(tiles_cte: str, value_col: str = "page_count") -> str:
+    """DuckDB twin of :func:`sd_ellipse` — identical fold and final
+    projection (int-div token ``//``)."""
+    final = ",\n       ".join(_ellipse_final("//"))
+    return f"""WITH se_t AS ({tiles_cte}),
+se_a AS (SELECT COUNT(*) AS n_cells,
+                CAST(SUM({value_col}) AS HUGEINT) AS w_total,
+                SUM(CAST({value_col} AS HUGEINT) * tile_x) AS swx,
+                SUM(CAST({value_col} AS HUGEINT) * tile_y) AS swy,
+                SUM(CAST({value_col} AS HUGEINT) * tile_x * tile_x) AS sxx,
+                SUM(CAST({value_col} AS HUGEINT) * tile_y * tile_y) AS syy,
+                SUM(CAST({value_col} AS HUGEINT) * tile_x * tile_y) AS sxy
+         FROM se_t)
+SELECT {final}
+FROM se_a"""
+
+
+def f_function(
+    tiles: DataFrame,
+    zoom: int,
+    max_ring: int = 3,
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+) -> DataFrame:
+    """Diggle's F function (the EMPTY-SPACE function) — the CDF of the
+    distance from an empty grid cell to its nearest OCCUPIED cell: one
+    row per Chebyshev distance ``k = 1..max_ring`` with the exact count
+    of empty cells whose nearest occupied cell sits at exactly ``k``
+    and the cumulative CDF in mil (``f_mil = cum·10^6 div n_empty``;
+    empty cells beyond the ring bound stay in the denominator — the
+    bounded-round contract shared with :func:`g_function`).  Together
+    with G this gives the J-function diagnostics (J = (1−G)/(1−F));
+    FULLY exact, NO float.
+
+    ``n_empty = 4^zoom − n_occupied`` is closed-form — the full grid
+    never materializes.  Votes are clipped to the grid bounds so edge
+    cells never vote outside ``[0, 2^zoom)``.
+
+    Scale design: the :func:`g_function` ring-vote explode (occupied
+    cells vote r=0 at themselves, r=k at ring-k neighbors) + ONE
+    min-ring aggregate over vote keys, then a ``max_ring``-bounded
+    group + running sum.  Vote rows ≈ occupied·(2·max_ring+1)², all
+    grid-bounded.
+    """
+    if max_ring < 1:
+        raise ValueError(f"max_ring must be >= 1, got {max_ring}")
+    n = 1 << zoom
+    entries = [F.struct(F.lit(0).alias("r"), F.lit(0).alias("dx"),
+                        F.lit(0).alias("dy"))]
+    for k in range(1, max_ring + 1):
+        entries += [
+            F.struct(F.lit(k).alias("r"), F.lit(dx).alias("dx"),
+                     F.lit(dy).alias("dy"))
+            for dx, dy in _ring_offsets(k)
+        ]
+    votes = tiles.select(
+        F.col(x_col).cast("long").alias("_sx"),
+        F.col(y_col).cast("long").alias("_sy"),
+        F.explode(F.array(*entries)).alias("off"),
+    ).select(
+        (F.col("_sx") + F.col("off.dx")).alias("kx"),
+        (F.col("_sy") + F.col("off.dy")).alias("ky"),
+        F.col("off.r").alias("r"),
+    ).filter(
+        (F.col("kx") >= 0) & (F.col("kx") < n)
+        & (F.col("ky") >= 0) & (F.col("ky") < n)
+    )
+    g = votes.groupBy("kx", "ky").agg(
+        F.max(F.when(F.col("r") == 0, F.lit(1)).otherwise(F.lit(0)))
+        .alias("occ"),
+        F.min(F.when(F.col("r") > 0, F.col("r"))).alias("nn"),
+    )
+    # n_empty = 4^zoom − occupied-row count (one row per occupied cell
+    # by contract) — count the INPUT, never materialize the grid
+    n_row = tiles.agg(
+        (F.lit(n).cast("long") * F.lit(n) - F.count(F.lit(1)))
+        .alias("n_empty")
+    )
+    hist = (
+        g.filter((F.col("occ") == 0) & F.col("nn").isNotNull())
+        .groupBy(F.col("nn").alias("k"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        hist.withColumn("cum", F.sum("cnt").over(w))
+        .crossJoin(F.broadcast(n_row))
+        .selectExpr(
+            "CAST(k AS BIGINT) AS k",
+            "CAST(cnt AS BIGINT) AS n_at_k",
+            "CAST(cum AS BIGINT) AS n_within_k",
+            "CAST((cum * 1000000) div n_empty AS BIGINT) AS f_mil",
+        )
+    )
+
+
+def f_function_sql(tiles_cte: str, zoom: int, max_ring: int = 3) -> str:
+    """DuckDB twin of :func:`f_function` (int-div ``//``)."""
+    if max_ring < 1:
+        raise ValueError(f"max_ring must be >= 1, got {max_ring}")
+    n = 1 << zoom
+    vals = ["(0, 0, 0)"]
+    for k in range(1, max_ring + 1):
+        vals += [f"({k}, {dx}, {dy})" for dx, dy in _ring_offsets(k)]
+    return f"""WITH ff_t AS ({tiles_cte}),
+ff_v AS (SELECT t.tile_x + o.dx AS kx, t.tile_y + o.dy AS ky, o.r
+         FROM ff_t t, (VALUES {", ".join(vals)}) o(r, dx, dy)
+         WHERE t.tile_x + o.dx BETWEEN 0 AND {n - 1}
+           AND t.tile_y + o.dy BETWEEN 0 AND {n - 1}),
+ff_g AS (SELECT kx, ky,
+                MAX(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS occ,
+                MIN(CASE WHEN r > 0 THEN r END) AS nn
+         FROM ff_v GROUP BY 1, 2),
+ff_n AS (SELECT CAST({n}::HUGEINT * {n} AS HUGEINT) - COUNT(*) AS n_empty
+         FROM ff_t),
+ff_h AS (SELECT nn AS k, COUNT(*) AS cnt
+         FROM ff_g WHERE occ = 0 AND nn IS NOT NULL GROUP BY 1),
+ff_c AS (SELECT k, cnt,
+                SUM(cnt) OVER (ORDER BY k
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS cum
+         FROM ff_h)
+SELECT CAST(k AS BIGINT) AS k,
+       CAST(cnt AS BIGINT) AS n_at_k,
+       CAST(cum AS BIGINT) AS n_within_k,
+       CAST((cum * 1000000) // n_empty AS BIGINT) AS f_mil
+FROM ff_c, ff_n"""

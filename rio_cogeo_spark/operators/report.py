@@ -3221,3 +3221,132 @@ rt_rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY city ORDER BY
           FROM rt_o)
 SELECT {", ".join(_REGIONAL_FINAL)}
 FROM rt_rk WHERE _rk <= {int(top_k)}"""
+
+
+def _dissim_final(intdiv: str) -> list[str]:
+    """Shared final projection for :func:`dissimilarity_index` —
+    Duncan & Duncan D in mil, FULLY exact: ``(Σ_cells |a_i·B − b_i·A|)
+    · 10^6 div (2·A·B)``."""
+    return [
+        "lang_a",
+        "lang_b",
+        "CAST(total_a AS BIGINT) AS total_a",
+        "CAST(total_b AS BIGINT) AS total_b",
+        "CAST(n_cells AS BIGINT) AS n_cells",
+        f"CAST((s_abs * 1000000) {intdiv} (2 * total_a * total_b)"
+        " AS BIGINT) AS d_mil",
+    ]
+
+
+def dissimilarity_index(
+    pts: DataFrame,
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+    label_col: str = "lang",
+) -> DataFrame:
+    """Duncan & Duncan index of dissimilarity between every unordered
+    label pair over the cell grid — the classic evenness/segregation
+    measure (D = ½·Σ_i |aᵢ/A − bᵢ/B|; 0 = identical spatial
+    distribution, 1 = complete segregation): one row per pair
+    ``(lang_a < lang_b, total_a, total_b, n_cells, d_mil)``, where
+    ``n_cells`` counts cells holding either label.  FULLY exact
+    integer — the common-denominator form ``Σ|aᵢ·B − bᵢ·A| · 10^6 div
+    (2·A·B)`` staged in DECIMAL(38,0)/HUGEINT (envelope: ``aᵢ·B`` ≤
+    10^24 at 10^12 pages — 38 digits hold through the ·10^6).
+
+    Scale design: the corpus folds ONCE to the grid×labels-bounded
+    ``(cell, lang, cnt)`` table; label totals are a labels-bounded
+    aggregate broadcast back; pair expansion multiplies by
+    ``n_labels − 1`` (a broadcast cross on the tiny totals table),
+    and the pair-cell fold + pair fold are both combinable.  The
+    corpus never shuffles twice; nothing is O(cells²).
+    """
+    cl = (
+        pts.groupBy(
+            F.col(x_col).alias("cx"),
+            F.col(y_col).alias("cy"),
+            F.col(label_col).alias("_l"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    totals = cl.groupBy("_l").agg(F.sum("cnt").alias("total"))
+    other = totals.select(
+        F.col("_l").alias("_m"), F.col("total").alias("_mt")
+    )
+    # each (cell, lang) row joins every OTHER label (broadcast,
+    # n_labels−1 fan-out) and lands on the canonical pair key
+    d = "decimal(38,0)"
+    expanded = (
+        cl.crossJoin(F.broadcast(other))
+        .filter(F.col("_l") != F.col("_m"))
+        .select(
+            "cx", "cy",
+            F.least("_l", "_m").alias("lang_a"),
+            F.greatest("_l", "_m").alias("lang_b"),
+            F.when(F.col("_l") < F.col("_m"), F.col("cnt"))
+            .otherwise(F.lit(0)).alias("a_cnt"),
+            F.when(F.col("_l") > F.col("_m"), F.col("cnt"))
+            .otherwise(F.lit(0)).alias("b_cnt"),
+        )
+    )
+    pair_cells = expanded.groupBy("cx", "cy", "lang_a", "lang_b").agg(
+        F.sum("a_cnt").alias("a_i"), F.sum("b_cnt").alias("b_i")
+    )
+    tot_a = totals.select(
+        F.col("_l").alias("lang_a"), F.col("total").alias("total_a")
+    )
+    tot_b = totals.select(
+        F.col("_l").alias("lang_b"), F.col("total").alias("total_b")
+    )
+    terms = (
+        pair_cells.join(F.broadcast(tot_a), "lang_a")
+        .join(F.broadcast(tot_b), "lang_b")
+        .select(
+            "lang_a", "lang_b", "total_a", "total_b",
+            F.abs(
+                F.col("a_i").cast(d) * F.col("total_b")
+                - F.col("b_i").cast(d) * F.col("total_a")
+            ).alias("term"),
+        )
+    )
+    agg = terms.groupBy("lang_a", "lang_b").agg(
+        F.first("total_a").cast(d).alias("total_a"),
+        F.first("total_b").cast(d).alias("total_b"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("term").alias("s_abs"),
+    )
+    return agg.selectExpr(*_dissim_final("div"))
+
+
+def dissimilarity_index_sql(
+    pts_cte: str, label_col: str = "lang"
+) -> str:
+    """DuckDB twin of :func:`dissimilarity_index` — ``pts_cte`` exposes
+    ``tile_x, tile_y, {label_col}``; identical pair expansion and exact
+    arithmetic (int-div ``//``)."""
+    final = ",\n       ".join(_dissim_final("//"))
+    return f"""WITH di_p AS ({pts_cte}),
+di_c AS (SELECT tile_x AS cx, tile_y AS cy, {label_col} AS l,
+                CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM di_p GROUP BY 1, 2, 3),
+di_t AS (SELECT l, SUM(cnt) AS total FROM di_c GROUP BY 1),
+di_e AS (SELECT c.cx, c.cy,
+                LEAST(c.l, o.l) AS lang_a, GREATEST(c.l, o.l) AS lang_b,
+                CASE WHEN c.l < o.l THEN c.cnt ELSE 0 END AS a_cnt,
+                CASE WHEN c.l > o.l THEN c.cnt ELSE 0 END AS b_cnt
+         FROM di_c c JOIN di_t o ON c.l <> o.l),
+di_pc AS (SELECT cx, cy, lang_a, lang_b,
+                 SUM(a_cnt) AS a_i, SUM(b_cnt) AS b_i
+          FROM di_e GROUP BY 1, 2, 3, 4),
+di_g AS (SELECT p.lang_a, p.lang_b,
+                CAST(ta.total AS HUGEINT) AS total_a,
+                CAST(tb.total AS HUGEINT) AS total_b,
+                COUNT(*) AS n_cells,
+                SUM(ABS(CAST(p.a_i AS HUGEINT) * tb.total
+                        - CAST(p.b_i AS HUGEINT) * ta.total)) AS s_abs
+         FROM di_pc p
+         JOIN di_t ta ON ta.l = p.lang_a
+         JOIN di_t tb ON tb.l = p.lang_b
+         GROUP BY 1, 2, 3, 4)
+SELECT {final}
+FROM di_g"""

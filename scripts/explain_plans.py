@@ -2895,6 +2895,68 @@ def main() -> None:
     )
     print(f"[{'OK' if la_ok else 'BAD'}] lang_adjacency plan")
 
+    # 155. sd_ellipse: ONE map-side-combinable corpus fold to a single
+    # row — no window, no join, no Generate, no Python
+    from rio_cogeo_spark.operators.focal import sd_ellipse
+
+    se_in = kx_in.selectExpr("tile_x", "tile_y", "t_bucket AS page_count")
+    se_plan = plan_of(sd_ellipse(se_in))
+    se_ok = (
+        "Join" not in se_plan
+        and "Window" not in se_plan
+        and "Generate" not in se_plan
+        and "BatchEvalPython" not in se_plan
+        and "ArrowEvalPython" not in se_plan
+        and "partial" in se_plan.lower()
+    )
+    checks.append(("sd_ellipse single partial-agg corpus fold", se_ok))
+    sections.append(
+        ("sd_ellipse", f"  {'PASS' if se_ok else 'FAIL'} "
+         "deviational ellipse from one seven-sum fold", se_plan)
+    )
+    print(f"[{'OK' if se_ok else 'BAD'}] sd_ellipse plan")
+
+    # 156. f_function: same bounded ring explode + min-ring agg as G,
+    # n_empty from a broadcast 1-row count of the INPUT (never the grid)
+    from rio_cogeo_spark.operators.focal import f_function
+
+    ff_plan = plan_of(f_function(kx_in.select("tile_x", "tile_y"), 6))
+    ff_ok = (
+        "SortMergeJoin" not in ff_plan
+        and "BatchEvalPython" not in ff_plan
+        and "ArrowEvalPython" not in ff_plan
+        and len(re.findall(r"\(\d+\) Generate", ff_plan)) == 1
+        and len(re.findall(r"\(\d+\) Window\b", ff_plan)) == 1
+        and "BroadcastNestedLoopJoin" in ff_plan
+    )
+    checks.append(("f_function empty-space CDF, grid never materialized",
+                   ff_ok))
+    sections.append(
+        ("f_function", f"  {'PASS' if ff_ok else 'FAIL'} "
+         "empty-space function, closed-form denominator", ff_plan)
+    )
+    print(f"[{'OK' if ff_ok else 'BAD'}] f_function plan")
+
+    # 157. dissimilarity: corpus folds ONCE to (cell,lang); totals and
+    # pair expansion are broadcast-only; no sort-merge, no Python
+    from rio_cogeo_spark.operators.report import dissimilarity_index
+
+    di_plan = plan_of(dissimilarity_index(cd_in))
+    di_ok = (
+        "SortMergeJoin" not in di_plan
+        and "Window" not in di_plan
+        and "BatchEvalPython" not in di_plan
+        and "ArrowEvalPython" not in di_plan
+        and "BroadcastHashJoin" in di_plan
+    )
+    checks.append(("dissimilarity broadcast pair expansion, one corpus fold",
+                   di_ok))
+    sections.append(
+        ("dissimilarity", f"  {'PASS' if di_ok else 'FAIL'} "
+         "Duncan D via common-denominator exact integers", di_plan)
+    )
+    print(f"[{'OK' if di_ok else 'BAD'}] dissimilarity plan")
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:

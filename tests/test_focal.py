@@ -1427,3 +1427,65 @@ def test_lang_adjacency_pairs(spark):
     assert got == want
     # the 2x2 block: en-en 1, fr-fr 1, en-fr 4 (two rook + two diagonal)
     assert got[("en", "fr")] == 4
+
+
+def test_sd_ellipse_closed_form(spark):
+    """Axis-aligned, isotropic, and diagonal patterns vs closed-form
+    eigen pairs; NULL orientation when vxx == vyy."""
+    import math
+
+    from rio_cogeo_spark.operators.focal import sd_ellipse
+
+    def run(cells):
+        df = spark.createDataFrame(
+            cells, "tile_x long, tile_y long, page_count long"
+        )
+        return sd_ellipse(df).collect()[0]
+
+    # horizontal line: all variance on x, orientation tan(2θ)=0
+    r = run([(0, 0, 1), (2, 0, 1), (4, 0, 1)])
+    assert (r.mean_x_mil, r.mean_y_mil) == (2_000_000, 0)
+    assert r.tan2theta_mil == 0
+    assert r.sigma_major_mil == math.floor(math.sqrt(24 / 9) * 1e6)
+    assert r.sigma_minor_mil == 0
+    # unit square: isotropic -> orientation undefined (NULL), equal axes
+    r = run([(0, 0, 1), (1, 0, 1), (0, 1, 1), (1, 1, 1)])
+    assert r.tan2theta_mil is None
+    assert r.sigma_major_mil == r.sigma_minor_mil == 500_000
+    # diagonal line: vxx == vyy (NULL tan2theta), minor axis collapses
+    r = run([(0, 0, 1), (1, 1, 1), (2, 2, 1)])
+    assert r.tan2theta_mil is None
+    assert r.sigma_major_mil == math.floor(math.sqrt(12 / 9) * 1e6)
+    assert r.sigma_minor_mil == 0
+    # weights shift the mean center exactly
+    r = run([(0, 0, 3), (4, 0, 1)])
+    assert r.mean_x_mil == 1_000_000 and r.w_total == 4
+
+
+def test_f_function_empty_space(spark):
+    """Empty-space CDF vs exhaustive nearest-occupied search on a tiny
+    8x8 grid; closed-form n_empty keeps far cells in the denominator."""
+    from collections import Counter
+
+    from rio_cogeo_spark.operators.focal import f_function
+
+    zoom, occ = 3, [(0, 0), (5, 5)]
+    n = 1 << zoom
+    hist = Counter()
+    for x in range(n):
+        for y in range(n):
+            if (x, y) in occ:
+                continue
+            d = min(max(abs(x - a), abs(y - b)) for a, b in occ)
+            if d <= 3:
+                hist[d] += 1
+    n_empty = n * n - len(occ)
+    df = spark.createDataFrame(occ, "tile_x long, tile_y long")
+    rows = {r.k: r for r in f_function(df, zoom).collect()}
+    assert set(rows) == set(hist)
+    cum = 0
+    for k in sorted(hist):
+        cum += hist[k]
+        assert rows[k].n_at_k == hist[k]
+        assert rows[k].n_within_k == cum
+        assert rows[k].f_mil == cum * 1_000_000 // n_empty

@@ -1570,3 +1570,38 @@ def test_regional_terms_odds_and_exclusives(spark):
     webs = [r for r in alpha if r.term == "web"]
     assert webs and webs[0].odds_mil == 300_000
     assert webs[0].n_out == 5
+
+
+def test_dissimilarity_index_exact(spark):
+    """Duncan D: perfect segregation -> 1e6, identical spatial mix -> 0,
+    exact common-denominator arithmetic on an uneven pair."""
+    from rio_cogeo_spark.operators.report import dissimilarity_index
+
+    def run(cells):
+        df = spark.createDataFrame(
+            cells, "tile_x long, tile_y long, lang string"
+        )
+        return {
+            (r.lang_a, r.lang_b): r
+            for r in dissimilarity_index(df).collect()
+        }
+
+    # complete segregation
+    got = run([(0, 0, "en"), (0, 0, "en"), (1, 1, "fr"), (1, 1, "fr")])
+    assert got[("en", "fr")].d_mil == 1_000_000
+    # identical spatial distribution
+    got = run([(0, 0, "en"), (0, 0, "fr"), (1, 1, "en"), (1, 1, "fr")])
+    assert got[("en", "fr")].d_mil == 0
+    # uneven: en 3@(0,0) 1@(1,1); fr 1@(0,0) 1@(1,1)
+    # D = (|3*2-1*4| + |1*2-1*4|) * 1e6 // (2*4*2) = 4e6 // 16
+    got = run([
+        (0, 0, "en"), (0, 0, "en"), (0, 0, "en"), (1, 1, "en"),
+        (0, 0, "fr"), (1, 1, "fr"),
+    ])
+    r = got[("en", "fr")]
+    assert (r.total_a, r.total_b, r.n_cells) == (4, 2, 2)
+    assert r.d_mil == 250_000
+    # three languages -> three unordered pairs
+    got = run([(0, 0, "en"), (1, 1, "fr"), (2, 2, "de")])
+    assert set(got) == {("de", "en"), ("de", "fr"), ("en", "fr")}
+    assert all(r.d_mil == 1_000_000 for r in got.values())
