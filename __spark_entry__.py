@@ -4567,6 +4567,103 @@ def _dissimilarity_oracle() -> str:
     return f"{assigned},\n{inner}"
 
 
+def q_j_function(spark, sf_dir):
+    """Van Lieshout–Baddeley J function: (1−G)/(1−F) per Chebyshev
+    distance — the single-number CSR diagnostic, one shared ring-vote
+    explode feeding both CDFs, every value an exact mil floordiv."""
+    from rio_cogeo_spark.operators.focal import j_function
+
+    return j_function(base_tiles(_pages(spark, sf_dir), ZOOM), ZOOM)
+
+
+def _j_function_oracle() -> str:
+    from rio_cogeo_spark.operators.focal import j_function_sql
+
+    inner = j_function_sql(
+        "SELECT tile_x, tile_y FROM base", ZOOM
+    ).split("WITH ", 1)[1]
+    return f"{_BASE_CTE},\n{inner}"
+
+
+def q_location_quotient(spark, sf_dir):
+    """Location quotient per (z8 cell, language): exact integer
+    LQ = (aᵢ·T·10^6) div (tᵢ·A) — the per-cell concentration sibling of
+    regional_terms' odds ratio; one corpus fold + partition-reusing
+    window + broadcast label totals."""
+    from rio_cogeo_spark.operators.report import location_quotient
+
+    pts = assign_tiles(_pages(spark, sf_dir), ZOOM).select(
+        "tile_x", "tile_y", "lang"
+    )
+    return location_quotient(pts)
+
+
+def _location_quotient_oracle() -> str:
+    from rio_cogeo_spark.operators.report import location_quotient_sql
+
+    inner = location_quotient_sql(
+        "SELECT tile_x, tile_y, lang FROM assigned"
+    ).split("WITH ", 1)[1]
+    assigned = (
+        f"{_P}\n, assigned AS (SELECT {_TX8} AS tile_x, {_TY8} AS tile_y,"
+        " lang FROM pages)"
+    )
+    return f"{assigned},\n{inner}"
+
+
+def q_exposure(spark, sf_dir):
+    """Bell exposure/isolation P* matrix per ordered language pair —
+    sum of per-cell exact floordivs (aᵢ·bᵢ·10^9 div (A·tᵢ)); the
+    probabilistic complement of the dissimilarity index. Pair expansion
+    via per-cell collect_list double-explode, never a self-join."""
+    from rio_cogeo_spark.operators.report import exposure_index
+
+    pts = assign_tiles(_pages(spark, sf_dir), ZOOM).select(
+        "tile_x", "tile_y", "lang"
+    )
+    return exposure_index(pts)
+
+
+def _exposure_oracle() -> str:
+    from rio_cogeo_spark.operators.report import exposure_index_sql
+
+    inner = exposure_index_sql(
+        "SELECT tile_x, tile_y, lang FROM assigned"
+    ).split("WITH ", 1)[1]
+    assigned = (
+        f"{_P}\n, assigned AS (SELECT {_TX8} AS tile_x, {_TY8} AS tile_y,"
+        " lang FROM pages)"
+    )
+    return f"{assigned},\n{inner}"
+
+
+def q_host_spread(spark, sf_dir):
+    """Geographic footprint per host: exact distinct-cell counts +
+    mean center, rms radius the one pinned double; top-50 by footprint
+    via distributed TakeOrdered. Two-level map-side-combinable fold."""
+    from rio_cogeo_spark.operators.report import host_spread
+
+    pts = assign_tiles(_pages(spark, sf_dir), ZOOM).select(
+        TX.host_col(F.col("url")).alias("host"), "tile_x", "tile_y"
+    )
+    # min_pages=1: the synthetic sf tables carry one page per host, so
+    # the production default (2) would certify an empty result
+    return host_spread(pts, min_pages=1)
+
+
+def _host_spread_oracle() -> str:
+    from rio_cogeo_spark.operators.report import host_spread_sql
+
+    inner = host_spread_sql(
+        "SELECT host, tile_x, tile_y FROM assigned", min_pages=1
+    ).split("WITH ", 1)[1]
+    assigned = (
+        f"{_P}\n, assigned AS (SELECT {TX.HOST_SQL} AS host,"
+        f" {_TX8} AS tile_x, {_TY8} AS tile_y FROM pages)"
+    )
+    return f"{assigned},\n{inner}"
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FINAL fifth-continuation rotation (ROUND5.md §113): the 12 most
     # twin-intricate new ops (footprint's nested polygonize unroll, idw,
@@ -4881,6 +4978,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sd_ellipse": q_sd_ellipse,
         "f_function": q_f_function,
         "dissimilarity": q_dissimilarity,
+        "j_function": q_j_function,
+        "location_quotient": q_location_quotient,
+        "exposure": q_exposure,
+        "host_spread": q_host_spread,
     }
 
 
@@ -5942,6 +6043,10 @@ FROM assigned GROUP BY 1, 2, 3""",
         "sd_ellipse": _sd_ellipse_oracle(),
         "f_function": _f_function_oracle(),
         "dissimilarity": _dissimilarity_oracle(),
+        "j_function": _j_function_oracle(),
+        "location_quotient": _location_quotient_oracle(),
+        "exposure": _exposure_oracle(),
+        "host_spread": _host_spread_oracle(),
     }
 
 

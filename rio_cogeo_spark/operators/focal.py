@@ -3885,3 +3885,146 @@ SELECT CAST(k AS BIGINT) AS k,
        CAST(cum AS BIGINT) AS n_within_k,
        CAST((cum * 1000000) // n_empty AS BIGINT) AS f_mil
 FROM ff_c, ff_n"""
+
+
+def j_function(
+    tiles: DataFrame,
+    zoom: int,
+    max_ring: int = 3,
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+) -> DataFrame:
+    """Van Lieshout & Baddeley's J function — ``J(k) = (1 − G(k)) /
+    (1 − F(k))``, the single-number CSR diagnostic combining the
+    nearest-neighbor CDF (:func:`g_function`) and the empty-space CDF
+    (:func:`f_function`): J < 1 clustered, J ≈ 1 CSR, J > 1 regular.
+    One row per Chebyshev distance ``k = 1..max_ring``:
+    ``(k, g_cum, f_cum, g_mil, f_mil, j_mil)`` with every distance in
+    the spine present (zero-event distances carry the cumulative
+    forward).  FULLY exact: both CDFs are exact mil floordivs and
+    ``j_mil = (10^6 − g_mil)·10^6 div (10^6 − f_mil)``, NULL when
+    ``f_mil = 10^6`` (no empty space beyond k — J undefined).
+
+    Scale design: ONE ring-vote explode + ONE ``(kx, ky)`` min-ring
+    aggregate serves both CDFs (occupied rows feed G, empty rows feed
+    F), folded to a ≤ ``2·max_ring``-row histogram; the k spine, the
+    two running sums and the final projection are all
+    ``max_ring``-bounded.  ``n_empty = 4^zoom − n_cells`` stays
+    closed-form — the grid never materializes.
+    """
+    if max_ring < 1:
+        raise ValueError(f"max_ring must be >= 1, got {max_ring}")
+    n = 1 << zoom
+    entries = [F.struct(F.lit(0).alias("r"), F.lit(0).alias("dx"),
+                        F.lit(0).alias("dy"))]
+    for k in range(1, max_ring + 1):
+        entries += [
+            F.struct(F.lit(k).alias("r"), F.lit(dx).alias("dx"),
+                     F.lit(dy).alias("dy"))
+            for dx, dy in _ring_offsets(k)
+        ]
+    votes = tiles.select(
+        F.col(x_col).cast("long").alias("_sx"),
+        F.col(y_col).cast("long").alias("_sy"),
+        F.explode(F.array(*entries)).alias("off"),
+    ).select(
+        (F.col("_sx") + F.col("off.dx")).alias("kx"),
+        (F.col("_sy") + F.col("off.dy")).alias("ky"),
+        F.col("off.r").alias("r"),
+    ).filter(
+        (F.col("kx") >= 0) & (F.col("kx") < n)
+        & (F.col("ky") >= 0) & (F.col("ky") < n)
+    )
+    cells = votes.groupBy("kx", "ky").agg(
+        F.max(F.when(F.col("r") == 0, F.lit(1)).otherwise(F.lit(0)))
+        .alias("occ"),
+        F.min(F.when(F.col("r") > 0, F.col("r"))).alias("nn"),
+    )
+    hist = (
+        cells.filter(F.col("nn").isNotNull())
+        .groupBy("occ", F.col("nn").alias("k"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    denom = tiles.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        (F.lit(n).cast("long") * F.lit(n) - F.count(F.lit(1)))
+        .alias("n_empty"),
+    )
+    spine = tiles.sparkSession.range(1, max_ring + 1).select(
+        F.col("id").alias("k")
+    )
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    joined = (
+        spine.join(
+            F.broadcast(
+                hist.groupBy("k").agg(
+                    F.sum(F.when(F.col("occ") == 1, F.col("cnt"))
+                          .otherwise(F.lit(0))).alias("g_at"),
+                    F.sum(F.when(F.col("occ") == 0, F.col("cnt"))
+                          .otherwise(F.lit(0))).alias("f_at"),
+                )
+            ),
+            "k", "left",
+        )
+        .withColumn("g_cum",
+                    F.sum(F.coalesce("g_at", F.lit(0))).over(w))
+        .withColumn("f_cum",
+                    F.sum(F.coalesce("f_at", F.lit(0))).over(w))
+        .crossJoin(F.broadcast(denom))
+    )
+    return joined.selectExpr(
+        "CAST(k AS BIGINT) AS k",
+        "CAST(g_cum AS BIGINT) AS g_cum",
+        "CAST(f_cum AS BIGINT) AS f_cum",
+        "CAST((g_cum * 1000000) div n_cells AS BIGINT) AS g_mil",
+        "CAST((f_cum * 1000000) div n_empty AS BIGINT) AS f_mil",
+        "CAST(CASE WHEN (f_cum * 1000000) div n_empty = 1000000 THEN NULL"
+        " ELSE ((1000000 - (g_cum * 1000000) div n_cells) * 1000000)"
+        " div (1000000 - (f_cum * 1000000) div n_empty) END AS BIGINT)"
+        " AS j_mil",
+    )
+
+
+def j_function_sql(tiles_cte: str, zoom: int, max_ring: int = 3) -> str:
+    """DuckDB twin of :func:`j_function` (int-div ``//``)."""
+    if max_ring < 1:
+        raise ValueError(f"max_ring must be >= 1, got {max_ring}")
+    n = 1 << zoom
+    vals = ["(0, 0, 0)"]
+    for k in range(1, max_ring + 1):
+        vals += [f"({k}, {dx}, {dy})" for dx, dy in _ring_offsets(k)]
+    spine = ", ".join(f"({k})" for k in range(1, max_ring + 1))
+    return f"""WITH jf_t AS ({tiles_cte}),
+jf_v AS (SELECT t.tile_x + o.dx AS kx, t.tile_y + o.dy AS ky, o.r
+         FROM jf_t t, (VALUES {", ".join(vals)}) o(r, dx, dy)
+         WHERE t.tile_x + o.dx BETWEEN 0 AND {n - 1}
+           AND t.tile_y + o.dy BETWEEN 0 AND {n - 1}),
+jf_c AS (SELECT kx, ky,
+                MAX(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS occ,
+                MIN(CASE WHEN r > 0 THEN r END) AS nn
+         FROM jf_v GROUP BY 1, 2),
+jf_h AS (SELECT nn AS k,
+                SUM(CASE WHEN occ = 1 THEN 1 ELSE 0 END) AS g_at,
+                SUM(CASE WHEN occ = 0 THEN 1 ELSE 0 END) AS f_at
+         FROM jf_c WHERE nn IS NOT NULL GROUP BY 1),
+jf_d AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n_cells,
+                CAST({n}::HUGEINT * {n} AS HUGEINT) - COUNT(*) AS n_empty
+         FROM jf_t),
+jf_s AS (SELECT s.k,
+                SUM(COALESCE(h.g_at, 0)) OVER (ORDER BY s.k
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS g_cum,
+                SUM(COALESCE(h.f_at, 0)) OVER (ORDER BY s.k
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS f_cum
+         FROM (VALUES {spine}) s(k) LEFT JOIN jf_h h ON h.k = s.k)
+SELECT CAST(k AS BIGINT) AS k,
+       CAST(g_cum AS BIGINT) AS g_cum,
+       CAST(f_cum AS BIGINT) AS f_cum,
+       CAST((g_cum * 1000000) // n_cells AS BIGINT) AS g_mil,
+       CAST((f_cum * 1000000) // n_empty AS BIGINT) AS f_mil,
+       CAST(CASE WHEN (f_cum * 1000000) // n_empty = 1000000 THEN NULL
+            ELSE ((1000000 - (g_cum * 1000000) // n_cells) * 1000000)
+                 // (1000000 - (f_cum * 1000000) // n_empty) END
+            AS BIGINT) AS j_mil
+FROM jf_s, jf_d"""

@@ -3350,3 +3350,270 @@ di_g AS (SELECT p.lang_a, p.lang_b,
          GROUP BY 1, 2, 3, 4)
 SELECT {final}
 FROM di_g"""
+
+
+def location_quotient(
+    pts: DataFrame,
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+    label_col: str = "lang",
+) -> DataFrame:
+    """Location quotient per (cell, label) — the classic regional-
+    concentration measure ``LQ = (aᵢ/tᵢ) / (A/T)`` (cell share of the
+    label over the label's global share): one row per occupied
+    (cell, label) with ``lq_mil = (aᵢ·T·10^6) div (tᵢ·A)`` — FULLY
+    exact integer, DECIMAL(38,0)-staged (envelope ``aᵢ·T·10^6`` ≤
+    10^30 at 10^12 pages).  LQ > 1 means the label over-concentrates
+    in the cell (the per-cell sibling of :func:`regional_terms`' odds).
+
+    Scale design: ONE corpus fold to the grid×labels-bounded
+    ``(cell, label, cnt)`` table; cell totals come from a window that
+    REUSES the fold's hash partitioning (no second corpus pass); label
+    totals and the grand total are a labels-bounded aggregate broadcast
+    back.  No sort-merge join, no Python.
+    """
+    d = "decimal(38,0)"
+    cl = pts.groupBy(
+        F.col(x_col).alias("tile_x"),
+        F.col(y_col).alias("tile_y"),
+        F.col(label_col).alias("lang"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w = Window.partitionBy("tile_x", "tile_y")
+    cl = cl.withColumn("cell_total", F.sum("cnt").over(w))
+    lt = cl.groupBy("lang").agg(F.sum("cnt").alias("lang_total"))
+    t_row = pts.agg(F.count(F.lit(1)).cast("long").alias("grand_total"))
+    return (
+        cl.join(F.broadcast(lt), "lang")
+        .crossJoin(F.broadcast(t_row))
+        .selectExpr(
+            "CAST(tile_x AS BIGINT) AS tile_x",
+            "CAST(tile_y AS BIGINT) AS tile_y",
+            "lang",
+            "CAST(cnt AS BIGINT) AS cnt",
+            "CAST(cell_total AS BIGINT) AS cell_total",
+            "CAST(lang_total AS BIGINT) AS lang_total",
+            f"CAST((CAST(cnt AS {d}) * grand_total * 1000000)"
+            f" div (CAST(cell_total AS {d}) * lang_total) AS BIGINT)"
+            " AS lq_mil",
+        )
+    )
+
+
+def location_quotient_sql(pts_cte: str, label_col: str = "lang") -> str:
+    """DuckDB twin of :func:`location_quotient` (int-div ``//``)."""
+    return f"""WITH lq_p AS ({pts_cte}),
+lq_c AS (SELECT tile_x, tile_y, {label_col} AS lang,
+                CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM lq_p GROUP BY 1, 2, 3),
+lq_w AS (SELECT *, SUM(cnt) OVER (PARTITION BY tile_x, tile_y)
+                AS cell_total
+         FROM lq_c),
+lq_l AS (SELECT lang, SUM(cnt) AS lang_total FROM lq_c GROUP BY 1),
+lq_t AS (SELECT CAST(COUNT(*) AS BIGINT) AS grand_total FROM lq_p)
+SELECT CAST(w.tile_x AS BIGINT) AS tile_x,
+       CAST(w.tile_y AS BIGINT) AS tile_y,
+       w.lang,
+       CAST(w.cnt AS BIGINT) AS cnt,
+       CAST(w.cell_total AS BIGINT) AS cell_total,
+       CAST(l.lang_total AS BIGINT) AS lang_total,
+       CAST((CAST(w.cnt AS HUGEINT) * t.grand_total * 1000000)
+            // (CAST(w.cell_total AS HUGEINT) * l.lang_total)
+            AS BIGINT) AS lq_mil
+FROM lq_w w JOIN lq_l l ON l.lang = w.lang, lq_t t"""
+
+
+def exposure_index(
+    pts: DataFrame,
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+    label_col: str = "lang",
+) -> DataFrame:
+    """Bell/Shevky exposure (P*) matrix between every ORDERED label
+    pair over the cell grid — ``ₐP*_b = Σᵢ (aᵢ/A)·(bᵢ/tᵢ)``, the
+    probability that a random member of ``a`` shares its cell with a
+    member of ``b``; the diagonal (``a = b``) is the ISOLATION index.
+    One row per ordered pair ``(lang_a, lang_b, total_a, exp_nano)``.
+
+    Exactness contract: ``exp_nano = Σᵢ (aᵢ·bᵢ·10^9) div (A·tᵢ)`` —
+    the SUM OF PER-CELL FLOORDIVS, exact integers identical on both
+    engines (a single-fraction form has no common denominator across
+    cells; envelope ``aᵢ·bᵢ·10^9`` ≤ 10^33 at 10^12 pages, staged in
+    DECIMAL(38,0)/HUGEINT).
+
+    Scale design: ONE corpus fold to ``(cell, label, cnt)``, then a
+    per-cell ``collect_list`` (labels-bounded, ≤ n_labels structs) +
+    double explode — pair rows ≈ cells·n_labels², NEVER a self-join;
+    label totals broadcast back; the pair fold is combinable.
+    """
+    d = "decimal(38,0)"
+    cl = pts.groupBy(
+        F.col(x_col).alias("cx"),
+        F.col(y_col).alias("cy"),
+        F.col(label_col).alias("_l"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    cells = cl.groupBy("cx", "cy").agg(
+        F.collect_list(F.struct("_l", "cnt")).alias("ls"),
+        F.sum("cnt").cast("long").alias("t"),
+    )
+    pairs = (
+        cells.select(
+            F.explode("ls").alias("a"), F.col("ls"), F.col("t")
+        )
+        .select(
+            F.col("a._l").alias("lang_a"),
+            F.col("a.cnt").alias("a_cnt"),
+            F.explode("ls").alias("b"),
+            F.col("t"),
+        )
+        .select(
+            "lang_a", "a_cnt",
+            F.col("b._l").alias("lang_b"),
+            F.col("b.cnt").alias("b_cnt"),
+            "t",
+        )
+    )
+    lt = cl.groupBy(F.col("_l").alias("lang_a")).agg(
+        F.sum("cnt").cast("long").alias("total_a")
+    )
+    terms = pairs.join(F.broadcast(lt), "lang_a").selectExpr(
+        "lang_a", "lang_b", "total_a",
+        f"CAST((CAST(a_cnt AS {d}) * b_cnt * 1000000000)"
+        f" div (CAST(total_a AS {d}) * t) AS BIGINT) AS term",
+    )
+    return (
+        terms.groupBy("lang_a", "lang_b")
+        .agg(
+            F.first("total_a").alias("total_a"),
+            F.sum("term").alias("exp_nano"),
+        )
+        .selectExpr(
+            "lang_a", "lang_b",
+            "CAST(total_a AS BIGINT) AS total_a",
+            "CAST(exp_nano AS BIGINT) AS exp_nano",
+        )
+    )
+
+
+def exposure_index_sql(pts_cte: str, label_col: str = "lang") -> str:
+    """DuckDB twin of :func:`exposure_index` — the pair expansion is a
+    within-cell self-join (same values as the explode; int-div
+    ``//``)."""
+    return f"""WITH ex_p AS ({pts_cte}),
+ex_c AS (SELECT tile_x AS cx, tile_y AS cy, {label_col} AS l,
+                CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM ex_p GROUP BY 1, 2, 3),
+ex_t AS (SELECT cx, cy, SUM(cnt) AS t FROM ex_c GROUP BY 1, 2),
+ex_l AS (SELECT l, SUM(cnt) AS total FROM ex_c GROUP BY 1),
+ex_pr AS (SELECT a.l AS lang_a, b.l AS lang_b, a.cnt AS a_cnt,
+                 b.cnt AS b_cnt, t.t AS t
+          FROM ex_c a
+          JOIN ex_c b ON a.cx = b.cx AND a.cy = b.cy
+          JOIN ex_t t ON t.cx = a.cx AND t.cy = a.cy),
+ex_tm AS (SELECT p.lang_a, p.lang_b, l.total AS total_a,
+                 (CAST(p.a_cnt AS HUGEINT) * p.b_cnt * 1000000000)
+                     // (CAST(l.total AS HUGEINT) * p.t) AS term
+          FROM ex_pr p JOIN ex_l l ON l.l = p.lang_a)
+SELECT lang_a, lang_b,
+       CAST(MIN(total_a) AS BIGINT) AS total_a,
+       CAST(SUM(term) AS BIGINT) AS exp_nano
+FROM ex_tm GROUP BY 1, 2"""
+
+
+_HOST_SPREAD_FINAL_DOC = """host geographic footprint with exact
+moment numerators; rms_mil is the ONE pinned double per row."""
+
+
+def host_spread(
+    pts: DataFrame,
+    min_pages: int = 2,
+    top_k: int = 50,
+    host_col_name: str = "host",
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+) -> DataFrame:
+    """Geographic footprint per host — which sites publish from (or
+    about) everywhere vs one place: per host with ≥ ``min_pages``
+    pages, ``(host, n_pages, n_cells, mean_x_mil, mean_y_mil,
+    rms_mil)`` ranked by footprint (``n_cells`` desc, ``n_pages``
+    desc, ``host`` asc — a strict total order) and cut to ``top_k``.
+
+    ``n_cells`` is the EXACT distinct-cell count; the mean center is
+    the exact mil floordiv; ``rms_mil`` (root-mean-square radius about
+    the mean, the standard-distance of :func:`~rio_cogeo_spark.operators
+    .focal.centrography` per host) is the one pinned double per row:
+    ``floor(sqrt((n·(Σx²+Σy²) − (Σx)² − (Σy)²)_exact / n²_double))·10³``
+    staged — every step IEEE-correctly-rounded on both engines.
+
+    Scale design: TWO-LEVEL fold — corpus → ``(host, cell)`` (map-side
+    combinable, the dedup level) → per-host moments; the top-k is a
+    distributed TakeOrdered (sort+limit), never a single-partition
+    window.  Envelope: ``n·Σx²`` ≤ 10^12·10^12·(2^20)² < 10^37 at z ≤
+    20 — DECIMAL(38,0) holds.
+    """
+    if min_pages < 1:
+        raise ValueError(f"min_pages must be >= 1, got {min_pages}")
+    d = "decimal(38,0)"
+    hc = pts.groupBy(
+        F.col(host_col_name).alias("host"),
+        F.col(x_col).cast("long").alias("cx"),
+        F.col(y_col).cast("long").alias("cy"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    per_host = hc.groupBy("host").agg(
+        F.sum("cnt").cast("long").alias("n_pages"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum((F.col("cnt") * F.col("cx")).cast(d)).alias("sx"),
+        F.sum((F.col("cnt") * F.col("cy")).cast(d)).alias("sy"),
+        F.sum(F.col("cnt").cast(d) * F.col("cx") * F.col("cx"))
+        .alias("sxx"),
+        F.sum(F.col("cnt").cast(d) * F.col("cy") * F.col("cy"))
+        .alias("syy"),
+    ).filter(F.col("n_pages") >= int(min_pages))
+    num = "(n_pages * (sxx + syy) - sx * sx - sy * sy)"
+    den = "(CAST(n_pages AS DOUBLE) * CAST(n_pages AS DOUBLE))"
+    out = per_host.selectExpr(
+        "host",
+        "CAST(n_pages AS BIGINT) AS n_pages",
+        "CAST(n_cells AS BIGINT) AS n_cells",
+        "CAST((sx * 1000000) div n_pages AS BIGINT) AS mean_x_mil",
+        "CAST((sy * 1000000) div n_pages AS BIGINT) AS mean_y_mil",
+        f"CAST(floor(sqrt(CAST({num} AS DOUBLE) / {den})"
+        " * CAST(1000000 AS DOUBLE)) AS BIGINT) AS rms_mil",
+    )
+    return out.orderBy(
+        F.col("n_cells").desc(), F.col("n_pages").desc(),
+        F.col("host").asc(),
+    ).limit(int(top_k))
+
+
+def host_spread_sql(
+    pts_cte: str, min_pages: int = 2, top_k: int = 50
+) -> str:
+    """DuckDB twin of :func:`host_spread` (int-div ``//``; identical
+    pinned-double tree for ``rms_mil``)."""
+    if min_pages < 1:
+        raise ValueError(f"min_pages must be >= 1, got {min_pages}")
+    num = ("(n_pages * (sxx + syy) - sx * sx - sy * sy)")
+    den = "(CAST(n_pages AS DOUBLE) * CAST(n_pages AS DOUBLE))"
+    return f"""WITH hs_p AS ({pts_cte}),
+hs_c AS (SELECT host, tile_x AS cx, tile_y AS cy,
+                CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM hs_p GROUP BY 1, 2, 3),
+hs_h AS (SELECT host,
+                CAST(SUM(cnt) AS HUGEINT) AS n_pages,
+                CAST(COUNT(*) AS BIGINT) AS n_cells,
+                SUM(CAST(cnt AS HUGEINT) * cx) AS sx,
+                SUM(CAST(cnt AS HUGEINT) * cy) AS sy,
+                SUM(CAST(cnt AS HUGEINT) * cx * cx) AS sxx,
+                SUM(CAST(cnt AS HUGEINT) * cy * cy) AS syy
+         FROM hs_c GROUP BY 1
+         HAVING SUM(cnt) >= {int(min_pages)})
+SELECT host,
+       CAST(n_pages AS BIGINT) AS n_pages,
+       CAST(n_cells AS BIGINT) AS n_cells,
+       CAST((sx * 1000000) // n_pages AS BIGINT) AS mean_x_mil,
+       CAST((sy * 1000000) // n_pages AS BIGINT) AS mean_y_mil,
+       CAST(FLOOR(SQRT(CAST({num} AS DOUBLE) / {den})
+            * CAST(1000000 AS DOUBLE)) AS BIGINT) AS rms_mil
+FROM hs_h
+ORDER BY n_cells DESC, n_pages DESC, host ASC
+LIMIT {int(top_k)}"""

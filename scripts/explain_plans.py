@@ -2957,6 +2957,90 @@ def main() -> None:
     )
     print(f"[{'OK' if di_ok else 'BAD'}] dissimilarity plan")
 
+    # 158. j_function: ONE shared ring explode feeds both CDFs; spine
+    # joins are broadcast; no sort-merge, no Python
+    from rio_cogeo_spark.operators.focal import j_function
+
+    jf_plan = plan_of(j_function(kx_in.select("tile_x", "tile_y"), 6))
+    jf_ok = (
+        "SortMergeJoin" not in jf_plan
+        and "BatchEvalPython" not in jf_plan
+        and "ArrowEvalPython" not in jf_plan
+        and len(re.findall(r"\(\d+\) Generate", jf_plan)) == 1
+        and "BroadcastHashJoin" in jf_plan
+    )
+    checks.append(("j_function one shared explode for both CDFs", jf_ok))
+    sections.append(
+        ("j_function", f"  {'PASS' if jf_ok else 'FAIL'} "
+         "(1-G)/(1-F) CSR diagnostic, spine broadcast", jf_plan)
+    )
+    print(f"[{'OK' if jf_ok else 'BAD'}] j_function plan")
+
+    # 159. location_quotient: one corpus fold, window reuses the fold's
+    # partitioning (no extra Exchange between them), broadcast totals
+    from rio_cogeo_spark.operators.report import location_quotient
+
+    lq_plan = plan_of(location_quotient(cd_in))
+    lq_ok = (
+        "SortMergeJoin" not in lq_plan
+        and "BatchEvalPython" not in lq_plan
+        and "ArrowEvalPython" not in lq_plan
+        and "BroadcastHashJoin" in lq_plan
+        and len(re.findall(r"\(\d+\) Window\b", lq_plan)) == 1
+    )
+    checks.append(("location_quotient partition-reusing window +"
+                   " broadcast totals", lq_ok))
+    sections.append(
+        ("location_quotient", f"  {'PASS' if lq_ok else 'FAIL'} "
+         "exact per-cell concentration", lq_plan)
+    )
+    print(f"[{'OK' if lq_ok else 'BAD'}] location_quotient plan")
+
+    # 160. exposure: pair expansion via collect_list double-explode —
+    # NEVER a self-join of the cell-label table; totals broadcast
+    from rio_cogeo_spark.operators.report import exposure_index
+
+    ex_plan = plan_of(exposure_index(cd_in))
+    ex_ok = (
+        "SortMergeJoin" not in ex_plan
+        and "BatchEvalPython" not in ex_plan
+        and "ArrowEvalPython" not in ex_plan
+        and "BroadcastHashJoin" in ex_plan
+        and len(re.findall(r"\(\d+\) Generate", ex_plan)) == 2
+    )
+    checks.append(("exposure double-explode pair expansion, no self-join",
+                   ex_ok))
+    sections.append(
+        ("exposure", f"  {'PASS' if ex_ok else 'FAIL'} "
+         "P* isolation/exposure matrix", ex_plan)
+    )
+    print(f"[{'OK' if ex_ok else 'BAD'}] exposure plan")
+
+    # 161. host_spread: two-level combinable fold; top-k is a
+    # distributed TakeOrdered, never a single-partition window
+    from rio_cogeo_spark.operators.report import host_spread
+
+    hs_in = cd_in.selectExpr(
+        "CONCAT('h', CAST(tile_x % 7 AS STRING), '.com') AS host",
+        "tile_x", "tile_y",
+    )
+    hs_plan = plan_of(host_spread(hs_in))
+    hs_ok = (
+        "Join" not in hs_plan
+        and "Window" not in hs_plan
+        and "BatchEvalPython" not in hs_plan
+        and "ArrowEvalPython" not in hs_plan
+        and "TakeOrderedAndProject" in hs_plan
+        and "partial" in hs_plan.lower()
+    )
+    checks.append(("host_spread two-level fold + distributed TakeOrdered",
+                   hs_ok))
+    sections.append(
+        ("host_spread", f"  {'PASS' if hs_ok else 'FAIL'} "
+         "host geographic footprint", hs_plan)
+    )
+    print(f"[{'OK' if hs_ok else 'BAD'}] host_spread plan")
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:

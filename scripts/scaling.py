@@ -44,8 +44,19 @@ WORKER = textwrap.dedent(
     # by construction — under-sizing biased the measured N->4N efficiency
     # DOWN. 4 waves of smaller tasks is the standard skew sizing (AQE can
     # coalesce but never split); identical rule at both levels.
+    # input-split sizing: the 20M-page bench table is 32 x ~21.8MB
+    # parquet files; the DEFAULT 128MB maxPartitionBytes packs them into
+    # 7 splits, so a 4-core run executes 2 waves with the second wave 25%
+    # idle — a small-data quantization artifact (at 100TB a scan has
+    # ~10^6 splits and no such remainder). 24MB + zero open-cost yields
+    # exactly one split per file (files don't pack pairwise: 2x21.8 > 24)
+    # = 32 equal tasks, whole waves at BOTH levels (32 and 8). Identical
+    # fixed rule at both levels, mirroring the real-cluster regime where
+    # split count >> cores.
     spark = (SparkSession.builder.master(f"local[{N}]")
              .config("spark.sql.shuffle.partitions", str(4 * N))
+             .config("spark.sql.files.maxPartitionBytes", "25165824")
+             .config("spark.sql.files.openCostInBytes", "0")
              .config("spark.sql.adaptive.enabled", "true")
              .config("spark.sql.execution.arrow.pyspark.enabled", "true")
              .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")

@@ -1489,3 +1489,43 @@ def test_f_function_empty_space(spark):
         assert rows[k].n_at_k == hist[k]
         assert rows[k].n_within_k == cum
         assert rows[k].f_mil == cum * 1_000_000 // n_empty
+
+
+def test_j_function_csr_diagnostic(spark):
+    """J = (1-G)/(1-F) per distance vs exhaustive CDFs; spine carries
+    zero-event distances forward; NULL when F saturates."""
+    from rio_cogeo_spark.operators.focal import j_function
+
+    zoom, occ = 3, [(0, 0), (0, 1), (5, 5)]
+    n = 1 << zoom
+    # exhaustive G (NN among occupied) and F (empty -> nearest occupied)
+    g_cum, f_cum = {}, {}
+    for k in range(1, 4):
+        g_cum[k] = sum(
+            1 for p in occ
+            if min(max(abs(p[0] - q[0]), abs(p[1] - q[1]))
+                   for q in occ if q != p) <= k
+        )
+        f_cum[k] = sum(
+            1 for x in range(n) for y in range(n)
+            if (x, y) not in occ
+            and min(max(abs(x - a), abs(y - b)) for a, b in occ) <= k
+        )
+    n_cells, n_empty = len(occ), n * n - len(occ)
+    rows = {r.k: r for r in j_function(
+        spark.createDataFrame(occ, "tile_x long, tile_y long"), zoom
+    ).collect()}
+    assert set(rows) == {1, 2, 3}
+    for k in range(1, 4):
+        r = rows[k]
+        assert (r.g_cum, r.f_cum) == (g_cum[k], f_cum[k])
+        g_mil = g_cum[k] * 1_000_000 // n_cells
+        f_mil = f_cum[k] * 1_000_000 // n_empty
+        assert (r.g_mil, r.f_mil) == (g_mil, f_mil)
+        want_j = (
+            None if f_mil == 1_000_000
+            else (1_000_000 - g_mil) * 1_000_000 // (1_000_000 - f_mil)
+        )
+        assert r.j_mil == want_j
+    # the (0,0)/(0,1) pair is clustered: G(1)=2/3 while F(1) is small
+    assert rows[1].j_mil < 1_000_000

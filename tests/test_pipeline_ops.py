@@ -1605,3 +1605,66 @@ def test_dissimilarity_index_exact(spark):
     got = run([(0, 0, "en"), (1, 1, "fr"), (2, 2, "de")])
     assert set(got) == {("de", "en"), ("de", "fr"), ("en", "fr")}
     assert all(r.d_mil == 1_000_000 for r in got.values())
+
+
+def test_location_quotient_exact(spark):
+    """LQ = (a*T*1e6)//(t*A) per (cell,label) vs hand arithmetic."""
+    from rio_cogeo_spark.operators.report import location_quotient
+
+    pts = spark.createDataFrame(
+        [(0, 0, "en")] * 3 + [(0, 0, "fr")] + [(1, 1, "fr")] * 2,
+        "tile_x long, tile_y long, lang string",
+    )
+    got = {
+        (r.tile_x, r.tile_y, r.lang): r
+        for r in location_quotient(pts).collect()
+    }
+    assert got[(0, 0, "en")].lq_mil == 3 * 6 * 1_000_000 // (4 * 3)
+    assert got[(0, 0, "fr")].lq_mil == 1 * 6 * 1_000_000 // (4 * 3)
+    assert got[(1, 1, "fr")].lq_mil == 2 * 6 * 1_000_000 // (2 * 3)
+    r = got[(0, 0, "en")]
+    assert (r.cnt, r.cell_total, r.lang_total) == (3, 4, 3)
+
+
+def test_exposure_index_exact(spark):
+    """Ordered P* matrix: per-cell floordiv sums vs hand arithmetic;
+    diagonal = isolation."""
+    from rio_cogeo_spark.operators.report import exposure_index
+
+    pts = spark.createDataFrame(
+        [(0, 0, "en")] * 2 + [(0, 0, "fr")] + [(1, 1, "en")],
+        "tile_x long, tile_y long, lang string",
+    )
+    got = {
+        (r.lang_a, r.lang_b): r.exp_nano
+        for r in exposure_index(pts).collect()
+    }
+    assert got[("en", "en")] == (2 * 2 * 10**9) // (3 * 3) + (10**9) // 3
+    assert got[("en", "fr")] == (2 * 1 * 10**9) // (3 * 3)
+    assert got[("fr", "en")] == (1 * 2 * 10**9) // (1 * 3)
+    assert got[("fr", "fr")] == (1 * 1 * 10**9) // (1 * 3)
+
+
+def test_host_spread_footprint(spark):
+    """Exact cell counts + mean center, pinned-double rms radius,
+    min_pages filter, footprint ordering."""
+    import math
+
+    from rio_cogeo_spark.operators.report import host_spread
+
+    pts = spark.createDataFrame(
+        [("a.com", 0, 0), ("a.com", 0, 0), ("a.com", 4, 0),
+         ("b.com", 7, 7), ("c.com", 1, 1), ("c.com", 2, 2)],
+        "host string, tile_x long, tile_y long",
+    )
+    rows = host_spread(pts, min_pages=2, top_k=10).collect()
+    assert [r.host for r in rows] == ["a.com", "c.com"]  # b filtered
+    a = rows[0]
+    assert (a.n_pages, a.n_cells) == (3, 2)
+    assert a.mean_x_mil == 4 * 1_000_000 // 3 and a.mean_y_mil == 0
+    # num = 3*(16+0) - 16 - 0 = 32, den = 9
+    assert a.rms_mil == math.floor(math.sqrt(32 / 9) * 1e6)
+    c = rows[1]
+    assert (c.n_pages, c.n_cells) == (2, 2)
+    # num = 2*(1+4+1+4) - 9 - 9 = 2 ; rms = sqrt(2/4)
+    assert c.rms_mil == math.floor(math.sqrt(2 / 4) * 1e6)
