@@ -4664,6 +4664,84 @@ def _host_spread_oracle() -> str:
     return f"{assigned},\n{inner}"
 
 
+def q_morisita(spark, sf_dir):
+    """Morisita–Horn spatial-distribution overlap per unordered
+    language pair — exact integer moments, the final ratio the ONE
+    pinned double (the integer form overflows 38 digits at 10^12
+    pages); collect_list double-explode pair expansion."""
+    from rio_cogeo_spark.operators.report import morisita_horn
+
+    pts = assign_tiles(_pages(spark, sf_dir), ZOOM).select(
+        "tile_x", "tile_y", "lang"
+    )
+    return morisita_horn(pts)
+
+
+def _morisita_oracle() -> str:
+    from rio_cogeo_spark.operators.report import morisita_horn_sql
+
+    inner = morisita_horn_sql(
+        "SELECT tile_x, tile_y, lang FROM assigned"
+    ).split("WITH ", 1)[1]
+    assigned = (
+        f"{_P}\n, assigned AS (SELECT {_TX8} AS tile_x, {_TY8} AS tile_y,"
+        " lang FROM pages)"
+    )
+    return f"{assigned},\n{inner}"
+
+
+def q_lang_range(spark, sf_dir):
+    """Geographic range profile per language: exact page/cell counts,
+    bounding box, and box-occupancy mil — range-filling vs archipelago
+    distributions. Two-level map-side-combinable fold."""
+    from rio_cogeo_spark.operators.report import lang_range
+
+    pts = assign_tiles(_pages(spark, sf_dir), ZOOM).select(
+        "tile_x", "tile_y", "lang"
+    )
+    return lang_range(pts)
+
+
+def _lang_range_oracle() -> str:
+    from rio_cogeo_spark.operators.report import lang_range_sql
+
+    inner = lang_range_sql(
+        "SELECT tile_x, tile_y, lang FROM assigned"
+    ).split("WITH ", 1)[1]
+    assigned = (
+        f"{_P}\n, assigned AS (SELECT {_TX8} AS tile_x, {_TY8} AS tile_y,"
+        " lang FROM pages)"
+    )
+    return f"{assigned},\n{inner}"
+
+
+def q_cell_novelty(spark, sf_dir):
+    """Spatial crawl-frontier expansion per UTC day: cells first
+    occupied that day + cumulative distinct cells — one per-cell
+    min(ts) fold + a days-bounded running sum. FULLY exact."""
+    from rio_cogeo_spark.operators.report import cell_novelty
+
+    pts = assign_tiles(_pages(spark, sf_dir), ZOOM).select(
+        "tile_x", "tile_y", "ts_sec"
+    )
+    # hourly buckets: synth ts_sec spans < 1 UTC day at small sf, so
+    # the daily default would certify a single row
+    return cell_novelty(pts, day_sec=3600)
+
+
+def _cell_novelty_oracle() -> str:
+    from rio_cogeo_spark.operators.report import cell_novelty_sql
+
+    inner = cell_novelty_sql(
+        "SELECT tile_x, tile_y, ts_sec FROM assigned", day_sec=3600
+    ).split("WITH ", 1)[1]
+    assigned = (
+        f"{_P}\n, assigned AS (SELECT {_TX8} AS tile_x, {_TY8} AS tile_y,"
+        " ts_sec FROM pages)"
+    )
+    return f"{assigned},\n{inner}"
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FINAL fifth-continuation rotation (ROUND5.md §113): the 12 most
     # twin-intricate new ops (footprint's nested polygonize unroll, idw,
@@ -4982,6 +5060,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "location_quotient": q_location_quotient,
         "exposure": q_exposure,
         "host_spread": q_host_spread,
+        "morisita": q_morisita,
+        "lang_range": q_lang_range,
+        "cell_novelty": q_cell_novelty,
     }
 
 
@@ -6047,6 +6128,9 @@ FROM assigned GROUP BY 1, 2, 3""",
         "location_quotient": _location_quotient_oracle(),
         "exposure": _exposure_oracle(),
         "host_spread": _host_spread_oracle(),
+        "morisita": _morisita_oracle(),
+        "lang_range": _lang_range_oracle(),
+        "cell_novelty": _cell_novelty_oracle(),
     }
 
 

@@ -3617,3 +3617,231 @@ SELECT host,
 FROM hs_h
 ORDER BY n_cells DESC, n_pages DESC, host ASC
 LIMIT {int(top_k)}"""
+
+
+def morisita_horn(
+    pts: DataFrame,
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+    label_col: str = "lang",
+) -> DataFrame:
+    """Morisita–Horn overlap between every unordered label pair's
+    spatial distribution — ``MH = 2·Σaᵢbᵢ / ((Σaᵢ²/A² + Σbᵢ²/B²)·A·B)``
+    (1 = identical cell mix, 0 = disjoint; the abundance-weighted
+    complement of :func:`dissimilarity_index`): one row per pair
+    ``(lang_a < lang_b, total_a, total_b, mh_mil)``.
+
+    Exactness contract: the four moments (``Σaᵢbᵢ``, ``Σaᵢ²``,
+    ``Σbᵢ²``, totals) are EXACT integers (DECIMAL(38,0)/HUGEINT);
+    ``mh_mil = floor(2·Sab·A·B / (Saa·B² + Sbb·A²) · 10^6)`` is the ONE
+    pinned double per row — the integer-exact form overflows 38 digits
+    at web scale (``Sab·A·B`` ≤ 10^48 at 10^12 pages), so the final
+    ratio goes through one fixed IEEE tree: int→double casts and each
+    ·/÷ are correctly rounded on both engines, identical expression
+    shape both sides.
+
+    Scale design: ONE corpus fold to ``(cell, label, cnt)``; cross
+    products via the per-cell ``collect_list`` double-explode of
+    :func:`exposure_index` with an ``a < b`` guard (no self-join);
+    per-label moments are a labels-bounded aggregate broadcast twice.
+    """
+    d = "decimal(38,0)"
+    cl = pts.groupBy(
+        F.col(x_col).alias("cx"),
+        F.col(y_col).alias("cy"),
+        F.col(label_col).alias("_l"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    moments = cl.groupBy("_l").agg(
+        F.sum("cnt").cast(d).alias("total"),
+        F.sum(F.col("cnt").cast(d) * F.col("cnt")).alias("sq"),
+    )
+    cells = cl.groupBy("cx", "cy").agg(
+        F.collect_list(F.struct("_l", "cnt")).alias("ls")
+    )
+    pairs = (
+        cells.select(F.explode("ls").alias("a"), F.col("ls"))
+        .select(
+            F.col("a._l").alias("lang_a"),
+            F.col("a.cnt").alias("a_cnt"),
+            F.explode("ls").alias("b"),
+        )
+        .filter(F.col("lang_a") < F.col("b._l"))
+        .select(
+            "lang_a",
+            F.col("b._l").alias("lang_b"),
+            (F.col("a_cnt").cast(d) * F.col("b.cnt")).alias("ab"),
+        )
+    )
+    sab = pairs.groupBy("lang_a", "lang_b").agg(F.sum("ab").alias("sab"))
+    ma = moments.select(
+        F.col("_l").alias("lang_a"),
+        F.col("total").alias("ta"), F.col("sq").alias("saa"),
+    )
+    mb = moments.select(
+        F.col("_l").alias("lang_b"),
+        F.col("total").alias("tb"), F.col("sq").alias("sbb"),
+    )
+    num = ("(CAST(2 AS DOUBLE) * CAST(sab AS DOUBLE)"
+           " * CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE))")
+    den = ("(CAST(saa AS DOUBLE) * CAST(tb AS DOUBLE) * CAST(tb AS DOUBLE)"
+           " + CAST(sbb AS DOUBLE) * CAST(ta AS DOUBLE)"
+           " * CAST(ta AS DOUBLE))")
+    return (
+        sab.join(F.broadcast(ma), "lang_a")
+        .join(F.broadcast(mb), "lang_b")
+        .selectExpr(
+            "lang_a", "lang_b",
+            "CAST(ta AS BIGINT) AS total_a",
+            "CAST(tb AS BIGINT) AS total_b",
+            f"CAST(floor({num} / {den} * CAST(1000000 AS DOUBLE))"
+            " AS BIGINT) AS mh_mil",
+        )
+    )
+
+
+def morisita_horn_sql(pts_cte: str, label_col: str = "lang") -> str:
+    """DuckDB twin of :func:`morisita_horn` — within-cell self-join for
+    the cross products, identical pinned-double final tree."""
+    num = ("(CAST(2 AS DOUBLE) * CAST(sab AS DOUBLE)"
+           " * CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE))")
+    den = ("(CAST(saa AS DOUBLE) * CAST(tb AS DOUBLE) * CAST(tb AS DOUBLE)"
+           " + CAST(sbb AS DOUBLE) * CAST(ta AS DOUBLE)"
+           " * CAST(ta AS DOUBLE))")
+    return f"""WITH mh_p AS ({pts_cte}),
+mh_c AS (SELECT tile_x AS cx, tile_y AS cy, {label_col} AS l,
+                CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM mh_p GROUP BY 1, 2, 3),
+mh_m AS (SELECT l, CAST(SUM(cnt) AS HUGEINT) AS total,
+                SUM(CAST(cnt AS HUGEINT) * cnt) AS sq
+         FROM mh_c GROUP BY 1),
+mh_s AS (SELECT a.l AS lang_a, b.l AS lang_b,
+                SUM(CAST(a.cnt AS HUGEINT) * b.cnt) AS sab
+         FROM mh_c a JOIN mh_c b
+           ON a.cx = b.cx AND a.cy = b.cy AND a.l < b.l
+         GROUP BY 1, 2)
+SELECT s.lang_a, s.lang_b,
+       CAST(ma.total AS BIGINT) AS total_a,
+       CAST(mb.total AS BIGINT) AS total_b,
+       CAST(FLOOR({num.replace("sab", "s.sab").replace("ta", "ma.total").replace("tb", "mb.total")}
+            / {den.replace("saa", "ma.sq").replace("sbb", "mb.sq").replace("ta", "ma.total").replace("tb", "mb.total")}
+            * CAST(1000000 AS DOUBLE)) AS BIGINT) AS mh_mil
+FROM mh_s s
+JOIN mh_m ma ON ma.l = s.lang_a
+JOIN mh_m mb ON mb.l = s.lang_b"""
+
+
+def lang_range(
+    pts: DataFrame,
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+    label_col: str = "lang",
+) -> DataFrame:
+    """Geographic range profile per label — the species-range analog
+    for languages on the web: per label, exact page count, occupied-
+    cell count, bounding box, and box occupancy ``occ_mil = n_cells ·
+    10^6 div box_area`` (how much of its bounding box a language
+    actually fills — range-filling vs archipelago distributions).
+    FULLY exact integer.
+
+    Scale design: two-level map-side-combinable fold (corpus →
+    ``(label, cell)`` → label); no window, no join, no Python.
+    """
+    cl = pts.groupBy(
+        F.col(label_col).alias("lang"),
+        F.col(x_col).cast("long").alias("cx"),
+        F.col(y_col).cast("long").alias("cy"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    return (
+        cl.groupBy("lang")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_pages"),
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.min("cx").alias("x0"), F.max("cx").alias("x1"),
+            F.min("cy").alias("y0"), F.max("cy").alias("y1"),
+        )
+        .selectExpr(
+            "lang",
+            "CAST(n_pages AS BIGINT) AS n_pages",
+            "CAST(n_cells AS BIGINT) AS n_cells",
+            "CAST(x0 AS BIGINT) AS x0", "CAST(y0 AS BIGINT) AS y0",
+            "CAST(x1 AS BIGINT) AS x1", "CAST(y1 AS BIGINT) AS y1",
+            "CAST((n_cells * 1000000)"
+            " div ((x1 - x0 + 1) * (y1 - y0 + 1)) AS BIGINT) AS occ_mil",
+        )
+    )
+
+
+def lang_range_sql(pts_cte: str, label_col: str = "lang") -> str:
+    """DuckDB twin of :func:`lang_range` (int-div ``//``)."""
+    return f"""WITH lr_p AS ({pts_cte}),
+lr_c AS (SELECT {label_col} AS lang, tile_x AS cx, tile_y AS cy,
+                CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM lr_p GROUP BY 1, 2, 3),
+lr_g AS (SELECT lang,
+                CAST(SUM(cnt) AS BIGINT) AS n_pages,
+                CAST(COUNT(*) AS BIGINT) AS n_cells,
+                MIN(cx) AS x0, MAX(cx) AS x1,
+                MIN(cy) AS y0, MAX(cy) AS y1
+         FROM lr_c GROUP BY 1)
+SELECT lang, n_pages, n_cells,
+       CAST(x0 AS BIGINT) AS x0, CAST(y0 AS BIGINT) AS y0,
+       CAST(x1 AS BIGINT) AS x1, CAST(y1 AS BIGINT) AS y1,
+       CAST((n_cells * 1000000)
+            // ((x1 - x0 + 1) * (y1 - y0 + 1)) AS BIGINT) AS occ_mil
+FROM lr_g"""
+
+
+def cell_novelty(
+    pts: DataFrame,
+    ts_col: str = "ts_sec",
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+    day_sec: int = 86_400,
+) -> DataFrame:
+    """Geographic crawl novelty per UTC day — how fast the crawl's
+    spatial frontier expands: per day, the number of cells FIRST
+    occupied that day (``new_cells``) plus the cumulative distinct-cell
+    count (``cum_cells``).  The spatial sibling of per-day URL novelty:
+    a flattening curve means the crawl revisits known geography.
+    FULLY exact.
+
+    Scale design: corpus folds ONCE to per-cell ``min(ts)`` (map-side
+    combinable), then a day-bounded group + one running sum over the
+    days-bounded table.  No join, no Python.
+    """
+    cell_first = pts.groupBy(
+        F.col(x_col).alias("cx"), F.col(y_col).alias("cy")
+    ).agg(
+        F.floor(F.min(F.col(ts_col).cast("long")) / F.lit(int(day_sec)))
+        .cast("long").alias("day")
+    )
+    daily = cell_first.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("new_cells")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.withColumn("cum_cells", F.sum("new_cells").over(w))
+        .selectExpr(
+            "CAST(day AS BIGINT) AS day",
+            "CAST(new_cells AS BIGINT) AS new_cells",
+            "CAST(cum_cells AS BIGINT) AS cum_cells",
+        )
+    )
+
+
+def cell_novelty_sql(
+    pts_cte: str, ts_col: str = "ts_sec", day_sec: int = 86_400
+) -> str:
+    """DuckDB twin of :func:`cell_novelty` (int-div ``//``)."""
+    return f"""WITH cn_p AS ({pts_cte}),
+cn_c AS (SELECT tile_x AS cx, tile_y AS cy,
+                CAST(MIN({ts_col}) AS BIGINT) // {int(day_sec)} AS day
+         FROM cn_p GROUP BY 1, 2),
+cn_d AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS new_cells
+         FROM cn_c GROUP BY 1)
+SELECT CAST(day AS BIGINT) AS day,
+       CAST(new_cells AS BIGINT) AS new_cells,
+       CAST(SUM(new_cells) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_cells
+FROM cn_d"""

@@ -3041,6 +3041,69 @@ def main() -> None:
     )
     print(f"[{'OK' if hs_ok else 'BAD'}] host_spread plan")
 
+    # 162. morisita: collect_list double-explode pair expansion (no
+    # self-join), moments broadcast twice; no sort-merge, no Python
+    from rio_cogeo_spark.operators.report import morisita_horn
+
+    mh_plan = plan_of(morisita_horn(cd_in))
+    mh_ok = (
+        "SortMergeJoin" not in mh_plan
+        and "BatchEvalPython" not in mh_plan
+        and "ArrowEvalPython" not in mh_plan
+        and "BroadcastHashJoin" in mh_plan
+        and len(re.findall(r"\(\d+\) Generate", mh_plan)) == 2
+    )
+    checks.append(("morisita double-explode pairs + broadcast moments",
+                   mh_ok))
+    sections.append(
+        ("morisita", f"  {'PASS' if mh_ok else 'FAIL'} "
+         "Morisita-Horn distribution overlap", mh_plan)
+    )
+    print(f"[{'OK' if mh_ok else 'BAD'}] morisita plan")
+
+    # 163. lang_range: pure two-level combinable fold — no join, no
+    # window, no explode, no Python
+    from rio_cogeo_spark.operators.report import lang_range
+
+    lr_plan = plan_of(lang_range(cd_in))
+    lr_ok = (
+        "Join" not in lr_plan
+        and "Window" not in lr_plan
+        and "Generate" not in lr_plan
+        and "BatchEvalPython" not in lr_plan
+        and "ArrowEvalPython" not in lr_plan
+        and "partial" in lr_plan.lower()
+    )
+    checks.append(("lang_range pure two-level fold", lr_ok))
+    sections.append(
+        ("lang_range", f"  {'PASS' if lr_ok else 'FAIL'} "
+         "per-language bbox/occupancy profile", lr_plan)
+    )
+    print(f"[{'OK' if lr_ok else 'BAD'}] lang_range plan")
+
+    # 164. cell_novelty: one per-cell min(ts) fold + days-bounded
+    # running sum — no join, exactly one Window
+    from rio_cogeo_spark.operators.report import cell_novelty
+
+    cn_in = cd_in.selectExpr(
+        "tile_x", "tile_y", "CAST(tile_x * 100000 AS LONG) AS ts_sec"
+    )
+    cn_plan = plan_of(cell_novelty(cn_in))
+    cn_ok = (
+        "Join" not in cn_plan
+        and "BatchEvalPython" not in cn_plan
+        and "ArrowEvalPython" not in cn_plan
+        and len(re.findall(r"\(\d+\) Window\b", cn_plan)) == 1
+        and "partial" in cn_plan.lower()
+    )
+    checks.append(("cell_novelty per-cell min fold + bounded cumsum",
+                   cn_ok))
+    sections.append(
+        ("cell_novelty", f"  {'PASS' if cn_ok else 'FAIL'} "
+         "spatial crawl-frontier expansion", cn_plan)
+    )
+    print(f"[{'OK' if cn_ok else 'BAD'}] cell_novelty plan")
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:

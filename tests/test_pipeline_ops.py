@@ -1668,3 +1668,74 @@ def test_host_spread_footprint(spark):
     assert (c.n_pages, c.n_cells) == (2, 2)
     # num = 2*(1+4+1+4) - 9 - 9 = 2 ; rms = sqrt(2/4)
     assert c.rms_mil == math.floor(math.sqrt(2 / 4) * 1e6)
+
+
+def test_morisita_horn_overlap(spark):
+    """MH = 1 for identical distributions, 0 for disjoint, exact-moment
+    pinned ratio for a mixed pair."""
+    import math
+
+    from rio_cogeo_spark.operators.report import morisita_horn
+
+    def run(cells):
+        df = spark.createDataFrame(
+            cells, "tile_x long, tile_y long, lang string"
+        )
+        return {
+            (r.lang_a, r.lang_b): r for r in morisita_horn(df).collect()
+        }
+
+    # identical distribution -> MH = 1 (floor to 1_000_000)
+    got = run([(0, 0, "en"), (0, 0, "fr"), (1, 1, "en"), (1, 1, "fr")])
+    assert got[("en", "fr")].mh_mil == 1_000_000
+    # disjoint -> no shared cell -> no pair row (Sab empty)
+    got = run([(0, 0, "en"), (1, 1, "fr")])
+    assert got == {}
+    # mixed: en [2,1], fr [1,3] over two cells
+    got = run(
+        [(0, 0, "en")] * 2 + [(1, 1, "en")]
+        + [(0, 0, "fr")] + [(1, 1, "fr")] * 3
+    )
+    r = got[("en", "fr")]
+    sab, saa, sbb, A, B = 2 * 1 + 1 * 3, 5, 10, 3, 4
+    want = math.floor(
+        (2.0 * sab * A * B) / (saa * B * B + sbb * A * A) * 1e6
+    )
+    assert r.mh_mil == want and (r.total_a, r.total_b) == (3, 4)
+
+
+def test_lang_range_bbox(spark):
+    """Exact bbox, cell count, and box-occupancy mil per label."""
+    from rio_cogeo_spark.operators.report import lang_range
+
+    pts = spark.createDataFrame(
+        [(0, 0, "en"), (0, 0, "en"), (3, 1, "en"), (5, 5, "fr")],
+        "tile_x long, tile_y long, lang string",
+    )
+    got = {r.lang: r for r in lang_range(pts).collect()}
+    en = got["en"]
+    assert (en.n_pages, en.n_cells) == (3, 2)
+    assert (en.x0, en.y0, en.x1, en.y1) == (0, 0, 3, 1)
+    assert en.occ_mil == 2 * 1_000_000 // (4 * 2)
+    fr = got["fr"]
+    assert (fr.n_cells, fr.occ_mil) == (1, 1_000_000)
+
+
+def test_cell_novelty_frontier(spark):
+    """Per-day first-occupancy counts + cumulative distinct cells."""
+    from rio_cogeo_spark.operators.report import cell_novelty
+
+    day = 86_400
+    pts = spark.createDataFrame(
+        [
+            (0, 0, 10),            # cell A day 0
+            (0, 0, 3 * day + 5),   # revisit day 3 — not novel
+            (1, 1, day + 1),       # cell B day 1
+            (2, 2, day + 2),       # cell C day 1
+            (3, 3, 3 * day),       # cell D day 3
+        ],
+        "tile_x long, tile_y long, ts_sec long",
+    )
+    rows = {r.day: r for r in cell_novelty(pts).collect()}
+    assert {d: r.new_cells for d, r in rows.items()} == {0: 1, 1: 2, 3: 1}
+    assert rows[3].cum_cells == 4
