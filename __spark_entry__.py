@@ -4742,6 +4742,69 @@ def _cell_novelty_oracle() -> str:
     return f"{assigned},\n{inner}"
 
 
+def q_correlogram(spark, sf_dir):
+    """Moran spatial correlogram at Chebyshev lags 1-3 over the z8
+    density grid — the autocorrelation-range diagnostic; morans_i is
+    the k=1 row. Exact-integer contract per lag, one ring-vote explode
+    for all lags."""
+    from rio_cogeo_spark.operators.focal import correlogram
+
+    return correlogram(base_tiles(_pages(spark, sf_dir), ZOOM), ZOOM)
+
+
+def _correlogram_oracle() -> str:
+    from rio_cogeo_spark.operators.focal import correlogram_sql
+
+    inner = correlogram_sql(
+        "SELECT tile_x, tile_y, page_count FROM base", ZOOM
+    ).split("WITH ", 1)[1]
+    return f"{_BASE_CTE},\n{inner}"
+
+
+def q_emerging_hotspots(spark, sf_dir):
+    """Space-time-cube trend scan: per-cell exact Mann-Kendall S over
+    observed hourly buckets, top-50 by |S| — emerging vs declining
+    crawl hot spots. collect_list pair expansion, distributed
+    TakeOrdered."""
+    from rio_cogeo_spark.operators.focal import emerging_hotspots
+
+    pts = assign_tiles(_pages(spark, sf_dir), ZOOM).select(
+        "tile_x", "tile_y", "ts_sec"
+    )
+    return emerging_hotspots(pts, bucket_sec=900)
+
+
+def _emerging_hotspots_oracle() -> str:
+    from rio_cogeo_spark.operators.focal import emerging_hotspots_sql
+
+    inner = emerging_hotspots_sql(
+        "SELECT tile_x, tile_y, ts_sec FROM assigned", bucket_sec=900
+    ).split("WITH ", 1)[1]
+    assigned = (
+        f"{_P}\n, assigned AS (SELECT {_TX8} AS tile_x, {_TY8} AS tile_y,"
+        " ts_sec FROM pages)"
+    )
+    return f"{assigned},\n{inner}"
+
+
+def q_rank_size(spark, sf_dir):
+    """Zipf rank-size rule over the density surface: top-50 cells with
+    rank, Zipf product, and exact top-cell share. Distributed
+    TakeOrdered + bounded window."""
+    from rio_cogeo_spark.operators.focal import rank_size
+
+    return rank_size(base_tiles(_pages(spark, sf_dir), ZOOM))
+
+
+def _rank_size_oracle() -> str:
+    from rio_cogeo_spark.operators.focal import rank_size_sql
+
+    inner = rank_size_sql(
+        "SELECT tile_x, tile_y, page_count FROM base"
+    ).split("WITH ", 1)[1]
+    return f"{_BASE_CTE},\n{inner}"
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FINAL fifth-continuation rotation (ROUND5.md §113): the 12 most
     # twin-intricate new ops (footprint's nested polygonize unroll, idw,
@@ -5063,6 +5126,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "morisita": q_morisita,
         "lang_range": q_lang_range,
         "cell_novelty": q_cell_novelty,
+        "correlogram": q_correlogram,
+        "emerging_hotspots": q_emerging_hotspots,
+        "rank_size": q_rank_size,
     }
 
 
@@ -6131,6 +6197,9 @@ FROM assigned GROUP BY 1, 2, 3""",
         "morisita": _morisita_oracle(),
         "lang_range": _lang_range_oracle(),
         "cell_novelty": _cell_novelty_oracle(),
+        "correlogram": _correlogram_oracle(),
+        "emerging_hotspots": _emerging_hotspots_oracle(),
+        "rank_size": _rank_size_oracle(),
     }
 
 

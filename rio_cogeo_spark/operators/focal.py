@@ -4028,3 +4028,414 @@ SELECT CAST(k AS BIGINT) AS k,
                  // (1000000 - (f_cum * 1000000) // n_empty) END
             AS BIGINT) AS j_mil
 FROM jf_s, jf_d"""
+
+
+def _ring_w_total(n: int, k: int) -> int:
+    """Closed-form total queen weight at Chebyshev lag exactly ``k`` on
+    an n×n grid: ordered pairs = Σ_{(dx,dy)∈ring k} (n−|dx|)·(n−|dy|).
+    Driver-side exact integer over the 8k ring offsets."""
+    return sum(
+        (n - abs(dx)) * (n - abs(dy)) for dx, dy in _ring_offsets(k)
+    )
+
+
+def correlogram(
+    tiles: DataFrame,
+    zoom: int,
+    max_lag: int = 3,
+    value_col: str = "page_count",
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+) -> DataFrame:
+    """Moran spatial correlogram — global Moran's I at Chebyshev lag
+    EXACTLY ``k`` for ``k = 1..max_lag`` (binary ring-k weights over
+    the full ``4^zoom`` grid, absent cells value 0): the
+    autocorrelation-range diagnostic (how fast I(k) decays gives the
+    cluster scale; :func:`morans_i` is the k = 1 row).  One row per
+    lag ``(k, w_total, s, q, c, b, i_mil)`` under the
+    :func:`morans_i` exact-integer contract per lag::
+
+        I(k) = (C_k·N² − 2·S·B_k·N + S²·W_k) / (W_k · (Q·N − S²))
+
+    with ``C_k = Σ xᵢ·ringsumᵢ(k)``, ``B_k = Σ xᵢ·Wᵢ(k)`` (``Wᵢ(k)``
+    the in-bounds ring-k count, closed form: box(k) minus box(k−1)
+    in-bounds widths), ``W_k`` the closed-form grid total
+    (:func:`_ring_w_total`), sign-split trunc-division mil, same
+    38-digit envelope as :func:`morans_i`.  Lags with no co-occupied
+    pair emit ``c = 0`` (the spine keeps every lag present).
+
+    Scale design: ONE ring-vote explode over ALL lags (the
+    :func:`nn_index` 8k-offset battery), one ``(pos, lag)`` vote fold,
+    one tile-bounded equi-join of present cells to their vote rows,
+    one per-lag fold; S/Q/B_k come from ONE base fold broadcast back.
+    The input never shuffles twice; nothing is O(grid).
+    """
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    n_side = 2 ** zoom
+    n_grid = 4 ** zoom
+    d = "decimal(38,0)"
+    base = tiles.select(
+        F.col(x_col).cast("long").alias("tile_x"),
+        F.col(y_col).cast("long").alias("tile_y"),
+        F.col(value_col).cast("long").alias("_x"),
+    )
+    entries = []
+    for k in range(1, max_lag + 1):
+        entries += [
+            F.struct(F.lit(k).alias("k"), F.lit(dx).alias("dx"),
+                     F.lit(dy).alias("dy"))
+            for dx, dy in _ring_offsets(k)
+        ]
+    votes = (
+        base.select(
+            "_x", "tile_x", "tile_y",
+            F.explode(F.array(*entries)).alias("off"),
+        )
+        .select(
+            F.col("_x").alias("_v"),
+            (F.col("tile_x") + F.col("off.dx")).alias("vx"),
+            (F.col("tile_y") + F.col("off.dy")).alias("vy"),
+            F.col("off.k").alias("k"),
+        )
+        .filter(
+            (F.col("vx") >= 0) & (F.col("vx") < n_side)
+            & (F.col("vy") >= 0) & (F.col("vy") < n_side)
+        )
+        .groupBy("vx", "vy", "k")
+        .agg(F.sum(F.col("_v").cast(d)).alias("ringsum"))
+    )
+    c_rows = (
+        base.join(
+            votes,
+            (base.tile_x == votes.vx) & (base.tile_y == votes.vy),
+        )
+        .groupBy("k")
+        .agg(F.sum(F.col("_x").cast(d) * F.col("ringsum")).alias("c"))
+    )
+
+    def _width(coord: str, m: int):
+        if m == 0:
+            return F.lit(1)
+        return (
+            F.least(F.col(coord), F.lit(m))
+            + F.least(F.lit(n_side - 1) - F.col(coord), F.lit(m))
+            + F.lit(1)
+        )
+
+    b_cols = []
+    for k in range(1, max_lag + 1):
+        w_i = (
+            _width("tile_x", k) * _width("tile_y", k)
+            - _width("tile_x", k - 1) * _width("tile_y", k - 1)
+        )
+        b_cols.append(
+            F.sum(F.col("_x").cast(d) * w_i.cast("long"))
+            .alias(f"b_{k}")
+        )
+    sq_row = base.agg(
+        F.sum(F.col("_x").cast(d)).alias("s"),
+        F.sum(F.col("_x").cast(d) * F.col("_x")).alias("q"),
+        *b_cols,
+    )
+    spine = tiles.sparkSession.range(1, max_lag + 1).select(
+        F.col("id").cast("int").alias("k")
+    )
+    b_case = "CASE " + " ".join(
+        f"WHEN k = {k} THEN b_{k}" for k in range(1, max_lag + 1)
+    ) + " END"
+    w_case = "CASE " + " ".join(
+        f"WHEN k = {k} THEN CAST({_ring_w_total(n_side, k)}"
+        " AS decimal(38,0))"
+        for k in range(1, max_lag + 1)
+    ) + " END"
+    joined = (
+        spine.join(F.broadcast(c_rows), "k", "left")
+        .crossJoin(F.broadcast(sq_row))
+        .selectExpr(
+            "k",
+            f"{w_case} AS w_total",
+            "s", "q",
+            "CAST(COALESCE(c, 0) AS decimal(38,0)) AS c",
+            f"CAST({b_case} AS decimal(38,0)) AS b",
+        )
+        .selectExpr(
+            "k", "w_total", "s", "q", "c", "b",
+            f"(c * {n_grid} * {n_grid} - 2 * s * b * {n_grid}"
+            " + s * s * w_total) AS _num",
+            f"(w_total * (q * {n_grid} - s * s)) AS _den",
+        )
+    )
+    return joined.selectExpr(
+        "CAST(k AS INT) AS k",
+        "CAST(w_total AS BIGINT) AS w_total",
+        "CAST(s AS BIGINT) AS s",
+        "CAST(q AS BIGINT) AS q",
+        "CAST(c AS BIGINT) AS c",
+        "CAST(b AS BIGINT) AS b",
+        "CASE WHEN _den = 0 THEN CAST(NULL AS BIGINT)"
+        " WHEN _num <= 0 THEN CAST(-((-_num * 1000) div _den) AS BIGINT)"
+        " ELSE CAST((_num * 1000) div _den AS BIGINT) END AS i_mil",
+    )
+
+
+def correlogram_sql(base_cte: str, zoom: int, max_lag: int = 3) -> str:
+    """DuckDB twin of :func:`correlogram` (int-div ``//``; identical
+    sign-split and closed forms)."""
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    n_side = 2 ** zoom
+    n_grid = 4 ** zoom
+    vals = []
+    for k in range(1, max_lag + 1):
+        vals += [f"({k}, {dx}, {dy})" for dx, dy in _ring_offsets(k)]
+    spine = ", ".join(f"({k})" for k in range(1, max_lag + 1))
+
+    def width(coord: str, m: int) -> str:
+        if m == 0:
+            return "1"
+        return (f"(LEAST({coord}, {m})"
+                f" + LEAST({n_side - 1} - {coord}, {m}) + 1)")
+
+    b_exprs = ", ".join(
+        f"SUM(CAST(_x AS HUGEINT) * ({width('tile_x', k)}"
+        f" * {width('tile_y', k)} - {width('tile_x', k - 1)}"
+        f" * {width('tile_y', k - 1)})) AS b_{k}"
+        for k in range(1, max_lag + 1)
+    )
+    b_case = "CASE " + " ".join(
+        f"WHEN s.k = {k} THEN m.b_{k}" for k in range(1, max_lag + 1)
+    ) + " END"
+    w_case = "CASE " + " ".join(
+        f"WHEN s.k = {k} THEN CAST({_ring_w_total(n_side, k)} AS HUGEINT)"
+        for k in range(1, max_lag + 1)
+    ) + " END"
+    return f"""WITH cg_t AS ({base_cte}),
+cg_b AS (SELECT CAST(tile_x AS BIGINT) AS tile_x,
+                CAST(tile_y AS BIGINT) AS tile_y,
+                CAST(page_count AS BIGINT) AS _x
+         FROM cg_t),
+cg_v AS (SELECT b.tile_x + o.dx AS vx, b.tile_y + o.dy AS vy, o.k,
+                SUM(CAST(b._x AS HUGEINT)) AS ringsum
+         FROM cg_b b, (VALUES {", ".join(vals)}) o(k, dx, dy)
+         WHERE b.tile_x + o.dx BETWEEN 0 AND {n_side - 1}
+           AND b.tile_y + o.dy BETWEEN 0 AND {n_side - 1}
+         GROUP BY 1, 2, 3),
+cg_c AS (SELECT v.k, SUM(CAST(b._x AS HUGEINT) * v.ringsum) AS c
+         FROM cg_b b JOIN cg_v v ON v.vx = b.tile_x AND v.vy = b.tile_y
+         GROUP BY 1),
+cg_m AS (SELECT SUM(CAST(_x AS HUGEINT)) AS s,
+                SUM(CAST(_x AS HUGEINT) * _x) AS q,
+                {b_exprs}
+         FROM cg_b),
+cg_j AS (SELECT s.k,
+                {w_case} AS w_total,
+                m.s, m.q,
+                CAST(COALESCE(c.c, 0) AS HUGEINT) AS c,
+                CAST({b_case} AS HUGEINT) AS b
+         FROM (VALUES {spine}) s(k)
+         LEFT JOIN cg_c c ON c.k = s.k, cg_m m),
+cg_f AS (SELECT *,
+                (c * {n_grid}::HUGEINT * {n_grid} - 2 * s * b * {n_grid}
+                 + s * s * w_total) AS _num,
+                (w_total * (q * {n_grid} - s * s)) AS _den
+         FROM cg_j)
+SELECT CAST(k AS INT) AS k,
+       CAST(w_total AS BIGINT) AS w_total,
+       CAST(s AS BIGINT) AS s,
+       CAST(q AS BIGINT) AS q,
+       CAST(c AS BIGINT) AS c,
+       CAST(b AS BIGINT) AS b,
+       CASE WHEN _den = 0 THEN CAST(NULL AS BIGINT)
+            WHEN _num <= 0 THEN CAST(-((-_num * 1000) // _den) AS BIGINT)
+            ELSE CAST((_num * 1000) // _den AS BIGINT) END AS i_mil
+FROM cg_f"""
+
+
+def emerging_hotspots(
+    pts: DataFrame,
+    top_k: int = 50,
+    min_buckets: int = 3,
+    bucket_sec: int = 3600,
+    ts_col: str = "ts_sec",
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+) -> DataFrame:
+    """Emerging/declining hot spots — the space-time-cube trend scan:
+    per occupied cell, the EXACT Mann-Kendall S statistic of its
+    page-count series over the cell's OBSERVED time buckets (pairs
+    ``i < j`` by bucket, ``S = Σ sign(cnt_j − cnt_i)``; absent buckets
+    are not imputed — the trend is over the cell's active periods,
+    documented contract).  Cells with ≥ ``min_buckets`` observed
+    buckets rank by ``(|S| desc, S desc, tile_x, tile_y)`` — a strict
+    total order — cut to ``top_k``; ``trend`` is the sign label.
+    FULLY exact integer.
+
+    Scale design: corpus folds ONCE to ``(cell, bucket, cnt)``
+    (map-side combinable); the pair expansion is a per-cell
+    ``collect_list`` + double-explode bounded by the observed-bucket
+    count per cell (≤ the series length, never the corpus); top-k is
+    a distributed TakeOrdered.  No self-join, no Python.
+    """
+    if min_buckets < 2:
+        raise ValueError(f"min_buckets must be >= 2, got {min_buckets}")
+    cb = pts.groupBy(
+        F.col(x_col).cast("long").alias("tile_x"),
+        F.col(y_col).cast("long").alias("tile_y"),
+        F.floor(F.col(ts_col).cast("long") / F.lit(int(bucket_sec)))
+        .cast("long").alias("bkt"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    cells = cb.groupBy("tile_x", "tile_y").agg(
+        F.collect_list(F.struct("bkt", "cnt")).alias("series"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+    ).filter(F.col("n_buckets") >= int(min_buckets))
+    pairs = (
+        cells.select(
+            "tile_x", "tile_y", "n_buckets",
+            F.explode("series").alias("a"), F.col("series"),
+        )
+        .select(
+            "tile_x", "tile_y", "n_buckets", F.col("a"),
+            F.explode("series").alias("b"),
+        )
+        .filter(F.col("a.bkt") < F.col("b.bkt"))
+        .select(
+            "tile_x", "tile_y", "n_buckets",
+            F.signum(
+                (F.col("b.cnt") - F.col("a.cnt")).cast("double")
+            ).cast("long").alias("sgn"),
+        )
+    )
+    out = (
+        pairs.groupBy("tile_x", "tile_y")
+        .agg(
+            F.first("n_buckets").alias("n_buckets"),
+            F.sum("sgn").cast("long").alias("s_stat"),
+        )
+        .selectExpr(
+            "CAST(tile_x AS BIGINT) AS tile_x",
+            "CAST(tile_y AS BIGINT) AS tile_y",
+            "CAST(n_buckets AS BIGINT) AS n_buckets",
+            "CAST(s_stat AS BIGINT) AS s_stat",
+            "CASE WHEN s_stat > 0 THEN 'rising'"
+            " WHEN s_stat < 0 THEN 'falling'"
+            " ELSE 'flat' END AS trend",
+        )
+    )
+    return out.orderBy(
+        F.abs(F.col("s_stat")).desc(), F.col("s_stat").desc(),
+        F.col("tile_x").asc(), F.col("tile_y").asc(),
+    ).limit(int(top_k))
+
+
+def emerging_hotspots_sql(
+    pts_cte: str,
+    top_k: int = 50,
+    min_buckets: int = 3,
+    bucket_sec: int = 3600,
+    ts_col: str = "ts_sec",
+) -> str:
+    """DuckDB twin of :func:`emerging_hotspots` — within-cell pair
+    self-join over observed buckets (int-div ``//``)."""
+    if min_buckets < 2:
+        raise ValueError(f"min_buckets must be >= 2, got {min_buckets}")
+    return f"""WITH eh_p AS ({pts_cte}),
+eh_c AS (SELECT tile_x, tile_y,
+                CAST({ts_col} AS BIGINT) // {int(bucket_sec)} AS bkt,
+                CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM eh_p GROUP BY 1, 2, 3),
+eh_n AS (SELECT tile_x, tile_y, CAST(COUNT(*) AS BIGINT) AS n_buckets
+         FROM eh_c GROUP BY 1, 2
+         HAVING COUNT(*) >= {int(min_buckets)}),
+eh_s AS (SELECT a.tile_x, a.tile_y,
+                CAST(SUM(CASE WHEN b.cnt > a.cnt THEN 1
+                              WHEN b.cnt < a.cnt THEN -1
+                              ELSE 0 END) AS BIGINT) AS s_stat
+         FROM eh_c a JOIN eh_c b
+           ON a.tile_x = b.tile_x AND a.tile_y = b.tile_y
+          AND a.bkt < b.bkt
+         GROUP BY 1, 2)
+SELECT CAST(n.tile_x AS BIGINT) AS tile_x,
+       CAST(n.tile_y AS BIGINT) AS tile_y,
+       n.n_buckets,
+       s.s_stat,
+       CASE WHEN s.s_stat > 0 THEN 'rising'
+            WHEN s.s_stat < 0 THEN 'falling'
+            ELSE 'flat' END AS trend
+FROM eh_n n JOIN eh_s s
+  ON s.tile_x = n.tile_x AND s.tile_y = n.tile_y
+ORDER BY ABS(s.s_stat) DESC, s.s_stat DESC, n.tile_x ASC, n.tile_y ASC
+LIMIT {int(top_k)}"""
+
+
+def rank_size(
+    tiles: DataFrame,
+    top_k: int = 50,
+    value_col: str = "page_count",
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+) -> DataFrame:
+    """Rank-size rule over the density surface — the Zipf's-law-for-
+    cities diagnostic applied to crawl cells: the ``top_k`` cells by
+    page count with their rank, the Zipf product ``rank·count``
+    (constant under a perfect rank-size rule), and the exact share of
+    the top cell ``ratio_mil = cnt·10^6 div top_cnt``.  Strict total
+    order ``(count desc, tile_x, tile_y)``; FULLY exact integer.
+
+    Scale design: the top-k is a distributed TakeOrdered over the
+    grid-bounded cell table; rank + top-share come from a window over
+    the ≤ ``top_k``-row result (bounded, single partition by
+    construction).  No join, no Python.
+    """
+    top = (
+        tiles.select(
+            F.col(x_col).cast("long").alias("tile_x"),
+            F.col(y_col).cast("long").alias("tile_y"),
+            F.col(value_col).cast("long").alias("cnt"),
+        )
+        .orderBy(
+            F.col("cnt").desc(), F.col("tile_x").asc(),
+            F.col("tile_y").asc(),
+        )
+        .limit(int(top_k))
+    )
+    w = Window.orderBy(
+        F.col("cnt").desc(), F.col("tile_x").asc(), F.col("tile_y").asc()
+    )
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .withColumn("top_cnt", F.max("cnt").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ))
+        .selectExpr(
+            "CAST(rank AS BIGINT) AS rank",
+            "CAST(tile_x AS BIGINT) AS tile_x",
+            "CAST(tile_y AS BIGINT) AS tile_y",
+            "CAST(cnt AS BIGINT) AS cnt",
+            "CAST(rank * cnt AS BIGINT) AS zipf_product",
+            "CAST((cnt * 1000000) div top_cnt AS BIGINT) AS ratio_mil",
+        )
+    )
+
+
+def rank_size_sql(tiles_cte: str, top_k: int = 50) -> str:
+    """DuckDB twin of :func:`rank_size` (int-div ``//``)."""
+    return f"""WITH rs_t AS ({tiles_cte}),
+rs_k AS (SELECT CAST(tile_x AS BIGINT) AS tile_x,
+                CAST(tile_y AS BIGINT) AS tile_y,
+                CAST(page_count AS BIGINT) AS cnt
+         FROM rs_t
+         ORDER BY cnt DESC, tile_x ASC, tile_y ASC
+         LIMIT {int(top_k)}),
+rs_r AS (SELECT *,
+                ROW_NUMBER() OVER (ORDER BY cnt DESC, tile_x ASC,
+                                   tile_y ASC) AS rank,
+                MAX(cnt) OVER () AS top_cnt
+         FROM rs_k)
+SELECT CAST(rank AS BIGINT) AS rank,
+       tile_x, tile_y, cnt,
+       CAST(rank * cnt AS BIGINT) AS zipf_product,
+       CAST((cnt * 1000000) // top_cnt AS BIGINT) AS ratio_mil
+FROM rs_r"""

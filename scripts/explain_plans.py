@@ -3104,6 +3104,72 @@ def main() -> None:
     )
     print(f"[{'OK' if cn_ok else 'BAD'}] cell_novelty plan")
 
+    # 165. correlogram: ONE ring-vote explode serves every lag; the
+    # cell↔vote join is grid-bounded; spine/moments broadcast; no Python
+    from rio_cogeo_spark.operators.focal import correlogram
+
+    cg_in = kx_in.selectExpr(
+        "tile_x", "tile_y", "t_bucket AS page_count"
+    )
+    cg_plan = plan_of(correlogram(cg_in, 6))
+    cg_ok = (
+        "BatchEvalPython" not in cg_plan
+        and "ArrowEvalPython" not in cg_plan
+        and len(re.findall(r"\(\d+\) Generate", cg_plan)) == 1
+        and "BroadcastHashJoin" in cg_plan
+        and "CartesianProduct" not in cg_plan
+    )
+    checks.append(("correlogram one explode for all lags, no cartesian",
+                   cg_ok))
+    sections.append(
+        ("correlogram", f"  {'PASS' if cg_ok else 'FAIL'} "
+         "multi-lag Moran's I, exact per lag", cg_plan)
+    )
+    print(f"[{'OK' if cg_ok else 'BAD'}] correlogram plan")
+
+    # 166. emerging_hotspots: collect_list pair expansion (bounded by
+    # series length), distributed TakeOrdered — no self-join, no window
+    from rio_cogeo_spark.operators.focal import emerging_hotspots
+
+    eh_in = kx_in.selectExpr(
+        "tile_x", "tile_y", "CAST(t_bucket * 4000 AS LONG) AS ts_sec"
+    )
+    eh_plan = plan_of(emerging_hotspots(eh_in))
+    eh_ok = (
+        "Join" not in eh_plan
+        and "Window" not in eh_plan
+        and "BatchEvalPython" not in eh_plan
+        and "ArrowEvalPython" not in eh_plan
+        and "TakeOrderedAndProject" in eh_plan
+        and len(re.findall(r"\(\d+\) Generate", eh_plan)) == 2
+    )
+    checks.append(("emerging_hotspots bounded pair explode + TakeOrdered",
+                   eh_ok))
+    sections.append(
+        ("emerging_hotspots", f"  {'PASS' if eh_ok else 'FAIL'} "
+         "per-cell Mann-Kendall trend scan", eh_plan)
+    )
+    print(f"[{'OK' if eh_ok else 'BAD'}] emerging_hotspots plan")
+
+    # 167. rank_size: distributed TakeOrdered feeds a bounded window —
+    # the global sort never materializes beyond top_k rows
+    from rio_cogeo_spark.operators.focal import rank_size
+
+    rs_plan = plan_of(rank_size(cg_in))
+    rs_ok = (
+        "Join" not in rs_plan
+        and "BatchEvalPython" not in rs_plan
+        and "ArrowEvalPython" not in rs_plan
+        and "TakeOrderedAndProject" in rs_plan
+        and len(re.findall(r"\(\d+\) Window\b", rs_plan)) >= 1
+    )
+    checks.append(("rank_size TakeOrdered + bounded window", rs_ok))
+    sections.append(
+        ("rank_size", f"  {'PASS' if rs_ok else 'FAIL'} "
+         "Zipf rank-size over the density surface", rs_plan)
+    )
+    print(f"[{'OK' if rs_ok else 'BAD'}] rank_size plan")
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:

@@ -1529,3 +1529,87 @@ def test_j_function_csr_diagnostic(spark):
         assert r.j_mil == want_j
     # the (0,0)/(0,1) pair is clustered: G(1)=2/3 while F(1) is small
     assert rows[1].j_mil < 1_000_000
+
+
+def test_correlogram_vs_brute(spark):
+    """I(k) vs a brute-force full-grid Moran at each lag; k=1 row
+    equals morans_i."""
+    from rio_cogeo_spark.operators.focal import correlogram, morans_i
+
+    zoom = 3
+    n = 1 << zoom
+    cells = {(0, 0): 5, (0, 1): 4, (1, 1): 3, (6, 6): 9, (3, 2): 1}
+    df = spark.createDataFrame(
+        [(x, y, v) for (x, y), v in cells.items()],
+        "tile_x long, tile_y long, page_count long",
+    )
+
+    def brute(k):
+        xs = {(x, y): cells.get((x, y), 0)
+              for x in range(n) for y in range(n)}
+        N = n * n
+        S = sum(xs.values())
+        Q = sum(v * v for v in xs.values())
+        W = C = B = 0
+        for (x, y), v in xs.items():
+            for dx in range(-k, k + 1):
+                for dy in range(-k, k + 1):
+                    if max(abs(dx), abs(dy)) != k:
+                        continue
+                    qx, qy = x + dx, y + dy
+                    if 0 <= qx < n and 0 <= qy < n:
+                        W += 1
+                        C += v * xs[(qx, qy)]
+                        B += v
+        num = C * N * N - 2 * S * B * N + S * S * W
+        den = W * (Q * N - S * S)
+        mil = (-((-num * 1000) // den) if num <= 0
+               else (num * 1000) // den)
+        return W, C, B, mil
+
+    rows = {r.k: r for r in correlogram(df, zoom).collect()}
+    assert set(rows) == {1, 2, 3}
+    for k in (1, 2, 3):
+        W, C, B, mil = brute(k)
+        r = rows[k]
+        assert (r.w_total, r.c, r.b) == (W, C, B)
+        assert r.i_mil == mil
+    assert rows[1].i_mil == morans_i(df, zoom).collect()[0].i_mil
+
+
+def test_emerging_hotspots_mk(spark):
+    """Per-cell Mann-Kendall S over observed buckets; min_buckets
+    filter; |S| ordering."""
+    from rio_cogeo_spark.operators.focal import emerging_hotspots
+
+    h = 3600
+    rows = []
+    # cell (0,0): counts 1,2,3 per bucket -> S = +3 (rising)
+    for b, c in [(0, 1), (1, 2), (2, 3)]:
+        rows += [(0, 0, b * h + i) for i in range(c)]
+    # cell (1,1): counts 3,1,2 -> pairs: (3,1)-1 (3,2)-1 (1,2)+1 = -1
+    for b, c in [(0, 3), (1, 1), (2, 2)]:
+        rows += [(1, 1, b * h + i) for i in range(c)]
+    # cell (2,2): only 2 buckets -> filtered at min_buckets=3
+    rows += [(2, 2, 0), (2, 2, h)]
+    df = spark.createDataFrame(rows, "tile_x long, tile_y long, ts_sec long")
+    got = emerging_hotspots(df, min_buckets=3).collect()
+    assert [(r.tile_x, r.tile_y, r.s_stat, r.trend) for r in got] == [
+        (0, 0, 3, "rising"), (1, 1, -1, "falling"),
+    ]
+
+
+def test_rank_size_zipf(spark):
+    """Rank, Zipf product, top-share arithmetic and ordering."""
+    from rio_cogeo_spark.operators.focal import rank_size
+
+    df = spark.createDataFrame(
+        [(0, 0, 100), (1, 1, 50), (2, 2, 50), (3, 3, 10)],
+        "tile_x long, tile_y long, page_count long",
+    )
+    rows = rank_size(df, top_k=3).collect()
+    assert [(r.rank, r.tile_x, r.cnt) for r in rows] == [
+        (1, 0, 100), (2, 1, 50), (3, 2, 50),
+    ]
+    assert [r.zipf_product for r in rows] == [100, 100, 150]
+    assert [r.ratio_mil for r in rows] == [1_000_000, 500_000, 500_000]
