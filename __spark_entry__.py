@@ -4805,6 +4805,71 @@ def _rank_size_oracle() -> str:
     return f"{_BASE_CTE},\n{inner}"
 
 
+def q_theil_h(spark, sf_dir):
+    """Theil multigroup entropy segregation H over the z8 grid — exact
+    floordiv of exact integer entropy sums (per-term-pinned nano-nat
+    convention shared with cell_diversity); the multigroup complement
+    of the pairwise dissimilarity index."""
+    from rio_cogeo_spark.operators.report import theil_h
+
+    pts = assign_tiles(_pages(spark, sf_dir), ZOOM).select(
+        "tile_x", "tile_y", "lang"
+    )
+    return theil_h(pts)
+
+
+def _theil_h_oracle() -> str:
+    from rio_cogeo_spark.operators.report import theil_h_sql
+
+    inner = theil_h_sql(
+        "SELECT tile_x, tile_y, lang FROM assigned"
+    ).split("WITH ", 1)[1]
+    assigned = (
+        f"{_P}\n, assigned AS (SELECT {_TX8} AS tile_x, {_TY8} AS tile_y,"
+        " lang FROM pages)"
+    )
+    return f"{assigned},\n{inner}"
+
+
+def q_clq(spark, sf_dir):
+    """Leslie–Kronenfeld colocation quotient per ordered language pair
+    over the majority-language cell pattern — nearest-neighbor-set
+    colocation with all-ties inclusion, exact integers end to end; the
+    cross-type complement of the G/F/J battery."""
+    from pyspark.sql import Window as W
+
+    from rio_cogeo_spark.operators.focal import colocation_quotient
+
+    pts = assign_tiles(_pages(spark, sf_dir), ZOOM).select(
+        "tile_x", "tile_y", "lang"
+    )
+    counts = pts.groupBy("tile_x", "tile_y", "lang").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = W.partitionBy("tile_x", "tile_y").orderBy(
+        F.col("cnt").desc(), F.col("lang").asc()
+    )
+    cells = (
+        counts.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("tile_x", "tile_y", "lang")
+    )
+    return colocation_quotient(cells, ZOOM)
+
+
+def _clq_oracle() -> str:
+    from rio_cogeo_spark.operators.focal import colocation_quotient_sql
+
+    inner = colocation_quotient_sql(_CELL_LANG_SQL, ZOOM).split(
+        "WITH ", 1
+    )[1]
+    assigned = (
+        f"{_P}\n, assigned AS (SELECT {_TX8} AS tile_x, {_TY8} AS tile_y,"
+        " lang FROM pages)"
+    )
+    return f"{assigned},\n{inner}"
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FINAL fifth-continuation rotation (ROUND5.md §113): the 12 most
     # twin-intricate new ops (footprint's nested polygonize unroll, idw,
@@ -5129,6 +5194,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "correlogram": q_correlogram,
         "emerging_hotspots": q_emerging_hotspots,
         "rank_size": q_rank_size,
+        "theil_h": q_theil_h,
+        "clq": q_clq,
     }
 
 
@@ -6200,6 +6267,8 @@ FROM assigned GROUP BY 1, 2, 3""",
         "correlogram": _correlogram_oracle(),
         "emerging_hotspots": _emerging_hotspots_oracle(),
         "rank_size": _rank_size_oracle(),
+        "theil_h": _theil_h_oracle(),
+        "clq": _clq_oracle(),
     }
 
 

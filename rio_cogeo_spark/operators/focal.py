@@ -4439,3 +4439,168 @@ SELECT CAST(rank AS BIGINT) AS rank,
        CAST(rank * cnt AS BIGINT) AS zipf_product,
        CAST((cnt * 1000000) // top_cnt AS BIGINT) AS ratio_mil
 FROM rs_r"""
+
+
+def colocation_quotient(
+    cells: DataFrame,
+    zoom: int,
+    max_ring: int = 3,
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+    label_col: str = "lang",
+) -> DataFrame:
+    """Leslie–Kronenfeld colocation quotient (CLQ) between every
+    ordered label pair over the occupied-cell pattern — ``CLQ_{a→b} =
+    (C_{a→b}/N_a) / (N_b'/(N−1))`` where ``C_{a→b}`` sums, over
+    ``a``-cells, the fraction of the cell's NEAREST occupied
+    neighbors that carry ``b`` (``N_b' = N_b``, or ``N_a − 1`` on the
+    diagonal — a cell is never its own neighbor): > 1 means ``b``
+    colocates around ``a`` beyond chance.  The cross-type complement
+    of the univariate G/F/J battery.  One row per ordered pair
+    ``(lang_a, lang_b, n_a, n_b, s_nano, clq_mil)``.
+
+    Exactness contract: the NN set is the cells at the MINIMAL
+    Chebyshev ring ≤ ``max_ring`` (ALL ties included; cells with no
+    occupied neighbor within the bound contribute nothing — the
+    bounded-ring contract of :func:`g_function`); each cell's
+    fraction is the exact floordiv ``(cnt_b·10^9) div |NN|``, and
+    ``clq_mil = (S_nano·(N−1)·10^6) div (N_a·N_b'·10^9)`` — exact
+    integers end to end.
+
+    Scale design: ONE ring-vote explode (8k offsets), one grid-
+    bounded equi-join of vote positions to occupied cells, one
+    ``(cell, ring, label)`` fold, a min-ring window REUSING that
+    fold's cell partitioning, one pair fold; label totals broadcast.
+    Nothing is O(grid²); no Python.
+    """
+    if max_ring < 1:
+        raise ValueError(f"max_ring must be >= 1, got {max_ring}")
+    n_side = 2 ** zoom
+    d = "decimal(38,0)"
+    base = cells.select(
+        F.col(x_col).cast("long").alias("tile_x"),
+        F.col(y_col).cast("long").alias("tile_y"),
+        F.col(label_col).alias("_l"),
+    )
+    entries = []
+    for k in range(1, max_ring + 1):
+        entries += [
+            F.struct(F.lit(k).alias("k"), F.lit(dx).alias("dx"),
+                     F.lit(dy).alias("dy"))
+            for dx, dy in _ring_offsets(k)
+        ]
+    votes = (
+        base.select(
+            F.col("tile_x").alias("sx"), F.col("tile_y").alias("sy"),
+            F.col("_l").alias("sl"),
+            F.explode(F.array(*entries)).alias("off"),
+        )
+        .select(
+            "sx", "sy", "sl",
+            (F.col("sx") + F.col("off.dx")).alias("vx"),
+            (F.col("sy") + F.col("off.dy")).alias("vy"),
+            F.col("off.k").alias("k"),
+        )
+        .filter(
+            (F.col("vx") >= 0) & (F.col("vx") < n_side)
+            & (F.col("vy") >= 0) & (F.col("vy") < n_side)
+        )
+    )
+    nbr = base.select(
+        F.col("tile_x").alias("vx"), F.col("tile_y").alias("vy"),
+        F.col("_l").alias("nl"),
+    )
+    hits = (
+        votes.join(nbr, ["vx", "vy"])
+        .groupBy("sx", "sy", "sl", "k", "nl")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    wc = Window.partitionBy("sx", "sy")
+    at_min = (
+        hits.withColumn("kmin", F.min("k").over(wc))
+        .filter(F.col("k") == F.col("kmin"))
+        .withColumn("nn_total", F.sum("cnt").over(wc))
+    )
+    s_rows = (
+        at_min.selectExpr(
+            "sl AS lang_a", "nl AS lang_b",
+            f"(CAST(cnt AS {d}) * 1000000000) div nn_total AS nano",
+        )
+        .groupBy("lang_a", "lang_b")
+        .agg(F.sum("nano").alias("s_nano"))
+    )
+    lt = base.groupBy(F.col("_l")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_l")
+    )
+    n_row = base.agg(F.count(F.lit(1)).cast("long").alias("n_all"))
+    la = lt.select(F.col("_l").alias("lang_a"), F.col("n_l").alias("n_a"))
+    lb = lt.select(F.col("_l").alias("lang_b"), F.col("n_l").alias("n_b"))
+    return (
+        s_rows.join(F.broadcast(la), "lang_a")
+        .join(F.broadcast(lb), "lang_b")
+        .crossJoin(F.broadcast(n_row))
+        .selectExpr(
+            "lang_a", "lang_b",
+            "CAST(n_a AS BIGINT) AS n_a",
+            "CAST(n_b AS BIGINT) AS n_b",
+            "CAST(s_nano AS BIGINT) AS s_nano",
+            "CASE WHEN (CASE WHEN lang_a = lang_b THEN n_a - 1"
+            " ELSE n_b END) = 0 THEN CAST(NULL AS BIGINT)"
+            f" ELSE CAST((CAST(s_nano AS {d}) * (n_all - 1) * 1000000)"
+            f" div (CAST(n_a AS {d}) *"
+            " (CASE WHEN lang_a = lang_b THEN n_a - 1 ELSE n_b END)"
+            " * 1000000000) AS BIGINT) END AS clq_mil",
+        )
+    )
+
+
+def colocation_quotient_sql(
+    cells_cte: str, zoom: int, max_ring: int = 3, label_col: str = "lang"
+) -> str:
+    """DuckDB twin of :func:`colocation_quotient` (int-div ``//``)."""
+    if max_ring < 1:
+        raise ValueError(f"max_ring must be >= 1, got {max_ring}")
+    n_side = 2 ** zoom
+    vals = []
+    for k in range(1, max_ring + 1):
+        vals += [f"({k}, {dx}, {dy})" for dx, dy in _ring_offsets(k)]
+    return f"""WITH cq_t AS ({cells_cte}),
+cq_b AS (SELECT CAST(tile_x AS BIGINT) AS tile_x,
+                CAST(tile_y AS BIGINT) AS tile_y,
+                {label_col} AS l
+         FROM cq_t),
+cq_v AS (SELECT b.tile_x AS sx, b.tile_y AS sy, b.l AS sl,
+                b.tile_x + o.dx AS vx, b.tile_y + o.dy AS vy, o.k
+         FROM cq_b b, (VALUES {", ".join(vals)}) o(k, dx, dy)
+         WHERE b.tile_x + o.dx BETWEEN 0 AND {n_side - 1}
+           AND b.tile_y + o.dy BETWEEN 0 AND {n_side - 1}),
+cq_h AS (SELECT v.sx, v.sy, v.sl, v.k, n.l AS nl,
+                CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM cq_v v JOIN cq_b n
+           ON n.tile_x = v.vx AND n.tile_y = v.vy
+         GROUP BY 1, 2, 3, 4, 5),
+cq_m AS (SELECT *, MIN(k) OVER (PARTITION BY sx, sy) AS kmin
+         FROM cq_h),
+cq_f AS (SELECT sx, sy, sl, nl, cnt,
+                SUM(cnt) OVER (PARTITION BY sx, sy) AS nn_total
+         FROM cq_m WHERE k = kmin),
+cq_s AS (SELECT sl AS lang_a, nl AS lang_b,
+                CAST(SUM((CAST(cnt AS HUGEINT) * 1000000000)
+                     // nn_total) AS HUGEINT) AS s_nano
+         FROM cq_f GROUP BY 1, 2),
+cq_l AS (SELECT l, CAST(COUNT(*) AS BIGINT) AS n_l FROM cq_b GROUP BY 1),
+cq_n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM cq_b)
+SELECT s.lang_a, s.lang_b,
+       CAST(a.n_l AS BIGINT) AS n_a,
+       CAST(b.n_l AS BIGINT) AS n_b,
+       CAST(s.s_nano AS BIGINT) AS s_nano,
+       CASE WHEN (CASE WHEN s.lang_a = s.lang_b THEN a.n_l - 1
+                  ELSE b.n_l END) = 0 THEN CAST(NULL AS BIGINT)
+            ELSE CAST((s.s_nano * (n.n_all - 1) * 1000000)
+                 // (CAST(a.n_l AS HUGEINT) *
+                     (CASE WHEN s.lang_a = s.lang_b THEN a.n_l - 1
+                      ELSE b.n_l END) * 1000000000) AS BIGINT)
+       END AS clq_mil
+FROM cq_s s
+JOIN cq_l a ON a.l = s.lang_a
+JOIN cq_l b ON b.l = s.lang_b, cq_n n"""

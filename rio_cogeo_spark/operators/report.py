@@ -3845,3 +3845,136 @@ SELECT CAST(day AS BIGINT) AS day,
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
             AS BIGINT) AS cum_cells
 FROM cn_d"""
+
+
+def theil_h(
+    pts: DataFrame,
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+    label_col: str = "lang",
+) -> DataFrame:
+    """Theil's multigroup entropy segregation index H over the cell
+    grid — ``H = Σᵢ tᵢ·(E − Eᵢ) / (T·E)`` (0 = every cell mirrors the
+    global language mix, 1 = complete segregation); the MULTIGROUP
+    complement of the pairwise :func:`dissimilarity_index`.  One row
+    ``(n_cells, n_langs, grand_total, e_nano, h_mil)``.
+
+    Pinned contract: ``E`` and every ``Eᵢ`` are sums of per-term
+    pinned entropy contributions ``floor((cnt/t)·ln(t/cnt)·10^9)``
+    (the :func:`cell_diversity` / lang_entropy convention — one fixed
+    IEEE tree from exact BIGINT counts), so the numerator
+    ``Σᵢ tᵢ·(E_nano − Eᵢ_nano)`` and denominator ``T·E_nano`` are
+    EXACT integers and ``h_mil`` is an exact floordiv (sign-split for
+    the floor-noise negatives a balanced cell in a skewed corpus can
+    produce); NULL when the corpus is monolingual (``E = 0``).
+
+    Scale design: ONE corpus fold to ``(cell, label, cnt)``; cell
+    totals via a window REUSING the fold's partitioning; per-cell
+    ``Eᵢ`` folds on the same keys; the global ``E`` is a labels-
+    bounded aggregate broadcast back.  The corpus never shuffles
+    twice; no Python.
+    """
+    d = "decimal(38,0)"
+    cl = pts.groupBy(
+        F.col(x_col).alias("cx"),
+        F.col(y_col).alias("cy"),
+        F.col(label_col).alias("_l"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w = Window.partitionBy("cx", "cy")
+    contrib = (
+        "cast(floor((cast(cnt as double) / cast(t as double))"
+        " * ln(cast(t as double) / cast(cnt as double))"
+        " * 1e9) as bigint)"
+    )
+    cell_e = (
+        cl.withColumn("t", F.sum("cnt").over(w))
+        .withColumn("_c", F.expr(contrib))
+        .groupBy("cx", "cy")
+        .agg(
+            F.first("t").cast("long").alias("t"),
+            F.sum("_c").cast("long").alias("e_i"),
+        )
+    )
+    lt = cl.groupBy("_l").agg(F.sum("cnt").cast("long").alias("al"))
+    glob = (
+        lt.crossJoin(
+            F.broadcast(
+                lt.agg(
+                    F.sum("al").cast("long").alias("tt"),
+                    F.count(F.lit(1)).cast("long").alias("n_langs"),
+                )
+            )
+        )
+        .selectExpr(
+            "tt", "n_langs",
+            "cast(floor((cast(al as double) / cast(tt as double))"
+            " * ln(cast(tt as double) / cast(al as double))"
+            " * 1e9) as bigint) as _g",
+        )
+        .groupBy("tt", "n_langs")
+        .agg(F.sum("_g").cast("long").alias("e_nano"))
+    )
+    agg = (
+        cell_e.crossJoin(F.broadcast(glob))
+        .selectExpr(
+            "tt", "n_langs", "e_nano",
+            f"CAST(t AS {d}) * (e_nano - e_i) AS _term",
+        )
+        .groupBy("tt", "n_langs", "e_nano")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.sum("_term").alias("num"),
+        )
+    )
+    return agg.selectExpr(
+        "CAST(n_cells AS BIGINT) AS n_cells",
+        "CAST(n_langs AS BIGINT) AS n_langs",
+        "CAST(tt AS BIGINT) AS grand_total",
+        "CAST(e_nano AS BIGINT) AS e_nano",
+        "CASE WHEN e_nano = 0 THEN CAST(NULL AS BIGINT)"
+        " WHEN num <= 0 THEN CAST(-((-num * 1000000)"
+        f" div (CAST(tt AS {d}) * e_nano)) AS BIGINT)"
+        " ELSE CAST((num * 1000000)"
+        f" div (CAST(tt AS {d}) * e_nano) AS BIGINT) END AS h_mil",
+    )
+
+
+def theil_h_sql(pts_cte: str, label_col: str = "lang") -> str:
+    """DuckDB twin of :func:`theil_h` (int-div ``//``; identical pinned
+    entropy terms and sign split)."""
+    return f"""WITH th_p AS ({pts_cte}),
+th_c AS (SELECT tile_x AS cx, tile_y AS cy, {label_col} AS l,
+                CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM th_p GROUP BY 1, 2, 3),
+th_w AS (SELECT *, SUM(cnt) OVER (PARTITION BY cx, cy) AS t FROM th_c),
+th_e AS (SELECT cx, cy, CAST(MIN(t) AS BIGINT) AS t,
+                CAST(SUM(CAST(floor((CAST(cnt AS DOUBLE)
+                     / CAST(t AS DOUBLE))
+                     * ln(CAST(t AS DOUBLE) / CAST(cnt AS DOUBLE))
+                     * 1e9) AS BIGINT)) AS BIGINT) AS e_i
+         FROM th_w GROUP BY 1, 2),
+th_l AS (SELECT l, CAST(SUM(cnt) AS BIGINT) AS al FROM th_c GROUP BY 1),
+th_t AS (SELECT CAST(SUM(al) AS BIGINT) AS tt,
+                CAST(COUNT(*) AS BIGINT) AS n_langs
+         FROM th_l),
+th_g AS (SELECT t.tt, t.n_langs,
+                CAST(SUM(CAST(floor((CAST(l.al AS DOUBLE)
+                     / CAST(t.tt AS DOUBLE))
+                     * ln(CAST(t.tt AS DOUBLE) / CAST(l.al AS DOUBLE))
+                     * 1e9) AS BIGINT)) AS BIGINT) AS e_nano
+         FROM th_l l, th_t t GROUP BY 1, 2),
+th_a AS (SELECT g.tt, g.n_langs, g.e_nano,
+                CAST(COUNT(*) AS BIGINT) AS n_cells,
+                SUM(CAST(e.t AS HUGEINT) * (g.e_nano - e.e_i)) AS num
+         FROM th_e e, th_g g GROUP BY 1, 2, 3)
+SELECT CAST(n_cells AS BIGINT) AS n_cells,
+       CAST(n_langs AS BIGINT) AS n_langs,
+       CAST(tt AS BIGINT) AS grand_total,
+       CAST(e_nano AS BIGINT) AS e_nano,
+       CASE WHEN e_nano = 0 THEN CAST(NULL AS BIGINT)
+            WHEN num <= 0 THEN CAST(-((-num * 1000000)
+                 // (CAST(tt AS HUGEINT) * e_nano)) AS BIGINT)
+            ELSE CAST((num * 1000000)
+                 // (CAST(tt AS HUGEINT) * e_nano) AS BIGINT)
+       END AS h_mil
+FROM th_a"""

@@ -3170,6 +3170,47 @@ def main() -> None:
     )
     print(f"[{'OK' if rs_ok else 'BAD'}] rank_size plan")
 
+    # 168. theil_h: one corpus fold; cell-entropy window reuses the
+    # fold partitioning; global E broadcast — no sort-merge, no Python
+    from rio_cogeo_spark.operators.report import theil_h
+
+    th_plan = plan_of(theil_h(cd_in))
+    th_ok = (
+        "SortMergeJoin" not in th_plan
+        and "BatchEvalPython" not in th_plan
+        and "ArrowEvalPython" not in th_plan
+        and "BroadcastNestedLoopJoin" in th_plan
+        and len(re.findall(r"\(\d+\) Window\b", th_plan)) == 1
+    )
+    checks.append(("theil_h single corpus fold + broadcast global E",
+                   th_ok))
+    sections.append(
+        ("theil_h", f"  {'PASS' if th_ok else 'FAIL'} "
+         "multigroup entropy segregation", th_plan)
+    )
+    print(f"[{'OK' if th_ok else 'BAD'}] theil_h plan")
+
+    # 169. colocation_quotient: one ring explode, grid-bounded vote
+    # join, min-ring window reusing cell partitioning, totals broadcast
+    from rio_cogeo_spark.operators.focal import colocation_quotient
+
+    cq_plan = plan_of(colocation_quotient(cd_in, 6))
+    cq_ok = (
+        "BatchEvalPython" not in cq_plan
+        and "ArrowEvalPython" not in cq_plan
+        and "CartesianProduct" not in cq_plan
+        and len(re.findall(r"\(\d+\) Generate", cq_plan)) == 1
+        and "BroadcastHashJoin" in cq_plan
+        and len(re.findall(r"\(\d+\) Window\b", cq_plan)) == 2
+    )
+    checks.append(("colocation_quotient ring explode + bounded NN sets",
+                   cq_ok))
+    sections.append(
+        ("colocation_quotient", f"  {'PASS' if cq_ok else 'FAIL'} "
+         "cross-type CLQ matrix", cq_plan)
+    )
+    print(f"[{'OK' if cq_ok else 'BAD'}] colocation_quotient plan")
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:

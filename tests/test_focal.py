@@ -1613,3 +1613,47 @@ def test_rank_size_zipf(spark):
     ]
     assert [r.zipf_product for r in rows] == [100, 100, 150]
     assert [r.ratio_mil for r in rows] == [1_000_000, 500_000, 500_000]
+
+
+def test_colocation_quotient_exact(spark):
+    """CLQ vs exhaustive NN-set arithmetic; ties included; diagonal
+    uses N_a - 1."""
+    from rio_cogeo_spark.operators.focal import colocation_quotient
+
+    cells = [
+        (0, 0, "en"), (0, 1, "fr"), (1, 0, "fr"), (5, 5, "en"),
+        (5, 6, "en"),
+    ]
+    df = spark.createDataFrame(
+        cells, "tile_x long, tile_y long, lang string"
+    )
+    got = {
+        (r.lang_a, r.lang_b): r
+        for r in colocation_quotient(df, 8).collect()
+    }
+    # exhaustive: per cell the NN set at min Chebyshev ring <= 3
+    occ = {(x, y): l for x, y, l in cells}
+    s = {}
+    for (x, y), l in occ.items():
+        dists = {
+            q: max(abs(x - q[0]), abs(y - q[1]))
+            for q in occ if q != (x, y)
+        }
+        dmin = min(dists.values())
+        if dmin > 3:
+            continue
+        nn = [q for q, dv in dists.items() if dv == dmin]
+        for q in nn:
+            key = (l, occ[q])
+            s[key] = s.get(key, 0) + 10**9 // len(nn)
+    n = len(cells)
+    from collections import Counter
+    nl = Counter(l for _, _, l in cells)
+    for (a, b), nano in s.items():
+        nb_eff = nl[a] - 1 if a == b else nl[b]
+        want = (nano * (n - 1) * 10**6) // (nl[a] * nb_eff * 10**9)
+        assert got[(a, b)].s_nano == nano
+        assert got[(a, b)].clq_mil == want
+    assert set(got) == set(s)
+    # en cluster at (5,5)/(5,6): en->en strongly colocated
+    assert got[("en", "en")].clq_mil > 1_000_000

@@ -1739,3 +1739,40 @@ def test_cell_novelty_frontier(spark):
     rows = {r.day: r for r in cell_novelty(pts).collect()}
     assert {d: r.new_cells for d, r in rows.items()} == {0: 1, 1: 2, 3: 1}
     assert rows[3].cum_cells == 4
+
+
+def test_theil_h_segregation(spark):
+    """H = 1e6 for perfect segregation (floor noise aside), 0 when
+    every cell mirrors the global mix, exact pinned arithmetic."""
+    import math
+
+    from rio_cogeo_spark.operators.report import theil_h
+
+    def run(cells):
+        df = spark.createDataFrame(
+            cells, "tile_x long, tile_y long, lang string"
+        )
+        return theil_h(df).collect()[0]
+
+    # perfect segregation: monolingual cells -> every E_i = 0 -> H = 1
+    r = run([(0, 0, "en")] * 2 + [(1, 1, "fr")] * 2)
+    assert r.h_mil == 1_000_000 and r.n_cells == 2
+    # every cell mirrors the global mix -> E_i = E -> H = 0
+    r = run([(0, 0, "en"), (0, 0, "fr"), (1, 1, "en"), (1, 1, "fr")])
+    assert r.h_mil == 0
+    # monolingual corpus -> E = 0 -> NULL
+    r = run([(0, 0, "en"), (1, 1, "en")])
+    assert r.h_mil is None
+    # mixed case: exact pinned arithmetic replicated in python
+    cells = [(0, 0, "en")] * 3 + [(0, 0, "fr")] + [(1, 1, "fr")] * 2
+    r = run(cells)
+
+    def contrib(c, t):
+        return math.floor((c / t) * math.log(t / c) * 1e9)
+
+    e = contrib(3, 6) + contrib(3, 6)           # en 3, fr 3 of 6
+    e0 = contrib(3, 4) + contrib(1, 4)          # cell (0,0)
+    e1 = 0                                       # monolingual cell
+    num = 4 * (e - e0) + 2 * (e - e1)
+    assert r.e_nano == e
+    assert r.h_mil == (num * 1_000_000) // (6 * e)
