@@ -4870,6 +4870,61 @@ def _clq_oracle() -> str:
     return f"{assigned},\n{inner}"
 
 
+def q_syndication(spark, sf_dir):
+    """Syndication geography: content fingerprints spanning ≥2 cells
+    with exact bbox Chebyshev span (how far identical content travels);
+    dup pages synthesized by mirroring the first 80 docs to (−lat,−lon)
+    so cross-cell duplicates exist at every sf. Two-level fold +
+    TakeOrdered."""
+    from rio_cogeo_spark.operators.report import syndication
+
+    pages = _pages(spark, sf_dir)
+    dups = pages.filter(F.col("doc_id") < 80).withColumn(
+        "lat", -F.col("lat")
+    ).withColumn("lon", -F.col("lon"))
+    allp = pages.unionByName(dups)
+    pts = assign_tiles(allp, ZOOM).select(
+        TX.fingerprint(F.col("text")).alias("fp"), "tile_x", "tile_y"
+    )
+    return syndication(pts)
+
+
+def _syndication_oracle() -> str:
+    from rio_cogeo_spark.operators.report import syndication_sql
+
+    inner = syndication_sql(
+        "SELECT fp, tile_x, tile_y FROM assigned"
+    ).split("WITH ", 1)[1]
+    assigned = (
+        f"{_P}\n, allp AS (SELECT text, lat, lon FROM pages"
+        " UNION ALL"
+        " SELECT text, -lat AS lat, -lon AS lon FROM pages"
+        " WHERE doc_id < 80)"
+        f", assigned AS (SELECT {TX.FINGERPRINT_SQL} AS fp,"
+        f" {_TX8} AS tile_x, {_TY8} AS tile_y FROM allp)"
+    )
+    return f"{assigned},\n{inner}"
+
+
+def q_city_langs(spark, sf_dir):
+    """Language profile per megacity: top-3 languages in each ±0.6°
+    city box with exact share mil — broadcast 20-row city tag,
+    cities×langs-bounded windows."""
+    from rio_cogeo_spark.operators.report import city_langs
+
+    pages = _pages(spark, sf_dir).select("lang", "lat", "lon")
+    return city_langs(pages, _cities_df(spark))
+
+
+def _city_langs_oracle() -> str:
+    from rio_cogeo_spark.operators.report import city_langs_sql
+
+    inner = city_langs_sql(
+        "SELECT lang, lat, lon FROM pages", _CITIES_SQL
+    ).split("WITH ", 1)[1]
+    return f"{_P},\n{inner}"
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FINAL fifth-continuation rotation (ROUND5.md §113): the 12 most
     # twin-intricate new ops (footprint's nested polygonize unroll, idw,
@@ -5196,6 +5251,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_size": q_rank_size,
         "theil_h": q_theil_h,
         "clq": q_clq,
+        "syndication": q_syndication,
+        "city_langs": q_city_langs,
     }
 
 
@@ -6269,6 +6326,8 @@ FROM assigned GROUP BY 1, 2, 3""",
         "rank_size": _rank_size_oracle(),
         "theil_h": _theil_h_oracle(),
         "clq": _clq_oracle(),
+        "syndication": _syndication_oracle(),
+        "city_langs": _city_langs_oracle(),
     }
 
 

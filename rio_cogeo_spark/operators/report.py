@@ -3978,3 +3978,157 @@ SELECT CAST(n_cells AS BIGINT) AS n_cells,
                  // (CAST(tt AS HUGEINT) * e_nano) AS BIGINT)
        END AS h_mil
 FROM th_a"""
+
+
+def syndication(
+    pts: DataFrame,
+    top_k: int = 50,
+    fp_col: str = "fp",
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+) -> DataFrame:
+    """Spatially replicated content — syndication/mirror geography:
+    per content fingerprint occupying ≥ 2 distinct cells, the exact
+    page/cell counts, the bounding box of its cells, and the Chebyshev
+    span (how FAR the same content travels; wire-service copy spans
+    continents, templated spam clusters locally).  Ranked
+    ``(cheb_span desc, n_pages desc, fp asc)`` — strict total order —
+    cut to ``top_k``.  FULLY exact integer.
+
+    Scale design: two-level map-side-combinable fold (corpus →
+    ``(fp, cell)`` → fp) — the dup-group bbox needs NO pairwise
+    distances (span = bbox Chebyshev diameter); top-k is a distributed
+    TakeOrdered.  No join, no explode, no Python.
+    """
+    fc = pts.groupBy(
+        F.col(fp_col).alias("fp"),
+        F.col(x_col).cast("long").alias("cx"),
+        F.col(y_col).cast("long").alias("cy"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    grp = (
+        fc.groupBy("fp")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_pages"),
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.min("cx").alias("x0"), F.max("cx").alias("x1"),
+            F.min("cy").alias("y0"), F.max("cy").alias("y1"),
+        )
+        .filter(F.col("n_cells") >= 2)
+        .selectExpr(
+            "fp",
+            "CAST(n_pages AS BIGINT) AS n_pages",
+            "CAST(n_cells AS BIGINT) AS n_cells",
+            "CAST(x0 AS BIGINT) AS x0", "CAST(y0 AS BIGINT) AS y0",
+            "CAST(x1 AS BIGINT) AS x1", "CAST(y1 AS BIGINT) AS y1",
+            "CAST(GREATEST(x1 - x0, y1 - y0) AS BIGINT) AS cheb_span",
+        )
+    )
+    return grp.orderBy(
+        F.col("cheb_span").desc(), F.col("n_pages").desc(),
+        F.col("fp").asc(),
+    ).limit(int(top_k))
+
+
+def syndication_sql(pts_cte: str, top_k: int = 50) -> str:
+    """DuckDB twin of :func:`syndication` — ``pts_cte`` exposes
+    ``(fp, tile_x, tile_y)``."""
+    return f"""WITH sy_p AS ({pts_cte}),
+sy_c AS (SELECT fp, tile_x AS cx, tile_y AS cy,
+                CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM sy_p GROUP BY 1, 2, 3),
+sy_g AS (SELECT fp,
+                CAST(SUM(cnt) AS BIGINT) AS n_pages,
+                CAST(COUNT(*) AS BIGINT) AS n_cells,
+                MIN(cx) AS x0, MAX(cx) AS x1,
+                MIN(cy) AS y0, MAX(cy) AS y1
+         FROM sy_c GROUP BY 1
+         HAVING COUNT(*) >= 2)
+SELECT fp, n_pages, n_cells,
+       CAST(x0 AS BIGINT) AS x0, CAST(y0 AS BIGINT) AS y0,
+       CAST(x1 AS BIGINT) AS x1, CAST(y1 AS BIGINT) AS y1,
+       CAST(GREATEST(x1 - x0, y1 - y0) AS BIGINT) AS cheb_span
+FROM sy_g
+ORDER BY cheb_span DESC, n_pages DESC, fp ASC
+LIMIT {int(top_k)}"""
+
+
+def city_langs(
+    pts: DataFrame,
+    cities: DataFrame,
+    box_deg: float = 0.6,
+    top_k: int = 3,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    label_col: str = "lang",
+) -> DataFrame:
+    """Language profile per megacity — per city, the top ``top_k``
+    languages inside its ±``box_deg``° box with exact share
+    ``share_mil = cnt·10^6 div city_total`` (the demographic view the
+    :func:`regional_terms` vocabulary view sits beside).  Rank by
+    ``(cnt desc, lang asc)`` per city — strict total order.  FULLY
+    exact integer.
+
+    Scale design: the city table broadcasts (20 rows); pages fold
+    map-side to ``(city, lang)``; the share window and the top-k
+    window run on the cities×labels-bounded table.  The corpus never
+    shuffles on a skewed key; no Python.
+    """
+    tagged = pts.join(
+        F.broadcast(cities),
+        (F.col(lat_col) >= F.col("c_lat") - float(box_deg))
+        & (F.col(lat_col) <= F.col("c_lat") + float(box_deg))
+        & (F.col(lon_col) >= F.col("c_lon") - float(box_deg))
+        & (F.col(lon_col) <= F.col("c_lon") + float(box_deg)),
+    )
+    cl = tagged.groupBy(
+        "city", F.col(label_col).alias("lang")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    wt = Window.partitionBy("city")
+    wr = Window.partitionBy("city").orderBy(
+        F.col("cnt").desc(), F.col("lang").asc()
+    )
+    return (
+        cl.withColumn("city_total", F.sum("cnt").over(wt))
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= int(top_k))
+        .selectExpr(
+            "city",
+            "CAST(rank AS BIGINT) AS rank",
+            "lang",
+            "CAST(cnt AS BIGINT) AS cnt",
+            "CAST(city_total AS BIGINT) AS city_total",
+            "CAST((cnt * 1000000) div city_total AS BIGINT) AS share_mil",
+        )
+    )
+
+
+def city_langs_sql(
+    pts_cte: str,
+    cities_sql: str,
+    box_deg: float = 0.6,
+    top_k: int = 3,
+    label_col: str = "lang",
+) -> str:
+    """DuckDB twin of :func:`city_langs` (int-div ``//``)."""
+    return f"""WITH cl_p AS ({pts_cte}),
+cl_c AS ({cities_sql}),
+cl_t AS (SELECT c.city, p.{label_col} AS lang,
+                CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM cl_p p JOIN cl_c c
+           ON p.lat BETWEEN c.c_lat - CAST({box_deg} AS DOUBLE)
+                        AND c.c_lat + CAST({box_deg} AS DOUBLE)
+          AND p.lon BETWEEN c.c_lon - CAST({box_deg} AS DOUBLE)
+                        AND c.c_lon + CAST({box_deg} AS DOUBLE)
+         GROUP BY 1, 2),
+cl_w AS (SELECT *,
+                SUM(cnt) OVER (PARTITION BY city) AS city_total,
+                ROW_NUMBER() OVER (PARTITION BY city
+                    ORDER BY cnt DESC, lang ASC) AS rank
+         FROM cl_t)
+SELECT city,
+       CAST(rank AS BIGINT) AS rank,
+       lang,
+       CAST(cnt AS BIGINT) AS cnt,
+       CAST(city_total AS BIGINT) AS city_total,
+       CAST((cnt * 1000000) // city_total AS BIGINT) AS share_mil
+FROM cl_w WHERE rank <= {int(top_k)}"""

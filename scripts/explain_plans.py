@@ -3211,6 +3211,59 @@ def main() -> None:
     )
     print(f"[{'OK' if cq_ok else 'BAD'}] colocation_quotient plan")
 
+    # 170. syndication: pure two-level fold + TakeOrdered — bbox span
+    # instead of pairwise distances; no join, no explode, no Python
+    from rio_cogeo_spark.operators.report import syndication
+
+    sy_in = cd_in.selectExpr(
+        "CONCAT('f', CAST(tile_x % 9 AS STRING)) AS fp",
+        "tile_x", "tile_y",
+    )
+    sy_plan = plan_of(syndication(sy_in))
+    sy_ok = (
+        "Join" not in sy_plan
+        and "Generate" not in sy_plan
+        and "BatchEvalPython" not in sy_plan
+        and "ArrowEvalPython" not in sy_plan
+        and "TakeOrderedAndProject" in sy_plan
+        and "partial" in sy_plan.lower()
+    )
+    checks.append(("syndication bbox-span fold, no pairwise distances",
+                   sy_ok))
+    sections.append(
+        ("syndication", f"  {'PASS' if sy_ok else 'FAIL'} "
+         "spatially replicated content geography", sy_plan)
+    )
+    print(f"[{'OK' if sy_ok else 'BAD'}] syndication plan")
+
+    # 171. city_langs: 20-row city dim broadcast onto the corpus; both
+    # windows on the cities×langs-bounded table; no sort-merge
+    from rio_cogeo_spark.operators.report import city_langs
+
+    cl_cities = spark.createDataFrame(
+        [("a", 10.0, 10.0), ("b", 50.0, 50.0)],
+        "city string, c_lat double, c_lon double",
+    )
+    cl_in = cd_in.selectExpr(
+        "lang", "CAST(tile_x AS DOUBLE) AS lat",
+        "CAST(tile_y AS DOUBLE) AS lon",
+    )
+    clg_plan = plan_of(city_langs(cl_in, cl_cities))
+    clg_ok = (
+        "SortMergeJoin" not in clg_plan
+        and "BatchEvalPython" not in clg_plan
+        and "ArrowEvalPython" not in clg_plan
+        and "BroadcastNestedLoopJoin" in clg_plan
+        and len(re.findall(r"\(\d+\) Window\b", clg_plan)) >= 1
+    )
+    checks.append(("city_langs broadcast city tag + bounded windows",
+                   clg_ok))
+    sections.append(
+        ("city_langs", f"  {'PASS' if clg_ok else 'FAIL'} "
+         "per-city language profile", clg_plan)
+    )
+    print(f"[{'OK' if clg_ok else 'BAD'}] city_langs plan")
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:

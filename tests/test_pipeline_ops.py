@@ -1776,3 +1776,52 @@ def test_theil_h_segregation(spark):
     num = 4 * (e - e0) + 2 * (e - e1)
     assert r.e_nano == e
     assert r.h_mil == (num * 1_000_000) // (6 * e)
+
+
+def test_syndication_span(spark):
+    """Cross-cell duplicated fingerprints with exact bbox span; solo
+    and single-cell fingerprints excluded."""
+    from rio_cogeo_spark.operators.report import syndication
+
+    pts = spark.createDataFrame(
+        [
+            ("f1", 0, 0), ("f1", 10, 2), ("f1", 10, 2),   # span 10
+            ("f2", 3, 3), ("f2", 3, 4),                    # span 1
+            ("f3", 5, 5), ("f3", 5, 5),                    # one cell
+            ("f4", 9, 9),                                  # solo
+        ],
+        "fp string, tile_x long, tile_y long",
+    )
+    rows = syndication(pts).collect()
+    assert [(r.fp, r.cheb_span, r.n_pages, r.n_cells) for r in rows] == [
+        ("f1", 10, 3, 2), ("f2", 1, 2, 2),
+    ]
+    r = rows[0]
+    assert (r.x0, r.y0, r.x1, r.y1) == (0, 0, 10, 2)
+
+
+def test_city_langs_profile(spark):
+    """Per-city top-k language shares with exact mil and strict
+    ordering; pages outside every box ignored."""
+    from rio_cogeo_spark.operators.report import city_langs
+
+    cities = spark.createDataFrame(
+        [("alpha", 10.0, 10.0), ("beta", 50.0, 50.0)],
+        "city string, c_lat double, c_lon double",
+    )
+    pts = spark.createDataFrame(
+        [("en", 10.1, 10.1)] * 3 + [("fr", 9.9, 9.9)] * 2
+        + [("de", 10.0, 10.2)] + [("en", 50.0, 50.0)]
+        + [("xx", 0.0, 0.0)],
+        "lang string, lat double, lon double",
+    )
+    got = {
+        (r.city, r.rank): r
+        for r in city_langs(pts, cities, top_k=2).collect()
+    }
+    assert got[("alpha", 1)].lang == "en"
+    assert got[("alpha", 1)].share_mil == 3 * 1_000_000 // 6
+    assert got[("alpha", 2)].lang == "fr"
+    assert got[("beta", 1)].lang == "en"
+    assert got[("beta", 1)].share_mil == 1_000_000
+    assert len(got) == 3  # alpha top-2 + beta's single language
