@@ -4925,6 +4925,101 @@ def _city_langs_oracle() -> str:
     return f"{_P},\n{inner}"
 
 
+def q_cross_moran(spark, sf_dir):
+    """Bivariate cross-Moran's I between the English and Chinese page
+    density surfaces on the z8 grid — does zh cluster where the en
+    NEIGHBORHOOD is dense? Exact integer moments, the standardized
+    index the one pinned double."""
+    from rio_cogeo_spark.operators.focal import cross_moran
+
+    pts = assign_tiles(_pages(spark, sf_dir), ZOOM)
+    base = pts.groupBy("tile_x", "tile_y").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long").alias("x_count"),
+        F.sum(F.when(F.col("lang") == "zh", 1).otherwise(0))
+        .cast("long").alias("y_count"),
+    )
+    return cross_moran(base, ZOOM)
+
+
+def _cross_moran_oracle() -> str:
+    from rio_cogeo_spark.operators.focal import cross_moran_sql
+
+    inner = cross_moran_sql(
+        "SELECT tile_x, tile_y, x_count, y_count FROM xy", ZOOM
+    ).split("WITH ", 1)[1]
+    assigned = (
+        f"{_P}\n, assigned AS (SELECT {_TX8} AS tile_x, {_TY8} AS tile_y,"
+        " lang FROM pages)"
+        ", xy AS (SELECT tile_x, tile_y,"
+        " CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS x_count,"
+        " CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS y_count"
+        " FROM assigned GROUP BY 1, 2)"
+    )
+    return f"{assigned},\n{inner}"
+
+
+def q_cell_transitions(spark, sf_dir):
+    """Space-time density-class Markov matrix over 15-min buckets —
+    exact transition counts between power-of-two classes incl. the
+    closed-form empty→empty row; vote-pair expansion, never a
+    cells×buckets spine."""
+    from rio_cogeo_spark.operators.focal import cell_transitions
+
+    pts = assign_tiles(_pages(spark, sf_dir), ZOOM).select(
+        "tile_x", "tile_y", "ts_sec"
+    )
+    return cell_transitions(pts, bucket_sec=900)
+
+
+def _cell_transitions_oracle() -> str:
+    from rio_cogeo_spark.operators.focal import cell_transitions_sql
+
+    inner = cell_transitions_sql(
+        "SELECT tile_x, tile_y, ts_sec FROM assigned", bucket_sec=900
+    ).split("WITH ", 1)[1]
+    assigned = (
+        f"{_P}\n, assigned AS (SELECT {_TX8} AS tile_x, {_TY8} AS tile_y,"
+        " ts_sec FROM pages)"
+    )
+    return f"{assigned},\n{inner}"
+
+
+def q_lang_spread(spark, sf_dir):
+    """Geographic footprint per LANGUAGE — host_spread's two-level
+    fold grouped by lang: exact cell counts + mean center, rms radius
+    the one pinned double — which languages publish globally vs
+    regionally (the dispersion companion of lang_range's bbox)."""
+    from rio_cogeo_spark.operators.report import host_spread
+
+    pts = assign_tiles(_pages(spark, sf_dir), ZOOM).select(
+        F.col("lang").alias("host"), "tile_x", "tile_y"
+    )
+    return host_spread(pts, min_pages=1).withColumnRenamed("host", "lang")
+
+
+def _lang_spread_oracle() -> str:
+    from rio_cogeo_spark.operators.report import host_spread_sql
+
+    inner = host_spread_sql(
+        "SELECT host, tile_x, tile_y FROM assigned", min_pages=1
+    ).split("WITH ", 1)[1]
+    assigned = (
+        f"{_P}\n, assigned AS (SELECT lang AS host,"
+        f" {_TX8} AS tile_x, {_TY8} AS tile_y FROM pages)"
+    )
+    body = f"{assigned},\n{inner}"
+    # rename only the FINAL projection's host column (the hs_p CTE also
+    # starts with "SELECT host," — anchor on the following CAST line)
+    return body.replace(
+        "SELECT host,\n       CAST(n_pages",
+        "SELECT host AS lang,\n       CAST(n_pages",
+        1,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FINAL fifth-continuation rotation (ROUND5.md §113): the 12 most
     # twin-intricate new ops (footprint's nested polygonize unroll, idw,
@@ -5253,6 +5348,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clq": q_clq,
         "syndication": q_syndication,
         "city_langs": q_city_langs,
+        "cross_moran": q_cross_moran,
+        "cell_transitions": q_cell_transitions,
+        "lang_spread": q_lang_spread,
     }
 
 
@@ -6328,6 +6426,9 @@ FROM assigned GROUP BY 1, 2, 3""",
         "clq": _clq_oracle(),
         "syndication": _syndication_oracle(),
         "city_langs": _city_langs_oracle(),
+        "cross_moran": _cross_moran_oracle(),
+        "cell_transitions": _cell_transitions_oracle(),
+        "lang_spread": _lang_spread_oracle(),
     }
 
 

@@ -4604,3 +4604,313 @@ SELECT s.lang_a, s.lang_b,
 FROM cq_s s
 JOIN cq_l a ON a.l = s.lang_a
 JOIN cq_l b ON b.l = s.lang_b, cq_n n"""
+
+
+def cross_moran(
+    tiles: DataFrame,
+    zoom: int,
+    x_value_col: str = "x_count",
+    y_value_col: str = "y_count",
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+) -> DataFrame:
+    """Bivariate (cross) Moran's I between two density surfaces over
+    the full ``4^zoom`` grid with binary queen weights — does variable
+    X cluster where variable Y's NEIGHBORHOOD is high (e.g. one
+    language's pages around another's)?  One row ``(n_grid, w_total,
+    s_x, s_y, q_x, q_y, c_xy, b_x, b_y, i_mil)``.
+
+    Contract: all moments are EXACT integers (absent cells 0; ``C_xy =
+    Σᵢ xᵢ·ringsum_y(i)``, ``B_x = Σ xᵢ·Wᵢ`` with the closed-form
+    in-bounds queen count ``Wᵢ``, ``W`` the :func:`morans_i` grid
+    total); the standardized index::
+
+        I = (C·N² − N·(Sx·By + Sy·Bx) + Sx·Sy·W)
+            / (W · sqrt((Qx·N − Sx²)·(Qy·N − Sy²)))
+
+    is the ONE pinned double per row (int→double casts, ·, sqrt, ÷
+    all IEEE-correctly-rounded through one fixed tree), NULL when
+    either variance term is 0.
+
+    Scale design: one ring-1 vote explode of the Y surface, one vote
+    fold, one grid-bounded left join onto the X cells, one 1-row
+    combine; moments from ONE base fold.  No Python, nothing O(grid).
+    """
+    n_side = 2 ** zoom
+    n_grid = 4 ** zoom
+    w_total = 4 * (n_side - 1) * (2 * n_side - 1)
+    d = "decimal(38,0)"
+    base = tiles.select(
+        F.col(x_col).cast("long").alias("tile_x"),
+        F.col(y_col).cast("long").alias("tile_y"),
+        F.col(x_value_col).cast("long").alias("_x"),
+        F.col(y_value_col).cast("long").alias("_y"),
+    )
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            if (dx, dy) != (0, 0)]
+    votes = (
+        base.filter(F.col("_y") != 0)
+        .select(
+            "_y", "tile_x", "tile_y",
+            F.explode(F.array(*[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx, dy in offs
+            ])).alias("off"),
+        )
+        .select(
+            F.col("_y").alias("_v"),
+            (F.col("tile_x") + F.col("off.dx")).alias("vx"),
+            (F.col("tile_y") + F.col("off.dy")).alias("vy"),
+        )
+        .filter(
+            (F.col("vx") >= 0) & (F.col("vx") < n_side)
+            & (F.col("vy") >= 0) & (F.col("vy") < n_side)
+        )
+        .groupBy("vx", "vy")
+        .agg(F.sum(F.col("_v").cast(d)).alias("ysum"))
+    )
+    edge = F.lit(n_side - 1)
+    w_i = (
+        (F.lit(1) + F.least(F.col("tile_x"), F.lit(1))
+         + F.least(edge - F.col("tile_x"), F.lit(1)))
+        * (F.lit(1) + F.least(F.col("tile_y"), F.lit(1))
+           + F.least(edge - F.col("tile_y"), F.lit(1)))
+        - F.lit(1)
+    )
+    joined = (
+        base.join(
+            votes,
+            (base.tile_x == votes.vx) & (base.tile_y == votes.vy),
+            "left",
+        )
+        .select(
+            "_x", "_y",
+            F.coalesce(F.col("ysum"), F.lit(0)).cast(d).alias("ysum"),
+            w_i.cast("long").alias("w_i"),
+        )
+    )
+    agg = joined.agg(
+        F.sum(F.col("_x").cast(d)).alias("s_x"),
+        F.sum(F.col("_y").cast(d)).alias("s_y"),
+        F.sum(F.col("_x").cast(d) * F.col("_x")).alias("q_x"),
+        F.sum(F.col("_y").cast(d) * F.col("_y")).alias("q_y"),
+        F.sum(F.col("_x").cast(d) * F.col("ysum")).alias("c_xy"),
+        F.sum(F.col("_x").cast(d) * F.col("w_i")).alias("b_x"),
+        F.sum(F.col("_y").cast(d) * F.col("w_i")).alias("b_y"),
+    )
+    num = (
+        f"(c_xy * {n_grid} * {n_grid}"
+        f" - {n_grid} * (s_x * b_y + s_y * b_x)"
+        f" + s_x * s_y * {w_total})"
+    )
+    d1 = f"(q_x * {n_grid} - s_x * s_x)"
+    d2 = f"(q_y * {n_grid} - s_y * s_y)"
+    return agg.selectExpr(
+        f"CAST({n_grid} AS BIGINT) AS n_grid",
+        f"CAST({w_total} AS BIGINT) AS w_total",
+        "CAST(s_x AS BIGINT) AS s_x",
+        "CAST(s_y AS BIGINT) AS s_y",
+        "CAST(q_x AS BIGINT) AS q_x",
+        "CAST(q_y AS BIGINT) AS q_y",
+        "CAST(c_xy AS BIGINT) AS c_xy",
+        "CAST(b_x AS BIGINT) AS b_x",
+        "CAST(b_y AS BIGINT) AS b_y",
+        f"CASE WHEN {d1} = 0 OR {d2} = 0 THEN CAST(NULL AS BIGINT)"
+        f" ELSE CAST(floor(CAST({num} AS DOUBLE)"
+        f" / (CAST({w_total} AS DOUBLE)"
+        f" * sqrt(CAST({d1} AS DOUBLE) * CAST({d2} AS DOUBLE)))"
+        " * CAST(1000000 AS DOUBLE)) AS BIGINT) END AS i_mil",
+    )
+
+
+def cross_moran_sql(base_cte: str, zoom: int) -> str:
+    """DuckDB twin of :func:`cross_moran` — ``base_cte`` exposes
+    ``(tile_x, tile_y, x_count, y_count)``; identical pinned tree."""
+    n_side = 2 ** zoom
+    n_grid = 4 ** zoom
+    w_total = 4 * (n_side - 1) * (2 * n_side - 1)
+    offs = ", ".join(
+        f"({dx}, {dy})" for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        if (dx, dy) != (0, 0)
+    )
+    w_i = (
+        "((1 + LEAST(tile_x, 1) + LEAST({e} - tile_x, 1))"
+        " * (1 + LEAST(tile_y, 1) + LEAST({e} - tile_y, 1)) - 1)"
+    ).format(e=n_side - 1)
+    num = (
+        f"(c_xy * {n_grid}::HUGEINT * {n_grid}"
+        f" - {n_grid} * (s_x * b_y + s_y * b_x)"
+        f" + s_x * s_y * {w_total})"
+    )
+    d1 = f"(q_x * {n_grid} - s_x * s_x)"
+    d2 = f"(q_y * {n_grid} - s_y * s_y)"
+    return f"""WITH xm_t AS ({base_cte}),
+xm_b AS (SELECT CAST(tile_x AS BIGINT) AS tile_x,
+                CAST(tile_y AS BIGINT) AS tile_y,
+                CAST(x_count AS BIGINT) AS _x,
+                CAST(y_count AS BIGINT) AS _y
+         FROM xm_t),
+xm_v AS (SELECT b.tile_x + o.dx AS vx, b.tile_y + o.dy AS vy,
+                SUM(CAST(b._y AS HUGEINT)) AS ysum
+         FROM xm_b b, (VALUES {offs}) o(dx, dy)
+         WHERE b._y <> 0
+           AND b.tile_x + o.dx BETWEEN 0 AND {n_side - 1}
+           AND b.tile_y + o.dy BETWEEN 0 AND {n_side - 1}
+         GROUP BY 1, 2),
+xm_j AS (SELECT b._x, b._y,
+                CAST(COALESCE(v.ysum, 0) AS HUGEINT) AS ysum,
+                CAST({w_i} AS BIGINT) AS w_i
+         FROM xm_b b LEFT JOIN xm_v v
+           ON v.vx = b.tile_x AND v.vy = b.tile_y),
+xm_a AS (SELECT SUM(CAST(_x AS HUGEINT)) AS s_x,
+                SUM(CAST(_y AS HUGEINT)) AS s_y,
+                SUM(CAST(_x AS HUGEINT) * _x) AS q_x,
+                SUM(CAST(_y AS HUGEINT) * _y) AS q_y,
+                SUM(CAST(_x AS HUGEINT) * ysum) AS c_xy,
+                SUM(CAST(_x AS HUGEINT) * w_i) AS b_x,
+                SUM(CAST(_y AS HUGEINT) * w_i) AS b_y
+         FROM xm_j)
+SELECT CAST({n_grid} AS BIGINT) AS n_grid,
+       CAST({w_total} AS BIGINT) AS w_total,
+       CAST(s_x AS BIGINT) AS s_x,
+       CAST(s_y AS BIGINT) AS s_y,
+       CAST(q_x AS BIGINT) AS q_x,
+       CAST(q_y AS BIGINT) AS q_y,
+       CAST(c_xy AS BIGINT) AS c_xy,
+       CAST(b_x AS BIGINT) AS b_x,
+       CAST(b_y AS BIGINT) AS b_y,
+       CASE WHEN {d1} = 0 OR {d2} = 0 THEN CAST(NULL AS BIGINT)
+            ELSE CAST(FLOOR(CAST({num} AS DOUBLE)
+                 / (CAST({w_total} AS DOUBLE)
+                    * SQRT(CAST({d1} AS DOUBLE) * CAST({d2} AS DOUBLE)))
+                 * CAST(1000000 AS DOUBLE)) AS BIGINT) END AS i_mil
+FROM xm_a"""
+
+
+# Fixed density classes for cell_transitions — exact CASE boundaries
+# (powers of two), engine-identical; 'empty' is the implicit 0 class.
+_DENSITY_CLS = ("CASE WHEN {c} >= 8 THEN 'peak' WHEN {c} >= 4 THEN 'high'"
+                " WHEN {c} >= 2 THEN 'mid' ELSE 'low' END")
+
+
+def cell_transitions(
+    pts: DataFrame,
+    bucket_sec: int = 3600,
+    ts_col: str = "ts_sec",
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+) -> DataFrame:
+    """Space-time density-class transition matrix (the Markov view of
+    the space-time cube, Rey's spatial-dynamics staple): over
+    consecutive time buckets, how often an EVER-OCCUPIED cell moves
+    between the fixed power-of-two density classes ``empty < low(1) <
+    mid(2-3) < high(4-7) < peak(8+)`` — one row per observed
+    ``(cls_from, cls_to, n_trans)`` pair, FULLY exact, including the
+    closed-form ``empty → empty`` row (``n_cells·(n_buckets−1) − Σ
+    others`` — the quiet majority is never materialized).
+
+    Scale design: one ``(cell, bucket)`` corpus fold; each observed
+    bucket emits TWO pair votes (as 'from' at p = b, as 'to' at
+    p = b−1), so pair rows ≈ 2·observed — absent-side classes come
+    from the vote fold's NULL → 'empty', never from a cells×buckets
+    spine; the matrix fold is classes²-bounded.  No join beyond two
+    broadcast 1-row totals; no Python.
+    """
+    cb = pts.groupBy(
+        F.col(x_col).cast("long").alias("cx"),
+        F.col(y_col).cast("long").alias("cy"),
+        F.floor(F.col(ts_col).cast("long") / F.lit(int(bucket_sec)))
+        .cast("long").alias("bkt"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    cls = _DENSITY_CLS.format(c="cnt")
+    votes = (
+        cb.selectExpr("cx", "cy", "bkt", f"{cls} AS cls")
+        .select(
+            "cx", "cy", "cls",
+            F.explode(
+                F.array(
+                    F.struct(F.col("bkt").alias("p"),
+                             F.lit("from").alias("role")),
+                    F.struct((F.col("bkt") - 1).alias("p"),
+                             F.lit("to").alias("role")),
+                )
+            ).alias("v"),
+        )
+        .select("cx", "cy", F.col("v.p").alias("p"),
+                F.col("v.role").alias("role"), "cls")
+    )
+    span = cb.agg(
+        F.min("bkt").alias("bmin"), F.max("bkt").alias("bmax"),
+        F.countDistinct("cx", "cy").cast("long").alias("n_cells"),
+    )
+    pairs = (
+        votes.groupBy("cx", "cy", "p")
+        .agg(
+            F.max(F.when(F.col("role") == "from", F.col("cls")))
+            .alias("f_cls"),
+            F.max(F.when(F.col("role") == "to", F.col("cls")))
+            .alias("t_cls"),
+        )
+        .crossJoin(F.broadcast(span))
+        .filter((F.col("p") >= F.col("bmin"))
+                & (F.col("p") < F.col("bmax")))
+        .selectExpr(
+            "COALESCE(f_cls, 'empty') AS cls_from",
+            "COALESCE(t_cls, 'empty') AS cls_to",
+        )
+        .groupBy("cls_from", "cls_to")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_trans"))
+        # classes²-bounded (≤ 25 rows): persist so the closed-form
+        # empty→empty branch reads this instead of re-deriving the
+        # whole corpus fold under the union
+        .persist()
+    )
+    ee = (
+        pairs.agg(F.sum("n_trans").cast("long").alias("n_obs"))
+        .crossJoin(F.broadcast(span))
+        .selectExpr(
+            "'empty' AS cls_from", "'empty' AS cls_to",
+            "CAST(n_cells * (bmax - bmin) - n_obs AS BIGINT) AS n_trans",
+        )
+        .filter(F.col("n_trans") > 0)
+    )
+    return pairs.selectExpr(
+        "cls_from", "cls_to", "CAST(n_trans AS BIGINT) AS n_trans"
+    ).unionByName(ee)
+
+
+def cell_transitions_sql(
+    pts_cte: str, bucket_sec: int = 3600, ts_col: str = "ts_sec"
+) -> str:
+    """DuckDB twin of :func:`cell_transitions` (int-div ``//``)."""
+    cls = _DENSITY_CLS.format(c="cnt")
+    return f"""WITH ct_p AS ({pts_cte}),
+ct_c AS (SELECT tile_x AS cx, tile_y AS cy,
+                CAST({ts_col} AS BIGINT) // {int(bucket_sec)} AS bkt,
+                CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM ct_p GROUP BY 1, 2, 3),
+ct_k AS (SELECT cx, cy, bkt, {cls} AS cls FROM ct_c),
+ct_v AS (SELECT cx, cy, bkt AS p, 'from' AS role, cls FROM ct_k
+         UNION ALL
+         SELECT cx, cy, bkt - 1 AS p, 'to' AS role, cls FROM ct_k),
+ct_s2 AS (SELECT MIN(bkt) AS bmin, MAX(bkt) AS bmax FROM ct_c),
+ct_s3 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cells
+          FROM (SELECT DISTINCT cx, cy FROM ct_c)),
+ct_g AS (SELECT v.cx, v.cy, v.p,
+                MAX(CASE WHEN v.role = 'from' THEN v.cls END) AS f_cls,
+                MAX(CASE WHEN v.role = 'to' THEN v.cls END) AS t_cls
+         FROM ct_v v GROUP BY 1, 2, 3),
+ct_m AS (SELECT COALESCE(g.f_cls, 'empty') AS cls_from,
+                COALESCE(g.t_cls, 'empty') AS cls_to,
+                CAST(COUNT(*) AS BIGINT) AS n_trans
+         FROM ct_g g, ct_s2 s
+         WHERE g.p >= s.bmin AND g.p < s.bmax
+         GROUP BY 1, 2),
+ct_e AS (SELECT 'empty' AS cls_from, 'empty' AS cls_to,
+                CAST(c.n_cells * (s.bmax - s.bmin)
+                     - (SELECT SUM(n_trans) FROM ct_m) AS BIGINT)
+                    AS n_trans
+         FROM ct_s3 c, ct_s2 s)
+SELECT cls_from, cls_to, n_trans FROM ct_m
+UNION ALL
+SELECT cls_from, cls_to, n_trans FROM ct_e WHERE n_trans > 0"""

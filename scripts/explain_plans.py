@@ -3264,6 +3264,57 @@ def main() -> None:
     )
     print(f"[{'OK' if clg_ok else 'BAD'}] city_langs plan")
 
+    # 172. cross_moran: one ring-1 vote explode of the Y surface, one
+    # grid-bounded left join, one 1-row combine — no Python
+    from rio_cogeo_spark.operators.focal import cross_moran
+
+    xm_in = kx_in.selectExpr(
+        "tile_x", "tile_y", "t_bucket AS x_count",
+        "CAST(tile_x % 5 AS LONG) AS y_count",
+    )
+    xm_plan = plan_of(cross_moran(xm_in, 6))
+    xm_ok = (
+        "BatchEvalPython" not in xm_plan
+        and "ArrowEvalPython" not in xm_plan
+        and "CartesianProduct" not in xm_plan
+        and len(re.findall(r"\(\d+\) Generate", xm_plan)) == 1
+        and "partial" in xm_plan.lower()
+    )
+    checks.append(("cross_moran single Y-vote explode + 1-row combine",
+                   xm_ok))
+    sections.append(
+        ("cross_moran", f"  {'PASS' if xm_ok else 'FAIL'} "
+         "bivariate spatial cross-correlation", xm_plan)
+    )
+    print(f"[{'OK' if xm_ok else 'BAD'}] cross_moran plan")
+
+    # 173. cell_transitions: vote-pair explode (2 rows per observed
+    # bucket), never a cells×buckets spine; matrix fold classes²-bounded
+    from rio_cogeo_spark.operators.focal import cell_transitions
+
+    ctr_in = kx_in.selectExpr(
+        "tile_x", "tile_y", "CAST(t_bucket * 4000 AS LONG) AS ts_sec"
+    )
+    ctr_plan = plan_of(cell_transitions(ctr_in))
+    ctr_ok = (
+        "SortMergeJoin" not in ctr_plan
+        and "BatchEvalPython" not in ctr_plan
+        and "ArrowEvalPython" not in ctr_plan
+        and "CartesianProduct" not in ctr_plan
+        # the persisted classes²-bounded matrix feeds BOTH union
+        # branches — the corpus vote fold (its Generate) must appear
+        # exactly once, behind the cache
+        and "InMemoryTableScan" in ctr_plan
+        and len(re.findall(r"\(\d+\) Generate", ctr_plan)) <= 1
+    )
+    checks.append(("cell_transitions vote pairs, no cells-by-buckets spine",
+                   ctr_ok))
+    sections.append(
+        ("cell_transitions", f"  {'PASS' if ctr_ok else 'FAIL'} "
+         "space-time density Markov matrix", ctr_plan)
+    )
+    print(f"[{'OK' if ctr_ok else 'BAD'}] cell_transitions plan")
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:

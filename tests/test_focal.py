@@ -1657,3 +1657,77 @@ def test_colocation_quotient_exact(spark):
     assert set(got) == set(s)
     # en cluster at (5,5)/(5,6): en->en strongly colocated
     assert got[("en", "en")].clq_mil > 1_000_000
+
+
+def test_cross_moran_brute(spark):
+    """Bivariate Moran vs brute-force full-grid computation; NULL on
+    zero variance."""
+    import math
+
+    from rio_cogeo_spark.operators.focal import cross_moran
+
+    zoom = 3
+    n = 1 << zoom
+    xs = {(0, 0): 3, (0, 1): 2, (5, 5): 4}
+    ys = {(1, 0): 5, (0, 0): 1, (6, 6): 2}
+    cells = sorted(set(xs) | set(ys))
+    df = spark.createDataFrame(
+        [(x, y, xs.get((x, y), 0), ys.get((x, y), 0)) for x, y in cells],
+        "tile_x long, tile_y long, x_count long, y_count long",
+    )
+    r = cross_moran(df, zoom).collect()[0]
+    N = n * n
+    fx = {(a, b): xs.get((a, b), 0) for a in range(n) for b in range(n)}
+    fy = {(a, b): ys.get((a, b), 0) for a in range(n) for b in range(n)}
+    W = 4 * (n - 1) * (2 * n - 1)
+    Sx, Sy = sum(fx.values()), sum(fy.values())
+    Qx = sum(v * v for v in fx.values())
+    Qy = sum(v * v for v in fy.values())
+    C = B_x = B_y = 0
+    for (a, b) in fx:
+        nb = [
+            (a + dx, b + dy)
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            if (dx, dy) != (0, 0)
+            and 0 <= a + dx < n and 0 <= b + dy < n
+        ]
+        C += fx[(a, b)] * sum(fy[q] for q in nb)
+        B_x += fx[(a, b)] * len(nb)
+        B_y += fy[(a, b)] * len(nb)
+    assert (r.s_x, r.s_y, r.q_x, r.q_y) == (Sx, Sy, Qx, Qy)
+    assert (r.c_xy, r.b_x, r.b_y) == (C, B_x, B_y)
+    num = C * N * N - N * (Sx * B_y + Sy * B_x) + Sx * Sy * W
+    d1 = Qx * N - Sx * Sx
+    d2 = Qy * N - Sy * Sy
+    want = math.floor(num / (W * math.sqrt(d1 * d2)) * 1e6)
+    assert r.i_mil == want
+    # zero-variance side -> NULL
+    df0 = spark.createDataFrame(
+        [(0, 0, 1, 0), (1, 1, 2, 0)],
+        "tile_x long, tile_y long, x_count long, y_count long",
+    )
+    assert cross_moran(df0, zoom).collect()[0].i_mil is None
+
+
+def test_cell_transitions_markov(spark):
+    """Transition counts vs hand enumeration incl. the closed-form
+    empty->empty row."""
+    from rio_cogeo_spark.operators.focal import cell_transitions
+
+    h = 3600
+    rows = []
+    # cell A: bkt0 cnt1 (low), bkt1 cnt2 (mid) -> low->mid
+    rows += [(0, 0, 0)] + [(0, 0, h), (0, 0, h + 1)]
+    # cell B: bkt0 cnt4 (high), bkt2 cnt1 (low) ->
+    #   high->empty (p=0), empty->low (p=1)
+    rows += [(1, 1, i) for i in range(4)] + [(1, 1, 2 * h)]
+    df = spark.createDataFrame(rows, "tile_x long, tile_y long, ts_sec long")
+    got = {
+        (r.cls_from, r.cls_to): r.n_trans
+        for r in cell_transitions(df).collect()
+    }
+    # span buckets 0..2 -> 2 pair slots per cell, 2 cells = 4 pairs
+    assert got == {
+        ("low", "mid"): 1, ("mid", "empty"): 1,
+        ("high", "empty"): 1, ("empty", "low"): 1,
+    }
