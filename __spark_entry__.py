@@ -5020,6 +5020,46 @@ def _lang_spread_oracle() -> str:
     )
 
 
+def q_moran_quadrants(spark, sf_dir):
+    """Moran-scatterplot quadrant census (HH/HL/LH/LL) of the occupied
+    z8 cells — exact integer cross-product comparisons against the
+    full-grid means, zero-count quadrants kept via a 4-row spine; the
+    categorical companion of local_moran."""
+    from rio_cogeo_spark.operators.focal import moran_quadrants
+
+    return moran_quadrants(base_tiles(_pages(spark, sf_dir), ZOOM), ZOOM)
+
+
+def _moran_quadrants_oracle() -> str:
+    from rio_cogeo_spark.operators.focal import moran_quadrants_sql
+
+    inner = moran_quadrants_sql(
+        "SELECT tile_x, tile_y, page_count FROM base", ZOOM
+    ).split("WITH ", 1)[1]
+    return f"{_BASE_CTE},\n{inner}"
+
+
+def q_zoom_entropy(spark, sf_dir):
+    """Batty spatial-entropy profile across the pyramid: per zoom, the
+    pinned-term Shannon entropy of the cell-count distribution + the
+    uniform ceiling — how concentration changes with scale."""
+    from rio_cogeo_spark.operators.report import zoom_entropy
+
+    tiles, _ = _pyramid(spark, sf_dir)
+    return zoom_entropy(tiles)
+
+
+def _zoom_entropy_oracle() -> str:
+    from rio_cogeo_spark.operators.report import zoom_entropy_sql
+
+    levels = "\nUNION ALL\n".join(
+        _PYRAMID_LEVEL_SQL.format(z=ZOOM - j, d=2**j)
+        for j in range(0, LEVELS + 1)
+    )
+    inner = zoom_entropy_sql(levels).split("WITH ", 1)[1]
+    return f"{_BASE_CTE},\n{inner}"
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FINAL fifth-continuation rotation (ROUND5.md §113): the 12 most
     # twin-intricate new ops (footprint's nested polygonize unroll, idw,
@@ -5351,6 +5391,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_moran": q_cross_moran,
         "cell_transitions": q_cell_transitions,
         "lang_spread": q_lang_spread,
+        "moran_quadrants": q_moran_quadrants,
+        "zoom_entropy": q_zoom_entropy,
     }
 
 
@@ -6429,6 +6471,8 @@ FROM assigned GROUP BY 1, 2, 3""",
         "cross_moran": _cross_moran_oracle(),
         "cell_transitions": _cell_transitions_oracle(),
         "lang_spread": _lang_spread_oracle(),
+        "moran_quadrants": _moran_quadrants_oracle(),
+        "zoom_entropy": _zoom_entropy_oracle(),
     }
 
 

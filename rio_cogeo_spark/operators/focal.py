@@ -4914,3 +4914,146 @@ ct_e AS (SELECT 'empty' AS cls_from, 'empty' AS cls_to,
 SELECT cls_from, cls_to, n_trans FROM ct_m
 UNION ALL
 SELECT cls_from, cls_to, n_trans FROM ct_e WHERE n_trans > 0"""
+
+
+def moran_quadrants(
+    tiles: DataFrame,
+    zoom: int,
+    value_col: str = "page_count",
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+) -> DataFrame:
+    """Moran-scatterplot quadrant census over the OCCUPIED cells — the
+    categorical companion of :func:`local_moran`: each occupied cell
+    lands in HH / HL / LH / LL by comparing its value and its spatial
+    lag to the FULL-grid means with EXACT integer cross-products
+    (``xᵢ > x̄  ⟺  xᵢ·N > S``; ``lagᵢ > x̄·Wᵢ/…  ⟺  nbrsumᵢ·N >
+    S·Wᵢ`` — no division ever happens); absent cells are value 0 and
+    vote into their neighbors' lags but are not censused (they are LL
+    by construction, their count is ``4^zoom − n_occupied``).  One row
+    per quadrant ``(quadrant, n_cells, sum_x)``, zero-count quadrants
+    included via a 4-row spine.  FULLY exact.
+
+    Scale design: one ring-1 vote explode + vote fold, one
+    grid-bounded left join onto occupied cells, closed-form ``Wᵢ``,
+    one 1-row moment fold broadcast back, one 4-bounded census fold.
+    """
+    n_side = 2 ** zoom
+    n_grid = 4 ** zoom
+    d = "decimal(38,0)"
+    base = tiles.select(
+        F.col(x_col).cast("long").alias("tile_x"),
+        F.col(y_col).cast("long").alias("tile_y"),
+        F.col(value_col).cast("long").alias("_x"),
+    )
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            if (dx, dy) != (0, 0)]
+    votes = (
+        base.select(
+            "_x", "tile_x", "tile_y",
+            F.explode(F.array(*[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx, dy in offs
+            ])).alias("off"),
+        )
+        .select(
+            F.col("_x").alias("_v"),
+            (F.col("tile_x") + F.col("off.dx")).alias("vx"),
+            (F.col("tile_y") + F.col("off.dy")).alias("vy"),
+        )
+        .filter(
+            (F.col("vx") >= 0) & (F.col("vx") < n_side)
+            & (F.col("vy") >= 0) & (F.col("vy") < n_side)
+        )
+        .groupBy("vx", "vy")
+        .agg(F.sum(F.col("_v").cast(d)).alias("nbrsum"))
+    )
+    s_row = base.agg(F.sum(F.col("_x").cast(d)).alias("s"))
+    edge = F.lit(n_side - 1)
+    w_i = (
+        (F.lit(1) + F.least(F.col("tile_x"), F.lit(1))
+         + F.least(edge - F.col("tile_x"), F.lit(1)))
+        * (F.lit(1) + F.least(F.col("tile_y"), F.lit(1))
+           + F.least(edge - F.col("tile_y"), F.lit(1)))
+        - F.lit(1)
+    )
+    census = (
+        base.join(
+            votes,
+            (base.tile_x == votes.vx) & (base.tile_y == votes.vy),
+            "left",
+        )
+        .select(
+            "_x",
+            F.coalesce(F.col("nbrsum"), F.lit(0)).cast(d).alias("nbrsum"),
+            w_i.cast("long").alias("w_i"),
+        )
+        .crossJoin(F.broadcast(s_row))
+        .selectExpr(
+            "_x",
+            f"CONCAT(CASE WHEN CAST(_x AS {d}) * {n_grid} > s"
+            " THEN 'H' ELSE 'L' END,"
+            f" CASE WHEN nbrsum * {n_grid} > s * w_i"
+            " THEN 'H' ELSE 'L' END) AS quadrant",
+        )
+        .groupBy("quadrant")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.sum("_x").cast("long").alias("sum_x"),
+        )
+    )
+    spine = tiles.sparkSession.createDataFrame(
+        [("HH",), ("HL",), ("LH",), ("LL",)], "quadrant string"
+    )
+    return (
+        spine.join(F.broadcast(census), "quadrant", "left")
+        .selectExpr(
+            "quadrant",
+            "CAST(COALESCE(n_cells, 0) AS BIGINT) AS n_cells",
+            "CAST(COALESCE(sum_x, 0) AS BIGINT) AS sum_x",
+        )
+    )
+
+
+def moran_quadrants_sql(base_cte: str, zoom: int) -> str:
+    """DuckDB twin of :func:`moran_quadrants`."""
+    n_side = 2 ** zoom
+    n_grid = 4 ** zoom
+    offs = ", ".join(
+        f"({dx}, {dy})" for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        if (dx, dy) != (0, 0)
+    )
+    w_i = (
+        "((1 + LEAST(b.tile_x, 1) + LEAST({e} - b.tile_x, 1))"
+        " * (1 + LEAST(b.tile_y, 1) + LEAST({e} - b.tile_y, 1)) - 1)"
+    ).format(e=n_side - 1)
+    return f"""WITH mq_t AS ({base_cte}),
+mq_b AS (SELECT CAST(tile_x AS BIGINT) AS tile_x,
+                CAST(tile_y AS BIGINT) AS tile_y,
+                CAST(page_count AS BIGINT) AS _x
+         FROM mq_t),
+mq_v AS (SELECT b.tile_x + o.dx AS vx, b.tile_y + o.dy AS vy,
+                SUM(CAST(b._x AS HUGEINT)) AS nbrsum
+         FROM mq_b b, (VALUES {offs}) o(dx, dy)
+         WHERE b.tile_x + o.dx BETWEEN 0 AND {n_side - 1}
+           AND b.tile_y + o.dy BETWEEN 0 AND {n_side - 1}
+         GROUP BY 1, 2),
+mq_s AS (SELECT SUM(CAST(_x AS HUGEINT)) AS s FROM mq_b),
+mq_q AS (SELECT CONCAT(
+                CASE WHEN CAST(b._x AS HUGEINT) * {n_grid} > m.s
+                     THEN 'H' ELSE 'L' END,
+                CASE WHEN CAST(COALESCE(v.nbrsum, 0) AS HUGEINT)
+                          * {n_grid} > m.s * {w_i}
+                     THEN 'H' ELSE 'L' END) AS quadrant,
+                b._x
+         FROM mq_b b
+         LEFT JOIN mq_v v ON v.vx = b.tile_x AND v.vy = b.tile_y,
+         mq_s m),
+mq_c AS (SELECT quadrant, CAST(COUNT(*) AS BIGINT) AS n_cells,
+                CAST(SUM(_x) AS BIGINT) AS sum_x
+         FROM mq_q GROUP BY 1)
+SELECT s.quadrant,
+       CAST(COALESCE(c.n_cells, 0) AS BIGINT) AS n_cells,
+       CAST(COALESCE(c.sum_x, 0) AS BIGINT) AS sum_x
+FROM (VALUES ('HH'), ('HL'), ('LH'), ('LL')) s(quadrant)
+LEFT JOIN mq_c c ON c.quadrant = s.quadrant"""

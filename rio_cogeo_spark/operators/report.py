@@ -4132,3 +4132,72 @@ SELECT city,
        CAST(city_total AS BIGINT) AS city_total,
        CAST((cnt * 1000000) // city_total AS BIGINT) AS share_mil
 FROM cl_w WHERE rank <= {int(top_k)}"""
+
+
+def zoom_entropy(
+    tiles: DataFrame,
+    value_col: str = "page_count",
+) -> DataFrame:
+    """Batty's spatial entropy profile across the pyramid — per zoom
+    level, the Shannon entropy of the page-count distribution over its
+    occupied cells in per-term-pinned nano-nats (the
+    :func:`cell_diversity` convention), with the uniform ceiling
+    ``h_max_nano = floor(ln(n_cells)·10^9)``: how concentration
+    changes with scale — a flat profile means self-similar clustering,
+    a drop at coarse zooms means megacity dominance.  One row per
+    zoom ``(zoom, n_cells, total, h_nano, h_max_nano)``.
+
+    Scale design: the input is the (grid-bounded) pyramid tile table —
+    per-zoom totals via a window REUSING the per-zoom hash
+    partitioning of the term fold; no join, no corpus access.
+    """
+    w = Window.partitionBy("zoom")
+    return (
+        tiles.select(
+            F.col("zoom"),
+            F.col(value_col).cast("long").alias("cnt"),
+        )
+        .withColumn("total", F.sum("cnt").over(w))
+        .withColumn("n_cells", F.count(F.lit(1)).over(w))
+        .select(
+            "zoom", "total", "n_cells",
+            F.expr(
+                "cast(floor((cast(cnt as double) / cast(total as double))"
+                " * ln(cast(total as double) / cast(cnt as double))"
+                " * 1e9) as bigint)"
+            ).alias("contrib"),
+        )
+        .groupBy("zoom", "total", "n_cells")
+        .agg(F.sum("contrib").cast("long").alias("h_nano"))
+        .selectExpr(
+            "CAST(zoom AS INT) AS zoom",
+            "CAST(n_cells AS BIGINT) AS n_cells",
+            "CAST(total AS BIGINT) AS total",
+            "h_nano",
+            "CAST(floor(ln(CAST(n_cells AS DOUBLE)) * 1e9) AS BIGINT)"
+            " AS h_max_nano",
+        )
+    )
+
+
+def zoom_entropy_sql(tiles_cte: str) -> str:
+    """DuckDB twin of :func:`zoom_entropy` — ``tiles_cte`` exposes
+    ``(zoom, tile_x, tile_y, page_count)``."""
+    return f"""WITH ze_t AS ({tiles_cte}),
+ze_w AS (SELECT zoom, CAST(page_count AS BIGINT) AS cnt,
+                SUM(CAST(page_count AS BIGINT)) OVER (PARTITION BY zoom)
+                    AS total,
+                COUNT(*) OVER (PARTITION BY zoom) AS n_cells
+         FROM ze_t),
+ze_c AS (SELECT zoom, total, n_cells,
+                CAST(floor((CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+                     * ln(CAST(total AS DOUBLE) / CAST(cnt AS DOUBLE))
+                     * 1e9) AS BIGINT) AS contrib
+         FROM ze_w)
+SELECT CAST(zoom AS INT) AS zoom,
+       CAST(n_cells AS BIGINT) AS n_cells,
+       CAST(total AS BIGINT) AS total,
+       CAST(SUM(contrib) AS BIGINT) AS h_nano,
+       CAST(floor(ln(CAST(n_cells AS DOUBLE)) * 1e9) AS BIGINT)
+           AS h_max_nano
+FROM ze_c GROUP BY zoom, n_cells, total"""

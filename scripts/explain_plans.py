@@ -3315,6 +3315,50 @@ def main() -> None:
     )
     print(f"[{'OK' if ctr_ok else 'BAD'}] cell_transitions plan")
 
+    # 174. moran_quadrants: one vote explode + grid-bounded join, 1-row
+    # moment broadcast, 4-row spine — exact integer comparisons only
+    from rio_cogeo_spark.operators.focal import moran_quadrants
+
+    mq_plan = plan_of(moran_quadrants(cg_in, 6))
+    mq_ok = (
+        "BatchEvalPython" not in mq_plan
+        and "ArrowEvalPython" not in mq_plan
+        and "CartesianProduct" not in mq_plan
+        and len(re.findall(r"\(\d+\) Generate", mq_plan)) == 1
+        and "BroadcastNestedLoopJoin" in mq_plan
+    )
+    checks.append(("moran_quadrants vote explode + integer census",
+                   mq_ok))
+    sections.append(
+        ("moran_quadrants", f"  {'PASS' if mq_ok else 'FAIL'} "
+         "Moran scatter quadrant census", mq_plan)
+    )
+    print(f"[{'OK' if mq_ok else 'BAD'}] moran_quadrants plan")
+
+    # 175. zoom_entropy: per-zoom windows reuse one hash partitioning;
+    # no join, no explode, no Python — pure pyramid-table op
+    from rio_cogeo_spark.operators.report import zoom_entropy
+
+    ze_in = cg_in.selectExpr(
+        "CAST(tile_x % 3 + 6 AS INT) AS zoom", "tile_x", "tile_y",
+        "page_count",
+    )
+    ze_plan = plan_of(zoom_entropy(ze_in))
+    ze_ok = (
+        "Join" not in ze_plan
+        and "Generate" not in ze_plan
+        and "BatchEvalPython" not in ze_plan
+        and "ArrowEvalPython" not in ze_plan
+        and len(re.findall(r"\(\d+\) Window\b", ze_plan)) == 1
+    )
+    checks.append(("zoom_entropy single window pass over the pyramid",
+                   ze_ok))
+    sections.append(
+        ("zoom_entropy", f"  {'PASS' if ze_ok else 'FAIL'} "
+         "cross-scale concentration profile", ze_plan)
+    )
+    print(f"[{'OK' if ze_ok else 'BAD'}] zoom_entropy plan")
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:

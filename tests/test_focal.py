@@ -1731,3 +1731,35 @@ def test_cell_transitions_markov(spark):
         ("low", "mid"): 1, ("mid", "empty"): 1,
         ("high", "empty"): 1, ("empty", "low"): 1,
     }
+
+
+def test_moran_quadrants_census(spark):
+    """Quadrant membership vs exhaustive integer comparisons; spine
+    keeps zero-count quadrants."""
+    from rio_cogeo_spark.operators.focal import moran_quadrants
+
+    zoom = 3
+    n = 1 << zoom
+    cells = {(0, 0): 9, (0, 1): 8, (1, 0): 7, (7, 7): 1, (4, 4): 2}
+    df = spark.createDataFrame(
+        [(x, y, v) for (x, y), v in cells.items()],
+        "tile_x long, tile_y long, page_count long",
+    )
+    got = {r.quadrant: r for r in moran_quadrants(df, zoom).collect()}
+    N, S = n * n, sum(cells.values())
+    want = {"HH": [0, 0], "HL": [0, 0], "LH": [0, 0], "LL": [0, 0]}
+    for (x, y), v in cells.items():
+        nbr = [
+            (x + dx, y + dy)
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            if (dx, dy) != (0, 0)
+            and 0 <= x + dx < n and 0 <= y + dy < n
+        ]
+        nbrsum = sum(cells.get(q, 0) for q in nbr)
+        q = ("H" if v * N > S else "L") + (
+            "H" if nbrsum * N > S * len(nbr) else "L"
+        )
+        want[q][0] += 1
+        want[q][1] += v
+    assert {k: [r.n_cells, r.sum_x] for k, r in got.items()} == want
+    assert set(got) == {"HH", "HL", "LH", "LL"}

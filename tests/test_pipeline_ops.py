@@ -1825,3 +1825,30 @@ def test_city_langs_profile(spark):
     assert got[("beta", 1)].lang == "en"
     assert got[("beta", 1)].share_mil == 1_000_000
     assert len(got) == 3  # alpha top-2 + beta's single language
+
+
+def test_zoom_entropy_profile(spark):
+    """Pinned-term entropy per zoom; uniform distribution hits the
+    ceiling; concentrated distribution scores 0."""
+    import math
+
+    from rio_cogeo_spark.operators.report import zoom_entropy
+
+    tiles = spark.createDataFrame(
+        [(8, 0, 0, 4), (8, 1, 1, 4), (7, 0, 0, 8),
+         (6, 0, 0, 6), (6, 1, 1, 2)],
+        "zoom int, tile_x long, tile_y long, page_count long",
+    )
+    got = {r.zoom: r for r in zoom_entropy(tiles).collect()}
+    # z8: uniform over 2 cells -> h = ln(2) (two pinned half-terms)
+    half = math.floor(0.5 * math.log(2) * 1e9)
+    assert got[8].h_nano == 2 * half
+    assert got[8].h_max_nano == math.floor(math.log(2) * 1e9)
+    # z7: single cell -> zero entropy
+    assert got[7].h_nano == 0 and got[7].n_cells == 1
+    # z6: 6/8 + 2/8 split, exact pinned terms
+    want = (
+        math.floor((6 / 8) * math.log(8 / 6) * 1e9)
+        + math.floor((2 / 8) * math.log(8 / 2) * 1e9)
+    )
+    assert got[6].h_nano == want and got[6].total == 8
