@@ -3081,3 +3081,75 @@ def test_degree_assortativity_degenerate_null(spark):
     )
     got = degree_assortativity(edges).collect()[0]
     assert got["r_mil"] is None and got["m_edges"] == 3
+
+
+# --- streaming spatial frontier ---------------------------------------
+
+@pytest.mark.parametrize("files_per_trigger", [1, 4])
+def test_frontier_stream_equals_batch(spark, tmp_path, files_per_trigger):
+    """Streaming first-seen-per-cell == batch min(ts) fold at two
+    micro-batch sizes; min is commutative so arrival order is
+    irrelevant, and bucketed novelty derived from the final state
+    matches cell_novelty."""
+    from pyspark.sql import functions as F
+
+    from rio_cogeo_spark.operators.report import cell_novelty
+    from rio_cogeo_spark.streaming.events import run_stream_to_memory
+    from rio_cogeo_spark.streaming.frontier import (
+        frontier_batch,
+        frontier_stream,
+    )
+
+    h = 3600
+    rows = []
+    for i in range(90):
+        # 30 lat/lon sites, 3 epochs each, LATER epochs in EARLIER
+        # rows so processing order fights event order on purpose
+        site = i % 30
+        epoch = 2 - i // 30
+        rows.append(
+            (i, float(site % 10), float(site), epoch * h + site)
+        )
+    df = spark.createDataFrame(
+        rows, "doc_id long, lat double, lon double, ts_sec long"
+    )
+    src = str(tmp_path / f"frontier_{files_per_trigger}")
+    df.repartition(6).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(src)
+    )
+    name = f"frontier_{files_per_trigger}"
+    got = run_stream_to_memory(
+        frontier_stream(stream, 8), name, output_mode="update"
+    )
+    # final state = min emission per cell
+    final = (
+        got.groupBy("tile_x", "tile_y")
+        .agg(F.min("first_ts").alias("first_ts"))
+    )
+    streamed = {
+        (r.tile_x, r.tile_y): r.first_ts for r in final.collect()
+    }
+    batch = {
+        (r.tile_x, r.tile_y): r.first_ts
+        for r in frontier_batch(df, 8).collect()
+    }
+    assert streamed == batch and len(batch) > 0
+    # bucketed novelty from the streamed state == cell_novelty
+    nov_stream = {
+        (r.day, r.new_cells)
+        for r in final.selectExpr(
+            "tile_x", "tile_y", "first_ts AS ts_sec"
+        ).groupBy(F.expr(f"CAST(ts_sec AS BIGINT) div {h}").alias("day"))
+        .agg(F.count(F.lit(1)).alias("new_cells")).collect()
+    }
+    from rio_cogeo_spark.operators.translate import assign_tiles
+
+    pts = assign_tiles(df, 8).select("tile_x", "tile_y", "ts_sec")
+    nov_batch = {
+        (r.day, r.new_cells) for r in cell_novelty(pts).collect()
+    }
+    assert nov_stream == nov_batch
