@@ -5060,6 +5060,79 @@ def _zoom_entropy_oracle() -> str:
     return f"{_BASE_CTE},\n{inner}"
 
 
+def q_cell_median(spark, sf_dir):
+    """Exact per-CELL lower-median page length — the certified
+    group_median machinery (value-frequency fold + cumulative window,
+    never a corpus sort) keyed by the packed z8 cell id."""
+    from rio_cogeo_spark.operators.report import group_median
+
+    pts = assign_tiles(_pages(spark, sf_dir), ZOOM).select(
+        (F.col("tile_x") * (1 << ZOOM) + F.col("tile_y"))
+        .cast("long").alias("cell_id"),
+        "n_chars",
+    )
+    return group_median(pts, value_col="n_chars", group_col="cell_id")
+
+
+def _cell_median_oracle() -> str:
+    from rio_cogeo_spark.operators.report import group_median_sql
+
+    inner = group_median_sql(
+        "assigned", value_col="n_chars", group_col="cell_id"
+    ).strip()
+    assert inner.startswith("WITH ")
+    assigned = (
+        f"{_P}\n, assigned AS (SELECT"
+        f" CAST(({_TX8}) * {1 << ZOOM} + ({_TY8}) AS BIGINT) AS cell_id,"
+        " n_chars FROM pages)"
+    )
+    return f"{assigned},\n{inner[len('WITH '):]}"
+
+
+def q_moran_chars(spark, sf_dir):
+    """Moran's I of the TEXT-VOLUME surface (sum_chars band) — is
+    verbose content spatially clustered independently of page count?
+    Reuses the exact-integer morans_i machinery on the second band."""
+    from rio_cogeo_spark.operators import focal
+
+    return focal.morans_i(
+        base_tiles(_pages(spark, sf_dir), ZOOM), ZOOM,
+        value_col="sum_chars",
+    )
+
+
+def _moran_chars_oracle() -> str:
+    from rio_cogeo_spark.operators.focal import morans_i_sql
+
+    # morans_i_sql binds relation base(page_count); rebind the value
+    # column to the sum_chars band behind a renaming CTE
+    rebased = _BASE_CTE.replace(
+        "base AS (SELECT tile_x, tile_y, COUNT(*) AS page_count,",
+        "base0 AS (SELECT tile_x, tile_y, COUNT(*) AS page_count,",
+        1,
+    ) + (",\nbase AS (SELECT tile_x, tile_y,"
+         " sum_chars AS page_count FROM base0)")
+    return morans_i_sql(rebased, ZOOM)
+
+
+def q_compactness(spark, sf_dir):
+    """Isoperimetric compactness of the occupied z8 footprint — exact
+    perimeter (4N − 2·rook pairs, canonical-direction votes) + pinned
+    isoperimetric quotient; disc → 1e6, filaments → 0."""
+    from rio_cogeo_spark.operators.focal import compactness
+
+    return compactness(base_tiles(_pages(spark, sf_dir), ZOOM))
+
+
+def _compactness_oracle() -> str:
+    from rio_cogeo_spark.operators.focal import compactness_sql
+
+    inner = compactness_sql(
+        "SELECT tile_x, tile_y FROM base"
+    ).split("WITH ", 1)[1]
+    return f"{_BASE_CTE},\n{inner}"
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FINAL fifth-continuation rotation (ROUND5.md §113): the 12 most
     # twin-intricate new ops (footprint's nested polygonize unroll, idw,
@@ -5393,6 +5466,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_spread": q_lang_spread,
         "moran_quadrants": q_moran_quadrants,
         "zoom_entropy": q_zoom_entropy,
+        "cell_median": q_cell_median,
+        "moran_chars": q_moran_chars,
+        "compactness": q_compactness,
     }
 
 
@@ -6473,6 +6549,9 @@ FROM assigned GROUP BY 1, 2, 3""",
         "lang_spread": _lang_spread_oracle(),
         "moran_quadrants": _moran_quadrants_oracle(),
         "zoom_entropy": _zoom_entropy_oracle(),
+        "cell_median": _cell_median_oracle(),
+        "moran_chars": _moran_chars_oracle(),
+        "compactness": _compactness_oracle(),
     }
 
 

@@ -5057,3 +5057,87 @@ SELECT s.quadrant,
        CAST(COALESCE(c.sum_x, 0) AS BIGINT) AS sum_x
 FROM (VALUES ('HH'), ('HL'), ('LH'), ('LL')) s(quadrant)
 LEFT JOIN mq_c c ON c.quadrant = s.quadrant"""
+
+
+def compactness(
+    tiles: DataFrame,
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+) -> DataFrame:
+    """Shape compactness of the occupied footprint — perimeter, rook
+    adjacency count, and the isoperimetric quotient (1 for a disc,
+    → 0 for filaments/archipelagos): one row ``(n_cells, rook_pairs,
+    perimeter, iso_mil)`` with ``perimeter = 4·N − 2·E`` (each of the
+    ``E`` unordered rook-adjacent occupied pairs hides two side
+    units; grid-boundary sides face 'empty' and count), all EXACT
+    integers; ``iso_mil = floor(4π·N / P² · 10^6)`` is the ONE pinned
+    double (π the shared 17-digit literal, identical in both engines'
+    parsers).
+
+    Scale design: one canonical-direction rook-vote explode (2 offsets
+    — east and south, so each unordered pair is generated once), one
+    grid-bounded semi-join-free pair fold via the vote↔cell equi-join,
+    one 1-row combine.  No Python, nothing O(grid).
+    """
+    base = tiles.select(
+        F.col(x_col).cast("long").alias("tile_x"),
+        F.col(y_col).cast("long").alias("tile_y"),
+    )
+    votes = (
+        base.select(
+            "tile_x", "tile_y",
+            F.explode(F.array(
+                F.struct(F.lit(1).alias("dx"), F.lit(0).alias("dy")),
+                F.struct(F.lit(0).alias("dx"), F.lit(1).alias("dy")),
+            )).alias("off"),
+        )
+        .select(
+            (F.col("tile_x") + F.col("off.dx")).alias("vx"),
+            (F.col("tile_y") + F.col("off.dy")).alias("vy"),
+        )
+    )
+    nbr = base.select(
+        F.col("tile_x").alias("vx"), F.col("tile_y").alias("vy")
+    )
+    e_row = votes.join(nbr, ["vx", "vy"]).agg(
+        F.count(F.lit(1)).cast("long").alias("rook_pairs")
+    )
+    n_row = base.agg(F.count(F.lit(1)).cast("long").alias("n_cells"))
+    pi = "3.141592653589793"
+    return (
+        n_row.crossJoin(F.broadcast(e_row))
+        .selectExpr(
+            "CAST(n_cells AS BIGINT) AS n_cells",
+            "CAST(rook_pairs AS BIGINT) AS rook_pairs",
+            "CAST(4 * n_cells - 2 * rook_pairs AS BIGINT) AS perimeter",
+            "CASE WHEN n_cells = 0 THEN CAST(NULL AS BIGINT)"
+            f" ELSE CAST(floor(CAST(4 AS DOUBLE) * CAST({pi} AS DOUBLE)"
+            " * CAST(n_cells AS DOUBLE)"
+            " / (CAST(4 * n_cells - 2 * rook_pairs AS DOUBLE)"
+            "    * CAST(4 * n_cells - 2 * rook_pairs AS DOUBLE))"
+            " * CAST(1000000 AS DOUBLE)) AS BIGINT) END AS iso_mil",
+        )
+    )
+
+
+def compactness_sql(tiles_cte: str) -> str:
+    """DuckDB twin of :func:`compactness` (identical pinned tree)."""
+    pi = "3.141592653589793"
+    return f"""WITH cp_t AS ({tiles_cte}),
+cp_b AS (SELECT CAST(tile_x AS BIGINT) AS tile_x,
+                CAST(tile_y AS BIGINT) AS tile_y
+         FROM cp_t),
+cp_e AS (SELECT CAST(COUNT(*) AS BIGINT) AS rook_pairs
+         FROM cp_b b, (VALUES (1, 0), (0, 1)) o(dx, dy)
+         JOIN cp_b n
+           ON n.tile_x = b.tile_x + o.dx AND n.tile_y = b.tile_y + o.dy),
+cp_n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cells FROM cp_b)
+SELECT n_cells, rook_pairs,
+       CAST(4 * n_cells - 2 * rook_pairs AS BIGINT) AS perimeter,
+       CASE WHEN n_cells = 0 THEN CAST(NULL AS BIGINT)
+            ELSE CAST(FLOOR(CAST(4 AS DOUBLE) * CAST({pi} AS DOUBLE)
+                 * CAST(n_cells AS DOUBLE)
+                 / (CAST(4 * n_cells - 2 * rook_pairs AS DOUBLE)
+                    * CAST(4 * n_cells - 2 * rook_pairs AS DOUBLE))
+                 * CAST(1000000 AS DOUBLE)) AS BIGINT) END AS iso_mil
+FROM cp_n, cp_e"""

@@ -3359,6 +3359,26 @@ def main() -> None:
     )
     print(f"[{'OK' if ze_ok else 'BAD'}] zoom_entropy plan")
 
+    # 176. compactness: canonical-direction rook votes (each pair
+    # generated once), grid-bounded join, two 1-row folds — no Python
+    from rio_cogeo_spark.operators.focal import compactness
+
+    cp_plan = plan_of(compactness(kx_in.select("tile_x", "tile_y")))
+    cp_ok = (
+        "BatchEvalPython" not in cp_plan
+        and "ArrowEvalPython" not in cp_plan
+        and "CartesianProduct" not in cp_plan
+        and len(re.findall(r"\(\d+\) Generate", cp_plan)) == 1
+        and "BroadcastNestedLoopJoin" in cp_plan
+    )
+    checks.append(("compactness canonical rook votes + 1-row combine",
+                   cp_ok))
+    sections.append(
+        ("compactness", f"  {'PASS' if cp_ok else 'FAIL'} "
+         "isoperimetric footprint quotient", cp_plan)
+    )
+    print(f"[{'OK' if cp_ok else 'BAD'}] compactness plan")
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:

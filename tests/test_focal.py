@@ -1763,3 +1763,24 @@ def test_moran_quadrants_census(spark):
         want[q][1] += v
     assert {k: [r.n_cells, r.sum_x] for k, r in got.items()} == want
     assert set(got) == {"HH", "HL", "LH", "LL"}
+
+
+def test_compactness_shapes(spark):
+    """Perimeter and isoperimetric quotient: 2x2 block vs a 4-cell
+    diagonal filament."""
+    import math
+
+    from rio_cogeo_spark.operators.focal import compactness
+
+    def run(cells):
+        df = spark.createDataFrame(cells, "tile_x long, tile_y long")
+        return compactness(df).collect()[0]
+
+    # 2x2 block: 4 rook pairs -> perimeter 8
+    r = run([(0, 0), (0, 1), (1, 0), (1, 1)])
+    assert (r.n_cells, r.rook_pairs, r.perimeter) == (4, 4, 8)
+    assert r.iso_mil == math.floor(4 * math.pi * 4 / 64 * 1e6)
+    # diagonal filament: zero rook pairs -> perimeter 16
+    r = run([(0, 0), (1, 1), (2, 2), (3, 3)])
+    assert (r.rook_pairs, r.perimeter) == (0, 16)
+    assert r.iso_mil == math.floor(4 * math.pi * 4 / 256 * 1e6)
