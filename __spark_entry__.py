@@ -5133,6 +5133,54 @@ def _compactness_oracle() -> str:
     return f"{_BASE_CTE},\n{inner}"
 
 
+def q_diurnal(spark, sf_dir):
+    """Diurnal periodicity scan: per-cell EXACT chi-square of the
+    hour-of-day histogram vs uniform (absent hours closed-form, no
+    spine), top-50 by chi2 — crawl-scheduler artifacts and regional
+    office-hours."""
+    from rio_cogeo_spark.operators.focal import diurnal
+
+    pts = assign_tiles(_pages(spark, sf_dir), ZOOM).select(
+        "tile_x", "tile_y", "ts_sec"
+    )
+    return diurnal(pts)
+
+
+def _diurnal_oracle() -> str:
+    from rio_cogeo_spark.operators.focal import diurnal_sql
+
+    inner = diurnal_sql(
+        "SELECT tile_x, tile_y, ts_sec FROM assigned"
+    ).split("WITH ", 1)[1]
+    assigned = (
+        f"{_P}\n, assigned AS (SELECT {_TX8} AS tile_x, {_TY8} AS tile_y,"
+        " ts_sec FROM pages)"
+    )
+    return f"{assigned},\n{inner}"
+
+
+def q_gini_time(spark, sf_dir):
+    """Gini coefficient of TEMPORAL crawl concentration — the certified
+    exact-Lorenz machinery over per-15-min-bucket page counts (the
+    time-axis sibling of gini_cells)."""
+    from rio_cogeo_spark.operators.focal import gini_concentration
+
+    buckets = _pages(spark, sf_dir).groupBy(
+        F.expr("CAST(ts_sec AS LONG) div 900").alias("bkt")
+    ).agg(F.count(F.lit(1)).cast("long").alias("page_count"))
+    return gini_concentration(buckets)
+
+
+def _gini_time_oracle() -> str:
+    from rio_cogeo_spark.operators.focal import gini_concentration_sql
+
+    inner = gini_concentration_sql(
+        "SELECT CAST(COUNT(*) AS BIGINT) AS v FROM pages"
+        " GROUP BY CAST(ts_sec AS BIGINT) // 900"
+    ).split("WITH ", 1)[1]
+    return f"{_P},\n{inner}"
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FINAL fifth-continuation rotation (ROUND5.md §113): the 12 most
     # twin-intricate new ops (footprint's nested polygonize unroll, idw,
@@ -5469,6 +5517,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_median": q_cell_median,
         "moran_chars": q_moran_chars,
         "compactness": q_compactness,
+        "diurnal": q_diurnal,
+        "gini_time": q_gini_time,
     }
 
 
@@ -6552,6 +6602,8 @@ FROM assigned GROUP BY 1, 2, 3""",
         "cell_median": _cell_median_oracle(),
         "moran_chars": _moran_chars_oracle(),
         "compactness": _compactness_oracle(),
+        "diurnal": _diurnal_oracle(),
+        "gini_time": _gini_time_oracle(),
     }
 
 

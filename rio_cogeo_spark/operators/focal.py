@@ -5141,3 +5141,98 @@ SELECT n_cells, rook_pairs,
                     * CAST(4 * n_cells - 2 * rook_pairs AS DOUBLE))
                  * CAST(1000000 AS DOUBLE)) AS BIGINT) END AS iso_mil
 FROM cp_n, cp_e"""
+
+
+def diurnal(
+    pts: DataFrame,
+    top_k: int = 50,
+    min_pages: int = 8,
+    ts_col: str = "ts_sec",
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+) -> DataFrame:
+    """Diurnal periodicity scan — per cell, the EXACT chi-square
+    statistic of its hour-of-day activity histogram against the
+    uniform 24-hour profile (crawl-scheduler artifacts and regional
+    office-hours both light up here): with ``o_h`` the count at hour
+    ``h`` and ``T`` the cell total, the common-denominator form::
+
+        χ² = Σ_h (o_h·24 − T)² / (24·T·24)
+        chi2_mil = (Σ_observed (o_h·24 − T)² + (24 − n_hours)·T²)
+                   · 10^6  div  (576·T)
+
+    is FULLY exact — ABSENT hours contribute the closed-form ``T²``
+    term, so no 24-row spine is ever joined.  Cells with ≥
+    ``min_pages`` pages rank by ``(chi2_mil desc, tile_x, tile_y)``
+    and cut to ``top_k``; ``n_hours`` is the distinct active hours.
+
+    Scale design: one ``(cell, hour)`` corpus fold (map-side
+    combinable), one per-cell fold, distributed TakeOrdered.  No
+    join, no window, no Python.
+    """
+    if min_pages < 1:
+        raise ValueError(f"min_pages must be >= 1, got {min_pages}")
+    d = "decimal(38,0)"
+    ch = pts.groupBy(
+        F.col(x_col).cast("long").alias("tile_x"),
+        F.col(y_col).cast("long").alias("tile_y"),
+        ((F.col(ts_col).cast("long") / F.lit(3600)).cast("long") % 24)
+        .alias("hour"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    ch_t = ch.withColumn(
+        "t",
+        F.sum("o").over(Window.partitionBy("tile_x", "tile_y"))
+        .cast("long"),
+    )
+    dev = (F.col("o").cast(d) * 24 - F.col("t"))
+    per_cell = (
+        ch_t.groupBy("tile_x", "tile_y")
+        .agg(
+            F.first("t").alias("t"),
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.sum(dev * dev).alias("_obs"),
+        )
+    )
+    out = per_cell.filter(F.col("t") >= int(min_pages)).selectExpr(
+        "CAST(tile_x AS BIGINT) AS tile_x",
+        "CAST(tile_y AS BIGINT) AS tile_y",
+        "CAST(t AS BIGINT) AS n_pages",
+        "CAST(n_hours AS BIGINT) AS n_hours",
+        f"CAST(((_obs + (24 - n_hours) * CAST(t AS {d}) * t) * 1000000)"
+        f" div (576 * CAST(t AS {d})) AS BIGINT) AS chi2_mil",
+    )
+    return out.orderBy(
+        F.col("chi2_mil").desc(), F.col("tile_x").asc(),
+        F.col("tile_y").asc(),
+    ).limit(int(top_k))
+
+
+def diurnal_sql(
+    pts_cte: str, top_k: int = 50, min_pages: int = 8,
+    ts_col: str = "ts_sec",
+) -> str:
+    """DuckDB twin of :func:`diurnal` (int-div ``//``)."""
+    if min_pages < 1:
+        raise ValueError(f"min_pages must be >= 1, got {min_pages}")
+    return f"""WITH di_p AS ({pts_cte}),
+di_h AS (SELECT tile_x, tile_y,
+                (CAST({ts_col} AS BIGINT) // 3600) % 24 AS hour,
+                CAST(COUNT(*) AS BIGINT) AS o
+         FROM di_p GROUP BY 1, 2, 3),
+di_w AS (SELECT *, SUM(o) OVER (PARTITION BY tile_x, tile_y) AS t
+         FROM di_h),
+di_c AS (SELECT tile_x, tile_y,
+                CAST(MIN(t) AS BIGINT) AS t,
+                CAST(COUNT(*) AS BIGINT) AS n_hours,
+                SUM((CAST(o AS HUGEINT) * 24 - t)
+                  * (CAST(o AS HUGEINT) * 24 - t)) AS _obs
+         FROM di_w GROUP BY 1, 2)
+SELECT CAST(tile_x AS BIGINT) AS tile_x,
+       CAST(tile_y AS BIGINT) AS tile_y,
+       CAST(t AS BIGINT) AS n_pages,
+       n_hours,
+       CAST(((_obs + (24 - n_hours) * CAST(t AS HUGEINT) * t) * 1000000)
+            // (576 * CAST(t AS HUGEINT)) AS BIGINT) AS chi2_mil
+FROM di_c WHERE t >= {int(min_pages)}
+ORDER BY chi2_mil DESC, tile_x ASC, tile_y ASC
+LIMIT {int(top_k)}"""

@@ -3379,6 +3379,30 @@ def main() -> None:
     )
     print(f"[{'OK' if cp_ok else 'BAD'}] compactness plan")
 
+    # 177. diurnal: one (cell,hour) fold, per-cell window reusing its
+    # partitioning, TakeOrdered — no join, no spine, no Python
+    from rio_cogeo_spark.operators.focal import diurnal
+
+    di_in = kx_in.selectExpr(
+        "tile_x", "tile_y", "CAST(t_bucket * 3700 AS LONG) AS ts_sec"
+    )
+    di_plan = plan_of(diurnal(di_in, min_pages=1))
+    di_ok = (
+        "Join" not in di_plan
+        and "Generate" not in di_plan
+        and "BatchEvalPython" not in di_plan
+        and "ArrowEvalPython" not in di_plan
+        and "TakeOrderedAndProject" in di_plan
+        and len(re.findall(r"\(\d+\) Window\b", di_plan)) == 1
+    )
+    checks.append(("diurnal closed-form chi-square, no 24-row spine",
+                   di_ok))
+    sections.append(
+        ("diurnal", f"  {'PASS' if di_ok else 'FAIL'} "
+         "hour-of-day periodicity scan", di_plan)
+    )
+    print(f"[{'OK' if di_ok else 'BAD'}] diurnal plan")
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:

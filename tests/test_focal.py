@@ -1784,3 +1784,26 @@ def test_compactness_shapes(spark):
     r = run([(0, 0), (1, 1), (2, 2), (3, 3)])
     assert (r.rook_pairs, r.perimeter) == (0, 16)
     assert r.iso_mil == math.floor(4 * math.pi * 4 / 256 * 1e6)
+
+
+def test_diurnal_chi_square(spark):
+    """Exact chi-square vs hand arithmetic; absent hours closed-form;
+    uniform profile scores low, single-hour burst high."""
+    from rio_cogeo_spark.operators.focal import diurnal
+
+    rows = []
+    # cell (0,0): all 12 pages in one hour -> maximal chi2
+    rows += [(0, 0, 5 * 3600 + i) for i in range(12)]
+    # cell (1,1): 12 pages spread over 12 hours -> lower chi2
+    rows += [(1, 1, h * 3600) for h in range(12)]
+    df = spark.createDataFrame(rows, "tile_x long, tile_y long, ts_sec long")
+    got = {(r.tile_x, r.tile_y): r for r in diurnal(df, min_pages=8).collect()}
+
+    def chi2(obs, t):
+        num = sum((o * 24 - t) ** 2 for o in obs) + (24 - len(obs)) * t * t
+        return num * 1_000_000 // (576 * t)
+
+    assert got[(0, 0)].chi2_mil == chi2([12], 12)
+    assert got[(1, 1)].chi2_mil == chi2([1] * 12, 12)
+    assert got[(0, 0)].chi2_mil > got[(1, 1)].chi2_mil
+    assert (got[(0, 0)].n_hours, got[(1, 1)].n_hours) == (1, 12)
