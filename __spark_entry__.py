@@ -5260,7 +5260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # functions) and rarity_score (the LM quality family stays
     # in-window via lm_score) — both displaced queries r4-judge- and
     # check_oracle-certified, still covered at the tail.
-    return {
+    q = {
         "pagerank": q_pagerank,
         "footprint": q_footprint,
         "dedup_incremental": q_dedup_incremental,
@@ -5520,6 +5520,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diurnal": q_diurnal,
         "gini_time": q_gini_time,
     }
+    # EIGHTH-continuation rotation (ROUND5.md §139): the 12 most
+    # twin-intricate operators of this session move into the driver's
+    # first-50 certification window; the displaced veterans (all
+    # driver-certified in earlier rounds, all still covered by
+    # scripts/check_oracle.py at the tail) move to the end in order.
+    rotate_in = [
+        "correlogram", "theil_h", "clq", "cross_moran",
+        "cell_transitions", "j_function", "exposure", "dissimilarity",
+        "morisita", "sd_ellipse", "moran_quadrants", "diurnal",
+    ]
+    displace = [
+        "viewport", "crawl_plan", "bloom_prefilter", "boilerplate_cut",
+        "zonal_mode", "tile_density", "compact", "morton_range",
+        "dedup_keep_best", "hard_negatives", "snapshot_para_diff",
+        "ann_int8",
+    ]
+    incoming = iter(rotate_in)
+    order = []
+    for k in q:
+        if k in rotate_in:
+            continue
+        if k in displace:
+            order.append(next(incoming))
+        else:
+            order.append(k)
+    order.extend(displace)
+    assert next(incoming, None) is None and len(order) == len(q)
+    return {k: q[k] for k in order}
 
 
 def q_pyramid_crs84(spark, sf_dir):
