@@ -5181,6 +5181,82 @@ def _gini_time_oracle() -> str:
     return f"{_P},\n{inner}"
 
 
+_TOKYO = (35.6895, 139.6917)
+
+
+def q_geo_ann(spark, sf_dir):
+    """Spatially filtered ANN: exact cosine top-10 among embeddings
+    whose page geotag falls in the Tokyo ±0.6° box — the filter
+    prunes the candidate set BEFORE any distance math (the
+    cell-prefilter pattern of the north_star applied to vector
+    search); queries are the region's vec_id < 4 members."""
+    lat, lon = _TOKYO
+    region = _pages(spark, sf_dir).filter(
+        (F.col("lat") >= lat - 0.6) & (F.col("lat") <= lat + 0.6)
+        & (F.col("lon") >= lon - 0.6) & (F.col("lon") <= lon + 0.6)
+    ).select(F.col("doc_id").alias("vec_id"))
+    emb_r = _embeddings(spark, sf_dir).join(region, "vec_id").select(
+        "vec_id", "embedding"
+    )
+    queries = emb_r.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    return SIM.ann_bruteforce_topk(emb_r, queries, k=10)
+
+
+def _geo_ann_oracle() -> str:
+    lat, lon = _TOKYO
+    box = (
+        f"lat >= CAST({lat} AS DOUBLE) - CAST(0.6 AS DOUBLE)"
+        f" AND lat <= CAST({lat} AS DOUBLE) + CAST(0.6 AS DOUBLE)"
+        f" AND lon >= CAST({lon} AS DOUBLE) - CAST(0.6 AS DOUBLE)"
+        f" AND lon <= CAST({lon} AS DOUBLE) + CAST(0.6 AS DOUBLE)"
+    )
+    return f"""{_P}
+, region AS (SELECT doc_id AS vec_id FROM pages WHERE {box}),
+ge AS (SELECT e.vec_id,
+              list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v
+       FROM embeddings e JOIN region r ON r.vec_id = e.vec_id),
+gq AS (SELECT vec_id AS query_id, v FROM ge WHERE vec_id < 4),
+gd AS (SELECT q.query_id, a.vec_id,
+              {VEC.cosine_sql("a.v", "q.v")} AS cos
+       FROM ge a CROSS JOIN gq q WHERE a.vec_id <> q.query_id)
+SELECT query_id, vec_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, vec_id ASC) AS INT) AS rank,
+       cos
+FROM gd QUALIFY rank <= 10"""
+
+
+def q_cap_per_cell(spark, sf_dir):
+    """Geographic diversity cap — at most 3 pages per z8 cell, selected
+    by deterministic hash rank (balanced spatial sampling for training
+    data; a megacity's pages mustn't dominate a corpus draw). The
+    certified skew-safe two-phase cap_per_group machinery keyed by
+    cell."""
+    from rio_cogeo_spark.operators.sampling import cap_per_group
+
+    pts = assign_tiles(_pages(spark, sf_dir), ZOOM).select(
+        "doc_id", "tile_x", "tile_y"
+    )
+    return cap_per_group(pts, ["tile_x", "tile_y"], 3)
+
+
+def _cap_per_cell_oracle() -> str:
+    from rio_cogeo_spark.operators.sampling import cap_per_group_sql
+
+    inner = cap_per_group_sql(
+        "assigned", ["tile_x", "tile_y"], 3,
+        select="doc_id, tile_x, tile_y",
+    ).strip()
+    assigned = (
+        f"{_P}\n, assigned AS (SELECT doc_id, {_TX8} AS tile_x,"
+        f" {_TY8} AS tile_y FROM pages)"
+    )
+    return f"{assigned}\n{inner}"
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FINAL fifth-continuation rotation (ROUND5.md §113): the 12 most
     # twin-intricate new ops (footprint's nested polygonize unroll, idw,
@@ -5519,6 +5595,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compactness": q_compactness,
         "diurnal": q_diurnal,
         "gini_time": q_gini_time,
+        "geo_ann": q_geo_ann,
+        "cap_per_cell": q_cap_per_cell,
     }
     # EIGHTH-continuation rotation (ROUND5.md §139): the 12 most
     # twin-intricate operators of this session move into the driver's
@@ -6632,6 +6710,8 @@ FROM assigned GROUP BY 1, 2, 3""",
         "compactness": _compactness_oracle(),
         "diurnal": _diurnal_oracle(),
         "gini_time": _gini_time_oracle(),
+        "geo_ann": _geo_ann_oracle(),
+        "cap_per_cell": _cap_per_cell_oracle(),
     }
 
 

@@ -112,7 +112,13 @@ def main() -> None:
     from rio_cogeo_spark.operators.sampling import importance_weights
     from rio_cogeo_spark.functions.text import blockword_stats, gopher_gate
     from rio_cogeo_spark.operators.graph import crawl_frontier
-    from rio_cogeo_spark.operators.report import corpus_info, group_quantiles
+    from rio_cogeo_spark.operators.report import (
+        corpus_info,
+        dissimilarity_index,
+        exposure_index,
+        group_quantiles,
+        theil_h,
+    )
     from rio_cogeo_spark.streaming.quality import gate_rates_batch
 
     _GG = gopher_gate(F.col("text"))
@@ -375,6 +381,29 @@ def main() -> None:
             ).count(),
             "bloom_prefilter": lambda: bloom_prefilter(
                 corpus, bench_docs, n=3, m_bits=1 << 20, n_hashes=4
+            ).count(),
+            # eighth-session spatial-stats additions (ROUND5.md §140):
+            # cell keys derive deterministically from doc_id (the grid
+            # is fixed 256x256 while the corpus grows 100x — the
+            # corpus-fold term is what must stay linear; the pair/
+            # window terms are grid-bounded by design)
+            "dissimilarity": lambda: dissimilarity_index(
+                docs.selectExpr(
+                    "doc_id % 256 AS tile_x",
+                    "(doc_id * 7) % 256 AS tile_y", "lang",
+                )
+            ).count(),
+            "theil_h": lambda: theil_h(
+                docs.selectExpr(
+                    "doc_id % 256 AS tile_x",
+                    "(doc_id * 7) % 256 AS tile_y", "lang",
+                )
+            ).count(),
+            "exposure": lambda: exposure_index(
+                docs.selectExpr(
+                    "doc_id % 256 AS tile_x",
+                    "(doc_id * 7) % 256 AS tile_y", "lang",
+                )
             ).count(),
         }
 
