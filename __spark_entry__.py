@@ -5257,6 +5257,127 @@ def _cap_per_cell_oracle() -> str:
     return f"{assigned}\n{inner}"
 
 
+_MORAN_LANGS = ("en", "zh", "es", "de", "fr")
+
+
+def q_moran_by_lang(spark, sf_dir):
+    """Comparative clustering: Moran's I of each language's OWN density
+    surface (exact-integer machinery per branch, lang-bounded union of
+    one-row results) — which languages cluster hardest."""
+    from rio_cogeo_spark.operators import focal
+
+    pts = assign_tiles(_pages(spark, sf_dir), ZOOM)
+    parts = []
+    for lg in _MORAN_LANGS:
+        base = (
+            pts.filter(F.col("lang") == lg)
+            .groupBy("tile_x", "tile_y")
+            .agg(F.count(F.lit(1)).cast("long").alias("page_count"))
+        )
+        parts.append(
+            focal.morans_i(base, ZOOM).select(
+                F.lit(lg).alias("lang"), "s", "q", "c", "b", "i_mil"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _moran_by_lang_oracle() -> str:
+    from rio_cogeo_spark.operators.focal import morans_i_sql
+
+    branches = []
+    for lg in _MORAN_LANGS:
+        base_cte = (
+            f"{_P}\n, assigned AS (SELECT {_TX8} AS tile_x,"
+            f" {_TY8} AS tile_y FROM pages WHERE lang = '{lg}'),\n"
+            "base AS (SELECT tile_x, tile_y,"
+            " CAST(COUNT(*) AS BIGINT) AS page_count"
+            " FROM assigned GROUP BY 1, 2)"
+        )
+        branches.append(
+            f"SELECT '{lg}' AS lang, s, q, c, b, i_mil FROM ("
+            + morans_i_sql(base_cte, ZOOM) + ")"
+        )
+    return "\nUNION ALL\n".join(branches)
+
+
+def q_link_distance(spark, sf_dir):
+    """Geographic reach of the link graph: Chebyshev distance between
+    the two endpoints' MODAL cells for every host edge, folded to
+    exact power-of-two distance buckets — do sites link locally or
+    globally? Modal cells via one window on the hosts×cells-bounded
+    table, endpoints broadcast onto the edges."""
+    from pyspark.sql import Window as W
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    edges = spark.sql(_PR_EDGES)
+    pts = assign_tiles(_pages(spark, sf_dir), ZOOM).selectExpr(
+        "doc_id % 97 AS h", "tile_x", "tile_y"
+    )
+    counts = pts.groupBy("h", "tile_x", "tile_y").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = W.partitionBy("h").orderBy(
+        F.col("cnt").desc(), F.col("tile_x").asc(), F.col("tile_y").asc()
+    )
+    modal = (
+        counts.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("h", "tile_x", "tile_y")
+    )
+    ma = modal.selectExpr("h AS src", "tile_x AS ax", "tile_y AS ay")
+    mb = modal.selectExpr("h AS dst", "tile_x AS bx", "tile_y AS by")
+    return (
+        edges.join(F.broadcast(ma), "src")
+        .join(F.broadcast(mb), "dst")
+        .selectExpr(
+            "GREATEST(ABS(ax - bx), ABS(ay - by)) AS d"
+        )
+        .selectExpr(
+            "CASE WHEN d = 0 THEN 'same' WHEN d <= 2 THEN 'near'"
+            " WHEN d <= 8 THEN 'regional' WHEN d <= 32 THEN 'continental'"
+            " ELSE 'global' END AS bucket",
+            "d",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_edges"),
+            F.min("d").cast("long").alias("min_d"),
+            F.max("d").cast("long").alias("max_d"),
+        )
+    )
+
+
+def _link_distance_oracle() -> str:
+    return f"""{_P}
+, ld_e AS ({_PR_EDGES}),
+ld_p AS (SELECT doc_id % 97 AS h, {_TX8} AS tile_x, {_TY8} AS tile_y
+         FROM pages),
+ld_c AS (SELECT h, tile_x, tile_y, COUNT(*) AS cnt
+         FROM ld_p GROUP BY 1, 2, 3),
+ld_m AS (SELECT h, tile_x, tile_y FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY h
+                ORDER BY cnt DESC, tile_x ASC, tile_y ASC) AS _rk
+           FROM ld_c) WHERE _rk = 1),
+ld_d AS (SELECT GREATEST(ABS(a.tile_x - b.tile_x),
+                         ABS(a.tile_y - b.tile_y)) AS d
+         FROM ld_e e
+         JOIN ld_m a ON a.h = e.src
+         JOIN ld_m b ON b.h = e.dst)
+SELECT CASE WHEN d = 0 THEN 'same' WHEN d <= 2 THEN 'near'
+            WHEN d <= 8 THEN 'regional' WHEN d <= 32 THEN 'continental'
+            ELSE 'global' END AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(MIN(d) AS BIGINT) AS min_d,
+       CAST(MAX(d) AS BIGINT) AS max_d
+FROM ld_d GROUP BY 1"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FINAL fifth-continuation rotation (ROUND5.md §113): the 12 most
     # twin-intricate new ops (footprint's nested polygonize unroll, idw,
@@ -5597,6 +5718,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini_time": q_gini_time,
         "geo_ann": q_geo_ann,
         "cap_per_cell": q_cap_per_cell,
+        "moran_by_lang": q_moran_by_lang,
+        "link_distance": q_link_distance,
     }
     # EIGHTH-continuation rotation (ROUND5.md §139): the 12 most
     # twin-intricate operators of this session move into the driver's
@@ -6712,6 +6835,8 @@ FROM assigned GROUP BY 1, 2, 3""",
         "gini_time": _gini_time_oracle(),
         "geo_ann": _geo_ann_oracle(),
         "cap_per_cell": _cap_per_cell_oracle(),
+        "moran_by_lang": _moran_by_lang_oracle(),
+        "link_distance": _link_distance_oracle(),
     }
 
 
