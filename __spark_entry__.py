@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+from rio_cogeo_spark import grid
 from rio_cogeo_spark.functions import text as TX
 from rio_cogeo_spark.functions import vector as VEC
 from rio_cogeo_spark.functions.tile import tile_xy_sql
@@ -5378,6 +5379,66 @@ SELECT CASE WHEN d = 0 THEN 'same' WHEN d <= 2 THEN 'near'
 FROM ld_d GROUP BY 1"""
 
 
+def _city_cells() -> "list[tuple[str, int, int]]":
+    """Megacity centers as z8 cells — same grid.tile_index math the
+    engine's tile assignment uses, computed once on the driver."""
+    return [
+        (name, *grid.tile_index(lon, lat, ZOOM))
+        for _, name, lat, lon in MEGACITIES
+    ]
+
+
+def q_urban_gradient(spark, sf_dir):
+    """Core–periphery curve: exact page counts by Chebyshev cell
+    distance to the nearest megacity center — how fast crawl density
+    decays away from the cores; 20-center literal spine, nearest
+    reduction per DISTINCT cell."""
+    from rio_cogeo_spark.operators.report import urban_gradient
+
+    pts = assign_tiles(_pages(spark, sf_dir), ZOOM).select(
+        "tile_x", "tile_y"
+    )
+    return urban_gradient(pts, _city_cells())
+
+
+def _urban_gradient_oracle() -> str:
+    from rio_cogeo_spark.operators.report import urban_gradient_sql
+
+    inner = urban_gradient_sql(
+        "SELECT tile_x, tile_y FROM assigned", _city_cells()
+    ).split("WITH ", 1)[1]
+    assigned = (
+        f"{_P}\n, assigned AS (SELECT {_TX8} AS tile_x,"
+        f" {_TY8} AS tile_y FROM pages)"
+    )
+    return f"{assigned},\n{inner}"
+
+
+def q_city_catchment(spark, sf_dir):
+    """Chebyshev-Voronoi catchments: per megacity, the exact page and
+    cell counts of the region it is nearest to (min(struct(d, idx))
+    argmin — total and deterministic)."""
+    from rio_cogeo_spark.operators.report import city_catchment
+
+    pts = assign_tiles(_pages(spark, sf_dir), ZOOM).select(
+        "tile_x", "tile_y"
+    )
+    return city_catchment(pts, _city_cells())
+
+
+def _city_catchment_oracle() -> str:
+    from rio_cogeo_spark.operators.report import city_catchment_sql
+
+    inner = city_catchment_sql(
+        "SELECT tile_x, tile_y FROM assigned", _city_cells()
+    ).split("WITH ", 1)[1]
+    assigned = (
+        f"{_P}\n, assigned AS (SELECT {_TX8} AS tile_x,"
+        f" {_TY8} AS tile_y FROM pages)"
+    )
+    return f"{assigned},\n{inner}"
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FINAL fifth-continuation rotation (ROUND5.md §113): the 12 most
     # twin-intricate new ops (footprint's nested polygonize unroll, idw,
@@ -5720,6 +5781,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_cell": q_cap_per_cell,
         "moran_by_lang": q_moran_by_lang,
         "link_distance": q_link_distance,
+        "urban_gradient": q_urban_gradient,
+        "city_catchment": q_city_catchment,
     }
     # EIGHTH-continuation rotation (ROUND5.md §139): the 12 most
     # twin-intricate operators of this session move into the driver's
@@ -6837,6 +6900,8 @@ FROM assigned GROUP BY 1, 2, 3""",
         "cap_per_cell": _cap_per_cell_oracle(),
         "moran_by_lang": _moran_by_lang_oracle(),
         "link_distance": _link_distance_oracle(),
+        "urban_gradient": _urban_gradient_oracle(),
+        "city_catchment": _city_catchment_oracle(),
     }
 
 

@@ -4201,3 +4201,178 @@ SELECT CAST(zoom AS INT) AS zoom,
        CAST(floor(ln(CAST(n_cells AS DOUBLE)) * 1e9) AS BIGINT)
            AS h_max_nano
 FROM ze_c GROUP BY zoom, n_cells, total"""
+
+
+def urban_gradient(
+    pts: DataFrame,
+    city_cells: "list[tuple[str, int, int]]",
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+) -> DataFrame:
+    """Core–periphery density gradient — page counts by Chebyshev
+    cell distance to the NEAREST urban center (the urban-gradient
+    curve of the crawl: how fast does density decay away from the
+    megacities?): one row per observed distance ``(d, n_pages,
+    n_cells, share_mil)`` with ``share_mil`` the exact share of the
+    corpus at that distance.
+
+    ``city_cells`` is the driver-side ``(name, cx, cy)`` list (a few
+    tens of centers, computed once with the same ``grid.tile_index``
+    math the engine uses) — it broadcasts as a literal VALUES spine;
+    the nearest-center reduction is a ``min`` over that bounded spine
+    per DISTINCT CELL (never per page).  FULLY exact.
+
+    Scale design: corpus folds ONCE to occupied cells; the
+    cells×centers expansion is centers-bounded; one distance fold +
+    one 1-row total broadcast.  No Python, no corpus shuffle beyond
+    the cell fold.
+    """
+    if not city_cells:
+        raise ValueError("city_cells must be non-empty")
+    spark = pts.sparkSession
+    cities = spark.createDataFrame(
+        [(n, int(cx), int(cy)) for n, cx, cy in city_cells],
+        "city string, cx long, cy long",
+    )
+    cells = pts.groupBy(
+        F.col(x_col).cast("long").alias("tile_x"),
+        F.col(y_col).cast("long").alias("tile_y"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    near = (
+        cells.crossJoin(F.broadcast(cities))
+        .select(
+            "tile_x", "tile_y", "n",
+            F.greatest(
+                F.abs(F.col("tile_x") - F.col("cx")),
+                F.abs(F.col("tile_y") - F.col("cy")),
+            ).alias("dc"),
+        )
+        .groupBy("tile_x", "tile_y", "n")
+        .agg(F.min("dc").cast("long").alias("d"))
+    )
+    total = pts.agg(F.count(F.lit(1)).cast("long").alias("tot"))
+    return (
+        near.groupBy("d")
+        .agg(
+            F.sum("n").cast("long").alias("n_pages"),
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+        )
+        .crossJoin(F.broadcast(total))
+        .selectExpr(
+            "CAST(d AS BIGINT) AS d",
+            "n_pages", "n_cells",
+            "CAST((n_pages * 1000000) div tot AS BIGINT) AS share_mil",
+        )
+    )
+
+
+def urban_gradient_sql(
+    pts_cte: str, city_cells: "list[tuple[str, int, int]]"
+) -> str:
+    """DuckDB twin of :func:`urban_gradient` (int-div ``//``)."""
+    if not city_cells:
+        raise ValueError("city_cells must be non-empty")
+    vals = ", ".join(
+        f"('{n}', {int(cx)}, {int(cy)})" for n, cx, cy in city_cells
+    )
+    return f"""WITH ug_p AS ({pts_cte}),
+ug_c AS (SELECT tile_x, tile_y, CAST(COUNT(*) AS BIGINT) AS n
+         FROM ug_p GROUP BY 1, 2),
+ug_n AS (SELECT c.tile_x, c.tile_y, c.n,
+                CAST(MIN(GREATEST(ABS(c.tile_x - v.cx),
+                                  ABS(c.tile_y - v.cy))) AS BIGINT) AS d
+         FROM ug_c c, (VALUES {vals}) v(city, cx, cy)
+         GROUP BY 1, 2, 3),
+ug_t AS (SELECT CAST(COUNT(*) AS BIGINT) AS tot FROM ug_p)
+SELECT CAST(d AS BIGINT) AS d,
+       CAST(SUM(n) AS BIGINT) AS n_pages,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST((SUM(n) * 1000000) // t.tot AS BIGINT) AS share_mil
+FROM ug_n, ug_t t GROUP BY d, t.tot"""
+
+
+def city_catchment(
+    pts: DataFrame,
+    city_cells: "list[tuple[str, int, int]]",
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+) -> DataFrame:
+    """Voronoi-style catchments on the Chebyshev cell metric — per
+    urban center, the exact page/cell counts of the region for which
+    it is the NEAREST center (deterministic tie-break: smallest
+    distance, then first city in list order via its index).  One row
+    per city ``(city, n_pages, n_cells, share_mil)``; cities with an
+    empty catchment are omitted.
+
+    Same centers-bounded expansion as :func:`urban_gradient`; the
+    argmin picks ``min(struct(d, idx))`` — exact and total.
+    """
+    if not city_cells:
+        raise ValueError("city_cells must be non-empty")
+    spark = pts.sparkSession
+    cities = spark.createDataFrame(
+        [(i, n, int(cx), int(cy))
+         for i, (n, cx, cy) in enumerate(city_cells)],
+        "idx int, city string, cx long, cy long",
+    )
+    cells = pts.groupBy(
+        F.col(x_col).cast("long").alias("tile_x"),
+        F.col(y_col).cast("long").alias("tile_y"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    assigned = (
+        cells.crossJoin(F.broadcast(cities))
+        .select(
+            "tile_x", "tile_y", "n",
+            F.struct(
+                F.greatest(
+                    F.abs(F.col("tile_x") - F.col("cx")),
+                    F.abs(F.col("tile_y") - F.col("cy")),
+                ).alias("d"),
+                F.col("idx").alias("idx"),
+                F.col("city").alias("city"),
+            ).alias("s"),
+        )
+        .groupBy("tile_x", "tile_y", "n")
+        .agg(F.min("s").alias("m"))
+    )
+    total = pts.agg(F.count(F.lit(1)).cast("long").alias("tot"))
+    return (
+        assigned.groupBy(F.col("m.city").alias("city"))
+        .agg(
+            F.sum("n").cast("long").alias("n_pages"),
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+        )
+        .crossJoin(F.broadcast(total))
+        .selectExpr(
+            "city", "n_pages", "n_cells",
+            "CAST((n_pages * 1000000) div tot AS BIGINT) AS share_mil",
+        )
+    )
+
+
+def city_catchment_sql(
+    pts_cte: str, city_cells: "list[tuple[str, int, int]]"
+) -> str:
+    """DuckDB twin of :func:`city_catchment` (int-div ``//``)."""
+    if not city_cells:
+        raise ValueError("city_cells must be non-empty")
+    vals = ", ".join(
+        f"({i}, '{n}', {int(cx)}, {int(cy)})"
+        for i, (n, cx, cy) in enumerate(city_cells)
+    )
+    return f"""WITH cc_p AS ({pts_cte}),
+cc_c AS (SELECT tile_x, tile_y, CAST(COUNT(*) AS BIGINT) AS n
+         FROM cc_p GROUP BY 1, 2),
+cc_a AS (SELECT c.tile_x, c.tile_y, c.n,
+                MIN(STRUCT_PACK(
+                    d := CAST(GREATEST(ABS(c.tile_x - v.cx),
+                                       ABS(c.tile_y - v.cy)) AS BIGINT),
+                    idx := v.idx, city := v.city)) AS m
+         FROM cc_c c, (VALUES {vals}) v(idx, city, cx, cy)
+         GROUP BY 1, 2, 3),
+cc_t AS (SELECT CAST(COUNT(*) AS BIGINT) AS tot FROM cc_p)
+SELECT m.city AS city,
+       CAST(SUM(n) AS BIGINT) AS n_pages,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST((SUM(n) * 1000000) // t.tot AS BIGINT) AS share_mil
+FROM cc_a, cc_t t GROUP BY m.city, t.tot"""

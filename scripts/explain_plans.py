@@ -3403,6 +3403,29 @@ def main() -> None:
     )
     print(f"[{'OK' if di_ok else 'BAD'}] diurnal plan")
 
+    # 178. urban_gradient: centers-bounded literal spine broadcast onto
+    # DISTINCT cells (never per page); one distance fold — no Python
+    from rio_cogeo_spark.operators.report import urban_gradient
+
+    ug_plan = plan_of(urban_gradient(
+        kx_in.select("tile_x", "tile_y"),
+        [("a", 0, 0), ("b", 40, 40)],
+    ))
+    ug_ok = (
+        "SortMergeJoin" not in ug_plan
+        and "BatchEvalPython" not in ug_plan
+        and "ArrowEvalPython" not in ug_plan
+        and "BroadcastNestedLoopJoin" in ug_plan
+        and "partial" in ug_plan.lower()
+    )
+    checks.append(("urban_gradient centers spine on distinct cells",
+                   ug_ok))
+    sections.append(
+        ("urban_gradient", f"  {'PASS' if ug_ok else 'FAIL'} "
+         "core-periphery density curve", ug_plan)
+    )
+    print(f"[{'OK' if ug_ok else 'BAD'}] urban_gradient plan")
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:

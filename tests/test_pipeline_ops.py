@@ -1852,3 +1852,28 @@ def test_zoom_entropy_profile(spark):
         + math.floor((2 / 8) * math.log(8 / 2) * 1e9)
     )
     assert got[6].h_nano == want and got[6].total == 8
+
+
+def test_urban_gradient_and_catchment(spark):
+    """Exact distance histogram and Voronoi catchments on a toy
+    two-center layout; struct argmin tie-break."""
+    from rio_cogeo_spark.operators.report import (
+        city_catchment,
+        urban_gradient,
+    )
+
+    centers = [("a", 0, 0), ("b", 10, 0)]
+    # pages: 2 at center a, 1 at (1,1) [d=1 from a], 1 at (5,0)
+    # [d=5 from both -> tie goes to a (idx 0)], 1 at (9,0) [d=1 from b]
+    pts = spark.createDataFrame(
+        [(0, 0), (0, 0), (1, 1), (5, 0), (9, 0)],
+        "tile_x long, tile_y long",
+    )
+    g = {r.d: r for r in urban_gradient(pts, centers).collect()}
+    assert {d: (r.n_pages, r.n_cells) for d, r in g.items()} == {
+        0: (2, 1), 1: (2, 2), 5: (1, 1),
+    }
+    assert g[0].share_mil == 2 * 1_000_000 // 5
+    c = {r.city: r for r in city_catchment(pts, centers).collect()}
+    assert (c["a"].n_pages, c["a"].n_cells) == (4, 3)  # tie -> a
+    assert (c["b"].n_pages, c["b"].n_cells) == (1, 1)
