@@ -5439,6 +5439,41 @@ def _city_catchment_oracle() -> str:
     return f"{assigned},\n{inner}"
 
 
+def q_zonal_trend(spark, sf_dir):
+    """Per-admin-area crawl trend: the PIP broadcast join assigns
+    pages to areas, then the exact Mann-Kendall S machinery (keyed by
+    area instead of cell) ranks areas by |trend| over 15-min buckets
+    — the zonal × space-time fusion query."""
+    from rio_cogeo_spark.operators.focal import emerging_hotspots
+
+    hits = J.point_in_polygon(
+        _pages(spark, sf_dir), J.build_admin_areas()
+    ).selectExpr(
+        # admin ids are 'A000'-style; the numeric suffix keys the trend
+        "CAST(SUBSTR(admin_id, 2) AS LONG) AS tile_x",
+        "CAST(0 AS LONG) AS tile_y",
+        "ts_sec",
+    )
+    out = emerging_hotspots(hits, bucket_sec=900)
+    return out.selectExpr(
+        "tile_x AS admin_num", "n_buckets", "s_stat", "trend"
+    )
+
+
+def _zonal_trend_oracle() -> str:
+    from rio_cogeo_spark.operators.focal import emerging_hotspots_sql
+
+    inner = emerging_hotspots_sql(
+        "SELECT CAST(SUBSTR(a.admin_id, 2) AS BIGINT) AS tile_x,"
+        " CAST(0 AS BIGINT) AS tile_y, p.ts_sec"
+        f" FROM pages p JOIN admin a ON {_PIP_COND}",
+        bucket_sec=900,
+    )
+    return (f"{_P}{_ADMIN_CTE}\n"
+            "SELECT tile_x AS admin_num, n_buckets, s_stat, trend"
+            f" FROM ({inner})")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FINAL fifth-continuation rotation (ROUND5.md §113): the 12 most
     # twin-intricate new ops (footprint's nested polygonize unroll, idw,
@@ -5783,6 +5818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_distance": q_link_distance,
         "urban_gradient": q_urban_gradient,
         "city_catchment": q_city_catchment,
+        "zonal_trend": q_zonal_trend,
     }
     # EIGHTH-continuation rotation (ROUND5.md §139): the 12 most
     # twin-intricate operators of this session move into the driver's
@@ -6902,6 +6938,7 @@ FROM assigned GROUP BY 1, 2, 3""",
         "link_distance": _link_distance_oracle(),
         "urban_gradient": _urban_gradient_oracle(),
         "city_catchment": _city_catchment_oracle(),
+        "zonal_trend": _zonal_trend_oracle(),
     }
 
 
