@@ -5474,6 +5474,63 @@ def _zonal_trend_oracle() -> str:
             f" FROM ({inner})")
 
 
+def q_flow_dir(spark, sf_dir):
+    """D8 flow-direction census of the z8 density surface — the
+    hydrology member of the gdaldem family: per compass direction the
+    count of cells whose steepest descent points there, plus sinks;
+    exact integer drops, E→NE priority tie-break."""
+    from rio_cogeo_spark.operators.focal import flow_dir
+
+    return flow_dir(base_tiles(_pages(spark, sf_dir), ZOOM), ZOOM)
+
+
+def _flow_dir_oracle() -> str:
+    from rio_cogeo_spark.operators.focal import flow_dir_sql
+
+    inner = flow_dir_sql(
+        "SELECT tile_x, tile_y, page_count FROM base", ZOOM
+    ).split("WITH ", 1)[1]
+    return f"{_BASE_CTE},\n{inner}"
+
+
+def q_quality_geo(spark, sf_dir):
+    """Per-admin-area Gopher-gate pass rate: the six-rule quality mask
+    joined through the PIP broadcast assignment — exact pass counts
+    and rate mil per area (where does low-quality text concentrate
+    geographically?)."""
+    from rio_cogeo_spark.functions.text import gopher_gate
+
+    gg = gopher_gate(F.col("text"))
+    hits = J.point_in_polygon(
+        _pages(spark, sf_dir), J.build_admin_areas()
+    ).select(
+        "admin_id",
+        (gg["gopher_mask"] == 0).cast("long").alias("ok"),
+    )
+    return hits.groupBy("admin_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pages"),
+        F.sum("ok").cast("long").alias("n_pass"),
+    ).selectExpr(
+        "admin_id", "n_pages", "n_pass",
+        "CAST((n_pass * 1000000) div n_pages AS BIGINT) AS pass_mil",
+    )
+
+
+def _quality_geo_oracle() -> str:
+    from rio_cogeo_spark.functions.text import gopher_gate_sql
+
+    gp = gopher_gate_sql()["gopher_pass"]
+    return f"""{_P}{_ADMIN_CTE}
+, qg AS (SELECT a.admin_id,
+                CASE WHEN {gp} THEN 1 ELSE 0 END AS ok
+         FROM pages p JOIN admin a ON {_PIP_COND})
+SELECT admin_id,
+       CAST(COUNT(*) AS BIGINT) AS n_pages,
+       CAST(SUM(ok) AS BIGINT) AS n_pass,
+       CAST((SUM(ok) * 1000000) // COUNT(*) AS BIGINT) AS pass_mil
+FROM qg GROUP BY 1"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FINAL fifth-continuation rotation (ROUND5.md §113): the 12 most
     # twin-intricate new ops (footprint's nested polygonize unroll, idw,
@@ -5819,6 +5876,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "urban_gradient": q_urban_gradient,
         "city_catchment": q_city_catchment,
         "zonal_trend": q_zonal_trend,
+        "flow_dir": q_flow_dir,
+        "quality_geo": q_quality_geo,
     }
     # EIGHTH-continuation rotation (ROUND5.md §139): the 12 most
     # twin-intricate operators of this session move into the driver's
@@ -6939,6 +6998,8 @@ FROM assigned GROUP BY 1, 2, 3""",
         "urban_gradient": _urban_gradient_oracle(),
         "city_catchment": _city_catchment_oracle(),
         "zonal_trend": _zonal_trend_oracle(),
+        "flow_dir": _flow_dir_oracle(),
+        "quality_geo": _quality_geo_oracle(),
     }
 
 

@@ -5236,3 +5236,213 @@ SELECT CAST(tile_x AS BIGINT) AS tile_x,
 FROM di_c WHERE t >= {int(min_pages)}
 ORDER BY chi2_mil DESC, tile_x ASC, tile_y ASC
 LIMIT {int(top_k)}"""
+
+
+# D8 direction table: (idx, dx, dy, compass) in fixed priority order —
+# the deterministic tie-break is the idx (E, SE, S, SW, W, NW, N, NE).
+_D8 = [
+    (0, 1, 0, "E"), (1, 1, 1, "SE"), (2, 0, 1, "S"), (3, -1, 1, "SW"),
+    (4, -1, 0, "W"), (5, -1, -1, "NW"), (6, 0, -1, "N"), (7, 1, -1, "NE"),
+]
+
+
+def flow_dir(
+    tiles: DataFrame,
+    zoom: int,
+    value_col: str = "page_count",
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+) -> DataFrame:
+    """D8 flow-direction census over the density surface (the
+    hydrology member of the gdaldem family: where does mass 'drain'?):
+    each OCCUPIED cell points at the steepest-DESCENT neighbor among
+    its 8 (absent neighbors are value 0 — always a candidate descent;
+    grid-boundary neighbors do not exist and never receive flow);
+    cells with no strictly lower neighbor are SINKS (local minima /
+    plateau floors).  One row per direction ``(dir, n_cells,
+    sum_drop)`` plus the ``sink`` row, FULLY exact — drops are integer
+    differences, the argmax is ``min(struct(-drop, idx))`` with the
+    fixed E→NE priority tie-break.
+
+    Scale design: one 8-offset vote explode of the occupied values,
+    one grid-bounded left join back onto the cells (vote rows carry
+    the NEIGHBOR's value to the center), one argmax fold, one
+    9-bounded census fold.  No Python, nothing O(grid).
+    """
+    n_side = 2 ** zoom
+    base = tiles.select(
+        F.col(x_col).cast("long").alias("tile_x"),
+        F.col(y_col).cast("long").alias("tile_y"),
+        F.col(value_col).cast("long").alias("_v"),
+    )
+    votes = (
+        base.select(
+            F.col("_v").alias("nv"), "tile_x", "tile_y",
+            F.explode(F.array(*[
+                F.struct(F.lit(i).alias("idx"), F.lit(dx).alias("dx"),
+                         F.lit(dy).alias("dy"), F.lit(c).alias("dir"))
+                for i, dx, dy, c in _D8
+            ])).alias("off"),
+        )
+        .select(
+            "nv",
+            # vote lands at the neighbor ON THE OPPOSITE SIDE: the
+            # receiving center sees this cell as its (idx) neighbor
+            (F.col("tile_x") - F.col("off.dx")).alias("cx"),
+            (F.col("tile_y") - F.col("off.dy")).alias("cy"),
+            F.col("off.idx").alias("idx"),
+            F.col("off.dir").alias("dir"),
+        )
+        .filter(
+            (F.col("cx") >= 0) & (F.col("cx") < n_side)
+            & (F.col("cy") >= 0) & (F.col("cy") < n_side)
+        )
+    )
+    joined = base.join(
+        votes,
+        (base.tile_x == votes.cx) & (base.tile_y == votes.cy),
+        "left",
+    ).select(
+        "tile_x", "tile_y", "_v",
+        F.coalesce(F.col("nv"), F.lit(None)).alias("nv"),
+        "idx", "dir",
+    )
+    # candidate drops: occupied neighbor -> v - nv; the 8 - join-hits
+    # absent IN-GRID neighbors all have value 0 (drop = v), which wins
+    # over any occupied neighbor with nv > 0 — represent that best
+    # absent drop per cell in closed form: it exists iff the cell has
+    # any in-grid absent neighbor, i.e. join hits < in-bounds count
+    edge = F.lit(n_side - 1)
+    w_i = (
+        (F.lit(1) + F.least(F.col("tile_x"), F.lit(1))
+         + F.least(edge - F.col("tile_x"), F.lit(1)))
+        * (F.lit(1) + F.least(F.col("tile_y"), F.lit(1))
+           + F.least(edge - F.col("tile_y"), F.lit(1)))
+        - F.lit(1)
+    )
+    per_cell = (
+        joined.groupBy("tile_x", "tile_y", "_v")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("nv").isNotNull() & (F.col("nv") < F.col("_v")),
+                    F.struct(
+                        (F.col("nv") - F.col("_v")).alias("neg_drop"),
+                        F.col("idx").alias("idx"),
+                        F.col("dir").alias("dir"),
+                    ),
+                )
+            ).alias("occ_best"),
+            F.sum(F.when(F.col("nv").isNotNull(), 1).otherwise(0))
+            .alias("hits"),
+        )
+        .withColumn("w_i", w_i.cast("long"))
+    )
+    # absent neighbors exist iff hits < w_i, but the per-direction idx
+    # of absent slots is unknown from the left join (unmatched votes
+    # vanish) — recover it: vote rows exist ONLY for occupied
+    # neighbors, so absent directions are the complement; the minimal
+    # absent idx needs a second tiny pass ONLY for cells where the
+    # absent drop (= _v) actually wins (occ_best is NULL or
+    # -occ_best.neg_drop < _v). For those cells enumerate the 8
+    # offsets again and anti-join the occupied neighbors.
+    need = per_cell.filter(
+        (F.col("hits") < F.col("w_i"))
+        & (
+            F.col("occ_best").isNull()
+            | (-F.col("occ_best.neg_drop") < F.col("_v"))
+        )
+        & (F.col("_v") > 0)
+    ).select("tile_x", "tile_y", "_v")
+    cand = (
+        need.select(
+            "tile_x", "tile_y",
+            F.explode(F.array(*[
+                F.struct(F.lit(i).alias("idx"), F.lit(dx).alias("dx"),
+                         F.lit(dy).alias("dy"), F.lit(c).alias("dir"))
+                for i, dx, dy, c in _D8
+            ])).alias("off"),
+        )
+        .select(
+            "tile_x", "tile_y",
+            (F.col("tile_x") + F.col("off.dx")).alias("nx"),
+            (F.col("tile_y") + F.col("off.dy")).alias("ny"),
+            F.col("off.idx").alias("idx"),
+            F.col("off.dir").alias("dir"),
+        )
+        .filter(
+            (F.col("nx") >= 0) & (F.col("nx") < n_side)
+            & (F.col("ny") >= 0) & (F.col("ny") < n_side)
+        )
+    )
+    occ = base.select(
+        F.col("tile_x").alias("nx"), F.col("tile_y").alias("ny")
+    )
+    absent_best = (
+        cand.join(occ, ["nx", "ny"], "left_anti")
+        .groupBy("tile_x", "tile_y")
+        .agg(
+            F.min(F.struct(F.col("idx"), F.col("dir"))).alias("ab")
+        )
+    )
+    final = (
+        per_cell.join(absent_best, ["tile_x", "tile_y"], "left")
+        .selectExpr(
+            "_v",
+            "CASE"
+            " WHEN ab IS NOT NULL AND (occ_best IS NULL"
+            "      OR -occ_best.neg_drop < _v) THEN ab.dir"
+            " WHEN occ_best IS NOT NULL THEN occ_best.dir"
+            " ELSE 'sink' END AS dir",
+            "CASE"
+            " WHEN ab IS NOT NULL AND (occ_best IS NULL"
+            "      OR -occ_best.neg_drop < _v) THEN _v"
+            " WHEN occ_best IS NOT NULL THEN -occ_best.neg_drop"
+            " ELSE 0 END AS drop",
+        )
+        .groupBy("dir")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.sum("drop").cast("long").alias("sum_drop"),
+        )
+    )
+    return final.selectExpr(
+        "dir", "n_cells", "CAST(sum_drop AS BIGINT) AS sum_drop"
+    )
+
+
+def flow_dir_sql(base_cte: str, zoom: int) -> str:
+    """DuckDB twin of :func:`flow_dir` — direct 8-offset candidate
+    enumeration per occupied cell (same values; the vote/anti-join
+    split is a Spark plan choice, not semantics)."""
+    n_side = 2 ** zoom
+    vals = ", ".join(
+        f"({i}, {dx}, {dy}, '{c}')" for i, dx, dy, c in _D8
+    )
+    return f"""WITH fd_t AS ({base_cte}),
+fd_b AS (SELECT CAST(tile_x AS BIGINT) AS tile_x,
+                CAST(tile_y AS BIGINT) AS tile_y,
+                CAST(page_count AS BIGINT) AS _v
+         FROM fd_t WHERE page_count > 0),
+fd_c AS (SELECT b.tile_x, b.tile_y, b._v, o.idx, o.dir,
+                COALESCE(n._v, 0) AS nv
+         FROM fd_b b
+         JOIN (VALUES {vals}) o(idx, dx, dy, dir)
+           ON b.tile_x + o.dx BETWEEN 0 AND {n_side - 1}
+          AND b.tile_y + o.dy BETWEEN 0 AND {n_side - 1}
+         LEFT JOIN fd_b n
+           ON n.tile_x = b.tile_x + o.dx
+          AND n.tile_y = b.tile_y + o.dy),
+fd_m AS (SELECT tile_x, tile_y, _v,
+                MIN(CASE WHEN nv < _v THEN
+                    STRUCT_PACK(neg_drop := nv - _v, idx := idx,
+                                dir := dir) END) AS best
+         FROM fd_c GROUP BY 1, 2, 3),
+fd_d AS (SELECT CASE WHEN best IS NULL THEN 'sink' ELSE best.dir END
+                    AS dir,
+                CASE WHEN best IS NULL THEN 0
+                     ELSE -best.neg_drop END AS drop
+         FROM fd_m)
+SELECT dir, CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(drop) AS BIGINT) AS sum_drop
+FROM fd_d GROUP BY 1"""

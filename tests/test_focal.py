@@ -1807,3 +1807,35 @@ def test_diurnal_chi_square(spark):
     assert got[(1, 1)].chi2_mil == chi2([1] * 12, 12)
     assert got[(0, 0)].chi2_mil > got[(1, 1)].chi2_mil
     assert (got[(0, 0)].n_hours, got[(1, 1)].n_hours) == (1, 12)
+
+
+def test_flow_dir_census(spark):
+    """D8 steepest descent vs exhaustive enumeration; absent neighbors
+    are value 0; E->NE priority tie-break; sinks."""
+    from rio_cogeo_spark.operators.focal import _D8, flow_dir
+
+    zoom = 3
+    n = 1 << zoom
+    cells = {(1, 1): 9, (2, 1): 5, (1, 2): 5, (4, 4): 1, (0, 0): 2}
+    df = spark.createDataFrame(
+        [(x, y, v) for (x, y), v in cells.items()],
+        "tile_x long, tile_y long, page_count long",
+    )
+    want = {}
+    for (x, y), v in cells.items():
+        best = None
+        for i, dx, dy, c in _D8:
+            qx, qy = x + dx, y + dy
+            if not (0 <= qx < n and 0 <= qy < n):
+                continue
+            nv = cells.get((qx, qy), 0)
+            if nv < v and (best is None or (nv - v, i) < best[:2]):
+                best = (nv - v, i, c)
+        key = "sink" if best is None else best[2]
+        drop = 0 if best is None else -best[0]
+        wc, ws = want.get(key, (0, 0))
+        want[key] = (wc + 1, ws + drop)
+    got = {
+        r.dir: (r.n_cells, r.sum_drop) for r in flow_dir(df, zoom).collect()
+    }
+    assert got == want
