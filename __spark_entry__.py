@@ -5531,6 +5531,69 @@ SELECT admin_id,
 FROM qg GROUP BY 1"""
 
 
+def q_geo_corpus(spark, sf_dir):
+    """SECOND flagship composition — the geographically balanced
+    training corpus: exact dedup (keep-first) → Gopher quality gate →
+    per-cell diversity cap (≤3 pages/cell by hash rank) →
+    deterministic train/val/test split, reported per (split, lang)
+    with exact doc/cell/char counts. Every stage is an
+    already-certified operator; the value here is the ONE fused plan
+    (dedup window → codegen gate → two-phase cap → hash split → one
+    fold) with no intermediate materialization."""
+    from rio_cogeo_spark.functions.text import gopher_gate
+    from rio_cogeo_spark.operators.sampling import cap_per_group, split_assign
+
+    pages = _pages(spark, sf_dir)
+    dd = DD.exact_dedup(pages)
+    gg = gopher_gate(F.col("text"))
+    clean = dd.filter(gg["gopher_mask"] == 0)
+    tiled = assign_tiles(clean, ZOOM)
+    capped = cap_per_group(tiled, ["tile_x", "tile_y"], 3)
+    split = split_assign(capped)
+    return (
+        split.groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("tile_x", "tile_y").cast("long")
+            .alias("n_cells"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+
+
+def _geo_corpus_oracle() -> str:
+    from rio_cogeo_spark.operators.sampling import (
+        cap_per_group_sql,
+        split_assign_sql,
+    )
+
+    from rio_cogeo_spark.functions.text import gopher_gate_sql
+
+    fp = TX.FINGERPRINT_SQL
+    gp = gopher_gate_sql()["gopher_pass"]
+    cap = cap_per_group_sql(
+        "gc_t", ["tile_x", "tile_y"], 3,
+        select="doc_id, lang, n_chars, tile_x, tile_y",
+    ).strip()
+    return f"""{_P}
+, gc_d AS (SELECT * FROM (
+    SELECT p.*, ROW_NUMBER() OVER (PARTITION BY {fp}
+                                   ORDER BY doc_id) AS _dr
+    FROM pages p) WHERE _dr = 1),
+gc_g AS (SELECT * FROM gc_d
+         WHERE {gp}),
+gc_t AS (SELECT doc_id, lang, n_chars,
+                {_TX8} AS tile_x, {_TY8} AS tile_y
+         FROM gc_g),
+gc_c AS ({cap}),
+gc_s AS (SELECT *, {split_assign_sql('doc_id')} AS split FROM gc_c)
+SELECT split, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT (tile_x, tile_y)) AS BIGINT) AS n_cells,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM gc_s GROUP BY 1, 2"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FINAL fifth-continuation rotation (ROUND5.md §113): the 12 most
     # twin-intricate new ops (footprint's nested polygonize unroll, idw,
@@ -5878,6 +5941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_trend": q_zonal_trend,
         "flow_dir": q_flow_dir,
         "quality_geo": q_quality_geo,
+        "geo_corpus": q_geo_corpus,
     }
     # EIGHTH-continuation rotation (ROUND5.md §139): the 12 most
     # twin-intricate operators of this session move into the driver's
@@ -7000,6 +7064,7 @@ FROM assigned GROUP BY 1, 2, 3""",
         "zonal_trend": _zonal_trend_oracle(),
         "flow_dir": _flow_dir_oracle(),
         "quality_geo": _quality_geo_oracle(),
+        "geo_corpus": _geo_corpus_oracle(),
     }
 
 

@@ -3426,6 +3426,31 @@ def main() -> None:
     )
     print(f"[{'OK' if ug_ok else 'BAD'}] urban_gradient plan")
 
+    # 179. geo_corpus flagship: dedup window -> codegen gate ->
+    # two-phase cap -> hash split -> one fold, all in ONE fused plan —
+    # no Python, no sort-merge join, no cartesian
+    import importlib.util as _ilu
+
+    _spec = _ilu.spec_from_file_location(
+        "entry_for_plans", str(Path("__spark_entry__.py").resolve())
+    )
+    _entry = _ilu.module_from_spec(_spec)
+    _spec.loader.exec_module(_entry)
+    gc_plan = plan_of(_entry.q_geo_corpus(spark, "/root/testdata/sf0.001"))
+    gc_ok = (
+        "SortMergeJoin" not in gc_plan
+        and "CartesianProduct" not in gc_plan
+        and "BatchEvalPython" not in gc_plan
+        and len(re.findall(r"\(\d+\) Window\b", gc_plan)) == 3
+    )
+    checks.append(("geo_corpus fused dedup->gate->cap->split plan",
+                   gc_ok))
+    sections.append(
+        ("geo_corpus", f"  {'PASS' if gc_ok else 'FAIL'} "
+         "geographically balanced corpus flagship", gc_plan)
+    )
+    print(f"[{'OK' if gc_ok else 'BAD'}] geo_corpus plan")
+
     out = ["# Physical plan audit (scripts/explain_plans.py)\n"]
     out.append("Checks asserted on `.explain('formatted')` output:\n")
     for name, ok in checks:
