@@ -5594,6 +5594,25 @@ SELECT split, lang,
 FROM gc_s GROUP BY 1, 2"""
 
 
+def q_lacunarity(spark, sf_dir):
+    """Multi-scale lacunarity profile of the z8 density surface —
+    Λ(r) per grid-aligned box size 1/2/4, absent boxes via closed-form
+    counts; the texture/gappiness gauge separating megacity clumping
+    from uniform cover. FULLY exact."""
+    from rio_cogeo_spark.operators.focal import lacunarity
+
+    return lacunarity(base_tiles(_pages(spark, sf_dir), ZOOM), ZOOM)
+
+
+def _lacunarity_oracle() -> str:
+    from rio_cogeo_spark.operators.focal import lacunarity_sql
+
+    inner = lacunarity_sql(
+        "SELECT tile_x, tile_y, page_count FROM base", ZOOM
+    ).split("WITH ", 1)[1]
+    return f"{_BASE_CTE},\n{inner}"
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FINAL fifth-continuation rotation (ROUND5.md §113): the 12 most
     # twin-intricate new ops (footprint's nested polygonize unroll, idw,
@@ -5942,6 +5961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flow_dir": q_flow_dir,
         "quality_geo": q_quality_geo,
         "geo_corpus": q_geo_corpus,
+        "lacunarity": q_lacunarity,
     }
     # EIGHTH-continuation rotation (ROUND5.md §139): the 12 most
     # twin-intricate operators of this session move into the driver's
@@ -7065,6 +7085,7 @@ FROM assigned GROUP BY 1, 2, 3""",
         "flow_dir": _flow_dir_oracle(),
         "quality_geo": _quality_geo_oracle(),
         "geo_corpus": _geo_corpus_oracle(),
+        "lacunarity": _lacunarity_oracle(),
     }
 
 

@@ -5446,3 +5446,83 @@ fd_d AS (SELECT CASE WHEN best IS NULL THEN 'sink' ELSE best.dir END
 SELECT dir, CAST(COUNT(*) AS BIGINT) AS n_cells,
        CAST(SUM(drop) AS BIGINT) AS sum_drop
 FROM fd_d GROUP BY 1"""
+
+
+def lacunarity(
+    tiles: DataFrame,
+    zoom: int,
+    box_sizes: "tuple[int, ...]" = (1, 2, 4),
+    value_col: str = "page_count",
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+) -> DataFrame:
+    """Grid-aligned lacunarity profile — the multi-scale gappiness /
+    texture gauge of the density surface (Λ(r) → 1 for translation-
+    invariant mass, large for clumpy fractal-like patterns; how Λ
+    decays with box size r separates megacity clumping from uniform
+    crawl cover): per box size ``Λ(r) = N_r·ΣS² / (ΣS)²`` over ALL
+    ``(2^zoom / r)²`` grid-aligned r×r boxes (absent boxes are mass 0
+    and enter via the closed-form box count — the grid never
+    materializes).  One row per r: ``(r, n_boxes, s, q, lac_mil)``,
+    FULLY exact integer (``lac_mil = (q·N_r·10^6) div s²``; NULL on an
+    empty surface).  Box sizes must divide ``2^zoom``.
+
+    Scale design: one parent-key fold per box size over the
+    grid-bounded tile table (each is map-side combinable; the r > 1
+    folds shrink r² per step), one 1-row moment projection each, a
+    bounded union.  No join, no window, no Python.
+    """
+    n_side = 2 ** zoom
+    d = "decimal(38,0)"
+    parts = []
+    for r in box_sizes:
+        if r < 1 or n_side % r != 0:
+            raise ValueError(f"box size {r} must divide {n_side}")
+        n_boxes = (n_side // r) ** 2
+        boxes = tiles.groupBy(
+            F.floor(F.col(x_col).cast("long") / F.lit(r)).alias("bx"),
+            F.floor(F.col(y_col).cast("long") / F.lit(r)).alias("by"),
+        ).agg(F.sum(F.col(value_col).cast("long")).alias("sv"))
+        agg = boxes.agg(
+            F.sum(F.col("sv").cast(d)).alias("s"),
+            F.sum(F.col("sv").cast(d) * F.col("sv")).alias("q"),
+        )
+        parts.append(
+            agg.selectExpr(
+                f"CAST({r} AS INT) AS r",
+                f"CAST({n_boxes} AS BIGINT) AS n_boxes",
+                "CAST(s AS BIGINT) AS s",
+                "CAST(q AS BIGINT) AS q",
+                "CASE WHEN s = 0 THEN CAST(NULL AS BIGINT)"
+                f" ELSE CAST((q * {n_boxes} * 1000000) div (s * s)"
+                " AS BIGINT) END AS lac_mil",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def lacunarity_sql(
+    tiles_cte: str, zoom: int, box_sizes: "tuple[int, ...]" = (1, 2, 4)
+) -> str:
+    """DuckDB twin of :func:`lacunarity` (int-div ``//``)."""
+    n_side = 2 ** zoom
+    parts = []
+    for r in box_sizes:
+        if r < 1 or n_side % r != 0:
+            raise ValueError(f"box size {r} must divide {n_side}")
+        n_boxes = (n_side // r) ** 2
+        parts.append(f"""SELECT CAST({r} AS INT) AS r,
+       CAST({n_boxes} AS BIGINT) AS n_boxes,
+       CAST(s AS BIGINT) AS s,
+       CAST(q AS BIGINT) AS q,
+       CASE WHEN s = 0 THEN CAST(NULL AS BIGINT)
+            ELSE CAST((q * {n_boxes} * 1000000) // (s * s) AS BIGINT)
+       END AS lac_mil
+FROM (SELECT CAST(SUM(sv) AS HUGEINT) AS s,
+             CAST(SUM(sv * sv) AS HUGEINT) AS q
+      FROM (SELECT SUM(CAST(page_count AS HUGEINT)) AS sv
+            FROM lc_t GROUP BY tile_x // {r}, tile_y // {r}))""")
+    return f"WITH lc_t AS ({tiles_cte})\n" + "\nUNION ALL\n".join(parts)

@@ -1839,3 +1839,34 @@ def test_flow_dir_census(spark):
         r.dir: (r.n_cells, r.sum_drop) for r in flow_dir(df, zoom).collect()
     }
     assert got == want
+
+
+def test_lacunarity_profile(spark):
+    """Exact lacunarity vs hand moments; clumped pattern scores higher
+    than spread at every r; divisibility guard."""
+    import pytest as _pytest
+
+    from rio_cogeo_spark.operators.focal import lacunarity
+
+    zoom = 3  # 8x8
+    def run(cells):
+        df = spark.createDataFrame(
+            cells, "tile_x long, tile_y long, page_count long"
+        )
+        return {r.r: r for r in lacunarity(df, zoom).collect()}
+
+    clumped = run([(0, 0, 4), (0, 1, 4)])
+    spread = run([(0, 0, 1)] * 1 + [(3, 3, 1), (5, 1, 1), (1, 5, 1),
+                                    (7, 7, 1), (2, 6, 1), (6, 2, 1),
+                                    (4, 4, 1)])
+    for r, nb in ((1, 64), (2, 16), (4, 4)):
+        c = clumped[r]
+        assert c.n_boxes == nb and c.s == 8
+        assert c.lac_mil == (c.q * nb * 1_000_000) // (8 * 8)
+        assert clumped[r].lac_mil >= spread[r].lac_mil
+    # r=4: both cells in one box -> q = 64, lac = 64*4e6/64 = 4e6
+    assert clumped[4].lac_mil == 4_000_000
+    with _pytest.raises(ValueError):
+        lacunarity(spark.createDataFrame(
+            [(0, 0, 1)], "tile_x long, tile_y long, page_count long"
+        ), zoom, box_sizes=(3,))
