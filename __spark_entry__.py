@@ -5613,6 +5613,24 @@ def _lacunarity_oracle() -> str:
     return f"{_BASE_CTE},\n{inner}"
 
 
+def q_pair_correlation(spark, sf_dir):
+    """Pair-correlation function g(k) of the occupied z8 cells — the
+    ring-wise derivative of Ripley's K: exact observed/CSR pair ratio
+    per Chebyshev distance with closed-form grid denominators."""
+    from rio_cogeo_spark.operators.focal import pair_correlation
+
+    return pair_correlation(base_tiles(_pages(spark, sf_dir), ZOOM), ZOOM)
+
+
+def _pair_correlation_oracle() -> str:
+    from rio_cogeo_spark.operators.focal import pair_correlation_sql
+
+    inner = pair_correlation_sql(
+        "SELECT tile_x, tile_y FROM base", ZOOM
+    ).split("WITH ", 1)[1]
+    return f"{_BASE_CTE},\n{inner}"
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FINAL fifth-continuation rotation (ROUND5.md §113): the 12 most
     # twin-intricate new ops (footprint's nested polygonize unroll, idw,
@@ -5962,6 +5980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_geo": q_quality_geo,
         "geo_corpus": q_geo_corpus,
         "lacunarity": q_lacunarity,
+        "pair_correlation": q_pair_correlation,
     }
     # EIGHTH-continuation rotation (ROUND5.md §139): the 12 most
     # twin-intricate operators of this session move into the driver's
@@ -7086,6 +7105,7 @@ FROM assigned GROUP BY 1, 2, 3""",
         "quality_geo": _quality_geo_oracle(),
         "geo_corpus": _geo_corpus_oracle(),
         "lacunarity": _lacunarity_oracle(),
+        "pair_correlation": _pair_correlation_oracle(),
     }
 
 

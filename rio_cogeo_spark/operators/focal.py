@@ -5526,3 +5526,129 @@ FROM (SELECT CAST(SUM(sv) AS HUGEINT) AS s,
       FROM (SELECT SUM(CAST(page_count AS HUGEINT)) AS sv
             FROM lc_t GROUP BY tile_x // {r}, tile_y // {r}))""")
     return f"WITH lc_t AS ({tiles_cte})\n" + "\nUNION ALL\n".join(parts)
+
+
+def pair_correlation(
+    tiles: DataFrame,
+    zoom: int,
+    max_ring: int = 3,
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+) -> DataFrame:
+    """Pair-correlation function g(k) — the ring-wise (non-cumulative)
+    sibling of Ripley's K: for each Chebyshev distance ``k``, the
+    ratio of OBSERVED ordered occupied-cell pairs at exactly ``k`` to
+    the CSR expectation on the same grid, FULLY exact::
+
+        g_mil(k) = (pairs_k · N·(N−1) · 10^6) div (n·(n−1) · W_k)
+
+    with ``N = 4^zoom``, ``n`` the occupied count and ``W_k`` the
+    closed-form grid total of ordered pairs at distance k
+    (:func:`_ring_w_total`).  g > 1e6 = clustering at that range,
+    < 1e6 = inhibition.  One row per k ``(k, n_pairs, w_k, g_mil)``
+    (NULL when n < 2); every k in the spine present.
+
+    Scale design: ONE ring-vote explode over all lags, one
+    grid-bounded equi-join of votes onto occupied cells, one per-k
+    fold; the spine/denominators are broadcast literals.
+    """
+    if max_ring < 1:
+        raise ValueError(f"max_ring must be >= 1, got {max_ring}")
+    n_side = 2 ** zoom
+    n_grid = 4 ** zoom
+    d = "decimal(38,0)"
+    base = tiles.select(
+        F.col(x_col).cast("long").alias("tile_x"),
+        F.col(y_col).cast("long").alias("tile_y"),
+    )
+    entries = []
+    for k in range(1, max_ring + 1):
+        entries += [
+            F.struct(F.lit(k).alias("k"), F.lit(dx).alias("dx"),
+                     F.lit(dy).alias("dy"))
+            for dx, dy in _ring_offsets(k)
+        ]
+    votes = (
+        base.select(
+            "tile_x", "tile_y",
+            F.explode(F.array(*entries)).alias("off"),
+        )
+        .select(
+            (F.col("tile_x") + F.col("off.dx")).alias("vx"),
+            (F.col("tile_y") + F.col("off.dy")).alias("vy"),
+            F.col("off.k").alias("k"),
+        )
+        .filter(
+            (F.col("vx") >= 0) & (F.col("vx") < n_side)
+            & (F.col("vy") >= 0) & (F.col("vy") < n_side)
+        )
+    )
+    occ = base.select(
+        F.col("tile_x").alias("vx"), F.col("tile_y").alias("vy")
+    )
+    hits = votes.join(occ, ["vx", "vy"]).groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    n_row = base.agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
+    spine = tiles.sparkSession.range(1, max_ring + 1).select(
+        F.col("id").cast("int").alias("k")
+    )
+    w_case = "CASE " + " ".join(
+        f"WHEN k = {k} THEN CAST({_ring_w_total(n_side, k)} AS BIGINT)"
+        for k in range(1, max_ring + 1)
+    ) + " END"
+    return (
+        spine.join(F.broadcast(hits), "k", "left")
+        .crossJoin(F.broadcast(n_row))
+        .selectExpr(
+            "CAST(k AS INT) AS k",
+            "CAST(COALESCE(n_pairs, 0) AS BIGINT) AS n_pairs",
+            f"{w_case} AS w_k",
+            "CASE WHEN n_occ < 2 THEN CAST(NULL AS BIGINT)"
+            f" ELSE CAST((CAST(COALESCE(n_pairs, 0) AS {d})"
+            f" * {n_grid} * ({n_grid} - 1) * 1000000)"
+            f" div (CAST(n_occ AS {d}) * (n_occ - 1) * ({w_case}))"
+            " AS BIGINT) END AS g_mil",
+        )
+    )
+
+
+def pair_correlation_sql(
+    tiles_cte: str, zoom: int, max_ring: int = 3
+) -> str:
+    """DuckDB twin of :func:`pair_correlation` (int-div ``//``)."""
+    if max_ring < 1:
+        raise ValueError(f"max_ring must be >= 1, got {max_ring}")
+    n_side = 2 ** zoom
+    n_grid = 4 ** zoom
+    vals = []
+    for k in range(1, max_ring + 1):
+        vals += [f"({k}, {dx}, {dy})" for dx, dy in _ring_offsets(k)]
+    spine = ", ".join(f"({k})" for k in range(1, max_ring + 1))
+    w_case = "CASE " + " ".join(
+        f"WHEN s.k = {k} THEN CAST({_ring_w_total(n_side, k)} AS BIGINT)"
+        for k in range(1, max_ring + 1)
+    ) + " END"
+    return f"""WITH pc_t AS ({tiles_cte}),
+pc_b AS (SELECT CAST(tile_x AS BIGINT) AS tile_x,
+                CAST(tile_y AS BIGINT) AS tile_y
+         FROM pc_t),
+pc_v AS (SELECT b.tile_x + o.dx AS vx, b.tile_y + o.dy AS vy, o.k
+         FROM pc_b b, (VALUES {", ".join(vals)}) o(k, dx, dy)
+         WHERE b.tile_x + o.dx BETWEEN 0 AND {n_side - 1}
+           AND b.tile_y + o.dy BETWEEN 0 AND {n_side - 1}),
+pc_h AS (SELECT v.k, CAST(COUNT(*) AS BIGINT) AS n_pairs
+         FROM pc_v v JOIN pc_b b
+           ON b.tile_x = v.vx AND b.tile_y = v.vy
+         GROUP BY 1),
+pc_n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_occ FROM pc_b)
+SELECT CAST(s.k AS INT) AS k,
+       CAST(COALESCE(h.n_pairs, 0) AS BIGINT) AS n_pairs,
+       {w_case} AS w_k,
+       CASE WHEN n.n_occ < 2 THEN CAST(NULL AS BIGINT)
+            ELSE CAST((CAST(COALESCE(h.n_pairs, 0) AS HUGEINT)
+                 * {n_grid} * ({n_grid} - 1) * 1000000)
+                 // (CAST(n.n_occ AS HUGEINT) * (n.n_occ - 1)
+                     * ({w_case})) AS BIGINT) END AS g_mil
+FROM (VALUES {spine}) s(k)
+LEFT JOIN pc_h h ON h.k = s.k, pc_n n"""

@@ -1870,3 +1870,35 @@ def test_lacunarity_profile(spark):
         lacunarity(spark.createDataFrame(
             [(0, 0, 1)], "tile_x long, tile_y long, page_count long"
         ), zoom, box_sizes=(3,))
+
+
+def test_pair_correlation_csr_ratio(spark):
+    """g(k) vs exhaustive ordered-pair counts and closed-form CSR
+    denominators; spine keeps empty distances; NULL for n < 2."""
+    from rio_cogeo_spark.operators.focal import (
+        _ring_w_total,
+        pair_correlation,
+    )
+
+    zoom = 3
+    n = 1 << zoom
+    cells = [(0, 0), (0, 1), (5, 5)]
+    df = spark.createDataFrame(cells, "tile_x long, tile_y long")
+    rows = {r.k: r for r in pair_correlation(df, zoom).collect()}
+    N, nc = n * n, len(cells)
+    for k in (1, 2, 3):
+        pairs = sum(
+            1 for a in cells for b in cells
+            if a != b and max(abs(a[0] - b[0]), abs(a[1] - b[1])) == k
+        )
+        wk = _ring_w_total(n, k)
+        r = rows[k]
+        assert (r.n_pairs, r.w_k) == (pairs, wk)
+        assert r.g_mil == (pairs * N * (N - 1) * 10**6) // (
+            nc * (nc - 1) * wk
+        )
+    assert rows[1].n_pairs == 2  # the adjacent (0,0)/(0,1) ordered pair
+    solo = spark.createDataFrame([(0, 0)], "tile_x long, tile_y long")
+    assert all(
+        r.g_mil is None for r in pair_correlation(solo, zoom).collect()
+    )
