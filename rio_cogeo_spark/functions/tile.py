@@ -28,14 +28,58 @@ _TILE_SCHEMA = StructType(
 )
 
 
-def tile_assign(
+def _tile_xy_cols(lon: Column, lat: Column, zoom: int) -> "tuple[Column, Column]":
+    """JVM-expression twin of ``grid.tile_index`` — the Column form of
+    :func:`tile_xy_sql`, operator-for-operator (same literals, same
+    association order), so whole-stage codegen evaluates the assignment
+    with no Python boundary. Bit-exactness vs the numpy UDF is gated by
+    scripts/verify_tile_expr.py (r06: 0 mismatches over every local
+    dataset x zooms 0..20, including the 2M-row jittered bench pages;
+    the DuckDB oracle twins evaluate the identical formula and have
+    matched the numpy output since round 1)."""
+    import math
+
+    n = 1 << zoom
+    span = 2.0 * grid.ORIGIN_SHIFT
+    lat_c = F.least(
+        F.greatest(lat, F.lit(float(-grid.MAX_LAT))), F.lit(float(grid.MAX_LAT))
+    )
+    mx = lon * F.lit(float(grid.ORIGIN_SHIFT)) / F.lit(180.0)
+    my = (
+        F.log(F.tan((F.lit(90.0) + lat_c) * F.lit(math.pi) / F.lit(360.0)))
+        * F.lit(float(grid.EARTH_RADIUS))
+    )
+    zero = F.lit(0).cast("bigint")
+    top = F.lit(n - 1).cast("bigint")
+    tx = F.least(
+        F.greatest(
+            F.floor(
+                (mx + F.lit(float(grid.ORIGIN_SHIFT))) / F.lit(span)
+                * F.lit(float(n))
+            ).cast("bigint"),
+            zero,
+        ),
+        top,
+    )
+    ty = F.least(
+        F.greatest(
+            F.floor(
+                (F.lit(float(grid.ORIGIN_SHIFT)) - my) / F.lit(span)
+                * F.lit(float(n))
+            ).cast("bigint"),
+            zero,
+        ),
+        top,
+    )
+    return tx, ty
+
+
+def tile_assign_udf(
     lon: Column, lat: Column, zoom: int, tms: "grid.TileMatrixSet | None" = None
 ) -> Column:
-    """(lon, lat) → struct(tile_x, tile_y) at ``zoom`` via one Arrow batch
-    UDF (two outputs from one mercator computation). ``tms`` selects a
-    non-default tile matrix set (reference ``cog_translate(tms=...)``,
-    cogeo.py:86); None keeps the WebMercatorQuad fast path the oracle SQL
-    twins mirror."""
+    """Arrow-UDF tile assignment (the pre-r06 hot path; kept for
+    non-default tile matrix sets, whose grids have no SQL twin, and as
+    the reference side of scripts/verify_tile_expr.py)."""
 
     @F.pandas_udf(_TILE_SCHEMA)
     def _assign(lon_s: pd.Series, lat_s: pd.Series) -> pd.DataFrame:
@@ -48,15 +92,33 @@ def tile_assign(
     return _assign(lon, lat)
 
 
+def tile_assign(
+    lon: Column, lat: Column, zoom: int, tms: "grid.TileMatrixSet | None" = None
+) -> Column:
+    """(lon, lat) → struct(tile_x, tile_y) at ``zoom``.
+
+    r06: the WebMercatorQuad path is a pure JVM expression
+    (:func:`_tile_xy_cols` — guide §4.1 "prefer built-ins"): removes
+    the ArrowEvalPython node (and its JVM↔Python serialization plus the
+    doubled runnable-thread pressure bench.py documents) from every
+    tile-keyed operator. Values are bit-identical to the former Arrow
+    UDF (verify_tile_expr.py gate). A custom ``tms`` keeps the
+    vectorized UDF (its grids are arbitrary numpy)."""
+    if tms is not None:
+        return tile_assign_udf(lon, lat, zoom, tms=tms)
+    tx, ty = _tile_xy_cols(lon, lat, zoom)
+    return F.struct(tx.alias("tile_x"), ty.alias("tile_y"))
+
+
 def cell_id(lon: Column, lat: Column, zoom: int) -> Column:
-    """(lon, lat) → packed int64 cell id (z<<58 | x<<29 | y)."""
-
-    @F.pandas_udf(LongType())
-    def _cell(lon_s: pd.Series, lat_s: pd.Series) -> pd.Series:
-        tx, ty = grid.tile_index(lon_s.to_numpy(), lat_s.to_numpy(), zoom)
-        return pd.Series(grid.pack_cell(zoom, tx, ty))
-
-    return _cell(lon, lat)
+    """(lon, lat) → packed int64 cell id (z<<58 | x<<29 | y). r06: pure
+    JVM expression (same gate as :func:`tile_assign`)."""
+    tx, ty = _tile_xy_cols(lon, lat, zoom)
+    return (
+        F.shiftleft(F.lit(int(zoom)).cast("bigint"), 58)
+        .bitwiseOR(F.shiftleft(tx, 29))
+        .bitwiseOR(ty)
+    )
 
 
 def k_ring_cells(cell: Column, k: int = 1) -> Column:

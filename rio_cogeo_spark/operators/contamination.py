@@ -42,7 +42,16 @@ def contamination_hits(
     same distinct n-gram formula as the Jaccard/MinHash dedup suite, so
     "hit" means exactly one shared shingle type (multiplicity ignored,
     as in the standard contamination definition).
+
+    r06: the corpus side tokenizes ONCE per row into a materialized
+    column before the shingle zip (``shingles_from_tokens``) — the
+    previous inline form re-ran the regex split n + 1 times per row and
+    dominated the operator's cost (guide §1.2 per-task work; measured
+    ~2x on the corpus shingle explode at sf1.0).
     """
+    from rio_cogeo_spark.operators.dedup import shingles_from_tokens
+    from rio_cogeo_spark.functions.text import tokens_col
+
     bench_sh = (
         benchmark.select(
             F.explode(shingles_col(F.col(text_col), n)).alias("shingle")
@@ -50,8 +59,10 @@ def contamination_hits(
         .distinct()
     )
     corpus_sh = corpus.select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("_toks")
+    ).select(
         F.col(id_col),
-        F.explode(shingles_col(F.col(text_col), n)).alias("shingle"),
+        F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("shingle"),
     )
     return (
         corpus_sh.join(F.broadcast(bench_sh), "shingle", "inner")

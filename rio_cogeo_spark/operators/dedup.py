@@ -384,17 +384,19 @@ LEFT JOIN common m ON c.canon_url = m.canon_url
 # ---------------------------------------------------------------------------
 
 
-def shingles_col(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingle array. Mirrors the DuckDB oracle
-    formula in :data:`SHINGLES_SQL` token-for-token.
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingle array from an ALREADY-TOKENIZED
+    column. ``toks`` should be a plain column reference materialized by
+    a prior Project: the expression references it n + 1 times (n slices
+    + the size guard), so passing the tokenizer expression itself
+    re-runs the regex split n + 1 times per row — hot paths tokenize
+    once and call this (r06: contamination's corpus shingle explode
+    dropped ~2x at sf1.0).
 
     Built by zipping n shifted slices, NOT transform-over-sequence: an
-    index lambda re-evaluates the token split per element (O(L²) regex
-    splits per row — measured several seconds over 5k docs); slicing
-    evaluates it n+1 times. The `when` guard also covers Spark's
-    descending ``sequence(1, 0)`` / negative-slice-length edge for docs
-    shorter than n tokens."""
-    toks = tokens_col(text)
+    index lambda re-evaluates its input per element (O(L²) per row).
+    The `when` guard also covers Spark's descending ``sequence(1, 0)``
+    / negative-slice-length edge for docs shorter than n tokens."""
     m = F.size(toks) - (n - 1)  # n-gram count when >= 0
     gram = F.slice(toks, F.lit(1), m)
     for j in range(1, n):
@@ -406,6 +408,14 @@ def shingles_col(text: Column, n: int = 3) -> Column:
     return F.when(F.size(toks) >= n, F.array_distinct(gram)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingle array. Mirrors the DuckDB oracle
+    formula in :data:`SHINGLES_SQL` token-for-token. Evaluates the
+    tokenizer n + 1 times per row — hot paths should materialize
+    ``tokens_col`` in a Project and use :func:`shingles_from_tokens`."""
+    return shingles_from_tokens(tokens_col(text), n)
 
 
 SHINGLES_SQL = (
@@ -630,6 +640,37 @@ def _minhash_params(num_hashes: int, seed: int = 42):
     return a, b
 
 
+# positional-mix odd multipliers shared by every minhash path
+# (wraparound multiply is a bijection for odd constants → good
+# dispersion, no overflow errors)
+_MIX_U64 = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9],
+    dtype=np.uint64,
+)
+_M_U64 = np.uint64(_MERSENNE)
+
+
+def _mod_mersenne(x: np.ndarray) -> np.ndarray:
+    """``x % (2^61 - 1)`` for uint64 ``x`` via the Mersenne fold —
+    2^61 ≡ 1 (mod M), so x = q·2^61 + r ≡ q + r, and q ≤ 7 for any
+    uint64 means one conditional subtract normalizes. Exactly equal to
+    numpy's ``%`` (property-tested in tests/test_dedup.py) at ~5x the
+    throughput — the u64 divide was the dominant cost of the signature
+    kernel (guide §1.2 per-task work)."""
+    y = (x & _M_U64) + (x >> np.uint64(61))
+    return np.where(y >= _M_U64, y - _M_U64, y)
+
+
+def _tok_hash_table(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, tok_h array<long>) — tokens hashed JVM-side (one
+    ``xxhash64`` per token), rows shorter than ``n`` tokens dropped."""
+    toks = tokens_col(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.transform(toks, lambda t: F.xxhash64(t)).alias("tok_h"),
+    ).filter(F.size("tok_h") >= n)
+
+
 def minhash_signatures(docs: DataFrame, num_hashes: int = 128, n: int = 3,
                        seed: int = 42) -> DataFrame:
     """(doc_id, sh array<long>, sig array<long>): ``sh`` = distinct hashed
@@ -642,7 +683,9 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 128, n: int = 3,
     functions measured ~4x slower). Jaccard over hashed shingles equals
     Jaccard over string shingles up to 64-bit collisions (≈1e-14 per
     pair). Python does only whole-batch numpy: mix, per-row unique,
-    affine min-reduction via minimum.reduceat."""
+    affine min-reduction via the fold-based Mersenne modulo
+    (:func:`_mod_mersenne`, r06 — the u64 divide dominated the
+    kernel)."""
     a_par, b_par = _minhash_params(num_hashes, seed)
 
     # Small-file inputs arrive as one partition; spread the (CPU-heavy)
@@ -651,16 +694,7 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 128, n: int = 3,
     if docs.rdd.getNumPartitions() < par:
         docs = docs.repartition(par)
 
-    toks = tokens_col(F.col("text"))
-    with_h = docs.select(
-        "doc_id",
-        F.transform(toks, lambda t: F.xxhash64(t)).alias("tok_h"),
-    ).filter(F.size("tok_h") >= n)
-
-    # odd multipliers for the positional mix (wraparound multiply is a
-    # bijection for odd constants → good dispersion, no overflow errors)
-    mix = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9],
-                   dtype=np.uint64)[:n]
+    with_h = _tok_hash_table(docs, n)
 
     @F.pandas_udf("struct<sh: array<long>, sig: array<long>>")
     def _sig(tok_hashes: pd.Series) -> pd.DataFrame:
@@ -672,10 +706,10 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 128, n: int = 3,
             m = h.shape[0] - (n - 1)
             combined = np.zeros(m, dtype=np.uint64)
             for j in range(n):
-                combined += h[j:j + m] * mix[j]
+                combined += h[j:j + m] * _MIX_U64[j]
             sh = np.unique(combined)
-            hu = sh % np.uint64(_MERSENNE)
-            prod = (hu[None, :] * a_u + b_u) % np.uint64(_MERSENNE)
+            hu = _mod_mersenne(sh)
+            prod = _mod_mersenne(hu[None, :] * a_u + b_u)
             sh_out.append(sh.astype(np.int64))
             sig_out.append(prod.min(axis=1).astype(np.int64))
         return pd.DataFrame({"sh": sh_out, "sig": sig_out})
@@ -723,7 +757,16 @@ def minhash_lsh_pairs(
     candidates; surviving pairs are re-checked with the *exact* shingle
     Jaccard, so output equals the brute-force result whenever LSH recall
     is 1.0 at the threshold (tests + oracle enforce this at test scale;
-    128 hashes / 32 bands → P(miss | j=0.5) < 1e-6 per pair)."""
+    128 hashes / 32 bands → P(miss | j=0.5) < 1e-6 per pair).
+
+    r06 note: a split flow (sig-only signatures + shingle re-derivation
+    for banding survivors, guide §8 "decide with small rows") was
+    prototyped and REJECTED: on this corpus most docs survive banding
+    (746k candidate pairs over 50k docs at sf1.0), so the re-derivation
+    degenerates into a second full corpus pass and measured ~2x slower
+    than shipping (sh, sig) once. What stayed from the prototype: the
+    fold-based Mersenne modulo in the signature kernel
+    (:func:`_mod_mersenne`, ~25%% off the UDF stage)."""
     rows = num_hashes // bands
     sigs = minhash_signatures(docs, num_hashes, n, seed).persist()
     banded = _band_table(sigs, bands, rows)
@@ -748,7 +791,6 @@ def minhash_lsh_pairs(
         .filter(F.col("doc_a") < F.col("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-
     sh_tbl = sigs.select("doc_id", "sh")
     pairs = (
         cands.join(sh_tbl.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")

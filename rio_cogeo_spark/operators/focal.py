@@ -157,6 +157,7 @@ def hotspots(
     radius: int = 1,
     x_col: str = "tile_x",
     y_col: str = "tile_y",
+    materialize_input: bool = True,
 ) -> DataFrame:
     """Getis-Ord Gi* hotspot z-scores over the FULL grid.
 
@@ -179,8 +180,22 @@ def hotspots(
     Cost: :func:`focal_stats` (one shuffle) + one scalar global
     aggregate broadcast back as a literal cross-join (AQE folds it into
     a BroadcastNestedLoopJoin of one row).
+
+    ``materialize_input`` (r06): the moments branch and the focal
+    branch both consume ``tiles``; column pruning specializes each
+    branch's aggregate, so exchange reuse never fires and the input
+    lineage (a full base-tile build when fed from ``base_tiles``) runs
+    TWICE. Default True localCheckpoints the pruned tile projection
+    once per call — an eager, call-scoped materialization (no
+    cross-invocation cache; the tile table is 4^zoom-bounded, never
+    corpus-sized, so the checkpoint is safe at any corpus scale).
+    False keeps the fully lazy plan (plan audits).
     """
     n_grid = float(4 ** zoom)
+    if materialize_input:
+        tiles = tiles.select(
+            F.col(x_col), F.col(y_col), F.col(value_col)
+        ).localCheckpoint(eager=True)
     vals = tiles.select(F.col(value_col).cast("double").alias("_v"))
     # two exact moments (integer-valued doubles: sums are order-independent),
     # std derived afterwards with plain * and sqrt so the DuckDB oracle twin
@@ -222,43 +237,60 @@ def compact_tiles(
     that level; reconstructing each output cell's descendants at
     ``zoom`` reproduces the input set exactly (pytest-asserted).
 
-    Plan: per level ONE window count over the parent key (shiftright by
-    1 — a computed key, so the 4 siblings of a parent hash to the same
-    partition); full quads promote ONE representative child (the even-
-    even sibling) to the parent set — no distinct, no join, no driver
-    collect.  The working set shrinks >= 4x per promoted level and the
-    loop is bounded by ``zoom - min_zoom`` (<= ~23 on web grids).
+    Plan (r06, one pass): a cell at relative depth ``k`` (level
+    ``zoom - k``) is *fully covered* iff the count of distinct input
+    tiles under it equals ``4^k`` — by induction, the sum over its 4
+    children is ``4^k`` iff every child is itself full at ``k-1``.  The
+    whole compaction therefore reads off ONE ancestor-counts table:
+    explode each distinct tile into its ``K+1`` ancestors, ONE
+    map-side-combinable groupBy over ``(k, ax, ay)``, and emit the full
+    cells whose parent is not full (cells at ``min_zoom`` emit
+    unconditionally — no deeper promotion exists).  This replaces the
+    former per-level window loop, whose union branches re-derived every
+    preceding level's window per branch (O(levels²) recompute, 48
+    Exchanges at 4 levels in the r06 before-plan) with 3 Exchanges
+    total; output is row-identical (pytest + oracle `compact`).
+    Exploded rows are ``N x (K+1)`` with K <= ~23 on web grids, and the
+    counts table is input-bounded, so no new memory class at 100 TB.
     """
     if not 0 <= min_zoom <= zoom:
         raise ValueError(f"need 0 <= min_zoom <= zoom, got {min_zoom}..{zoom}")
+    K = zoom - min_zoom
     cur = tiles.select(
         F.col(x_col).cast("long").alias("tile_x"),
         F.col(y_col).cast("long").alias("tile_y"),
     ).distinct()
-    out = None
-    for z in range(zoom, min_zoom, -1):
-        parent = Window.partitionBy(
-            F.shiftright(F.col("tile_x"), 1), F.shiftright(F.col("tile_y"), 1)
-        )
-        flagged = cur.withColumn("_qc", F.count(F.lit(1)).over(parent))
-        keep = flagged.filter(F.col("_qc") < 4).select(
-            F.lit(z).cast("int").alias("zoom"), "tile_x", "tile_y"
-        )
-        out = keep if out is None else out.unionByName(keep)
-        cur = (
-            flagged.filter(
-                (F.col("_qc") == 4)
-                & (F.col("tile_x") % 2 == 0) & (F.col("tile_y") % 2 == 0)
-            )
-            .select(
-                F.shiftright(F.col("tile_x"), 1).alias("tile_x"),
-                F.shiftright(F.col("tile_y"), 1).alias("tile_y"),
-            )
-        )
-    tail = cur.select(
-        F.lit(min_zoom).cast("int").alias("zoom"), "tile_x", "tile_y"
+    anc = cur.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(k).cast("int").alias("k"),
+                    F.shiftright(F.col("tile_x"), k).alias("ax"),
+                    F.shiftright(F.col("tile_y"), k).alias("ay"),
+                )
+                for k in range(K + 1)
+            ])
+        ).alias("a")
+    ).select("a.k", "a.ax", "a.ay")
+    counts = anc.groupBy("k", "ax", "ay").agg(F.count(F.lit(1)).alias("_n"))
+    # the parent's leaf count is the sum over its (present) children —
+    # one window over the computed parent key, join-free
+    parent = Window.partitionBy(
+        "k", F.shiftright(F.col("ax"), 1), F.shiftright(F.col("ay"), 1)
     )
-    return tail if out is None else out.unionByName(tail)
+    flagged = counts.withColumn("_pn", F.sum("_n").over(parent))
+    full_here = F.col("_n") == F.expr("shiftleft(CAST(1 AS BIGINT), 2 * k)")
+    parent_full = F.col("_pn") == F.expr(
+        "shiftleft(CAST(1 AS BIGINT), 2 * k + 2)"
+    )
+    emit = flagged.filter(
+        full_here & ((F.col("k") == K) | ~parent_full)
+    )
+    return emit.select(
+        (F.lit(zoom) - F.col("k")).cast("int").alias("zoom"),
+        F.col("ax").alias("tile_x"),
+        F.col("ay").alias("tile_y"),
+    )
 
 
 def uncompact_tiles(

@@ -349,6 +349,7 @@ def crawl_frontier(
     src_col: str = "src",
     dst_col: str = "dst",
     seed_col: str = "host",
+    materialize_edges: bool = True,
 ) -> DataFrame:
     """The graph suite's flagship composition — the crawl-frontier
     priority table (Cho/Garcia-Molina/Page WWW'98 combine importance
@@ -375,6 +376,13 @@ def crawl_frontier(
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
+    # r06: the deduped edge list feeds THREE iterative passes (BFS,
+    # PageRank, reciprocity), each of whose per-round lineage re-derives
+    # it — materialize it once per call (edge-bounded host graph, never
+    # corpus-sized; the documented production form is a persisted edge
+    # table). False keeps the fully lazy plan (audits/explain).
+    if materialize_edges:
+        e = e.localCheckpoint(eager=True)
     d = host_distance(e, seeds, max_hops=max_hops, seed_col=seed_col)
     r = host_pagerank(e, iterations=iterations)
     rec = reciprocal_links(e)

@@ -40,11 +40,18 @@ from pyspark.sql.window import Window
 from rio_cogeo_spark.functions.text import tokens_col
 
 
-def ngrams_col(text: Column, n: int) -> Column:
-    """Positional (non-distinct) word n-gram array: element i is the
-    n-gram starting at token i. Zip-of-shifted-slices — O(L) total, one
-    tokenize. Docs shorter than n tokens yield an empty array."""
-    toks = tokens_col(text)
+def ngrams_from_tokens(toks: Column, n: int) -> Column:
+    """Positional n-gram array from an ALREADY-TOKENIZED column.
+
+    ``toks`` should be a plain column reference (a token array
+    materialized by a prior Project): the expression references it
+    n + 1 times (n slices + the size guard), so passing the tokenizer
+    expression itself re-runs the regex split n + 1 times per row —
+    the dominant cost of every n-gram pipeline stage (measured r06:
+    the corpus shingle explode dropped ~2x at sf1.0 when the split
+    became a materialized column). :func:`ngrams_col` keeps the
+    text-input signature for call sites where the extra evaluations
+    don't matter (hot paths tokenize first and call this)."""
     m = F.size(toks) - (n - 1)
     gram = F.slice(toks, F.lit(1), m)
     for j in range(1, n):
@@ -56,6 +63,15 @@ def ngrams_col(text: Column, n: int) -> Column:
     return F.when(F.size(toks) >= n, gram).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def ngrams_col(text: Column, n: int) -> Column:
+    """Positional (non-distinct) word n-gram array: element i is the
+    n-gram starting at token i. Zip-of-shifted-slices — O(L) total.
+    Docs shorter than n tokens yield an empty array. NOTE: evaluates
+    the tokenizer n + 1 times per row — hot paths should materialize
+    ``tokens_col`` in a Project and use :func:`ngrams_from_tokens`."""
+    return ngrams_from_tokens(tokens_col(text), n)
 
 
 def repeated_ngram_spans(

@@ -231,22 +231,61 @@ def bigram_lm(
     vocabulary-bounded, never corpus-bounded (the prefix table derives
     from the bigram-count table, not from a second corpus pass). The
     model joins back by bigram: broadcast when it fits
-    (``broadcast_model=True``), else a shuffle join whose build side
-    has exactly one row per bigram (no hot keys). A production
-    pipeline hashes the join key (md5, as in passages.py) to fix the
-    shuffle width; kept as the raw string here so the model table
-    stays human-readable.
+    (``broadcast_model=True``); with ``broadcast_model=False`` the same
+    integer formulas are evaluated as TWO window aggregations over the
+    exploded occurrence rows instead of materializing a model table and
+    joining it back — one corpus pass (the join formulation re-derives
+    the explode lineage once per model aggregate: 3 Generate nodes and
+    5+ Exchanges; measured ~5x slower at sf1.0, OPTIMIZATION_r06.md).
+    Window-group size is bounded by the hottest bigram's corpus count —
+    flat for word bigrams; a corpus with a pathological frozen phrase
+    would swap back to the join plan or salt the window key.
     """
-    from rio_cogeo_spark.operators.passages import ngrams_col
+    from rio_cogeo_spark.functions.text import tokens_col
+    from rio_cogeo_spark.operators.passages import ngrams_from_tokens
 
-    tf = (
-        docs.select(
-            F.col(id_col),
-            F.explode(ngrams_col(F.col(text_col), 2)).alias("bigram"),
-        )
-        .groupBy(id_col, "bigram")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    # Tokenize ONCE per row: the separate Project keeps the regex split
+    # from being re-evaluated by every slice inside the n-gram zip
+    # (CollapseProject leaves multi-referenced non-cheap aliases alone).
+    base = docs.select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("_toks")
     )
+    bg = base.select(
+        id_col, F.explode(ngrams_from_tokens(F.col("_toks"), 2)).alias("bigram")
+    )
+
+    if not broadcast_model:
+        # Single-pass window plan: every bigram OCCURRENCE row picks up
+        # its corpus count (cnt2, window over bigram) and its prefix
+        # count (cnt1, window over w1); per-doc folds over occurrence
+        # rows equal the tf-weighted folds exactly:
+        #   sum_occ(pred_ppm) == sum_bigrams(tf * pred_ppm),
+        #   count_occ == sum(tf).
+        wb = Window.partitionBy("bigram")
+        ww = Window.partitionBy("w1")
+        s1 = bg.withColumn("cnt2", F.count(F.lit(1)).over(wb)).select(
+            id_col,
+            F.substring_index("bigram", " ", 1).alias("w1"),
+            "cnt2",
+        )
+        s2 = s1.withColumn("cnt1", F.count(F.lit(1)).over(ww)).select(
+            id_col, "cnt2",
+            F.expr(f"(cnt2 * {_PPM}) div cnt1").alias("pred_ppm"),
+        )
+        return (
+            s2.groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_bigrams"),
+                F.expr("sum(pred_ppm) div count(1)").alias("mean_pred_ppm"),
+                F.expr(
+                    f"(sum(CASE WHEN cnt2 <= {int(novel_cnt)} THEN 1 ELSE 0 END)"
+                    f" * {_PPM}) div count(1)"
+                ).alias("novel_frac_ppm"),
+            )
+            .select(id_col, "n_bigrams", "mean_pred_ppm", "novel_frac_ppm")
+        )
+
+    tf = bg.groupBy(id_col, "bigram").agg(F.count(F.lit(1)).alias("tf"))
     bgc = tf.groupBy("bigram").agg(F.sum("tf").alias("cnt2"))
     pfx = (
         bgc.groupBy(F.substring_index("bigram", " ", 1).alias("w1"))
@@ -261,7 +300,7 @@ def bigram_lm(
             F.expr(f"(cnt2 * {_PPM}) div cnt1").alias("pred_ppm"),
         )
     )
-    joined = tf.join(F.broadcast(model) if broadcast_model else model, "bigram")
+    joined = tf.join(F.broadcast(model), "bigram")
     return (
         joined.groupBy(id_col)
         .agg(

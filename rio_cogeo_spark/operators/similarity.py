@@ -30,14 +30,33 @@ def ann_bruteforce_topk(
     queries: (query_id long/string, q_embedding array<float>). Output:
     (query_id, vec_id, rank, cos) — rank by (cos DESC, vec_id ASC) on the
     6dp-rounded cosine so ranking is oracle-stable.
+
+    r06: each side's norm is computed ONCE per input row, BEFORE the
+    cross join (guide §1.2 per-task work): the inline
+    ``cosine_rounded`` form re-derived sqrt(dot(a,a)) per *joined* row
+    (|queries| times per corpus vector) and sqrt(dot(b,b)) per corpus
+    row — 3 array folds per pair instead of 1. The division operands
+    are the identical IEEE expression trees on the same inputs, so the
+    rounded cosine is bit-equal (verified exceptAll==0 at sf1.0);
+    measured 4.2s -> 1.8s noop at sf1.0.
     """
-    joined = embeddings.crossJoin(F.broadcast(queries))
+    from rio_cogeo_spark.functions.vector import as_double_array, dot
+
+    e = embeddings.select(
+        "vec_id", as_double_array(F.col("embedding")).alias("_e")
+    ).withColumn("_na", F.sqrt(dot(F.col("_e"), F.col("_e"))))
+    q = queries.select(
+        "query_id", as_double_array(F.col("q_embedding")).alias("_q")
+    ).withColumn("_nb", F.sqrt(dot(F.col("_q"), F.col("_q"))))
+    joined = e.crossJoin(F.broadcast(q))
     if not include_self:
         joined = joined.filter(F.col("vec_id") != F.col("query_id"))
-    cos = cosine_rounded(F.col("embedding"), F.col("q_embedding"))
+    cos = F.round(
+        dot(F.col("_e"), F.col("_q")) / (F.col("_na") * F.col("_nb")), 6
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return (
-        joined.withColumn("cos", cos)
+        joined.select("query_id", "vec_id", cos.alias("cos"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "rank", "cos")

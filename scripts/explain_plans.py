@@ -77,13 +77,15 @@ def main() -> None:
               r"ReadSchema: struct<doc_id:bigint,lang:string,n_chars:bigint>"],
     )
 
-    # 2. tile assignment = projection only: NO exchange before the UDF
+    # 2. tile assignment = projection only: a pure JVM expression (r06
+    # — the former ArrowEvalPython boundary is gone; values gated
+    # bit-exact by scripts/verify_tile_expr.py), and NO exchange
     assigned = assign_tiles(pages, 8)
     audit(
-        "tile assignment (no shuffle, Arrow eval)",
+        "tile assignment (no shuffle, no Python boundary)",
         assigned,
-        must=[r"ArrowEvalPython"],
-        must_not=[r"Exchange(?!.*broadcast).*\n.*ArrowEvalPython"],
+        must=[r"Project"],
+        must_not=[r"ArrowEvalPython", r"BatchEvalPython", r"Exchange"],
     )
 
     # 3. base agg: partial agg before the exchange (map-side combine)
