@@ -43,7 +43,16 @@ def exact_dedup_groups(docs: DataFrame) -> DataFrame:
 
 
 def exact_dedup(docs: DataFrame) -> DataFrame:
-    """Documents with exact duplicates removed (keep min doc_id)."""
+    """Documents with exact duplicates removed (keep min doc_id).
+
+    Kept as the fingerprint window on purpose (r06): Spark 3.5+'s
+    WindowGroupLimit already pre-limits each map partition to one row
+    per fingerprint before the exchange, so the text shuffle is
+    bounded by distinct-fp-per-partition. The groupBy(min)+semi-join
+    form was prototyped and REVERTED: standalone it measured ~equal,
+    but composed into clean_corpus it re-derives the (unioned) corpus
+    lineage for both join sides and shuffles text by doc_id — measured
+    2.3x slower end-to-end (OPTIMIZATION_r06.md)."""
     w = Window.partitionBy(fingerprint(F.col("text"))).orderBy("doc_id")
     return (
         docs.withColumn("rn", F.row_number().over(w))

@@ -61,9 +61,25 @@ def token_rarity(
     score). Lower ``mean_tok_freq_ppb`` = rarer vocabulary; high
     ``rare_frac_ppm`` = noise/OCR-garbage candidate.
     """
+    from rio_cogeo_spark.functions.text import tokens_col
+
+    toks = tokens_col(F.col(text_col))
     tf = build_postings(docs, id_col=id_col, text_col=text_col)
-    vocab = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
-    total = vocab.agg(F.sum("cnt").alias("total"))
+    # r06 (guide §1.2): the vocab and grand-total branches each re-ran
+    # the postings lineage (3 corpus explodes per query). The vocab now
+    # aggregates the exploded tokens directly (one agg instead of the
+    # two-level tf rollup — SUM(tf) over (term) == COUNT(*) over the
+    # occurrences), and the total is the scan-only per-doc token-count
+    # sum (SUM(size(tokens)) == SUM(tf): explode emits every element,
+    # null-token docs contribute nothing to either side).
+    vocab = (
+        docs.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = docs.select(toks.alias("_t")).agg(
+        F.sum(F.size("_t")).alias("total")
+    )
     joined = (
         tf.join(F.broadcast(vocab) if broadcast_vocab else vocab, "term")
         .crossJoin(F.broadcast(total))

@@ -60,8 +60,19 @@ def search_topk(
     better). Ties break on ascending doc id. Returns
     ``(doc_id, score, n_terms_hit, rank)``.
     """
-    postings = build_postings(docs, id_col, text_col).filter(
-        F.col("term").isin(list(terms))
+    # r06: drop non-query tokens INSIDE the token array (higher-order
+    # filter) before the explode — the explode+filter form generated one
+    # row per corpus token and filtered after (guide §2.3 project before
+    # the work). Identical surviving rows: explode(filter(toks, p)) ==
+    # filter(explode(toks), p).
+    from rio_cogeo_spark.functions.text import tokens_col
+
+    toks = tokens_col(F.col(text_col))
+    matched = F.filter(toks, lambda t: t.isin(*list(terms)))
+    postings = (
+        docs.select(F.col(id_col), F.explode(matched).alias("term"))
+        .groupBy("term", id_col)
+        .agg(F.count(F.lit(1)).alias("tf"))
     )
     df_by_term = postings.groupBy("term").agg(
         F.count(F.lit(1)).alias("df")

@@ -544,21 +544,44 @@ def cog_translate(
             BandSpec("mask_count", lambda: F.count(F.lit(1)).cast("long"), "sum")
         ]
 
-    # Base level FIRST; the plan extent then comes from a min/max over the
-    # (small, persisted) base tile table instead of a second full pages
-    # scan (_plan_from_tile_extent: tile_index is monotonic, so the two
-    # derivations are identical).
+    # Plan extent (r06): on the default WebMercatorQuad grid the tile
+    # index is monotonic per axis (floor + clip of a monotonic mercator
+    # map), so the extent comes from a scan-only min/max over the page
+    # COORDINATES, tiled driver-side with the same grid.tile_index the
+    # per-row JVM expression mirrors (bit-exactness gate
+    # scripts/verify_tile_expr.py). The former form aggregated the full
+    # base-tile table just to read 4 numbers, forcing the whole base
+    # aggregation as a separate planning job before the caller's first
+    # action. Non-quad / variable-width TMS grids keep the base-level
+    # derivation (their x-mapping is row-dependent, not axis-monotonic).
     level = base_tiles(valid_pages, max_zoom, bands, tms=tms)
     if persist_levels:
         level = level.persist()
-    ext = level.agg(
-        F.min("tile_x").alias("tx0"),
-        F.max("tile_x").alias("tx1"),
-        F.min("tile_y").alias("ty0"),
-        F.max("tile_y").alias("ty1"),
-    ).first()
-    if ext is None or ext["tx0"] is None:
-        raise ValueError("cannot plan a tile job over an empty pages table")
+    if tms is None:
+        bbox = valid_pages.agg(
+            F.min("lon").alias("lon0"), F.max("lon").alias("lon1"),
+            F.max("lat").alias("lat1"), F.min("lat").alias("lat0"),
+        ).first()
+        if bbox is None or bbox["lon0"] is None:
+            raise ValueError("cannot plan a tile job over an empty pages table")
+        _txs, _tys = grid.tile_index(
+            [bbox["lon0"], bbox["lon1"]], [bbox["lat1"], bbox["lat0"]],
+            max_zoom,
+        )
+        ext = {
+            "tx0": int(_txs[0]), "tx1": int(_txs[1]),
+            "ty0": int(_tys[0]), "ty1": int(_tys[1]),
+        }
+    else:
+        row = level.agg(
+            F.min("tile_x").alias("tx0"),
+            F.max("tile_x").alias("tx1"),
+            F.min("tile_y").alias("ty0"),
+            F.max("tile_y").alias("ty1"),
+        ).first()
+        if row is None or row["tx0"] is None:
+            raise ValueError("cannot plan a tile job over an empty pages table")
+        ext = {k: row[k] for k in ("tx0", "tx1", "ty0", "ty1")}
     plan = _plan_from_tile_extent(
         int(ext["tx0"]), int(ext["ty0"]), int(ext["tx1"]), int(ext["ty1"]),
         max_zoom,
