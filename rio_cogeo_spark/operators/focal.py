@@ -4892,10 +4892,13 @@ def cell_transitions(
         )
         .groupBy("cls_from", "cls_to")
         .agg(F.count(F.lit(1)).cast("long").alias("n_trans"))
-        # classes²-bounded (≤ 25 rows): persist so the closed-form
+        # classes²-bounded (≤ 25 rows): materialize so the closed-form
         # empty→empty branch reads this instead of re-deriving the
-        # whole corpus fold under the union
-        .persist()
+        # whole corpus fold under the union. localCheckpoint, not
+        # persist (ADVICE r05): a persist here was never released, so
+        # every invocation leaked a cache entry for the session's
+        # lifetime; checkpoint blocks are call-scoped and GC-released.
+        .localCheckpoint(eager=True)
     )
     ee = (
         pairs.agg(F.sum("n_trans").cast("long").alias("n_obs"))
