@@ -74,6 +74,9 @@ def search_topk(
         .groupBy("term", id_col)
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    # (no materialization: the df branch and the scoring branch share
+    # the postings aggregate's exchange via ReusedExchange — verified
+    # in the plan; an eager checkpoint here measured neutral-to-worse)
     df_by_term = postings.groupBy("term").agg(
         F.count(F.lit(1)).alias("df")
     )

@@ -79,14 +79,25 @@ def main() -> None:
 
     # 2. tile assignment = projection only: a pure JVM expression (r06
     # — the former ArrowEvalPython boundary is gone; values gated
-    # bit-exact by scripts/verify_tile_expr.py), and NO exchange
+    # bit-exact by scripts/verify_tile_expr.py), and the assignment
+    # adds ZERO exchanges over the bare pages plan (the pages synth
+    # itself carries one broadcast join)
     assigned = assign_tiles(pages, 8)
-    audit(
-        "tile assignment (no shuffle, no Python boundary)",
-        assigned,
-        must=[r"Project"],
-        must_not=[r"ArrowEvalPython", r"BatchEvalPython", r"Exchange"],
+    p2a = plan_of(assigned)
+    p2b = plan_of(pages)
+    n_ex = len(re.findall(r"\(\d+\) Exchange", p2a))
+    n_ex_base = len(re.findall(r"\(\d+\) Exchange", p2b))
+    t2_ok = (
+        "ArrowEvalPython" not in p2a
+        and "BatchEvalPython" not in p2a
+        and n_ex == n_ex_base
     )
+    checks.append(("tile assignment (no shuffle, no Python boundary)", t2_ok))
+    sections.append(
+        ("tile assignment", f"  {'PASS' if t2_ok else 'FAIL'} "
+         f"no Python eval; exchanges {n_ex} == base {n_ex_base}", p2a)
+    )
+    print(f"[{'OK' if t2_ok else 'BAD'}] tile assignment plan")
 
     # 3. base agg: partial agg before the exchange (map-side combine)
     bt = base_tiles(pages, 8)
@@ -3303,11 +3314,12 @@ def main() -> None:
         and "BatchEvalPython" not in ctr_plan
         and "ArrowEvalPython" not in ctr_plan
         and "CartesianProduct" not in ctr_plan
-        # the persisted classes²-bounded matrix feeds BOTH union
-        # branches — the corpus vote fold (its Generate) must appear
-        # exactly once, behind the cache
-        and "InMemoryTableScan" in ctr_plan
-        and len(re.findall(r"\(\d+\) Generate", ctr_plan)) <= 1
+        # the checkpointed classes²-bounded matrix feeds BOTH union
+        # branches (r06: localCheckpoint replaced the leaking persist —
+        # ADVICE item), so the plan reads the materialized RDD twice
+        # and the corpus vote fold's Generate appears in NEITHER branch
+        and len(re.findall(r"Scan ExistingRDD", ctr_plan)) >= 2
+        and len(re.findall(r"\(\d+\) Generate", ctr_plan)) == 0
     )
     checks.append(("cell_transitions vote pairs, no cells-by-buckets spine",
                    ctr_ok))
