@@ -472,13 +472,29 @@ def _shingle_pair_counts(docs, n, df_cap):
     # (the web-scale guard above), so per-group memory is capped; with
     # df_cap=None (oracle-exact mode only) a hot shingle's list is as
     # quadratic as the join's pair rows would have been.
+    #
+    # r06: posexplode + tail-slice emits each unordered pair exactly
+    # once (positions i<j: s(s-1)/2 rows) instead of the full s² cross
+    # expansion filtered to a<b afterwards — half the generated rows in
+    # the pair stage, the suite's dominant constant (r5 verdict nit #3;
+    # measured 7.0s -> 3.3s on the containment core at sf0.1). The
+    # (least, greatest) normalization reproduces the a<b orientation
+    # regardless of collect_list order; counts exceptAll-identical.
     common = (
         inv.groupBy("shingle")
         .agg(F.collect_list("doc_id").alias("ids"))
         .filter(F.size("ids") >= 2)
-        .select(F.explode("ids").alias("doc_a"), "ids")
-        .select("doc_a", F.explode("ids").alias("doc_b"))
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(F.posexplode("ids").alias("_p", "_x"), "ids")
+        .select(
+            "_x",
+            F.explode(
+                F.slice(F.col("ids"), F.col("_p") + F.lit(2), F.size("ids"))
+            ).alias("_y"),
+        )
+        .select(
+            F.least("_x", "_y").alias("doc_a"),
+            F.greatest("_x", "_y").alias("doc_b"),
+        )
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -801,10 +817,21 @@ def minhash_lsh_pairs(
         .agg(F.collect_list("doc_id").alias("ids"))
         .filter(F.size("ids") >= 2)
     )
+    # posexplode + tail-slice: each unordered bucket pair exactly once
+    # (s(s-1)/2 rows, not the s² cross filtered to a<b — r06, same
+    # rewrite as _shingle_pair_counts)
     cands = (
-        grouped.select(F.explode("ids").alias("doc_a"), "ids")
-        .select("doc_a", F.explode("ids").alias("doc_b"))
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        grouped.select(F.posexplode("ids").alias("_p", "_x"), "ids")
+        .select(
+            "_x",
+            F.explode(
+                F.slice(F.col("ids"), F.col("_p") + F.lit(2), F.size("ids"))
+            ).alias("_y"),
+        )
+        .select(
+            F.least("_x", "_y").alias("doc_a"),
+            F.greatest("_x", "_y").alias("doc_b"),
+        )
         .dropDuplicates(["doc_a", "doc_b"])
     )
     sh_tbl = sigs.select("doc_id", "sh")
@@ -1803,9 +1830,19 @@ def winnow_pairs(
         inv.groupBy("fp")
         .agg(F.collect_list("doc_id").alias("ids"))
         .filter(F.size("ids") >= 2)
-        .select(F.explode("ids").alias("doc_a"), "ids")
-        .select("doc_a", F.explode("ids").alias("doc_b"))
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        # posexplode + tail-slice: s(s-1)/2 rows, not the filtered s²
+        # cross (r06, same rewrite as _shingle_pair_counts)
+        .select(F.posexplode("ids").alias("_p", "_x"), "ids")
+        .select(
+            "_x",
+            F.explode(
+                F.slice(F.col("ids"), F.col("_p") + F.lit(2), F.size("ids"))
+            ).alias("_y"),
+        )
+        .select(
+            F.least("_x", "_y").alias("doc_a"),
+            F.greatest("_x", "_y").alias("doc_b"),
+        )
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)

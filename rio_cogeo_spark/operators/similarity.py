@@ -439,10 +439,20 @@ def semantic_dedup_pairs(
         .agg(F.collect_list(id_col).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
+    # posexplode + tail-slice: s(s-1)/2 rows, not the filtered s²
+    # cross (r06, same rewrite as dedup._shingle_pair_counts)
     cands = (
-        grouped.select(F.explode("ids").alias("vec_a"), "ids")
-        .select("vec_a", F.explode("ids").alias("vec_b"))
-        .filter(F.col("vec_a") < F.col("vec_b"))
+        grouped.select(F.posexplode("ids").alias("_p", "_x"), "ids")
+        .select(
+            "_x",
+            F.explode(
+                F.slice(F.col("ids"), F.col("_p") + F.lit(2), F.size("ids"))
+            ).alias("_y"),
+        )
+        .select(
+            F.least("_x", "_y").alias("vec_a"),
+            F.greatest("_x", "_y").alias("vec_b"),
+        )
     )
     vt = embeddings.select(F.col(id_col), F.col(vec_col))
     pairs = (
