@@ -292,7 +292,7 @@ def main() -> None:
 
     md = f"""# BENCH/BASELINE — two-parallelism scaling evidence
 
-**Job**: tile-assign (Arrow UDF) → base groupBy → 6-level pyramid
+**Job**: tile-assign (JVM expression, r06) → base groupBy → 6-level pyramid
 (z10→z4) → point-in-polygon broadcast join (interior-cell shortcut +
 ray-cast refine), over {summary['n_pages']:,} deterministic pages derived
 from {sf_dir} (seed-fixed, byte-identical across runs and parallelism
